@@ -1,0 +1,88 @@
+"""Per-entity summary aggregation (the reference's `_datasets_summaries`).
+
+The reference builds one summary row per dataset inside a sequential HTTP
+loop — min/max time, bbox extent, first-fix position, profile count, day
+span (``/root/reference/gdutils/__init__.py:544-616,489-501``). Spark-first:
+the loop IS a groupBy — one scan over all entities, partial aggregation
+map-side, a single shuffle on the entity key.
+
+First-row semantics (`iloc[0]` after a time sort,
+``/root/reference/gdutils/__init__.py:606-607``) map to ``min_by(col,
+time)`` — no window, no sort (SURVEY.md §7 trap 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def entity_summaries(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Summary row per entity: schema mirrors the reference's
+    ``summary_columns`` (``/root/reference/gdutils/__init__.py:489-501``).
+
+    days = ceil((max-min)/86400) per
+    ``/root/reference/gdutils/__init__.py:595-599``.
+    """
+    t = F.col(time_col)
+    return df.groupBy(entity_col).agg(
+        F.min(t).alias("start_date"),
+        F.max(t).alias("end_date"),
+        F.min_by(F.col(lat_col), t).alias("deployment_lat"),
+        F.min_by(F.col(lon_col), t).alias("deployment_lon"),
+        F.min(lat_col).alias("lat_min"),
+        F.max(lat_col).alias("lat_max"),
+        F.min(lon_col).alias("lon_min"),
+        F.max(lon_col).alias("lon_max"),
+        F.count(F.lit(1)).alias("num_profiles"),
+        F.ceil(
+            (F.unix_timestamp(F.max(t)) - F.unix_timestamp(F.min(t))) / F.lit(86400)
+        ).alias("days"),
+    )
+
+
+def daily_stats(
+    df: DataFrame,
+    time_col: str,
+    entity_col: str | None = None,
+    value_cols: tuple[str, ...] = ("latitude", "longitude"),
+    count_alias: str = "num_profiles",
+) -> DataFrame:
+    """Daily mean-position + count stats (A1), mirroring
+    ``groupby(date).agg({'latitude':'mean','longitude':'mean',
+    'profile_id':'size'})`` at ``/root/reference/gdutils/__init__.py:574-576``.
+
+    Keys stay long (date[, entity]) — never a wide matrix — so the result
+    scales with distinct dates × entities, not input rows.
+    """
+    keys = [F.to_date(time_col).alias("date")]
+    if entity_col:
+        keys.insert(0, F.col(entity_col))
+    aggs = [F.avg(c).alias(f"avg_{c}") for c in value_cols]
+    aggs.append(F.count(F.lit(1)).alias(count_alias))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def deployment_days(
+    df: DataFrame, entity_col: str, time_col: str
+) -> DataFrame:
+    """One row per (entity, date) for every calendar day between the
+    entity's first and last observation — the dense "glider was deployed
+    this day" series (``/root/reference/gdutils/__init__.py:587-589``).
+
+    ``sequence`` + ``explode`` on the per-entity bounds: the explode happens
+    AFTER the aggregation, so the shuffle moves one row per entity, not one
+    per observation.
+    """
+    bounds = df.groupBy(entity_col).agg(
+        F.to_date(F.min(time_col)).alias("d0"), F.to_date(F.max(time_col)).alias("d1")
+    )
+    return bounds.select(
+        entity_col, F.explode(F.sequence("d0", "d1")).alias("date")
+    ).withColumn("deployed", F.lit(1))

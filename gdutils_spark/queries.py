@@ -1,0 +1,498 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair over the driver testdata tables.
+
+Each Spark query is a lazy DataFrame plan; the oracle is the equivalent
+ANSI SQL run by DuckDB on the same parquet. Conventions that make the
+driver's order-insensitive value-hash comparison deterministic:
+
+* Float-sensitive aggregates route through DECIMAL then cast to DOUBLE at
+  the end, so both engines produce bit-identical doubles (no FP summation
+  order sensitivity).
+* Every computed column is aliased identically on both sides.
+* year()/month()/day() are cast to INT in SQL (DuckDB returns BIGINT,
+  Spark returns INT).
+* Top-k queries tie-break on a unique key so LIMIT selects the same set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdutils_spark.operators.calendar import calendar
+from gdutils_spark.operators.joins import interval_join, orphans, with_orphan_flag
+from gdutils_spark.sources.tables import load_table
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def _utc(spark: SparkSession) -> None:
+    # The driver owns the SparkSession; pin the session timezone so
+    # date-part extraction matches DuckDB's naive-timestamp semantics
+    # (SURVEY.md §7 trap 7).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.1-§2.4, §2.6-§2.8)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate (A1/A10 parity: groupby + dict-agg,
+    /root/reference/gdutils/__init__.py:574-576,361-369)."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+        (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_disc"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + group + deterministic top-k (J1/J2 + O3 parity:
+    /root/reference/gdutils/__init__.py:107-114;
+    /root/reference/scripts/catalog_dac_datasets.py:135)."""
+    _utc(spark)
+    cutoff = F.lit("1996-07-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate > TIMESTAMP '1996-07-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join with broadcast dims (J1-J3 parity at star-schema
+    scale: dims broadcast, fact shuffles once)."""
+    _utc(spark)
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship daily-stats aggregate (A1:
+    /root/reference/gdutils/__init__.py:574-576 — groupby(date).agg(mean,
+    mean, size) re-expressed as one hash aggregate)."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").alias("date")).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS date,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+def user_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity summary rows (A6/A7/A11 + O4 first-row semantics:
+    /root/reference/gdutils/__init__.py:489-501,595-614 — the N+1 harvest
+    loop collapsed into one groupBy; iloc[0]-after-sort → min_by)."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    t = F.col("ts")
+    return e.groupBy("user_id").agg(
+        F.min(t).alias("start_ts"),
+        F.max(t).alias("end_ts"),
+        F.min_by(F.col("value"), t).alias("first_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+        F.ceil(
+            (F.unix_timestamp(F.max(t)) - F.unix_timestamp(F.min(t))) / F.lit(86400)
+        ).alias("days"),
+    )
+
+
+_USER_SUMMARIES_SQL = """
+SELECT user_id,
+       MIN(ts) AS start_ts,
+       MAX(ts) AS end_ts,
+       ARG_MIN(value, ts) AS first_value,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(CEIL(DATE_DIFF('second', MIN(ts), MAX(ts)) / 86400.0) AS BIGINT) AS days
+FROM events
+GROUP BY user_id
+"""
+
+
+def yearly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly rollup report (A3/A10 parity:
+    /root/reference/gdutils/__init__.py:361-369 — three yearly aggregates in
+    one groupBy instead of three passes)."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.count_distinct("o_custkey").alias("active_customers"),
+        F.count(F.lit(1)).alias("num_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+_YEARLY_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS INT) AS year,
+       COUNT(DISTINCT o_custkey) AS active_customers,
+       COUNT(*) AS num_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calendar pivots (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def _calendar_sql(table: str, time_col: str, variant: str, agg_sql: str) -> str:
+    if variant == "ymd":
+        keys = f"CAST(YEAR({time_col}) AS INT) AS year, CAST(MONTH({time_col}) AS INT) AS month"
+        part, vals = "DAY", range(1, 32)
+    elif variant == "ym":
+        keys = f"CAST(YEAR({time_col}) AS INT) AS year"
+        part, vals = "MONTH", range(1, 13)
+    else:  # md
+        keys = f"CAST(MONTH({time_col}) AS INT) AS month"
+        part, vals = "DAY", range(1, 32)
+    cells = ",\n       ".join(
+        f"COALESCE({agg_sql} FILTER (WHERE {part}({time_col}) = {v}), 0) AS c{v:02d}"
+        for v in vals
+    )
+    group = "1, 2" if variant == "ymd" else "1"
+    return f"SELECT {keys},\n       {cells}\nFROM {table}\nGROUP BY {group}"
+
+
+def calendar_ymd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year×month rows, day-of-month columns, event counts — the signature
+    groupby-unstack-reindex pivot (/root/reference/gdutils/__init__.py:
+    160-180) as one pivot with dense values."""
+    _utc(spark)
+    return calendar(load_table(spark, sf_dir, "events"), "ts", "ymd", "count")
+
+
+def calendar_ym_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year rows, month columns, order counts (ym variant:
+    /root/reference/gdutils/__init__.py:182-199)."""
+    _utc(spark)
+    return calendar(load_table(spark, sf_dir, "orders"), "o_orderdate", "ym", "count")
+
+
+def calendar_md_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """month rows, day columns (md variant:
+    /root/reference/gdutils/__init__.py:201-217)."""
+    _utc(spark)
+    return calendar(load_table(spark, sf_dir, "orders"), "o_orderdate", "md", "count")
+
+
+def calendar_ym_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployments-calendar 'any' semantics — count an entity once per
+    period if it has ANY activity (pandas .any() at
+    /root/reference/gdutils/__init__.py:294-345 → countDistinct, SURVEY §7
+    trap 2)."""
+    _utc(spark)
+    return calendar(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderdate",
+        "ym",
+        "any",
+        distinct_col="o_custkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def customer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join orphan listing (J8:
+    /root/reference/gdutils/__init__.py:940-941)."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return orphans(c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey")
+
+
+_ORPHANS_SQL = """
+SELECT * FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def customer_orphan_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + null-probe boolean flag (J2+P10 'orphaned' pattern:
+    /root/reference/gdutils/apis/status.py:52-54)."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return with_orphan_flag(c, o, "c_custkey")
+
+
+_ORPHAN_FLAG_SQL = """
+SELECT c.c_custkey, c.c_name, (o.o_custkey IS NULL) AS orphaned
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+"""
+
+
+def user_first_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key + time-range interval join (J5 'as-of deployment window':
+    /root/reference/gdutils/osmc/__init__.py:215-239 — the per-row HTTP loop
+    as ONE broadcast equi-join with a range residual)."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    windows = e.groupBy(F.col("user_id").alias("w_user_id")).agg(
+        F.min("ts").alias("t0"),
+        (F.min("ts") + F.expr("INTERVAL 7 DAYS")).alias("t1"),
+    )
+    joined = interval_join(e, windows, "user_id", "w_user_id", "ts", "t0", "t1")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+_FIRST_WEEK_SQL = """
+WITH w AS (
+  SELECT user_id, MIN(ts) AS t0, MIN(ts) + INTERVAL 7 DAY AS t1
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id AS user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN w ON e.user_id = w.user_id AND e.ts >= w.t0 AND e.ts <= w.t1
+GROUP BY e.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filters / dedup / sorts / sets (SURVEY §2.2, §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+
+def part_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String prefix/suffix predicates (P6:
+    /root/reference/gdutils/__init__.py:424,516-518)."""
+    _utc(spark)
+    p = load_table(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_name").startswith("small") & ~F.col("p_name").endswith("bolt")
+    ).select("p_partkey", "p_name", "p_brand", "p_retailprice")
+
+
+_PART_FILTER_SQL = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part
+WHERE p_name LIKE 'small%' AND p_name NOT LIKE '%bolt'
+"""
+
+
+def distinct_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row dedup (P14 '&distinct()':
+    /root/reference/gdutils/osmc/__init__.py:197)."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").distinct()
+
+
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-row-per-group (O4 iloc[0] semantics:
+    /root/reference/gdutils/__init__.py:606-607) via max_by — no window, no
+    sort; ties broken by orderkey inside the same aggregate."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    # max_by on a (price, -orderkey) struct = highest price, lowest key tie-break
+    rank = F.struct(
+        F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by(F.col("o_orderkey"), rank).alias("o_orderkey"),
+        F.max("o_totalprice").alias("o_totalprice"),
+    )
+
+
+_TOP_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def tagged_event_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of filtered subsets (R2 pd.concat:
+    /root/reference/gdutils/osmc/__init__.py:238)."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    high = e.where((F.col("event_type") == "purchase") & (F.col("value") > 100)).select(
+        F.lit("high_purchase").alias("tag")
+    )
+    err = e.where(F.col("event_type") == "error").select(F.lit("error").alias("tag"))
+    return high.unionByName(err).groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
+_UNION_SQL = """
+SELECT tag, COUNT(*) AS n FROM (
+  SELECT 'high_purchase' AS tag FROM events WHERE event_type = 'purchase' AND value > 100
+  UNION ALL
+  SELECT 'error' AS tag FROM events WHERE event_type = 'error'
+) GROUP BY tag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "daily_event_stats": daily_event_stats,
+    "user_summaries": user_summaries,
+    "yearly_counts": yearly_counts,
+    "calendar_ymd_events": calendar_ymd_events,
+    "calendar_ym_orders": calendar_ym_orders,
+    "calendar_md_orders": calendar_md_orders,
+    "calendar_ym_active_customers": calendar_ym_active_customers,
+    "customer_orphans": customer_orphans,
+    "customer_orphan_flag": customer_orphan_flag,
+    "user_first_week_events": user_first_week_events,
+    "part_name_filter": part_name_filter,
+    "distinct_user_event_types": distinct_user_event_types,
+    "top_order_per_customer": top_order_per_customer,
+    "tagged_event_union": tagged_event_union,
+}
+
+ORACLE: dict[str, str] = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_top_orders": _Q3_SQL,
+    "q5_region_revenue": _Q5_SQL,
+    "daily_event_stats": _DAILY_SQL,
+    "user_summaries": _USER_SUMMARIES_SQL,
+    "yearly_counts": _YEARLY_SQL,
+    "calendar_ymd_events": _calendar_sql("events", "ts", "ymd", "COUNT(*)"),
+    "calendar_ym_orders": _calendar_sql("orders", "o_orderdate", "ym", "COUNT(*)"),
+    "calendar_md_orders": _calendar_sql("orders", "o_orderdate", "md", "COUNT(*)"),
+    "calendar_ym_active_customers": _calendar_sql(
+        "orders", "o_orderdate", "ym", "COUNT(DISTINCT o_custkey)"
+    ),
+    "customer_orphans": _ORPHANS_SQL,
+    "customer_orphan_flag": _ORPHAN_FLAG_SQL,
+    "user_first_week_events": _FIRST_WEEK_SQL,
+    "part_name_filter": _PART_FILTER_SQL,
+    "distinct_user_event_types": "SELECT DISTINCT user_id, event_type FROM events",
+    "top_order_per_customer": _TOP_ORDER_SQL,
+    "tagged_event_union": _UNION_SQL,
+}

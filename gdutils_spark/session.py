@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference (kerfoot/gdutils) is an eager single-threaded pandas client
+with no execution engine at all; this module is where our engine picks the
+Spark runtime knobs the reference never had:
+
+* AQE on (runtime re-planning, skew-join handling, partition coalescing) —
+  at 100 TB the static plan is always wrong somewhere.
+* ``spark.sql.shuffle.partitions`` sized to the local core count for tests;
+  on a real cluster AQE coalescing makes the initial number less critical.
+* UTC session timezone — the reference mixes naive and UTC timestamps
+  (``/root/reference/gdutils/apis/status.py:39`` vs
+  ``/root/reference/gdutils/apis/dac.py:44``); we standardize on UTC
+  (SURVEY.md §7 trap 7).
+* Arrow enabled for any pandas-interchange path (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gdutils-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    In production this engine runs on a multi-executor cluster; locally we
+    emulate parallelism with ``local[N]`` threads. Every query is written
+    against the DataFrame API so the same plan scales to 1000 executors.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,33 @@
+"""Every registry query vs its DuckDB oracle at sf0.01 — the local mirror of
+the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from gdutils_spark.queries import ORACLE, QUERIES
+from tests.helpers import compare_with_oracle
+
+ORACLE_BACKED = sorted(set(QUERIES) & set(ORACLE))
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_query_matches_oracle(spark, sf_correct, name):
+    df = QUERIES[name](spark, sf_correct)
+    compare_with_oracle(df, ORACLE[name], sf_correct)
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    missing = set(QUERIES) - set(ORACLE)
+    # non-SQL-expressible ops are allowed to omit the oracle; keep the list
+    # explicit so it never grows silently
+    allowed_missing: set[str] = set()
+    assert missing == allowed_missing
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
