@@ -1,0 +1,291 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for 100 TB document corpora:
+
+* **exact**: md5 over normalized text → one hash-aggregate. Partial
+  aggregation makes the shuffle carry one row per distinct fingerprint.
+* **n-gram Jaccard**: shingle-explode → self-join on shingle → pair counts.
+  Exact but quadratic in the worst case — the *verification* step. At scale
+  you never run it on the full corpus; you run MinHash-LSH to get candidate
+  pairs, then verify only those.
+* **MinHash**: K min-hash aggregates per document computed in ONE groupBy
+  (no K-way explode): hash_k(shingle) = int64 of md5(k || ':' || shingle).
+  md5 keeps the hash reproducible across engines (the DuckDB oracle
+  computes the identical signature).
+* **LSH banding**: signature split into bands; docs sharing a band-hash
+  bucket become candidate pairs; exact Jaccard verifies candidates. The
+  band-bucket self-join is an equi-join on (band_idx, band_hash) — fully
+  shuffle-partitioned, no all-pairs blowup.
+* **SimHash**: 60-bit sign-aggregated fingerprint (60 conditional-sum
+  aggregates in one groupBy); near-pairs = hamming(xor) <= d, candidates
+  found by banding the fingerprint into 4×15-bit chunks (a hamming-<=3 pair
+  agrees exactly on >= 1 chunk... pigeonhole), verified by bit_count.
+
+Everything is Catalyst expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_PERMS = 16
+DEFAULT_BANDS = 4
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed int64
+
+
+def normalize_text(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of the normalized text. Empty array
+    when the document has fewer than k tokens."""
+    ws = F.split(normalize_text(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(k)]),
+    )
+    return F.when(F.size(ws) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _md5_int64(s: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative int64 (60 bits) —
+    reproducible in any engine with md5 + hex parsing."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by normalized-text fingerprint: (fp, n_docs,
+    keep_id) with keep_id = min id — the canonical survivor."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
+
+    shingle-explode → equi-join on shingle → count common → sizes join.
+    The shingle join partitions on the shingle value, so hot shingles are
+    the skew risk — at 100 TB drop top-frequency shingles first (they
+    contribute pairs with near-zero Jaccard anyway) or go through
+    MinHash-LSH and verify only candidates.
+    """
+    sh = _shingle_table(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_NUM_PERMS,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature: num_perms min-aggregates in ONE groupBy over the
+    exploded shingle table (columns sig00..sig{P-1}). Documents with no
+    shingles are dropped (no signature to compare)."""
+    sh = _shingle_table(df, text_col, id_col, k)
+    aggs = [
+        F.min(_md5_int64(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(
+            f"sig{p:02d}"
+        )
+        for p in range(num_perms)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_NUM_PERMS,
+    k: int = 3,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard.
+
+    Banding: rows_per_band = num_perms // bands; band hash = md5 of the
+    comma-joined signature slice. Self-join on (band, band_hash) finds
+    candidates — this is the 100 TB scale path: cost ∝ bucket sizes, never
+    all-pairs. Verification reuses :func:`ngram_jaccard_pairs` semantics on
+    candidates only.
+    """
+    rows = num_perms // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perms, k)
+    band_cols = []
+    for bidx in range(bands):
+        slice_cols = [F.col(f"sig{p:02d}") for p in range(bidx * rows, (bidx + 1) * rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.md5(F.concat_ws(",", *slice_cols)).alias("bh"),
+            )
+        )
+    banded = sigs.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    # exact verification on the candidate set only
+    sh = _shingle_table(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc").alias("d1"), F.col("shingle"))
+    sb = sh.select(F.col("doc").alias("d2"), F.col("shingle"))
+    common = (
+        cands.join(sa, "d1")
+        .join(sb, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "d1")
+        .join(nb, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """60-bit SimHash over distinct word hashes (unweighted): bit b of the
+    fingerprint is 1 iff sum over words of ±1 (sign of word-hash bit b) is
+    positive. One explode + one groupBy with `bits` conditional sums."""
+    words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    w = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("word"))
+    h = _md5_int64(F.col("word"))
+    w = w.select("doc", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b:02d}")
+        for b in range(bits)
+    ]
+    per_bit = w.groupBy("doc").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b:02d}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return per_bit.select("doc", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, found via chunk banding.
+
+    Pigeonhole: hamming <= chunks-1 guarantees at least one identical
+    chunk, so the candidate join on (chunk_idx, chunk_value) is exact for
+    max_hamming <= chunks-1 and a recall-complete prefilter otherwise.
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    fps = simhash(df, text_col, id_col, bits)
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    chunked = fps.select(
+        "doc", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (BASELINE.json north star): language-ID
+heuristic, quality scoring, token counting, document fingerprinting. All are
+pure Catalyst expressions — array/lambda functions evaluate inside
+whole-stage codegen, so these run JVM-side at full scan speed with no
+Python in the hot path. At 100 TB each is an embarrassingly parallel map
+over the documents scan: no shuffle at all.
+
+Determinism note: every ratio/score derives from exact integer counts, so
+Spark and any SQL oracle produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed marker vocabularies for the lang-id heuristic; order is the
+# tie-break priority.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def _count_in(toks: Column, vocab: tuple[str, ...]) -> Column:
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(toks, lambda x: F.array_contains(vocab_arr, x)))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token/char/punctuation/stopword statistics + a quality
+    score. One projection over the scan — no shuffle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    token_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    n_stop = _count_in(toks, STOPWORDS)
+    avg_token_len = token_chars.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    # Quality heuristic: reward stopword presence and moderate token length,
+    # penalize punctuation soup. All terms derive from exact ints.
+    quality = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.5)
+        * F.when((avg_token_len >= 3) & (avg_token_len <= 10), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        - punct_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        n_punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language-ID heuristic. Deterministic: first language
+    (in LANG_MARKERS order) with the max marker count wins; all-zero → 'und'.
+
+    At scale: pure map — language scoring never shuffles.
+    """
+    toks = tokens(F.col(text_col))
+    scores = {lang: _count_in(toks, vocab) for lang, vocab in LANG_MARKERS.items()}
+    langs = list(scores)
+    # Sequential CASE: lang L wins if its score is positive and >= every
+    # later lang's score (earlier langs already failed their branch), so
+    # ties resolve to the earlier language. Mirrors a plain SQL CASE.
+    guess = None
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        guess = F.when(cond, F.lit(lang)) if guess is None else guess.when(
+            cond, F.lit(lang)
+        )
+    guess = guess.otherwise(F.lit("und"))
+    out = [F.col(id_col)]
+    out += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    out.append(guess.alias("lang_guess"))
+    return df.select(*out)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace-normalized md5 fingerprint — the exact-dedup key."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

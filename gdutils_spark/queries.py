@@ -455,6 +455,8 @@ SELECT tag, COUNT(*) AS n FROM (
 # Registry
 # ---------------------------------------------------------------------------
 
+from gdutils_spark.queries_ext import EXT_ORACLE, EXT_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -473,6 +475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_user_event_types": distinct_user_event_types,
     "top_order_per_customer": top_order_per_customer,
     "tagged_event_union": tagged_event_union,
+    **EXT_QUERIES,
 }
 
 ORACLE: dict[str, str] = {
@@ -495,4 +498,5 @@ ORACLE: dict[str, str] = {
     "distinct_user_event_types": "SELECT DISTINCT user_id, event_type FROM events",
     "top_order_per_customer": _TOP_ORDER_SQL,
     "tagged_event_union": _UNION_SQL,
+    **EXT_ORACLE,
 }

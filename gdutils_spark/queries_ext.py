@@ -1,0 +1,336 @@
+"""Extension queries: dedup, similarity search, text analysis over the
+documents/embeddings tables, each with a generated DuckDB oracle.
+
+The oracle SQL is generated from the same constants as the Spark operators
+(marker vocabularies, permutation counts, plane signs) so the two sides
+can never drift apart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdutils_spark.operators import dedup as dd
+from gdutils_spark.operators import similarity as sim
+from gdutils_spark.operators import text as tx
+from gdutils_spark.sources.tables import load_table
+
+NGRAM_K = 3
+JACCARD_T = 0.5
+NUM_PERMS = 16
+BANDS = 4
+SIMHASH_BITS = 60
+KNN_K = 5
+N_QUERIES = 10  # vec_id < 10 are the knn query set
+NEAR_DUP_T = 0.45
+LSH_PLANES = 8
+EMB_DIMS = 64
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+_TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+  CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS INT) AS n_stopwords,
+  CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+  0.5 * (CAST(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], x))) AS DOUBLE) / len(toks))
+  + 0.5 * (CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+  - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS quality_score
+FROM t
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    langs = list(tx.LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        vocab = ", ".join(f"'{w}'" for w in tx.LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{vocab}], x))) AS INT) AS score_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} > 0"]
+        conds += [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM t
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       CASE {" ".join(cases)} ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+_EXACT_DUPS_SQL = f"""
+SELECT md5({_NORM}) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def doc_ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=NGRAM_K, threshold=JACCARD_T
+    )
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, len(ws) - 1)])) AS shingle
+  FROM toks WHERE len(ws) >= {NGRAM_K}
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc)
+"""
+
+_NGRAM_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+common AS (
+  SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d1, d2, common,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM common
+JOIN sizes sa ON d1 = sa.doc
+JOIN sizes sb ON d2 = sb.doc
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_T}
+"""
+
+
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_perms=NUM_PERMS,
+        k=NGRAM_K,
+        bands=BANDS,
+        threshold=JACCARD_T,
+    )
+
+
+def _h64(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_lsh_sql() -> str:
+    rows = NUM_PERMS // BANDS
+    sig_aggs = ", ".join(
+        "MIN({h}) AS sig{p:02d}".format(h=_h64("'%d:' || shingle" % p), p=p)
+        for p in range(NUM_PERMS)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        cols = ", ".join(f"sig{p:02d}" for p in range(b * rows, (b + 1) * rows))
+        band_rows.append(
+            f"SELECT doc, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc, {sig_aggs} FROM sh GROUP BY doc),
+banded AS ({banded}),
+cands AS (
+  SELECT DISTINCT a.doc AS d1, b.doc AS d2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+),
+common AS (
+  SELECT c.d1, c.d2, COUNT(*) AS common
+  FROM cands c
+  JOIN sh s1 ON s1.doc = c.d1
+  JOIN sh s2 ON s2.doc = c.d2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+)
+SELECT common.d1, common.d2,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM common
+JOIN sizes sa ON common.d1 = sa.doc
+JOIN sizes sb ON common.d2 = sb.doc
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_T}
+"""
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b:02d}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b:02d} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id AS doc, unnest(list_distinct({_TOKS})) AS word FROM documents
+), h AS (
+  SELECT doc, {_h64("word")} AS h FROM w
+), bits AS (
+  SELECT doc, {bit_sums} FROM h GROUP BY doc
+)
+SELECT doc, {fp} AS simhash FROM bits
+"""
+
+
+def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, bits=SIMHASH_BITS
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    width = SIMHASH_BITS // 4
+    mask = (1 << width) - 1
+    chunks = " UNION ALL ".join(
+        f"SELECT doc, simhash, {i} AS ci, (simhash >> {i * width}) & {mask} AS cv FROM fps"
+        for i in range(4)
+    )
+    return f"""
+WITH base AS ({_simhash_sql()}),
+fps AS (SELECT doc, simhash FROM base),
+chunked AS ({chunks})
+SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.ci = b.ci AND a.cv = b.cv AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_bruteforce(vectors, queries, k=KNN_K)
+
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), v AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qe, ve) AS score
+  FROM q, v WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM s
+) WHERE rn <= {KNN_K}
+"""
+
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_T
+    )
+
+
+_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS d1, b.vec_id AS d2, list_cosine_similarity(a.v, b.v) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_T}
+"""
+
+
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_buckets(
+        load_table(spark, sf_dir, "embeddings"), planes=LSH_PLANES, dims=EMB_DIMS
+    )
+
+
+def _lsh_buckets_sql() -> str:
+    terms = []
+    for p in range(LSH_PLANES):
+        signs = sim._plane_signs(p, EMB_DIMS)
+        lit = "[" + ", ".join(str(float(s)) for s in signs) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+            f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        )
+    return f"SELECT vec_id, {' + '.join(terms)} AS bucket FROM embeddings"
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_text_stats": doc_text_stats,
+    "doc_lang_id": doc_lang_id,
+    "doc_exact_dups": doc_exact_dups,
+    "doc_ngram_dup_pairs": doc_ngram_dup_pairs,
+    "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_simhash": doc_simhash,
+    "doc_simhash_near_pairs": doc_simhash_near_pairs,
+    "emb_knn_bruteforce": emb_knn_bruteforce,
+    "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_lsh_buckets": emb_lsh_buckets,
+}
+
+EXT_ORACLE: dict[str, str] = {
+    "doc_text_stats": _TEXT_STATS_SQL,
+    "doc_lang_id": _lang_id_sql(),
+    "doc_exact_dups": _EXACT_DUPS_SQL,
+    "doc_ngram_dup_pairs": _NGRAM_PAIRS_SQL,
+    "doc_minhash_lsh_pairs": _minhash_lsh_sql(),
+    "doc_simhash": _simhash_sql(),
+    "doc_simhash_near_pairs": _simhash_pairs_sql(),
+    "emb_knn_bruteforce": _KNN_SQL,
+    "emb_near_dup_pairs": _NEAR_DUP_SQL,
+    "emb_lsh_buckets": _lsh_buckets_sql(),
+}
