@@ -1,0 +1,49 @@
+"""KML track sink (K5).
+
+The reference renders KML from GeoJSON tracks through a jinja2 template
+(``/root/reference/scripts/dac/recent_datasets_to_kml.py:41-57``). Same
+document shape here with stdlib formatting — no template dependency. KML
+is presentation: the distributed work (quantize, order, assemble) happens
+in :mod:`gdutils_spark.sinks.geojson`; this renders the collected strings.
+"""
+
+from __future__ import annotations
+
+import json
+
+_KML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+  <Document>
+    <name>{name}</name>
+{placemarks}
+  </Document>
+</kml>
+"""
+
+_PLACEMARK = """    <Placemark>
+      <name>{dataset_id}</name>
+      <LineString>
+        <coordinates>
+{coords}
+        </coordinates>
+      </LineString>
+    </Placemark>"""
+
+
+def tracks_to_kml(tracks: list[tuple[str, str]], name: str = "glider tracks") -> str:
+    """Render (dataset_id, geojson string) pairs — the output of
+    :func:`gdutils_spark.sinks.geojson.track_geojson` — into one KML doc."""
+    placemarks = []
+    for dataset_id, geojson_str in tracks:
+        doc = json.loads(geojson_str)
+        line = next(
+            (
+                f["geometry"]["coordinates"]
+                for f in doc.get("features", [])
+                if f.get("geometry", {}).get("type") == "LineString"
+            ),
+            [],
+        )
+        coords = "\n".join(f"          {lon},{lat},0" for lon, lat in line)
+        placemarks.append(_PLACEMARK.format(dataset_id=dataset_id, coords=coords))
+    return _KML_DOC.format(name=name, placemarks="\n".join(placemarks))
