@@ -12,8 +12,13 @@ semantics.
 
 Spark-first collapse into ONE parameterized operator:
 
-* ``pivot(col, values=DENSE)`` gives dense, ordered columns for free and
-  keeps the aggregation a single partial+final hash-agg (one shuffle).
+* the wide matrix is built with ONE conditional aggregation
+  (``count(when(day = v, 1))`` per dense column) instead of
+  ``DataFrame.pivot`` — Spark's pivot compiles to a *double* aggregation
+  (groupBy keys+pivot → shuffle → pivotfirst → shuffle); the conditional
+  agg is a single partial+final hash-agg pair, i.e. one shuffle, with
+  map-side combine collapsing 100 TB of input to (years × 12) rows per
+  task before the exchange. Dense, ordered columns fall out for free.
 * dense *rows* come from a date spine built with ``sequence``+``explode`` —
   declarative, no driver-side date_range materialization.
 * "deployments" semantics (count a dataset once per period if it has ANY
@@ -96,15 +101,35 @@ def calendar(
 
     Columns are named ``c01..c31`` (or ``c01..c12``) so downstream SQL and
     the duckdb oracle can refer to them stably.
+
+    Implementation: one conditional aggregate per dense column — a single
+    partial+final hash agg (one shuffle), unlike ``DataFrame.pivot`` which
+    plans two aggregation rounds. For ``agg='any'`` (deployments
+    semantics) a distinct pre-pass on (keys, col, entity) replaces 31
+    ``count_distinct`` aggregates — avoiding the Expand node that would
+    multiply 100 TB of input ×31.
     """
     row_keys, col_key, dense_vals = _VARIANTS[variant]
     parts = _with_parts(df, time_col)
-    agg_col = _agg_expr(agg, value_col, distinct_col)
-    wide = parts.groupBy(*row_keys).pivot(col_key, dense_vals).agg(agg_col)
-    renames = {str(v): f"c{v:02d}" for v in dense_vals}
-    wide = wide.withColumnsRenamed(renames)
+    c = F.col(col_key)
+    if agg == "any":
+        # dedupe (period, day, entity) first; each survivor then counts 1
+        parts = parts.select(*row_keys, col_key, distinct_col).where(
+            F.col(distinct_col).isNotNull()
+        ).distinct()
+        cell = lambda v: F.count(F.when(c == v, 1))  # noqa: E731
+    elif agg == "count":
+        cell = lambda v: F.count(F.when(c == v, 1))  # noqa: E731
+    elif agg == "sum":
+        cell = lambda v: F.sum(F.when(c == v, F.col(value_col)))  # noqa: E731
+    else:
+        raise ValueError(f"unknown calendar agg kind: {agg!r}")
+    wide = parts.groupBy(*row_keys).agg(
+        *[cell(v).alias(f"c{v:02d}") for v in dense_vals]
+    )
     if fill is not None:
-        wide = wide.na.fill(fill, subset=list(renames.values()))
+        value_cols = [f"c{v:02d}" for v in dense_vals]
+        wide = wide.na.fill(fill, subset=value_cols)
     return wide.orderBy(*row_keys)
 
 

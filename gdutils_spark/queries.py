@@ -451,6 +451,164 @@ SELECT tag, COUNT(*) AS n FROM (
 """
 
 
+def calendar_ymd_events_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-spine ym calendar (the reference's *intended* reindex,
+    /root/reference/gdutils/__init__.py:166-169 — a latent no-op bug there;
+    implemented for real here via sequence+explode spine)."""
+    _utc(spark)
+    from gdutils_spark.operators.calendar import calendar_dense
+
+    return calendar_dense(
+        load_table(spark, sf_dir, "events"), "ts", "ymd", "count"
+    )
+
+
+def _calendar_dense_sql(table: str, time_col: str) -> str:
+    cells = ",\n       ".join(
+        f"COALESCE(c.c{v:02d}, 0) AS c{v:02d}" for v in range(1, 32)
+    )
+    inner = _calendar_sql(table, time_col, "ymd", "COUNT(*)")
+    return f"""
+WITH cal AS ({inner}),
+bounds AS (SELECT date_trunc('month', MIN({time_col})) AS lo,
+                  date_trunc('month', MAX({time_col})) AS hi FROM {table}),
+spine AS (
+  SELECT CAST(YEAR(d) AS INT) AS year, CAST(MONTH(d) AS INT) AS month
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS d FROM bounds)
+)
+SELECT s.year, s.month, {cells}
+FROM spine s LEFT JOIN cal c ON s.year = c.year AND s.month = c.month
+"""
+
+
+def user_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-entity date-range generation (R4 deployment days:
+    /root/reference/gdutils/__init__.py:587-589 — sequence+explode AFTER
+    the per-entity bounds aggregate, so the explode is one row per entity
+    per day, not per observation)."""
+    _utc(spark)
+    from gdutils_spark.operators.summaries import deployment_days
+
+    e = load_table(spark, sf_dir, "events")
+    return deployment_days(e, "user_id", "ts")
+
+
+_USER_SPINE_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date,
+       1 AS deployed
+FROM b
+"""
+
+
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-nested column parsing (§2.8 JSON family:
+    /root/reference/gdutils/apis/dac.py:67 parse + geojson build) —
+    get_json_object stays JVM-side."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_PROPS_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def lineitem_shipped_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact key+range join (J5 at scale: equi part shuffles on the
+    order key, range is a residual; neither side broadcastable at 100 TB —
+    AQE picks the physical join)."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+_SHIPPED_90D_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def event_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional when/otherwise bucketing (§2.8 conditional family +
+    P10 derived flags: /root/reference/gdutils/__init__.py:940-941)."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, F.lit("low"))
+        .when(F.col("value") < 150, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+_BUCKETS_SQL = """
+SELECT CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+def calendar_slice_ym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicographic label-range slice on calendar axes (P9 — pandas
+    .loc[(y0,m0):(y1,m1)] semantics, SURVEY §7 trap 4: the bound is on the
+    (year, month) TUPLE, not per-column)."""
+    _utc(spark)
+    from gdutils_spark.operators.calendar import calendar_long
+
+    cal = calendar_long(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "ym", "count", alias="n_orders"
+    )
+    y0, m0, y1, m1 = 1996, 3, 1998, 10
+    lo = (F.col("year") > y0) | ((F.col("year") == y0) & (F.col("month") >= m0))
+    hi = (F.col("year") < y1) | ((F.col("year") == y1) & (F.col("month") <= m1))
+    return cal.where(lo & hi)
+
+
+_SLICE_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS INT) AS year,
+       CAST(MONTH(o_orderdate) AS INT) AS month,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+HAVING (year > 1996 OR (year = 1996 AND month >= 3))
+   AND (year < 1998 OR (year = 1998 AND month <= 10))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -475,6 +633,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_user_event_types": distinct_user_event_types,
     "top_order_per_customer": top_order_per_customer,
     "tagged_event_union": tagged_event_union,
+    "calendar_ymd_events_dense": calendar_ymd_events_dense,
+    "user_day_spine": user_day_spine,
+    "event_props_stats": event_props_stats,
+    "lineitem_shipped_90d": lineitem_shipped_90d,
+    "event_value_buckets": event_value_buckets,
+    "calendar_slice_ym": calendar_slice_ym,
     **EXT_QUERIES,
 }
 
@@ -498,5 +662,11 @@ ORACLE: dict[str, str] = {
     "distinct_user_event_types": "SELECT DISTINCT user_id, event_type FROM events",
     "top_order_per_customer": _TOP_ORDER_SQL,
     "tagged_event_union": _UNION_SQL,
+    "calendar_ymd_events_dense": _calendar_dense_sql("events", "ts"),
+    "user_day_spine": _USER_SPINE_SQL,
+    "event_props_stats": _PROPS_SQL,
+    "lineitem_shipped_90d": _SHIPPED_90D_SQL,
+    "event_value_buckets": _BUCKETS_SQL,
+    "calendar_slice_ym": _SLICE_SQL,
     **EXT_ORACLE,
 }

@@ -51,7 +51,8 @@ def read_json_records(
             df = df.withColumn(c, F.timestamp_millis(F.col(c).cast("long")))
     for c in timestamp_columns:
         if c in df.columns:
-            df = df.withColumn(c, F.to_timestamp(F.col(c)))
+            # errors='coerce' semantics: malformed → NULL, not an error
+            df = df.withColumn(c, F.try_to_timestamp(F.col(c)))
     for c in int_columns:
         if c in df.columns:
             df = df.withColumn(c, F.coalesce(F.col(c).cast("long"), F.lit(0)))

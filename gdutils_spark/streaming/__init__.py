@@ -1,0 +1,70 @@
+"""Structured Streaming analogues of the reference's re-polling patterns.
+
+The reference has no streaming — its "recent data" flow is a cron that
+re-runs a search with ``min_time = now-24h``
+(``/root/reference/scripts/dac/search_datasets.py:21-42,89-92``). The same
+pipeline shapes map onto Structured Streaming (SURVEY.md §2.9): the daily
+profile-stats aggregate (A1) becomes a watermarked tumbling-window
+aggregation; server-side ``&distinct()`` dedup (P14) becomes
+``dropDuplicatesWithinWatermark``.
+
+Scale notes: event-time windows + watermark bound the state store; the
+aggregation is the same partial/final hash-agg as batch, incrementally
+maintained. Output mode 'update' emits per-trigger deltas; 'append' waits
+for the watermark to close a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_daily_stats(
+    stream: DataFrame,
+    time_col: str = "ts",
+    entity_col: str | None = None,
+    value_col: str | None = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming A1: daily (window, entity) counts + value stats with
+    late-data handling. Mirrors
+    ``groupby(date).agg(mean, size)`` (``/root/reference/gdutils/__init__.py:
+    574-576``) as an incrementally-maintained windowed aggregate."""
+    keys = [F.window(F.col(time_col), "1 day").alias("window")]
+    if entity_col:
+        keys.append(F.col(entity_col))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs += [
+            F.avg(value_col).alias("avg_value"),
+            F.sum(value_col).alias("sum_value"),
+        ]
+    return stream.withWatermark(time_col, watermark).groupBy(*keys).agg(*aggs)
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], time_col: str = "ts", watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming P14: exact dedup across micro-batches, state bounded by
+    the watermark (SURVEY.md §7 trap 9)."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        [*keys]
+    )
+
+
+def stream_active_entities(
+    stream: DataFrame,
+    time_col: str = "ts",
+    entity_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming A4 ('any' deployment semantics): distinct active entities
+    per window — approx_count_distinct keeps state sublinear; exact
+    distinct would require keyed state per entity."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("window"))
+        .agg(F.approx_count_distinct(entity_col).alias("active_entities"))
+    )

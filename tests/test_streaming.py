@@ -1,0 +1,77 @@
+"""Structured Streaming operators: file-source micro-batches must converge
+to the same result as the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdutils_spark.sources.tables import load_table
+from gdutils_spark.streaming import stream_daily_stats, stream_dedup
+
+
+@pytest.fixture()
+def stream_dirs(spark, sf_smoke):
+    """Split the events table into two parquet chunks (micro-batches)."""
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    chk = tempfile.mkdtemp(prefix="stream_chk_")
+    events = load_table(spark, sf_smoke, "events")
+    events.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    events.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    yield src, chk, events
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_daily_stats_matches_batch(spark, stream_dirs):
+    src, chk, events = stream_dirs
+    schema = events.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream_daily_stats(stream, time_col="ts", value_col="value")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("daily_stats_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window"]["start"].date(): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM daily_stats_stream").collect()
+    }
+    want = {
+        r["date"]: (r["n"], round(r["s"], 6))
+        for r in events.groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup(spark, stream_dirs):
+    src, chk, events = stream_dirs
+    # duplicate every row across both chunks → dedup on event_id halves it
+    dup_src = tempfile.mkdtemp(prefix="stream_dup_")
+    events.write.mode("append").parquet(dup_src)
+    events.write.mode("append").parquet(dup_src)
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(dup_src)
+        dd = stream_dedup(stream, ["event_id"], time_col="ts")
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").collect()[0]["n"]
+        assert n == events.count()
+    finally:
+        shutil.rmtree(dup_src, ignore_errors=True)
