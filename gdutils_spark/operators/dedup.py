@@ -76,9 +76,33 @@ def exact_duplicates(
 def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    """Long (doc, shingle) table of distinct word k-grams.
+
+    posexplode + window ``lead`` instead of a higher-order ``transform``:
+    HOFs are CodegenFallback (interpreted per element) and measured ~6×
+    slower; lead/concat_ws stay in whole-stage codegen. ``concat_ws``
+    skips NULL leads, so rows where the last lead is NULL (tail
+    positions, docs with < k tokens) are filtered — matching the
+    empty-array semantics of the reference shingler. distinct() dedupes
+    per (doc, shingle) with map-side partial aggregation.
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(normalize_text(F.col(text_col)), " ")
+    w = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(ws).alias("pos", "word")
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.lead("word", j).over(win) for j in range(1, k)]
+    return (
+        w.select(
+            "doc",
+            F.concat_ws(" ", F.col("word"), *leads).alias("shingle"),
+            leads[-1].isNotNull().alias("full"),
+        )
+        .where(F.col("full"))
+        .select("doc", "shingle")
+        .distinct()
     )
 
 
