@@ -119,3 +119,51 @@ def fingerprint(
     """Whitespace-normalized md5 fingerprint — the exact-dedup key."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+# BPE-ish pre-tokenizer: letter runs are one token, each digit is its own
+# token, every other non-space char is its own token. Simple enough that
+# Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+ROLL_BASE = 31
+ROLL_MOD = 2147483647  # 2^31-1: keeps acc*31 + 60-bit token hash inside int64
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document.
+
+    ``regexp_count`` is a codegen'd scan-side expression — at 100 TB this
+    is a pure map with the projection pushed to the parquet reader.
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+    ``h = (h * 31 + md5int60(token)) mod (2^31-1)``.
+
+    Unlike the unordered md5 fingerprint, token *order* matters — two
+    documents with the same bag of words but different order get
+    different fingerprints. O(tokens) per doc, no shuffle; modulus keeps
+    every intermediate exact in int64 so any engine reproduces it.
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(
+        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+    )
+    roll = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
+    return df.select(F.col(id_col), roll.alias("rolling_fp"))

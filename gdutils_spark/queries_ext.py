@@ -33,6 +33,10 @@ _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
 
 
+def _h64(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -61,6 +65,36 @@ SELECT doc_id,
   + 0.5 * (CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
   - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS quality_score
 FROM t
+"""
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT)
+  END AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_ROLLING_FP_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> {_h64("x")})),
+    (acc, x) -> (acc * {tx.ROLL_BASE} + x) % {tx.ROLL_MOD}
+  ) AS rolling_fp
+FROM documents
 """
 
 
@@ -151,10 +185,6 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         threshold=JACCARD_T,
     )
-
-
-def _h64(expr: str) -> str:
-    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def _minhash_lsh_sql() -> str:
@@ -311,6 +341,8 @@ def _lsh_buckets_sql() -> str:
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_text_stats": doc_text_stats,
+    "doc_token_counts": doc_token_counts,
+    "doc_rolling_fp": doc_rolling_fp,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dups": doc_exact_dups,
     "doc_ngram_dup_pairs": doc_ngram_dup_pairs,
@@ -324,6 +356,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLE: dict[str, str] = {
     "doc_text_stats": _TEXT_STATS_SQL,
+    "doc_token_counts": _TOKEN_COUNTS_SQL,
+    "doc_rolling_fp": _ROLLING_FP_SQL,
     "doc_lang_id": _lang_id_sql(),
     "doc_exact_dups": _EXACT_DUPS_SQL,
     "doc_ngram_dup_pairs": _NGRAM_PAIRS_SQL,
