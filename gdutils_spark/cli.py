@@ -1,0 +1,287 @@
+"""CLI entry points: parity for the reference's ``scripts/`` surface.
+
+One ``argparse`` multiplexer instead of 12 script files; each subcommand
+mirrors a reference driver:
+
+| subcommand          | reference script                                    |
+|---------------------|-----------------------------------------------------|
+| search-datasets     | scripts/dac/search_datasets.py                      |
+| get-dataset-profiles| scripts/dac/get_dataset_profiles.py                 |
+| get-dataset-track   | scripts/dac/get_dataset_track.py, download_tracks.sh|
+| datasets-to-kml     | scripts/dac/recent_datasets_to_kml.py               |
+| catalog-datasets    | scripts/catalog_dac_datasets.py                     |
+| gts-obs             | scripts/dac/get_dataset_gts_obs.py                  |
+| calendars           | scripts/plot_ym_calendars.py, plot_ymd_calendars.py |
+| report              | scripts/build_dac_ioos_datasets_report.py           |
+
+Tables come from ``--catalog/--profiles/--obs`` paths (parquet or CSV)
+instead of live ERDDAP endpoints; every subcommand builds ONE lazy plan
+and only collects at the output boundary. The reference's "recent" poll
+pattern (``search_datasets.py:21-42``: min_time = now - N hours) is the
+``--hours`` window here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdutils_spark.client import GdacClient
+from gdutils_spark.sinks import to_csv_string, to_html_table, to_json_records
+
+
+def _get_spark() -> SparkSession:
+    from gdutils_spark.session import get_spark
+
+    return get_spark()
+
+
+def _load(spark: SparkSession, path: str) -> DataFrame:
+    if path.endswith(".csv"):
+        return spark.read.csv(path, header=True, inferSchema=True)
+    return spark.read.parquet(path)
+
+
+def _client(spark: SparkSession, args) -> GdacClient:
+    return GdacClient(
+        spark,
+        catalog=_load(spark, args.catalog),
+        profiles=_load(spark, args.profiles),
+        timeseries=_load(spark, args.timeseries) if args.timeseries else None,
+    )
+
+
+def _search_params(args) -> dict:
+    params: dict = {}
+    if getattr(args, "hours", None):
+        params["min_time"] = (
+            dt.datetime.now(dt.timezone.utc) - dt.timedelta(hours=args.hours)
+        ).strftime("%Y-%m-%dT%H:%M")
+    if getattr(args, "start_time", None):
+        params["min_time"] = args.start_time
+    if getattr(args, "end_time", None):
+        params["max_time"] = args.end_time
+    for cli_key, param in (
+        ("north", "max_lat"),
+        ("south", "min_lat"),
+        ("east", "max_lon"),
+        ("west", "min_lon"),
+    ):
+        v = getattr(args, cli_key, None)
+        if v is not None:
+            params[param] = v
+    if getattr(args, "search_string", None):
+        params["search_for"] = args.search_string
+    return params
+
+
+def _emit(text: str, output: str | None) -> None:
+    if output:
+        with open(output, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text if text.endswith("\n") else text + "\n")
+
+
+def _render(df: DataFrame, fmt: str) -> str:
+    if fmt == "csv":
+        return to_csv_string(df)
+    if fmt == "json":
+        return to_json_records(df)
+    if fmt == "html":
+        return to_html_table(df)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+# -- subcommand handlers ------------------------------------------------------
+
+
+def cmd_search_datasets(args) -> int:
+    spark = _get_spark()
+    c = _client(spark, args)
+    c.search_datasets(
+        _search_params(args), include_delayed_mode=args.include_delayed
+    )
+    if args.response == "ids":
+        for ds in c.dataset_ids:
+            print(ds)
+        return 0
+    df = c.datasets if not args.exclude_summaries else c._datasets_info
+    _emit(_render(df, args.response), args.output)
+    return 0
+
+
+def cmd_get_dataset_profiles(args) -> int:
+    spark = _get_spark()
+    c = _client(spark, args)
+    df = c.get_dataset_profiles(args.dataset_id)
+    _emit(_render(df, args.response), args.output)
+    return 0
+
+
+def cmd_get_dataset_track(args) -> int:
+    spark = _get_spark()
+    c = _client(spark, args)
+    track = c.get_dataset_track_geojson(
+        args.dataset_id, points=not args.no_points, ndigits=args.precision
+    )
+    _emit(json.dumps(track), args.output)
+    return 0
+
+
+def cmd_datasets_to_kml(args) -> int:
+    from gdutils_spark.sinks.geojson import track_geojson
+    from gdutils_spark.sinks.kml import tracks_to_kml
+
+    spark = _get_spark()
+    c = _client(spark, args)
+    c.search_datasets(_search_params(args))
+    rows = track_geojson(
+        c._require_search(), "dataset_id", time_col="time", ndigits=args.precision
+    ).collect()
+    _emit(tracks_to_kml([(r["dataset_id"], r["geojson"]) for r in rows]), args.output)
+    return 0
+
+
+def cmd_catalog_datasets(args) -> int:
+    spark = _get_spark()
+    c = _client(spark, args)
+    c.search_datasets({})
+    # catalog records sorted most-recent deployment first
+    # (/root/reference/scripts/catalog_dac_datasets.py:135)
+    df = c.datasets.orderBy(F.col("end_date").desc(), "dataset_id")
+    _emit(_render(df, args.response), args.output)
+    return 0
+
+
+def cmd_gts_obs(args) -> int:
+    from gdutils_spark.osmc import DuoProfilesClient
+
+    spark = _get_spark()
+    c = _client(spark, args)
+    c.search_datasets({}, dataset_ids=args.dataset_id or None)
+    osmc = DuoProfilesClient(spark, _load(spark, args.obs))
+    obs = osmc.get_dataset_profiles(c.datasets_summaries)
+    _emit(_render(obs, args.response), args.output)
+    return 0
+
+
+def cmd_calendars(args) -> int:
+    spark = _get_spark()
+    c = _client(spark, args)
+    c.search_datasets(_search_params(args))
+    target = {
+        "profiles": {
+            "ymd": c.ymd_profiles_calendar,
+            "ym": c.ym_profiles_calendar,
+            "md": c.md_profiles_calendar,
+        },
+        "days": {
+            "ymd": c.ymd_glider_days_calendar,
+            "ym": c.ym_glider_days_calendar,
+            "md": c.md_glider_days_calendar,
+        },
+        "deployments": {
+            "ymd": c.ymd_deployments_calendar,
+            "ym": c.ym_deployments_calendar,
+            "md": c.md_deployments_calendar,
+        },
+    }[args.target][args.variant]
+    df = target() if callable(target) else target
+    if args.plot:
+        from gdutils_spark.plot import plot_calendar
+
+        ax = plot_calendar(df)
+        ax.figure.savefig(args.plot, dpi=150, bbox_inches="tight")
+    _emit(_render(df, args.response), args.output)
+    return 0
+
+
+def cmd_report(args) -> int:
+    spark = _get_spark()
+    c = _client(spark, args)
+    c.search_datasets({})
+    df = c.datasets
+    if args.glider:
+        # report rows for one glider (scripts/build_dac_ioos_datasets_report.py:52-55)
+        df = df.where(F.col("glider") == args.glider)
+    _emit(_render(df, args.response), args.output)
+    return 0
+
+
+# -- parser -------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gdutils-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, handler, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.set_defaults(handler=handler)
+        sp.add_argument("--catalog", required=True, help="catalog table path")
+        sp.add_argument("--profiles", required=True, help="profiles table path")
+        sp.add_argument("--timeseries", help="sensor time-series table path")
+        sp.add_argument("-o", "--output", help="write to file instead of stdout")
+        sp.add_argument(
+            "-f", "--response", default="csv", choices=["csv", "json", "html", "ids"]
+        )
+        return sp
+
+    def add_search_args(sp):
+        sp.add_argument("--hours", type=float, default=None)
+        sp.add_argument("--start-time")
+        sp.add_argument("--end-time")
+        sp.add_argument("--north", type=float)
+        sp.add_argument("--south", type=float)
+        sp.add_argument("--east", type=float)
+        sp.add_argument("--west", type=float)
+        sp.add_argument("-s", "--search-string")
+
+    sp = add("search-datasets", cmd_search_datasets)
+    add_search_args(sp)
+    sp.add_argument("--include-delayed", action="store_true")
+    sp.add_argument("--exclude-summaries", action="store_true")
+
+    sp = add("get-dataset-profiles", cmd_get_dataset_profiles)
+    sp.add_argument("dataset_id")
+
+    sp = add("get-dataset-track", cmd_get_dataset_track)
+    sp.add_argument("dataset_id")
+    sp.add_argument("--no-points", action="store_true")
+    sp.add_argument("--precision", type=int, default=3)
+
+    sp = add("datasets-to-kml", cmd_datasets_to_kml)
+    add_search_args(sp)
+    sp.add_argument("--precision", type=int, default=3)
+
+    add("catalog-datasets", cmd_catalog_datasets)
+
+    sp = add("gts-obs", cmd_gts_obs)
+    sp.add_argument("--obs", required=True, help="GTS observations table path")
+    sp.add_argument("-d", "--dataset-id", action="append")
+
+    sp = add("calendars", cmd_calendars)
+    add_search_args(sp)
+    sp.add_argument("--target", default="profiles",
+                    choices=["profiles", "days", "deployments"])
+    sp.add_argument("--variant", default="ym", choices=["ymd", "ym", "md"])
+    sp.add_argument("--plot", help="also render a heatmap PNG to this path")
+
+    sp = add("report", cmd_report)
+    sp.add_argument("--glider")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.handler(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

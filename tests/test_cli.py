@@ -1,0 +1,93 @@
+"""CLI subcommands over parquet fixtures (the reference's scripts/ surface)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from gdutils_spark.cli import main
+from tests.fixtures import catalog_df, profiles_df
+
+
+@pytest.fixture(scope="module")
+def table_paths(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_tables")
+    cat, prof = str(d / "catalog"), str(d / "profiles")
+    catalog_df(spark).write.parquet(cat)
+    profiles_df(spark).write.parquet(prof)
+    # obs table for gts-obs: platform_code matches the fixtures' wmo ids
+    obs = profiles_df(spark).selectExpr(
+        "time", "wmo_id AS platform_code",
+        "'GLIDER' AS platform_type", "'US' AS country",
+        "latitude", "longitude",
+    )
+    obs_p = str(d / "obs")
+    obs.write.parquet(obs_p)
+    return {"catalog": cat, "profiles": prof, "obs": obs_p}
+
+
+def _base(table_paths):
+    return ["--catalog", table_paths["catalog"], "--profiles", table_paths["profiles"]]
+
+
+def test_search_datasets_ids(table_paths, capsys):
+    assert main(["search-datasets", *_base(table_paths), "-f", "ids"]) == 0
+    ids = capsys.readouterr().out.split()
+    assert "unit_191-20231201T0000" in ids
+    assert "blue-20240101T0600-delayed" not in ids  # delayed dropped by default
+
+
+def test_search_datasets_csv_with_window(table_paths, capsys):
+    assert main([
+        "search-datasets", *_base(table_paths),
+        "--start-time", "2024-01-01", "-f", "csv",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "num_profiles" in out
+    assert "unit_191-20240115T1200" in out
+
+
+def test_get_dataset_track_geojson(table_paths, tmp_path):
+    out = tmp_path / "track.json"
+    assert main([
+        "get-dataset-track", *_base(table_paths),
+        "unit_191-20231201T0000", "-o", str(out),
+    ]) == 0
+    doc = json.loads(out.read_text())
+    assert doc["type"] == "FeatureCollection"
+    assert doc["features"][0]["geometry"]["type"] == "LineString"
+
+
+def test_datasets_to_kml(table_paths, capsys):
+    assert main(["datasets-to-kml", *_base(table_paths)]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("<?xml") and "<kml" in out
+
+
+def test_catalog_sorted_recent_first(table_paths, capsys):
+    assert main(["catalog-datasets", *_base(table_paths), "-f", "json"]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    ends = [r["end_date"] for r in recs]
+    assert ends == sorted(ends, reverse=True)
+
+
+def test_gts_obs_interval_join(table_paths, capsys):
+    assert main([
+        "gts-obs", *_base(table_paths), "--obs", table_paths["obs"], "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert recs and {"dataset_id", "platform_code"} <= set(recs[0])
+
+
+def test_calendars_ym(table_paths, capsys):
+    assert main([
+        "calendars", *_base(table_paths), "--target", "profiles", "--variant", "ym",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0].startswith("year,c01")
+
+
+def test_report_html(table_paths, capsys):
+    assert main(["report", *_base(table_paths), "-f", "html"]) == 0
+    assert "<table" in capsys.readouterr().out
