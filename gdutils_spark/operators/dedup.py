@@ -9,9 +9,12 @@ Designed for 100 TB document corpora:
   you never run it on the full corpus; you run MinHash-LSH to get candidate
   pairs, then verify only those.
 * **MinHash**: K min-hash aggregates per document computed in ONE groupBy
-  (no K-way explode): hash_k(shingle) = int64 of md5(k || ':' || shingle).
-  md5 keeps the hash reproducible across engines (the DuckDB oracle
-  computes the identical signature).
+  (no K-way explode). The K "permutations" are affine maps of a SINGLE
+  md5-derived base hash — ``sig_k = min((a_k·h + b_k) mod P)`` with
+  ``h = md5int60(shingle) mod P`` — the textbook universal-hashing
+  scheme: one md5 per shingle instead of K, everything else integer
+  arithmetic that any engine reproduces exactly (constants are
+  md5-seeded, P = 2^31-1, products bounded < 2^63).
 * **LSH banding**: signature split into bands; docs sharing a band-hash
   bucket become candidate pairs; exact Jaccard verifies candidates. The
   band-bucket self-join is an equi-join on (band_idx, band_hash) — fully
@@ -55,6 +58,24 @@ def _md5_int64(s: Column) -> Column:
     """First 15 hex chars of md5 as a non-negative int64 (60 bits) —
     reproducible in any engine with md5 + hex parsing."""
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+MINHASH_PRIME = 2147483647  # 2^31-1; keeps a_k*h + b_k < 2^63
+
+
+def _perm_constants(num_perms: int) -> tuple[list[int], list[int]]:
+    """Deterministic md5-seeded affine-permutation constants:
+    a_k odd in [1, 2^28), b_k in [0, 2^28) — no RNG, any engine can
+    re-derive them (they are inlined as literals in the SQL oracle)."""
+    import hashlib
+
+    a, b = [], []
+    for k in range(num_perms):
+        ha = int(hashlib.md5(f"a:{k}".encode()).hexdigest()[:7], 16)
+        hb = int(hashlib.md5(f"b:{k}".encode()).hexdigest()[:7], 16)
+        a.append(ha | 1)
+        b.append(hb)
+    return a, b
 
 
 def exact_duplicates(
@@ -154,15 +175,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature: num_perms min-aggregates in ONE groupBy over the
     exploded shingle table (columns sig00..sig{P-1}). Documents with no
-    shingles are dropped (no signature to compare)."""
+    shingles are dropped (no signature to compare).
+
+    One md5 per shingle; the K permutations are affine remaps of that
+    base hash (see module docstring) — K× fewer md5 evaluations, and the
+    shuffle still carries just one partially-aggregated signature row
+    per (partition, doc)."""
     sh = _shingle_table(df, text_col, id_col, k)
+    a, b = _perm_constants(num_perms)
+    h = (_md5_int64(F.col("shingle")) % MINHASH_PRIME).alias("h")
+    hashed = sh.select("doc", h)
     aggs = [
-        F.min(_md5_int64(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(
-            f"sig{p:02d}"
-        )
+        F.min((F.col("h") * a[p] + b[p]) % MINHASH_PRIME).alias(f"sig{p:02d}")
         for p in range(num_perms)
     ]
-    return sh.groupBy("doc").agg(*aggs)
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(

@@ -80,27 +80,6 @@ def cosine(a: Column, b: Column, dims: int | None = DEFAULT_DIMS) -> Column:
     return dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
 
 
-def _pair_score_udf():
-    """Arrow-batched cosine over pre-joined pair rows.
-
-    Vectorized across the batch, sequential across dims — per-row
-    accumulation order j=0..d-1 makes each double bit-identical to the
-    JVM fold (and DuckDB's sequential sum).
-    """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def score(e1: pd.Series, e2: pd.Series, n1: pd.Series, n2: pd.Series) -> pd.Series:
-        A = np.stack(e1.to_numpy()).astype(np.float64)
-        B = np.stack(e2.to_numpy()).astype(np.float64)
-        acc = A[:, 0] * B[:, 0]
-        for j in range(1, A.shape[1]):
-            acc = acc + A[:, j] * B[:, j]
-        return pd.Series(acc / (n1.to_numpy() * n2.to_numpy()))
-
-    return score
-
-
 def knn_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -158,40 +137,55 @@ def embedding_near_dup_pairs(
     threshold: float = 0.45,
     dims: int | None = 64,
 ) -> DataFrame:
-    """All pairs (d1 < d2) with cosine >= threshold — brute force.
+    """All pairs (d1 < d2) with cosine >= threshold — exact brute force.
 
-    At 100 TB wrap this behind :func:`lsh_buckets` candidates; kept exact
-    here as the verification/baseline operator.
+    Block-broadcast execution: the corpus matrix is broadcast once to
+    every task (exactly what a broadcast join would ship), and each
+    mapInPandas batch scores its rows against the full matrix with a
+    dim-sequential vectorized loop, emitting ONLY the qualifying pairs.
+    Nothing O(N²) ever crosses the Arrow boundary or a shuffle — the
+    N²·d flops run inside one scan-shaped stage that parallelizes over
+    the corpus partitions.
 
-    Plan shape matters: scoring must NOT live in the non-equi join —
-    Catalyst would push the ``score >= t`` filter into the
-    BroadcastNestedLoopJoin condition, where it is evaluated *interpreted*
-    per pair. Instead the pair id-list is enumerated with a narrow
-    ids-only theta join, the vectors are attached by two broadcast hash
-    joins, and the score is computed in a codegen'd Project. Norms are
-    computed once per row (N sqrt's, not N²).
+    Per-pair accumulation order is j = 0..d-1, so scores are
+    bit-identical to a sequential double fold (DuckDB oracle parity).
+
+    This is the *baseline/verification* operator: it assumes the corpus
+    fits a broadcast (same constraint as any broadcast join). At 100 TB
+    use :func:`lsh_buckets` to get candidate pairs and verify only those.
     """
-    ids = vectors.select(F.col(id_col).alias("d1"))
-    ids2 = vectors.select(F.col(id_col).alias("d2"))
-    pairs = ids.join(ids2, F.col("d1") < F.col("d2"))
-    side = vectors.select(
-        F.col(id_col),
-        F.col(vec_col).alias("e"),
-        norm(F.col(vec_col), dims).alias("n"),
-    )
-    a = side.select(F.col(id_col).alias("d1"), F.col("e").alias("e1"), F.col("n").alias("n1"))
-    b = side.select(F.col(id_col).alias("d2"), F.col("e").alias("e2"), F.col("n").alias("n2"))
-    score = _pair_score_udf()
-    return (
-        pairs.join(F.broadcast(a), "d1")
-        .join(F.broadcast(b), "d2")
-        .select(
-            "d1",
-            "d2",
-            score(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")).alias("score"),
-        )
-        .where(F.col("score") >= threshold)
-    )
+    spark = vectors.sparkSession
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    pdf_all = base.toPandas()
+    ids_all = pdf_all["_id"].to_numpy()
+    M = np.stack(pdf_all["_v"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids_all, M))
+
+    def _norms(X):
+        acc = X[:, 0] * X[:, 0]
+        for j in range(1, X.shape[1]):
+            acc = acc + X[:, j] * X[:, j]
+        return np.sqrt(acc)
+
+    def score_blocks(batches):
+        ids_b, Mb = bc.value
+        nb = _norms(Mb)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            aids = pdf["_id"].to_numpy()
+            acc = A[:, [0]] * Mb[:, 0][None, :]
+            for j in range(1, A.shape[1]):
+                acc = acc + A[:, [j]] * Mb[:, j][None, :]
+            scores = acc / (_norms(A)[:, None] * nb[None, :])
+            keep = (scores >= threshold) & (aids[:, None] < ids_b[None, :])
+            ii, kk = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"d1": aids[ii], "d2": ids_b[kk], "score": scores[ii, kk]}
+            )
+
+    return base.mapInPandas(score_blocks, "d1 long, d2 long, score double")
 
 
 def _plane_signs(plane: int, dims: int) -> list[int]:
@@ -213,25 +207,31 @@ def lsh_buckets(
 ) -> DataFrame:
     """Sign-LSH bucket id per vector: bit p = (v · plane_p) > 0.
 
-    The plane dot is a ±-signed sum folded in index order (exact same
-    doubles in any sequential engine). Bucketing is a map; the later
-    candidate join shuffles on bucket — never all-pairs.
+    Arrow-batched: the plane dots accumulate dim-sequentially (±v_j terms
+    in index order — exact same doubles as a sequential fold in any
+    engine). An unrolled JVM expression would be planes×dims terms, past
+    the JIT method limit, and costs seconds of codegen compilation alone.
+    Bucketing is a map; the later candidate join shuffles on bucket —
+    never all-pairs.
     """
-    v = F.col(vec_col)
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        signs = _plane_signs(p, dims)
-        # unrolled ±-signed sum, left-to-right (codegen'd; bit-identical
-        # to a sequential fold in any engine)
-        d = reduce(
-            lambda acc, j: acc + v[j].cast("double") * float(signs[j]),
-            range(1, dims),
-            v[0].cast("double") * float(signs[0]),
-        )
-        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return vectors.select(F.col(id_col), bucket.alias("bucket"))
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array(
+        [[float(s) for s in _plane_signs(p, dims)] for p in range(planes)]
+    )
+
+    @pandas_udf("long")
+    def bucket_of(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        b = np.zeros(len(V), dtype=np.int64)
+        for p in range(planes):
+            acc = V[:, 0] * S[p, 0]
+            for j in range(1, dims):
+                acc = acc + V[:, j] * S[p, j]
+            b = b + (acc > 0).astype(np.int64) * (1 << p)
+        return pd.Series(b)
+
+    return vectors.select(F.col(id_col), bucket_of(F.col(vec_col)).alias("bucket"))
 
 
 def knn_lsh(

@@ -189,8 +189,10 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_sql() -> str:
     rows = NUM_PERMS // BANDS
+    pa, pb = dd._perm_constants(NUM_PERMS)
+    base_h = f"({_h64('shingle')} % {dd.MINHASH_PRIME})"
     sig_aggs = ", ".join(
-        "MIN({h}) AS sig{p:02d}".format(h=_h64("'%d:' || shingle" % p), p=p)
+        f"MIN(({base_h} * {pa[p]} + {pb[p]}) % {dd.MINHASH_PRIME}) AS sig{p:02d}"
         for p in range(NUM_PERMS)
     )
     band_rows = []
