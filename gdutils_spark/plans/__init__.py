@@ -1,0 +1,93 @@
+"""Plan inspection: the scale properties this engine promises, as
+checkable predicates over ``explain`` output.
+
+The reference has no plans to inspect (eager pandas, SURVEY.md §4); in
+this engine every operator is a lazy Catalyst plan, and these helpers
+make the physical-plan guarantees *testable*: filter/projection pushdown
+reaching the parquet scan, dimension broadcasts, shuffle counts, no
+Python evaluation in relational hot paths, whole-stage codegen active.
+Used by tests/test_plans.py and available to users tuning their own
+pipelines (`assert_no_python(df)` before launching a 100 TB job).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`explain('formatted')` output as a string."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def simple_plan(df: DataFrame, disable_aqe: bool = False) -> str:
+    """Simple-mode explain (codegen stages marked ``*(n)``). AQE hides
+    codegen markers until runtime; ``disable_aqe`` shows the static plan."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        if disable_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def n_exchanges(df_or_plan: DataFrame | str) -> int:
+    """Number of physical Exchange (shuffle/broadcast-exchange) nodes.
+
+    Formatted explain lists each node twice (tree + '(n) Exchange'
+    detail header); count the headers.
+    """
+    plan = (
+        df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
+    )
+    return len(re.findall(r"^\(\d+\) (?:Exchange|BroadcastExchange)", plan, flags=re.M))
+
+
+def pushed_filters(df_or_plan: DataFrame | str) -> list[str]:
+    """The PushedFilters lists attached to every scan in the plan."""
+    plan = (
+        df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
+    )
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def has_broadcast_join(df_or_plan: DataFrame | str) -> bool:
+    plan = (
+        df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
+    )
+    return "BroadcastHashJoin" in plan
+
+
+def uses_python(df_or_plan: DataFrame | str) -> bool:
+    """True if any stage drops out of the JVM into Python (row-at-a-time
+    BatchEvalPython or Arrow-batched ArrowEvalPython/MapInPandas)."""
+    plan = (
+        df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
+    )
+    return any(
+        marker in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    )
+
+
+def assert_no_python(df: DataFrame) -> None:
+    """Raise if the plan leaves whole-stage-codegen territory for Python —
+    the guard to run before launching a relational pipeline at scale."""
+    if uses_python(df):
+        raise AssertionError("plan contains Python evaluation nodes")
+
+
+def whole_stage_codegen_active(df: DataFrame) -> bool:
+    return "*(" in simple_plan(df, disable_aqe=True)

@@ -53,6 +53,81 @@ def stream_dedup(
     )
 
 
+def stream_entity_summaries(
+    stream: DataFrame,
+    entity_col: str = "dataset_id",
+    time_col: str = "ts",
+    timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator: incrementally-maintained per-entity
+    summary rows (first/last fix, event count) — the streaming analogue
+    of the reference's per-deployment summary build
+    (``/root/reference/gdutils/__init__.py:591-614``), which batch
+    recomputes from scratch on every poll.
+
+    ``applyInPandasWithState`` keeps one tiny state row per entity
+    (bounded by live-entity cardinality, not event volume); a processing
+    -time timeout flushes entities that stop reporting. Emits the updated
+    summary on every trigger an entity received events.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("start_time", TimestampType()),
+            StructField("end_time", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        start_us, end_us, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[time_col]).astype("int64") // 1000
+            lo, hi = int(ts.min()), int(ts.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        state.update((start_us, end_us, n))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "entity": [str(key[0])],
+                "start_time": [pd.Timestamp(start_us, unit="us")],
+                "end_time": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_active_entities(
     stream: DataFrame,
     time_col: str = "ts",

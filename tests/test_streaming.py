@@ -10,7 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from gdutils_spark.sources.tables import load_table
-from gdutils_spark.streaming import stream_daily_stats, stream_dedup
+from gdutils_spark.streaming import (
+    stream_daily_stats,
+    stream_dedup,
+    stream_entity_summaries,
+)
 
 
 @pytest.fixture()
@@ -75,3 +79,41 @@ def test_stream_dedup(spark, stream_dirs):
         assert n == events.count()
     finally:
         shutil.rmtree(dup_src, ignore_errors=True)
+
+
+def test_stream_entity_summaries_stateful(spark, stream_dirs):
+    """Custom applyInPandasWithState operator: the LAST emitted summary per
+    entity must equal the batch per-entity aggregate."""
+    src, chk, events = stream_dirs
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    summ = stream_entity_summaries(stream, entity_col="user_id", time_col="ts")
+    q = (
+        summ.writeStream.format("memory")
+        .queryName("entity_summaries_stream")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per (trigger, entity); keep the final state
+    got = {
+        r["entity"]: (r["start_time"], r["end_time"], r["n_events"])
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, ROW_NUMBER() OVER
+                   (PARTITION BY entity ORDER BY n_events DESC) rn
+                 FROM entity_summaries_stream) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        str(r["user_id"]): (r["t0"], r["t1"], r["n"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
