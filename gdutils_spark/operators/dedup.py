@@ -142,7 +142,10 @@ def ngram_jaccard_pairs(
     contribute pairs with near-zero Jaccard anyway) or go through
     MinHash-LSH and verify only candidates.
     """
-    sh = _shingle_table(df, text_col, id_col, k)
+    # the shingle table feeds both self-join sides and the sizes agg;
+    # cache the (small: distinct shingles only) intermediate instead of
+    # recomputing the explode 3x. At 100 TB stage it to parquet instead.
+    sh = _shingle_table(df, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -172,6 +175,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perms: int = DEFAULT_NUM_PERMS,
     k: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature: num_perms min-aggregates in ONE groupBy over the
     exploded shingle table (columns sig00..sig{P-1}). Documents with no
@@ -181,7 +185,7 @@ def minhash_signatures(
     base hash (see module docstring) — K× fewer md5 evaluations, and the
     shuffle still carries just one partially-aggregated signature row
     per (partition, doc)."""
-    sh = _shingle_table(df, text_col, id_col, k)
+    sh = _shingles if _shingles is not None else _shingle_table(df, text_col, id_col, k)
     a, b = _perm_constants(num_perms)
     h = (_md5_int64(F.col("shingle")) % MINHASH_PRIME).alias("h")
     hashed = sh.select("doc", h)
@@ -210,7 +214,9 @@ def minhash_lsh_pairs(
     candidates only.
     """
     rows = num_perms // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perms, k)
+    # shingles feed signatures + both verification join sides + sizes
+    sh_cached = _shingle_table(df, text_col, id_col, k).cache()
+    sigs = minhash_signatures(df, text_col, id_col, num_perms, k, _shingles=sh_cached)
     band_cols = []
     for bidx in range(bands):
         slice_cols = [F.col(f"sig{p:02d}") for p in range(bidx * rows, (bidx + 1) * rows)]
@@ -236,7 +242,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification on the candidate set only
-    sh = _shingle_table(df, text_col, id_col, k)
+    sh = sh_cached
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc").alias("d1"), F.col("shingle"))
     sb = sh.select(F.col("doc").alias("d2"), F.col("shingle"))
@@ -308,7 +314,9 @@ def simhash_near_pairs(
     """
     width = bits // chunks
     mask = (1 << width) - 1
-    fps = simhash(df, text_col, id_col, bits)
+    # one fingerprint row per doc feeds both self-join sides; cache it
+    # rather than recomputing the word explode + bit-sum aggregation twice
+    fps = simhash(df, text_col, id_col, bits).cache()
     chunk_cols = [
         F.struct(
             F.lit(i).alias("ci"),
@@ -337,6 +345,8 @@ def simhash_near_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct so the dedup aggregate only sees
+        # qualifying pairs, not every chunk collision
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

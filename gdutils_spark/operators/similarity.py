@@ -86,9 +86,13 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    dims: int | None = 64,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Default ``dims=None`` keeps the scoring as a higher-order fold: the
+    |queries|·N pair count is small, and an unrolled 64-term expression
+    would cost more in codegen compilation than interpretation saves.
 
     queries is broadcast (always small relative to the corpus); scoring is
     a map over the corpus scan; top-k is one shuffle on query_id. Ties
