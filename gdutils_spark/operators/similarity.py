@@ -182,7 +182,9 @@ def embedding_near_dup_pairs(
             acc = A[:, [0]] * Mb[:, 0][None, :]
             for j in range(1, A.shape[1]):
                 acc = acc + A[:, [j]] * Mb[:, j][None, :]
-            scores = acc / (_norms(A)[:, None] * nb[None, :])
+            # clamp like DuckDB's list_cosine_similarity: FP rounding can
+            # push a (near-)parallel pair epsilon past ±1
+            scores = np.clip(acc / (_norms(A)[:, None] * nb[None, :]), -1.0, 1.0)
             keep = (scores >= threshold) & (aids[:, None] < ids_b[None, :])
             ii, kk = np.nonzero(keep)
             yield pd.DataFrame(
@@ -236,6 +238,139 @@ def lsh_buckets(
         return pd.Series(b)
 
     return vectors.select(F.col(id_col), bucket_of(F.col(vec_col)).alias("bucket"))
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (ties → lowest centroid id).
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic
+    seed sample, reproducible in any engine with no trained model or RNG
+    (a k-means refinement would drop in here without changing the plan
+    shape). Assignment is one Arrow-batched map over the corpus with the
+    centroid matrix broadcast — at 100 TB this is scan-speed, and the
+    resulting ``centroid`` column is the partition/cluster key that makes
+    probed search touch 1/C of the data.
+    """
+    spark = vectors.sparkSession
+    cent = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cids = cent["_id"].to_numpy()
+    C = np.stack(cent["_v"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((cids, C))
+
+    def assign(batches):
+        cids_b, Cb = bc.value
+
+        def norms(X):
+            acc = X[:, 0] * X[:, 0]
+            for j in range(1, X.shape[1]):
+                acc = acc + X[:, j] * X[:, j]
+            return np.sqrt(acc)
+
+        nc = norms(Cb)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            acc = A[:, [0]] * Cb[:, 0][None, :]
+            for j in range(1, A.shape[1]):
+                acc = acc + A[:, [j]] * Cb[:, j][None, :]
+            # clamp like DuckDB's list_cosine_similarity (self-pairs can
+            # round epsilon past 1.0)
+            scores = np.clip(acc / (norms(A)[:, None] * nc[None, :]), -1.0, 1.0)
+            # argmax with lowest-id tie-break: ids are sorted ascending,
+            # argmax returns the first (lowest) index on ties
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["_id"].to_numpy(),
+                    "centroid": cids_b[best],
+                    "score": scores[np.arange(len(best)), best],
+                }
+            )
+
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return base.mapInPandas(assign, "vec_id long, centroid long, score double")
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dims: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``n_probe`` clusters whose
+    centroids are nearest each query, then exact-score the members.
+
+    The scale path: assignment is a map, the probe table is tiny
+    (|queries| × n_probe), and member scoring is an equi-join on
+    ``centroid`` — cost ≈ n_probe/C of brute force, recall < 1 by
+    construction. Deterministic end-to-end (seed centroids, lowest-id
+    tie-breaks), so a SQL oracle reproduces it exactly.
+    """
+    from pyspark.sql import Window
+
+    assign = ivf_assign(vectors, id_col, vec_col, n_centroids)
+    members = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+    ).join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), "centroid"),
+        "neighbor_id",
+    )
+
+    cent = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_score").desc(), F.col("centroid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "centroid",
+            cosine(F.col("q_vec"), F.col("c_vec"), dims).alias("c_score"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "centroid")
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        probes.join(members, "centroid")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("v_vec"), dims).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 def knn_lsh(

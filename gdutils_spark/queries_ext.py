@@ -319,6 +319,68 @@ WHERE list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_T}
 """
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_assign(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=IVF_CENTROIDS
+    )
+
+
+_IVF_ASSIGN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, cent.cid, list_cosine_similarity(e.v, cent.cv) AS s,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY s DESC, cent.cid) AS rn
+  FROM e, cent
+)
+SELECT vec_id, cid AS centroid, s AS score FROM scored WHERE rn = 1
+"""
+
+
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_ivf(
+        vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    )
+
+
+_KNN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT e.vec_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid) AS rn
+    FROM e, cent) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cid AS centroid FROM (
+    SELECT q.query_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
+    FROM q, cent) WHERE rn <= {IVF_PROBE}
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.v) AS score,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, a.vec_id) AS rn
+  FROM probes p
+  JOIN assign a ON a.centroid = p.centroid
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+) WHERE rn <= {KNN_K}
+"""
+
+
 def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_buckets(
         load_table(spark, sf_dir, "embeddings"), planes=LSH_PLANES, dims=EMB_DIMS
@@ -354,6 +416,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_bruteforce": emb_knn_bruteforce,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_lsh_buckets": emb_lsh_buckets,
+    "emb_ivf_assign": emb_ivf_assign,
+    "emb_knn_ivf": emb_knn_ivf,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -369,4 +433,6 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_bruteforce": _KNN_SQL,
     "emb_near_dup_pairs": _NEAR_DUP_SQL,
     "emb_lsh_buckets": _lsh_buckets_sql(),
+    "emb_ivf_assign": _IVF_ASSIGN_SQL,
+    "emb_knn_ivf": _KNN_IVF_SQL,
 }
