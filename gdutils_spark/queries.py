@@ -615,6 +615,100 @@ HAVING (year > 1996 OR (year = 1996 AND month >= 3))
 
 from gdutils_spark.queries_ext import EXT_ORACLE, EXT_QUERIES  # noqa: E402
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + single aggregate (P8/P13 + A2 at fact scale): every
+    predicate reaches the parquet scan as a PushedFilter; the agg is one
+    partial+final pair with no grouping key — the minimal full-scan plan."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def suppliers_with_shipments_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi existence probe (J7 as a join, not an id-list: the
+    reference's ``dataset_id in index`` guards,
+    /root/reference/gdutils/__init__.py:737-742). The semi join keeps the
+    probe side unduplicated — no post-join distinct needed — and the
+    lineitem side never materializes columns."""
+    _utc(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+_SEMI_SQL = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey
+                AND l.l_shipdate >= TIMESTAMP '1998-01-01')
+"""
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True window function (§2.9): per-customer order ranking by price
+    with a running total. One shuffle on the partition key; the window
+    sort is local per partition."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    run = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("price_rank"),
+            F.sum(_dec("o_totalprice")).over(run).cast("double").alias("running_total"),
+        )
+        .where(F.col("price_rank") <= 3)
+    )
+
+
+_RANKS_SQL = """
+SELECT o_custkey, o_orderkey, price_rank, running_total FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER w AS price_rank,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+              (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE price_rank <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -639,6 +733,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_shipped_90d": lineitem_shipped_90d,
     "event_value_buckets": event_value_buckets,
     "calendar_slice_ym": calendar_slice_ym,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "suppliers_with_shipments_semi": suppliers_with_shipments_semi,
+    "customer_order_ranks": customer_order_ranks,
     **EXT_QUERIES,
 }
 
@@ -668,5 +765,8 @@ ORACLE: dict[str, str] = {
     "lineitem_shipped_90d": _SHIPPED_90D_SQL,
     "event_value_buckets": _BUCKETS_SQL,
     "calendar_slice_ym": _SLICE_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "suppliers_with_shipments_semi": _SEMI_SQL,
+    "customer_order_ranks": _RANKS_SQL,
     **EXT_ORACLE,
 }
