@@ -1,0 +1,79 @@
+"""Staged-table helpers: bucketing for co-located joins, salting for skew.
+
+The reference has no storage layout at all (every query re-fetches CSV
+over HTTP); at 100 TB the dominant cost of repeated fact-fact joins is
+the shuffle, and these helpers are the two standard levers:
+
+* **Bucketing** — persist both join sides bucketed+sorted on the join
+  key; subsequent joins read co-located buckets and plan a SortMergeJoin
+  with ZERO Exchange (verified in tests/test_staging.py by plan
+  inspection). This is the "pre-partition once, join many times" pattern
+  for pipelines that repeatedly join on the same key.
+* **Salting** — for skewed keys (one glider/platform with 100× the
+  observations), explode the dimension side S ways and scatter the fact
+  side with a deterministic salt, so the hot key's rows spread over S
+  tasks instead of one straggler. AQE's skew-join handles moderate skew
+  at runtime; salting is the explicit fix when a single key exceeds what
+  one task can hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) table.
+
+    Joins/aggregations on ``key`` between tables staged with the same
+    bucket count then require no shuffle: the scan's output partitioning
+    already satisfies the join's distribution requirement. ``path`` makes
+    it an external table (otherwise the session warehouse is used —
+    bucketing metadata requires the catalog, plain ``.parquet(path)``
+    would lose it).
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_staged(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact side salted ``salts`` ways.
+
+    The dimension side is exploded ×S (it is the small side — S copies of
+    a dim are still tiny), the fact side gets a deterministic per-row
+    salt, and the join key becomes (key, salt): a key owning 50% of the
+    fact table now lands on S tasks instead of one.
+
+    The salt derives from ``xxhash64`` of the whole fact row (column
+    list), so it is deterministic across retries — no RNG, no
+    monotonically_increasing_id instability.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(salts))
+    f = facts.withColumn("__salt", salt.cast("int"))
+    d = dims.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,88 @@
+"""Bucketed staging (shuffle-free joins) and salted skew joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdutils_spark.plans import formatted_plan, n_exchanges
+from gdutils_spark.sources.staging import read_staged, salted_join, stage_bucketed
+from gdutils_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_smoke, tmp_path_factory):
+    d = tmp_path_factory.mktemp("staged")
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    stage_bucketed(orders, "orders_b", "o_orderkey", buckets=8, path=str(d / "o"))
+    stage_bucketed(lineitem, "lineitem_b", "o_orderkey", buckets=8, path=str(d / "l"))
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_staged(spark, "lineitem_b").join(
+            read_staged(spark, "orders_b"), "o_orderkey"
+        )
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert n_exchanges(plan) == 0, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_agg_is_shuffle_free(spark, bucketed):
+    agg = read_staged(spark, "lineitem_b").groupBy("o_orderkey").count()
+    assert n_exchanges(formatted_plan(agg)) == 0
+
+
+def test_bucketed_join_matches_plain(spark, bucketed, sf_smoke):
+    got = (
+        read_staged(spark, "lineitem_b")
+        .join(read_staged(spark, "orders_b"), "o_orderkey")
+        .count()
+    )
+    want = (
+        load_table(spark, sf_smoke, "lineitem")
+        .join(
+            load_table(spark, sf_smoke, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    dims = (
+        events.select("user_id").distinct().withColumn("tier", F.col("user_id") % 3)
+    )
+    got = salted_join(events, dims, "user_id", salts=8)
+    want = events.join(dims, "user_id")
+    assert got.count() == want.count()
+    assert got.agg(F.sum("value")).collect() == want.agg(F.sum("value")).collect()
+    assert set(got.columns) == set(want.columns)
+
+
+def test_salted_join_spreads_hot_key(spark, sf_smoke):
+    """The hot key's rows must land in >1 task-side groups: the join key
+    (key, salt) has multiple distinct salt values for a single user."""
+    events = load_table(spark, sf_smoke, "events")
+    hot = events.limit(200).withColumn("user_id", F.lit(42).cast("long"))
+    n_salts = (
+        hot.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8)),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
