@@ -59,6 +59,28 @@ def test_bucketed_join_matches_plain(spark, bucketed, sf_smoke):
     assert got == want
 
 
+def test_partitioned_staging_prunes(spark, sf_smoke, tmp_path):
+    from gdutils_spark.sources.staging import stage_partitioned
+
+    events = load_table(spark, sf_smoke, "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    stage_partitioned(events, path, "date")
+
+    one_day = spark.read.parquet(path).where(F.col("date") == "2024-01-05")
+    plan = formatted_plan(one_day)
+    assert "PartitionFilters: [isnotnull(date" in plan
+    # pruned scan reads a single partition directory
+    import glob
+
+    n_day_dirs = len(glob.glob(f"{path}/date=*"))
+    assert n_day_dirs > 1
+    got = one_day.count()
+    want = events.where(F.col("date") == "2024-01-05").count()
+    assert got == want > 0
+
+
 def test_salted_join_matches_plain(spark, sf_smoke):
     events = load_table(spark, sf_smoke, "events")
     dims = (
