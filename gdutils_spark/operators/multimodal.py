@@ -49,12 +49,6 @@ AUDIO_FEATURES_SCHEMA = (
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
 
 
-def _stub_dims(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake decode: dimensions derived from a payload hash."""
-    h = hashlib.md5(payload).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192
-
-
 def decode_image_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
     """Image decode + feature extraction over ``mapInPandas``.
 
@@ -62,13 +56,19 @@ def decode_image_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
     decode body is the only stubbed piece."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NB: helpers live INSIDE the closure so cloudpickle ships them by
+        # value — executors need no gdutils_spark import
+        def stub_dims(payload: bytes) -> tuple[int, int]:
+            h = hashlib.md5(payload).digest()
+            return 64 + h[0] % 192, 64 + h[1] % 192
+
         for pdf in batches:
             if not use_stub:
                 raise NotImplementedError(
                     "real image decode requires PIL/opencv — not in this "
-                    "container; swap _stub_dims for PIL.Image.open(io.BytesIO(p)).size"
+                    "container; swap stub_dims for PIL.Image.open(io.BytesIO(p)).size"
                 )
-            dims = [_stub_dims(p or b"") for p in pdf["payload"]]
+            dims = [stub_dims(p or b"") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

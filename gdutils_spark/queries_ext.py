@@ -400,6 +400,56 @@ def _lsh_buckets_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal / geo sinks
+# ---------------------------------------------------------------------------
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents as fake image payloads →
+    Arrow-batched decode (md5-seeded stub) → typed feature rows. The stub
+    is deterministic md5 arithmetic, so a SQL oracle reproduces it —
+    proving the batch shape/schema plumbing, not just running it."""
+    from gdutils_spark.operators.multimodal import decode_image_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("png").alias("format"),
+        F.lit("image").alias("kind"),
+    )
+    return decode_image_features(media)
+
+
+_MM_IMAGE_SQL = """
+SELECT doc_id AS media_id,
+       'png' AS format,
+       CAST(64 + (CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 192) AS INT) AS width,
+       CAST(64 + (CAST(('0x' || substring(md5(text), 3, 2)) AS INT) % 192) AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substring(md5(text), 1, 16) AS phash
+FROM documents
+"""
+
+
+def geo_user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 GeoJSON assembly through the driver gate (rows-only check: the
+    JSON document string isn't practical to rebuild in SQL). Coordinates
+    are derived deterministically from event values since the synthetic
+    events table carries no geography."""
+    from gdutils_spark.sinks.geojson import track_geojson
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    fixes = e.select(
+        "user_id",
+        F.col("ts"),
+        ((F.col("value") % 180) - 90).alias("latitude"),
+        ((F.col("event_id") % 360) - 180).cast("double").alias("longitude"),
+    )
+    return track_geojson(fixes, "user_id", time_col="ts").orderBy("entity")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -418,6 +468,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_buckets": emb_lsh_buckets,
     "emb_ivf_assign": emb_ivf_assign,
     "emb_knn_ivf": emb_knn_ivf,
+    "mm_image_features": mm_image_features,
+    "geo_user_tracks": geo_user_tracks,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -435,4 +487,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_lsh_buckets": _lsh_buckets_sql(),
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
+    "mm_image_features": _MM_IMAGE_SQL,
+    # geo_user_tracks: no oracle — JSON document assembly is not
+    # SQL-practical; the driver records a rows-only check
 }
