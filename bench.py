@@ -30,8 +30,25 @@ def _sf_from_dir(d: str) -> float:
 
 def main() -> None:
     spark = get_spark("gdutils-spark-bench")
-    # warmup: JVM codegen + parquet footer caches
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # Warmup of shared infrastructure only (no registry query runs early):
+    # parquet footers for every table, whole-stage-codegen pipeline, and
+    # the Python worker pool used by Arrow-batched stages.
+    from gdutils_spark.sources.tables import load_table
+
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        load_table(spark, SF_DIR, t).count()
+    from pyspark.sql import functions as F
+
+    warm = spark.range(1000).select(
+        F.sum((F.col("id").cast("decimal(18,2)") * 2).cast("double")).alias("s")
+    )
+    warm.collect()
+    spark.range(1000).mapInPandas(
+        lambda it: it, "id long"
+    ).count()  # spin up python workers
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
