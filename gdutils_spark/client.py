@@ -345,6 +345,20 @@ class GdacClient:
         (/root/reference/gdutils/__init__.py:744-760)."""
         return self._profiles.where(F.col("dataset_id") == dataset_id).orderBy("time")
 
+    def dataset_info_card(self, dataset_id: str):
+        """Transposed one-dataset summary card (R1:
+        /root/reference/gdutils/__init__.py:646 — ``to_frame().T``-style
+        presentation). Driver-side pandas transpose of a single collected
+        row; the aggregation that produced it ran distributed."""
+        pdf = (
+            self.datasets.where(F.col("dataset_id") == dataset_id)
+            .limit(1)
+            .toPandas()
+        )
+        if pdf.empty:
+            raise KeyError(f"unknown dataset_id: {dataset_id}")
+        return pdf.set_index("dataset_id").T
+
     def get_dataset_time_coverage(self, dataset_id: str) -> dict:
         row = (
             self._profiles.where(F.col("dataset_id") == dataset_id)

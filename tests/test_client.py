@@ -156,3 +156,13 @@ def test_merge_with_api_orphans(spark, client):
     flags = {r["dataset_id"]: r["orphaned"] for r in merged.collect()}
     assert flags["ghost-20220301T0000"] is True
     assert flags["unit_191-20231201T0000"] is False
+
+
+def test_dataset_info_card(client):
+    card = client.dataset_info_card("unit_191-20231201T0000")
+    assert list(card.columns) == ["unit_191-20231201T0000"]
+    assert "num_profiles" in card.index
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        client.dataset_info_card("nope")
