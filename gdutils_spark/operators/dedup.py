@@ -275,27 +275,41 @@ def simhash(
 ) -> DataFrame:
     """60-bit SimHash over distinct word hashes (unweighted): bit b of the
     fingerprint is 1 iff sum over words of ±1 (sign of word-hash bit b) is
-    positive. One explode + one groupBy with `bits` conditional sums."""
+    positive.
+
+    Implementation packs 4 one-bit counters per 64-bit lane-sum (16-bit
+    lanes): ``ones_b = lane`` and the signed per-bit sum is
+    ``2*ones_b - n_words`` — exact integer arithmetic, identical to `bits`
+    independent conditional sums, but `bits/4 + 1` aggregate expressions
+    instead of `bits`, which cuts both per-row work and whole-stage
+    codegen compilation (the dominant cold-run cost of this operator).
+    Safe for up to 2^16-1 distinct words per document per lane.
+    """
+    lanes = 4
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     w = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("word"))
     h = _md5_int64(F.col("word"))
     w = w.select("doc", h.alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
+    packed_cols = []
+    for k in range(0, bits, lanes):
+        expr = None
+        for j in range(min(lanes, bits - k)):
+            lane = F.shiftleft(
+                F.shiftright(F.col("h"), k + j).bitwiseAND(F.lit(1)).cast("long"),
+                16 * j,
             )
-        ).alias(f"b{b:02d}")
-        for b in range(bits)
-    ]
-    per_bit = w.groupBy("doc").agg(*aggs)
+            expr = lane if expr is None else expr + lane
+        packed_cols.append(F.sum(expr).alias(f"p{k:02d}"))
+    agg = w.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *packed_cols)
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b:02d}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        k, j = (b // lanes) * lanes, b % lanes
+        ones = F.shiftright(F.col(f"p{k:02d}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+        term = F.when(
+            ones * 2 > F.col("n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return per_bit.select("doc", fp.alias("simhash"))
+    return agg.select("doc", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
