@@ -60,9 +60,11 @@ def text_stats(
     )
     n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
     n_stop = _count_in(toks, STOPWORDS)
-    avg_token_len = token_chars.cast("double") / n_tokens
-    stop_ratio = n_stop.cast("double") / n_tokens
-    punct_ratio = n_punct.cast("double") / n_chars
+    # try_divide: empty documents (0 tokens / 0 chars) get NULL ratios
+    # instead of an ANSI division-by-zero error
+    avg_token_len = F.try_divide(token_chars.cast("double"), n_tokens)
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_tokens)
+    punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
     # Quality heuristic: reward stopword presence and moderate token length,
     # penalize punctuation soup. All terms derive from exact ints.
     quality = (
