@@ -1,0 +1,111 @@
+"""Deterministic sampling and sequence packing for training-data pipelines.
+
+Beyond-reference extensions. Both operators avoid RNG entirely — sampling
+decisions and batch assignments derive from md5 arithmetic on stable ids,
+so (a) every engine reproduces them bit-for-bit (oracle-testable), (b)
+re-running the pipeline over a grown corpus keeps previous decisions
+stable (critical for incremental 100 TB ingestion: a document's
+keep/drop fate never flips when unrelated data arrives).
+
+* **stratified_sample**: per-stratum keep rates (e.g. downsample English,
+  keep all low-resource languages). ``keep ⇔ md5int60(salt‖id) mod 10000
+  < rate·10000``. Pure map over the scan — no shuffle, pushdown-friendly.
+* **pack_sequences**: assign documents to token-budgeted training batches.
+  Documents are sharded by id-hash (parallelism knob), ordered by id
+  within the shard, and batched by cumulative token count: a document
+  belongs to the batch in which its cumulative count *ends*, so batches
+  are contiguous and may overflow the budget by at most one document
+  (standard streaming-fill packing; bin-perfect packing is NP-hard and
+  order-unstable). One window per shard — scales with shard count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    key = F.concat(F.lit(salt), id_col.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return h % SAMPLE_BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff its id-hash bucket falls under its stratum's
+    rate. Rates are exact per-10k thresholds (0.1 → 1000 of 10000
+    buckets); strata not listed use ``default_rate``."""
+    bucket = _hash_bucket(F.col(id_col), salt)
+    threshold = None
+    for stratum, rate in rates.items():
+        cut = F.lit(int(round(rate * SAMPLE_BUCKETS)))
+        threshold = (
+            F.when(F.col(strata_col) == stratum, cut)
+            if threshold is None
+            else threshold.when(F.col(strata_col) == stratum, cut)
+        )
+    threshold = (
+        threshold.otherwise(F.lit(int(round(default_rate * SAMPLE_BUCKETS))))
+        if threshold is not None
+        else F.lit(int(round(default_rate * SAMPLE_BUCKETS)))
+    )
+    return df.where(bucket < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Assign every document a ``(shard, batch_idx)`` training-batch id.
+
+    ``shard = md5int60(id) mod shards``; within a shard, documents are
+    taken in id order and ``batch_idx = (cumulative_tokens - 1) div
+    budget`` — integer-exact, reproducible anywhere.
+    """
+    shard = (_hash_bucket(F.col(id_col), "shard:") % shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.select(F.col(id_col), F.col(token_col), shard)
+        .withColumn("cum_tokens", cum)
+        .withColumn(
+            "batch_idx",
+            F.floor(
+                F.greatest(F.col("cum_tokens") - 1, F.lit(0)) / F.lit(budget)
+            ).cast("long"),
+        )
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Per-batch summary of :func:`pack_sequences` — the shape a trainer's
+    data loader consumes (batch manifest)."""
+    packed = pack_sequences(df, id_col, token_col, budget, shards)
+    return packed.groupBy("shard", "batch_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("sum_tokens"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gdutils_spark.operators import dedup as dd
+from gdutils_spark.operators import sampling as sp
+from gdutils_spark.operators import sessions as ss
 from gdutils_spark.operators import similarity as sim
 from gdutils_spark.operators import text as tx
 from gdutils_spark.sources.tables import load_table
@@ -253,9 +255,16 @@ SELECT doc, {fp} AS simhash FROM bits
 
 
 def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_near_pairs(
+    """Near-pair counts per hamming distance. The full pair pipeline runs
+    (fingerprint → chunk banding → verified join); the final histogram
+    keeps the driver/bench result tiny — the synthetic corpus yields
+    ~270k qualifying pairs at sf0.1 and shipping those through the
+    gateway would measure serialization, not the operator. Raw pairs
+    remain available via :func:`dd.simhash_near_pairs` (unit-tested)."""
+    pairs = dd.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3, bits=SIMHASH_BITS
     )
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def _simhash_pairs_sql() -> str:
@@ -268,12 +277,46 @@ def _simhash_pairs_sql() -> str:
     return f"""
 WITH base AS ({_simhash_sql()}),
 fps AS (SELECT doc, simhash FROM base),
-chunked AS ({chunks})
-SELECT DISTINCT a.doc AS d1, b.doc AS d2,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM chunked a JOIN chunked b
-  ON a.ci = b.ci AND a.cv = b.cv AND a.doc < b.doc
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+chunked AS ({chunks}),
+pairs AS (
+  SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunked a JOIN chunked b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc < b.doc
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT hamming, COUNT(*) AS n_pairs FROM pairs GROUP BY hamming
+"""
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: MinHash-LSH verified pairs as the
+    edge list, hash-min connected components for the labels. ``component``
+    is the canonical survivor id (min doc in the cluster)."""
+    pairs = dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_perms=NUM_PERMS,
+        k=NGRAM_K,
+        bands=BANDS,
+        threshold=JACCARD_T,
+    )
+    cc = dd.connected_components(pairs, src="d1", dst="d2")
+    return cc.select(F.col("node").alias("doc"), F.col("comp").alias("component"))
+
+
+def _dup_clusters_sql() -> str:
+    # Recursive min-label walk: enumerate (node, reachable-label) pairs and
+    # take MIN per node — exact for the small verified-pair graphs the
+    # LSH stage emits.
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc, MIN(comp) AS component FROM walk GROUP BY node
 """
 
 
@@ -400,6 +443,117 @@ def _lsh_buckets_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Sessionization / sampling / packing
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+SAMPLE_RATES = {"en": 0.2, "es": 0.6, "fr": 0.6, "de": 0.6, "zh": 1.0}
+SAMPLE_DEFAULT = 0.5
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) with per-session
+    aggregates — one shuffle on user_id for both window passes and the
+    final groupBy."""
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return ss.session_stats(
+        e, "user_id", "ts", gap_minutes=SESSION_GAP_MIN, value_col="value"
+    )
+
+
+_SESSIONS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS started_at,
+       MAX(ts) AS ended_at,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (hash-bucket thresholds) —
+    the language-balancing step of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = sp.stratified_sample(
+        d, "lang", "doc_id", SAMPLE_RATES, default_rate=SAMPLE_DEFAULT
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def _stratified_sample_sql() -> str:
+    bucket = f"({_h64('CAST(doc_id AS VARCHAR)')} % {sp.SAMPLE_BUCKETS})"
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(r * sp.SAMPLE_BUCKETS))}"
+        for s, r in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {bucket} < CASE {cases} ELSE {int(round(SAMPLE_DEFAULT * sp.SAMPLE_BUCKETS))} END
+"""
+
+
+def doc_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: shard by id-hash, fill batches by
+    cumulative whitespace-token count, emit the batch manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    return sp.pack_stats(
+        toks, "doc_id", "n_tokens", budget=PACK_BUDGET, shards=PACK_SHARDS
+    )
+
+
+def _pack_batches_sql() -> str:
+    shard_key = "'shard:' || CAST(doc_id AS VARCHAR)"
+    shard = f"(({_h64(shard_key)} % {sp.SAMPLE_BUCKETS}) % {PACK_SHARDS})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         END AS n_tokens
+  FROM documents
+), sharded AS (
+  SELECT doc_id, n_tokens, {shard} AS shard FROM toks
+), cum AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM sharded
+)
+SELECT shard,
+       CAST(floor(greatest(cum_tokens - 1, 0) / {PACK_BUDGET}) AS BIGINT) AS batch_idx,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_id,
+       MAX(doc_id) AS last_id
+FROM cum
+GROUP BY shard, batch_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal / geo sinks
 # ---------------------------------------------------------------------------
 
@@ -463,6 +617,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash": doc_simhash,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,
+    "doc_dup_clusters": doc_dup_clusters,
+    "event_sessions": event_sessions,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_pack_batches": doc_pack_batches,
     "emb_knn_bruteforce": emb_knn_bruteforce,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_lsh_buckets": emb_lsh_buckets,
@@ -482,6 +640,10 @@ EXT_ORACLE: dict[str, str] = {
     "doc_minhash_lsh_pairs": _minhash_lsh_sql(),
     "doc_simhash": _simhash_sql(),
     "doc_simhash_near_pairs": _simhash_pairs_sql(),
+    "doc_dup_clusters": _dup_clusters_sql(),
+    "event_sessions": _SESSIONS_SQL,
+    "doc_stratified_sample": _stratified_sample_sql(),
+    "doc_pack_batches": _pack_batches_sql(),
     "emb_knn_bruteforce": _KNN_SQL,
     "emb_near_dup_pairs": _NEAR_DUP_SQL,
     "emb_lsh_buckets": _lsh_buckets_sql(),

@@ -1,0 +1,135 @@
+"""Unit tests for the training-pipeline operators added beyond the
+reference: connected-components dedup clustering, gap sessionization,
+deterministic stratified sampling, and token-budget sequence packing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from gdutils_spark.operators.dedup import connected_components
+from gdutils_spark.operators.sampling import (
+    pack_sequences,
+    pack_stats,
+    stratified_sample,
+)
+from gdutils_spark.operators.sessions import session_stats, sessionize
+
+EDGES = T.StructType(
+    [T.StructField("d1", T.LongType()), T.StructField("d2", T.LongType())]
+)
+
+
+def test_connected_components_two_clusters(spark):
+    # path 1-2-3-4 (diameter 3 → needs >1 propagation round) + pair 10-11
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], EDGES)
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_orientation_invariant(spark):
+    # labels must not depend on which side of the edge the min id sits on
+    edges = spark.createDataFrame([(5, 2), (2, 9), (9, 1)], EDGES)
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 9: 1}
+
+
+EVTS = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def session_events(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two events 10 min apart, then a 31-min gap → 2 sessions
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 2.0),
+        (1, t0 + dt.timedelta(minutes=41), 3.0),
+        # user 2: single event
+        (2, t0, 5.0),
+        # user 1: exactly 30 min gap after session 2 → NOT a new session
+        (1, t0 + dt.timedelta(minutes=71), 4.0),
+    ]
+    return spark.createDataFrame(rows, EVTS)
+
+
+def test_sessionize_gap_semantics(session_events):
+    rows = sessionize(session_events, "user_id", "ts", 30).collect()
+    by_val = {r["value"]: r["session_idx"] for r in rows if r["user_id"] == 1}
+    assert by_val == {1.0: 1, 2.0: 1, 3.0: 2, 4.0: 2}  # 30:00 exactly → same
+
+
+def test_session_stats(session_events):
+    stats = {
+        (r["user_id"], r["session_idx"]): r
+    for r in session_stats(session_events, "user_id", "ts", 30, "value").collect()}
+    s11 = stats[(1, 1)]
+    assert s11["n_events"] == 2
+    assert s11["duration_us"] == 10 * 60 * 1_000_000
+    assert s11["sum_value"] == 3.0
+    assert stats[(1, 2)]["n_events"] == 2
+    assert stats[(2, 1)]["n_events"] == 1
+    assert stats[(2, 1)]["duration_us"] == 0
+
+
+DOCS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def sample_docs(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr", 100) for i in range(200)]
+    return spark.createDataFrame(rows, DOCS)
+
+
+def test_stratified_sample_rates_and_determinism(sample_docs):
+    kept = stratified_sample(
+        sample_docs, "lang", "doc_id", {"en": 0.0, "fr": 1.0}
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == list(range(1, 200, 2))  # all fr, no en
+    # a fractional rate keeps a stable, repeatable subset
+    half = stratified_sample(sample_docs, "lang", "doc_id", {"en": 0.5}, 0.0)
+    first = sorted(r["doc_id"] for r in half.collect())
+    again = sorted(r["doc_id"] for r in half.collect())
+    assert first == again and 0 < len(first) < 100
+
+
+def test_pack_sequences_contiguous_budget(spark):
+    rows = [(i, "en", 100) for i in range(40)]
+    docs = spark.createDataFrame(rows, DOCS)
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=300, shards=1)
+    got = packed.orderBy("doc_id").collect()
+    # cumulative 100,200,...: batches of 3 docs (300 tokens) each
+    assert [r["batch_idx"] for r in got[:7]] == [0, 0, 0, 1, 1, 1, 2]
+    stats = pack_stats(docs, "doc_id", "n_tokens", budget=300, shards=1).collect()
+    assert all(r["sum_tokens"] == 300 for r in stats if r["batch_idx"] < 13)
+    # batch ranges are contiguous in id order
+    by_batch = sorted(stats, key=lambda r: r["batch_idx"])
+    for a, b in zip(by_batch, by_batch[1:]):
+        assert a["last_id"] < b["first_id"]
+
+
+def test_pack_sequences_oversized_doc(spark):
+    docs = spark.createDataFrame([(1, "en", 700), (2, "en", 10)], DOCS)
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, "doc_id", "n_tokens", 300, shards=1).collect()
+    }
+    # a doc bigger than the budget occupies batches by itself; the next doc
+    # starts in the batch where the cumulative count lands
+    assert got[1]["batch_idx"] == 2  # cum 700 → (699 // 300) = 2
+    assert got[2]["batch_idx"] == 2  # cum 710 → (709 // 300) = 2
