@@ -709,6 +709,137 @@ SELECT o_custkey, o_orderkey, price_rank, running_total FROM (
 """
 
 
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS: orders (one quarter) with at
+    least one late-shipping lineitem, counted per priority. The
+    correlated subquery plans as a left-semi join whose condition mixes
+    an equi key (hash-joinable) with a range predicate (applied as a
+    post-probe filter) — no decorrelation needed by hand, Catalyst does
+    it; the probe side stays unduplicated."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped two-level aggregation: orders-per-customer via a
+    LEFT OUTER join (customers with zero orders must appear with count
+    0), then the histogram of customers per order count. Two shuffles —
+    one per aggregation level; the outer join's null rows become the
+    c_count=0 bucket."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP(year, month): detail rows plus per-year and
+    grand-total subtotal rows in ONE aggregate — the reference computes
+    its daily/monthly/yearly report levels as separate pandas passes
+    (/root/reference/gdutils/__init__.py:156-158,361-369); grouping sets
+    fuse them. ``lvl`` (grouping_id) distinguishes subtotal rows from
+    genuine NULL keys."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").alias("year")
+    m = F.month("o_orderdate").alias("month")
+    return (
+        o.rollup(y, m)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS INT) AS year,
+       CAST(MONTH(o_orderdate) AS INT) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(YEAR(o_orderdate)) * 2 + GROUPING(MONTH(o_orderdate)) AS INT) AS lvl
+FROM orders
+GROUP BY ROLLUP (YEAR(o_orderdate), MONTH(o_orderdate))
+"""
+
+
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles of event value per type (`percentile`, not
+    `approx_percentile`) — the distribution-shape report a data-quality
+    pipeline runs before choosing filter thresholds. Exact percentile
+    needs the full value set per group; at 100 TB swap in
+    `approx_percentile` (t-digest sketch, partial-aggregable) and accept
+    bounded error — same query shape, one line changed."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    probs = [0.25, 0.5, 0.75, 0.9]
+    aggs = [
+        F.percentile(F.col("value"), F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+
+
+_QUANTILES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.90) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -736,6 +867,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "suppliers_with_shipments_semi": suppliers_with_shipments_semi,
     "customer_order_ranks": customer_order_ranks,
+    "q4_priority_exists": q4_priority_exists,
+    "q13_order_distribution": q13_order_distribution,
+    "rollup_order_totals": rollup_order_totals,
+    "event_value_quantiles": event_value_quantiles,
     **EXT_QUERIES,
 }
 
@@ -768,5 +903,9 @@ ORACLE: dict[str, str] = {
     "q6_forecast_revenue": _Q6_SQL,
     "suppliers_with_shipments_semi": _SEMI_SQL,
     "customer_order_ranks": _RANKS_SQL,
+    "q4_priority_exists": _Q4_SQL,
+    "q13_order_distribution": _Q13_SQL,
+    "rollup_order_totals": _ROLLUP_SQL,
+    "event_value_quantiles": _QUANTILES_SQL,
     **EXT_ORACLE,
 }
