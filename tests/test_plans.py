@@ -67,3 +67,42 @@ def test_calendar_is_single_aggregate(spark, sf_correct):
 
 def test_whole_stage_codegen_active(spark, sf_correct):
     assert whole_stage_codegen_active(QUERIES["q1_pricing_summary"](spark, sf_correct))
+
+
+def test_sessionization_single_shuffle(spark, sf_correct):
+    """Both window passes (gap marker, running index) and the session
+    aggregate share the user_id partitioning → exactly ONE Exchange; the
+    plan carries two Window nodes over one Sort."""
+    plan = formatted_plan(QUERIES["event_sessions"](spark, sf_correct))
+    assert n_exchanges(plan) == 1
+    assert plan.count(") Window") == 2
+    assert plan.count(") Sort") == 1
+
+
+def test_packing_single_shuffle(spark, sf_correct):
+    """Sequence packing: one shuffle on the shard key serves the window
+    and the batch aggregate."""
+    assert n_exchanges(QUERIES["doc_pack_batches"](spark, sf_correct)) == 1
+
+
+def test_rollup_is_one_aggregate(spark, sf_correct):
+    """ROLLUP plans a single Expand + partial/final agg pair — one
+    shuffle for all three report levels."""
+    plan = formatted_plan(QUERIES["rollup_order_totals"](spark, sf_correct))
+    assert n_exchanges(plan) == 1
+    assert ") Expand" in plan
+
+
+def test_q4_semi_join_condition_in_join(spark, sf_correct):
+    """The correlated EXISTS plans as a LeftSemi hash join with the range
+    predicate inside the join condition — no decorrelated subquery
+    re-scan, no cartesian fallback."""
+    plan = formatted_plan(QUERIES["q4_priority_exists"](spark, sf_correct))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_stratified_sample_is_pure_map(spark, sf_correct):
+    """Hash-threshold sampling adds no shuffle at all: the filter sits
+    directly on the scan."""
+    assert n_exchanges(QUERIES["doc_stratified_sample"](spark, sf_correct)) == 0
