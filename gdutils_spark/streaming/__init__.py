@@ -128,6 +128,40 @@ def stream_entity_summaries(
     )
 
 
+def stream_sessions(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming analogue of ``operators.sessions.session_stats``:
+    ``session_window`` merges events of one entity whose gaps stay
+    *under* ``gap`` and emits per-session aggregates; watermark bounds
+    the open-session state. Boundary nuance vs the batch operator: a gap
+    of exactly ``gap`` closes the streaming session (merge requires
+    ``diff < gap``) but keeps the batch session (split requires
+    ``diff > gap``) — identical on data without exact-boundary gaps.
+    """
+    keys = [
+        F.session_window(F.col(time_col), gap).alias("session"),
+        F.col(entity_col),
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(time_col).alias("started_at"),
+        F.max(time_col).alias("ended_at"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value")
+        )
+    return stream.withWatermark(time_col, watermark).groupBy(*keys).agg(*aggs)
+
+
 def stream_active_entities(
     stream: DataFrame,
     time_col: str = "ts",

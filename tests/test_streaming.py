@@ -14,6 +14,7 @@ from gdutils_spark.streaming import (
     stream_daily_stats,
     stream_dedup,
     stream_entity_summaries,
+    stream_sessions,
 )
 
 
@@ -79,6 +80,36 @@ def test_stream_dedup(spark, stream_dirs):
         assert n == events.count()
     finally:
         shutil.rmtree(dup_src, ignore_errors=True)
+
+
+def test_stream_sessions_matches_batch(spark, stream_dirs):
+    """session_window streaming sessions == batch gap-sessionization on
+    the same data (no exact-boundary gaps in the synthetic events)."""
+    from gdutils_spark.operators.sessions import session_stats
+
+    src, chk, events = stream_dirs
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sess = stream_sessions(
+        stream, entity_col="user_id", time_col="ts", gap="30 minutes"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["started_at"]): (r["n_events"], r["ended_at"])
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["started_at"]): (r["n_events"], r["ended_at"])
+        for r in session_stats(events, "user_id", "ts", 30).collect()
+    }
+    assert got == want
 
 
 def test_stream_entity_summaries_stateful(spark, stream_dirs):
