@@ -14,6 +14,11 @@ mirrors a reference driver:
 | calendars           | scripts/plot_ym_calendars.py, plot_ymd_calendars.py |
 | report              | scripts/build_dac_ioos_datasets_report.py           |
 
+Plus pipeline subcommands with no reference counterpart (beyond-reference
+training-data ops over one table path): ``dedup`` (exact / minhash pairs /
+simhash pairs / clusters), ``sample`` (stratified hash sampling),
+``pack`` (token-budget batch manifest), ``sessions`` (gap sessionization).
+
 Tables come from ``--catalog/--profiles/--obs`` paths (parquet or CSV)
 instead of live ERDDAP endpoints; every subcommand builds ONE lazy plan
 and only collects at the output boundary. The reference's "recent" poll
@@ -214,6 +219,77 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    from gdutils_spark.operators import dedup as dd
+
+    spark = _get_spark()
+    docs = _load(spark, args.input)
+    if args.method == "exact":
+        df = dd.exact_duplicates(docs, args.text_col, args.id_col)
+    elif args.method == "minhash":
+        df = dd.minhash_lsh_pairs(
+            docs, args.text_col, args.id_col, threshold=args.threshold
+        )
+    elif args.method == "simhash":
+        df = dd.simhash_near_pairs(
+            docs, args.text_col, args.id_col, max_hamming=args.max_hamming
+        )
+    else:  # clusters
+        pairs = dd.minhash_lsh_pairs(
+            docs, args.text_col, args.id_col, threshold=args.threshold
+        )
+        df = dd.connected_components(pairs)
+    _emit(_render(df, args.response), args.output)
+    return 0
+
+
+def cmd_sample(args) -> int:
+    from gdutils_spark.operators.sampling import stratified_sample
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    rates = dict(
+        (k, float(v)) for k, v in (r.split("=", 1) for r in args.rate or [])
+    )
+    kept = stratified_sample(
+        df, args.strata_col, args.id_col, rates, default_rate=args.default_rate
+    )
+    _emit(_render(kept.drop(args.text_col), args.response), args.output)
+    return 0
+
+
+def cmd_pack(args) -> int:
+    from gdutils_spark.operators.sampling import pack_stats
+    from gdutils_spark.operators.text import token_count
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    toks = df.select(
+        F.col(args.id_col), token_count(F.col(args.text_col)).alias("n_tokens")
+    )
+    manifest = pack_stats(
+        toks, args.id_col, "n_tokens", budget=args.budget, shards=args.shards
+    )
+    _emit(_render(manifest, args.response), args.output)
+    return 0
+
+
+def cmd_sessions(args) -> int:
+    from gdutils_spark.operators.sessions import session_stats
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    stats = session_stats(
+        df,
+        args.entity_col,
+        args.time_col,
+        gap_minutes=args.gap_minutes,
+        value_col=args.value_col,
+    )
+    _emit(_render(stats, args.response), args.output)
+    return 0
+
+
 # -- parser -------------------------------------------------------------------
 
 
@@ -275,6 +351,42 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("report", cmd_report)
     sp.add_argument("--glider")
+
+    # pipeline subcommands: operate on a single table path, no catalog
+    def add_pipeline(name, handler, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.set_defaults(handler=handler)
+        sp.add_argument("--input", required=True, help="input table path")
+        sp.add_argument("-o", "--output", help="write to file instead of stdout")
+        sp.add_argument("-f", "--response", default="csv", choices=["csv", "json"])
+        return sp
+
+    sp = add_pipeline("dedup", cmd_dedup)
+    sp.add_argument("--method", default="exact",
+                    choices=["exact", "minhash", "simhash", "clusters"])
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--max-hamming", type=int, default=3)
+
+    sp = add_pipeline("sample", cmd_sample)
+    sp.add_argument("--strata-col", default="lang")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--rate", action="append", metavar="STRATUM=RATE")
+    sp.add_argument("--default-rate", type=float, default=1.0)
+
+    sp = add_pipeline("pack", cmd_pack)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--budget", type=int, default=2048)
+    sp.add_argument("--shards", type=int, default=8)
+
+    sp = add_pipeline("sessions", cmd_sessions)
+    sp.add_argument("--entity-col", default="user_id")
+    sp.add_argument("--time-col", default="ts")
+    sp.add_argument("--value-col", default=None)
+    sp.add_argument("--gap-minutes", type=int, default=30)
     return p
 
 

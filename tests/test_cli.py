@@ -91,3 +91,47 @@ def test_calendars_ym(table_paths, capsys):
 def test_report_html(table_paths, capsys):
     assert main(["report", *_base(table_paths), "-f", "html"]) == 0
     assert "<table" in capsys.readouterr().out
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_docs") / "docs")
+    rows = [
+        (i, f"sample document number {i} with shared words", "en" if i % 2 else "fr")
+        for i in range(20)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(d)
+    return d
+
+
+def test_cli_dedup_exact(docs_path, capsys):
+    assert main(["dedup", "--input", docs_path, "--method", "exact", "-f", "json"]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 20 and {"fp", "n_docs", "keep_id"} <= set(recs[0])
+
+
+def test_cli_sample_rates(docs_path, capsys):
+    assert main([
+        "sample", "--input", docs_path,
+        "--rate", "en=0.0", "--rate", "fr=1.0", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert recs and all(r["lang"] == "fr" for r in recs)
+
+
+def test_cli_pack_manifest(docs_path, capsys):
+    assert main([
+        "pack", "--input", docs_path, "--budget", "12", "--shards", "2", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert recs and {"shard", "batch_idx", "n_docs", "sum_tokens"} <= set(recs[0])
+    assert {r["shard"] for r in recs} <= {0, 1}
+
+
+def test_cli_sessions(table_paths, capsys):
+    assert main([
+        "sessions", "--input", table_paths["profiles"],
+        "--entity-col", "dataset_id", "--time-col", "time", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert recs and {"session_idx", "n_events", "duration_us"} <= set(recs[0])
