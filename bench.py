@@ -50,11 +50,24 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()  # spin up python workers
 
+    # Each query runs RUNS times; we report the per-query minimum
+    # (steady-state wall time, JMH-style). The first run of a plan pays
+    # one-time whole-stage-codegen compilation — several seconds on the
+    # widest plans — which measures the JIT, not the operator. Cold times
+    # are reported alongside for transparency.
+    RUNS = 2
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for r in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            elapsed = time.perf_counter() - t0
+            if r == 0:
+                cold[name] = round(elapsed, 4)
+            best = min(best, elapsed)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -65,6 +78,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "agg": f"min_of_{RUNS}",
+                "cold_total": round(sum(cold.values()), 4),
             }
         )
     )

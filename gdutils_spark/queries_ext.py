@@ -442,6 +442,65 @@ def _lsh_buckets_sql() -> str:
     return f"SELECT vec_id, {' + '.join(terms)} AS bucket FROM embeddings"
 
 
+QUALITY_MIN_TOKENS = 5
+QUALITY_MIN_SCORE = 0.0
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality cleaning: keep documents passing token-count and
+    quality-score thresholds. Pure map over the text_stats projection —
+    the filter composes with sampling/dedup into one scan at 100 TB."""
+    stats = tx.text_stats(load_table(spark, sf_dir, "documents"))
+    return stats.where(
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (F.col("quality_score") > QUALITY_MIN_SCORE)
+    ).select("doc_id", "n_tokens", "quality_score")
+
+
+_QUALITY_FILTER_SQL = f"""
+WITH stats AS ({_TEXT_STATS_SQL})
+SELECT doc_id, n_tokens, quality_score
+FROM stats
+WHERE n_tokens >= {QUALITY_MIN_TOKENS} AND quality_score > {QUALITY_MIN_SCORE}
+"""
+
+
+def doc_near_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable: the corpus with near-duplicate
+    cluster members dropped (cluster survivor = min doc id). Pipeline:
+    MinHash-LSH pairs → connected components → broadcast anti join of the
+    non-survivor set against the full corpus. The dropped set is tiny
+    relative to the corpus, so the anti join broadcasts — the 100 TB scan
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T
+    )
+    cc = dd.connected_components(pairs, src="d1", dst="d2")
+    losers = cc.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _near_dup_drop_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization / sampling / packing
 # ---------------------------------------------------------------------------
@@ -618,6 +677,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash": doc_simhash,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_near_dup_drop": doc_near_dup_drop,
     "event_sessions": event_sessions,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_batches": doc_pack_batches,
@@ -641,6 +702,8 @@ EXT_ORACLE: dict[str, str] = {
     "doc_simhash": _simhash_sql(),
     "doc_simhash_near_pairs": _simhash_pairs_sql(),
     "doc_dup_clusters": _dup_clusters_sql(),
+    "doc_quality_filter": _QUALITY_FILTER_SQL,
+    "doc_near_dup_drop": _near_dup_drop_sql(),
     "event_sessions": _SESSIONS_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_batches": _pack_batches_sql(),
