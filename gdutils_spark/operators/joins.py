@@ -70,3 +70,67 @@ def semi_by_ids(df: DataFrame, key: str, ids: list) -> DataFrame:
     """Membership filter (P7). For literal lists Catalyst folds ``isin`` into
     the scan; for a DataFrame of ids use a left-semi join instead."""
     return df.where(F.col(key).isin(ids))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward (inclusive) as-of join: each ``left`` row picks up the
+    ``right`` row with the greatest ``right_ts <= left_ts`` for the same key,
+    or NULLs if none exists (left-outer semantics).
+
+    The reference's nearest analogue is the per-deployment GTS window fetch
+    (``/root/reference/gdutils/osmc/__init__.py:215-239``); as-of is the
+    standard time-series generalization (latest reading at-or-before an
+    event).
+
+    Scale design: a naive range join explodes to |left| x |right-per-key|
+    pairs and then aggregates them away. Instead both sides are UNIONed,
+    shuffled ONCE on the key, sorted within each partition by
+    ``(ts, side)`` (right rows sort first on ties, giving inclusive
+    semantics), and the right payload is carried forward with an
+    ignore-nulls ``last()`` running window — O(n log n) per key group, no
+    pair blow-up, one shuffle total. Right rows must be unique per
+    ``(key, ts)`` (pre-aggregate otherwise) or the carried match is
+    tie-ambiguous.
+    """
+    from pyspark.sql import Window
+
+    payload = [right_ts, *right_cols]
+    r = right.select(
+        F.col(right_on).alias("__asof_key"),
+        F.col(right_ts).cast("timestamp").alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        F.struct(*[F.col(c) for c in payload]).alias("__asof_payload"),
+    )
+    l = left.select(
+        F.col(left_on).alias("__asof_key"),
+        F.col(left_ts).cast("timestamp").alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(r.schema["__asof_payload"].dataType).alias("__asof_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__asof_left"),
+    )
+    r = r.withColumn(
+        "__asof_left", F.lit(None).cast(l.schema["__asof_left"].dataType)
+    )
+    u = r.unionByName(l.select(*r.columns))
+    w = (
+        Window.partitionBy("__asof_key")
+        .orderBy("__asof_ts", "__asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("__asof_side") == 1).select(
+        "__asof_left.*",
+        *[F.col(f"__asof_match.{c}").alias(prefix + c) for c in payload],
+    )

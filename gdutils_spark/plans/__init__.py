@@ -47,11 +47,20 @@ def n_exchanges(df_or_plan: DataFrame | str) -> int:
     """Number of physical Exchange (shuffle/broadcast-exchange) nodes.
 
     Formatted explain lists each node twice (tree + '(n) Exchange'
-    detail header); count the headers.
+    detail header); count the headers. Once a DataFrame has executed,
+    AQE explain shows BOTH the Final and Initial plan trees with
+    distinct node ids — count only the final tree then, or the same
+    shuffle is counted twice. (ReusedExchange/ShuffleQueryStage never
+    match: the regexes anchor the node-name start.)
     """
     plan = (
         df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
     )
+    if "== Final Plan ==" in plan:
+        tree = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+        return len(
+            re.findall(r"(?<![\w])(?:Exchange|BroadcastExchange) \(\d+\)", tree)
+        )
     return len(re.findall(r"^\(\d+\) (?:Exchange|BroadcastExchange)", plan, flags=re.M))
 
 

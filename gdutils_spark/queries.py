@@ -609,6 +609,84 @@ HAVING (year > 1996 OR (year = 1996 AND month >= 3))
 """
 
 
+def order_last_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each order picks up the customer's most recent
+    event at-or-before the order date (the time-series generalization of
+    the reference's GTS window fetch,
+    /root/reference/gdutils/osmc/__init__.py:215-239). Union + single
+    shuffle + carry-forward window — no range-join pair explosion; see
+    operators/joins.asof_join."""
+    from gdutils_spark.operators.joins import asof_join
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    # right side must be unique per (key, ts) for deterministic matches
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ev_value"))
+    )
+    out = asof_join(
+        o,
+        e,
+        left_on="o_custkey",
+        right_on="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_cols=["ev_value"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("asof_ts").alias("last_ev_ts"),
+        F.col("asof_ev_value").alias("last_ev_value"),
+    )
+
+
+_ASOF_SQL = """
+WITH r AS (
+  SELECT user_id, ts, MAX(value) AS ev_value FROM events GROUP BY user_id, ts
+)
+SELECT o_orderkey, o_custkey, r.ts AS last_ev_ts, r.ev_value AS last_ev_value
+FROM orders ASOF LEFT JOIN r
+  ON orders.o_custkey = r.user_id AND CAST(orders.o_orderdate AS TIMESTAMP) >= r.ts
+"""
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps via lag() (§2.9 window family): one
+    shuffle on user_id serves both the lag window and the final aggregate
+    (same partitioning reused across stages)."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        e.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -871,6 +949,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_order_distribution": q13_order_distribution,
     "rollup_order_totals": rollup_order_totals,
     "event_value_quantiles": event_value_quantiles,
+    "order_last_event_asof": order_last_event_asof,
+    "user_event_gaps": user_event_gaps,
     **EXT_QUERIES,
 }
 
@@ -907,5 +987,7 @@ ORACLE: dict[str, str] = {
     "q13_order_distribution": _Q13_SQL,
     "rollup_order_totals": _ROLLUP_SQL,
     "event_value_quantiles": _QUANTILES_SQL,
+    "order_last_event_asof": _ASOF_SQL,
+    "user_event_gaps": _GAPS_SQL,
     **EXT_ORACLE,
 }

@@ -133,3 +133,32 @@ def test_pack_sequences_oversized_doc(spark):
     # starts in the batch where the cumulative count lands
     assert got[1]["batch_idx"] == 2  # cum 700 → (699 // 300) = 2
     assert got[2]["batch_idx"] == 2  # cum 710 → (709 // 300) = 2
+
+
+def test_asof_join_semantics(spark):
+    from gdutils_spark.operators.joins import asof_join
+    from gdutils_spark.plans import n_exchanges
+
+    ts = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, ts(2020, 1, 2), "a"),   # matches r@Jan1
+            (1, ts(2020, 1, 5), "b"),   # tie with r@Jan5 -> inclusive
+            (1, ts(2019, 12, 1), "c"),  # before all right rows -> NULL
+            (2, ts(2020, 1, 1), "d"),   # key with no right rows -> NULL
+        ],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(2020, 1, 1), 10.0), (1, ts(2020, 1, 5), 50.0)],
+        "k long, t timestamp, v double",
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="k",
+        left_ts="t", right_ts="t", right_cols=["v"],
+    )
+    got = {r["tag"]: r["asof_v"] for r in out.collect()}
+    assert got == {"a": 10.0, "b": 50.0, "c": None, "d": None}
+    assert out.count() == 4  # left-outer: every left row survives
+    # union + one shuffle on the key; no range-join pair explosion
+    assert n_exchanges(out) == 1
