@@ -918,6 +918,170 @@ GROUP BY event_type
 """
 
 
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated: orders priced >1.5× their
+    customer's average. The reference's per-row python lookups
+    (/root/reference/scripts/catalog_dac_datasets.py:67-72) generalize to
+    this shape; Spark plans one hash aggregate + one equi-join, both keyed
+    on o_custkey so the aggregate side needs no second shuffle."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    avg_per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "cust_avg"
+        )
+    )
+    return (
+        o.join(avg_per_cust, o.o_custkey == avg_per_cust.k)
+        .where(F.col("o_totalprice") > F.lit(1.5) * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM orders
+JOIN (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cust_avg
+  FROM orders GROUP BY o_custkey
+) ON o_custkey = k
+WHERE o_totalprice > 1.5 * cust_avg
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING + join-back: orders whose summed quantity
+    exceeds a threshold, rejoined to orders/customer for the report row.
+    The aggregate output (~1% of orders) broadcasts back against the
+    orders scan, so the fact table shuffles once, for the groupBy."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250
+) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs predicate across a broadcast join:
+    Catalyst extracts the common l_partkey equi-condition into a
+    BroadcastHashJoin and leaves the brand/size/quantity disjunction as
+    the join residual — no nested loop, one pass over lineitem."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#14") & s.between(1, 15) & q.between(20, 30))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving average over daily revenue — the smoothing
+    pass a monitoring report runs on the reference's daily matrices
+    (/root/reference/gdutils/__init__.py:154,221). The window sum stays
+    DECIMAL (exact, order-insensitive) until the final cast, so sliding
+    frames hash-match the oracle; daily agg and window share no keys, so
+    the plan is one hash aggregate + one tiny sorted window."""
+    _utc(spark)
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("date")).agg(
+        F.sum(_dec("o_totalprice")).alias("day_rev_dec")
+    )
+    w = Window.orderBy("date").rowsBetween(-6, 0)
+    return daily.select(
+        "date",
+        F.col("day_rev_dec").cast("double").alias("day_rev"),
+        (F.sum("day_rev_dec").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "ma7"
+        ),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+
+
+_MA7_SQL = """
+SELECT date,
+       CAST(day_rev_dec AS DOUBLE) AS day_rev,
+       CAST(SUM(day_rev_dec) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS ma7,
+       COUNT(*) OVER w AS n7
+FROM (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev_dec
+  FROM orders GROUP BY 1
+)
+WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT set difference at (user, day) grain: user-days with
+    a click but no purchase — the funnel-drop query of an activity
+    report. Spark plans it as a left-anti aggregate; at scale both sides
+    shuffle once on the composite key."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("date")
+    clicked = e.where(F.col("event_type") == "click").select("user_id", day).distinct()
+    purchased = e.where(F.col("event_type") == "purchase").select("user_id", day)
+    return clicked.subtract(purchased)
+
+
+_CLICK_NO_PURCHASE_SQL = """
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS date FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, CAST(ts AS DATE) AS date FROM events WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -951,6 +1115,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_value_quantiles": event_value_quantiles,
     "order_last_event_asof": order_last_event_asof,
     "user_event_gaps": user_event_gaps,
+    "orders_above_cust_avg": orders_above_cust_avg,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "daily_revenue_7d_ma": daily_revenue_7d_ma,
+    "users_click_no_purchase": users_click_no_purchase,
     **EXT_QUERIES,
 }
 
@@ -989,5 +1158,10 @@ ORACLE: dict[str, str] = {
     "event_value_quantiles": _QUANTILES_SQL,
     "order_last_event_asof": _ASOF_SQL,
     "user_event_gaps": _GAPS_SQL,
+    "orders_above_cust_avg": _ABOVE_AVG_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "q19_disjunctive_revenue": _Q19_SQL,
+    "daily_revenue_7d_ma": _MA7_SQL,
+    "users_click_no_purchase": _CLICK_NO_PURCHASE_SQL,
     **EXT_ORACLE,
 }

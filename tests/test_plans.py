@@ -106,3 +106,42 @@ def test_stratified_sample_is_pure_map(spark, sf_correct):
     """Hash-threshold sampling adds no shuffle at all: the filter sits
     directly on the scan."""
     assert n_exchanges(QUERIES["doc_stratified_sample"](spark, sf_correct)) == 0
+
+
+def test_q19_disjunction_is_broadcast_residual(spark, sf_correct):
+    """The OR-of-ANDs shares the l_partkey equi-condition: Catalyst must
+    plan a BroadcastHashJoin with the disjunction as residual, never a
+    nested loop over lineitem x part."""
+    plan = formatted_plan(QUERIES["q19_disjunctive_revenue"](spark, sf_correct))
+    assert has_broadcast_join(plan)
+    assert "NestedLoop" not in plan
+
+
+def test_q18_fact_shuffles_once(spark, sf_correct):
+    """HAVING + join-back: the filtered aggregate broadcasts back, so the
+    only exchange is the lineitem groupBy."""
+    plan = formatted_plan(QUERIES["q18_large_orders"](spark, sf_correct))
+    assert has_broadcast_join(plan)
+    # exactly one *shuffle* exchange (the groupBy); the join-backs are
+    # BroadcastExchange nodes
+    assert plan.count(") Exchange") == 1
+
+
+def test_above_avg_reuses_agg_partitioning(spark, sf_correct):
+    """Decorrelated scalar subquery: the per-customer aggregate and the
+    join are both keyed on o_custkey, so the aggregate output feeds the
+    join without a second repartition (2 exchanges total: one per scan of
+    orders into the shared key, none between agg and join)."""
+    plan = formatted_plan(QUERIES["orders_above_cust_avg"](spark, sf_correct))
+    assert n_exchanges(plan) <= 2
+    assert "NestedLoop" not in plan
+
+
+def test_ma7_single_shuffle_then_tiny_window(spark, sf_correct):
+    """Daily agg shuffles once; the window runs on the ~2.4k-row daily
+    output (single partition is fine at that size) — no Python, exact
+    decimal frame."""
+    df = QUERIES["daily_revenue_7d_ma"](spark, sf_correct)
+    assert not uses_python(df)
+    plan = formatted_plan(df)
+    assert ") Window" in plan
