@@ -343,28 +343,52 @@ def connected_components(
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b"), F.col("a"))).cache()
+    # The edge list is tiny relative to the corpus by construction (it
+    # holds verified near-dup pairs, not documents). Size the iterative
+    # loop's shuffle parallelism to the edges, not to the session default
+    # sized for corpus scans: a handful of labels per partition makes
+    # every propagation round pay ~4 scheduling quanta for nothing.
+    # ~200k edges per partition keeps rounds in-memory; a 10^9-edge graph
+    # still gets thousands-way parallelism.
+    n_edges = sym.count()  # also materializes the cache (and the pair
+    # pipeline above it) exactly once
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(prev_parts), n_edges // 200_000 + 1))
+    # Re-materialize the symmetrized edges at loop parallelism: the cache
+    # inherits the upstream pair-pipeline's partitioning (dozens of
+    # near-empty map tasks per round otherwise).
+    resized = sym.repartition(loop_parts, "a").localCheckpoint(eager=True)
+    sym.unpersist()
+    sym = resized
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
     prev: object = None
-    for _ in range(max_iter):
-        prop = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("comp")
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        total = labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if total == prev:
-            break
-        prev = total
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        for _ in range(max_iter):
+            prop = sym.join(labels, sym["a"] == labels["node"]).select(
+                F.col("b").alias("node"), F.col("comp")
+            )
+            # lazy checkpoint: the convergence aggregate below is the
+            # action that materializes it — one job per round, not two
+            labels = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=False)
+            )
+            total = labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if total == prev:
+                break
+            prev = total
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sym.unpersist()
     return labels.select("node", "comp")
 
