@@ -1082,6 +1082,33 @@ SELECT user_id, CAST(ts AS DATE) AS date FROM events WHERE event_type = 'purchas
 """
 
 
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 wide matrix as a driver-checked query: date × event-type counts
+    (the reference's align-by-date concat,
+    /root/reference/gdutils/__init__.py:626,629-630). One conditional
+    aggregate per known column value — single partial+final hash agg, not
+    DataFrame.pivot's double aggregation round."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in types
+    ]
+    return e.groupBy(F.to_date("ts").alias("date")).agg(*aggs)
+
+
+_TYPE_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS date,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1120,6 +1147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "daily_revenue_7d_ma": daily_revenue_7d_ma,
     "users_click_no_purchase": users_click_no_purchase,
+    "event_type_pivot": event_type_pivot,
     **EXT_QUERIES,
 }
 
@@ -1163,5 +1191,6 @@ ORACLE: dict[str, str] = {
     "q19_disjunctive_revenue": _Q19_SQL,
     "daily_revenue_7d_ma": _MA7_SQL,
     "users_click_no_purchase": _CLICK_NO_PURCHASE_SQL,
+    "event_type_pivot": _TYPE_PIVOT_SQL,
     **EXT_ORACLE,
 }

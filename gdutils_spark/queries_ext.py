@@ -662,6 +662,51 @@ def geo_user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_geojson(fixes, "user_id", time_col="ts").orderBy("entity")
 
 
+TOP_TOKENS_K = 10
+
+
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k tokens per language by corpus frequency — the vocabulary
+    report a tokenizer-training pipeline runs first. Two-level plan:
+    explode → (lang, token) hash agg (map-side combine carries one row
+    per distinct token per task), then a per-lang window rank over the
+    tiny distinct-token table. Ties broken lexicographically so top-k is
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    from gdutils_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TOKENS_K)
+        .select("lang", "token", "n", "rank")
+    )
+
+
+_TOP_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT lang, UNNEST(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY lang, token
+)
+SELECT lang, token, n, rank FROM (
+  SELECT lang, token, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INT) AS rank
+  FROM counts
+)
+WHERE rank <= {TOP_TOKENS_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -689,6 +734,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_ivf": emb_knn_ivf,
     "mm_image_features": mm_image_features,
     "geo_user_tracks": geo_user_tracks,
+    "doc_top_tokens": doc_top_tokens,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -713,6 +759,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "mm_image_features": _MM_IMAGE_SQL,
+    "doc_top_tokens": _TOP_TOKENS_SQL,
     # geo_user_tracks: no oracle — JSON document assembly is not
     # SQL-practical; the driver records a rows-only check
 }

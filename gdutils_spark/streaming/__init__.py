@@ -162,6 +162,54 @@ def stream_sessions(
     return stream.withWatermark(time_col, watermark).groupBy(*keys).agg(*aggs)
 
 
+def stream_enrich(
+    stream: DataFrame,
+    catalog: DataFrame,
+    stream_key: str,
+    catalog_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming analogue of the
+    catalog joins J1/J5 (``/root/reference/gdutils/__init__.py:107-114``):
+    each arriving observation picks up its deployment/catalog attributes.
+
+    The static side is re-resolved every micro-batch (so a catalog
+    refresh lands without restarting the query) and is catalog-sized by
+    construction, so Spark broadcasts it — no state store, no shuffle of
+    the stream side."""
+    return stream.join(
+        F.broadcast(catalog), stream[stream_key] == catalog[catalog_key], how
+    )
+
+
+def stream_to_partitioned_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    time_col: str = "ts",
+    partition_col: str = "date",
+):
+    """Continuous ingestion into the hive-partitioned staging layout
+    (``sources.staging.stage_partitioned``): each micro-batch appends to
+    ``path`` partitioned by event date, so batch queries over the staged
+    table get partition pruning on time predicates — the reference's
+    cron-poll-then-save loop (``/root/reference/scripts/dac/
+    search_datasets.py:89-92``) as one always-on query.
+
+    Returns the started ``StreamingQuery`` (caller owns stop/await).
+    Append is idempotent per micro-batch via the checkpoint's batch-id
+    tracking; exactly-once within one query lifetime."""
+    with_date = stream.withColumn(partition_col, F.to_date(F.col(time_col)))
+    return (
+        with_date.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(partition_col)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_active_entities(
     stream: DataFrame,
     time_col: str = "ts",

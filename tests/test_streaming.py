@@ -148,3 +148,59 @@ def test_stream_entity_summaries_stateful(spark, stream_dirs):
         .collect()
     }
     assert got == want
+
+
+def test_stream_enrich_matches_batch_join(spark, stream_dirs):
+    """Stream-static broadcast enrichment == the equivalent batch join."""
+    from gdutils_spark.streaming import stream_enrich
+
+    src, chk, events = stream_dirs
+    catalog = events.groupBy(F.col("user_id").alias("uid")).agg(
+        F.count(F.lit(1)).alias("user_total")
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream_enrich(stream, catalog, "user_id", "uid")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["user_total"])
+        for r in spark.sql("SELECT event_id, user_total FROM enrich_stream").collect()
+    }
+    want = {
+        (r["event_id"], r["user_total"])
+        for r in events.join(
+            catalog, events.user_id == catalog.uid, "left"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_to_partitioned_parquet_prunes(spark, stream_dirs):
+    """Streaming ingest lands hive-partitioned by date; a batch read with a
+    date predicate scans only matching partitions (PartitionFilters)."""
+    from gdutils_spark.plans import formatted_plan
+    from gdutils_spark.streaming import stream_to_partitioned_parquet
+
+    src, chk, events = stream_dirs
+    out = tempfile.mkdtemp(prefix="stream_staged_")
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = stream_to_partitioned_parquet(stream, out, chk, time_col="ts")
+        q.awaitTermination(120)
+        staged = spark.read.parquet(out)
+        assert staged.count() == events.count()
+        a_day = events.select(F.to_date("ts").alias("d")).first()["d"]
+        picked = staged.where(F.col("date") == F.lit(a_day))
+        want_n = events.where(F.to_date("ts") == F.lit(a_day)).count()
+        assert picked.count() == want_n
+        plan = formatted_plan(picked)
+        assert "PartitionFilters" in plan and "date" in plan.split("PartitionFilters")[1].splitlines()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
