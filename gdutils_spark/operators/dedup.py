@@ -240,9 +240,18 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()
+        .cache()  # candidate list is bucket-collision-sized; reused 3×
     )
-    # exact verification on the candidate set only
-    sh = sh_cached
+    # exact verification on the candidate set only: semi-filter the
+    # shingle table to candidate docs BEFORE any shuffle, so the
+    # verification joins and the size aggregate cost ∝ candidates — the
+    # corpus-scale shingle table never shuffles here
+    cand_ids = (
+        cands.select(F.col("d1").alias("doc"))
+        .union(cands.select(F.col("d2").alias("doc")))
+        .distinct()
+    )
+    sh = sh_cached.join(F.broadcast(cand_ids), "doc", "left_semi")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc").alias("d1"), F.col("shingle"))
     sb = sh.select(F.col("doc").alias("d2"), F.col("shingle"))

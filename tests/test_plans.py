@@ -145,3 +145,11 @@ def test_ma7_single_shuffle_then_tiny_window(spark, sf_correct):
     assert not uses_python(df)
     plan = formatted_plan(df)
     assert ") Window" in plan
+
+
+def test_minhash_verification_semi_filters_shingles(spark, sf_correct):
+    """LSH verification must restrict the shingle table to candidate docs
+    via a broadcast semi-join before shuffling — the corpus-scale shingle
+    table never shuffles after the signature aggregate."""
+    plan = formatted_plan(QUERIES["doc_minhash_lsh_pairs"](spark, sf_correct))
+    assert "BroadcastHashJoin LeftSemi" in plan
