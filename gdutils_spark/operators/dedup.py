@@ -350,8 +350,10 @@ def connected_components(
     at 100 TB, switch to alternating large-star/small-star (Kiveris et
     al., O(log^2 n) rounds) — same building blocks, more rounds fused.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b"), F.col("a"))).cache()
+    # Cache the directed edge list BEFORE symmetrizing: the union's two
+    # branches would otherwise each re-evaluate the upstream pair
+    # pipeline (LSH banding + verification) on the cache-cold first pass.
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).cache()
     # The edge list is tiny relative to the corpus by construction (it
     # holds verified near-dup pairs, not documents). Size the iterative
     # loop's shuffle parallelism to the edges, not to the session default
@@ -359,17 +361,18 @@ def connected_components(
     # every propagation round pay ~4 scheduling quanta for nothing.
     # ~200k edges per partition keeps rounds in-memory; a 10^9-edge graph
     # still gets thousands-way parallelism.
-    n_edges = sym.count()  # also materializes the cache (and the pair
-    # pipeline above it) exactly once
+    n_edges = base.count()  # materializes the pair pipeline exactly once
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(prev_parts), n_edges // 200_000 + 1))
-    # Re-materialize the symmetrized edges at loop parallelism: the cache
-    # inherits the upstream pair-pipeline's partitioning (dozens of
-    # near-empty map tasks per round otherwise).
-    resized = sym.repartition(loop_parts, "a").localCheckpoint(eager=True)
-    sym.unpersist()
-    sym = resized
+    # Materialize the symmetrized edges at loop parallelism — each round
+    # re-reads this tiny checkpoint, not the upstream pipeline.
+    sym = (
+        base.union(base.select(F.col("b"), F.col("a")))
+        .repartition(loop_parts, "a")
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
