@@ -299,16 +299,20 @@ def simhash(
     w = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("word"))
     h = _md5_int64(F.col("word"))
     w = w.select("doc", h.alias("h"))
+    # Multiply-spread: bit j of the nibble (h >> k) & 0xF lands exactly at
+    # lane position 16*j (bit j picks up shift 15*j from the magic
+    # constant, masked to the lane floor bits) — one multiply + two masks
+    # per packed aggregate instead of four shift/mask/shift chains. Exact:
+    # nibble * magic <= 15 * 2^45.003 < 2^63, cross terms all masked out.
+    magic = 1 + (1 << 15) + (1 << 30) + (1 << 45)
+    lane_floor = 1 | (1 << 16) | (1 << 32) | (1 << 48)
     packed_cols = []
     for k in range(0, bits, lanes):
-        expr = None
-        for j in range(min(lanes, bits - k)):
-            lane = F.shiftleft(
-                F.shiftright(F.col("h"), k + j).bitwiseAND(F.lit(1)).cast("long"),
-                16 * j,
-            )
-            expr = lane if expr is None else expr + lane
-        packed_cols.append(F.sum(expr).alias(f"p{k:02d}"))
+        nibble_mask = (1 << min(lanes, bits - k)) - 1
+        spread = (
+            F.shiftright(F.col("h"), k).bitwiseAND(F.lit(nibble_mask)) * F.lit(magic)
+        ).bitwiseAND(F.lit(lane_floor))
+        packed_cols.append(F.sum(spread).alias(f"p{k:02d}"))
     agg = w.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *packed_cols)
     fp = None
     for b in range(bits):
