@@ -1082,6 +1082,49 @@ SELECT user_id, CAST(ts AS DATE) AS date FROM events WHERE event_type = 'purchas
 """
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped report: revenue lost to returned items per
+    customer over one quarter, deterministic top-20. The orders filter
+    lands on the scan (partition-prunable on a date-partitioned staging
+    of the fact table); customer broadcasts into the post-agg join."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment, revenue
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 wide matrix as a driver-checked query: date × event-type counts
     (the reference's align-by-date concat,
@@ -1148,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_revenue_7d_ma": daily_revenue_7d_ma,
     "users_click_no_purchase": users_click_no_purchase,
     "event_type_pivot": event_type_pivot,
+    "q10_returned_revenue": q10_returned_revenue,
     **EXT_QUERIES,
 }
 
@@ -1192,5 +1236,6 @@ ORACLE: dict[str, str] = {
     "daily_revenue_7d_ma": _MA7_SQL,
     "users_click_no_purchase": _CLICK_NO_PURCHASE_SQL,
     "event_type_pivot": _TYPE_PIVOT_SQL,
+    "q10_returned_revenue": _Q10_SQL,
     **EXT_ORACLE,
 }
