@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Python data sources (sources/erddap.py) receive Catalyst filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # let AQE re-coalesce stages downstream of cached plans — cached
+        # intermediates otherwise pin their shuffle partitioning and tiny
+        # post-cache stages run at full width (see sources/tables.py)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
