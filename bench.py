@@ -55,10 +55,17 @@ def main() -> None:
     # one-time whole-stage-codegen compilation — several seconds on the
     # widest plans — which measures the JIT, not the operator. Cold times
     # are reported alongside for transparency.
-    RUNS = 2
+    #
+    # Queries are timed in ALPHABETICAL order, not registry order: the
+    # registry is ordered for the driver's 50-entry correctness window and
+    # is reshuffled between rounds, and queries that run early in the
+    # process pay extra C2-JIT warmup that min-of-N doesn't fully absorb.
+    # A fixed order keeps per-query numbers comparable across rounds.
+    RUNS = 3
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
         best = float("inf")
         for r in range(RUNS):
             t0 = time.perf_counter()
