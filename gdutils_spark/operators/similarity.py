@@ -240,6 +240,117 @@ def lsh_buckets(
     return vectors.select(F.col(id_col), bucket_of(F.col(vec_col)).alias("bucket"))
 
 
+def banded_lsh_buckets(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Multi-band sign-LSH: one row per (vector, band) with the band's
+    bucket id — bit j of band b's bucket is sign(v · plane_{b*r+j}).
+
+    A single sign-LSH signature (``lsh_buckets``) requires agreement on
+    every plane, which misses near-dup pairs that straddle one
+    hyperplane; banding (the minhash-LSH trick, ``dedup.py``) ORs
+    ``bands`` independent r-plane signatures, trading candidate volume
+    for recall. All bands×rows plane projections compute in ONE
+    Arrow-batched pass over the corpus (dim-sequential accumulation →
+    bit-identical to a sequential fold in any engine); the output is a
+    map-side explode, bands rows per vector, ready for a bucket
+    equi-join.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array(
+        [
+            [float(s) for s in _plane_signs(p, dims)]
+            for p in range(bands * rows_per_band)
+        ]
+    )
+
+    @pandas_udf("array<long>")
+    def band_buckets_of(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.zeros((len(V), bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(rows_per_band):
+                p = b * rows_per_band + j
+                acc = V[:, 0] * S[p, 0]
+                for d in range(1, dims):
+                    acc = acc + V[:, d] * S[p, d]
+                out[:, b] += (acc > 0).astype(np.int64) << j
+        return pd.Series(list(out))
+
+    return vectors.select(
+        F.col(id_col), F.posexplode(band_buckets_of(F.col(vec_col)))
+    ).select(F.col(id_col), F.col("pos").alias("band"), F.col("col").alias("bucket"))
+
+
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Near-dup pairs (d1 < d2, cosine >= threshold) via banded sign-LSH
+    candidates + exact verification — the 100 TB replacement for
+    :func:`embedding_near_dup_pairs`'s broadcast-the-corpus design.
+
+    Mirrors ``minhash_lsh_pairs`` (``dedup.py``): bucket equi-join on
+    (band, bucket) for candidates — cost ∝ bucket collision counts, never
+    all-pairs and never a driver collect — then exact cosine on the
+    candidate pairs only, with the corpus semi-filtered to candidate ids
+    BEFORE the fetch joins so corpus-scale vectors never shuffle.
+    Approximate by construction (a pair agreeing on no band is missed;
+    P[detect] = 1-(1-p^r)^b, p = 1-θ/π), but deterministic: the
+    Rademacher planes are md5-derived, so an external engine reproduces
+    the exact candidate set and scores.
+    """
+    banded = banded_lsh_buckets(vectors, id_col, vec_col, bands, rows_per_band, dims)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cands.select(F.col("d1").alias(id_col))
+        .union(cands.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    e = vectors.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    )
+    e1 = e.select(F.col(id_col).alias("d1"), F.col("_v").alias("v1"))
+    e2 = e.select(F.col(id_col).alias("d2"), F.col("_v").alias("v2"))
+    # sequential-fold cosine (dims=None) == DuckDB list_cosine_similarity
+    # bit-for-bit; clamp to ±1 the way DuckDB does (exact-dup pairs can
+    # round epsilon past 1.0). Interpreted HOF is fine here: it runs on
+    # candidate pairs only, not the corpus.
+    score = F.least(
+        F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("v1"), F.col("v2"), None))
+    )
+    return (
+        cands.join(e1, "d1")
+        .join(e2, "d2")
+        .select("d1", "d2", score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     id_col: str = "vec_id",

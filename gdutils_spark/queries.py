@@ -1253,6 +1253,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_pack_batches",
     "emb_knn_bruteforce",
     "emb_near_dup_pairs",
+    "emb_lsh_near_dup_pairs",
     "emb_lsh_buckets",
     "emb_ivf_assign",
     "emb_knn_ivf",

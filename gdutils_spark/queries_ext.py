@@ -29,6 +29,8 @@ KNN_K = 5
 N_QUERIES = 10  # vec_id < 10 are the knn query set
 NEAR_DUP_T = 0.45
 LSH_PLANES = 8
+LSH_BANDS = 8
+LSH_BAND_ROWS = 4
 EMB_DIMS = 64
 
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -359,6 +361,58 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS d1, b.vec_id AS d2, list_cosine_similarity(a.v, b.v) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_T}
+"""
+
+
+def emb_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for near-dup pairs: banded sign-LSH candidates + exact
+    verify, no corpus broadcast/collect (cf. ``emb_near_dup_pairs``, the
+    exact brute-force baseline)."""
+    return sim.lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_T,
+        bands=LSH_BANDS,
+        rows_per_band=LSH_BAND_ROWS,
+        dims=EMB_DIMS,
+    )
+
+
+def _banded_buckets_sql() -> str:
+    """Per-(vector, band) bucket rows, bit j of band b = sign of the dot
+    with md5-derived Rademacher plane b*rows+j — byte-identical to the
+    Spark kernel's plane set."""
+    selects = []
+    for b in range(LSH_BANDS):
+        terms = []
+        for j in range(LSH_BAND_ROWS):
+            p = b * LSH_BAND_ROWS + j
+            signs = sim._plane_signs(p, EMB_DIMS)
+            lit = "[" + ", ".join(str(float(s)) for s in signs) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+                f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bucket FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _lsh_near_dup_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bb AS ({_banded_buckets_sql()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT d1, d2, score FROM (
+  SELECT d1, d2,
+         LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(-1.0 AS DOUBLE),
+               list_cosine_similarity(e1.v, e2.v))) AS score
+  FROM cand JOIN e e1 ON e1.vec_id = cand.d1 JOIN e e2 ON e2.vec_id = cand.d2
+)
+WHERE score >= {NEAR_DUP_T}
 """
 
 
@@ -729,6 +783,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_batches": doc_pack_batches,
     "emb_knn_bruteforce": emb_knn_bruteforce,
     "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_lsh_near_dup_pairs": emb_lsh_near_dup_pairs,
     "emb_lsh_buckets": emb_lsh_buckets,
     "emb_ivf_assign": emb_ivf_assign,
     "emb_knn_ivf": emb_knn_ivf,
@@ -755,6 +810,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_pack_batches": _pack_batches_sql(),
     "emb_knn_bruteforce": _KNN_SQL,
     "emb_near_dup_pairs": _NEAR_DUP_SQL,
+    "emb_lsh_near_dup_pairs": _lsh_near_dup_sql(),
     "emb_lsh_buckets": _lsh_buckets_sql(),
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,

@@ -1,0 +1,65 @@
+"""Similarity-search operator properties.
+
+The oracle hash-parity for every emb_* query lives in
+test_queries_oracle.py; these tests pin the *operator* properties the
+oracle can't see: LSH recall semantics (subset of brute force, identical
+scores on the intersection) and the no-driver-collect scale contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from gdutils_spark.operators import similarity as sim
+from gdutils_spark.sources.tables import load_table
+
+THRESH = 0.45
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_correct):
+    return load_table(spark, sf_correct, "embeddings")
+
+
+def test_lsh_pairs_subset_of_bruteforce_with_equal_scores(embeddings):
+    bf = {
+        (r.d1, r.d2): r.score
+        for r in sim.embedding_near_dup_pairs(embeddings, threshold=THRESH).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): r.score
+        for r in sim.lsh_near_dup_pairs(embeddings, threshold=THRESH).collect()
+    }
+    assert bf, "test corpus must contain near-dup pairs"
+    # every LSH pair is a true near-dup pair (exact verification step)...
+    assert set(lsh) <= set(bf)
+    # ...with the same exact score, and banding keeps recall useful
+    for pair, score in lsh.items():
+        assert score == pytest.approx(bf[pair], abs=1e-12)
+    assert len(lsh) >= 0.5 * len(bf)
+
+
+def test_lsh_pairs_builds_without_driver_collect(embeddings, monkeypatch):
+    """The scale contract: plan construction must not materialize the
+    corpus on the driver (embedding_near_dup_pairs deliberately does —
+    it is the broadcast-constrained exact baseline)."""
+
+    def boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side collect during plan build")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = sim.lsh_near_dup_pairs(embeddings, threshold=THRESH)
+    assert df.columns == ["d1", "d2", "score"]
+
+
+def test_banded_buckets_shape(embeddings):
+    bb = sim.banded_lsh_buckets(embeddings, bands=4, rows_per_band=2)
+    rows = bb.groupBy("band").count().collect()
+    n = embeddings.count()
+    assert {r.band for r in rows} == {0, 1, 2, 3}
+    assert all(r["count"] == n for r in rows)
+    # r-plane buckets live in [0, 2^r)
+    mm = bb.selectExpr("min(bucket) AS lo", "max(bucket) AS hi").first()
+    assert 0 <= mm.lo and mm.hi < 4
