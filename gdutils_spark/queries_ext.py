@@ -672,16 +672,35 @@ GROUP BY shard, batch_idx
 
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: documents as fake image payloads →
-    Arrow-batched decode (md5-seeded stub) → typed feature rows. The stub
-    is deterministic md5 arithmetic, so a SQL oracle reproduces it —
-    proving the batch shape/schema plumbing, not just running it."""
+    """Multimodal decode end-to-end with a REAL header parse: documents
+    become syntactically valid PNG streams (signature + IHDR with
+    doc_id-derived dimensions, text bytes as the data segment), built
+    JVM-side with concat/unhex — then ``decode_image_features`` must
+    genuinely big-endian-parse the IHDR to recover width/height. The
+    oracle predicts the dims arithmetically from doc_id, so a broken
+    parser (wrong offset, wrong endianness) hash-mismatches immediately.
+    (CRC bytes are zeroed — header parsers don't verify them.)"""
     from gdutils_spark.operators.multimodal import decode_image_features
 
     d = load_table(spark, sf_dir, "documents")
+
+    def be4(c: F.Column) -> F.Column:
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    width = (F.lit(64) + F.col("doc_id") % 192).cast("long")
+    height = (F.lit(64) + (F.col("doc_id") * 7) % 192).cast("long")
+    payload = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),            # signature
+        F.lit(b"\x00\x00\x00\x0dIHDR"),          # IHDR length + type
+        be4(width),
+        be4(height),
+        F.lit(b"\x08\x06\x00\x00\x00"),          # depth 8, RGBA, no interlace
+        F.lit(b"\x00\x00\x00\x00"),              # CRC (unchecked by parsers)
+        F.encode("text", "utf-8"),               # data segment
+    )
     media = d.select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
+        payload.alias("payload"),
         F.lit("png").alias("format"),
         F.lit("image").alias("kind"),
     )
@@ -691,10 +710,10 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MM_IMAGE_SQL = """
 SELECT doc_id AS media_id,
        'png' AS format,
-       CAST(64 + (CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 192) AS INT) AS width,
-       CAST(64 + (CAST(('0x' || substring(md5(text), 3, 2)) AS INT) % 192) AS INT) AS height,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       substring(md5(text), 1, 16) AS phash
+       'png' AS detected,
+       CAST(64 + doc_id % 192 AS INT) AS width,
+       CAST(64 + (doc_id * 7) % 192 AS INT) AS height,
+       CAST(octet_length(encode(text)) + 33 AS BIGINT) AS n_bytes
 FROM documents
 """
 

@@ -1,6 +1,14 @@
-"""Multimodal plumbing: schemas, mapInPandas batching, stub gating."""
+"""Multimodal plumbing: real header parsing, mapInPandas batching, gating.
+
+Fixtures are hand-built byte streams with known dimensions — the parsers
+must recover them from the actual container layout (offsets, endianness),
+not from any side channel.
+"""
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -9,48 +17,131 @@ from gdutils_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_audio_features,
     decode_image_features,
+    parse_image_dims,
+    parse_wav_meta,
     sample_frames,
 )
+
+
+def make_png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(8)
+    # DHT before SOF0 ensures the scan must skip non-SOF segments
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + bytes(3)
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3) + bytes(2)
+    return b"\xff\xd8" + app0 + dht + sof0 + b"\xff\xd9"
+
+
+def make_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + bytes(3)
+
+
+def make_bmp(w: int, h: int) -> bytes:
+    return b"BM" + bytes(16) + struct.pack("<ii", w, h) + bytes(10)
+
+
+def make_wav(rate: int, channels: int, seconds: float) -> bytes:
+    byte_rate = rate * channels * 2
+    data = bytes(int(byte_rate * seconds))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_image_dims_all_formats():
+    assert parse_image_dims(make_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_dims(make_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert parse_image_dims(make_gif(320, 200)) == ("gif", 320, 200)
+    assert parse_image_dims(make_bmp(800, 600)) == ("bmp", 800, 600)
+    # top-down BMP stores negative height
+    assert parse_image_dims(make_bmp(800, -600)) == ("bmp", 800, 600)
+
+
+def test_parse_image_dims_garbage():
+    assert parse_image_dims(None) == (None, None, None)
+    assert parse_image_dims(b"") == (None, None, None)
+    assert parse_image_dims(b"not an image at all") == (None, None, None)
+    # PNG signature but truncated before IHDR dims
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\n\x00\x00") == (None, None, None)
+    # JPEG SOI with no SOF marker: detected but dimensionless
+    assert parse_image_dims(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+
+
+def test_parse_wav_meta():
+    assert parse_wav_meta(make_wav(16000, 1, 2.0)) == (16000, 1, pytest.approx(2.0))
+    assert parse_wav_meta(make_wav(44100, 2, 0.5)) == (44100, 2, pytest.approx(0.5))
+    assert parse_wav_meta(b"RIFFxxxx1234") == (None, None, None)
+    assert parse_wav_meta(None) == (None, None, None)
 
 
 @pytest.fixture()
 def media(spark):
     rows = [
-        (1, b"\x89PNG" + bytes(range(200)), "png", "image"),
-        (2, b"\xff\xd8\xff" + bytes(200), "jpeg", "image"),
+        (1, make_png(300, 200), "png", "image"),
+        (2, make_jpeg(64, 32), "jpeg", "image"),
         (3, None, "png", "image"),
-        (4, b"RIFF" + bytes(64000), "wav", "audio"),
-        (5, bytes(5000), "mp4", "video"),
+        (4, make_gif(12, 8), "png", "image"),  # metadata lies: bytes are GIF
+        (5, make_wav(16000, 1, 2.0), "wav", "audio"),
+        (6, bytes(5000), "mp4", "video"),
+        (7, b"corrupt blob", "jpeg", "image"),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def test_image_features(media):
     rows = {r["media_id"]: r for r in decode_image_features(media).collect()}
-    assert set(rows) == {1, 2, 3}
-    r = rows[1]
-    assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
-    assert r["n_bytes"] == 204 and len(r["phash"]) == 16
-    # determinism: same payload → same dims/hash on re-run
-    again = {x["media_id"]: x for x in decode_image_features(media).collect()}
-    assert again[1]["phash"] == r["phash"] and again[1]["width"] == r["width"]
-    # null payload handled
-    assert rows[3]["n_bytes"] == 0
+    assert set(rows) == {1, 2, 3, 4, 7}
+    assert (rows[1]["width"], rows[1]["height"]) == (300, 200)
+    assert (rows[2]["width"], rows[2]["height"]) == (64, 32)
+    assert rows[1]["detected"] == "png" and rows[2]["detected"] == "jpeg"
+    # metadata/bytes mismatch surfaces via detected
+    assert rows[4]["format"] == "png" and rows[4]["detected"] == "gif"
+    # null / corrupt payloads keep their rows with null dims
+    assert rows[3]["width"] is None and rows[3]["n_bytes"] == 0
+    assert rows[7]["detected"] is None and rows[7]["width"] is None
 
 
 def test_audio_features(media):
     rows = decode_audio_features(media).collect()
     assert len(rows) == 1
-    assert rows[0]["duration_s"] == pytest.approx(64004 / 32000.0)
+    r = rows[0]
+    assert r["sample_rate"] == 16000
+    assert r["n_channels"] == 1
+    assert r["duration_s"] == pytest.approx(2.0)
+    assert r["detected"] == "wav"
 
 
 def test_frame_sampling(media):
     frames = sample_frames(media, every_n_bytes=1024, max_frames=4).collect()
     assert {f["frame_idx"] for f in frames} == {0, 1, 2, 3}
-    assert all(f["media_id"] == 5 for f in frames)
+    assert all(f["media_id"] == 6 for f in frames)
     assert len(frames[0]["frame_payload"]) == 1024
 
 
-def test_real_decode_is_gated(media):
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        decode_image_features(media, use_stub=False).collect()
+def test_real_frame_decode_is_gated(media):
+    with pytest.raises(Exception, match="NotImplementedError|pyav|ffmpeg"):
+        sample_frames(media, use_stub=False).collect()
+
+
+def test_spark_payload_synthesis_matches_parser(spark, sf_smoke):
+    """The mm_image_features Catalyst-built PNG stream is genuinely
+    parseable — the bytes round-trip through the real parser."""
+    from gdutils_spark.queries_ext import mm_image_features
+
+    rows = mm_image_features(spark, sf_smoke).orderBy("media_id").limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r["detected"] == "png"
+        assert r["width"] == 64 + r["media_id"] % 192
+        assert r["height"] == 64 + (r["media_id"] * 7) % 192
