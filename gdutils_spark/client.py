@@ -66,17 +66,41 @@ class GdacClient:
     def __init__(
         self,
         spark: SparkSession,
-        catalog: DataFrame,
-        profiles: DataFrame,
+        catalog: DataFrame | None = None,
+        profiles: DataFrame | None = None,
         timeseries: DataFrame | None = None,
+        server: str | None = None,
+        items_per_page: int = 1000,
     ):
+        if catalog is None and server is None:
+            raise ValueError("need a catalog DataFrame or a server URL")
         self._spark = spark
         self._catalog = catalog
         self._profiles = profiles
         self._timeseries = timeseries
+        self._server = server
+        self._items_per_page = items_per_page
         self._datasets_info: DataFrame | None = None
         self._selected_profiles: DataFrame | None = None
         self._last_search: dict | None = None
+
+    def _search_catalog(self, params: dict) -> DataFrame:
+        """Live Advanced-Search catalog scan (the reference's
+        ``get_search_url`` + ``pd.read_csv`` at ``__init__.py:474-521``):
+        the ERDDAP server evaluates searchFor/bbox/time against dataset
+        extents; only matching catalog rows come back."""
+        from gdutils_spark.sources.erddap import register
+
+        register(self._spark)
+        reader = (
+            self._spark.read.format("erddap")
+            .option("mode", "search")
+            .option("server", self._server)
+            .option("items_per_page", str(self._items_per_page))
+        )
+        for k, v in params.items():
+            reader = reader.option(k, str(v))
+        return reader.load()
 
     # -- search -------------------------------------------------------------
 
@@ -98,7 +122,14 @@ class GdacClient:
             raise ValueError(f"invalid search kwargs: {sorted(unknown)}")
         self._last_search = params
 
-        info = self._catalog.where(F.col("dataset_id") != "allDatasets")
+        # server-backed: the Advanced-Search request narrows the catalog
+        # server-side; the Catalyst predicates below still apply (no-ops
+        # on an already-filtered result, but they keep the local-catalog
+        # and live paths semantically identical)
+        catalog = (
+            self._search_catalog(params) if self._server is not None else self._catalog
+        )
+        info = catalog.where(F.col("dataset_id") != "allDatasets")
         if not include_delayed_mode:
             # /root/reference/gdutils/__init__.py:516-518
             info = info.where(~F.col("dataset_id").endswith("delayed"))
@@ -122,6 +153,13 @@ class GdacClient:
         if "institution" in params and "institution" in info.columns:
             info = info.where(F.col("institution") == params["institution"])
         self._datasets_info = info
+
+        if self._profiles is None:
+            # catalog-only client (live search without a profiles feed):
+            # dataset-level results are available, profile-level ops guard
+            # via _require_search
+            self._selected_profiles = None
+            return
 
         prof = self._profiles.join(
             F.broadcast(info.select("dataset_id")), "dataset_id", "left_semi"
@@ -184,10 +222,16 @@ class GdacClient:
     @property
     def datasets(self) -> DataFrame:
         """summaries ⟕ info on dataset_id (J1,
-        /root/reference/gdutils/__init__.py:107-114)."""
+        /root/reference/gdutils/__init__.py:107-114). Catalog-only
+        clients (live search with no profiles feed) get the filtered
+        catalog rows alone — there is nothing to summarize."""
+        if self._datasets_info is None:
+            raise RuntimeError("call search_datasets() first")
         info = self._datasets_info.drop(
             *[c for c in ("griddap", "wms") if c in self._datasets_info.columns]
         )
+        if self._profiles is None:
+            return info
         return self.datasets_summaries.join(F.broadcast(info), "dataset_id", "left")
 
     @property

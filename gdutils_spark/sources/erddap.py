@@ -48,6 +48,96 @@ _OPS = {
     LessThanOrEqual: "<=",
 }
 
+# --- Advanced search -------------------------------------------------------
+# The reference's flagship entry point: GdacClient.search_datasets builds an
+# ERDDAP Advanced-Search URL via erddapy's get_search_url
+# (/root/reference/gdutils/__init__.py:474-483) and percent-encodes it
+# (:945-951). Same protocol here, engine-side: the URL builder is pure, the
+# fetch happens in a DataSource read (file:// transport for tests).
+
+#: caller-facing kwargs (erddapy names) → ERDDAP query parameter names
+SEARCH_PARAM_MAP = {
+    "search_for": "searchFor",
+    "protocol": "protocol",
+    "cdm_data_type": "cdm_data_type",
+    "institution": "institution",
+    "ioos_category": "ioos_category",
+    "keywords": "keywords",
+    "long_name": "long_name",
+    "standard_name": "standard_name",
+    "variable_name": "variableName",
+    "min_lat": "minLat",
+    "max_lat": "maxLat",
+    "min_lon": "minLon",
+    "max_lon": "maxLon",
+    "min_time": "minTime",
+    "max_time": "maxTime",
+}
+
+#: categorical params ERDDAP expects as "(ANY)" when unconstrained
+_SEARCH_ANY = (
+    "protocol",
+    "cdm_data_type",
+    "institution",
+    "ioos_category",
+    "keywords",
+    "long_name",
+    "standard_name",
+    "variableName",
+)
+
+#: advanced-search CSV columns, normalized like the reference
+#: (s.replace(' ', '_').lower() — /root/reference/gdutils/__init__.py:521)
+SEARCH_COLUMNS = (
+    "griddap",
+    "subset",
+    "tabledap",
+    "make_a_graph",
+    "wms",
+    "files",
+    "title",
+    "summary",
+    "fgdc",
+    "iso_19115",
+    "info",
+    "background_info",
+    "rss",
+    "email",
+    "institution",
+    "dataset_id",
+)
+
+SEARCH_SCHEMA_DDL = ", ".join(f"{c} string" for c in SEARCH_COLUMNS)
+
+
+def advanced_search_url(
+    server: str,
+    params: dict | None = None,
+    items_per_page: int = 1000,
+    page: int = 1,
+    response: str = "csv",
+) -> str:
+    """Build the ERDDAP Advanced-Search URL for the given kwargs.
+
+    Deterministic parameter order; values percent-encoded (the
+    reference's ``encode_url``); unconstrained categorical params sent as
+    ``(ANY)`` the way ERDDAP requires.
+    """
+    params = dict(params or {})
+    unknown = set(params) - set(SEARCH_PARAM_MAP)
+    if unknown:
+        raise ValueError(f"invalid search kwargs: {sorted(unknown)}")
+    q: dict[str, str] = {"page": str(page), "itemsPerPage": str(items_per_page)}
+    for kw, name in SEARCH_PARAM_MAP.items():
+        if kw in params and params[kw] is not None:
+            q[name] = str(params[kw])
+    for name in _SEARCH_ANY:
+        q.setdefault(name, "(ANY)")
+    query = "&".join(
+        f"{k}={urllib.parse.quote_plus(str(v))}" for k, v in q.items()
+    )
+    return f"{server}/search/advanced.{response}?{query}"
+
 
 def _constraint(f: Filter) -> str | None:
     """Filter → ERDDAP constraint suffix, or None if not expressible."""
@@ -81,6 +171,17 @@ class ErddapReader(DataSourceReader):
         bounds = options.get("partition_bounds", "")
         self._bounds = [b for b in bounds.split(",") if b]
         self._constraints: list[str] = []
+        # functional server-side constraints — evaluated against the
+        # dataset's own extent ON THE SERVER, so "the last 24 hours of
+        # data" costs one request with no prior max(time) round-trip
+        # (reference: plot/plotter.py:407-416, add_constraint('time>=',
+        # 'max(time)-24hours'); scripts/dac/plot_dataset_variable.py:54).
+        recent = options.get("recent")
+        if recent:
+            col = options.get("recent_col", "time")
+            self._constraints.append(f"{col}>=max({col})-{recent}")
+        extra = options.get("extra_constraints", "")
+        self._constraints.extend(c for c in extra.split(";") if c)
 
     # -- pushdown ------------------------------------------------------------
 
@@ -137,6 +238,57 @@ class ErddapReader(DataSourceReader):
             yield row
 
 
+import re as _re
+
+#: ERDDAP functional constraint values: max(col)-24hours, min(time)+2days…
+_FUNCTIONAL_RE = _re.compile(
+    r"^(max|min)\((\w+)\)(?:([+-])(\d+(?:\.\d+)?)"
+    r"(millis|milliseconds|seconds|second|minutes|minute|hours|hour|days|day"
+    r"|weeks|week|months|month|years|year|s)?)?$"
+)
+
+_UNIT_SECONDS = {
+    None: 1.0,
+    "s": 1.0,
+    "second": 1.0,
+    "seconds": 1.0,
+    "millis": 1e-3,
+    "milliseconds": 1e-3,
+    "minute": 60.0,
+    "minutes": 60.0,
+    "hour": 3600.0,
+    "hours": 3600.0,
+    "day": 86400.0,
+    "days": 86400.0,
+    "week": 604800.0,
+    "weeks": 604800.0,
+    "month": 30 * 86400.0,  # ERDDAP months/years are calendar-based; the
+    "months": 30 * 86400.0,  # file stand-in approximates (tests use h/days)
+    "year": 365 * 86400.0,
+    "years": 365 * 86400.0,
+}
+
+
+def _eval_functional(pdf, m: _re.Match):
+    """Evaluate a functional constraint value against the local CSV the
+    way the ERDDAP server evaluates it against the dataset."""
+    import pandas as pd
+
+    agg, col, sign, qty, unit = m.groups()
+    series = pdf[col]
+    is_time = "time" in col.lower()
+    if is_time:
+        series = pd.to_datetime(series, utc=True)
+    base = series.max() if agg == "max" else series.min()
+    if qty is None:
+        return base
+    delta = float(qty) * _UNIT_SECONDS[unit]
+    if is_time:
+        off = pd.Timedelta(seconds=delta)
+        return base - off if sign == "-" else base + off
+    return base - delta if sign == "-" else base + delta
+
+
 def _file_transport(url: str, schema: StructType):
     """Offline stand-in for the ERDDAP server: reads
     ``{dir}/{dataset_id}.csv`` and evaluates the constraint query string
@@ -160,6 +312,22 @@ def _file_transport(url: str, schema: StructType):
             if op in c:
                 name, value = c.split(op, 1)
                 series = pdf[name]
+                func = _FUNCTIONAL_RE.match(value)
+                if func is not None:
+                    # evaluate max(col)-offset / min(col)+offset against
+                    # the data, exactly what the ERDDAP server does
+                    value = _eval_functional(pdf, func)
+                    if "time" in name.lower():
+                        series = pd.to_datetime(series, utc=True)
+                    pdf = pdf[
+                        series >= value if op == ">=" else
+                        series <= value if op == "<=" else
+                        series > value if op == ">" else
+                        series < value if op == "<" else
+                        series == value if op == "=" else
+                        series != value
+                    ]
+                    break
                 if "time" in name.lower() or series.dtype == object and value[:2].isdigit():
                     try:
                         series = pd.to_datetime(series, utc=True)
@@ -183,12 +351,113 @@ def _file_transport(url: str, schema: StructType):
     return pdf[cols]
 
 
+class ErddapSearchReader(DataSourceReader):
+    """Advanced-Search catalog scan: one request, one partition (the
+    result is catalog-sized — thousands of rows, not data-sized). The
+    downstream harvest fans out per-dataset from this row set."""
+
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._server = options.get("server", "")
+        self._items_per_page = int(options.get("items_per_page", "1000"))
+        self._page = int(options.get("page", "1"))
+        self._params = {
+            kw: options.get(kw)
+            for kw in SEARCH_PARAM_MAP
+            if options.get(kw) is not None
+        }
+
+    def request_url(self) -> str:
+        return advanced_search_url(
+            self._server, self._params, self._items_per_page, self._page
+        )
+
+    def read(self, partition):
+        import pandas as pd
+
+        url = self.request_url()
+        if self._server.startswith("file://"):
+            pdf = _search_file_transport(url)
+        else:
+            pdf = pd.read_csv(url)
+        pdf = pdf.rename(
+            columns={c: c.replace(" ", "_").lower() for c in pdf.columns}
+        )
+        cols = [f.name for f in self._schema.fields]
+        for c in cols:
+            if c not in pdf.columns:
+                pdf[c] = None
+        pdf = pdf.where(pd.notna(pdf), None)
+        for row in pdf[cols].astype(object).itertuples(index=False, name=None):
+            yield row
+
+
+def _search_file_transport(url: str):
+    """Offline stand-in for ``/search/advanced.csv``: reads
+    ``{dir}/search/advanced.csv`` and evaluates searchFor (substring over
+    title/summary/institution), categorical equality, and bbox/time
+    EXTENT-INTERSECTION the way the server matches datasets — using the
+    fixture's optional min_lat/max_lat/min_lon/max_lon/min_time/max_time
+    columns when present."""
+    import pandas as pd
+
+    parsed = urllib.parse.urlparse(url)
+    path, query = (
+        parsed.path.split("?", 1) if "?" in parsed.path else (parsed.path, parsed.query)
+    )
+    if not query:
+        query = parsed.query
+    base_dir = path[: -len("/search/advanced.csv")]
+    pdf = pd.read_csv(f"{base_dir}/search/advanced.csv")
+    pdf = pdf.rename(columns={c: c.replace(" ", "_").lower() for c in pdf.columns})
+    q = dict(
+        (k, urllib.parse.unquote_plus(v))
+        for k, v in (p.split("=", 1) for p in query.split("&") if "=" in p)
+    )
+
+    needle = q.get("searchFor", "").lower()
+    if needle:
+        hay_cols = [c for c in ("title", "summary", "institution") if c in pdf.columns]
+        hay = pdf[hay_cols].fillna("").agg(" ".join, axis=1).str.lower()
+        pdf = pdf[hay.str.contains(needle, regex=False)]
+    for name in ("institution", "protocol", "cdm_data_type"):
+        v = q.get(name, "(ANY)")
+        if v != "(ANY)" and name in pdf.columns:
+            pdf = pdf[pdf[name] == v]
+    # extent intersection: the dataset's [min, max] must overlap the
+    # requested bounds (how ERDDAP's advanced search treats bbox/time)
+    for qk, fix_col, cmp_ge in (
+        ("minLat", "max_lat", True),
+        ("maxLat", "min_lat", False),
+        ("minLon", "max_lon", True),
+        ("maxLon", "min_lon", False),
+        ("minTime", "max_time", True),
+        ("maxTime", "min_time", False),
+    ):
+        if qk in q and fix_col in pdf.columns:
+            if qk.endswith("Time"):
+                bound = pd.to_datetime(q[qk], utc=True)
+                col = pd.to_datetime(pdf[fix_col], utc=True)
+            else:
+                bound = float(q[qk])
+                col = pdf[fix_col].astype(float)
+            pdf = pdf[col >= bound if cmp_ge else col <= bound]
+    return pdf
+
+
 class ErddapDataSource(DataSource):
     """``spark.read.format("erddap")`` — see module docstring.
 
-    Required options: ``server``, ``dataset_id``; the schema must be
-    supplied by the caller (ERDDAP's info CSV carries it; live schema
-    inference would cost a blocking metadata request per plan).
+    Two modes:
+
+    * default (tabledap): required options ``server``, ``dataset_id``;
+      the schema must be supplied by the caller (ERDDAP's info CSV
+      carries it; live schema inference would cost a blocking metadata
+      request per plan).
+    * ``mode=search``: Advanced-Search catalog scan — schema is the fixed
+      search-result column set, options are the search kwargs
+      (``search_for``, ``min_time``, ``max_time``, ``min_lat``,
+      ``max_lat``, ``min_lon``, ``max_lon``, ``institution``, …).
     """
 
     @classmethod
@@ -196,12 +465,16 @@ class ErddapDataSource(DataSource):
         return "erddap"
 
     def schema(self):
+        if self.options.get("mode") == "search":
+            return SEARCH_SCHEMA_DDL
         raise NotImplementedError(
             "erddap source needs an explicit .schema(...) — see the info "
             "CSV (S6) for the dataset's variables"
         )
 
-    def reader(self, schema: StructType) -> ErddapReader:
+    def reader(self, schema: StructType):
+        if self.options.get("mode") == "search":
+            return ErddapSearchReader(schema, self.options)
         return ErddapReader(schema, self.options)
 
 

@@ -113,3 +113,162 @@ def test_end_to_end_partitioned(spark, served_dir):
     )
     assert df.rdd.getNumPartitions() == 2
     assert df.count() == 48
+
+
+# --- Advanced search --------------------------------------------------------
+
+from gdutils_spark.sources.erddap import (  # noqa: E402
+    SEARCH_COLUMNS,
+    advanced_search_url,
+)
+
+
+def test_advanced_search_url_build():
+    url = advanced_search_url(
+        "https://gliders.example.org/erddap",
+        {
+            "search_for": "ru29 summer",
+            "min_time": "2024-01-01T00:00",
+            "max_time": "2024-02-01T00:00",
+            "min_lat": -10,
+            "max_lat": 45.5,
+            "min_lon": -74,
+            "max_lon": -60,
+            "institution": "Rutgers",
+        },
+        items_per_page=500,
+    )
+    assert url.startswith(
+        "https://gliders.example.org/erddap/search/advanced.csv?"
+    )
+    q = dict(p.split("=", 1) for p in url.split("?", 1)[1].split("&"))
+    # kwarg → ERDDAP parameter-name mapping + percent-encoding
+    assert q["searchFor"] == "ru29+summer"
+    assert q["minTime"] == "2024-01-01T00%3A00"
+    assert q["minLat"] == "-10" and q["maxLat"] == "45.5"
+    assert q["minLon"] == "-74" and q["maxLon"] == "-60"
+    assert q["institution"] == "Rutgers"
+    assert q["itemsPerPage"] == "500" and q["page"] == "1"
+    # unconstrained categorical params sent as (ANY)
+    assert q["protocol"] == "%28ANY%29"
+    assert q["standard_name"] == "%28ANY%29"
+
+
+def test_advanced_search_url_rejects_unknown_kwargs():
+    with pytest.raises(ValueError, match="bogus"):
+        advanced_search_url("https://x/erddap", {"bogus": 1})
+
+
+@pytest.fixture(scope="module")
+def search_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("erddap_search")
+    (d / "search").mkdir()
+    header = (
+        "griddap,Subset,tabledap,Make A Graph,wms,files,Title,Summary,"
+        "FGDC,ISO 19115,Info,Background Info,RSS,Email,Institution,"
+        "Dataset ID,min_time,max_time,min_lat,max_lat,min_lon,max_lon"
+    )
+    rows = [
+        header,
+        ",,https://x/tabledap/ru29-1,,,,ru29 deployment 1,Slocum glider ru29,"
+        ",,,,,,Rutgers,ru29-20240101T0000,"
+        "2024-01-01T00:00,2024-03-01T00:00,35.0,41.0,-74.0,-70.0",
+        ",,https://x/tabledap/ru29-1d,,,,ru29 deployment 1 delayed,delayed ru29,"
+        ",,,,,,Rutgers,ru29-20240101T0000-delayed,"
+        "2024-01-01T00:00,2024-03-01T00:00,35.0,41.0,-74.0,-70.0",
+        ",,https://x/tabledap/sg610,,,,sg610 arctic,Seaglider sg610,"
+        ",,,,,,UW,sg610-20230601T0000,"
+        "2023-06-01T00:00,2023-09-01T00:00,70.0,75.0,-160.0,-150.0",
+        ",,,,,,All datasets,registry row,,,,,,,Many,allDatasets,,,,,,",
+    ]
+    (d / "search" / "advanced.csv").write_text("\n".join(rows) + "\n")
+    return str(d)
+
+
+def test_search_source_file_transport(spark, search_dir):
+    register(spark)
+    df = (
+        spark.read.format("erddap")
+        .option("mode", "search")
+        .option("server", f"file://{search_dir}")
+        .option("search_for", "ru29")
+        .load()
+    )
+    assert df.columns == list(SEARCH_COLUMNS)
+    ids = {r["dataset_id"] for r in df.collect()}
+    assert ids == {"ru29-20240101T0000", "ru29-20240101T0000-delayed"}
+
+
+def test_search_source_extent_intersection(spark, search_dir):
+    register(spark)
+
+    def search(**opts):
+        # fresh reader per query: DataFrameReader.option() mutates in place
+        r = (
+            spark.read.format("erddap")
+            .option("mode", "search")
+            .option("server", f"file://{search_dir}")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return {row["dataset_id"] for row in r.load().collect()}
+
+    # time window overlapping only the 2023 arctic deployment
+    assert search(
+        min_time="2023-07-01T00:00", max_time="2023-08-01T00:00"
+    ) == {"sg610-20230601T0000"}
+    # bbox overlapping only the mid-atlantic deployments
+    assert search(min_lat="30", max_lat="45") == {
+        "ru29-20240101T0000",
+        "ru29-20240101T0000-delayed",
+    }
+
+
+def test_client_live_search(spark, search_dir):
+    from gdutils_spark.client import GdacClient
+
+    c = GdacClient(spark, server=f"file://{search_dir}")
+    c.search_datasets(params={"search_for": "ru29"})
+    ids = {r["dataset_id"] for r in c.datasets.collect()}
+    # delayed-mode excluded by default, allDatasets row dropped
+    assert ids == {"ru29-20240101T0000"}
+
+
+# --- Functional constraints -------------------------------------------------
+
+
+def test_recent_option_builds_functional_constraint():
+    r = _reader(
+        server="https://x/erddap", dataset_id="unit_191", recent="24hours"
+    )
+    url = r.request_url()
+    assert "time%3E%3Dmax%28time%29-24hours" in url or "time>=max(time)-24hours" in (
+        __import__("urllib.parse", fromlist=["unquote"]).unquote(url)
+    )
+
+
+def test_recent_file_transport_evaluates_functional(spark, served_dir):
+    register(spark)
+    df = (
+        spark.read.format("erddap")
+        .schema(SCHEMA)
+        .option("server", f"file://{served_dir}")
+        .option("dataset_id", "unit_191")
+        .option("distinct", "true")
+        .option("recent", "24hours")
+        .load()
+    )
+    rows = df.collect()
+    # data spans 48 hourly fixes; max(time)-24hours keeps the last 25
+    assert len(rows) == 25
+    assert all(r["profile_id"] >= 23 for r in rows)
+
+
+def test_extra_constraints_pass_through():
+    r = _reader(
+        server="https://x/erddap",
+        dataset_id="unit_191",
+        extra_constraints="depth>=10;depth<=100",
+    )
+    url = __import__("urllib.parse", fromlist=["unquote"]).unquote(r.request_url())
+    assert "depth>=10" in url and "depth<=100" in url
