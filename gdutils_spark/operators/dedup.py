@@ -133,29 +133,68 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
 
     shingle-explode → equi-join on shingle → count common → sizes join.
     The shingle join partitions on the shingle value, so hot shingles are
-    the skew risk — at 100 TB drop top-frequency shingles first (they
-    contribute pairs with near-zero Jaccard anyway) or go through
-    MinHash-LSH and verify only candidates.
+    the skew risk: a shingle in f documents yields f² join rows in one
+    partition.
+
+    ``max_shingle_freq`` is the skew guard: shingles appearing in more
+    than that many documents are dropped from CANDIDATE GENERATION only
+    — verification then computes Jaccard over the FULL shingle sets, so
+    every emitted pair's score is exact. The join input shrinks from
+    Σf² to Σ_{f≤maxf} f²; the only approximation is that a pair whose
+    shared shingles are ALL hotter than the cutoff is never considered
+    (boilerplate overlap — near-zero Jaccard against any real corpus
+    document, since doc-frequency f means the shingle is in f docs and
+    contributes pair-coverage, not similarity).
     """
     # the shingle table feeds both self-join sides and the sizes agg;
     # cache the (small: distinct shingles only) intermediate instead of
     # recomputing the explode 3x. At 100 TB stage it to parquet instead.
     sh = _shingle_table(df, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
+
+    if max_shingle_freq is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        cold = _cold_shingles(sh, max_shingle_freq)
+        a = cold.alias("a")
+        b = cold.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .distinct()
+        )
+        # exact verification over the FULL shingle sets (hot shingles
+        # included), candidate-bounded: same shape as minhash_lsh_pairs
+        s1 = sh.select(F.col("doc").alias("d1"), "shingle")
+        s2 = sh.select(F.col("doc").alias("d2"), "shingle")
+        common = (
+            cands.join(s1, "d1")
+            .join(s2, ["d2", "shingle"])
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     return (
         common.join(sa, "d1")
         .join(sb, "d2")
@@ -166,6 +205,17 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("d1", "d2", "common", "jaccard")
+    )
+
+
+def _cold_shingles(sh: DataFrame, max_freq: int) -> DataFrame:
+    """Shingle rows minus shingles whose document frequency exceeds
+    ``max_freq`` — one extra hash-agg on the shingle key (map-side
+    combined), which is exactly the partitioning the self-join needs
+    anyway, so AQE can reuse the exchange."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(freq.where(F.col("_df") <= max_freq), "shingle", "left_semi")
     )
 
 
@@ -204,6 +254,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard.
 
@@ -212,11 +263,25 @@ def minhash_lsh_pairs(
     candidates — this is the 100 TB scale path: cost ∝ bucket sizes, never
     all-pairs. Verification reuses :func:`ngram_jaccard_pairs` semantics on
     candidates only.
+
+    ``max_shingle_freq`` (skew guard): shingles in more than that many
+    documents are excluded from SIGNATURE input — stop-shingle removal,
+    the standard fix for boilerplate dominating minhash signatures and
+    for hot band-buckets (f docs sharing boilerplate → f² candidate
+    rows in one bucket). Verification still scores the FULL shingle
+    sets, so every emitted pair's Jaccard is exact; only candidate
+    recall changes (pairs similar solely through boilerplate stop
+    colliding).
     """
     rows = num_perms // bands
     # shingles feed signatures + both verification join sides + sizes
     sh_cached = _shingle_table(df, text_col, id_col, k).cache()
-    sigs = minhash_signatures(df, text_col, id_col, num_perms, k, _shingles=sh_cached)
+    sig_input = (
+        sh_cached
+        if max_shingle_freq is None
+        else _cold_shingles(sh_cached, max_shingle_freq)
+    )
+    sigs = minhash_signatures(df, text_col, id_col, num_perms, k, _shingles=sig_input)
     band_cols = []
     for bidx in range(bands):
         slice_cols = [F.col(f"sig{p:02d}") for p in range(bidx * rows, (bidx + 1) * rows)]

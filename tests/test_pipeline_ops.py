@@ -162,3 +162,67 @@ def test_asof_join_semantics(spark):
     assert out.count() == 4  # left-outer: every left row survives
     # union + one shuffle on the key; no range-join pair explosion
     assert n_exchanges(out) == 1
+
+
+# --- Hot-shingle skew guard -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """Docs sharing a universal boilerplate tail (hot shingles in every
+    doc) plus genuine near-dup pairs that also share distinctive text."""
+    boiler = "subscribe to our newsletter for updates and offers today"
+    bodies = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy dog near the river bend",
+        "completely different text about spark shuffle partitions and skew",
+        "completely different text about spark shuffle partitions and salt",
+        "an unrelated essay on tides and moons written for no reason",
+        "short one",
+    ]
+    rows = [(i, f"{b} {boiler}") for i, b in enumerate(bodies)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_guard_preserves_pairs_while_shrinking_join(boilerplate_docs):
+    from gdutils_spark.operators.dedup import (
+        _cold_shingles,
+        _shingle_table,
+        ngram_jaccard_pairs,
+    )
+
+    full = sorted(
+        (r.d1, r.d2, r.common, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(boilerplate_docs, threshold=0.5).collect()
+    )
+    guarded = sorted(
+        (r.d1, r.d2, r.common, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(
+            boilerplate_docs, threshold=0.5, max_shingle_freq=4
+        ).collect()
+    )
+    assert full == guarded and len(full) >= 2
+    # the guard genuinely shrinks the self-join input: every doc carries
+    # the boilerplate shingles, which all exceed the frequency cutoff
+    sh = _shingle_table(boilerplate_docs, "text", "doc_id", 3)
+    n_full = sh.count()
+    n_cold = _cold_shingles(sh, 4).count()
+    assert n_cold < n_full
+
+
+def test_minhash_guard_preserves_pairs(boilerplate_docs):
+    from gdutils_spark.operators.dedup import minhash_lsh_pairs
+
+    full = sorted(
+        (r.d1, r.d2, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(boilerplate_docs, threshold=0.5).collect()
+    )
+    guarded = sorted(
+        (r.d1, r.d2, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(
+            boilerplate_docs, threshold=0.5, max_shingle_freq=4
+        ).collect()
+    )
+    # emitted scores are exact (full-set verification); the boilerplate-only
+    # overlap pairs were below threshold anyway, so results coincide
+    assert guarded == full and len(full) >= 1
