@@ -29,7 +29,7 @@ def interval_join(
     fact_time: str,
     dim_start: str,
     dim_end: str,
-    broadcast_dims: bool = True,
+    broadcast_dims: bool | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Key + time-range join (J5): fact rows matched to the dimension row
@@ -38,8 +38,16 @@ def interval_join(
     Mirrors the reference's per-deployment fetch predicates
     (``platform_code=`` + ``time>=/<=``,
     ``/root/reference/gdutils/osmc/__init__.py:182-184``) as one relational
-    join. Equi part drives the physical strategy (broadcast-hash when dims
-    is small); the range is a residual filter inside the join operator.
+    join. Equi part drives the physical strategy; the range is a residual
+    filter inside the join operator.
+
+    ``broadcast_dims`` defaults to None — let Catalyst/AQE pick from
+    runtime stats. That is the scale-safe default: a windows table
+    *derived from the fact side* (one row per user/device) is
+    entity-sized, and force-broadcasting it melts the driver at 1e9
+    entities. Pass True only for genuinely catalog-sized dims
+    (deployment windows, instrument registries) where skipping the
+    shuffle is worth pinning the plan.
     """
     d = F.broadcast(dims) if broadcast_dims else dims
     cond = (

@@ -342,19 +342,31 @@ LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
 
 
 def user_first_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key + time-range interval join (J5 'as-of deployment window':
-    /root/reference/gdutils/osmc/__init__.py:215-239 — the per-row HTTP loop
-    as ONE broadcast equi-join with a range residual)."""
+    """First-week activity per user (J5 semantics:
+    /root/reference/gdutils/osmc/__init__.py:215-239 — the per-row HTTP
+    loop as one relational plan). The window table here is DERIVED FROM
+    THE FACT SIDE (one row per user), so the scale-safe plan is not a
+    join at all: a min-over-user window computes each row's t0 in the
+    same shuffle the final groupBy(user_id) needs, and Catalyst reuses
+    that hash partitioning — one exchange total, nothing broadcast,
+    nothing entity-sized on the driver. ``interval_join`` remains the
+    right tool when the windows are a genuine (catalog-sized) dimension."""
+    from pyspark.sql.window import Window
+
     _utc(spark)
     e = load_table(spark, sf_dir, "events")
-    windows = e.groupBy(F.col("user_id").alias("w_user_id")).agg(
-        F.min("ts").alias("t0"),
-        (F.min("ts") + F.expr("INTERVAL 7 DAYS")).alias("t1"),
-    )
-    joined = interval_join(e, windows, "user_id", "w_user_id", "ts", "t0", "t1")
-    return joined.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    w = Window.partitionBy("user_id")
+    return (
+        e.withColumn("t0", F.min("ts").over(w))
+        .where(
+            (F.col("ts") >= F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
     )
 
 

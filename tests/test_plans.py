@@ -39,8 +39,16 @@ def test_q5_broadcasts_dims(spark, sf_correct):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
-def test_interval_join_is_broadcast_equi(spark, sf_correct):
-    assert has_broadcast_join(QUERIES["user_first_week_events"](spark, sf_correct))
+def test_first_week_has_no_join_and_single_shuffle(spark, sf_correct):
+    """The per-user windows are fact-derived, so the scale-safe plan is a
+    min-over-user window + reused hash partitioning for the final agg:
+    ONE exchange, no join, and above all nothing entity-sized broadcast
+    (1e9 users would melt the driver)."""
+    df = QUERIES["user_first_week_events"](spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
+    assert n_exchanges(plan) == 1
 
 
 def test_no_python_in_relational_queries(spark, sf_correct):
