@@ -395,6 +395,7 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 50,
+    algorithm: str = "hash_min",
 ) -> DataFrame:
     """Connected components over an undirected edge list → ``(node,
     component)`` with ``component`` = the minimum node id in the component.
@@ -415,10 +416,19 @@ def connected_components(
     don't grow with iteration count. Convergence is detected by the sum
     of labels (monotonically non-increasing, integer-exact in
     decimal(38,0)) reaching a fixpoint — one cheap aggregate per round
-    instead of a change-count join. For adversarial high-diameter graphs
-    at 100 TB, switch to alternating large-star/small-star (Kiveris et
-    al., O(log^2 n) rounds) — same building blocks, more rounds fused.
+    instead of a change-count join.
+
+    ``algorithm="star"`` switches to alternating large-star/small-star
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14): O(log² n) rounds independent of diameter — the right
+    choice for adversarial chain-shaped graphs where hash-min's
+    diameter-many rounds dominate. Near-dup clusters are dense and
+    shallow, so hash-min stays the default.
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iter)
+    if algorithm != "hash_min":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # Cache the directed edge list BEFORE symmetrizing: the union's two
     # branches would otherwise each re-evaluate the upstream pair
     # pipeline (LSH banding + verification) on the cache-cold first pass.
@@ -472,6 +482,83 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sym.unpersist()
     return labels.select("node", "comp")
+
+
+def _connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al., SoCC'14).
+
+    Each round is two edge-rewrites, both expressed as groupBy(min) +
+    equi-join on node id (same shuffle key both phases):
+
+    * large-star: every node connects its LARGER neighbors to the
+      minimum of its closed neighborhood;
+    * small-star: every node connects its not-larger neighbors (and
+      itself) to that minimum.
+
+    Edges stay canonical (u > v) throughout, so the fixpoint — a union
+    of stars rooted at component minima — is detected by a (count,
+    xxhash64-sum) checksum, one tiny aggregate per round. Converges in
+    O(log² n) rounds on ANY graph shape; raises if ``max_iter`` is hit
+    without a fixpoint so callers never silently get partial clusters.
+    Per-round cost is O(|E|) shuffled rows, same as one hash-min round.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev: tuple | None = None
+    converged = False
+    for _ in range(max_iter):
+        # -- large-star: emit (v, min(closed nbhd of u)) for v > u -------
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("mv"), F.col("u")).alias("v"),
+            )
+            .distinct()
+        )
+        # -- small-star on canonical (u > v) edges -----------------------
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mv"))
+        attach = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        )
+        e = (
+            attach.union(mins2.select("u", F.col("mv").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        chk = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (chk["n"], chk["h"])
+        if sig == prev:
+            converged = True
+            break
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds"
+        )
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    return e.select(F.col("u").alias("node"), F.col("v").alias("comp")).union(
+        roots
+    )
 
 
 def simhash_near_pairs(

@@ -226,3 +226,41 @@ def test_minhash_guard_preserves_pairs(boilerplate_docs):
     # emitted scores are exact (full-set verification); the boilerplate-only
     # overlap pairs were below threshold anyway, so results coincide
     assert guarded == full and len(full) >= 1
+
+
+# --- Large-star/small-star CC -----------------------------------------------
+
+
+def test_star_cc_matches_hash_min(spark):
+    # deterministic pseudo-random graph, no self-loops
+    pairs = {((i * 7919) % 41, (i * 104729 + 13) % 41) for i in range(70)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, EDGES)
+    hm = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    star = {
+        (r.node, r.comp)
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == hm
+
+
+def test_star_cc_path_graph_converges_in_polylog_rounds(spark):
+    """Property: a 65-node path (diameter 64) needs ~64 hash-min rounds
+    but must converge in O(log^2 n) star rounds — 12 is generous for
+    n=65 (log2 = ~6) and far below the diameter bound; the star
+    implementation raises rather than returning partial clusters, so
+    passing proves convergence speed, not luck."""
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], EDGES)
+    labels = connected_components(edges, algorithm="star", max_iter=12)
+    rows = labels.collect()
+    assert len(rows) == n + 1
+    assert all(r.comp == 0 for r in rows)
+    assert {r.node for r in rows} == set(range(n + 1))
+
+
+def test_star_cc_raises_when_budget_too_small(spark):
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], EDGES)
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, algorithm="star", max_iter=1)
