@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import json
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -290,6 +291,79 @@ def cmd_sessions(args) -> int:
     return 0
 
 
+def _plot_emit(plotter, url: str, args) -> int:
+    """Print the server-render URL, or download the image when asked
+    (the reference scripts' debug-vs-download split)."""
+    if args.download:
+        ext = args.img_type[-3:].lower()
+        path = os.path.join(args.download, f"{args.image_name}.{ext}")
+        out = plotter.download_image(url, path)
+        if out is None:
+            return 1
+        print(out)
+        return 0
+    print(url)
+    return 0
+
+
+def cmd_plot_map(args) -> int:
+    """scripts/dac/plot_dataset_map.py equivalent: track-map image request
+    for a dataset (longitude × latitude, colored by time unless a fixed
+    marker color is given)."""
+    from gdutils_spark.plot.plotter import ErddapPlotter
+
+    plotter = ErddapPlotter(args.server, response=args.img_type)
+    plotter.set_y_range(ascending=False)
+    plotter.set_colorbar(colorbar=args.colorbar)
+    if args.zoom:
+        plotter.set_zoom(args.zoom)
+    if args.no_legend:
+        plotter.set_legend_loc("Off")
+        plotter.set_trim_pixels()
+    if args.color:
+        plotter.set_marker_color(args.color)
+        url = plotter.build_image_request(args.dataset_id, "longitude", "latitude")
+    else:
+        url = plotter.build_image_request(
+            args.dataset_id, "longitude", "latitude", "time"
+        )
+    args.image_name = f"{args.dataset_id}_track_map_{args.img_type}"
+    return _plot_emit(plotter, url, args)
+
+
+def cmd_plot_variable(args) -> int:
+    """scripts/dac/plot_dataset_variable.py equivalent: time-series or
+    profile image request, with the last-N-hours window expressed as a
+    FUNCTIONAL constraint (time>=max(time)-Nhours) the server evaluates
+    against the dataset's own extent — no max(time) round-trip."""
+    from gdutils_spark.plot.plotter import ErddapPlotter
+
+    plotter = ErddapPlotter(args.server, response=args.img_type)
+    plotter.set_colorbar(colorbar=args.colorbar)
+    plotter.set_y_range(min_val=0, ascending=False)
+    if args.color:
+        plotter.set_marker_color(args.color)
+    if args.no_legend:
+        plotter.set_legend_loc("Off")
+        plotter.set_trim_pixels()
+    if not args.plot_all:
+        if not args.start_date and not args.end_date:
+            plotter.add_constraint("time>=", f"max(time)-{args.hours:g}hours")
+        else:
+            if args.start_date:
+                plotter.add_constraint("time>=", args.start_date)
+            if args.end_date:
+                plotter.add_constraint("time<=", args.end_date)
+    if args.profiles:
+        c = None if args.color else "time"
+        url = plotter.build_image_request(args.dataset_id, args.variable, "depth", c)
+        args.image_name = f"{args.dataset_id}_{args.variable}_profiles_{args.img_type}"
+    else:
+        url = plotter.build_image_request(args.dataset_id, "time", "depth", args.variable)
+        args.image_name = f"{args.dataset_id}_{args.variable}_ts_{args.img_type}"
+    return _plot_emit(plotter, url, args)
+
+
 # -- parser -------------------------------------------------------------------
 
 
@@ -351,6 +425,40 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("report", cmd_report)
     sp.add_argument("--glider")
+
+    # plot subcommands: URL builders against an ERDDAP server, no tables
+    def add_plot(name, handler):
+        sp = sub.add_parser(name)
+        sp.set_defaults(handler=handler)
+        sp.add_argument("dataset_id")
+        sp.add_argument("--server", required=True, help="ERDDAP base URL")
+        sp.add_argument(
+            "-f",
+            "--format",
+            dest="img_type",
+            default="largePng",
+            choices=[
+                "largePng", "png", "smallPng",
+                "largePdf", "pdf", "smallPdf", "transparentPng",
+            ],
+        )
+        sp.add_argument("-c", "--color", help="fixed marker color (else time-coded)")
+        sp.add_argument("--colorbar", default="Rainbow2")
+        sp.add_argument("--no-legend", action="store_true")
+        sp.add_argument("-d", "--download", help="download image into this directory")
+        return sp
+
+    sp = add_plot("plot-map", cmd_plot_map)
+    sp.add_argument("-z", "--zoom", choices=["in", "in2", "in8", "out", "out2", "out8"])
+
+    sp = add_plot("plot-variable", cmd_plot_variable)
+    sp.add_argument("variable", help="dataset variable to plot")
+    sp.add_argument("--profiles", action="store_true",
+                    help="variable × depth profiles instead of time series")
+    sp.add_argument("--hours", type=float, default=24.0)
+    sp.add_argument("--start-date")
+    sp.add_argument("--end-date")
+    sp.add_argument("--plot-all", action="store_true")
 
     # pipeline subcommands: operate on a single table path, no catalog
     def add_pipeline(name, handler, **kw):

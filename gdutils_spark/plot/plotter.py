@@ -101,12 +101,47 @@ class ErddapPlotter:
         self._constraints: dict[str, object] = {}
         self._plot_parameters = dict(DEFAULT_PLOT_PARAMETERS)
         self._image_url = ""
+        self._last_request = ""
 
     # -- properties ---------------------------------------------------------
 
     @property
     def server(self) -> str:
         return self._server
+
+    @property
+    def protocol(self) -> str:
+        return self._protocol
+
+    @property
+    def last_request(self) -> str:
+        """Most recent URL composed or fetched (reference
+        ``plotter.py:229-231``)."""
+        return self._last_request
+
+    @property
+    def datasets(self) -> DataFrame | None:
+        """The catalog backing dataset-id validation (the reference
+        fetches it over HTTP at construction, ``plotter.py:240-260``;
+        here it is a DataFrame — supplied up front or loaded lazily by
+        :meth:`fetch_erddap_datasets`)."""
+        return self._catalog
+
+    def fetch_erddap_datasets(self, spark) -> DataFrame:
+        """Load the server's dataset catalog through the Advanced-Search
+        source (reference ``plotter.py:240-260`` does a blocking
+        ``pd.read_csv`` of the same endpoint). The result is the lazy
+        catalog used by :meth:`dataset_exists`."""
+        from gdutils_spark.sources.erddap import register
+
+        register(spark)
+        self._catalog = (
+            spark.read.format("erddap")
+            .option("mode", "search")
+            .option("server", self._server)
+            .load()
+        )
+        return self._catalog
 
     @property
     def response(self) -> str:
@@ -242,6 +277,14 @@ class ErddapPlotter:
     def reset_plot_params(self) -> None:
         self._plot_parameters = dict(DEFAULT_PLOT_PARAMETERS)
 
+    # -- query-string builders (reference plotter.py:451-457 method forms) --
+
+    def build_plot_query_string(self) -> str:
+        return self.plot_query
+
+    def build_constraints_query_string(self) -> str:
+        return self.constraints_query
+
     # -- request build ------------------------------------------------------
 
     def dataset_exists(self, dataset_id: str) -> bool:
@@ -266,6 +309,7 @@ class ErddapPlotter:
             f"{self._server}/{self._protocol}/{dataset_id}.{self._response}?"
             + "&".join(parts)
         )
+        self._last_request = self._image_url
         return self._image_url
 
     def download_image(self, image_url: str, image_path: str) -> str | None:
@@ -277,6 +321,7 @@ class ErddapPlotter:
 
         if not os.path.isdir(os.path.dirname(image_path) or "."):
             raise NotADirectoryError(image_path)
+        self._last_request = image_url
         r = requests.get(image_url, stream=True, timeout=60)
         if r.status_code != 200:
             return None

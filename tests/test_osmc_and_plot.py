@@ -138,3 +138,99 @@ def test_plotter_catalog_validation(spark):
     assert p.build_image_request("ds-1", "time", "depth")
     with pytest.raises(KeyError):
         p.build_image_request("nope", "time", "depth")
+
+
+def test_plotter_reference_surface_parity():
+    """Every public builder method/property of the reference's
+    ErddapPlotter (/root/reference/gdutils/plot/plotter.py:9-515) has a
+    counterpart here: same names, same parameter encodings."""
+    reference_surface = [
+        # properties
+        "response", "datasets", "plot_parameters", "constraints",
+        "plot_query", "constraints_query", "last_request", "image_url",
+        "colorbars",
+        # catalog fetch
+        "fetch_erddap_datasets",
+        # setters
+        "set_bg_color", "set_colorbar", "set_marker_color",
+        "set_line_style", "set_legend_loc", "set_marker_style",
+        "set_x_range", "set_y_range", "set_zoom", "set_trim_pixels",
+        # constraint/param management
+        "add_constraint", "remove_constraint", "remove_plot_parameter",
+        "reset_plot_params",
+        # builders
+        "build_plot_query_string", "build_constraints_query_string",
+        "build_image_request", "download_image",
+    ]
+    missing = [m for m in reference_surface if not hasattr(ErddapPlotter, m)]
+    assert missing == []
+
+
+def test_plotter_last_request_tracks_builds():
+    p = ErddapPlotter("https://example.org/erddap")
+    assert p.last_request == ""
+    url = p.build_image_request("ds1", "time", "depth", "temperature")
+    assert p.last_request == url
+
+
+def test_param_helpers_match_plotter_encoding():
+    """The functional helpers (reference plot/erddap.py:125-206) produce
+    exactly the encodings the stateful setters write."""
+    from gdutils_spark.plot import params
+
+    p = ErddapPlotter("https://example.org/erddap")
+    p.set_colorbar("Ocean", "D", "Log", 0, 30, 10)
+    p.set_marker_style("Filled Circle", 7)
+    p.set_x_range(1, 2, ascending=False, scale="Log")
+    p.set_bg_color("black")
+    p.set_legend_loc("Off")
+    p.set_line_style("lines")
+    expected = {}
+    for d in (
+        params.set_colorbar("Ocean", "D", "Log", 0, 30, 10),
+        params.set_marker_style("Filled Circle", 7),
+        params.set_x_range(1, 2, ascending=False, scale="Log"),
+        params.set_bg_color("black"),
+        params.set_legend_loc("Off"),
+        params.set_line_style("lines"),
+    ):
+        expected.update(d)
+    for k, v in expected.items():
+        assert p.plot_parameters[k] == v
+    # invalid input → empty dict, always mergeable
+    assert params.set_colorbar("NotAColorbar") == {}
+    assert params.set_marker_style("NotAMarker") == {}
+
+
+def test_cli_plot_map_and_variable(capsys):
+    from gdutils_spark.cli import main
+
+    rc = main([
+        "plot-map", "ru29-20240101T0000",
+        "--server", "https://example.org/erddap", "--no-legend", "-z", "in2",
+    ])
+    assert rc == 0
+    url = capsys.readouterr().out.strip()
+    assert url.startswith(
+        "https://example.org/erddap/tabledap/ru29-20240101T0000.largePng?"
+    )
+    assert "longitude%2Clatitude%2Ctime" in url or "longitude,latitude,time" in url
+    assert ".zoom=in2" in url and ".legend=Off" in url and ".trim=10" in url
+
+    rc = main([
+        "plot-variable", "ru29-20240101T0000", "temperature",
+        "--server", "https://example.org/erddap", "--hours", "12",
+    ])
+    assert rc == 0
+    url = capsys.readouterr().out.strip()
+    # functional last-12-hours constraint, server-evaluated
+    assert "time%3E%3D" in url or "time>=" in url
+    assert "max%28time%29-12hours" in url or "max(time)-12hours" in url
+
+    rc = main([
+        "plot-variable", "ru29-20240101T0000", "temperature",
+        "--server", "https://example.org/erddap", "--profiles", "--plot-all",
+    ])
+    assert rc == 0
+    url = capsys.readouterr().out.strip()
+    assert "temperature%2Cdepth%2Ctime" in url or "temperature,depth,time" in url
