@@ -263,24 +263,24 @@ def banded_lsh_buckets(
     """
     from pyspark.sql.functions import pandas_udf
 
-    S = np.array(
-        [
-            [float(s) for s in _plane_signs(p, dims)]
-            for p in range(bands * rows_per_band)
-        ]
-    )
+    n_planes = bands * rows_per_band
+    # S_T[d, p] = sign of plane p at dim d — dim-major for the loop below
+    S_T = np.array(
+        [[float(s) for s in _plane_signs(p, dims)] for p in range(n_planes)]
+    ).T.copy()
 
     @pandas_udf("array<long>")
     def band_buckets_of(v: pd.Series) -> pd.Series:
         V = np.stack(v.to_numpy()).astype(np.float64)
-        out = np.zeros((len(V), bands), dtype=np.int64)
-        for b in range(bands):
-            for j in range(rows_per_band):
-                p = b * rows_per_band + j
-                acc = V[:, 0] * S[p, 0]
-                for d in range(1, dims):
-                    acc = acc + V[:, d] * S[p, d]
-                out[:, b] += (acc > 0).astype(np.int64) << j
+        # all plane dots at once, accumulated dim-sequentially (d=0..D-1)
+        # so every single dot is bit-identical to a sequential fold —
+        # engine parity without bands*rows separate per-plane loops
+        acc = V[:, 0:1] * S_T[0:1, :]
+        for d in range(1, dims):
+            acc = acc + V[:, d : d + 1] * S_T[d : d + 1, :]
+        bits = (acc > 0).astype(np.int64)
+        weights = np.array([1 << j for j in range(rows_per_band)], dtype=np.int64)
+        out = (bits.reshape(len(V), bands, rows_per_band) * weights).sum(axis=2)
         return pd.Series(list(out))
 
     return vectors.select(
@@ -311,7 +311,12 @@ def lsh_near_dup_pairs(
     Rademacher planes are md5-derived, so an external engine reproduces
     the exact candidate set and scores.
     """
-    banded = banded_lsh_buckets(vectors, id_col, vec_col, bands, rows_per_band, dims)
+    # the banded table feeds both self-join sides; cache it so the Arrow
+    # projection runs once, not twice (same pattern as the shingle-table
+    # cache in dedup.minhash_lsh_pairs — at 100 TB stage to parquet)
+    banded = banded_lsh_buckets(
+        vectors, id_col, vec_col, bands, rows_per_band, dims
+    ).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -336,17 +341,30 @@ def lsh_near_dup_pairs(
     )
     e1 = e.select(F.col(id_col).alias("d1"), F.col("_v").alias("v1"))
     e2 = e.select(F.col(id_col).alias("d2"), F.col("_v").alias("v2"))
-    # sequential-fold cosine (dims=None) == DuckDB list_cosine_similarity
-    # bit-for-bit; clamp to ±1 the way DuckDB does (exact-dup pairs can
-    # round epsilon past 1.0). Interpreted HOF is fine here: it runs on
-    # candidate pairs only, not the corpus.
-    score = F.least(
-        F.lit(1.0), F.greatest(F.lit(-1.0), cosine(F.col("v1"), F.col("v2"), None))
-    )
+    # vectorized Arrow pair scorer: Spark's zip_with/aggregate fold is
+    # CodegenFallback (~16 µs/pair interpreted — the dominant cost at
+    # 100k+ candidates); the kernel accumulates dim-sequentially so each
+    # score is bit-identical to the fold AND to DuckDB's
+    # list_cosine_similarity, with the same ±1 clamp.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        A = np.stack(v1.to_numpy()).astype(np.float64)
+        B = np.stack(v2.to_numpy()).astype(np.float64)
+        dot_ = A[:, 0] * B[:, 0]
+        na = A[:, 0] * A[:, 0]
+        nb = B[:, 0] * B[:, 0]
+        for j in range(1, A.shape[1]):
+            dot_ = dot_ + A[:, j] * B[:, j]
+            na = na + A[:, j] * A[:, j]
+            nb = nb + B[:, j] * B[:, j]
+        return pd.Series(np.clip(dot_ / (np.sqrt(na) * np.sqrt(nb)), -1.0, 1.0))
+
     return (
         cands.join(e1, "d1")
         .join(e2, "d2")
-        .select("d1", "d2", score.alias("score"))
+        .select("d1", "d2", pair_cosine(F.col("v1"), F.col("v2")).alias("score"))
         .where(F.col("score") >= threshold)
     )
 

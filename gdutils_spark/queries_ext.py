@@ -29,8 +29,14 @@ KNN_K = 5
 N_QUERIES = 10  # vec_id < 10 are the knn query set
 NEAR_DUP_T = 0.45
 LSH_PLANES = 8
-LSH_BANDS = 8
-LSH_BAND_ROWS = 4
+# 16 bands x 8 rows: candidate volume ~ bands * N^2 / 2^(rows+1) = N^2/32,
+# a 16x prune vs all-pairs at any N with uniform buckets; detection prob
+# for a genuine dup at cosine 0.8 is 1-(1-p^8)^16 = 0.94 (p = 1-theta/pi),
+# 0.996 at 0.9. Pairs sitting AT the 0.45 threshold (theta = 63 deg) are
+# the LSH worst case (~0.4) — inherent to sign-LSH, not a tuning miss;
+# the exact brute-force operator remains the verification baseline.
+LSH_BANDS = 16
+LSH_BAND_ROWS = 8
 EMB_DIMS = 64
 
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"

@@ -27,9 +27,13 @@ def test_lsh_pairs_subset_of_bruteforce_with_equal_scores(embeddings):
         (r.d1, r.d2): r.score
         for r in sim.embedding_near_dup_pairs(embeddings, threshold=THRESH).collect()
     }
+    # generous banding (low rows_per_band) so threshold-edge pairs are
+    # detectable; production geometry is exercised in the dup-recall test
     lsh = {
         (r.d1, r.d2): r.score
-        for r in sim.lsh_near_dup_pairs(embeddings, threshold=THRESH).collect()
+        for r in sim.lsh_near_dup_pairs(
+            embeddings, threshold=THRESH, bands=8, rows_per_band=4
+        ).collect()
     }
     assert bf, "test corpus must contain near-dup pairs"
     # every LSH pair is a true near-dup pair (exact verification step)...
@@ -38,6 +42,31 @@ def test_lsh_pairs_subset_of_bruteforce_with_equal_scores(embeddings):
     for pair, score in lsh.items():
         assert score == pytest.approx(bf[pair], abs=1e-12)
     assert len(lsh) >= 0.5 * len(bf)
+
+
+def test_lsh_finds_genuine_duplicates(spark):
+    """The property that matters in a dedup pipeline: vectors that are
+    near-COPIES (cosine ~0.999) are detected with the production band
+    geometry (16x8), where detection prob per such pair is >0.999."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # ids 100+i: tiny perturbation of vector i → cosine ≈ 0.999
+    for i, v in enumerate(base[:10]):
+        pert = [float(x + rng.gauss(0, 0.02)) for x in v]
+        rows.append((100 + i, pert))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.d1, r.d2): r.score
+        for r in sim.lsh_near_dup_pairs(
+            df, threshold=0.9, bands=16, rows_per_band=8
+        ).collect()
+    }
+    expected = {(i, 100 + i) for i in range(10)}
+    assert expected <= set(got)
+    assert all(s > 0.99 for p, s in got.items() if p in expected)
 
 
 def test_lsh_pairs_builds_without_driver_collect(embeddings, monkeypatch):
