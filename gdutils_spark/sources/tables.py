@@ -41,7 +41,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
-    "lineitem": ("l_shipdate", "l_commitdate", "l_receiptdate"),
+    "lineitem": ("l_shipdate",),
 }
 
 
@@ -78,6 +78,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dtypes = dict(df.dtypes)
     for c in ts_cols:
         dt = dtypes.get(c)
+        if dt is None:
+            # fail loudly: a renamed/missing timestamp column silently
+            # skipping normalization would surface as oracle mismatches
+            # three steps downstream (re-check parquet schemas per round)
+            raise ValueError(
+                f"expected timestamp column {c!r} missing from {name} "
+                f"({sorted(dtypes)})"
+            )
         if dt == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         elif dt == "timestamp_ntz":
