@@ -364,6 +364,62 @@ def cmd_plot_variable(args) -> int:
     return _plot_emit(plotter, url, args)
 
 
+DEFAULT_EOVS = ("temperature", "salinity", "density", "conductivity")
+
+
+def cmd_recent_imagery(args) -> int:
+    """scripts/dac/download_recent_dac_imagery.sh equivalent: for every
+    dataset updated in the last N hours (or the ids given), emit the full
+    imagery manifest — track map + time-series and profile plots per
+    ocean variable — as TSV (dataset, image name, URL), or download into
+    per-dataset directories with --download. The recency filter runs
+    server-side (Advanced Search min_time); the per-plot time window is
+    the functional max(time)-Nhours constraint."""
+    from gdutils_spark.plot.plotter import ErddapPlotter
+
+    ids = list(args.dataset_ids)
+    if not ids:
+        from gdutils_spark.client import GdacClient
+
+        start = dt.datetime.now(dt.timezone.utc) - dt.timedelta(hours=args.hours)
+        c = GdacClient(_get_spark(), server=args.server)
+        c.search_datasets(params={"min_time": start.strftime("%Y-%m-%dT%H:%M")})
+        ids = [r["dataset_id"] for r in c.datasets.select("dataset_id").collect()]
+        if not ids:
+            print("no datasets updated in the window", file=sys.stderr)
+            return 0
+
+    plotter = ErddapPlotter(args.server, response=args.img_type)
+    ext = args.img_type[-3:].lower()
+    manifest: list[tuple[str, str, str]] = []
+    for ds in ids:
+        plotter.reset_plot_params()
+        plotter.set_colorbar(colorbar=args.colorbar)
+        plotter.set_y_range(ascending=False)
+        url = plotter.build_image_request(ds, "longitude", "latitude", "time")
+        manifest.append((ds, f"{ds}_track_map_{args.img_type}.{ext}", url))
+        plotter.add_constraint("time>=", f"max(time)-{args.hours:g}hours")
+        plotter.set_y_range(min_val=0, ascending=False)
+        for eov in args.variables:
+            url = plotter.build_image_request(ds, "time", "depth", eov)
+            manifest.append((ds, f"{ds}_{eov}_ts_{args.img_type}.{ext}", url))
+            url = plotter.build_image_request(ds, eov, "depth", "time")
+            manifest.append((ds, f"{ds}_{eov}_profiles_{args.img_type}.{ext}", url))
+        plotter.remove_constraint("time>=")
+
+    if args.download:
+        for ds, name, url in manifest:
+            d = os.path.join(args.download, ds, "imagery")
+            os.makedirs(d, exist_ok=True)
+            out = plotter.download_image(url, os.path.join(d, name))
+            if out:
+                print(out)
+        return 0
+    for ds, name, url in manifest:
+        print(f"{ds}\t{name}\t{url}")
+    return 0
+
+
 # -- parser -------------------------------------------------------------------
 
 
@@ -459,6 +515,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--start-date")
     sp.add_argument("--end-date")
     sp.add_argument("--plot-all", action="store_true")
+
+    sp = sub.add_parser("recent-imagery")
+    sp.set_defaults(handler=cmd_recent_imagery)
+    sp.add_argument("dataset_ids", nargs="*",
+                    help="explicit ids; else search datasets updated in --hours")
+    sp.add_argument("--server", required=True, help="ERDDAP base URL")
+    sp.add_argument("--hours", type=float, default=1.0)
+    sp.add_argument("-f", "--format", dest="img_type", default="largePng",
+                    choices=[
+                        "largePng", "png", "smallPng",
+                        "largePdf", "pdf", "smallPdf", "transparentPng",
+                    ])
+    sp.add_argument("--colorbar", default="Rainbow2")
+    sp.add_argument("--variables", nargs="+", default=list(DEFAULT_EOVS))
+    sp.add_argument("-d", "--download",
+                    help="download into DIR/<dataset>/imagery/ instead of printing")
 
     # pipeline subcommands: operate on a single table path, no catalog
     def add_pipeline(name, handler, **kw):

@@ -1270,6 +1270,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "emb_ivf_assign",
     "emb_knn_ivf",
     "mm_image_features",
+    "mm_audio_features",
     "geo_user_tracks",
     "doc_top_tokens",
 )

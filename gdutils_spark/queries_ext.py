@@ -724,6 +724,65 @@ FROM documents
 """
 
 
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode end-to-end with the REAL RIFF chunk walk: documents
+    become syntactically valid WAV containers (RIFF/WAVE + fmt chunk with
+    doc_id-derived sample rate and channel count, text bytes as the data
+    chunk), built JVM-side — little-endian fields via per-byte hex
+    reversal. The oracle predicts rate/channels/duration arithmetically,
+    so a wrong chunk offset or endianness hash-fails."""
+    from gdutils_spark.operators.multimodal import decode_audio_features
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def le(c: F.Column, width: int) -> F.Column:
+        """Integer column → little-endian bytes of the given width."""
+        h = F.lpad(F.hex(c), width * 2, "0")
+        chunks = [F.substring(h, 2 * i + 1, 2) for i in range(width)]
+        return F.unhex(F.concat(*reversed(chunks)))
+
+    rate = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("long")
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    byte_rate = (rate * channels * 2).cast("long")
+    data_size = F.octet_length(F.encode("text", "utf-8")).cast("long")
+    payload = F.concat(
+        F.lit(b"RIFF"),
+        le(data_size + 36, 4),
+        F.lit(b"WAVE"),
+        F.lit(b"fmt "),
+        le(F.lit(16), 4),
+        le(F.lit(1), 2),                   # PCM
+        le(channels, 2),
+        le(rate, 4),
+        le(byte_rate, 4),
+        le(channels * 2, 2),               # block align
+        le(F.lit(16), 2),                  # bits per sample
+        F.lit(b"data"),
+        le(data_size, 4),
+        F.encode("text", "utf-8"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("wav").alias("format"),
+        F.lit("audio").alias("kind"),
+    )
+    return decode_audio_features(media)
+
+
+_MM_AUDIO_SQL = """
+SELECT doc_id AS media_id,
+       'wav' AS format,
+       'wav' AS detected,
+       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS n_channels,
+       CAST(octet_length(encode(text)) AS DOUBLE)
+         / ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2) AS duration_s,
+       CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def geo_user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 GeoJSON assembly through the driver gate (rows-only check: the
     JSON document string isn't practical to rebuild in SQL). Coordinates
@@ -813,6 +872,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_assign": emb_ivf_assign,
     "emb_knn_ivf": emb_knn_ivf,
     "mm_image_features": mm_image_features,
+    "mm_audio_features": mm_audio_features,
     "geo_user_tracks": geo_user_tracks,
     "doc_top_tokens": doc_top_tokens,
 }
@@ -840,6 +900,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "mm_image_features": _MM_IMAGE_SQL,
+    "mm_audio_features": _MM_AUDIO_SQL,
     "doc_top_tokens": _TOP_TOKENS_SQL,
     # geo_user_tracks: no oracle — JSON document assembly is not
     # SQL-practical; the driver records a rows-only check

@@ -135,3 +135,28 @@ def test_cli_sessions(table_paths, capsys):
     ]) == 0
     recs = json.loads(capsys.readouterr().out)
     assert recs and {"session_idx", "n_events", "duration_us"} <= set(recs[0])
+
+
+def test_recent_imagery_manifest(capsys):
+    from gdutils_spark.cli import main
+
+    rc = main([
+        "recent-imagery", "ds-a", "ds-b",
+        "--server", "https://example.org/erddap",
+        "--variables", "temperature", "salinity",
+        "--hours", "6",
+    ])
+    assert rc == 0
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    # per dataset: 1 track map + (ts + profiles) per variable
+    assert len(lines) == 2 * (1 + 2 * 2)
+    by_ds = {}
+    for ds, name, url in lines:
+        by_ds.setdefault(ds, []).append((name, url))
+        assert url.startswith(f"https://example.org/erddap/tabledap/{ds}.largePng?")
+    assert set(by_ds) == {"ds-a", "ds-b"}
+    names = [n for n, _ in by_ds["ds-a"]]
+    assert names[0] == "ds-a_track_map_largePng.png"
+    # the track map carries no functional window; the variable plots do
+    assert "max%28time%29-6hours" not in by_ds["ds-a"][0][1]
+    assert all("max%28time%29-6hours" in u for _, u in by_ds["ds-a"][1:])

@@ -145,3 +145,17 @@ def test_spark_payload_synthesis_matches_parser(spark, sf_smoke):
         assert r["detected"] == "png"
         assert r["width"] == 64 + r["media_id"] % 192
         assert r["height"] == 64 + (r["media_id"] * 7) % 192
+
+
+def test_spark_wav_synthesis_matches_parser(spark, sf_smoke):
+    """The mm_audio_features Catalyst-built RIFF container (little-endian
+    fields via byte reversal) is genuinely parseable."""
+    from gdutils_spark.queries_ext import mm_audio_features
+
+    rows = mm_audio_features(spark, sf_smoke).orderBy("media_id").limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r["detected"] == "wav"
+        assert r["sample_rate"] == 8000 + (r["media_id"] % 8) * 1000
+        assert r["n_channels"] == 1 + r["media_id"] % 2
+        assert r["duration_s"] > 0
