@@ -1269,6 +1269,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "emb_lsh_buckets",
     "emb_ivf_assign",
     "emb_knn_ivf",
+    "emb_knn_lsh",
     "mm_image_features",
     "mm_audio_features",
     "geo_user_tracks",

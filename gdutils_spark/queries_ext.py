@@ -502,6 +502,39 @@ def _lsh_buckets_sql() -> str:
     return f"SELECT vec_id, {' + '.join(terms)} AS bucket FROM embeddings"
 
 
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k restricted to the query's sign-LSH bucket — the
+    bucket equi-join plan shape for 100 TB (recall < 1 by construction,
+    deterministic, so the oracle reproduces it exactly)."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_lsh(
+        vectors, queries, k=KNN_K, planes=LSH_PLANES, dims=EMB_DIMS
+    )
+
+
+def _knn_lsh_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS ({_lsh_buckets_sql()}),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+  FROM e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < {N_QUERIES}
+),
+v AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS vv, b.bucket
+  FROM e JOIN b ON b.vec_id = e.vec_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT q.query_id, v.neighbor_id,
+         list_cosine_similarity(q.qv, v.vv) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, v.vv) DESC, v.neighbor_id) AS rn
+  FROM q JOIN v ON v.bucket = q.bucket AND v.neighbor_id <> q.query_id
+) WHERE rn <= {KNN_K}
+"""
+
+
 QUALITY_MIN_TOKENS = 5
 QUALITY_MIN_SCORE = 0.0
 
@@ -871,6 +904,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_buckets": emb_lsh_buckets,
     "emb_ivf_assign": emb_ivf_assign,
     "emb_knn_ivf": emb_knn_ivf,
+    "emb_knn_lsh": emb_knn_lsh,
     "mm_image_features": mm_image_features,
     "mm_audio_features": mm_audio_features,
     "geo_user_tracks": geo_user_tracks,
@@ -899,6 +933,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_lsh_buckets": _lsh_buckets_sql(),
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
+    "emb_knn_lsh": _knn_lsh_sql(),
     "mm_image_features": _MM_IMAGE_SQL,
     "mm_audio_features": _MM_AUDIO_SQL,
     "doc_top_tokens": _TOP_TOKENS_SQL,
