@@ -22,6 +22,7 @@ NAMES = [
     "doc_minhash_lsh_pairs",
     "doc_near_dup_drop",
     "emb_knn_bruteforce",
+    "emb_lsh_near_dup_pairs",
     "doc_text_stats",
     "event_type_pivot",
 ]
