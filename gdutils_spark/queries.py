@@ -1254,10 +1254,12 @@ ORACLE: dict[str, str] = {
 
 # The driver's correctness gate verifies at most the first 50 registry
 # entries in insertion order, so insertion order is the verification
-# budget. Keep the similarity / sessionization / sampling / packing /
-# multimodal family (plus any newly added operators) inside that window;
-# the demoted core queries stay fully covered by the local DuckDB mirror
-# in tests/test_queries_oracle.py.
+# budget. Rotation policy: every query demoted out of the window must
+# have a green driver row from a PRIOR round, and anything never driver-
+# verified (or newly added) goes to the front — after round 3 every
+# registry entry has had at least one driver-verified round, and future
+# rounds rotate the window so coverage stays fresh. Demoted queries keep
+# full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
     "doc_near_dup_drop",
     "event_sessions",
