@@ -210,6 +210,19 @@ def stream_to_partitioned_parquet(
     )
 
 
+def stream_media_features(stream: DataFrame) -> DataFrame:
+    """Streaming multimodal ingest: the SAME Arrow-batched header-decode
+    operator (``operators.multimodal.decode_image_features``) applied to
+    a media stream. ``mapInPandas`` is stateless, so decode runs per
+    micro-batch with zero streaming state, and the metadata filter
+    (kind == 'image') prunes rows before any payload is touched — the
+    shape of a training-data pipeline that featurizes while ingesting
+    instead of staging terabytes of raw blobs first."""
+    from gdutils_spark.operators.multimodal import decode_image_features
+
+    return decode_image_features(stream)
+
+
 def stream_active_entities(
     stream: DataFrame,
     time_col: str = "ts",

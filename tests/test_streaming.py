@@ -204,3 +204,57 @@ def test_stream_to_partitioned_parquet_prunes(spark, stream_dirs):
         assert "PartitionFilters" in plan and "date" in plan.split("PartitionFilters")[1].splitlines()[0]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_media_features_matches_batch(spark):
+    """Multimodal decode composes with readStream: featurize-while-ingest
+    produces exactly the batch decode result (stateless mapInPandas)."""
+    import shutil
+    import tempfile
+
+    from test_multimodal import make_jpeg, make_png
+
+    from gdutils_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+    from gdutils_spark.streaming import stream_media_features
+
+    rows = [
+        (1, make_png(320, 240), "png", "image"),
+        (2, make_jpeg(640, 480), "jpeg", "image"),
+        (3, bytes(100), "mp4", "video"),  # pruned before decode
+        (4, make_png(64, 64), "png", "image"),
+    ]
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    src = tempfile.mkdtemp(prefix="media_src_")
+    chk = tempfile.mkdtemp(prefix="media_chk_")
+    try:
+        # two micro-batch files
+        batch.where(F.col("media_id") <= 2).write.mode("append").parquet(src)
+        batch.where(F.col("media_id") > 2).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+        q = (
+            stream_media_features(stream)
+            .writeStream.format("memory")
+            .queryName("media_features_stream")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["media_id"]: (r["detected"], r["width"], r["height"])
+            for r in spark.sql("SELECT * FROM media_features_stream").collect()
+        }
+        want = {
+            r["media_id"]: (r["detected"], r["width"], r["height"])
+            for r in decode_image_features(batch).collect()
+        }
+        assert got == want
+        assert got[1] == ("png", 320, 240) and got[2] == ("jpeg", 640, 480)
+        assert 3 not in got
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
