@@ -219,6 +219,38 @@ def _cold_shingles(sh: DataFrame, max_freq: int) -> DataFrame:
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Decontamination report: corpus documents sharing >= ``min_overlap``
+    word k-gram shingles with any benchmark document — the standard
+    train/eval overlap check a training-data pipeline runs before a
+    corpus ships (the reference has nothing like it; beyond-reference).
+
+    Plan shape for 100 TB: the benchmark side is eval-suite-sized
+    (thousands of documents), so its distinct shingle set BROADCASTS and
+    the corpus-scale shingle table never shuffles — contamination is one
+    broadcast hash join + one hash-agg on (corpus doc, benchmark doc).
+    Returns (doc_id, bench_id, n_shared) sorted nowhere; empty result
+    means clean.
+    """
+    corp_sh = _shingle_table(corpus, text_col, id_col, k)
+    bench_sh = _shingle_table(benchmark, text_col, id_col, k).select(
+        F.col("doc").alias("bench_id"), "shingle"
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(F.col("doc").alias(id_col), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

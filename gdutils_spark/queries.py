@@ -1262,6 +1262,7 @@ ORACLE: dict[str, str] = {
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
     "doc_near_dup_drop",
+    "doc_benchmark_contamination",
     "event_sessions",
     "doc_stratified_sample",
     "doc_pack_batches",

@@ -187,6 +187,40 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_T}
 """
 
 
+CONTAM_BENCH_MAX = 20  # doc_id < 20 plays the held-out benchmark suite
+CONTAM_MIN_OVERLAP = 2
+
+
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: corpus docs (id >= 20) sharing >= 2
+    trigram shingles with any 'benchmark' doc (id < 20). Benchmark
+    shingles broadcast; the corpus shingle table never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.benchmark_contamination(
+        d.where(F.col("doc_id") >= CONTAM_BENCH_MAX),
+        d.where(F.col("doc_id") < CONTAM_BENCH_MAX),
+        k=NGRAM_K,
+        min_overlap=CONTAM_MIN_OVERLAP,
+    )
+
+
+_CONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, len(ws) - 1)])) AS shingle
+  FROM toks WHERE len(ws) >= {NGRAM_K}
+),
+corp AS (SELECT doc, shingle FROM sh WHERE doc >= {CONTAM_BENCH_MAX}),
+bench AS (SELECT doc AS bench_id, shingle FROM sh WHERE doc < {CONTAM_BENCH_MAX})
+SELECT corp.doc AS doc_id, bench.bench_id, COUNT(*) AS n_shared
+FROM corp JOIN bench USING (shingle)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {CONTAM_MIN_OVERLAP}
+"""
+
+
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -895,6 +929,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_clusters": doc_dup_clusters,
     "doc_quality_filter": doc_quality_filter,
     "doc_near_dup_drop": doc_near_dup_drop,
+    "doc_benchmark_contamination": doc_benchmark_contamination,
     "event_sessions": event_sessions,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_batches": doc_pack_batches,
@@ -924,6 +959,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_dup_clusters": _dup_clusters_sql(),
     "doc_quality_filter": _QUALITY_FILTER_SQL,
     "doc_near_dup_drop": _near_dup_drop_sql(),
+    "doc_benchmark_contamination": _CONTAM_SQL,
     "event_sessions": _SESSIONS_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_batches": _pack_batches_sql(),

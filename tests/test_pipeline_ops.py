@@ -264,3 +264,26 @@ def test_star_cc_raises_when_budget_too_small(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], EDGES)
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, algorithm="star", max_iter=1)
+
+
+def test_benchmark_contamination(spark):
+    from gdutils_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "what is the capital of france i wonder sometimes"),  # leak
+            (101, "totally unrelated text about spark partitions here"),
+            (102, "see the capital of sweden instead"),  # 1 shared trigram < 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in benchmark_contamination(corpus, bench, min_overlap=2).collect()
+    }
+    assert set(got) == {(100, 0)}
+    assert got[(100, 0)] >= 3  # 'what is the', 'is the capital', 'the capital of', 'capital of france'
