@@ -532,7 +532,11 @@ def knn_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("v_vec")).alias("score"),
+            # dims=None: bucket collisions are |queries|·N/2^planes pairs
+            # (hundreds), where the interpreted fold is free and the
+            # unrolled 192-term alternative costs seconds of codegen
+            # compilation per plan (see module docstring)
+            cosine(F.col("q_vec"), F.col("v_vec"), None).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
