@@ -169,3 +169,42 @@ def rolling_fingerprint(
         lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
     )
     return df.select(F.col(id_col), roll.alias("rolling_fp"))
+
+
+# PII patterns kept to syntax Java regex (Spark) and RE2 (DuckDB) evaluate
+# identically: plain character classes + bounded quantifiers, no
+# lookaround, no backrefs.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + redaction: per-document counts of emails, phone
+    numbers and IPv4 literals, plus the text with each occurrence
+    replaced by a typed tag — the standard pre-training redaction pass.
+
+    Pure map work: ``regexp_count``/``regexp_replace`` are codegen'd
+    scan-side expressions, so at 100 TB this is scan-bandwidth-bound with
+    the projection pushed to the parquet reader, and it composes with
+    quality filtering and dedup into a single stage.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+            PHONE_PATTERN,
+            "<PHONE>",
+        ),
+        IPV4_PATTERN,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_PATTERN)).alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )

@@ -1263,6 +1263,7 @@ ORACLE: dict[str, str] = {
 _DRIVER_FIRST: tuple[str, ...] = (
     "doc_near_dup_drop",
     "doc_benchmark_contamination",
+    "doc_pii_scrub",
     "event_sessions",
     "doc_stratified_sample",
     "doc_pack_batches",

@@ -187,6 +187,60 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_T}
 """
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction end-to-end with REAL pattern matching: deterministic
+    PII (doc_id-derived emails, phones, IPv4s) is injected into the
+    synthetic corpus JVM-side, then ``pii_scrub`` must find and redact
+    it. The oracle performs the same injection + RE2 regexes in DuckDB —
+    patterns are restricted to syntax both engines evaluate identically,
+    and the full scrubbed text is hash-compared."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.0.1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return tx.pii_scrub(injected)
+
+
+_PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.0.1' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{tx.EMAIL_PATTERN}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{tx.PHONE_PATTERN}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{tx.IPV4_PATTERN}')) AS INT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{tx.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+      '{tx.PHONE_PATTERN}', '<PHONE>', 'g'),
+      '{tx.IPV4_PATTERN}', '<IP>', 'g') AS scrubbed
+FROM injected
+"""
+
+
 CONTAM_BENCH_MAX = 20  # doc_id < 20 plays the held-out benchmark suite
 CONTAM_MIN_OVERLAP = 2
 
@@ -930,6 +984,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_filter": doc_quality_filter,
     "doc_near_dup_drop": doc_near_dup_drop,
     "doc_benchmark_contamination": doc_benchmark_contamination,
+    "doc_pii_scrub": doc_pii_scrub,
     "event_sessions": event_sessions,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_batches": doc_pack_batches,
@@ -960,6 +1015,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_quality_filter": _QUALITY_FILTER_SQL,
     "doc_near_dup_drop": _near_dup_drop_sql(),
     "doc_benchmark_contamination": _CONTAM_SQL,
+    "doc_pii_scrub": _PII_SQL,
     "event_sessions": _SESSIONS_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_batches": _pack_batches_sql(),

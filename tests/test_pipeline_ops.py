@@ -287,3 +287,23 @@ def test_benchmark_contamination(spark):
     }
     assert set(got) == {(100, 0)}
     assert got[(100, 0)] >= 3  # 'what is the', 'is the capital', 'the capital of', 'capital of france'
+
+
+def test_pii_scrub(spark):
+    from gdutils_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org or 555-123-4567"),
+            (2, "server at 10.0.0.1 and 192.168.1.254 responded"),
+            (3, "no personal information here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (1, 1, 0)
+    assert rows[1].scrubbed == "reach me at <EMAIL> or <PHONE>"
+    assert rows[2].n_ips == 2 and "<IP>" in rows[2].scrubbed
+    assert "10.0.0.1" not in rows[2].scrubbed
+    assert rows[3].scrubbed == "no personal information here at all"
+    assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ips) == (0, 0, 0)
