@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gdutils_spark.client import GdacClient
+from gdutils_spark.plot.plotter import IMG_TYPES
 from gdutils_spark.sinks import to_csv_string, to_html_table, to_json_records
 
 
@@ -291,12 +292,15 @@ def cmd_sessions(args) -> int:
     return 0
 
 
+def _img_ext(img_type: str) -> str:
+    return img_type[-3:].lower()
+
+
 def _plot_emit(plotter, url: str, args) -> int:
     """Print the server-render URL, or download the image when asked
     (the reference scripts' debug-vs-download split)."""
     if args.download:
-        ext = args.img_type[-3:].lower()
-        path = os.path.join(args.download, f"{args.image_name}.{ext}")
+        path = os.path.join(args.download, f"{args.image_name}.{_img_ext(args.img_type)}")
         out = plotter.download_image(url, path)
         if out is None:
             return 1
@@ -390,7 +394,7 @@ def cmd_recent_imagery(args) -> int:
             return 0
 
     plotter = ErddapPlotter(args.server, response=args.img_type)
-    ext = args.img_type[-3:].lower()
+    ext = _img_ext(args.img_type)
     manifest: list[tuple[str, str, str]] = []
     for ds in ids:
         plotter.reset_plot_params()
@@ -408,13 +412,17 @@ def cmd_recent_imagery(args) -> int:
         plotter.remove_constraint("time>=")
 
     if args.download:
+        failures = 0
         for ds, name, url in manifest:
             d = os.path.join(args.download, ds, "imagery")
             os.makedirs(d, exist_ok=True)
             out = plotter.download_image(url, os.path.join(d, name))
             if out:
                 print(out)
-        return 0
+            else:
+                failures += 1
+                print(f"FAILED {ds} {name}", file=sys.stderr)
+        return 1 if failures else 0
     for ds, name, url in manifest:
         print(f"{ds}\t{name}\t{url}")
     return 0
@@ -493,10 +501,7 @@ def build_parser() -> argparse.ArgumentParser:
             "--format",
             dest="img_type",
             default="largePng",
-            choices=[
-                "largePng", "png", "smallPng",
-                "largePdf", "pdf", "smallPdf", "transparentPng",
-            ],
+            choices=IMG_TYPES,
         )
         sp.add_argument("-c", "--color", help="fixed marker color (else time-coded)")
         sp.add_argument("--colorbar", default="Rainbow2")
@@ -523,10 +528,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--server", required=True, help="ERDDAP base URL")
     sp.add_argument("--hours", type=float, default=1.0)
     sp.add_argument("-f", "--format", dest="img_type", default="largePng",
-                    choices=[
-                        "largePng", "png", "smallPng",
-                        "largePdf", "pdf", "smallPdf", "transparentPng",
-                    ])
+                    choices=IMG_TYPES)
     sp.add_argument("--colorbar", default="Rainbow2")
     sp.add_argument("--variables", nargs="+", default=list(DEFAULT_EOVS))
     sp.add_argument("-d", "--download",

@@ -137,21 +137,29 @@ class GdacClient:
             if isinstance(dataset_ids, str):
                 dataset_ids = [dataset_ids]
             info = info.where(F.col("dataset_id").isin(dataset_ids))
-        if "search_for" in params:
-            needle = F.lit(str(params["search_for"]).lower())
-            hay = F.lower(
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit(""))
-                        for c in ("title", "summary", "institution")
-                        if c in info.columns
-                    ],
+        # text/institution predicates run LOCALLY only when the catalog is
+        # a caller-supplied DataFrame. In server-backed mode the ERDDAP
+        # server already evaluated searchFor/institution with its richer
+        # semantics (AND-wise terms across ALL metadata — keywords,
+        # dataset_id, variable names); re-applying a substring match over
+        # title/summary/institution here would silently drop datasets the
+        # server legitimately matched.
+        if self._server is None:
+            if "search_for" in params:
+                needle = F.lit(str(params["search_for"]).lower())
+                hay = F.lower(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.coalesce(F.col(c).cast("string"), F.lit(""))
+                            for c in ("title", "summary", "institution")
+                            if c in info.columns
+                        ],
+                    )
                 )
-            )
-            info = info.where(F.contains(hay, needle))
-        if "institution" in params and "institution" in info.columns:
-            info = info.where(F.col("institution") == params["institution"])
+                info = info.where(F.contains(hay, needle))
+            if "institution" in params and "institution" in info.columns:
+                info = info.where(F.col("institution") == params["institution"])
         self._datasets_info = info
 
         if self._profiles is None:
@@ -185,6 +193,23 @@ class GdacClient:
         if self._selected_profiles is None:
             raise RuntimeError("call search_datasets() first")
         return self._selected_profiles
+
+    def _require_profiles(self) -> DataFrame:
+        if self._profiles is None:
+            raise RuntimeError(
+                "this client was built without a profiles feed (catalog-only "
+                "live search); pass profiles= to use profile-level operations"
+            )
+        return self._profiles
+
+    def _require_catalog(self) -> DataFrame:
+        if self._catalog is None:
+            raise RuntimeError(
+                "this client was built without a local catalog table; use "
+                "search_datasets() and the .datasets property for "
+                "server-backed metadata"
+            )
+        return self._catalog
 
     # -- catalog properties ---------------------------------------------------
 
@@ -381,13 +406,17 @@ class GdacClient:
 
     def check_dataset_exists(self, dataset_id: str) -> bool:
         return (
-            self._catalog.where(F.col("dataset_id") == dataset_id).limit(1).count() > 0
+            self._require_catalog()
+            .where(F.col("dataset_id") == dataset_id)
+            .limit(1)
+            .count()
+            > 0
         )
 
     def get_dataset_profiles(self, dataset_id: str) -> DataFrame:
         """S3 profiles scan, time-ordered at the boundary
         (/root/reference/gdutils/__init__.py:744-760)."""
-        return self._profiles.where(F.col("dataset_id") == dataset_id).orderBy("time")
+        return self._require_profiles().where(F.col("dataset_id") == dataset_id).orderBy("time")
 
     def dataset_info_card(self, dataset_id: str):
         """Transposed one-dataset summary card (R1:
@@ -405,7 +434,7 @@ class GdacClient:
 
     def get_dataset_time_coverage(self, dataset_id: str) -> dict:
         row = (
-            self._profiles.where(F.col("dataset_id") == dataset_id)
+            self._require_profiles().where(F.col("dataset_id") == dataset_id)
             .agg(F.min("time").alias("start"), F.max("time").alias("end"))
             .collect()[0]
         )
@@ -435,17 +464,17 @@ class GdacClient:
 
     def get_dataset_ymd_profiles_calendar(self, dataset_id: str) -> DataFrame:
         return calendar(
-            self._profiles.where(F.col("dataset_id") == dataset_id), "time", "ymd", "count"
+            self._require_profiles().where(F.col("dataset_id") == dataset_id), "time", "ymd", "count"
         )
 
     def get_dataset_ym_profiles_calendar(self, dataset_id: str) -> DataFrame:
         return calendar(
-            self._profiles.where(F.col("dataset_id") == dataset_id), "time", "ym", "count"
+            self._require_profiles().where(F.col("dataset_id") == dataset_id), "time", "ym", "count"
         )
 
     def get_dataset_md_profiles_calendar(self, dataset_id: str) -> DataFrame:
         return calendar(
-            self._profiles.where(F.col("dataset_id") == dataset_id), "time", "md", "count"
+            self._require_profiles().where(F.col("dataset_id") == dataset_id), "time", "md", "count"
         )
 
     # -- exports ---------------------------------------------------------------
@@ -455,7 +484,7 @@ class GdacClient:
     ) -> dict:
         """K4 GeoJSON track (/root/reference/gdutils/__init__.py:871-886)."""
         return track_geojson_dict(
-            self._profiles,
+            self._require_profiles(),
             "dataset_id",
             dataset_id,
             time_col="time",

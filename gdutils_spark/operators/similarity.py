@@ -336,7 +336,12 @@ def lsh_near_dup_pairs(
         .union(cands.select(F.col("d2").alias(id_col)))
         .distinct()
     )
-    e = vectors.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+    # semi-filter the corpus to candidate ids; no broadcast hint — the
+    # candidate-id set scales with corpus dup density (entity-sized in
+    # the worst case), so forcing it through the driver is exactly the
+    # melt-the-driver failure interval_join's default avoids. AQE
+    # broadcasts it at runtime when it measures small.
+    e = vectors.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), F.col(vec_col).alias("_v")
     )
     e1 = e.select(F.col(id_col).alias("d1"), F.col("_v").alias("v1"))
@@ -361,11 +366,15 @@ def lsh_near_dup_pairs(
             nb = nb + B[:, j] * B[:, j]
         return pd.Series(np.clip(dot_ / (np.sqrt(na) * np.sqrt(nb)), -1.0, 1.0))
 
+    # NaN guard: a zero-norm vector collides into bucket 0 of every band
+    # and scores 0/0 = NaN against its bucket-mates; Spark SQL orders NaN
+    # ABOVE every number, so `score >= threshold` alone would emit the
+    # pair (numpy in the brute-force baseline correctly drops it).
     return (
         cands.join(e1, "d1")
         .join(e2, "d2")
         .select("d1", "d2", pair_cosine(F.col("v1"), F.col("v2")).alias("score"))
-        .where(F.col("score") >= threshold)
+        .where(~F.isnan("score") & (F.col("score") >= threshold))
     )
 
 

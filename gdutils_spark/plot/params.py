@@ -109,9 +109,14 @@ def set_x_range(
 def set_y_range(
     min_val: object = "",
     max_val: object = "",
-    ascending: bool = True,
+    ascending: bool = False,
     scale: str = SCALE_OPTIONS[0],
 ) -> dict:
+    # default ascending=False to match ErddapPlotter.set_y_range and
+    # DEFAULT_PLOT_PARAMETERS (depth axes plot descending). The
+    # reference's functional helper defaults True, inconsistently with
+    # its own plotter method — deliberate deviation, or merging the two
+    # styles silently flips every depth plot.
     if scale not in SCALE_OPTIONS:
         return {}
     return {".yRange=": f"{min_val}|{max_val}|{str(ascending).lower()}|{scale}"}

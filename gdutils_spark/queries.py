@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gdutils_spark.operators.calendar import calendar
-from gdutils_spark.operators.joins import interval_join, orphans, with_orphan_flag
+from gdutils_spark.operators.joins import orphans, with_orphan_flag
 from gdutils_spark.sources.tables import load_table
 
 

@@ -92,3 +92,20 @@ def test_banded_buckets_shape(embeddings):
     # r-plane buckets live in [0, 2^r)
     mm = bb.selectExpr("min(bucket) AS lo", "max(bucket) AS hi").first()
     assert 0 <= mm.lo and mm.hi < 4
+
+
+def test_zero_norm_vectors_never_pair(spark):
+    """A zero vector lands in bucket 0 of every band and scores NaN
+    against its bucket-mates; Spark sorts NaN above every number, so the
+    threshold filter alone would emit it — both paths must drop it."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(10)]
+    rows += [(100, [0.0] * 64), (101, [0.0] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = sim.lsh_near_dup_pairs(df, threshold=0.45).collect()
+    bf = sim.embedding_near_dup_pairs(df, threshold=0.45).collect()
+    for r in lsh + bf:
+        assert r.d1 not in (100, 101) and r.d2 not in (100, 101)
+        assert r.score == r.score  # not NaN
