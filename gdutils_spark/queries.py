@@ -704,6 +704,7 @@ FROM g GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 from gdutils_spark.queries_ext import EXT_ORACLE, EXT_QUERIES  # noqa: E402
+from gdutils_spark.queries_rt import RT_ORACLE, RT_QUERIES  # noqa: E402
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure filter + single aggregate (P8/P13 + A2 at fact scale): every
@@ -1205,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_type_pivot": event_type_pivot,
     "q10_returned_revenue": q10_returned_revenue,
     **EXT_QUERIES,
+    **RT_QUERIES,
 }
 
 ORACLE: dict[str, str] = {
@@ -1250,6 +1252,7 @@ ORACLE: dict[str, str] = {
     "event_type_pivot": _TYPE_PIVOT_SQL,
     "q10_returned_revenue": _Q10_SQL,
     **EXT_ORACLE,
+    **RT_ORACLE,
 }
 
 # The driver's correctness gate verifies at most the first 50 registry
@@ -1261,23 +1264,37 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    "doc_near_dup_drop",
-    "doc_benchmark_contamination",
-    "doc_pii_scrub",
-    "event_sessions",
-    "doc_stratified_sample",
-    "doc_pack_batches",
-    "emb_knn_bruteforce",
-    "emb_near_dup_pairs",
-    "emb_lsh_near_dup_pairs",
-    "emb_lsh_buckets",
-    "emb_ivf_assign",
-    "emb_knn_ivf",
-    "emb_knn_lsh",
-    "mm_image_features",
-    "mm_audio_features",
-    "geo_user_tracks",
-    "doc_top_tokens",
+    # round 4 window: the new round-trip surface queries (never driver-
+    # verified), then the 17 entries whose latest green row is r2
+    "rt_csv_batch_daily",
+    "rt_csv_sink_roundtrip",
+    "rt_json_records_typed",
+    "rt_client_datasets",
+    "rt_client_api_merge",
+    "rt_client_api_merge_right",
+    "rt_dataset_profiles",
+    "rt_dataset_timeseries",
+    "rt_info_card",
+    "rt_canned_filters",
+    "rt_geo_track_points",
+    "rt_kml_coords",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "daily_revenue_7d_ma",
+    "users_click_no_purchase",
+    "event_type_pivot",
+    "q10_returned_revenue",
+    "doc_text_stats",
+    "doc_token_counts",
+    "doc_rolling_fp",
+    "doc_lang_id",
+    "doc_exact_dups",
+    "doc_ngram_dup_pairs",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_simhash_near_pairs",
+    "doc_dup_clusters",
+    "doc_quality_filter",
 )
 
 

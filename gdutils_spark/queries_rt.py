@@ -1,0 +1,676 @@
+"""Round-trip queries: driver-verifiable oracles for the client / source /
+sink surfaces (SURVEY.md §2 rows S2-S4, S6-S9, K1/K2/K4/K5, P3/P5/P7,
+J1-J3, R1, O1) that were previously covered only by pytest.
+
+Each query exercises a real client/source/sink code path end-to-end —
+writing a fixture to a tmp dir where the surface is a reader, collecting a
+sink's string output where the surface is a renderer — and lands the result
+in relational form so the driver's DuckDB hash-compare applies. The fixture
+derivations are deterministic functions of the driver parquet tables, so
+the oracle reproduces them in pure SQL.
+
+Reference parity targets are cited per query (the reference file the
+surface re-expresses); the round-trip *fixture* scaffolding is test
+machinery, the verified operator is the distributed read/assembly path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdutils_spark.client import GdacClient
+from gdutils_spark.operators.filters import filter_real_time_active
+from gdutils_spark.operators.joins import semi_by_ids
+from gdutils_spark.sinks.geojson import track_geojson, track_points
+from gdutils_spark.sinks.kml import tracks_to_kml
+from gdutils_spark.sources.csv import read_dataset_csv_batch
+from gdutils_spark.sources.rest import read_json_records
+from gdutils_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# S9 + S6 + P3: offline CSV batch with units row and filename-derived ids
+# ---------------------------------------------------------------------------
+
+
+def rt_csv_batch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERDDAP-style CSV batch ingest round-trip (S9/S6/P3 —
+    /root/reference/gdutils/io.py:11-53): per-dataset CSVs with a units
+    row (line 2) and ``<id>-<ts>.csv`` filenames are read back as ONE
+    distributed scan; the units row drops in the typed cast, the dataset
+    id comes from ``input_file_name()``, and ``Time``/``Event Type``
+    headers normalize to snake_case. Aggregate per dataset so the oracle
+    is a direct parquet aggregate."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    rows = e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t"),
+        "value",
+        "event_type",
+    ).collect()
+    tmp = tempfile.mkdtemp(prefix="rt_csv_batch_")
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in by_user.items():
+        with open(os.path.join(tmp, f"user{uid:03d}-20240101T0000.csv"), "w") as f:
+            f.write("Time,Value,Event Type\n")
+            f.write("UTC,,unitless\n")  # tabledap units row
+            for r in rs:
+                f.write(f"{r['t']},{r['value']!r},{r['event_type']}\n")
+    schema = T.StructType(
+        [
+            T.StructField("Time", T.TimestampType()),
+            T.StructField("Value", T.DoubleType()),
+            T.StructField("Event Type", T.StringType()),
+        ]
+    )
+    batch = read_dataset_csv_batch(spark, os.path.join(tmp, "*.csv"), schema=schema)
+    return batch.groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("time").alias("t_min"),
+        F.max("time").alias("t_max"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+_RT_CSV_BATCH_SQL = """
+SELECT concat('user', lpad(CAST(user_id AS VARCHAR), 3, '0'), '-20240101T0000') AS dataset_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(ts) AS t_min,
+       MAX(ts) AS t_max,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events WHERE user_id < 8
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# K1: distributed CSV sink round-trip
+# ---------------------------------------------------------------------------
+
+
+def rt_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 CSV sink → re-read → aggregate (write path parity with the
+    reference's ``to_csv`` report exports,
+    /root/reference/scripts/dac/search_datasets.py:60-66). Doubles
+    round-trip via Java shortest-repr; dates as ISO strings."""
+    from gdutils_spark.sinks import write_csv
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    rep = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+    tmp = tempfile.mkdtemp(prefix="rt_csv_sink_")
+    out_dir = os.path.join(tmp, "orders_csv")
+    write_csv(rep, out_dir, single_file=True)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.DateType()),
+        ]
+    )
+    back = spark.read.option("header", "true").schema(schema).csv(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.min("o_orderdate").alias("d_min"),
+        F.max("o_orderdate").alias("d_max"),
+    )
+
+
+_RT_CSV_SINK_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(CAST(o_orderdate AS DATE)) AS d_min,
+       MAX(CAST(o_orderdate AS DATE)) AS d_max
+FROM orders WHERE o_orderkey % 10 = 0
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# S7/S8: REST-JSON records with typed coercions + orphan flag
+# ---------------------------------------------------------------------------
+
+_JSON_EPOCH_MS = 1700000000000
+
+
+def rt_json_records_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST JSON source round-trip (S7/S8 —
+    /root/reference/gdutils/apis/dac.py:10-71, apis/status.py:10-73): an
+    API-response-shaped JSON array file is read via ``spark.read.json``
+    and the reference's coercions applied as Catalyst casts: bool NULL →
+    false, epoch-ms long → timestamp, string → try_to_timestamp
+    (coerce), int NULL → 0, and the 'orphaned' null-probe flag. Field
+    names with spaces normalize to snake_case (P3)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 240)
+    k = F.col("c_custkey")
+    ms = F.lit(_JSON_EPOCH_MS) + k * F.lit(3600000)
+    rec = c.select(
+        k.alias("custkey"),
+        F.when(k % 7 == 0, F.lit(None).cast("boolean"))
+        .otherwise((k % 2) == 0)
+        .alias("active"),
+        ms.alias("created_ms"),
+        F.when(k % 11 == 0, F.lit("not-a-timestamp"))
+        .otherwise(F.date_format(F.timestamp_millis(ms), "yyyy-MM-dd HH:mm:ss"))
+        .alias("status_time"),
+        F.when(k % 5 == 0, F.lit(None).cast("long")).otherwise(k % 13).alias("visits"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("reg"))
+        .alias("probe"),
+    )
+    records = [
+        {
+            "Cust Key": r["custkey"],
+            "Active": r["active"],
+            "Created MS": r["created_ms"],
+            "Status Time": r["status_time"],
+            "Visit Count": r["visits"],
+            "Registry Probe": r["probe"],
+        }
+        for r in rec.collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="rt_json_")
+    path = os.path.join(tmp, "api_response.json")
+    with open(path, "w") as f:
+        json.dump(records, f)
+    out = read_json_records(
+        spark,
+        path,
+        bool_columns=["active"],
+        epoch_ms_columns=["created_ms"],
+        timestamp_columns=["status_time"],
+        int_columns=["visit_count"],
+        null_flag_column=("orphaned", "registry_probe"),
+    )
+    return out.select(
+        "cust_key", "active", "created_ms", "status_time", "visit_count", "orphaned"
+    )
+
+
+_RT_JSON_SQL = f"""
+SELECT c_custkey AS cust_key,
+       CASE WHEN c_custkey % 7 = 0 THEN false ELSE c_custkey % 2 = 0 END AS active,
+       epoch_ms({_JSON_EPOCH_MS} + c_custkey * 3600000) AS created_ms,
+       CASE WHEN c_custkey % 11 = 0 THEN NULL
+            ELSE epoch_ms({_JSON_EPOCH_MS} + c_custkey * 3600000) END AS status_time,
+       CASE WHEN c_custkey % 5 = 0 THEN 0 ELSE c_custkey % 13 END AS visit_count,
+       c_custkey % 3 = 0 AS orphaned
+FROM customer WHERE c_custkey <= 240
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1/J2/J3 + S2 + S3 + S4 + R1: GdacClient over a deterministic deployment
+# fixture derived from the events table
+# ---------------------------------------------------------------------------
+
+_FIX_EPOCH_US = 1704067200000000  # 2024-01-01T00:00:00Z
+
+
+def _glider_fixture(spark: SparkSession, sf_dir: str):
+    """(catalog, profiles) fixture: events → 10 synthetic deployments.
+
+    Times are unique per row (seconds spaced by event_id) so first-fix
+    ``min_by`` semantics are deterministic; coordinates derive from
+    value/event_id arithmetic both engines compute identically in IEEE
+    double."""
+    e = load_table(spark, sf_dir, "events")
+    prof = e.select(
+        F.concat(
+            F.lit("sg"),
+            F.lpad((F.col("user_id") % 10).cast("string"), 3, "0"),
+            F.lit("-20240101T0000"),
+        ).alias("dataset_id"),
+        F.timestamp_micros(
+            F.lit(_FIX_EPOCH_US) + F.col("event_id") * F.lit(1000000)
+        ).alias("time"),
+        ((F.col("value") % F.lit(10.0)) + F.lit(30.0)).alias("latitude"),
+        ((F.col("event_id") % 20) - 70).cast("double").alias("longitude"),
+    )
+    catalog = (
+        prof.select("dataset_id")
+        .distinct()
+        .withColumn("title", F.concat(F.lit("Deployment "), F.col("dataset_id")))
+        .withColumn("summary", F.concat(F.lit("synthetic glider deployment "), F.col("dataset_id")))
+        .withColumn(
+            "institution",
+            F.when(F.substring("dataset_id", 3, 3).cast("int") < 5, F.lit("WHOI"))
+            .otherwise(F.lit("MBARI")),
+        )
+    )
+    return catalog, prof
+
+
+_FIX_PROF_SQL = f"""
+  SELECT concat('sg', lpad(CAST(user_id % 10 AS VARCHAR), 3, '0'), '-20240101T0000') AS dataset_id,
+         make_timestamp({_FIX_EPOCH_US} + event_id * 1000000) AS time,
+         (value % 10.0) + 30.0 AS latitude,
+         CAST((event_id % 20) - 70 AS DOUBLE) AS longitude
+  FROM events
+"""
+
+_FIX_SUMM_SQL = """
+  SELECT dataset_id,
+         MIN(time) AS start_date,
+         MAX(time) AS end_date,
+         arg_min(latitude, time) AS deployment_lat,
+         arg_min(longitude, time) AS deployment_lon,
+         MIN(latitude) AS lat_min,
+         MAX(latitude) AS lat_max,
+         MIN(longitude) AS lon_min,
+         MAX(longitude) AS lon_max,
+         COUNT(*) AS num_profiles,
+         CAST(CEIL((epoch(MAX(time)) - epoch(MIN(time))) / 86400.0) AS BIGINT) AS days
+  FROM prof GROUP BY dataset_id
+"""
+
+_FIX_INFO_SQL = """
+  SELECT DISTINCT dataset_id,
+         concat('Deployment ', dataset_id) AS title,
+         concat('synthetic glider deployment ', dataset_id) AS summary,
+         CASE WHEN CAST(substring(dataset_id, 3, 3) AS INT) < 5
+              THEN 'WHOI' ELSE 'MBARI' END AS institution
+  FROM prof
+"""
+
+
+def rt_client_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 summaries ⟕ info broadcast join through a filtered search (S2,
+    /root/reference/gdutils/__init__.py:107-114,544-616): the
+    institution='WHOI' predicate narrows the catalog, profiles semi-join
+    to the surviving datasets, one groupBy builds the summary rows."""
+    catalog, prof = _glider_fixture(spark, sf_dir)
+    client = GdacClient(spark, catalog=catalog, profiles=prof)
+    client.search_datasets({"institution": "WHOI"})
+    return client.datasets
+
+
+_RT_CLIENT_DATASETS_SQL = f"""
+WITH prof AS ({_FIX_PROF_SQL}),
+info AS ({_FIX_INFO_SQL}),
+sel AS (SELECT * FROM info WHERE institution = 'WHOI'),
+p AS (SELECT prof.* FROM prof SEMI JOIN sel USING (dataset_id)),
+summ AS (
+  SELECT dataset_id,
+         MIN(time) AS start_date,
+         MAX(time) AS end_date,
+         arg_min(latitude, time) AS deployment_lat,
+         arg_min(longitude, time) AS deployment_lon,
+         MIN(latitude) AS lat_min,
+         MAX(latitude) AS lat_max,
+         MIN(longitude) AS lon_min,
+         MAX(longitude) AS lon_max,
+         COUNT(*) AS num_profiles,
+         CAST(CEIL((epoch(MAX(time)) - epoch(MIN(time))) / 86400.0) AS BIGINT) AS days
+  FROM p GROUP BY dataset_id
+)
+SELECT regexp_extract(s.dataset_id, '^(.*)-\\d{{8}}T\\d{{4}}', 1) AS glider,
+       s.dataset_id,
+       CAST(NULL AS VARCHAR) AS wmo_id,
+       s.start_date, s.end_date,
+       s.deployment_lat, s.deployment_lon,
+       s.lat_min, s.lat_max, s.lon_min, s.lon_max,
+       s.num_profiles, s.days,
+       i.title, i.summary, i.institution
+FROM summ s JOIN sel i USING (dataset_id)
+"""
+
+
+def _searched_client(spark: SparkSession, sf_dir: str) -> GdacClient:
+    catalog, prof = _glider_fixture(spark, sf_dir)
+    client = GdacClient(spark, catalog=catalog, profiles=prof)
+    client.search_datasets()
+    return client
+
+
+def _api_catalog(spark: SparkSession, catalog: DataFrame) -> DataFrame:
+    ghosts = spark.createDataFrame(
+        [("ghost-20240101T0000",), ("phantom-20240215T1200",)], ["dataset_id"]
+    )
+    return (
+        catalog.select("dataset_id")
+        .unionAll(ghosts)
+        .withColumn("api_registered", F.lit(True))
+    )
+
+
+def rt_client_api_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 API-catalog left merge + orphan flag
+    (/root/reference/gdutils/__init__.py:921-941): API-registered
+    datasets absent from the server come back flagged orphaned with NULL
+    server columns."""
+    client = _searched_client(spark, sf_dir)
+    api = _api_catalog(spark, client._catalog)
+    m = client.merge_with_api(api, merge_all=True)
+    return m.select(
+        "dataset_id", "api_registered", "num_profiles", "institution", "orphaned"
+    )
+
+
+_RT_API_MERGE_SQL = f"""
+WITH prof AS ({_FIX_PROF_SQL}),
+summ AS ({_FIX_SUMM_SQL}),
+info AS ({_FIX_INFO_SQL}),
+server AS (SELECT s.dataset_id, s.num_profiles, i.institution
+           FROM summ s JOIN info i USING (dataset_id)),
+api AS (
+  SELECT DISTINCT dataset_id, true AS api_registered FROM prof
+  UNION ALL SELECT 'ghost-20240101T0000', true
+  UNION ALL SELECT 'phantom-20240215T1200', true
+)
+SELECT a.dataset_id, a.api_registered, s.num_profiles, s.institution,
+       s.dataset_id IS NULL AS orphaned
+FROM api a LEFT JOIN server s USING (dataset_id)
+"""
+
+
+def rt_client_api_merge_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 right merge (merge_all=False): only datasets present on the
+    server survive; nothing is orphaned."""
+    client = _searched_client(spark, sf_dir)
+    api = _api_catalog(spark, client._catalog)
+    m = client.merge_with_api(api, merge_all=False)
+    return m.select(
+        "dataset_id", "api_registered", "num_profiles", "institution", "orphaned"
+    )
+
+
+_RT_API_MERGE_RIGHT_SQL = f"""
+WITH prof AS ({_FIX_PROF_SQL}),
+summ AS ({_FIX_SUMM_SQL}),
+info AS ({_FIX_INFO_SQL}),
+server AS (SELECT s.dataset_id, s.num_profiles, i.institution
+           FROM summ s JOIN info i USING (dataset_id)),
+api AS (
+  SELECT DISTINCT dataset_id, true AS api_registered FROM prof
+  UNION ALL SELECT 'ghost-20240101T0000', true
+  UNION ALL SELECT 'phantom-20240215T1200', true
+)
+SELECT s.dataset_id, a.api_registered, s.num_profiles, s.institution,
+       false AS orphaned
+FROM api a RIGHT JOIN server s USING (dataset_id)
+"""
+
+
+def rt_dataset_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 per-dataset profiles scan, time-ordered at the boundary (O1,
+    /root/reference/gdutils/__init__.py:744-760)."""
+    client = _searched_client(spark, sf_dir)
+    return client.get_dataset_profiles("sg003-20240101T0000")
+
+
+_RT_DATASET_PROFILES_SQL = f"""
+WITH prof AS ({_FIX_PROF_SQL})
+SELECT * FROM prof WHERE dataset_id = 'sg003-20240101T0000'
+"""
+
+
+def rt_dataset_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 sensor time-series scan with projection + time-range pushdown
+    (/root/reference/gdutils/__init__.py:770-805)."""
+    catalog, prof = _glider_fixture(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    ts_table = e.select(
+        F.concat(
+            F.lit("sg"),
+            F.lpad((F.col("user_id") % 10).cast("string"), 3, "0"),
+            F.lit("-20240101T0000"),
+        ).alias("dataset_id"),
+        F.timestamp_micros(
+            F.lit(_FIX_EPOCH_US) + F.col("event_id") * F.lit(1000000)
+        ).alias("precise_time"),
+        (F.col("value") % F.lit(100.0)).alias("depth"),
+        (F.col("value") / F.lit(10.0)).alias("temperature"),
+    )
+    client = GdacClient(spark, catalog=catalog, profiles=prof, timeseries=ts_table)
+    client.search_datasets()
+    return client.get_dataset_time_series(
+        "sg001-20240101T0000",
+        ["temperature"],
+        min_time="2024-01-01 00:30:00",
+        max_time="2024-01-01 02:30:00",
+    )
+
+
+_RT_DATASET_TS_SQL = f"""
+SELECT concat('sg', lpad(CAST(user_id % 10 AS VARCHAR), 3, '0'), '-20240101T0000') AS dataset_id,
+       make_timestamp({_FIX_EPOCH_US} + event_id * 1000000) AS precise_time,
+       (value % 100.0) AS depth,
+       (value / 10.0) AS temperature
+FROM events
+WHERE user_id % 10 = 1
+  AND make_timestamp({_FIX_EPOCH_US} + event_id * 1000000)
+      BETWEEN TIMESTAMP '2024-01-01 00:30:00' AND TIMESTAMP '2024-01-01 02:30:00'
+"""
+
+_CARD_ATTRS = (
+    "deployment_lat",
+    "deployment_lon",
+    "lat_min",
+    "lat_max",
+    "lon_min",
+    "lon_max",
+    "num_profiles",
+    "days",
+)
+
+
+def rt_info_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 transposed one-dataset info card
+    (/root/reference/gdutils/__init__.py:646): the numeric attributes of
+    the card come back as (attribute, value) rows so the driver can hash
+    them; the transpose itself is the driver-side presentation step."""
+    client = _searched_client(spark, sf_dir)
+    card = client.dataset_info_card("sg000-20240101T0000")
+    col = card.iloc[:, 0]
+    rows = [(a, float(col.loc[a])) for a in _CARD_ATTRS]
+    return spark.createDataFrame(rows, "attribute string, value double")
+
+
+_RT_INFO_CARD_SQL = f"""
+WITH prof AS ({_FIX_PROF_SQL}),
+s AS (
+  SELECT arg_min(latitude, time) AS deployment_lat,
+         arg_min(longitude, time) AS deployment_lon,
+         MIN(latitude) AS lat_min, MAX(latitude) AS lat_max,
+         MIN(longitude) AS lon_min, MAX(longitude) AS lon_max,
+         CAST(COUNT(*) AS DOUBLE) AS num_profiles,
+         CAST(CEIL((epoch(MAX(time)) - epoch(MIN(time))) / 86400.0) AS DOUBLE) AS days
+  FROM prof WHERE dataset_id = 'sg000-20240101T0000'
+)
+SELECT 'deployment_lat' AS attribute, CAST(deployment_lat AS DOUBLE) AS value FROM s
+UNION ALL SELECT 'deployment_lon', CAST(deployment_lon AS DOUBLE) FROM s
+UNION ALL SELECT 'lat_min', CAST(lat_min AS DOUBLE) FROM s
+UNION ALL SELECT 'lat_max', CAST(lat_max AS DOUBLE) FROM s
+UNION ALL SELECT 'lon_min', CAST(lon_min AS DOUBLE) FROM s
+UNION ALL SELECT 'lon_max', CAST(lon_max AS DOUBLE) FROM s
+UNION ALL SELECT 'num_profiles', num_profiles FROM s
+UNION ALL SELECT 'days', days FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5 + P7: canned status-catalog filters + membership
+# ---------------------------------------------------------------------------
+
+
+def rt_canned_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 canned boolean-combo filter + P7 membership filter
+    (/root/reference/gdutils/apis/filters.py:7-160): real-time active
+    (= not delayed, not completed, not orphaned) restricted to two
+    market segments."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cat = c.select(
+        F.col("c_name").alias("dataset_id"),
+        "c_custkey",
+        "c_mktsegment",
+        (k % 2 == 0).alias("delayed_mode"),
+        (k % 3 == 0).alias("completed"),
+        (k % 5 == 0).alias("orphaned"),
+    )
+    out = filter_real_time_active(cat)
+    return semi_by_ids(out, "c_mktsegment", ["BUILDING", "AUTOMOBILE"])
+
+
+_RT_CANNED_SQL = """
+SELECT c_name AS dataset_id, c_custkey, c_mktsegment,
+       c_custkey % 2 = 0 AS delayed_mode,
+       c_custkey % 3 = 0 AS completed,
+       c_custkey % 5 = 0 AS orphaned
+FROM customer
+WHERE NOT (c_custkey % 2 = 0) AND NOT (c_custkey % 3 = 0)
+  AND NOT (c_custkey % 5 = 0)
+  AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+"""
+
+
+# ---------------------------------------------------------------------------
+# K4 + K5: quantized track assembly, flattened / rendered to KML
+# ---------------------------------------------------------------------------
+
+# HALF_DOWN quantization, decimal-exact, as SQL (mirrors
+# functions/rounding.py::round_half_down)
+def _half_down_sql(expr: str, ndigits: int = 3) -> str:
+    scale = 10**ndigits
+    z = f"(CAST({expr} AS DECIMAL(30,15)) * {scale})"
+    return (
+        f"CAST((CASE WHEN {z} >= 0 THEN CEIL({z} - 0.5) "
+        f"ELSE FLOOR({z} + 0.5) END) / {scale} AS DOUBLE)"
+    )
+
+
+_GEO_FIX_SQL = f"""
+  SELECT user_id, ts,
+         {_half_down_sql('((value / 7.0) % 180.0) - 90.0')} AS lat,
+         {_half_down_sql('((event_id / 11.0) % 360.0) - 180.0')} AS lon
+  FROM events
+"""
+
+
+def _geo_fixes(spark: SparkSession, sf_dir: str, max_user: int) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < max_user)
+    return e.select(
+        "user_id",
+        F.col("ts"),
+        (((F.col("value") / F.lit(7.0)) % F.lit(180.0)) - F.lit(90.0)).alias("latitude"),
+        (((F.col("event_id") / F.lit(11.0)) % F.lit(360.0)) - F.lit(180.0)).alias(
+            "longitude"
+        ),
+    )
+
+
+def rt_geo_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 GeoJSON track assembly, hash-verified: the same quantize
+    (HALF_DOWN, 3 digits) + time-order (sort_array over (t, lon, lat))
+    pipeline the GeoJSON sink uses
+    (/root/reference/gdutils/geojson.py:29-86), flattened to (user_id,
+    seq, ts, lon, lat) rows so DuckDB reproduces the quantization
+    decimal-exactly."""
+    return track_points(_geo_fixes(spark, sf_dir, 20), "user_id", time_col="ts")
+
+
+_RT_GEO_POINTS_SQL = f"""
+WITH q AS ({_GEO_FIX_SQL.replace("FROM events", "FROM events WHERE user_id < 20")})
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, lon, lat) - 1 AS INT) AS seq,
+       ts, lon, lat
+FROM q
+"""
+
+
+def rt_kml_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 KML render round-trip
+    (/root/reference/scripts/dac/recent_datasets_to_kml.py:41-57): the
+    GeoJSON tracks render to one KML document; per-placemark coordinate
+    lines are parsed back out (count + first/last 'lon,lat,0' strings)
+    so the quantized coordinate formatting is hash-verified."""
+    fixes = _geo_fixes(spark, sf_dir, 6).withColumn(
+        "dataset_id", F.format_string("u%02d", F.col("user_id"))
+    )
+    tracks = (
+        track_geojson(fixes, "dataset_id", time_col="ts")
+        .orderBy("dataset_id")
+        .collect()
+    )
+    kml = tracks_to_kml([(r["dataset_id"], r["geojson"]) for r in tracks])
+    blocks = re.findall(
+        r"<name>(u\d+)</name>.*?<coordinates>\n(.*?)\n\s*</coordinates>", kml, re.S
+    )
+    rows = []
+    for name, body in blocks:
+        lines = [ln.strip() for ln in body.split("\n")]
+        rows.append((name, len(lines), lines[0], lines[-1]))
+    return spark.createDataFrame(
+        rows, "dataset_id string, n_pts long, first_coord string, last_coord string"
+    )
+
+
+_RT_KML_SQL = f"""
+WITH q AS ({_GEO_FIX_SQL.replace("FROM events", "FROM events WHERE user_id < 6")}),
+o AS (
+  SELECT printf('u%02d', user_id) AS dataset_id,
+         concat(CAST(lon AS VARCHAR), ',', CAST(lat AS VARCHAR), ',0') AS coord,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, lon, lat) AS rn
+  FROM q
+)
+SELECT dataset_id,
+       COUNT(*) AS n_pts,
+       arg_min(coord, rn) AS first_coord,
+       arg_max(coord, rn) AS last_coord
+FROM o GROUP BY dataset_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rt_csv_batch_daily": rt_csv_batch_daily,
+    "rt_csv_sink_roundtrip": rt_csv_sink_roundtrip,
+    "rt_json_records_typed": rt_json_records_typed,
+    "rt_client_datasets": rt_client_datasets,
+    "rt_client_api_merge": rt_client_api_merge,
+    "rt_client_api_merge_right": rt_client_api_merge_right,
+    "rt_dataset_profiles": rt_dataset_profiles,
+    "rt_dataset_timeseries": rt_dataset_timeseries,
+    "rt_info_card": rt_info_card,
+    "rt_canned_filters": rt_canned_filters,
+    "rt_geo_track_points": rt_geo_track_points,
+    "rt_kml_coords": rt_kml_coords,
+}
+
+RT_ORACLE: dict[str, str] = {
+    "rt_csv_batch_daily": _RT_CSV_BATCH_SQL,
+    "rt_csv_sink_roundtrip": _RT_CSV_SINK_SQL,
+    "rt_json_records_typed": _RT_JSON_SQL,
+    "rt_client_datasets": _RT_CLIENT_DATASETS_SQL,
+    "rt_client_api_merge": _RT_API_MERGE_SQL,
+    "rt_client_api_merge_right": _RT_API_MERGE_RIGHT_SQL,
+    "rt_dataset_profiles": _RT_DATASET_PROFILES_SQL,
+    "rt_dataset_timeseries": _RT_DATASET_TS_SQL,
+    "rt_info_card": _RT_INFO_CARD_SQL,
+    "rt_canned_filters": _RT_CANNED_SQL,
+    "rt_geo_track_points": _RT_GEO_POINTS_SQL,
+    "rt_kml_coords": _RT_KML_SQL,
+}

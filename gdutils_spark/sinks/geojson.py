@@ -25,6 +25,48 @@ from pyspark.sql import functions as F
 from gdutils_spark.functions.rounding import round_half_down
 
 
+def _quantized_fixes(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    lat_col: str,
+    lon_col: str,
+    ndigits: int,
+) -> DataFrame:
+    return df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(time_col).alias("t"),
+        round_half_down(F.col(lat_col), ndigits).alias("lat"),
+        round_half_down(F.col(lon_col), ndigits).alias("lon"),
+    )
+
+
+def track_points(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str = "time",
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    ndigits: int = 3,
+) -> DataFrame:
+    """Flattened track fixes: (entity, seq, t, lon, lat), quantized and
+    time-ordered with the SAME semantics the GeoJSON/KML sinks use
+    (``sort_array`` over a (t, lon, lat) struct), so the quantization and
+    ordering are hash-verifiable relationally without parsing JSON."""
+    fixes = _quantized_fixes(df, entity_col, time_col, lat_col, lon_col, ndigits)
+    agg = fixes.groupBy("entity").agg(
+        F.sort_array(F.collect_list(F.struct("t", "lon", "lat"))).alias("pts")
+    )
+    p = agg.select("entity", F.posexplode("pts").alias("seq", "pt"))
+    return p.select(
+        F.col("entity").alias(entity_col),
+        "seq",
+        F.col("pt.t").alias(time_col),
+        F.col("pt.lon").alias("lon"),
+        F.col("pt.lat").alias("lat"),
+    )
+
+
 def track_geojson(
     df: DataFrame,
     entity_col: str,
@@ -40,12 +82,7 @@ def track_geojson(
     (``sort_array`` on a struct keyed by the timestamp — deterministic,
     no global orderBy needed).
     """
-    fixes = df.select(
-        F.col(entity_col).alias("entity"),
-        F.col(time_col).alias("t"),
-        round_half_down(F.col(lat_col), ndigits).alias("lat"),
-        round_half_down(F.col(lon_col), ndigits).alias("lon"),
-    )
+    fixes = _quantized_fixes(df, entity_col, time_col, lat_col, lon_col, ndigits)
     agg = fixes.groupBy("entity").agg(
         F.sort_array(F.collect_list(F.struct("t", "lon", "lat"))).alias("pts"),
         F.min("lat").alias("_lat_min"),
