@@ -140,6 +140,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     dims: int | None = 64,
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """All pairs (d1 < d2) with cosine >= threshold — exact brute force.
 
@@ -155,11 +156,26 @@ def embedding_near_dup_pairs(
     bit-identical to a sequential double fold (DuckDB oracle parity).
 
     This is the *baseline/verification* operator: it assumes the corpus
-    fits a broadcast (same constraint as any broadcast join). At 100 TB
-    use :func:`lsh_buckets` to get candidate pairs and verify only those.
+    fits a broadcast (same constraint as any broadcast join), and it
+    REFUSES to run past ``max_broadcast_rows`` (default 100k rows ≈
+    50 MB of float64 at 64 dims — comfortably broadcast-sized) so the
+    exact baseline can't be pointed at an entity-scale corpus by
+    accident. For anything larger use :func:`lsh_near_dup_pairs`, the
+    bucketed scale path that never materializes the corpus anywhere.
     """
     spark = vectors.sparkSession
     base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # cheap pruned count (id column only) BEFORE the driver collect, so
+    # an oversized corpus fails fast instead of OOMing the driver
+    n_rows = base.select("_id").count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs is the broadcast-sized exact baseline: "
+            f"corpus has {n_rows} rows > max_broadcast_rows={max_broadcast_rows}. "
+            f"Use lsh_near_dup_pairs (banded sign-LSH candidates + exact "
+            f"verification) for corpora that don't fit a broadcast, or raise "
+            f"max_broadcast_rows explicitly if you really mean it."
+        )
     pdf_all = base.toPandas()
     ids_all = pdf_all["_id"].to_numpy()
     M = np.stack(pdf_all["_v"].to_numpy()).astype(np.float64)
@@ -296,6 +312,7 @@ def lsh_near_dup_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     dims: int = 64,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs (d1 < d2, cosine >= threshold) via banded sign-LSH
     candidates + exact verification — the 100 TB replacement for
@@ -310,13 +327,21 @@ def lsh_near_dup_pairs(
     P[detect] = 1-(1-p^r)^b, p = 1-θ/π), but deterministic: the
     Rademacher planes are md5-derived, so an external engine reproduces
     the exact candidate set and scores.
+
+    The banded table feeds both self-join sides. ``stage_path=None``
+    (default, dev/driver scale) memory-caches it for the duration of the
+    call and unpersists before returning — nothing leaks across repeated
+    invocations in a long-lived session. At 100 TB pass ``stage_path``:
+    the banded table is written to parquet once and both join sides scan
+    the staged files, so executor storage memory holds nothing and the
+    Arrow projection still runs exactly once.
     """
-    # the banded table feeds both self-join sides; cache it so the Arrow
-    # projection runs once, not twice (same pattern as the shingle-table
-    # cache in dedup.minhash_lsh_pairs — at 100 TB stage to parquet)
-    banded = banded_lsh_buckets(
-        vectors, id_col, vec_col, bands, rows_per_band, dims
-    ).cache()
+    banded = banded_lsh_buckets(vectors, id_col, vec_col, bands, rows_per_band, dims)
+    if stage_path is not None:
+        banded.write.mode("overwrite").parquet(stage_path)
+        banded = vectors.sparkSession.read.parquet(stage_path)
+    else:
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -331,6 +356,13 @@ def lsh_near_dup_pairs(
         )
         .distinct()
     )
+    if stage_path is None:
+        # cands feeds both the id semi-filter and the final pair join;
+        # materialize it eagerly (id pairs only — KB-scale) via a
+        # lineage-truncating local checkpoint, then drop the banded cache
+        # so repeated invocations don't accumulate storage (ADVICE r3).
+        cands = cands.localCheckpoint(eager=True)
+        banded.unpersist()
     cand_ids = (
         cands.select(F.col("d1").alias(id_col))
         .union(cands.select(F.col("d2").alias(id_col)))
@@ -378,32 +410,32 @@ def lsh_near_dup_pairs(
     )
 
 
-def ivf_assign(
-    vectors: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its nearest
-    centroid by cosine (ties → lowest centroid id).
-
-    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic
-    seed sample, reproducible in any engine with no trained model or RNG
-    (a k-means refinement would drop in here without changing the plan
-    shape). Assignment is one Arrow-batched map over the corpus with the
-    centroid matrix broadcast — at 100 TB this is scan-speed, and the
-    resulting ``centroid`` column is the partition/cluster key that makes
-    probed search touch 1/C of the data.
-    """
-    spark = vectors.sparkSession
+def _seed_centroids(
+    vectors: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, matrix) of the ``n_centroids`` lowest-id vectors — the
+    deterministic, RNG-free seed sample. ids come back sorted ascending
+    (the argmax tie-break below relies on it)."""
     cent = (
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
         .limit(n_centroids)
         .toPandas()
     )
-    cids = cent["_id"].to_numpy()
-    C = np.stack(cent["_v"].to_numpy()).astype(np.float64)
+    return cent["_id"].to_numpy(), np.stack(cent["_v"].to_numpy()).astype(np.float64)
+
+
+def _assign_to(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cids: np.ndarray,
+    C: np.ndarray,
+) -> DataFrame:
+    """One Arrow-batched assignment pass: nearest centroid by cosine,
+    lowest-id tie-break (``cids`` sorted ascending + first-index argmax).
+    The centroid matrix is broadcast; at 100 TB this is scan-speed."""
+    spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast((cids, C))
 
     def assign(batches):
@@ -441,6 +473,99 @@ def ivf_assign(
     return base.mapInPandas(assign, "vec_id long, centroid long, score double")
 
 
+def ivf_refine_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd (k-means) refinement of the seed centroids: ``n_iters``
+    rounds of assign → per-cluster mean, keeping the seed vec_ids as
+    stable cluster labels. Returns the refined (ids, matrix).
+
+    Fully deterministic and ORACLE-REPRODUCIBLE: assignment tie-breaks on
+    the lowest centroid id, and each cluster mean is computed per
+    dimension as a **sequential left fold in ascending member vec_id
+    order** (``sort_array(collect_list(...))`` + ``aggregate``) — the
+    exact accumulation order of DuckDB's ``list_sum(list(x ORDER BY
+    vec_id))``, so both engines produce bit-identical centroids. A
+    cluster that loses all members keeps its previous centroid.
+
+    Plan shape per iteration: one scan-speed assignment map + one
+    shuffle on (centroid, dim) + a 16-row collect. The ordered-fold mean
+    materializes each (cluster, dim) member list in one task — at
+    extreme member counts swap the fold for a plain ``sum`` (semantically
+    identical, gives up bit-reproducibility across engines).
+    """
+    cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+    for _ in range(n_iters):
+        asg = _assign_to(vectors, id_col, vec_col, cids, C).select(
+            F.col("vec_id").alias("_aid"), "centroid"
+        )
+        joined = vectors.join(
+            asg, F.col(id_col) == F.col("_aid"), "inner"
+        ).select(
+            F.col("centroid"),
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+        )
+        means = joined.groupBy("centroid", "dim").agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_vid", "val"))),
+                        lambda s: s["val"].cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        rows = (
+            means.groupBy("centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new_by_cid = {r["centroid"]: np.asarray(r["cv"], dtype=np.float64) for r in rows}
+        C = np.stack([new_by_cid.get(int(c), C[i]) for i, c in enumerate(cids)])
+    return cids, C
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (ties → lowest centroid id).
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic
+    seed sample, reproducible in any engine with no trained model or RNG.
+    ``refine_iters > 0`` runs that many Lloyd iterations first
+    (:func:`ivf_refine_centroids`), still deterministic and
+    oracle-reproducible. Assignment is one Arrow-batched map over the
+    corpus with the centroid matrix broadcast — at 100 TB this is
+    scan-speed, and the resulting ``centroid`` column is the
+    partition/cluster key that makes probed search touch 1/C of the data.
+    """
+    if refine_iters > 0:
+        cids, C = ivf_refine_centroids(
+            vectors, id_col, vec_col, n_centroids, refine_iters
+        )
+    else:
+        cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+    return _assign_to(vectors, id_col, vec_col, cids, C)
+
+
 def knn_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -450,6 +575,7 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     dims: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` clusters whose
     centroids are nearest each query, then exact-score the members.
@@ -457,12 +583,21 @@ def knn_ivf(
     The scale path: assignment is a map, the probe table is tiny
     (|queries| × n_probe), and member scoring is an equi-join on
     ``centroid`` — cost ≈ n_probe/C of brute force, recall < 1 by
-    construction. Deterministic end-to-end (seed centroids, lowest-id
-    tie-breaks), so a SQL oracle reproduces it exactly.
+    construction. Deterministic end-to-end (seed or Lloyd-refined
+    centroids, lowest-id tie-breaks), so a SQL oracle reproduces it
+    exactly. ``refine_iters > 0`` runs that many k-means iterations
+    (:func:`ivf_refine_centroids`) before clustering — tighter clusters
+    raise recall at the same probe budget.
     """
     from pyspark.sql import Window
 
-    assign = ivf_assign(vectors, id_col, vec_col, n_centroids)
+    if refine_iters > 0:
+        cids, C = ivf_refine_centroids(
+            vectors, id_col, vec_col, n_centroids, refine_iters
+        )
+    else:
+        cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+    assign = _assign_to(vectors, id_col, vec_col, cids, C)
     members = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
     ).join(
@@ -470,10 +605,9 @@ def knn_ivf(
         "neighbor_id",
     )
 
-    cent = (
-        vectors.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec"))
+    cent = vectors.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
+        "centroid long, c_vec array<double>",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

@@ -177,24 +177,71 @@ def rolling_fingerprint(
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+SSN_PATTERN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+# 16-digit card in 4-4-4-4 groups, dash or space separated
+CARD_PATTERN = r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}"
+
+
+def luhn_valid(card: Column) -> Column:
+    """Luhn checksum over a 16-digit card candidate — pure Catalyst.
+
+    Strips separators, then sums the 16 digits with every second digit
+    from the right doubled (digits past 9 fold back by -9); valid iff the
+    total is ≡ 0 (mod 10). Fixed 16-term unrolled arithmetic: stays in
+    whole-stage codegen, trivially reproducible in any SQL engine.
+    """
+    from functools import reduce as _reduce
+
+    digits = F.regexp_replace(card, r"[^0-9]", "")
+    terms = []
+    for i in range(1, 17):
+        d = F.substring(digits, i, 1).cast("int")
+        if i % 2 == 1:
+            # odd left position in a 16-digit number = even position from
+            # the right = the doubled lane
+            terms.append(F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+        else:
+            terms.append(d)
+    total = _reduce(lambda a, b: a + b, terms)
+    return (F.length(digits) == 16) & (total % 10 == 0)
 
 
 def pii_scrub(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """PII detection + redaction: per-document counts of emails, phone
-    numbers and IPv4 literals, plus the text with each occurrence
-    replaced by a typed tag — the standard pre-training redaction pass.
+    numbers, IPv4 literals, SSNs and Luhn-valid card numbers, plus the
+    text with each occurrence replaced by a typed tag — the standard
+    pre-training redaction pass.
 
-    Pure map work: ``regexp_count``/``regexp_replace`` are codegen'd
-    scan-side expressions, so at 100 TB this is scan-bandwidth-bound with
-    the projection pushed to the parquet reader, and it composes with
-    quality filtering and dedup into a single stage.
+    Count semantics: every ``n_*`` count is a detection over the
+    ORIGINAL text, while redaction is sequential
+    (email → card → SSN → phone → IP), so a pattern nested inside an
+    earlier match (a phone inside an email's local part) is counted but
+    produces no tag of its own — counts can exceed tags emitted. Card
+    redaction is shape-based (any 4-4-4-4 group is masked — for PII,
+    over-redaction is the safe direction) while ``n_cards_luhn`` counts
+    only candidates passing the Luhn checksum, so downstream filters can
+    distinguish real card numbers from coincidental digit runs.
+
+    Pure map work: ``regexp_count``/``regexp_replace`` and the unrolled
+    Luhn arithmetic are codegen'd scan-side expressions, so at 100 TB
+    this is scan-bandwidth-bound with the projection pushed to the
+    parquet reader, and it composes with quality filtering and dedup
+    into a single stage.
     """
     t = F.col(text_col)
     scrubbed = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+                    CARD_PATTERN,
+                    "<CARD>",
+                ),
+                SSN_PATTERN,
+                "<SSN>",
+            ),
             PHONE_PATTERN,
             "<PHONE>",
         ),
@@ -206,5 +253,9 @@ def pii_scrub(
         F.regexp_count(t, F.lit(EMAIL_PATTERN)).alias("n_emails"),
         F.regexp_count(t, F.lit(PHONE_PATTERN)).alias("n_phones"),
         F.regexp_count(t, F.lit(IPV4_PATTERN)).alias("n_ips"),
+        F.regexp_count(t, F.lit(SSN_PATTERN)).alias("n_ssns"),
+        F.size(
+            F.filter(F.regexp_extract_all(t, F.lit(CARD_PATTERN), 0), luhn_valid)
+        ).alias("n_cards_luhn"),
         scrubbed.alias("scrubbed"),
     )

@@ -189,9 +189,12 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_T}
 
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction end-to-end with REAL pattern matching: deterministic
-    PII (doc_id-derived emails, phones, IPv4s) is injected into the
-    synthetic corpus JVM-side, then ``pii_scrub`` must find and redact
-    it. The oracle performs the same injection + RE2 regexes in DuckDB —
+    PII (doc_id-derived emails, phones, IPv4s, SSNs, and both Luhn-valid
+    and Luhn-invalid card numbers) is injected into the synthetic corpus
+    JVM-side, then ``pii_scrub`` must find and redact it — with
+    ``n_cards_luhn`` counting ONLY the valid card (the %13 injection is
+    a digit run that fails the checksum). The oracle performs the same
+    injection + RE2 regexes + an identical unrolled Luhn sum in DuckDB —
     patterns are restricted to syntax both engines evaluate identically,
     and the full scrubbed text is hash-compared."""
     d = load_table(spark, sf_dir, "documents")
@@ -213,9 +216,32 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.0.1")).otherwise(
                 F.lit("")
             ),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(" ssn 078-05-1120")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" card 4539-1488-0343-6467")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" ref 1234-5678-9012-3456")
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
     return tx.pii_scrub(injected)
+
+
+def _luhn_sql(var: str) -> str:
+    """DuckDB mirror of text.luhn_valid: unrolled 16-term Luhn sum over
+    the separator-stripped candidate ``var``."""
+    digits = f"replace(replace({var}, '-', ''), ' ', '')"
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(substring({digits}, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"CASE WHEN {d}*2 > 9 THEN {d}*2 - 9 ELSE {d}*2 END")
+        else:
+            terms.append(d)
+    return f"(({' + '.join(terms)}) % 10 = 0)"
 
 
 _PII_SQL = f"""
@@ -226,15 +252,23 @@ WITH injected AS (
                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
                  ELSE '' END
          || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
-         || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.0.1' ELSE '' END AS text
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.0.1' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN ' ssn 078-05-1120' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' card 4539-1488-0343-6467' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ref 1234-5678-9012-3456' ELSE '' END AS text
   FROM documents
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{tx.EMAIL_PATTERN}')) AS INT) AS n_emails,
   CAST(len(regexp_extract_all(text, '{tx.PHONE_PATTERN}')) AS INT) AS n_phones,
   CAST(len(regexp_extract_all(text, '{tx.IPV4_PATTERN}')) AS INT) AS n_ips,
-  regexp_replace(regexp_replace(regexp_replace(text,
+  CAST(len(regexp_extract_all(text, '{tx.SSN_PATTERN}')) AS INT) AS n_ssns,
+  CAST(len(list_filter(regexp_extract_all(text, '{tx.CARD_PATTERN}'),
+                       x -> {_luhn_sql('x')})) AS INT) AS n_cards_luhn,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
       '{tx.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+      '{tx.CARD_PATTERN}', '<CARD>', 'g'),
+      '{tx.SSN_PATTERN}', '<SSN>', 'g'),
       '{tx.PHONE_PATTERN}', '<PHONE>', 'g'),
       '{tx.IPV4_PATTERN}', '<IP>', 'g') AS scrubbed
 FROM injected

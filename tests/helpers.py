@@ -67,7 +67,10 @@ def compare_with_oracle(
                         f"col {c} row {i}: {a!r} != {b!r}"
                     )
         else:
-            eq = g.fillna("__null__") == w.fillna("__null__") if g.dtype != object else g == w
+            # null-aware equality mirroring the driver's hash compare
+            # (null == null on both sides): pandas object-dtype `==`
+            # treats None as missing and yields False for None == None
+            eq = ((g.isna() & w.isna()) | (g == w)).fillna(False)
             if not bool(eq.all()):
                 bad = (~eq).idxmax()
                 raise AssertionError(

@@ -307,3 +307,30 @@ def test_pii_scrub(spark):
     assert "10.0.0.1" not in rows[2].scrubbed
     assert rows[3].scrubbed == "no personal information here at all"
     assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ips) == (0, 0, 0)
+
+
+def test_pii_scrub_ssn_and_luhn_cards(spark):
+    """SSN redaction plus the Luhn distinction: every 4-4-4-4 digit run
+    is masked (over-redaction is safe), but n_cards_luhn counts only
+    candidates passing the checksum."""
+    from gdutils_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ssn 078-05-1120 on file"),
+            (2, "pay with 4539-1488-0343-6467 today"),  # Luhn-valid Visa test no.
+            (3, "order 1234-5678-9012-3456 shipped"),  # fails Luhn
+            (4, "card 4539 1488 0343 6467 space-separated"),
+            (5, "phone 555-867-5309 is not an ssn"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].n_ssns == 1 and rows[1].scrubbed == "ssn <SSN> on file"
+    assert rows[2].n_cards_luhn == 1 and rows[2].scrubbed == "pay with <CARD> today"
+    # invalid checksum: still masked, but not counted as a card
+    assert rows[3].n_cards_luhn == 0 and rows[3].scrubbed == "order <CARD> shipped"
+    assert rows[4].n_cards_luhn == 1 and "<CARD>" in rows[4].scrubbed
+    # phone shape must not leak into the SSN count, and vice versa
+    assert rows[5].n_ssns == 0 and rows[5].n_phones == 1
+    assert rows[5].scrubbed == "phone <PHONE> is not an ssn"

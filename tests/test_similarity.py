@@ -83,6 +83,35 @@ def test_lsh_pairs_builds_without_driver_collect(embeddings, monkeypatch):
     assert df.columns == ["d1", "d2", "score"]
 
 
+def test_exact_baseline_refuses_oversized_corpus(embeddings):
+    """The broadcast-sized guard: the exact baseline must fail fast (and
+    point at the LSH scale path) instead of collecting an entity-scale
+    corpus onto the driver."""
+    with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        sim.embedding_near_dup_pairs(
+            embeddings, threshold=THRESH, max_broadcast_rows=10
+        )
+
+
+def test_lsh_pairs_staged_to_parquet(embeddings, tmp_path):
+    """stage_path turns the 100 TB note into runnable code: the banded
+    table lands in parquet once and BOTH self-join sides scan the staged
+    files (no executor-storage cache at all), with identical results."""
+    from gdutils_spark.plans import formatted_plan
+
+    path = str(tmp_path / "banded_lsh")
+    staged = sim.lsh_near_dup_pairs(embeddings, threshold=THRESH, stage_path=path)
+    plan = formatted_plan(staged)
+    assert plan.count("banded_lsh") >= 2, "both join sides must read the staged table"
+    assert "InMemoryTableScan" not in plan
+    cached = {
+        (r.d1, r.d2): r.score
+        for r in sim.lsh_near_dup_pairs(embeddings, threshold=THRESH).collect()
+    }
+    got = {(r.d1, r.d2): r.score for r in staged.collect()}
+    assert got == cached
+
+
 def test_banded_buckets_shape(embeddings):
     bb = sim.banded_lsh_buckets(embeddings, bands=4, rows_per_band=2)
     rows = bb.groupBy("band").count().collect()
