@@ -1265,7 +1265,9 @@ ORACLE: dict[str, str] = {
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
     # round 4 window: the new round-trip surface queries (never driver-
-    # verified), then the 17 entries whose latest green row is r2
+    # verified) and the new refined-IVF query, then the 17 entries whose
+    # latest green row is r2
+    "emb_knn_ivf_refined",
     "rt_csv_batch_daily",
     "rt_csv_sink_roundtrip",
     "rt_json_records_typed",

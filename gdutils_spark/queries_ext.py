@@ -606,6 +606,94 @@ SELECT query_id, neighbor_id, score FROM (
 """
 
 
+IVF_REFINE_ITERS = 2
+
+
+def emb_knn_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probed kNN over Lloyd-refined IVF centroids: 2 k-means iterations
+    (assign → ordered-fold per-cluster means) before clustering. Still
+    deterministic end-to-end — the oracle reproduces the refined
+    centroids bit-exactly because both engines fold member values in
+    ascending vec_id order (``sim.ivf_refine_centroids``)."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_ivf(
+        vectors,
+        queries,
+        k=KNN_K,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        refine_iters=IVF_REFINE_ITERS,
+    )
+
+
+def _ivf_refined_cent_ctes(n_iters: int) -> str:
+    """CTE chain computing ``cent{n_iters}``: Lloyd iterations with
+    lowest-cid tie-breaks and per-dimension means as ``list_sum`` over
+    member values ordered by vec_id — DuckDB's list_sum is a sequential
+    left fold, bit-matching the Spark side's sorted-fold aggregate."""
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS})"
+    ]
+    for i in range(1, n_iters + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"""asg{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e, {prev} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""mean{i} AS (
+  SELECT a.cid, t.dim, list_sum(list(e.v[t.dim] ORDER BY e.vec_id)) / COUNT(*) AS m
+  FROM asg{i} a JOIN e USING (vec_id), range(1, {EMB_DIMS} + 1) t(dim)
+  GROUP BY a.cid, t.dim)"""
+        )
+        ctes.append(
+            f"""cent{i} AS (
+  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS cv
+                           FROM mean{i} GROUP BY cid) m USING (cid))"""
+        )
+    return ",\n".join(ctes)
+
+
+def _knn_ivf_refined_sql() -> str:
+    n = IVF_REFINE_ITERS
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_ivf_refined_cent_ctes(n)},
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e, cent{n} c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cid AS centroid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+    FROM q, cent{n} c) WHERE rn <= {IVF_PROBE}
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.v) AS score,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, a.vec_id) AS rn
+  FROM probes p
+  JOIN assign a ON a.centroid = p.centroid
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+) WHERE rn <= {KNN_K}
+"""
+
+
 def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_buckets(
         load_table(spark, sf_dir, "embeddings"), planes=LSH_PLANES, dims=EMB_DIMS
@@ -1028,6 +1116,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_buckets": emb_lsh_buckets,
     "emb_ivf_assign": emb_ivf_assign,
     "emb_knn_ivf": emb_knn_ivf,
+    "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_knn_lsh": emb_knn_lsh,
     "mm_image_features": mm_image_features,
     "mm_audio_features": mm_audio_features,
@@ -1059,6 +1148,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_lsh_buckets": _lsh_buckets_sql(),
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
+    "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_knn_lsh": _knn_lsh_sql(),
     "mm_image_features": _MM_IMAGE_SQL,
     "mm_audio_features": _MM_AUDIO_SQL,

@@ -123,6 +123,50 @@ def test_banded_buckets_shape(embeddings):
     assert 0 <= mm.lo and mm.hi < 4
 
 
+def test_ivf_refinement_improves_recall_on_bad_seeds(spark):
+    """The case k-means refinement exists for: when the lowest-id seed
+    sample is unrepresentative (here: the first 8 ids all sit in ONE true
+    cluster), Lloyd iterations rebalance the clusters and recall at a
+    fixed probe budget jumps."""
+    import random
+
+    rng = random.Random(42)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i // 50]  # ids 0..49 share cluster 0 → all seeds collide
+        rows.append((i, [x + rng.gauss(0, 0.25) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where((df.vec_id % 50) < 2)  # 2 queries per true cluster
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_bruteforce(df, qs, k=5).collect()
+    }
+
+    def recall(iters):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.knn_ivf(
+                df, qs, k=5, n_centroids=8, n_probe=1, refine_iters=iters
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_seed, r_refined = recall(0), recall(2)
+    assert r_refined > r_seed, (r_seed, r_refined)
+    assert r_refined == 1.0
+    # refinement also rebalances: every Lloyd-refined cluster recovers
+    # exactly one true cluster
+    sizes = sorted(
+        r["count"]
+        for r in sim.ivf_assign(df, n_centroids=8, refine_iters=2)
+        .groupBy("centroid")
+        .count()
+        .collect()
+    )
+    assert sizes == [50] * 8
+
+
 def test_zero_norm_vectors_never_pair(spark):
     """A zero vector lands in bucket 0 of every band and scores NaN
     against its bucket-mates; Spark sorts NaN above every number, so the
