@@ -191,6 +191,11 @@ class GdacClient:
 
     def _require_search(self) -> DataFrame:
         if self._selected_profiles is None:
+            # a catalog-only client (live search, no profiles feed) keeps
+            # _selected_profiles None even after a successful search —
+            # the actionable error there is the missing feed, not the
+            # search order
+            self._require_profiles()
             raise RuntimeError("call search_datasets() first")
         return self._selected_profiles
 

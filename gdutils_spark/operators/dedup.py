@@ -531,10 +531,16 @@ def _connected_components_star(
 
     Edges stay canonical (u > v) throughout, so the fixpoint — a union
     of stars rooted at component minima — is detected by a (count,
-    xxhash64-sum) checksum, one tiny aggregate per round. Converges in
-    O(log² n) rounds on ANY graph shape; raises if ``max_iter`` is hit
-    without a fixpoint so callers never silently get partial clusters.
-    Per-round cost is O(|E|) shuffled rows, same as one hash-min round.
+    xxhash64-sum) checksum, one tiny aggregate per round. The checksum
+    comparison assumes no xxhash64-sum collision between consecutive
+    DIFFERENT edge sets of equal size — a ~2⁻⁶⁴ event per round; a
+    collision would end the loop one rewrite early with a near-converged
+    labeling, which we accept for the one-aggregate-per-round cost (an
+    exact set-difference check would add a join-shaped job per round).
+    Converges in O(log² n) rounds on ANY graph shape; raises if
+    ``max_iter`` is hit without a fixpoint so callers never silently get
+    partial clusters. Per-round cost is O(|E|) shuffled rows, same as
+    one hash-min round.
     """
     e = (
         edges.select(

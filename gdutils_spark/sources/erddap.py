@@ -269,6 +269,24 @@ _UNIT_SECONDS = {
 }
 
 
+_ISO_TS_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}([T ]|$)")
+
+
+def _is_time_series(series) -> bool:
+    """Time-ness from the DATA, not the column name: a datetime dtype, or
+    strings shaped like ISO-8601 dates. A numeric column that merely has
+    'time' in its name (airtime, realtime_flag) is never coerced."""
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return True
+    if series.dtype == object:
+        sample = series.dropna()
+        if len(sample):
+            return bool(_ISO_TS_RE.match(str(sample.iloc[0])))
+    return False
+
+
 def _eval_functional(pdf, m: _re.Match):
     """Evaluate a functional constraint value against the local CSV the
     way the ERDDAP server evaluates it against the dataset."""
@@ -276,7 +294,7 @@ def _eval_functional(pdf, m: _re.Match):
 
     agg, col, sign, qty, unit = m.groups()
     series = pdf[col]
-    is_time = "time" in col.lower()
+    is_time = _is_time_series(series)
     if is_time:
         series = pd.to_datetime(series, utc=True)
     base = series.max() if agg == "max" else series.min()
@@ -317,7 +335,7 @@ def _file_transport(url: str, schema: StructType):
                     # evaluate max(col)-offset / min(col)+offset against
                     # the data, exactly what the ERDDAP server does
                     value = _eval_functional(pdf, func)
-                    if "time" in name.lower():
+                    if _is_time_series(series):
                         series = pd.to_datetime(series, utc=True)
                     pdf = pdf[
                         series >= value if op == ">=" else
@@ -328,7 +346,7 @@ def _file_transport(url: str, schema: StructType):
                         series != value
                     ]
                     break
-                if "time" in name.lower() or series.dtype == object and value[:2].isdigit():
+                if _is_time_series(series):
                     try:
                         series = pd.to_datetime(series, utc=True)
                         value = pd.to_datetime(value, utc=True)

@@ -234,6 +234,33 @@ def test_client_live_search(spark, search_dir):
     assert ids == {"ru29-20240101T0000"}
 
 
+def test_catalog_only_client_names_missing_profiles_feed(spark, search_dir):
+    """A catalog-only client (live search, no profiles feed) must say the
+    FEED is missing when a profile-backed property is hit after a
+    successful search — not 'call search_datasets() first'."""
+    from gdutils_spark.client import GdacClient
+
+    c = GdacClient(spark, server=f"file://{search_dir}")
+    c.search_datasets()
+    with pytest.raises(RuntimeError, match="profiles feed"):
+        c.datasets_summaries
+
+
+def test_transport_numeric_column_named_like_time(tmp_path):
+    """Time-ness comes from the data, not the name: a numeric 'airtime'
+    column must compare numerically — in plain constraints AND in
+    functional (max(col)-offset) ones — instead of being coerced through
+    pd.to_datetime because its name contains 'time'."""
+    from gdutils_spark.sources.erddap import _file_transport
+
+    (tmp_path / "unit_x.csv").write_text("airtime,station\n5,a\n15,b\n25,c\n")
+    base = f"file://{tmp_path}/tabledap/unit_x.csv"
+    got = _file_transport(f"{base}?airtime,station&airtime>=10", None)
+    assert list(got["airtime"]) == [15, 25]
+    got = _file_transport(f"{base}?airtime,station&airtime>=max(airtime)-10", None)
+    assert list(got["airtime"]) == [15, 25]
+
+
 # --- Functional constraints -------------------------------------------------
 
 

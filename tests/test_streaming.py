@@ -82,6 +82,91 @@ def test_stream_dedup(spark, stream_dirs):
         shutil.rmtree(dup_src, ignore_errors=True)
 
 
+def test_stream_dedup_out_of_order_late_data(spark):
+    """Deterministic late-data end-to-end for the dedup path: three
+    hand-built micro-batches (maxFilesPerTrigger=1, file mtimes pin the
+    order) with out-of-order and late rows.
+
+    Pins the contract of dropDuplicatesWithinWatermark:
+    * every unique key within the watermark is emitted exactly once
+      (stream == batch distinct);
+    * a duplicate arriving in a later micro-batch while its key's state
+      is live is suppressed (id 3);
+    * a duplicate arriving after the watermark has passed its event time
+      by more than the delay is NOT re-emitted (id 1) — the late-row
+      filter, not state, suppresses it;
+    * state is EVICTED as the watermark advances (numRowsRemoved > 0,
+      final numRowsTotal < distinct keys) — the watermark bounds state
+      size, which is the property that matters at 100 TB/day; it is not
+      an output filter.
+    """
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    chk = tempfile.mkdtemp(prefix="late_chk_")
+
+    def write(path, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf,
+                schema=pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us"))]),
+            ),
+            path,
+        )
+
+    T = "2024-01-01 "
+    now = time.time()
+    # batch 0: two fresh keys
+    write(f"{src}/a.parquet", [(1, T + "10:00:00"), (2, T + "10:10:00")])
+    # batch 1: advances the watermark to 11:30 (12:00 - 30 min)
+    write(f"{src}/b.parquet", [(3, T + "12:00:00")])
+    # batch 2: a very-late duplicate (id 1, state already evicted) and an
+    # in-window duplicate (id 3, state live)
+    write(f"{src}/c.parquet", [(1, T + "10:00:00"), (3, T + "12:00:00")])
+    for i, f in enumerate(["a", "b", "c"]):
+        os.utime(f"{src}/{f}.parquet", (now - 300 + i * 100, now - 300 + i * 100))
+
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        dd = stream_dedup(stream, ["event_id"], time_col="ts", watermark="30 minutes")
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("late_dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = [
+            r.event_id
+            for r in spark.sql("SELECT event_id FROM late_dedup_stream").collect()
+        ]
+        assert sorted(emitted) == [1, 2, 3], emitted  # each key exactly once
+        evicted = 0
+        final_state_rows = None
+        for p in q.recentProgress:
+            for so in p.get("stateOperators", []):
+                evicted += so.get("numRowsRemoved", 0)
+                final_state_rows = so.get("numRowsTotal")
+        assert evicted >= 2, "watermark must evict expired dedup state"
+        assert final_state_rows == 1, "only the in-window key may remain in state"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
 def test_stream_sessions_matches_batch(spark, stream_dirs):
     """session_window streaming sessions == batch gap-sessionization on
     the same data (no exact-boundary gaps in the synthetic events)."""
