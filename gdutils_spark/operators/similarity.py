@@ -210,6 +210,49 @@ def embedding_near_dup_pairs(
     return base.mapInPandas(score_blocks, "d1 long, d2 long, score double")
 
 
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-vector scalar quantization to ``levels+1`` integer codes —
+    the standard 4× memory cut before ANN indexing (float32 → uint8).
+
+    Each vector maps through its own [min, max] range:
+    ``q_j = floor((v_j - vmin) * levels / (vmax - vmin) + 0.5)`` —
+    half-up rounding spelled as ``floor(x + 0.5)`` so every engine
+    rounds identically (a bare ``round`` would pit half-even against
+    half-up). A constant vector (vmax == vmin) codes to all zeros.
+    Emits the codes plus the (vmin, vmax) pair needed to dequantize:
+    ``v_j ≈ vmin + q_j * (vmax - vmin) / levels``.
+
+    Pure Catalyst map over the scan (array_min/array_max/transform run
+    in codegen) — no shuffle, no Python; at 100 TB this is
+    scan-bandwidth-bound and composes with the LSH/IVF bucketing stages.
+    """
+    v = F.col(vec_col)
+    vmin = F.array_min(v).cast("double")
+    vmax = F.array_max(v).cast("double")
+    # op order (sub, mul, div, add, floor) is part of the contract: the
+    # oracle mirrors it token for token so codes are bit-identical
+    codes = F.when(vmax == vmin, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(
+                (x.cast("double") - vmin) * F.lit(float(levels)) / (vmax - vmin)
+                + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return vectors.select(
+        F.col(id_col),
+        vmin.alias("vmin"),
+        vmax.alias("vmax"),
+        codes.alias("codes"),
+    )
+
+
 def _plane_signs(plane: int, dims: int) -> list[int]:
     """Deterministic Rademacher hyperplane: component j is +1/-1 by the
     low bit of md5(f"{plane}:{j}") — reproducible everywhere, no RNG."""

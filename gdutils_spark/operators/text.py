@@ -171,6 +171,100 @@ def rolling_fingerprint(
     return df.select(F.col(id_col), roll.alias("rolling_fp"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking — the standard pre-training /
+    RAG splitter: fixed ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap``, a shorter final chunk allowed, empty
+    docs emit no chunks.
+
+    Pure Catalyst: tokenization, window starts (``sequence``) and window
+    slices (``slice`` + ``array_join``) all run inside whole-stage
+    codegen, and the explode is map-side — at 100 TB this is a
+    scan-shaped stage with no shuffle, the same cost profile as the
+    shingle explode in dedup.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    The idf uses a ratio form, ``tf · (N+1)/(df+1)``, computed as exactly
+    two IEEE-754 double ops over exact integer counts — bit-identical in
+    any engine (a log-based idf would hash-diverge on the last ulp
+    between libm implementations, and the ranking it induces per
+    document is the same). Ties break on the term string.
+
+    Plan shape: one explode + two hash aggregates (term-per-doc tf, then
+    term df) + a shuffle join on term + a per-doc window. The df table is
+    vocabulary-sized; at 100 TB the join key (term) is the natural
+    partitioning and AQE broadcast-decides the df side when the
+    vocabulary is small.
+    """
+    from pyspark.sql import Window
+
+    ndocs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.col("df"),
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("_n") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 # PII patterns kept to syntax Java regex (Spark) and RE2 (DuckDB) evaluate
 # identically: plain character classes + bounded quantifiers, no
 # lookaround, no backrefs.

@@ -1268,6 +1268,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # verified) and the new refined-IVF query, then the 17 entries whose
     # latest green row is r2
     "emb_knn_ivf_refined",
+    "doc_chunks",
+    "doc_tfidf_terms",
+    "emb_quantize",
     "rt_csv_batch_daily",
     "rt_csv_sink_roundtrip",
     "rt_json_records_typed",
@@ -1280,6 +1283,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "rt_canned_filters",
     "rt_geo_track_points",
     "rt_kml_coords",
+    "rt_plot_urls",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "daily_revenue_7d_ma",

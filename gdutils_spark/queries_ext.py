@@ -275,6 +275,100 @@ FROM injected
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 4
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for pre-training/RAG: 32-token windows,
+    4-token overlap, shorter tail allowed, empty docs dropped. The
+    oracle rebuilds every window by list slicing in DuckDB and the full
+    chunk text is hash-compared."""
+    return tx.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_TOKENS - CHUNK_OVERLAP} AS INT) AS chunk_id,
+       CAST(len(toks[start + 1 : start + {CHUNK_TOKENS}]) AS INT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM s
+"""
+
+
+TFIDF_K = 3
+
+
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf (ratio-form
+    idf: two IEEE double ops over exact counts, so both engines produce
+    identical scores and the per-document ranking is hash-verified)."""
+    return tx.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.nd + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT term, doc_id, tf, df, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_K}
+"""
+
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-style scalar quantization, flattened to
+    (vec_id, dim, code, vmin, vmax) rows so the driver hash-checks every
+    code against DuckDB's identical floor((v-vmin)*L/(vmax-vmin)+0.5)."""
+    q = sim.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.posexplode("codes").alias("dim", "code"),
+    )
+
+
+_QUANTIZE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_min(CAST(embedding AS DOUBLE[])) AS vmin,
+         list_max(CAST(embedding AS DOUBLE[])) AS vmax
+  FROM embeddings
+)
+SELECT vec_id, vmin, vmax, CAST(t.i - 1 AS INT) AS dim,
+       CASE WHEN vmax = vmin THEN 0
+            ELSE CAST(floor((v[t.i] - vmin) * {float(255)} / (vmax - vmin) + 0.5) AS INT)
+       END AS code
+FROM e, range(1, {EMB_DIMS} + 1) t(i)
+"""
+
+
 CONTAM_BENCH_MAX = 20  # doc_id < 20 plays the held-out benchmark suite
 CONTAM_MIN_OVERLAP = 2
 
@@ -1107,6 +1201,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_near_dup_drop": doc_near_dup_drop,
     "doc_benchmark_contamination": doc_benchmark_contamination,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_chunks": doc_chunks,
+    "doc_tfidf_terms": doc_tfidf_terms,
+    "emb_quantize": emb_quantize,
     "event_sessions": event_sessions,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_batches": doc_pack_batches,
@@ -1139,6 +1236,9 @@ EXT_ORACLE: dict[str, str] = {
     "doc_near_dup_drop": _near_dup_drop_sql(),
     "doc_benchmark_contamination": _CONTAM_SQL,
     "doc_pii_scrub": _PII_SQL,
+    "doc_chunks": _CHUNKS_SQL,
+    "doc_tfidf_terms": _TFIDF_SQL,
+    "emb_quantize": _QUANTIZE_SQL,
     "event_sessions": _SESSIONS_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_batches": _pack_batches_sql(),

@@ -642,6 +642,66 @@ FROM o GROUP BY dataset_id
 
 
 # ---------------------------------------------------------------------------
+# K6: server-rendered plot URL builder, driver-verified
+# ---------------------------------------------------------------------------
+
+
+def _configured_plotter(catalog=None):
+    """One fixed plotter configuration shared by the Spark query and the
+    oracle literal, so the two sides derive the plot query string from
+    the same builder code (reference plot surface:
+    /root/reference/gdutils/plot/plotter.py:271-330)."""
+    from gdutils_spark.plot.plotter import ErddapPlotter
+
+    p = ErddapPlotter(
+        "https://example.org/erddap", catalog=catalog, response="largePng"
+    )
+    p.set_colorbar(colorbar="Rainbow", continuous="C", scale="Log")
+    p.set_marker_color("blue")
+    p.set_marker_style("Filled Circle", 7)
+    p.set_legend_loc("Off")
+    return p
+
+
+def rt_plot_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 plot URLs relationally verified: one server-rendered image
+    request URL per deployment, composed JVM-side from the plotter's
+    percent-encoded plot query plus a per-dataset tabledap constraint
+    derived from the data (integer west-bound of the track). The oracle
+    rebuilds the identical URL in SQL, so the layout
+    ``{server}/{protocol}/{id}.{response}?vars&constraints&plot-params``
+    and the builder's encoding are hash-checked row by row."""
+    catalog, prof = _glider_fixture(spark, sf_dir)
+    p = _configured_plotter(catalog)
+    bounds = prof.groupBy("dataset_id").agg(
+        F.min("longitude").cast("long").cast("string").alias("lon_min")
+    )
+    url = F.concat(
+        F.lit(f"{p.server}/{p.protocol}/"),
+        F.col("dataset_id"),
+        F.lit(f".{p.response}?time,latitude,longitude&longitude>="),
+        F.col("lon_min"),
+        F.lit("&" + p.build_plot_query_string()),
+    )
+    return bounds.select("dataset_id", url.alias("image_url"))
+
+
+_RT_PLOT_URLS_SQL = f"""
+WITH prof AS ({_FIX_PROF_SQL}),
+b AS (
+  SELECT dataset_id,
+         CAST(CAST(MIN(longitude) AS BIGINT) AS VARCHAR) AS lon_min
+  FROM prof GROUP BY dataset_id
+)
+SELECT dataset_id,
+       'https://example.org/erddap/tabledap/' || dataset_id
+       || '.largePng?time,latitude,longitude&longitude>=' || lon_min
+       || '&{_configured_plotter().build_plot_query_string()}' AS image_url
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -658,6 +718,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_canned_filters": rt_canned_filters,
     "rt_geo_track_points": rt_geo_track_points,
     "rt_kml_coords": rt_kml_coords,
+    "rt_plot_urls": rt_plot_urls,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -673,4 +734,5 @@ RT_ORACLE: dict[str, str] = {
     "rt_canned_filters": _RT_CANNED_SQL,
     "rt_geo_track_points": _RT_GEO_POINTS_SQL,
     "rt_kml_coords": _RT_KML_SQL,
+    "rt_plot_urls": _RT_PLOT_URLS_SQL,
 }

@@ -309,6 +309,88 @@ def test_pii_scrub(spark):
     assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ips) == (0, 0, 0)
 
 
+def test_chunk_documents_windows(spark):
+    """Sliding windows: step = chunk - overlap, consecutive chunks share
+    exactly `overlap` tokens, shorter tail kept, empty docs dropped."""
+    from gdutils_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three tokens"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in out.collect())
+    )
+    by_doc = {}
+    for d, c, n, t in rows:
+        by_doc.setdefault(d, []).append((c, n, t))
+    # doc 1: starts 0,3,6,9 → windows of 4,4,4 and a 1-token tail
+    assert [c for c, _, _ in by_doc[1]] == [0, 1, 2, 3]
+    assert [t for _, _, t in by_doc[1]] == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+        "w9",
+    ]
+    # overlap continuity: last token of chunk i is first of chunk i+1
+    for (_, _, a), (_, _, b) in zip(by_doc[1], by_doc[1][1:]):
+        assert a.split()[-1] == b.split()[0]
+    assert by_doc[2] == [(0, 3, "only three tokens")]
+    assert 3 not in by_doc  # blank text → no chunks
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_tf_idf_top_terms_ranking(spark):
+    """A term concentrated in one doc outranks corpus-wide terms there;
+    ties break lexicographically; k bounds output per doc."""
+    from gdutils_spark.operators.text import tf_idf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common common common apple"),
+            (3, "common banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tf_idf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.rn if hasattr(r, "rn") else None) for r in out.collect()}
+    top = {}
+    for r in out.collect():
+        top.setdefault(r.doc_id, []).append((r.term, r.tf, r.df, r.score))
+    # doc 1: zebra (tf=3, df=1) scores 3*(4/2)=6 > common (tf=2, df=3) 2*(4/4)=2
+    assert top[1][0][0] == "zebra" and top[1][0][3] == 6.0
+    assert [t for t, *_ in top[1]] == ["zebra", "common"]
+    assert [t for t, *_ in top[2]] == ["common", "apple"]
+    assert all(len(v) <= 2 for v in top.values())
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """Codes live in [0, levels]; dequantization error is bounded by half
+    a quantization step; constant vectors code to zeros."""
+    from gdutils_spark.operators.similarity import quantize_embeddings
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(20)]
+    rows.append((99, [1.5] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    orig = dict(rows)
+    for vid, r in got.items():
+        assert all(0 <= c <= 255 for c in r.codes)
+        if vid == 99:
+            assert r.codes == [0] * 16
+            continue
+        step = (r.vmax - r.vmin) / 255
+        for v, c in zip(orig[vid], r.codes):
+            deq = r.vmin + c * step
+            assert abs(deq - v) <= step / 2 + 1e-12
+
+
 def test_pii_scrub_ssn_and_luhn_cards(spark):
     """SSN redaction plus the Luhn distinction: every 4-4-4-4 digit run
     is masked (over-redaction is safe), but n_cards_luhn counts only
