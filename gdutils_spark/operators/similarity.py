@@ -648,10 +648,22 @@ def knn_ivf(
         "neighbor_id",
     )
 
-    cent = vectors.sparkSession.createDataFrame(
-        [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
-        "centroid long, c_vec array<double>",
-    )
+    if refine_iters > 0:
+        # refined centroids are computed values — ship them as a local
+        # relation (16 rows, broadcast)
+        cent = vectors.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
+            "centroid long, c_vec array<double>",
+        )
+    else:
+        # seed centroids ARE corpus rows: keep the centroid table as a
+        # lazy JVM-side limit over the scan — measurably cheaper than
+        # round-tripping the matrix through a Python local relation
+        cent = (
+            vectors.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec"))
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

@@ -325,7 +325,12 @@ def pii_scrub(
     into a single stage.
     """
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
+    n_emails = F.regexp_count(t, F.lit(EMAIL_PATTERN))
+    n_phones = F.regexp_count(t, F.lit(PHONE_PATTERN))
+    n_ips = F.regexp_count(t, F.lit(IPV4_PATTERN))
+    n_ssns = F.regexp_count(t, F.lit(SSN_PATTERN))
+    cards_all = F.regexp_extract_all(t, F.lit(CARD_PATTERN), 0)
+    replaced = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
@@ -342,14 +347,18 @@ def pii_scrub(
         IPV4_PATTERN,
         "<IP>",
     )
+    # clean-document short-circuit: the detection counts are needed for
+    # the output anyway, so documents with zero matches (the common case
+    # in a real corpus) skip all five replace passes — identical result,
+    # ~half the regex work per clean row
+    any_pii = (n_emails + n_phones + n_ips + n_ssns + F.size(cards_all)) > 0
+    scrubbed = F.when(any_pii, replaced).otherwise(t)
     return df.select(
         F.col(id_col),
-        F.regexp_count(t, F.lit(EMAIL_PATTERN)).alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_PATTERN)).alias("n_phones"),
-        F.regexp_count(t, F.lit(IPV4_PATTERN)).alias("n_ips"),
-        F.regexp_count(t, F.lit(SSN_PATTERN)).alias("n_ssns"),
-        F.size(
-            F.filter(F.regexp_extract_all(t, F.lit(CARD_PATTERN), 0), luhn_valid)
-        ).alias("n_cards_luhn"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        n_ssns.alias("n_ssns"),
+        F.size(F.filter(cards_all, luhn_valid)).alias("n_cards_luhn"),
         scrubbed.alias("scrubbed"),
     )

@@ -59,9 +59,27 @@ def test_no_python_in_relational_queries(spark, sf_correct):
         "doc_text_stats",
         "doc_simhash",
         "emb_knn_bruteforce",
+        "doc_chunks",
+        "doc_tfidf_terms",
+        "emb_quantize",
+        "doc_pii_scrub",
     ):
         df = QUERIES[name](spark, sf_correct)
         assert not uses_python(df), f"{name} fell out of the JVM into Python"
+
+
+def test_chunking_has_no_shuffle(spark, sf_correct):
+    """Chunking is a scan-shaped stage: tokenize + window starts +
+    slices all map-side, zero Exchange — the property that makes it free
+    at 100 TB."""
+    plan = formatted_plan(QUERIES["doc_chunks"](spark, sf_correct))
+    assert n_exchanges(plan) == 0
+    assert "Generate" in plan  # the map-side explode
+
+
+def test_quantize_has_no_shuffle(spark, sf_correct):
+    plan = formatted_plan(QUERIES["emb_quantize"](spark, sf_correct))
+    assert n_exchanges(plan) == 0
 
 
 def test_calendar_is_single_aggregate(spark, sf_correct):
