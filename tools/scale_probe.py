@@ -25,6 +25,10 @@ NAMES = [
     "emb_lsh_near_dup_pairs",
     "doc_text_stats",
     "event_type_pivot",
+    "doc_chunks",
+    "doc_tfidf_terms",
+    "emb_quantize",
+    "doc_pii_scrub",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
