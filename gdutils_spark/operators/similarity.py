@@ -474,10 +474,15 @@ def _assign_to(
     vec_col: str,
     cids: np.ndarray,
     C: np.ndarray,
+    with_vector: bool = False,
 ) -> DataFrame:
     """One Arrow-batched assignment pass: nearest centroid by cosine,
     lowest-id tie-break (``cids`` sorted ascending + first-index argmax).
-    The centroid matrix is broadcast; at 100 TB this is scan-speed."""
+    The centroid matrix is broadcast; at 100 TB this is scan-speed.
+    ``with_vector=True`` carries the embedding through the map (column
+    ``_v``) so consumers that need (assignment, vector) — the Lloyd mean
+    step — avoid re-joining the corpus on id, which would be a full
+    corpus shuffle per iteration."""
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast((cids, C))
 
@@ -504,16 +509,21 @@ def _assign_to(
             # argmax with lowest-id tie-break: ids are sorted ascending,
             # argmax returns the first (lowest) index on ties
             best = scores.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["_id"].to_numpy(),
-                    "centroid": cids_b[best],
-                    "score": scores[np.arange(len(best)), best],
-                }
-            )
+            out = {
+                "vec_id": pdf["_id"].to_numpy(),
+                "centroid": cids_b[best],
+                "score": scores[np.arange(len(best)), best],
+            }
+            if with_vector:
+                out["_v"] = pdf["_v"]
+            yield pd.DataFrame(out)
 
     base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    return base.mapInPandas(assign, "vec_id long, centroid long, score double")
+    schema = "vec_id long, centroid long, score double"
+    if with_vector:
+        elem = vectors.schema[vec_col].dataType.elementType.simpleString()
+        schema += f", _v array<{elem}>"
+    return base.mapInPandas(assign, schema)
 
 
 def ivf_refine_centroids(
@@ -543,15 +553,13 @@ def ivf_refine_centroids(
     """
     cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     for _ in range(n_iters):
-        asg = _assign_to(vectors, id_col, vec_col, cids, C).select(
-            F.col("vec_id").alias("_aid"), "centroid"
-        )
-        joined = vectors.join(
-            asg, F.col(id_col) == F.col("_aid"), "inner"
-        ).select(
+        # with_vector: the assignment map carries the embedding through,
+        # so the mean step needs NO corpus re-join (which would shuffle
+        # the full corpus on id every iteration at 100 TB)
+        joined = _assign_to(vectors, id_col, vec_col, cids, C, with_vector=True).select(
             F.col("centroid"),
-            F.col(id_col).alias("_vid"),
-            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+            F.col("vec_id").alias("_vid"),
+            F.posexplode(F.col("_v")).alias("dim", "val"),
         )
         means = joined.groupBy("centroid", "dim").agg(
             (
