@@ -62,12 +62,17 @@ def main() -> None:
     # process pay extra C2-JIT warmup that min-of-N doesn't fully absorb.
     # A fixed order keeps per-query numbers comparable across rounds.
     RUNS = 3
+    # End-to-end Structured Streaming pipelines (file source → watermark →
+    # parquet sink) run ONCE: their wall time is streaming-machinery fixed
+    # overhead (query start/stop, checkpoint IO), which min-of-N cannot
+    # amortize and which triples bench time for no signal.
+    STREAMING = {"rt_stream_dedup", "rt_stream_daily_counts"}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
         best = float("inf")
-        for r in range(RUNS):
+        for r in range(1 if name in STREAMING else RUNS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             elapsed = time.perf_counter() - t0

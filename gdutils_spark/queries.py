@@ -1284,6 +1284,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "rt_geo_track_points",
     "rt_kml_coords",
     "rt_plot_urls",
+    "rt_stream_dedup",
+    "rt_stream_daily_counts",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "daily_revenue_7d_ma",

@@ -642,6 +642,110 @@ FROM o GROUP BY dataset_id
 
 
 # ---------------------------------------------------------------------------
+# §2.9 Structured Streaming, driver-verified end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    # event-time windows bucket by session timezone; pin UTC so window
+    # boundaries match DuckDB's naive-timestamp date_trunc
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def rt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming P14 driver-verified: events are written to a file
+    stream TWICE (every row duplicated across micro-batch files), run
+    through ``dropDuplicatesWithinWatermark`` with an availableNow
+    trigger into a parquet sink, and read back — the returned rows must
+    be exactly the original distinct events, which the oracle states as
+    a plain scan. Exercises the full streaming machinery (file source,
+    watermarked state, exactly-once parquet sink) inside one driver
+    oracle row."""
+    import tempfile
+
+    from gdutils_spark.streaming import stream_dedup
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="rt_stream_dedup_")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    e.write.mode("append").parquet(src)
+    e.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    dd = stream_dedup(stream, ["event_id"], time_col="ts")
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+_RT_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, ts, value FROM events WHERE user_id < 30
+"""
+
+
+def rt_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A1 driver-verified, including the WATERMARK CLOSE RULE:
+    a watermarked 1-day tumbling count in append mode emits exactly the
+    windows whose end <= max(ts) - delay; the final (still-open) windows
+    are withheld. The oracle reproduces that rule in SQL — if the
+    engine's append semantics or the watermark arithmetic drifted, the
+    row set itself would change."""
+    import tempfile
+
+    from gdutils_spark.streaming import stream_daily_stats
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select("event_id", "ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="rt_stream_daily_")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    e.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    agg = stream_daily_stats(stream, time_col="ts", value_col=None, watermark="1 day")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    return back.select(
+        F.col("window.start").alias("day_start"),
+        F.col("window.end").alias("day_end"),
+        "n_events",
+    )
+
+
+_RT_STREAM_DAILY_SQL = """
+WITH e AS (SELECT ts FROM events WHERE user_id < 30),
+m AS (SELECT MAX(ts) AS mx FROM e)
+SELECT date_trunc('day', ts) AS day_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS day_end,
+       COUNT(*) AS n_events
+FROM e, m
+GROUP BY 1, 2, m.mx
+HAVING day_end <= m.mx - INTERVAL 1 DAY
+"""
+
+
+# ---------------------------------------------------------------------------
 # K6: server-rendered plot URL builder, driver-verified
 # ---------------------------------------------------------------------------
 
@@ -719,6 +823,8 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_geo_track_points": rt_geo_track_points,
     "rt_kml_coords": rt_kml_coords,
     "rt_plot_urls": rt_plot_urls,
+    "rt_stream_dedup": rt_stream_dedup,
+    "rt_stream_daily_counts": rt_stream_daily_counts,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -735,4 +841,6 @@ RT_ORACLE: dict[str, str] = {
     "rt_geo_track_points": _RT_GEO_POINTS_SQL,
     "rt_kml_coords": _RT_KML_SQL,
     "rt_plot_urls": _RT_PLOT_URLS_SQL,
+    "rt_stream_dedup": _RT_STREAM_DEDUP_SQL,
+    "rt_stream_daily_counts": _RT_STREAM_DAILY_SQL,
 }
