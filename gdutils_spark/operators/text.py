@@ -194,9 +194,16 @@ def chunk_documents(
     step = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)
+    # drop pure-overlap tails: a window must contribute at least one
+    # token past the previous window's coverage (start + overlap < n),
+    # else the final chunk would be a redundant sub-span of its
+    # predecessor (found by the reconstruction property test)
     starts = F.when(
         F.length(F.trim(F.col(text_col))) > 0,
-        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        F.filter(
+            F.sequence(F.lit(0), n - 1, F.lit(step)),
+            lambda s: (s == 0) | (s + overlap < n),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     exploded = df.select(
         F.col(id_col),

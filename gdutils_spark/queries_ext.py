@@ -297,9 +297,11 @@ WITH t AS (
   FROM documents WHERE length(trim(text)) > 0
 ),
 s AS (
-  SELECT doc_id, toks,
-         unnest(range(0, len(toks), {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
-  FROM t
+  SELECT doc_id, toks, start FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, len(toks), {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+    FROM t
+  ) WHERE start = 0 OR start + {CHUNK_OVERLAP} < len(toks)
 )
 SELECT doc_id,
        CAST(start // {CHUNK_TOKENS - CHUNK_OVERLAP} AS INT) AS chunk_id,

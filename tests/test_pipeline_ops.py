@@ -326,13 +326,13 @@ def test_chunk_documents_windows(spark):
     by_doc = {}
     for d, c, n, t in rows:
         by_doc.setdefault(d, []).append((c, n, t))
-    # doc 1: starts 0,3,6,9 → windows of 4,4,4 and a 1-token tail
-    assert [c for c, _, _ in by_doc[1]] == [0, 1, 2, 3]
+    # doc 1: starts 0,3,6 — the start-9 window would be a pure-overlap
+    # tail (only w9, already covered by chunk 2) and is dropped
+    assert [c for c, _, _ in by_doc[1]] == [0, 1, 2]
     assert [t for _, _, t in by_doc[1]] == [
         "w0 w1 w2 w3",
         "w3 w4 w5 w6",
         "w6 w7 w8 w9",
-        "w9",
     ]
     # overlap continuity: last token of chunk i is first of chunk i+1
     for (_, _, a), (_, _, b) in zip(by_doc[1], by_doc[1][1:]):
