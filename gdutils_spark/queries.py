@@ -1035,6 +1035,125 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate ratio: the share of one
+    month's revenue coming from a part-type prefix class, computed as
+    100 * sum(CASE ...) / sum(...) over a broadcast part join — one pass
+    over lineitem, both sums DECIMAL-exact, one final double division."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast("decimal(18,2)") * F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_share_pct"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) * CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share_pct,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped NOT-IN + grouped distinct count: per
+    (brand, size) bucket, how many DISTINCT suppliers ship those parts,
+    excluding a computed supplier blacklist (negative account balance).
+    The NOT IN plans as a broadcast anti join (the blacklist is a
+    computed aggregate, small by construction); the distinct count is
+    one partial/final aggregate pair."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            l.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global-scalar-subquery + anti join: customers
+    whose balance exceeds the positive-balance AVERAGE (one global
+    scalar aggregate, broadcast as a 1-row cross join) and who have NO
+    orders (anti join), grouped by market segment. The average is
+    DECIMAL sum / count — exact, so the threshold compare is
+    engine-identical."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "_avg"
+            )
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("double") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > avg_bal.a
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
 def daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-row moving average over daily revenue — the smoothing
     pass a monitoring report runs on the reference's daily matrices
@@ -1205,6 +1324,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "users_click_no_purchase": users_click_no_purchase,
     "event_type_pivot": event_type_pivot,
     "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q22_idle_high_balance": q22_idle_high_balance,
     **EXT_QUERIES,
     **RT_QUERIES,
 }
@@ -1251,6 +1373,9 @@ ORACLE: dict[str, str] = {
     "users_click_no_purchase": _CLICK_NO_PURCHASE_SQL,
     "event_type_pivot": _TYPE_PIVOT_SQL,
     "q10_returned_revenue": _Q10_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q16_supplier_part_counts": _Q16_SQL,
+    "q22_idle_high_balance": _Q22_SQL,
     **EXT_ORACLE,
     **RT_ORACLE,
 }
