@@ -219,6 +219,198 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
     return df.where(F.col("kind") == "audio").mapInPandas(op, AUDIO_FEATURES_SCHEMA)
 
 
+THUMBNAIL_SCHEMA = (
+    "media_id long, width int, height int, thumb_w int, thumb_h int, "
+    "thumb_px_sum long, thumbnail binary"
+)
+
+
+def _make_png_codec():
+    """Factory for a pure-stdlib PNG codec (zlib + struct — no imaging
+    libraries): 8-bit grayscale / gray+alpha / RGB / RGBA, non-interlaced,
+    all five scanline filters on decode, filter-0 on encode. Nested so
+    cloudpickle ships it by value into UDF closures.
+
+    This is what makes thumbnail generation
+    (/root/reference/scripts/dac/create_thumbnails.sh:1+ — ImageMagick
+    resize of downloaded plot PNGs) expressible here without PIL: PNG's
+    pixel layer is just zlib over filtered scanlines."""
+    import struct
+    import zlib
+
+    _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+    def decode_png(p: bytes | None):
+        """→ (width, height, channels, bytearray row-major pixels) or
+        None for anything that isn't a supported 8-bit PNG."""
+        p = p or b""
+        if len(p) < 33 or p[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        w = h = None
+        channels = None
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(p):
+            (length,) = struct.unpack(">I", p[i : i + 4])
+            ctype = p[i + 4 : i + 8]
+            data = p[i + 8 : i + 8 + length]
+            if ctype == b"IHDR":
+                if length < 13:
+                    return None
+                w, h = struct.unpack(">II", data[:8])
+                depth, color, _comp, _filt, interlace = data[8:13]
+                if depth != 8 or interlace != 0 or color not in _CHANNELS:
+                    return None
+                channels = _CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            i += 12 + length  # length + type + data + crc
+        if not (w and h and channels and idat):
+            return None
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        out = bytearray(h * stride)
+        prev = bytearray(stride)
+        pos = 0
+        for y in range(h):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for j in range(channels, stride):
+                    line[j] = (line[j] + line[j - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for j in range(stride):
+                    line[j] = (line[j] + prev[j]) & 0xFF
+            elif ftype == 3:  # Average
+                for j in range(stride):
+                    left = line[j - channels] if j >= channels else 0
+                    line[j] = (line[j] + ((left + prev[j]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for j in range(stride):
+                    a = line[j - channels] if j >= channels else 0
+                    b = prev[j]
+                    c = prev[j - channels] if j >= channels else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    line[j] = (line[j] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            out[y * stride : (y + 1) * stride] = line
+            prev = line
+        return w, h, channels, out
+
+    def encode_png(w: int, h: int, channels: int, pixels) -> bytes:
+        """Filter-0 scanlines + one zlib stream, correct CRCs — a
+        minimal but fully valid PNG writer."""
+        color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+        stride = w * channels
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw += pixels[y * stride : (y + 1) * stride]
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b"")
+        )
+
+    return decode_png, encode_png
+
+
+decode_png, encode_png = _make_png_codec()
+
+
+def thumbnail_images(df: DataFrame, max_dim: int = 8) -> DataFrame:
+    """Thumbnail generation over ``mapInPandas`` — the reference's
+    ``create_thumbnails.sh`` (ImageMagick loop over downloaded plot
+    PNGs) as one distributed pass with a pure-stdlib PNG codec.
+
+    Shrink-only nearest-neighbor resize with deterministic integer
+    arithmetic: if max(w, h) <= max_dim the image passes through at full
+    size, else ``tw = max(1, w * max_dim // max(w, h))`` (same for th)
+    and thumbnail pixel (x, y) samples source (x * w // tw, y * h // th)
+    — every output is exactly reproducible in any engine, which is what
+    lets the driver hash-check ``thumb_px_sum`` (sum of all thumbnail
+    bytes) against an arithmetic SQL oracle. Payloads that aren't
+    decodable 8-bit PNGs keep their row with null dims so corrupt blobs
+    stay countable. Payloads never leave executors."""
+
+    codec = _make_png_codec
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode, encode = codec()
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "thumb_w": [],
+                "thumb_h": [],
+                "thumb_px_sum": [],
+                "thumbnail": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                dec = decode(payload)
+                if dec is None:
+                    for k in ("width", "height", "thumb_w", "thumb_h",
+                              "thumb_px_sum", "thumbnail"):
+                        out[k].append(None)
+                    continue
+                w, h, ch, px = dec
+                mx = max(w, h)
+                if mx <= max_dim:
+                    tw, th = w, h
+                else:
+                    tw = max(1, w * max_dim // mx)
+                    th = max(1, h * max_dim // mx)
+                stride = w * ch
+                tpx = bytearray(tw * th * ch)
+                k = 0
+                for y in range(th):
+                    sy = y * h // th
+                    row = sy * stride
+                    for x in range(tw):
+                        sx = x * w // tw
+                        src = row + sx * ch
+                        tpx[k : k + ch] = px[src : src + ch]
+                        k += ch
+                out["width"].append(w)
+                out["height"].append(h)
+                out["thumb_w"].append(tw)
+                out["thumb_h"].append(th)
+                out["thumb_px_sum"].append(int(sum(tpx)))
+                out["thumbnail"].append(encode(tw, th, ch, tpx))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "thumb_w": pd.array(out["thumb_w"], dtype="Int32"),
+                    "thumb_h": pd.array(out["thumb_h"], dtype="Int32"),
+                    "thumb_px_sum": pd.array(out["thumb_px_sum"], dtype="Int64"),
+                    "thumbnail": out["thumbnail"],
+                }
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(op, THUMBNAIL_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 4, use_stub: bool = True
 ) -> DataFrame:

@@ -1396,6 +1396,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_chunks",
     "doc_tfidf_terms",
     "emb_quantize",
+    "mm_thumbnails",
     "rt_csv_batch_daily",
     "rt_csv_sink_roundtrip",
     "rt_json_records_typed",

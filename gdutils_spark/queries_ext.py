@@ -1063,6 +1063,112 @@ FROM documents
 """
 
 
+THUMB_MAX_DIM = 8
+
+
+def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail generation end-to-end with REAL pixel decoding: each
+    document becomes a pixel-valid grayscale PNG (doc_id-derived dims,
+    pixel (x, y) = (x*3 + y*5 + doc_id) % 256, scanline filter y % 5 so
+    every PNG filter type — None/Sub/Up/Average/Paeth — must unfilter
+    correctly), then ``thumbnail_images`` decodes, nearest-neighbor
+    shrinks to 8px and re-encodes. The oracle predicts the thumbnail
+    dimensions AND the sum of every thumbnail pixel arithmetically — a
+    wrong unfilter branch, resize index, or zlib framing hash-fails."""
+    import struct
+    import zlib
+
+    from gdutils_spark.operators.multimodal import thumbnail_images
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        def filter_line(ftype, line, prev, ch):
+            out = bytearray()
+            for j in range(len(line)):
+                a = line[j - ch] if j >= ch else 0
+                b = prev[j]
+                c = prev[j - ch] if j >= ch else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                out.append((line[j] - pred) & 0xFF)
+            return out
+
+        def chunk(t, data):
+            crc = zlib.crc32(t + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + t + data + struct.pack(">I", crc)
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + did % 17
+                h = 16 + (did * 3) % 13
+                raw = bytearray()
+                prev = bytearray(w)
+                for y in range(h):
+                    line = bytearray((x * 3 + y * 5 + did) % 256 for x in range(w))
+                    ft = y % 5
+                    raw.append(ft)
+                    raw += filter_line(ft, line, prev, 1)
+                    prev = line
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "format": "png",
+                    "kind": "image",
+                }
+            )
+
+    media = d.mapInPandas(
+        synth, "media_id long, payload binary, format string, kind string"
+    )
+    return thumbnail_images(media, max_dim=THUMB_MAX_DIM).select(
+        "media_id", "width", "height", "thumb_w", "thumb_h", "thumb_px_sum"
+    )
+
+
+_MM_THUMBNAILS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 17 AS INT) AS w,
+         CAST(16 + (doc_id * 3) % 13 AS INT) AS h
+  FROM documents
+),
+t AS (
+  SELECT doc_id, w, h,
+         CAST(GREATEST(1, w * {THUMB_MAX_DIM} // GREATEST(w, h)) AS INT) AS tw,
+         CAST(GREATEST(1, h * {THUMB_MAX_DIM} // GREATEST(w, h)) AS INT) AS th
+  FROM d
+),
+xs AS (SELECT doc_id, w, h, tw, th, unnest(range(0, tw)) AS x FROM t),
+ys AS (SELECT doc_id, w, h, tw, th, x, unnest(range(0, th)) AS y FROM xs)
+SELECT doc_id AS media_id, w AS width, h AS height, tw AS thumb_w, th AS thumb_h,
+       CAST(SUM(((x * w // tw) * 3 + (y * h // th) * 5 + doc_id) % 256) AS BIGINT)
+         AS thumb_px_sum
+FROM ys
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode end-to-end with the REAL RIFF chunk walk: documents
     become syntactically valid WAV containers (RIFF/WAVE + fmt chunk with
@@ -1218,6 +1324,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_knn_lsh": emb_knn_lsh,
     "mm_image_features": mm_image_features,
+    "mm_thumbnails": mm_thumbnails,
     "mm_audio_features": mm_audio_features,
     "geo_user_tracks": geo_user_tracks,
     "doc_top_tokens": doc_top_tokens,
@@ -1253,6 +1360,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_knn_lsh": _knn_lsh_sql(),
     "mm_image_features": _MM_IMAGE_SQL,
+    "mm_thumbnails": _MM_THUMBNAILS_SQL,
     "mm_audio_features": _MM_AUDIO_SQL,
     "doc_top_tokens": _TOP_TOKENS_SQL,
     # geo_user_tracks: no oracle — JSON document assembly is not

@@ -159,3 +159,107 @@ def test_spark_wav_synthesis_matches_parser(spark, sf_smoke):
         assert r["sample_rate"] == 8000 + (r["media_id"] % 8) * 1000
         assert r["n_channels"] == 1 + r["media_id"] % 2
         assert r["duration_s"] > 0
+
+
+def test_png_codec_roundtrip_all_channel_counts():
+    from gdutils_spark.operators.multimodal import decode_png, encode_png
+
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 5
+        px = bytearray(
+            (x * 3 + y * 5 + c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+        dec = decode_png(encode_png(w, h, ch, px))
+        assert dec is not None
+        assert dec[:3] == (w, h, ch)
+        assert dec[3] == px
+
+
+def test_png_decode_handles_all_five_filters():
+    from gdutils_spark.operators.multimodal import decode_png
+
+    def filter_line(ftype, line, prev, ch):
+        out = bytearray()
+        for j in range(len(line)):
+            a = line[j - ch] if j >= ch else 0
+            b = prev[j]
+            c = prev[j - ch] if j >= ch else 0
+            pred = (
+                0 if ftype == 0
+                else a if ftype == 1
+                else b if ftype == 2
+                else (a + b) >> 1 if ftype == 3
+                else (
+                    a
+                    if abs(b - c) <= abs(a - c) and abs(b - c) <= abs(a + b - 2 * c)
+                    else b if abs(a - c) <= abs(a + b - 2 * c) else c
+                )
+            )
+            out.append((line[j] - pred) & 0xFF)
+        return out
+
+    def chunk(t, data):
+        return (
+            struct.pack(">I", len(data))
+            + t
+            + data
+            + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF)
+        )
+
+    w, h = 6, 10
+    px = bytearray((x * 3 + y * 5 + 7) % 256 for y in range(h) for x in range(w))
+    raw = bytearray()
+    prev = bytearray(w)
+    for y in range(h):
+        line = px[y * w : (y + 1) * w]
+        raw.append(y % 5)
+        raw += filter_line(y % 5, line, prev, 1)
+        prev = line
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    dec = decode_png(p)
+    assert dec is not None and dec[:3] == (w, h, 1)
+    assert dec[3] == px
+
+
+def test_thumbnail_images_spark(spark):
+    """Distributed thumbnails: shrink-only resize, exact dims, pixel sum,
+    decodable output thumbnails; undecodable payloads keep null rows."""
+    from gdutils_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        thumbnail_images,
+    )
+
+    w, h = 20, 10
+    px = bytearray((x + 2 * y) % 256 for y in range(h) for x in range(w))
+    small = encode_png(3, 2, 1, bytearray(range(6)))
+    rows = [
+        (1, encode_png(w, h, 1, px), "png", "image"),
+        (2, small, "png", "image"),  # already under max_dim → passthrough
+        (3, b"not a png", "png", "image"),
+        (4, make_wav(8000, 1, 0.1), "wav", "audio"),  # filtered out by kind
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in thumbnail_images(df, max_dim=8).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert (r1.width, r1.height, r1.thumb_w, r1.thumb_h) == (20, 10, 8, 4)
+    dec = decode_png(bytes(r1.thumbnail))
+    assert dec is not None and dec[:3] == (8, 4, 1)
+    expect = bytearray(
+        ((x * 20 // 8) + 2 * (y * 10 // 4)) % 256 for y in range(4) for x in range(8)
+    )
+    assert dec[3] == expect
+    assert r1.thumb_px_sum == sum(expect)
+    r2 = got[2]
+    assert (r2.thumb_w, r2.thumb_h) == (3, 2)
+    assert bytes(r2.thumbnail) == small  # re-encode of identical pixels
+    assert got[3].width is None and got[3].thumbnail is None
