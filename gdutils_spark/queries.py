@@ -1389,14 +1389,19 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 4 window: the new round-trip surface queries (never driver-
-    # verified) and the new refined-IVF query, then the 17 entries whose
-    # latest green row is r2
+    # round 4 window: every never-driver-verified query first (the new
+    # round-trip surface queries, refined IVF, chunking/tf-idf/quantize,
+    # thumbnails, streaming round-trips, and the three new TPC-H
+    # shapes), then the 17 entries whose latest green row is r2; every
+    # entry displaced past position 50 has a green row from r1-r3
     "emb_knn_ivf_refined",
     "doc_chunks",
     "doc_tfidf_terms",
     "emb_quantize",
     "mm_thumbnails",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q22_idle_high_balance",
     "rt_csv_batch_daily",
     "rt_csv_sink_roundtrip",
     "rt_json_records_typed",
