@@ -1154,6 +1154,156 @@ GROUP BY c_mktsegment
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bi-national shipping volume: supplier-nation ×
+    customer-nation revenue per year for one nation PAIR in both
+    directions (the disjunctive pair predicate sits as a join residual
+    over two broadcast nation joins — never a nested loop)."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    a, b = "NATION_3", "NATION_7"
+    pair = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("volume"))
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top-revenue supplier WITH ties: quarterly
+    supplier revenue, then ``rank() = 1`` over the whole result — the
+    ties-preserving max that Q15's scalar-subquery-on-a-view expresses,
+    planned as one agg shuffle + a single-partition window over the
+    supplier-count-sized aggregate."""
+    _utc(spark)
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = l.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_rev"))
+    w = Window.orderBy(F.col("total_rev").desc())
+    top = (
+        rev.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average threshold: per-part average
+    quantity (DECIMAL-exact sum / count), re-joined against the fact
+    scan to keep only lineitems under 20% of their part's average; the
+    per-part aggregate is fact-derived, so no broadcast hint — AQE
+    decides at runtime. Answer = yearly lost revenue / 7."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    avg_q = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity").cast("double") < F.lit(0.2) * F.col("_avg"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+_Q17_SQL = """
+WITH avg_q AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q ON l_partkey = pk
+WHERE p_brand = 'Brand#13'
+  AND CAST(l_quantity AS DOUBLE) < 0.2 * a
+"""
+
+
 def daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-row moving average over daily revenue — the smoothing
     pass a monitoring report runs on the reference's daily matrices
@@ -1327,6 +1477,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_revenue": q14_promo_revenue,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q22_idle_high_balance": q22_idle_high_balance,
+    "q7_nation_volume": q7_nation_volume,
+    "q15_top_suppliers": q15_top_suppliers,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     **EXT_QUERIES,
     **RT_QUERIES,
 }
@@ -1376,6 +1529,9 @@ ORACLE: dict[str, str] = {
     "q14_promo_revenue": _Q14_SQL,
     "q16_supplier_part_counts": _Q16_SQL,
     "q22_idle_high_balance": _Q22_SQL,
+    "q7_nation_volume": _Q7_SQL,
+    "q15_top_suppliers": _Q15_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
     **EXT_ORACLE,
     **RT_ORACLE,
 }
@@ -1402,6 +1558,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q14_promo_revenue",
     "q16_supplier_part_counts",
     "q22_idle_high_balance",
+    "q7_nation_volume",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
     "rt_csv_batch_daily",
     "rt_csv_sink_roundtrip",
     "rt_json_records_typed",
