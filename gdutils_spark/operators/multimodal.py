@@ -242,7 +242,10 @@ def _make_png_codec():
 
     def decode_png(p: bytes | None):
         """→ (width, height, channels, bytearray row-major pixels) or
-        None for anything that isn't a supported 8-bit PNG."""
+        None for anything that isn't a supported 8-bit PNG — including
+        structurally corrupt streams (declared chunk lengths past the
+        payload end must yield None, never an exception: one bad blob
+        must not fail the whole job)."""
         p = p or b""
         if len(p) < 33 or p[:8] != b"\x89PNG\r\n\x1a\n":
             return None
@@ -253,6 +256,8 @@ def _make_png_codec():
         while i + 8 <= len(p):
             (length,) = struct.unpack(">I", p[i : i + 4])
             ctype = p[i + 4 : i + 8]
+            if i + 8 + length > len(p):  # declared length past payload end
+                return None
             data = p[i + 8 : i + 8 + length]
             if ctype == b"IHDR":
                 if length < 13:

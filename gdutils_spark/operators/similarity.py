@@ -165,13 +165,14 @@ def embedding_near_dup_pairs(
     """
     spark = vectors.sparkSession
     base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # cheap pruned count (id column only) BEFORE the driver collect, so
-    # an oversized corpus fails fast instead of OOMing the driver
-    n_rows = base.select("_id").count()
+    # cheap pruned + LIMIT-bounded probe BEFORE the driver collect, so an
+    # oversized corpus fails fast (scanning at most threshold+1 rows)
+    # instead of OOMing the driver — or paying a full count just to pass
+    n_rows = base.select("_id").limit(max_broadcast_rows + 1).count()
     if n_rows > max_broadcast_rows:
         raise ValueError(
             f"embedding_near_dup_pairs is the broadcast-sized exact baseline: "
-            f"corpus has {n_rows} rows > max_broadcast_rows={max_broadcast_rows}. "
+            f"corpus exceeds max_broadcast_rows={max_broadcast_rows}. "
             f"Use lsh_near_dup_pairs (banded sign-LSH candidates + exact "
             f"verification) for corpora that don't fit a broadcast, or raise "
             f"max_broadcast_rows explicitly if you really mean it."

@@ -1154,9 +1154,16 @@ WITH d AS (
   FROM documents
 ),
 t AS (
+  -- same CASE as thumbnail_images: images already within max_dim pass
+  -- through at full size (the fixture's dims are always larger, but the
+  -- oracle must encode the operator's full contract, not the fixture's)
   SELECT doc_id, w, h,
-         CAST(GREATEST(1, w * {THUMB_MAX_DIM} // GREATEST(w, h)) AS INT) AS tw,
-         CAST(GREATEST(1, h * {THUMB_MAX_DIM} // GREATEST(w, h)) AS INT) AS th
+         CASE WHEN GREATEST(w, h) <= {THUMB_MAX_DIM} THEN w
+              ELSE CAST(GREATEST(1, w * {THUMB_MAX_DIM} // GREATEST(w, h)) AS INT)
+         END AS tw,
+         CASE WHEN GREATEST(w, h) <= {THUMB_MAX_DIM} THEN h
+              ELSE CAST(GREATEST(1, h * {THUMB_MAX_DIM} // GREATEST(w, h)) AS INT)
+         END AS th
   FROM d
 ),
 xs AS (SELECT doc_id, w, h, tw, th, unnest(range(0, tw)) AS x FROM t),

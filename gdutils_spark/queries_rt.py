@@ -36,6 +36,20 @@ from gdutils_spark.sources.csv import read_dataset_csv_batch
 from gdutils_spark.sources.rest import read_json_records
 from gdutils_spark.sources.tables import load_table
 
+def _work_dir(name: str) -> str:
+    """Deterministic per-query scratch dir, wiped at call START so
+    repeated invocations (driver rounds, bench min-of-3) never
+    accumulate fixture copies in /tmp. NOT removed on return: the
+    returned DataFrame plan reads these files lazily, so cleanup happens
+    on the next invocation (or tmp reaping)."""
+    import shutil
+
+    d = os.path.join(tempfile.gettempdir(), f"gdutils_rt_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # S9 + S6 + P3: offline CSV batch with units row and filename-derived ids
 # ---------------------------------------------------------------------------
@@ -56,7 +70,7 @@ def rt_csv_batch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "event_type",
     ).collect()
-    tmp = tempfile.mkdtemp(prefix="rt_csv_batch_")
+    tmp = _work_dir("csv_batch")
     by_user: dict[int, list] = {}
     for r in rows:
         by_user.setdefault(r["user_id"], []).append(r)
@@ -114,7 +128,7 @@ def rt_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.to_date("o_orderdate").alias("o_orderdate"),
     )
-    tmp = tempfile.mkdtemp(prefix="rt_csv_sink_")
+    tmp = _work_dir("csv_sink")
     out_dir = os.path.join(tmp, "orders_csv")
     write_csv(rep, out_dir, single_file=True)
     schema = T.StructType(
@@ -188,7 +202,7 @@ def rt_json_records_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for r in rec.collect()
     ]
-    tmp = tempfile.mkdtemp(prefix="rt_json_")
+    tmp = _work_dir("json")
     path = os.path.join(tmp, "api_response.json")
     with open(path, "w") as f:
         json.dump(records, f)
@@ -661,8 +675,6 @@ def rt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain scan. Exercises the full streaming machinery (file source,
     watermarked state, exactly-once parquet sink) inside one driver
     oracle row."""
-    import tempfile
-
     from gdutils_spark.streaming import stream_dedup
 
     _pin_utc(spark)
@@ -671,7 +683,7 @@ def rt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") < 30)
         .select("event_id", "user_id", "ts", "value")
     )
-    tmp = tempfile.mkdtemp(prefix="rt_stream_dedup_")
+    tmp = _work_dir("stream_dedup")
     src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
     e.write.mode("append").parquet(src)
     e.write.mode("append").parquet(src)
@@ -685,7 +697,9 @@ def rt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_dedup: streaming query did not finish")
     return spark.read.parquet(out)
 
 
@@ -701,8 +715,6 @@ def rt_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are withheld. The oracle reproduces that rule in SQL — if the
     engine's append semantics or the watermark arithmetic drifted, the
     row set itself would change."""
-    import tempfile
-
     from gdutils_spark.streaming import stream_daily_stats
 
     _pin_utc(spark)
@@ -711,7 +723,7 @@ def rt_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") < 30)
         .select("event_id", "ts")
     )
-    tmp = tempfile.mkdtemp(prefix="rt_stream_daily_")
+    tmp = _work_dir("stream_daily")
     src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
     e.write.mode("append").parquet(src)
     stream = spark.readStream.schema(e.schema).parquet(src)
@@ -724,7 +736,9 @@ def rt_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_daily_counts: streaming query did not finish")
     back = spark.read.parquet(out)
     return back.select(
         F.col("window.start").alias("day_start"),

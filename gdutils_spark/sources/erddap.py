@@ -352,7 +352,10 @@ def _file_transport(url: str, schema: StructType):
                         value = pd.to_datetime(value, utc=True)
                     except (ValueError, TypeError):
                         pass
-                else:
+                elif pd.api.types.is_numeric_dtype(series):
+                    # only coerce the bound for numeric columns: a
+                    # digit-like bound against a string column must stay
+                    # a string compare (float vs str raises in pandas)
                     try:
                         value = float(value)
                     except ValueError:

@@ -299,3 +299,18 @@ def test_extra_constraints_pass_through():
     )
     url = __import__("urllib.parse", fromlist=["unquote"]).unquote(r.request_url())
     assert "depth>=10" in url and "depth<=100" in url
+
+
+def test_transport_digit_like_string_column_compares_as_string(tmp_path):
+    """A numeric-looking bound against a STRING column must stay a string
+    comparison (float-vs-str raises in pandas): zero-padded station ids
+    filter lexicographically, which for fixed-width ids is also numeric
+    order."""
+    from gdutils_spark.sources.erddap import _file_transport
+
+    (tmp_path / "unit_s.csv").write_text(
+        "station,val\n00123,1\n00456,2\nA99,3\n"
+    )
+    base = f"file://{tmp_path}/tabledap/unit_s.csv"
+    got = _file_transport(f"{base}?station,val&station>=00200", None)
+    assert list(got["station"]) == ["00456", "A99"]

@@ -263,3 +263,19 @@ def test_thumbnail_images_spark(spark):
     assert (r2.thumb_w, r2.thumb_h) == (3, 2)
     assert bytes(r2.thumbnail) == small  # re-encode of identical pixels
     assert got[3].width is None and got[3].thumbnail is None
+
+
+def test_png_decode_corrupt_chunk_lengths_return_none():
+    """Structural corruption must yield None (null row downstream), never
+    an exception — a declared chunk length past the payload end, or a
+    truncated IHDR, would otherwise kill the whole mapInPandas task."""
+    from gdutils_spark.operators.multimodal import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # IHDR declares 13 data bytes but only 5 are present
+    junk = sig + struct.pack(">I", 0) + b"jUNK" + struct.pack(">I", 0)
+    trunc = junk + struct.pack(">I", 13) + b"IHDR" + bytes(5)
+    assert decode_png(trunc) is None
+    # chunk length far past the end of the payload
+    huge = sig + struct.pack(">I", 1 << 30) + b"IDAT" + bytes(20)
+    assert decode_png(huge) is None

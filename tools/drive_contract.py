@@ -36,7 +36,7 @@ import __spark_entry__ as se
 
 rows = se.entry(spark).collect()
 print(f"entry: {len(rows)} rows", flush=True)
-assert len(rows) >= 0
+assert len(rows) > 0, "entry() smoke check: must produce rows"
 
 con = duckdb.connect()
 for t in TABLES:
@@ -88,7 +88,11 @@ queries = se.queries()
 oracles = se.oracle_sql()
 names = list(queries)
 if len(sys.argv) > 1:
-    names = [n for n in names if n in set(sys.argv[1:])]
+    wanted = set(sys.argv[1:])
+    unknown = wanted - set(names)
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
+    names = [n for n in names if n in wanted]
 
 n_ok = n_bad = n_noora = 0
 for name in names:
