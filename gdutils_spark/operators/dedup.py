@@ -154,7 +154,11 @@ def ngram_jaccard_pairs(
     """
     # the shingle table feeds both self-join sides and the sizes agg;
     # cache the (small: distinct shingles only) intermediate instead of
-    # recomputing the explode 3x. At 100 TB stage it to parquet instead.
+    # recomputing the explode 3x. The cache stays referenced by the
+    # RETURNED plan (unlike lsh_near_dup_pairs' banded table, which is
+    # fully consumed internally and unpersisted there), so it is
+    # reclaimed by Spark's ContextCleaner when the result is released.
+    # At 100 TB stage it to parquet instead.
     sh = _shingle_table(df, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
@@ -306,7 +310,9 @@ def minhash_lsh_pairs(
     colliding).
     """
     rows = num_perms // bands
-    # shingles feed signatures + both verification join sides + sizes
+    # shingles feed signatures + both verification join sides + sizes;
+    # referenced by the returned plan → ContextCleaner-reclaimed when
+    # the result is released (stage to parquet at 100 TB)
     sh_cached = _shingle_table(df, text_col, id_col, k).cache()
     sig_input = (
         sh_cached
