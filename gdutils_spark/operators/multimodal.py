@@ -416,6 +416,64 @@ def thumbnail_images(df: DataFrame, max_dim: int = 8) -> DataFrame:
     return df.where(F.col("kind") == "image").mapInPandas(op, THUMBNAIL_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "px_sum long, px_mean double, px_min int, px_max int"
+)
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """Pixel-level image statistics over ``mapInPandas`` — the
+    feature-extraction step past header decoding: each 8-bit PNG is
+    fully decoded (zlib + unfilter, :func:`decode_png`) and reduced to
+    exact integer pixel aggregates (sum/min/max over every byte) plus
+    the mean as ONE double division of exact ints — engine-reproducible,
+    so a SQL oracle can predict every value for synthesized images.
+    Payloads that aren't decodable 8-bit PNGs keep their row with null
+    stats; payloads never leave executors."""
+
+    codec = _make_png_codec
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode, _ = codec()
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "channels",
+                "px_sum", "px_mean", "px_min", "px_max",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                dec = decode(payload)
+                if dec is None:
+                    for k in ("width", "height", "channels", "px_sum",
+                              "px_mean", "px_min", "px_max"):
+                        out[k].append(None)
+                    continue
+                w, h, ch, px = dec
+                s = int(sum(px))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(s)
+                out["px_mean"].append(s / len(px))
+                out["px_min"].append(min(px))
+                out["px_max"].append(max(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "channels": pd.array(out["channels"], dtype="Int32"),
+                    "px_sum": pd.array(out["px_sum"], dtype="Int64"),
+                    "px_mean": pd.array(out["px_mean"], dtype="Float64"),
+                    "px_min": pd.array(out["px_min"], dtype="Int32"),
+                    "px_max": pd.array(out["px_max"], dtype="Int32"),
+                }
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(op, PIXEL_STATS_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 4, use_stub: bool = True
 ) -> DataFrame:

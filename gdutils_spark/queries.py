@@ -1555,6 +1555,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_tfidf_terms",
     "emb_quantize",
     "mm_thumbnails",
+    "mm_pixel_stats",
     "q14_promo_revenue",
     "q16_supplier_part_counts",
     "q22_idle_high_balance",

@@ -1066,19 +1066,14 @@ FROM documents
 THUMB_MAX_DIM = 8
 
 
-def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thumbnail generation end-to-end with REAL pixel decoding: each
-    document becomes a pixel-valid grayscale PNG (doc_id-derived dims,
-    pixel (x, y) = (x*3 + y*5 + doc_id) % 256, scanline filter y % 5 so
-    every PNG filter type — None/Sub/Up/Average/Paeth — must unfilter
-    correctly), then ``thumbnail_images`` decodes, nearest-neighbor
-    shrinks to 8px and re-encodes. The oracle predicts the thumbnail
-    dimensions AND the sum of every thumbnail pixel arithmetically — a
-    wrong unfilter branch, resize index, or zlib framing hash-fails."""
+def _synth_pixel_pngs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-valid grayscale PNG fixture shared by the pixel-level
+    multimodal queries: doc_id-derived dims, pixel (x, y) =
+    (x*3 + y*5 + doc_id) % 256, scanline filter y % 5 so every PNG
+    filter type — None/Sub/Up/Average/Paeth — must unfilter correctly
+    for the arithmetic oracles to hash-match."""
     import struct
     import zlib
-
-    from gdutils_spark.operators.multimodal import thumbnail_images
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -1138,12 +1133,55 @@ def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = d.mapInPandas(
+    return d.mapInPandas(
         synth, "media_id long, payload binary, format string, kind string"
     )
+
+
+def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail generation end-to-end with REAL pixel decoding: the
+    pixel-valid PNG fixture runs through ``thumbnail_images`` (decode →
+    nearest-neighbor shrink to 8px → re-encode). The oracle predicts the
+    thumbnail dimensions AND the sum of every thumbnail pixel
+    arithmetically — a wrong unfilter branch, resize index, or zlib
+    framing hash-fails."""
+    from gdutils_spark.operators.multimodal import thumbnail_images
+
+    media = _synth_pixel_pngs(spark, sf_dir)
     return thumbnail_images(media, max_dim=THUMB_MAX_DIM).select(
         "media_id", "width", "height", "thumb_w", "thumb_h", "thumb_px_sum"
     )
+
+
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level feature extraction end-to-end: the pixel-valid PNG
+    fixture is FULLY decoded and reduced to exact byte aggregates
+    (sum/min/max, mean = one double division). The oracle computes the
+    same aggregates from the pixel formula — any decode or unfilter
+    defect across the five filter types hash-fails on px_sum, and the
+    extremes pin the value range."""
+    from gdutils_spark.operators.multimodal import image_pixel_stats
+
+    return image_pixel_stats(_synth_pixel_pngs(spark, sf_dir))
+
+
+_MM_PIXEL_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 17 AS INT) AS w,
+         CAST(16 + (doc_id * 3) % 13 AS INT) AS h
+  FROM documents
+),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id, w, h, (x * 3 + y * 5 + doc_id) % 256 AS v FROM ys)
+SELECT doc_id AS media_id, w AS width, h AS height, CAST(1 AS INT) AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS px_mean,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY 1, 2, 3
+"""
 
 
 _MM_THUMBNAILS_SQL = f"""
@@ -1332,6 +1370,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_lsh": emb_knn_lsh,
     "mm_image_features": mm_image_features,
     "mm_thumbnails": mm_thumbnails,
+    "mm_pixel_stats": mm_pixel_stats,
     "mm_audio_features": mm_audio_features,
     "geo_user_tracks": geo_user_tracks,
     "doc_top_tokens": doc_top_tokens,
@@ -1368,6 +1407,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_lsh": _knn_lsh_sql(),
     "mm_image_features": _MM_IMAGE_SQL,
     "mm_thumbnails": _MM_THUMBNAILS_SQL,
+    "mm_pixel_stats": _MM_PIXEL_STATS_SQL,
     "mm_audio_features": _MM_AUDIO_SQL,
     "doc_top_tokens": _TOP_TOKENS_SQL,
     # geo_user_tracks: no oracle — JSON document assembly is not

@@ -279,3 +279,22 @@ def test_png_decode_corrupt_chunk_lengths_return_none():
     # chunk length far past the end of the payload
     huge = sig + struct.pack(">I", 1 << 30) + b"IDAT" + bytes(20)
     assert decode_png(huge) is None
+
+
+def test_image_pixel_stats_spark(spark):
+    from gdutils_spark.operators.multimodal import encode_png, image_pixel_stats
+
+    w, h = 5, 4
+    px = bytearray((x * 7 + y * 11) % 256 for y in range(h) for x in range(w))
+    rows = [
+        (1, encode_png(w, h, 1, px), "png", "image"),
+        (2, b"junk", "png", "image"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_pixel_stats(df).collect()}
+    r1 = got[1]
+    assert (r1.width, r1.height, r1.channels) == (5, 4, 1)
+    assert r1.px_sum == sum(px)
+    assert r1.px_mean == sum(px) / len(px)
+    assert (r1.px_min, r1.px_max) == (min(px), max(px))
+    assert got[2].px_sum is None
