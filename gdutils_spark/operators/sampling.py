@@ -109,3 +109,51 @@ def pack_stats(
         F.min(id_col).alias("first_id"),
         F.max(id_col).alias("last_id"),
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash-shard assignment for training-data export:
+    ``shard = md5int60(salt‖id) mod n_shards``.
+
+    The md5-derived shard (rather than ``id mod n``) decorrelates shard
+    membership from id-assignment order, so time-ordered or
+    source-clustered id ranges spread evenly — each shard is an unbiased
+    corpus sample a downstream trainer can stream independently. Pure
+    map over the scan, no shuffle; a partitioned write
+    (``df.write.partitionBy("shard")``, see sources/staging.py) turns
+    the column into the physical export layout. Same incremental-
+    stability property as :func:`stratified_sample`: a document's shard
+    never changes when unrelated data arrives.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
+def shard_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str | None = None,
+    n_shards: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Per-shard balance report over :func:`shard_assign`: row count,
+    id extent, and (optionally) total payload size — the skew check an
+    export pipeline runs before writing shards. One map-side-combinable
+    hash aggregate; output is n_shards rows."""
+    sharded = shard_assign(df, id_col, n_shards, salt)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).alias("total_size"))
+    return sharded.groupBy("shard").agg(*aggs)

@@ -300,6 +300,42 @@ def lsh_buckets(
     return vectors.select(F.col(id_col), bucket_of(F.col(vec_col)).alias("bucket"))
 
 
+def _make_pair_cosine():
+    """Vectorized Arrow pair scorer: Spark's zip_with/aggregate fold is
+    CodegenFallback (~16 µs/pair interpreted — the dominant cost at
+    100k+ candidate pairs); this kernel accumulates dim-sequentially so
+    each score is bit-identical to the fold AND to DuckDB's
+    list_cosine_similarity, with the same ±1 clamp."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        A = np.stack(v1.to_numpy()).astype(np.float64)
+        B = np.stack(v2.to_numpy()).astype(np.float64)
+        dot_ = A[:, 0] * B[:, 0]
+        na = A[:, 0] * A[:, 0]
+        nb = B[:, 0] * B[:, 0]
+        for j in range(1, A.shape[1]):
+            dot_ = dot_ + A[:, j] * B[:, j]
+            na = na + A[:, j] * A[:, j]
+            nb = nb + B[:, j] * B[:, j]
+        return pd.Series(np.clip(dot_ / (np.sqrt(na) * np.sqrt(nb)), -1.0, 1.0))
+
+    return pair_cosine
+
+
+_PAIR_COSINE_UDF = None
+
+
+def _pair_cosine(v1: Column, v2: Column) -> Column:
+    # lazy: pandas_udf type resolution needs an active SparkSession, so
+    # the UDF object can't be built at import time
+    global _PAIR_COSINE_UDF
+    if _PAIR_COSINE_UDF is None:
+        _PAIR_COSINE_UDF = _make_pair_cosine()
+    return _PAIR_COSINE_UDF(v1, v2)
+
+
 def banded_lsh_buckets(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -422,26 +458,6 @@ def lsh_near_dup_pairs(
     )
     e1 = e.select(F.col(id_col).alias("d1"), F.col("_v").alias("v1"))
     e2 = e.select(F.col(id_col).alias("d2"), F.col("_v").alias("v2"))
-    # vectorized Arrow pair scorer: Spark's zip_with/aggregate fold is
-    # CodegenFallback (~16 µs/pair interpreted — the dominant cost at
-    # 100k+ candidates); the kernel accumulates dim-sequentially so each
-    # score is bit-identical to the fold AND to DuckDB's
-    # list_cosine_similarity, with the same ±1 clamp.
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def pair_cosine(v1: pd.Series, v2: pd.Series) -> pd.Series:
-        A = np.stack(v1.to_numpy()).astype(np.float64)
-        B = np.stack(v2.to_numpy()).astype(np.float64)
-        dot_ = A[:, 0] * B[:, 0]
-        na = A[:, 0] * A[:, 0]
-        nb = B[:, 0] * B[:, 0]
-        for j in range(1, A.shape[1]):
-            dot_ = dot_ + A[:, j] * B[:, j]
-            na = na + A[:, j] * A[:, j]
-            nb = nb + B[:, j] * B[:, j]
-        return pd.Series(np.clip(dot_ / (np.sqrt(na) * np.sqrt(nb)), -1.0, 1.0))
-
     # NaN guard: a zero-norm vector collides into bucket 0 of every band
     # and scores 0/0 = NaN against its bucket-mates; Spark SQL orders NaN
     # ABOVE every number, so `score >= threshold` alone would emit the
@@ -449,7 +465,7 @@ def lsh_near_dup_pairs(
     return (
         cands.join(e1, "d1")
         .join(e2, "d2")
-        .select("d1", "d2", pair_cosine(F.col("v1"), F.col("v2")).alias("score"))
+        .select("d1", "d2", _pair_cosine(F.col("v1"), F.col("v2")).alias("score"))
         .where(~F.isnan("score") & (F.col("score") >= threshold))
     )
 
@@ -753,4 +769,72 @@ def knn_lsh(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.45,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style cluster-then-dedup (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus, then drop semantic
+    near-duplicates *within* each cluster — the standard way to make
+    embedding dedup tractable when all-pairs (even LSH-bucketed) is too
+    hot, because pairs are only scored inside a cluster (~N²/C of the
+    all-pairs work, like the paper's k-means pre-partitioning).
+
+    Keep rule (deterministic analog of the paper's random-keeper): a
+    vector is dropped iff some LOWER-ID vector in the same cluster has
+    cosine ≥ ``threshold`` — matching the released SemDeDup
+    implementation, which drops by index order per qualifying pair
+    rather than per transitive component (a chain a~b~c with a≁c keeps
+    only ``a``; use ``lsh_near_dup_pairs`` + connected components when
+    component-exact grouping matters).
+
+    Returns one row per input vector: (``vec_id``, ``centroid``,
+    ``is_kept``).
+
+    Plan shape: one Arrow assignment pass over the scan (centroid matrix
+    broadcast, ``with_vector=True`` so the corpus is never re-joined on
+    id), then a self-join ON centroid — the ONLY shuffle, partitioned by
+    cluster. At 100 TB ``n_centroids`` is the skew knob: size it so each
+    cluster's pair block fits an executor (the paper uses ~10⁵ clusters
+    at web scale); a hot cluster is visible in the assignment histogram
+    (``groupBy(centroid).count()``) before the join runs.
+    """
+    if refine_iters > 0:
+        cids, C = ivf_refine_centroids(
+            vectors, id_col, vec_col, n_centroids, refine_iters
+        )
+    else:
+        cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+    assigned = _assign_to(vectors, id_col, vec_col, cids, C, with_vector=True)
+    a = assigned.select(
+        F.col("vec_id").alias("d1"), "centroid", F.col("_v").alias("v1")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("d2"), "centroid", F.col("_v").alias("v2")
+    )
+    dropped = (
+        a.join(b, "centroid")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d2", _pair_cosine(F.col("v1"), F.col("v2")).alias("s"))
+        # NaN guard as in lsh_near_dup_pairs: zero-norm pairs score 0/0
+        .where(~F.isnan("s") & (F.col("s") >= threshold))
+        .select(F.col("d2").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "centroid")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+        )
     )

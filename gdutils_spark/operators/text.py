@@ -369,3 +369,158 @@ def pii_scrub(
         F.size(F.filter(cards_all, luhn_valid)).alias("n_cards_luhn"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", §A1.1), adapted to line-free text: the
+    duplicate-line measures become duplicate word-``dup_n``-gram
+    measures, and the top-2-gram fraction keeps its original form.
+
+    Per document:
+
+    * ``top_bigram_n`` / ``n_bigrams`` / ``top_bigram_frac`` — the most
+      frequent word 2-gram's share of all 2-gram occurrences; NULL when
+      the document has fewer than two tokens.
+    * ``dup_ngram_frac`` — fraction of ``dup_n``-gram occurrences that
+      are repeats (``1 − distinct/total``), computed shuffle-free as
+      ``size − size∘array_distinct`` over the gram array.
+
+    Plan shape: one projection builds both gram arrays; the 2-grams
+    explode (map-side, like the dedup shingle explode) into a
+    (doc, gram) count and a per-doc max — two map-side-combinable hash
+    aggregates, no joins. The n-gram dup fraction rides through the
+    explode as a constant per-doc column, so no join-back is needed.
+    At 100 TB: two shuffles, both on doc-sized aggregates. A per-doc
+    O(B²) HOF formulation would avoid the shuffles but degrades
+    quadratically on long documents; the explode stays linear.
+    """
+    t = F.col(text_col)
+    ws = F.split(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " ")
+    n_tok = F.size(ws)
+
+    def grams(k: int) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(0), n_tok - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(k)]
+            ),
+        )
+        return F.when(n_tok >= k, g).otherwise(F.array().cast("array<string>"))
+
+    g5 = grams(dup_n)
+    n5 = F.size(g5)
+    dup_frac = F.try_divide((n5 - F.size(F.array_distinct(g5))).cast("double"), n5)
+    exploded = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        dup_frac.alias("dup_ngram_frac"),
+        F.explode_outer(grams(2)).alias("gram"),
+    )
+    counts = exploded.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("dup_ngram_frac").alias("dup_ngram_frac"),
+    )
+    gram_n = F.when(F.col("gram").isNotNull(), F.col("n"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.max(gram_n).alias("top_bigram_n"),
+            F.sum(F.coalesce(gram_n, F.lit(0))).alias("n_bigrams"),
+            F.max("dup_ngram_frac").alias("dup_ngram_frac"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "top_bigram_n",
+            "n_bigrams",
+            F.try_divide(
+                F.col("top_bigram_n").cast("double"), F.col("n_bigrams")
+            ).alias("top_bigram_frac"),
+            "dup_ngram_frac",
+        )
+    )
+
+
+def source_quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    min_quality: float = 0.25,
+) -> DataFrame:
+    """Per-(source, lang) corpus health rollup — the triage report a
+    crawl-curation pipeline runs before deciding which sources to keep:
+    document and character volume, exact-duplicate rate (distinct
+    whitespace-normalized md5 fingerprints vs docs), and the
+    low-quality-document count under the :func:`text_stats` score.
+
+    Every output derives from exact integer counts plus one final
+    division, so any engine reproduces the doubles bit-for-bit (no
+    averaging of per-row doubles, whose summation order would be
+    partition-dependent). One hash aggregate over the scan: the
+    fingerprint and quality score are scan-side projections, and
+    ``count_distinct`` carries the dedup key through the same shuffle.
+    """
+    t = F.col(text_col)
+    norm_fp = F.md5(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))))
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    token_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_chars = F.length(t)
+    avg_token_len = F.try_divide(token_chars.cast("double"), n_tokens)
+    stop_ratio = F.try_divide(_count_in(toks, STOPWORDS).cast("double"), n_tokens)
+    punct_ratio = F.try_divide(
+        (n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("double"),
+        n_chars,
+    )
+    quality = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.5)
+        * F.when((avg_token_len >= 3) & (avg_token_len <= 10), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        - punct_ratio
+    )
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        n_chars.alias("_chars"),
+        norm_fp.alias("_fp"),
+        quality.alias("_q"),
+    )
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            F.count_distinct(F.col("_fp")).alias("n_distinct"),
+            F.count(F.when(F.col("_q") < min_quality, 1)).alias("n_low_quality"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_chars",
+            F.try_divide(F.col("total_chars").cast("double"), F.col("n_docs")).alias(
+                "avg_chars"
+            ),
+            (
+                F.lit(1.0)
+                - F.try_divide(
+                    F.col("n_distinct").cast("double"), F.col("n_docs")
+                )
+            ).alias("dup_rate"),
+            "n_low_quality",
+        )
+    )

@@ -1335,6 +1335,131 @@ WHERE rank <= {TOP_TOKENS_K}
 """
 
 
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = f"""
+WITH base AS (SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, len(w) AS n_tokens,
+    CASE WHEN len(w) >= 2
+         THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS g2,
+    CASE WHEN len(w) >= 5
+         THEN list_transform(generate_series(1, len(w)-4),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+         ELSE CAST([] AS VARCHAR[]) END AS g5
+  FROM base
+),
+c AS (
+  SELECT doc_id, gram, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, MAX(n) AS top_bigram_n, CAST(SUM(n) AS BIGINT) AS n_bigrams
+  FROM c GROUP BY 1
+)
+SELECT g.doc_id,
+       CAST(g.n_tokens AS INT) AS n_tokens,
+       agg.top_bigram_n AS top_bigram_n,
+       COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       CAST(agg.top_bigram_n AS DOUBLE) / agg.n_bigrams AS top_bigram_frac,
+       CASE WHEN len(g5) = 0 THEN NULL
+            ELSE CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
+       END AS dup_ngram_frac
+FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id
+"""
+
+
+SOURCE_STATS_MIN_QUALITY = 0.25
+
+
+def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.source_quality_stats(
+        load_table(spark, sf_dir, "documents"), min_quality=SOURCE_STATS_MIN_QUALITY
+    )
+
+
+_SOURCE_STATS_SQL = f"""
+WITH t AS (
+  SELECT source, lang, length(text) AS n_chars,
+         md5({_NORM}) AS fp,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         text
+  FROM documents
+),
+q AS (
+  SELECT source, lang, n_chars, fp,
+    0.5 * (CAST(len(list_filter(toks, x -> list_contains([{{stops}}], x))) AS DOUBLE) / len(toks))
+    + 0.5 * (CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+    - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS quality
+  FROM t
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars,
+       1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate,
+       COUNT(CASE WHEN quality < {SOURCE_STATS_MIN_QUALITY} THEN 1 END) AS n_low_quality
+FROM q GROUP BY 1, 2
+""".replace(
+    "{stops}", ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+)
+
+
+N_SHARDS = 16
+
+
+def doc_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.shard_stats(
+        load_table(spark, sf_dir, "documents"),
+        size_col="n_chars",
+        n_shards=N_SHARDS,
+    )
+
+
+_SHARD_STATS_SQL = f"""
+SELECT CAST({_h64("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_size
+FROM documents GROUP BY 1
+"""
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        n_centroids=IVF_CENTROIDS,
+        threshold=NEAR_DUP_T,
+    )
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid
+         ) AS rn
+  FROM e, cent
+),
+a AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE NOT isnan(list_cosine_similarity(x.v, y.v))
+    AND list_cosine_similarity(x.v, y.v) >= {NEAR_DUP_T}
+)
+SELECT a.vec_id, a.cid AS centroid, (dup.vec_id IS NULL) AS is_kept
+FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1374,6 +1499,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_audio_features": mm_audio_features,
     "geo_user_tracks": geo_user_tracks,
     "doc_top_tokens": doc_top_tokens,
+    "doc_repetition_signals": doc_repetition_signals,
+    "doc_source_stats": doc_source_stats,
+    "doc_shard_stats": doc_shard_stats,
+    "emb_semantic_dedup": emb_semantic_dedup,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1410,6 +1539,10 @@ EXT_ORACLE: dict[str, str] = {
     "mm_pixel_stats": _MM_PIXEL_STATS_SQL,
     "mm_audio_features": _MM_AUDIO_SQL,
     "doc_top_tokens": _TOP_TOKENS_SQL,
+    "doc_repetition_signals": _REPETITION_SQL,
+    "doc_source_stats": _SOURCE_STATS_SQL,
+    "doc_shard_stats": _SHARD_STATS_SQL,
+    "emb_semantic_dedup": _SEMANTIC_DEDUP_SQL,
     # geo_user_tracks: no oracle — JSON document assembly is not
     # SQL-practical; the driver records a rows-only check
 }

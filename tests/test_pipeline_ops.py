@@ -416,3 +416,105 @@ def test_pii_scrub_ssn_and_luhn_cards(spark):
     # phone shape must not leak into the SSN count, and vice versa
     assert rows[5].n_ssns == 0 and rows[5].n_phones == 1
     assert rows[5].scrubbed == "phone <PHONE> is not an ssn"
+
+
+def test_repetition_signals(spark):
+    from gdutils_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "a b" appears 3x of 6 bigrams; 5-grams are
+            # ("a b a b a", "b a b a b", "a b a b a") — 1 repeat of 3
+            (1, "a b a b a b a"),
+            (2, "one two three four five six"),  # no repetition
+            (3, "x"),  # too short for any gram
+            (4, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert rows[1]["top_bigram_n"] == 3 and rows[1]["n_bigrams"] == 6
+    assert rows[1]["top_bigram_frac"] == 3 / 6
+    assert rows[1]["dup_ngram_frac"] == 1 / 3
+    assert rows[2]["top_bigram_n"] == 1
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[3]["top_bigram_n"] is None
+    assert rows[3]["n_bigrams"] == 0
+    assert rows[3]["top_bigram_frac"] is None
+    assert rows[3]["dup_ngram_frac"] is None
+    assert rows[4]["top_bigram_n"] is None
+
+
+def test_shard_assign_stability_and_balance(spark):
+    import pytest
+
+    from gdutils_spark.operators.sampling import shard_assign, shard_stats
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    sharded = shard_assign(docs, n_shards=8)
+    shards = sharded.groupBy("shard").count().collect()
+    assert {r["shard"] for r in shards} <= set(range(8))
+    # md5 sharding spreads a contiguous id range roughly evenly
+    counts = [r["count"] for r in shards]
+    assert len(counts) == 8 and min(counts) > 60
+    # incremental stability: a document's shard never changes when the
+    # corpus grows
+    small = dict(
+        shard_assign(docs.limit(100), n_shards=8).collect()
+    )
+    big = dict(sharded.where("doc_id < 100").collect())
+    assert small == big
+    with pytest.raises(ValueError):
+        shard_assign(docs, n_shards=0)
+    stats = shard_stats(docs, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in stats) == 1000
+
+
+def test_semantic_dedup_keep_rule(spark):
+    from gdutils_spark.operators.similarity import semantic_dedup
+
+    # two tight clusters along axes; ids 0 and 1 are the seed centroids
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.0, 0.98, 0.05, 0.0]),  # near-dup of 1
+        (4, [0.6, 0.6, 0.0, 0.0]),    # diagonal: similar to both seeds
+        (5, [0.0, 0.0, 1.0, 0.0]),    # orthogonal: kept wherever assigned
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, n_centroids=2, threshold=0.9).collect()
+    }
+    assert len(out) == 6
+    # lowest id of each cluster is always kept
+    assert out[0]["is_kept"] and out[1]["is_kept"]
+    assert not out[2]["is_kept"]  # dominated by 0
+    assert not out[3]["is_kept"]  # dominated by 1
+    assert out[5]["is_kept"]      # orthogonal to everything
+    # every vector appears exactly once with a centroid from the seed set
+    assert {r["centroid"] for r in out.values()} <= {0, 1}
+
+
+def test_source_quality_stats_exact_counts(spark):
+    from gdutils_spark.operators.text import source_quality_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "web", "en"),
+            (2, "the quick brown fox", "web", "en"),  # exact dup of 1
+            (3, "completely different text here", "web", "en"),
+            (4, "!!! ??? ;;; :::", "spam", "en"),  # punctuation soup
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    rows = {(r["source"], r["lang"]): r for r in source_quality_stats(docs).collect()}
+    web = rows[("web", "en")]
+    assert web["n_docs"] == 3
+    assert web["dup_rate"] == 1.0 - 2 / 3
+    assert web["total_chars"] == len("the quick brown fox") * 2 + len(
+        "completely different text here"
+    )
+    spam = rows[("spam", "en")]
+    assert spam["n_docs"] == 1 and spam["n_low_quality"] == 1
