@@ -1304,6 +1304,399 @@ WHERE p_brand = 'Brand#13'
 """
 
 
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-minimum lookup, adapted to this schema
+    (no partsupp table — the supplier-part catalog is derived as the
+    distinct (l_partkey, l_suppkey) pairs of the fact table, and Q2's
+    min supplycost becomes min s_acctbal): for each LARGE small-size
+    part, the EUROPE supplier(s) with the minimum account balance among
+    those who ever shipped it, ties preserved exactly as Q2's correlated
+    subquery keeps them.
+
+    Plan shape: the distinct pair derivation is one hash agg over a
+    2-column projection of the fact scan (map-side combinable); part and
+    the supplier⋈nation⋈region dim stack broadcast into it; the
+    correlated min is a window over p_partkey — one shuffle on a
+    catalog-sized table, never a self-join back to the fact. Reference
+    parity: the filtered-catalog + merge chain of
+    /root/reference/gdutils/__init__.py (search_datasets + merge), shaped
+    as TPC-H Q2."""
+    _utc(spark)
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(euro_supp), pairs.l_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+    )
+
+
+_Q2_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+euro AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+  FROM pairs
+  JOIN part ON l_partkey = p_partkey
+  JOIN euro ON l_suppkey = s_suppkey
+  WHERE p_type = 'LARGE' AND p_size <= 10
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM cand WHERE s_acctbal = min_bal
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: NATION_7's share of
+    ECONOMY-part revenue sold to AMERICA customers, per order year. The
+    share is a conditional-sum / total-sum ratio inside one aggregate —
+    both sums stay DECIMAL until the final division so the double is
+    reproducible. All five dimension joins broadcast; the only shuffle
+    is the final 2-row year aggregate."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    base = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (nation_vol.cast("double") / F.sum("volume").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+)
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by supplier nation and year,
+    adapted to this schema (no partsupp — Q9's ps_supplycost becomes a
+    deterministic 60% of p_retailprice): profit = revenue − cost·qty for
+    red-named parts. Amounts stay DECIMAL through the aggregate
+    (order-insensitive exact sums); part and the dim stack broadcast, so
+    the plan is fact-scan → broadcast joins → one (nation, year) hash
+    agg."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - (
+        _dec("p_retailprice") * F.lit(0.6).cast("decimal(3,2)")
+    ).cast("decimal(18,2)") * _dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+         - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(3,2)) AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2))
+       ) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock identification, adapted to this
+    schema (no partsupp — per-part "stock value" is the revenue shipped
+    by NATION_3 suppliers): parts whose value exceeds 0.1% of the
+    national total. The global scalar lives in a 1-row aggregate that
+    broadcasts into the per-part rows (same pattern as Q22); the
+    threshold compare is `value·1000 > total` so both engines compare
+    exact DECIMALs with no fractional multiplier precision drift. One
+    fact shuffle (per-part agg); the national supplier set broadcasts."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    per_part = (
+        l.join(F.broadcast(nat_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(rev).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec") * F.lit(1000) > F.col("total_dec"))
+        .select("p_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3')
+  GROUP BY 1
+)
+SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM per_part
+WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM per_part)
+"""
+
+
+def q12_ship_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped priority-vs-lateness report, adapted to this
+    schema (no l_shipmode/commitdate — the grouping column becomes a
+    ship-latency bucket derived from shipdate − orderdate): per bucket,
+    how many high-priority (URGENT/HIGH) vs lower-priority lineitems
+    shipped. Interval comparisons (never datediff) keep Spark and DuckDB
+    on identical day-boundary semantics; counts are exact integers. The
+    orders join shuffles on orderkey (fact-to-fact, AQE-decided); the
+    bucket agg is map-side-combinable on 3 keys."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    bucket = (
+        F.when(l.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 30 DAYS"), "fast")
+        .when(l.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS"), "normal")
+        .otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+            WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal'
+            ELSE 'slow' END AS ship_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested-subquery supplier selection, adapted to
+    this schema (no partsupp.availqty — Q20's "surplus stock" test
+    becomes a shipped-quantity concentration test): suppliers of
+    'small'-prefix parts where 1997 shipments of that part exceed 30% of
+    their all-time shipments of it. The correlated threshold is one
+    conditional sum inside the (supplier, part) aggregate — no
+    subquery-per-row; the exact compare is `qty_1997·10 > qty_all·3`
+    (integer-scaled DECIMALs, no fractional multiplier). Part filter
+    broadcasts into the fact scan; the pair agg is the single fact
+    shuffle; the surviving supplier set semi-joins into the dim."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    qty97 = F.when(F.year("l_shipdate") == 1997, _dec("l_quantity")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    pair = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("qty_all"),
+            F.sum(qty97).alias("qty_1997"),
+        )
+        .where(F.col("qty_1997") * F.lit(10) > F.col("qty_all") * F.lit(3))
+    )
+    return (
+        s.join(pair.select("l_suppkey"), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all,
+           SUM(CASE WHEN CAST(year(l_shipdate) AS INT) = 1997
+                    THEN CAST(l_quantity AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1997
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY 1, 2
+  ) WHERE qty_1997 * 10 > qty_all * 3
+)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting", adapted to
+    this schema (no receipt/commit dates — "late" is shipped more than
+    90 days after the order date): on finalized multi-supplier orders
+    where exactly ONE supplier shipped late, charge that supplier; count
+    their offending orders. Q21's EXISTS / NOT EXISTS pair collapses
+    into one per-order aggregate (distinct suppliers vs distinct late
+    suppliers) — no self-joins back to the fact; the late-rows join
+    reuses the same orderkey partitioning and the final per-supplier agg
+    is dim-sized."""
+    _utc(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    late = l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole_late = (
+        j.where(late)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name", "numwait")
+    )
+
+
+_Q21_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM j GROUP BY 1
+),
+sole_late AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j JOIN per_order ON j.l_orderkey = per_order.l_orderkey
+  WHERE j.is_late AND n_supp > 1 AND n_late_supp = 1
+)
+SELECT s_name, n_name, COUNT(*) AS numwait
+FROM sole_late
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-row moving average over daily revenue — the smoothing
     pass a monitoring report runs on the reference's daily matrices
@@ -1480,6 +1873,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_nation_volume": q7_nation_volume,
     "q15_top_suppliers": q15_top_suppliers,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q2_min_balance_supplier": q2_min_balance_supplier,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_ship_lateness": q12_ship_lateness,
+    "q20_surplus_suppliers": q20_surplus_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     **EXT_QUERIES,
     **RT_QUERIES,
 }
@@ -1532,6 +1932,13 @@ ORACLE: dict[str, str] = {
     "q7_nation_volume": _Q7_SQL,
     "q15_top_suppliers": _Q15_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
+    "q2_min_balance_supplier": _Q2_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q9_product_profit": _Q9_SQL,
+    "q11_important_parts": _Q11_SQL,
+    "q12_ship_lateness": _Q12_SQL,
+    "q20_surplus_suppliers": _Q20_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
     **EXT_ORACLE,
     **RT_ORACLE,
 }
@@ -1547,9 +1954,24 @@ ORACLE: dict[str, str] = {
 _DRIVER_FIRST: tuple[str, ...] = (
     # round 4 window: every never-driver-verified query first (the new
     # round-trip surface queries, refined IVF, chunking/tf-idf/quantize,
-    # thumbnails, streaming round-trips, and the three new TPC-H
-    # shapes), then the 17 entries whose latest green row is r2; every
-    # entry displaced past position 50 has a green row from r1-r3
+    # thumbnails, streaming round-trips, the TPC-H shapes q2/q7/q8/q9/
+    # q14-q17/q22, and the repetition/source/shard/semdedup pipeline
+    # ops), then as many of the 17 entries whose latest green row is r2
+    # as fit; every entry displaced past position 50 has a green row
+    # from r1-r3 (doc_minhash_lsh_pairs, doc_simhash,
+    # doc_simhash_near_pairs, doc_dup_clusters and doc_quality_filter
+    # stay r2-latest and rotate back in next round)
+    "q2_min_balance_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_lateness",
+    "q20_surplus_suppliers",
+    "q21_waiting_suppliers",
+    "doc_repetition_signals",
+    "doc_source_stats",
+    "doc_shard_stats",
+    "emb_semantic_dedup",
     "emb_knn_ivf_refined",
     "doc_chunks",
     "doc_tfidf_terms",
