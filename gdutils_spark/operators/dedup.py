@@ -657,3 +657,111 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def cross_group_shingle_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise shingle overlap between corpus groups (sources, dumps,
+    snapshots) — the cross-source contamination matrix a data-mixing
+    decision starts from: how much of source A's n-gram inventory also
+    appears in source B.
+
+    Returns one row per unordered group pair ``(g1 < g2)`` with the
+    shared distinct-shingle count, each side's inventory size, and
+    ``overlap_frac = shared / min(n1, n2)`` (containment of the smaller
+    inventory — robust when group sizes are lopsided).
+
+    Plan shape: the shingle build is the same codegen'd lead-window as
+    the dedup family; the (group, shingle) inventory is one distinct
+    (map-side combinable — a shingle repeated within a group collapses
+    early); the pair join shuffles on ``shingle``, and its fan-out is
+    bounded by the number of GROUPS a shingle appears in (≤ |groups|,
+    never document fan-out — the f² blow-up of the pair-dedup problem
+    does not arise because documents are already collapsed). Group
+    totals are group-cardinality-sized and broadcast back.
+    """
+    sh = _shingle_table(df, text_col, id_col, k)
+    grp = df.select(F.col(id_col).alias("doc"), F.col(group_col).alias("grp"))
+    inv = sh.join(grp, "doc").select("grp", "shingle").distinct()
+    totals = inv.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(F.col("a.grp").alias("g1"), F.col("b.grp").alias("g2"))
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    t1 = totals.select(F.col("grp").alias("g1"), F.col("n").alias("n1"))
+    t2 = totals.select(F.col("grp").alias("g2"), F.col("n").alias("n2"))
+    return (
+        shared.join(F.broadcast(t1), "g1")
+        .join(F.broadcast(t2), "g2")
+        .select(
+            "g1",
+            "g2",
+            "shared_shingles",
+            "n1",
+            "n2",
+            (
+                F.col("shared_shingles").cast("double")
+                / F.least("n1", "n2").cast("double")
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """Duplicate-cluster survivor selection by QUALITY instead of id:
+    given near-dup ``pairs`` and a per-document ``quality_col`` on
+    ``docs``, label every document with its cluster and keep, per
+    cluster, the highest-quality member (ties → lowest id). Documents in
+    no cluster keep themselves. The standard refinement over
+    min-id survivorship — a pipeline should retain the best-written copy
+    of a duplicated page, not the one with the smallest crawl id.
+
+    Plan shape: connected components over the (tiny) verified pair list;
+    only CLUSTER MEMBERS (edge-sized) are aggregated — the winner per
+    cluster is one ``max_by`` over them (struct ordering gives the
+    quality-then-min-id rule without a window sort). The corpus itself
+    never shuffles: labels and winners broadcast back onto the scan and
+    singletons keep themselves via coalesce.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.col(quality_col).alias("_q")
+    )
+    members = base.join(F.broadcast(cc.withColumnRenamed("node", "doc")), "doc")
+    # max_by on (quality, -doc): struct comparison is lexicographic, so
+    # highest quality wins and the LOWEST doc id breaks ties
+    winners = members.groupBy("comp").agg(
+        F.max_by("doc", F.struct(F.col("_q"), (-F.col("doc")).alias("_nd"))).alias(
+            "keep_doc"
+        )
+    )
+    labels = cc.withColumnRenamed("node", "doc").join(
+        winners, "comp"
+    )  # edge-sized: (doc, comp, keep_doc)
+    return base.join(F.broadcast(labels), "doc", "left").select(
+        "doc",
+        F.coalesce(F.col("comp"), F.col("doc")).alias("component"),
+        F.col("_q").alias(quality_col),
+        F.coalesce(F.col("doc") == F.col("keep_doc"), F.lit(True)).alias(
+            "is_kept"
+        ),
+    )

@@ -157,3 +157,76 @@ def shard_stats(
     if size_col is not None:
         aggs.append(F.sum(size_col).alias("total_size"))
     return sharded.groupBy("shard").agg(*aggs)
+
+
+def domain_mix_rates(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    target_weight: Column,
+    budget_frac: float,
+) -> DataFrame:
+    """Per-stratum sampling rates that steer the corpus toward a target
+    domain mix — the "mixture weights" step of training-data curation
+    (cf. the DoReMi/Pile practice of reweighting sources): given an
+    unnormalized per-row ``target_weight`` expression (constant within a
+    stratum) and a global budget of ``budget_frac`` of the corpus, emit
+    for each stratum the keep-rate that hits its share of the budget,
+    capped at 1.0 (a stratum can't be upsampled by a filter — the
+    shortfall is visible in ``expected_weight``).
+
+    Every output is either an exact integer aggregate or a fixed-order
+    IEEE expression over them (share = w/W, rate = min(1, share·budget /
+    stratum_weight)), so any engine reproduces the rates bit-for-bit.
+    Plan shape: one hash agg on the stratum key + a 1-row total
+    broadcast back — the corpus scans once and never shuffles rows.
+    """
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(weight_col)).alias("total_weight"),
+        F.max(target_weight).alias("_tw"),
+    )
+    tot = per.agg(
+        F.sum("total_weight").alias("_corpus"), F.sum("_tw").alias("_W")
+    )
+    share = F.col("_tw").cast("double") / F.col("_W").cast("double")
+    budget = F.col("_corpus").cast("double") * F.lit(float(budget_frac))
+    rate = F.least(
+        F.lit(1.0), share * budget / F.col("total_weight").cast("double")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_docs",
+        "total_weight",
+        share.alias("target_share"),
+        rate.alias("rate"),
+        (rate * F.col("total_weight").cast("double")).alias("expected_weight"),
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: DataFrame,
+    salt: str = "",
+) -> DataFrame:
+    """Apply :func:`domain_mix_rates` output to the corpus: keep a row
+    iff its id-hash bucket falls under its stratum's rate threshold
+    (``floor(rate·10000 + 0.5)`` — half-up, engine-identical). The rates
+    table is stratum-cardinality-sized and broadcasts; the decision is
+    the same RNG-free md5 rule as :func:`stratified_sample`, so the
+    sample is reproducible and stable under corpus growth. No collect:
+    rates flow executor-side, so the plan works when the mix is computed
+    and applied in one job at 100 TB.
+    """
+    thr = F.floor(F.col("rate") * F.lit(float(SAMPLE_BUCKETS)) + F.lit(0.5)).cast(
+        "long"
+    )
+    r = rates.select(F.col("stratum"), thr.alias("_thr"))
+    bucket = _hash_bucket(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(r), df[strata_col] == F.col("stratum"))
+        .where(bucket < F.col("_thr"))
+        .drop("stratum", "_thr")
+    )

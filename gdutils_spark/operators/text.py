@@ -524,3 +524,80 @@ def source_quality_stats(
             "n_low_quality",
         )
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 100,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus for a literal term set:
+    score every document against the query and return the ``top_k``
+    (ties → lowest id). The idf uses the RATIO form ``(N − df + 0.5) /
+    (df + 0.5)`` — the log of the classic formula is monotone, so the
+    per-term ranking is identical, while staying a fixed-order IEEE
+    expression over exact integer counts (a libm ``log`` would
+    hash-diverge between engines on the last ulp; same trade as
+    :func:`tf_idf_top_terms`).
+
+    Plan shape: one projection computes per-document length and per-term
+    tf (the term list is a literal, so tf columns unroll into codegen —
+    no explode, no vocabulary join); a 1-row aggregate collects N,
+    total length, and per-term document frequencies and broadcasts back;
+    the score is a pure map; the only shuffle is the final top-k sort,
+    which AQE executes as a partial TakeOrdered. At 100 TB this is one
+    scan + a k-row result.
+    """
+    toks = tokens(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # factory scope pins `term`; a default-arg capture would give the
+        # lambda two parameters and PySpark would bind the second to the
+        # ELEMENT INDEX (the (x, i) higher-order form)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    proj = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_tdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = proj.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_tdl").cast("double") / F.col("_n").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+    )
+    scores = []
+    for i in range(len(terms)):
+        tf_d = F.col(f"_tf{i}").cast("double")
+        idf = (
+            (F.col("_n") - F.col(f"_df{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
+        scores.append(idf * (tf_d * F.lit(float(k1) + 1.0)) / (tf_d + norm))
+    total = scores[0]
+    for s in scores[1:]:
+        total = total + s
+    n_matched = sum(
+        (F.col(f"_tf{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    return (
+        j.select(
+            F.col(id_col),
+            total.alias("score"),
+            n_matched.alias("n_matched"),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )

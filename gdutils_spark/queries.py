@@ -1972,6 +1972,11 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_source_stats",
     "doc_shard_stats",
     "emb_semantic_dedup",
+    "doc_source_overlap",
+    "doc_dedup_keep_best",
+    "doc_domain_mix_plan",
+    "doc_domain_mix_sample",
+    "doc_bm25_search",
     "emb_knn_ivf_refined",
     "doc_chunks",
     "doc_tfidf_terms",

@@ -1460,6 +1460,213 @@ FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id
 """
 
 
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.cross_group_shingle_overlap(
+        load_table(spark, sf_dir, "documents"), k=NGRAM_K
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH {_SHINGLES_CTE},
+inv AS (
+  SELECT DISTINCT d.source AS grp, sh.shingle
+  FROM sh JOIN documents d ON sh.doc = d.doc_id
+),
+totals AS (SELECT grp, COUNT(*) AS n FROM inv GROUP BY 1),
+shared AS (
+  SELECT a.grp AS g1, b.grp AS g2, COUNT(*) AS shared_shingles
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT g1, g2, shared_shingles, t1.n AS n1, t2.n AS n2,
+       CAST(shared_shingles AS DOUBLE) / CAST(LEAST(t1.n, t2.n) AS DOUBLE)
+         AS overlap_frac
+FROM shared
+JOIN totals t1 ON g1 = t1.grp
+JOIN totals t2 ON g2 = t2.grp
+"""
+
+
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: near-dup clusters keep their
+    highest-quality member rather than the lowest id."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = tx.text_stats(docs).select("doc_id", "quality_score")
+    pairs = dd.minhash_lsh_pairs(
+        docs, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T
+    )
+    return dd.keep_best_representative(stats, pairs, "quality_score")
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+stats AS ({_TEXT_STATS_SQL}),
+q AS (SELECT doc_id AS doc, quality_score FROM stats),
+members AS (
+  SELECT q.doc, cc.component, q.quality_score
+  FROM q JOIN cc ON q.doc = cc.node
+),
+winners AS (
+  SELECT component, doc AS keep_doc FROM (
+    SELECT component, doc,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY quality_score DESC, doc) AS rn
+    FROM members
+  ) WHERE rn = 1
+)
+SELECT q.doc, COALESCE(cc.component, q.doc) AS component, q.quality_score,
+       COALESCE(q.doc = w.keep_doc, TRUE) AS is_kept
+FROM q
+LEFT JOIN cc ON q.doc = cc.node
+LEFT JOIN winners w ON cc.component = w.component
+"""
+
+
+MIX_BUDGET_FRAC = 0.5
+
+
+def _mix_target_weight():
+    # even-numbered sources get double target weight — a stand-in for a
+    # curated per-domain priority table (which would broadcast the same
+    # way at scale)
+    return F.when(
+        F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0, F.lit(2)
+    ).otherwise(F.lit(1))
+
+
+_MIX_TW_SQL = (
+    "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 2 ELSE 1 END"
+)
+
+_MIX_PER_SQL = f"""
+per AS (
+  SELECT source AS stratum, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_weight,
+         MAX({_MIX_TW_SQL}) AS _tw
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(total_weight) AS BIGINT) AS _corpus,
+         CAST(SUM(_tw) AS BIGINT) AS _w
+  FROM per
+)
+"""
+
+_MIX_RATE_SQL = (
+    "LEAST(1.0, CAST(_tw AS DOUBLE) / CAST(_w AS DOUBLE)"
+    f" * (CAST(_corpus AS DOUBLE) * {MIX_BUDGET_FRAC})"
+    " / CAST(total_weight AS DOUBLE))"
+)
+
+
+def doc_domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.domain_mix_rates(
+        load_table(spark, sf_dir, "documents"),
+        strata_col="source",
+        weight_col="n_chars",
+        target_weight=_mix_target_weight(),
+        budget_frac=MIX_BUDGET_FRAC,
+    )
+
+
+_MIX_PLAN_SQL = f"""
+WITH {_MIX_PER_SQL}
+SELECT stratum, n_docs, total_weight,
+       CAST(_tw AS DOUBLE) / CAST(_w AS DOUBLE) AS target_share,
+       {_MIX_RATE_SQL} AS rate,
+       {_MIX_RATE_SQL} * CAST(total_weight AS DOUBLE) AS expected_weight
+FROM per, tot
+"""
+
+
+def doc_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rates = sp.domain_mix_rates(
+        docs,
+        strata_col="source",
+        weight_col="n_chars",
+        target_weight=_mix_target_weight(),
+        budget_frac=MIX_BUDGET_FRAC,
+    )
+    return sp.domain_mix_sample(docs, "source", "doc_id", rates).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_MIX_SAMPLE_SQL = f"""
+WITH {_MIX_PER_SQL},
+rates AS (
+  SELECT stratum,
+         CAST(floor({_MIX_RATE_SQL} * 10000.0 + 0.5) AS BIGINT) AS thr
+  FROM per, tot
+)
+SELECT doc_id, lang, source
+FROM documents JOIN rates ON source = stratum
+WHERE ({_h64("CAST(doc_id AS VARCHAR)")} % 10000) < thr
+"""
+
+
+BM25_TERMS = ("join", "vector", "stream")
+BM25_TOP_K = 100
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bm25_rank(
+        load_table(spark, sf_dir, "documents"),
+        terms=BM25_TERMS,
+        top_k=BM25_TOP_K,
+    )
+
+
+def _bm25_sql() -> str:
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    norm = (
+        "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+        " / (CAST(_tdl AS DOUBLE) / CAST(_n AS DOUBLE))))"
+    )
+    score_terms = [
+        f"(CAST(_n - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5)"
+        f" * (CAST(tf{i} AS DOUBLE) * 2.2) / (CAST(tf{i} AS DOUBLE) + {norm})"
+        for i in range(len(BM25_TERMS))
+    ]
+    matched = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, len(toks) AS dl, {tf_cols}
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+),
+s AS (
+  SELECT COUNT(*) AS _n, CAST(SUM(dl) AS BIGINT) AS _tdl, {df_cols} FROM p
+)
+SELECT doc_id, score, n_matched FROM (
+  SELECT doc_id, {" + ".join(score_terms)} AS score,
+         CAST({matched} AS INT) AS n_matched
+  FROM p, s
+) WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1503,6 +1710,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_source_stats": doc_source_stats,
     "doc_shard_stats": doc_shard_stats,
     "emb_semantic_dedup": emb_semantic_dedup,
+    "doc_source_overlap": doc_source_overlap,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
+    "doc_domain_mix_plan": doc_domain_mix_plan,
+    "doc_domain_mix_sample": doc_domain_mix_sample,
+    "doc_bm25_search": doc_bm25_search,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1543,6 +1755,11 @@ EXT_ORACLE: dict[str, str] = {
     "doc_source_stats": _SOURCE_STATS_SQL,
     "doc_shard_stats": _SHARD_STATS_SQL,
     "emb_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+    "doc_source_overlap": _SOURCE_OVERLAP_SQL,
+    "doc_dedup_keep_best": _dedup_keep_best_sql(),
+    "doc_domain_mix_plan": _MIX_PLAN_SQL,
+    "doc_domain_mix_sample": _MIX_SAMPLE_SQL,
+    "doc_bm25_search": _bm25_sql(),
     # geo_user_tracks: no oracle — JSON document assembly is not
     # SQL-practical; the driver records a rows-only check
 }

@@ -518,3 +518,161 @@ def test_source_quality_stats_exact_counts(spark):
     )
     spam = rows[("spam", "en")]
     assert spam["n_docs"] == 1 and spam["n_low_quality"] == 1
+
+
+DOCS_QUAL = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("quality_score", T.DoubleType()),
+    ]
+)
+
+
+def test_keep_best_representative(spark):
+    from gdutils_spark.operators.dedup import keep_best_representative
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, 0.1)], DOCS_QUAL
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], EDGES)
+    got = {
+        r["doc"]: (r["component"], r["is_kept"])
+        for r in keep_best_representative(
+            docs, pairs, "quality_score"
+        ).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie on quality 0.9 → lowest id (2) kept
+    assert got == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, False),
+        4: (4, True),  # singleton keeps itself
+        10: (10, True),
+    }
+
+
+DOCS_MIX = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def test_domain_mix_rates_cap_and_budget(spark):
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.sampling import domain_mix_rates
+
+    # src_a is tiny (rate must cap at 1.0), src_b holds the bulk
+    rows = [(1, "src_a", 100)] + [(i, "src_b", 1000) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, DOCS_MIX)
+    tw = F.when(F.col("source") == "src_a", F.lit(3)).otherwise(F.lit(1))
+    rates = {
+        r["stratum"]: r
+        for r in domain_mix_rates(
+            df, "source", "n_chars", tw, budget_frac=0.5
+        ).collect()
+    }
+    # corpus = 10100; budget = 5050; src_a target 3/4 → 3787.5 wanted of
+    # 100 available → capped at 1.0
+    assert rates["src_a"]["rate"] == 1.0
+    assert rates["src_a"]["expected_weight"] == 100.0
+    # src_b target 1/4 → 1262.5 of 10000 → 0.12625
+    assert abs(rates["src_b"]["rate"] - 0.12625) < 1e-12
+    assert rates["src_a"]["target_share"] == 0.75
+
+
+def test_domain_mix_sample_respects_rates(spark):
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.sampling import (
+        domain_mix_rates,
+        domain_mix_sample,
+    )
+
+    rows = [(i, "src_a", 10) for i in range(200)] + [
+        (i, "src_b", 10) for i in range(200, 400)
+    ]
+    df = spark.createDataFrame(rows, DOCS_MIX)
+    tw = F.when(F.col("source") == "src_a", F.lit(3)).otherwise(F.lit(1))
+    rates = domain_mix_rates(df, "source", "n_chars", tw, budget_frac=0.5)
+    kept = domain_mix_sample(df, "source", "doc_id", rates)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # corpus weight 4000, budget 2000: src_a rate = min(1, 0.75*2000/2000)
+    # = 0.75, src_b = 0.25 — hash sampling is deterministic, so counts
+    # are fixed and roughly rate*200
+    assert 120 <= by_src["src_a"] <= 180
+    assert 25 <= by_src.get("src_b", 0) <= 75
+    # determinism: re-running produces the identical set
+    again = domain_mix_sample(df, "source", "doc_id", rates)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+DOCS_TXT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_bm25_rank_ordering(spark):
+    from gdutils_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join join query"),
+            (2, "spark join query engine plan"),
+            (3, "filler words only here nothing"),
+            (4, "join vector join vector stream"),
+        ],
+        DOCS_TXT,
+    )
+    got = bm25_rank(docs, terms=("join", "vector"), top_k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids  # no query term → score 0 → excluded
+    assert ids[0] == 4  # matches both terms incl. rare 'vector'
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[4]["n_matched"] == 2
+    assert by_id[1]["n_matched"] == 1
+    # more occurrences of the same term → higher score
+    assert by_id[1]["score"] > by_id[2]["score"]
+
+
+DOCS_GRP = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_cross_group_shingle_overlap(spark):
+    from gdutils_spark.operators.dedup import cross_group_shingle_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "sa", "alpha beta gamma delta"),  # shingles: ab g, b g d
+            (2, "sb", "alpha beta gamma other"),  # shares 'alpha beta gamma'
+            (3, "sb", "x y z w"),
+            (4, "sc", "p q r"),
+        ],
+        DOCS_GRP,
+    )
+    got = {
+        (r["g1"], r["g2"]): r
+        for r in cross_group_shingle_overlap(docs, k=3).collect()
+    }
+    r = got[("sa", "sb")]
+    assert r["shared_shingles"] == 1
+    assert r["n1"] == 2 and r["n2"] == 4
+    assert r["overlap_frac"] == 0.5  # 1 / min(2, 4)
+    assert ("sa", "sc") not in got  # zero overlap pairs are absent
