@@ -282,6 +282,25 @@ def minhash_signatures(
     return hashed.groupBy("doc").agg(*aggs)
 
 
+def _banded_signatures(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc, band, bh) rows: band hash = md5 of the comma-joined
+    signature slice. One explode per signature row."""
+    band_cols = []
+    for bidx in range(bands):
+        slice_cols = [
+            F.col(f"sig{p:02d}") for p in range(bidx * rows, (bidx + 1) * rows)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.md5(F.concat_ws(",", *slice_cols)).alias("bh"),
+            )
+        )
+    return sigs.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -320,18 +339,7 @@ def minhash_lsh_pairs(
         else _cold_shingles(sh_cached, max_shingle_freq)
     )
     sigs = minhash_signatures(df, text_col, id_col, num_perms, k, _shingles=sig_input)
-    band_cols = []
-    for bidx in range(bands):
-        slice_cols = [F.col(f"sig{p:02d}") for p in range(bidx * rows, (bidx + 1) * rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.md5(F.concat_ws(",", *slice_cols)).alias("bh"),
-            )
-        )
-    banded = sigs.select(
-        F.col("doc"), F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    banded = _banded_signatures(sigs, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -765,3 +773,89 @@ def keep_best_representative(
             "is_kept"
         ),
     )
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_NUM_PERMS,
+    k: int = 3,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN a new batch and an
+    existing corpus — the nightly-ingest pattern, where re-running the
+    all-pairs self-join over the whole corpus per batch would be
+    quadratic in corpus growth. Returns ``(new_id, corpus_id, jaccard)``
+    for verified matches; new documents also duplicated *within* the
+    batch are the self-join problem — run :func:`minhash_lsh_pairs` on
+    the batch alone for those.
+
+    A document's signature depends only on its own shingles, so corpus
+    signatures computed incrementally (or staged to parquet by a prior
+    run — ``sources.staging.stage_bucketed`` on the band columns makes
+    the candidate join shuffle-free) are identical to recomputed ones.
+
+    Plan shape at 100 TB: the batch side is ingest-sized, so its banded
+    signature table and its shingle table BROADCAST; the corpus-side
+    shingle/signature scans never shuffle — candidate discovery is one
+    broadcast hash join on (band, bh) and verification costs ∝
+    candidates, exactly like :func:`benchmark_contamination`.
+    """
+    rows = num_perms // bands
+    new_sh = _shingle_table(new_df, text_col, id_col, k).cache()
+    corp_sh = _shingle_table(corpus_df, text_col, id_col, k)
+    new_banded = _banded_signatures(
+        minhash_signatures(new_df, text_col, id_col, num_perms, k, _shingles=new_sh),
+        bands,
+        rows,
+    ).select(F.col("doc").alias("new_id"), "band", "bh")
+    corp_banded = _banded_signatures(
+        minhash_signatures(corpus_df, text_col, id_col, num_perms, k, _shingles=corp_sh),
+        bands,
+        rows,
+    ).select(F.col("doc").alias("corpus_id"), "band", "bh")
+    cands = (
+        corp_banded.join(F.broadcast(new_banded), ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    # exact verification: corpus shingles semi-filtered to candidates
+    # (never shuffled at corpus scale), batch shingles broadcast
+    cand_corp = cands.select(F.col("corpus_id").alias("doc")).distinct()
+    cs = corp_sh.join(F.broadcast(cand_corp), "doc", "left_semi")
+    n_new = new_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_new"))
+    n_corp = cs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_corp"))
+    common = (
+        cands.join(
+            cs.select(F.col("doc").alias("corpus_id"), "shingle"), "corpus_id"
+        )
+        .join(
+            F.broadcast(
+                new_sh.select(F.col("doc").alias("new_id"), "shingle")
+            ),
+            ["new_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            F.broadcast(n_new.select(F.col("doc").alias("new_id"), "n_new")),
+            "new_id",
+        )
+        .join(
+            n_corp.select(F.col("doc").alias("corpus_id"), "n_corp"),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_new") + F.col("n_corp") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    return out

@@ -1977,6 +1977,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_domain_mix_plan",
     "doc_domain_mix_sample",
     "doc_bm25_search",
+    "doc_incremental_dedup",
     "emb_knn_ivf_refined",
     "doc_chunks",
     "doc_tfidf_terms",

@@ -1614,6 +1614,62 @@ WHERE ({_h64("CAST(doc_id AS VARCHAR)")} % 10000) < thr
 """
 
 
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup: the 10% of documents with ``doc_id % 10 = 0``
+    play the new batch; matches are sought only AGAINST the other 90%
+    (the staged corpus), never corpus-vs-corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dd.minhash_lsh_pairs_between(
+        new, corpus, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS,
+        threshold=JACCARD_T,
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    # signatures depend only on a document's own shingles, so computing
+    # them over the full table and splitting afterwards is identical to
+    # the Spark side's per-subset computation
+    pa, pb = dd._perm_constants(NUM_PERMS)
+    rows = NUM_PERMS // BANDS
+    base_h = f"({_h64('shingle')} % {dd.MINHASH_PRIME})"
+    sig_aggs = ", ".join(
+        f"MIN(({base_h} * {pa[p]} + {pb[p]}) % {dd.MINHASH_PRIME}) AS sig{p:02d}"
+        for p in range(NUM_PERMS)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        cols = ", ".join(f"sig{p:02d}" for p in range(b * rows, (b + 1) * rows))
+        band_rows.append(
+            f"SELECT doc, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc, {sig_aggs} FROM sh GROUP BY doc),
+banded AS ({banded}),
+cands AS (
+  SELECT DISTINCT b.doc AS new_id, a.doc AS corpus_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc % 10 <> 0 AND b.doc % 10 = 0
+),
+common AS (
+  SELECT c.new_id, c.corpus_id, COUNT(*) AS common
+  FROM cands c
+  JOIN sh s1 ON s1.doc = c.corpus_id
+  JOIN sh s2 ON s2.doc = c.new_id AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+)
+SELECT common.new_id, common.corpus_id,
+       CAST(common AS DOUBLE) / (sn.n + sc.n - common) AS jaccard
+FROM common
+JOIN sizes sn ON common.new_id = sn.doc
+JOIN sizes sc ON common.corpus_id = sc.doc
+WHERE CAST(common AS DOUBLE) / (sn.n + sc.n - common) >= {JACCARD_T}
+"""
+
+
 BM25_TERMS = ("join", "vector", "stream")
 BM25_TOP_K = 100
 
@@ -1715,6 +1771,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_domain_mix_plan": doc_domain_mix_plan,
     "doc_domain_mix_sample": doc_domain_mix_sample,
     "doc_bm25_search": doc_bm25_search,
+    "doc_incremental_dedup": doc_incremental_dedup,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1760,6 +1817,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_domain_mix_plan": _MIX_PLAN_SQL,
     "doc_domain_mix_sample": _MIX_SAMPLE_SQL,
     "doc_bm25_search": _bm25_sql(),
+    "doc_incremental_dedup": _incremental_dedup_sql(),
     # geo_user_tracks: no oracle — JSON document assembly is not
     # SQL-practical; the driver records a rows-only check
 }

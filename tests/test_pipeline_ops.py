@@ -676,3 +676,43 @@ def test_cross_group_shingle_overlap(spark):
     assert r["n1"] == 2 and r["n2"] == 4
     assert r["overlap_frac"] == 0.5  # 1 / min(2, 4)
     assert ("sa", "sc") not in got  # zero overlap pairs are absent
+
+
+def test_minhash_lsh_pairs_between_matches_self_join(spark):
+    """Cross-batch pairs must equal the full self-join's pairs restricted
+    to (new, corpus) sides — and exclude within-batch duplicates."""
+    from gdutils_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_between,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),  # corpus
+            (2, base + " tail"),  # corpus: near-dup of 1
+            (10, base),  # batch: dup of 1 and 2
+            (20, base + " tail"),  # batch: dup too (and of 10)
+            (3, "completely different words everywhere nothing shared"),
+            (30, "unrelated batch document with its own content here"),
+        ],
+        DOCS_TXT,
+    )
+    new = docs.where("doc_id >= 10")
+    corpus = docs.where("doc_id < 10")
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in minhash_lsh_pairs_between(
+            new, corpus, num_perms=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    full = {
+        (max(r["d1"], r["d2"]), min(r["d1"], r["d2"])): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, num_perms=16, bands=4, threshold=0.5
+        ).collect()
+        if (r["d1"] >= 10) != (r["d2"] >= 10)
+    }
+    assert got == full
+    assert (10, 1) in got and got[(10, 1)] == 1.0
+    assert all(new_id >= 10 and corp_id < 10 for new_id, corp_id in got)
