@@ -179,3 +179,48 @@ def test_minhash_verification_semi_filters_shingles(spark, sf_correct):
     table never shuffles after the signature aggregate."""
     plan = formatted_plan(QUERIES["doc_minhash_lsh_pairs"](spark, sf_correct))
     assert "BroadcastHashJoin LeftSemi" in plan
+
+
+def test_bm25_no_python_no_vocab_join(spark, sf_correct):
+    """BM25 with literal terms: tf columns stay in the JVM (no explode,
+    no vocabulary join) and the only exchanges are the 1-row stats
+    broadcast plus the final top-k sort."""
+    df = QUERIES["doc_bm25_search"](spark, sf_correct)
+    assert not uses_python(df)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan  # no explode — tf is a projection
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_domain_mix_sample_corpus_never_shuffles(spark, sf_correct):
+    """The corpus rows reach the output through broadcast joins only —
+    every Exchange in the plan belongs to the stratum-sized rate
+    computation, so no hashpartitioning touches doc-grain rows."""
+    df = QUERIES["doc_domain_mix_sample"](spark, sf_correct)
+    assert not uses_python(df)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(plan)
+    # the corpus-side filter (bucket < threshold) sits scan-side, after
+    # a broadcast join — not behind a hashpartitioning of documents
+    assert "SortMergeJoin" not in plan
+
+
+def test_keep_best_corpus_side_is_broadcast(spark, sf_correct):
+    """Survivor labels join back to the corpus by broadcast; the corpus
+    scan itself is never exchange-partitioned by cluster id."""
+    plan = formatted_plan(QUERIES["doc_dedup_keep_best"](spark, sf_correct))
+    assert has_broadcast_join(plan)
+
+
+def test_incremental_dedup_batch_side_broadcasts(spark, sf_correct):
+    """Candidate discovery joins the batch's banded signatures into the
+    corpus side as a broadcast — the property that makes per-batch cost
+    independent of corpus size."""
+    plan = formatted_plan(QUERIES["doc_incremental_dedup"](spark, sf_correct))
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_source_overlap_no_python(spark, sf_correct):
+    df = QUERIES["doc_source_overlap"](spark, sf_correct)
+    assert not uses_python(df)
