@@ -1958,9 +1958,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # q14-q17/q22, and the repetition/source/shard/semdedup pipeline
     # ops), then as many of the 17 entries whose latest green row is r2
     # as fit; every entry displaced past position 50 has a green row
-    # from r1-r3 (doc_minhash_lsh_pairs, doc_simhash,
-    # doc_simhash_near_pairs, doc_dup_clusters and doc_quality_filter
-    # stay r2-latest and rotate back in next round)
+    # from r1-r3. After this round's additions the 11 text/dedup entries
+    # from doc_text_stats through doc_quality_filter sit past the
+    # window and stay r2-latest — they are the round-5 rotation
+    # priority, together with anything r3-latest by then
     "q2_min_balance_supplier",
     "q8_market_share",
     "q9_product_profit",
