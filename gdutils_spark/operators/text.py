@@ -552,6 +552,8 @@ def bm25_rank(
     which AQE executes as a partial TakeOrdered. At 100 TB this is one
     scan + a k-row result.
     """
+    if not terms:
+        raise ValueError("bm25_rank needs at least one query term")
     toks = tokens(F.col(text_col))
 
     def _tf(term: str) -> Column:

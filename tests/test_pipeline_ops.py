@@ -716,3 +716,10 @@ def test_minhash_lsh_pairs_between_matches_self_join(spark):
     assert got == full
     assert (10, 1) in got and got[(10, 1)] == 1.0
     assert all(new_id >= 10 and corp_id < 10 for new_id, corp_id in got)
+
+
+def test_bm25_rank_rejects_empty_terms():
+    from gdutils_spark.operators.text import bm25_rank
+
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_rank(None, terms=())
