@@ -859,3 +859,32 @@ def minhash_lsh_pairs_between(
         .select("new_id", "corpus_id", "jaccard")
     )
     return out
+
+
+def cluster_size_stats(
+    components: DataFrame,
+    node: str = "node",
+    comp: str = "comp",
+) -> DataFrame:
+    """Duplicate-cluster size distribution: for each cluster size, how
+    many clusters have that size and how many documents they hold — the
+    standard dedup report (how much of the corpus is duplicated, and in
+    how large groups) run after ``connected_components``.
+
+    Plan shape: two map-side-combinable hash aggregates over the
+    edge-sized component table; the corpus itself is never touched. The
+    first groupBy shuffles on the cluster label, the second on the
+    (tiny, at most |distinct sizes|) size key.
+    """
+    sizes = components.groupBy(F.col(comp).alias("_c")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

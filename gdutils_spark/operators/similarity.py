@@ -838,3 +838,37 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def knn_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an approximate kNN result against exact ground truth.
+
+    Both inputs use the ``knn_*`` output contract (query_id, neighbor_id,
+    score). Output: one row per ground-truth query with the hit count and
+    ``recall_at_k = n_hits / k`` — the standard ANN evaluation report
+    (every ANN deployment tunes bands/probes against exactly this number).
+
+    Plan shape: both inputs are top-k results, i.e. |Q|·k rows — tiny
+    relative to the corpus that produced them — so the pair-key equi-join
+    and the two hash aggregates are negligible; at 100 TB the cost lives
+    in producing the inputs, not comparing them. Queries the approximate
+    index missed entirely still appear (left join from the ground-truth
+    query set, zero-filled).
+    """
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    truth_queries = exact.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return truth_queries.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        (n.cast("double") / F.lit(float(k))).alias("recall_at_k"),
+    )

@@ -603,3 +603,45 @@ def bm25_rank(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language vocabulary profile for tokenizer training / corpus
+    health checks: document count, total and distinct token counts, hapax
+    legomena (tokens seen exactly once), and the type-token ratio.
+
+    Plan shape: explode → (lang, token) hash aggregate (map-side
+    combinable, the token stream never leaves its scan partition until
+    partially reduced) → per-lang rollup; the per-lang doc counts come
+    from a separate count on the un-exploded scan and join on the
+    language key — at most |languages| rows on either side of that join.
+    Integer outputs are exact; the single IEEE division happens last.
+    """
+    toks = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    freq = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum("freq").alias("total_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("hapax_tokens"),
+    )
+    docs = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return docs.join(vocab, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("total_tokens", F.lit(0).cast("long")).alias("total_tokens"),
+        F.coalesce("distinct_tokens", F.lit(0).cast("long")).alias("distinct_tokens"),
+        F.coalesce("hapax_tokens", F.lit(0).cast("long")).alias("hapax_tokens"),
+        F.when(
+            F.coalesce("total_tokens", F.lit(0)) > 0,
+            F.col("distinct_tokens").cast("double") / F.col("total_tokens"),
+        ).alias("type_token_ratio"),
+    )

@@ -1955,13 +1955,18 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # round 4 window: every never-driver-verified query first (the new
     # round-trip surface queries, refined IVF, chunking/tf-idf/quantize,
     # thumbnails, streaming round-trips, the TPC-H shapes q2/q7/q8/q9/
-    # q14-q17/q22, and the repetition/source/shard/semdedup pipeline
-    # ops), then as many of the 17 entries whose latest green row is r2
-    # as fit; every entry displaced past position 50 has a green row
-    # from r1-r3. After this round's additions the 11 text/dedup entries
-    # from doc_text_stats through doc_quality_filter sit past the
-    # window and stay r2-latest — they are the round-5 rotation
-    # priority, together with anything r3-latest by then
+    # q14-q17/q22, the repetition/source/shard/semdedup pipeline ops,
+    # and the recall/cluster-stats/vocab evaluation reports), then as
+    # many of the 17 entries whose latest green row is r2 as fit; every
+    # entry displaced past position 50 has a green row from r1-r3.
+    # After this round's additions the 11 text/dedup entries from
+    # doc_text_stats through doc_quality_filter plus the displaced
+    # users_click_no_purchase / event_type_pivot / q10_returned_revenue
+    # sit past the window and stay r2-latest — they are the round-5
+    # rotation priority, together with anything r3-latest by then
+    "emb_knn_recall",
+    "doc_dup_cluster_stats",
+    "doc_vocab_stats",
     "q2_min_balance_supplier",
     "q8_market_share",
     "q9_product_profit",

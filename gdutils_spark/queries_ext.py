@@ -1724,10 +1724,107 @@ LIMIT {BM25_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# Evaluation / profiling reports
+# ---------------------------------------------------------------------------
+
+
+def emb_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the sign-LSH bucketed index
+    against the exact brute-force ground truth, per query. The number
+    every ANN deployment tunes its planes/bands/probes against."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    approx = sim.knn_lsh(vectors, queries, k=KNN_K, planes=LSH_PLANES, dims=EMB_DIMS)
+    exact = sim.knn_bruteforce(vectors, queries, k=KNN_K)
+    return sim.knn_recall(approx, exact, k=KNN_K)
+
+
+def _knn_recall_sql() -> str:
+    return f"""
+WITH exact AS ({_KNN_SQL}),
+approx AS ({_knn_lsh_sql()}),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e
+  JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       COALESCE(n_hits, 0) AS n_hits,
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / {KNN_K} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits USING (query_id)
+"""
+
+
+def doc_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup reporting: the duplicate-cluster size distribution (how many
+    clusters of each size, and how many documents they hold) over the
+    MinHash-LSH connected components."""
+    pairs = dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_perms=NUM_PERMS,
+        k=NGRAM_K,
+        bands=BANDS,
+        threshold=JACCARD_T,
+    )
+    cc = dd.connected_components(pairs, src="d1", dst="d2")
+    return dd.cluster_size_stats(cc)
+
+
+def _dup_cluster_stats_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM cc GROUP BY component)
+SELECT cluster_size, COUNT(*) AS n_clusters, cluster_size * COUNT(*) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary profile (doc/token/type/hapax counts,
+    type-token ratio) — the corpus health report run before tokenizer
+    training."""
+    return tx.vocab_stats(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_STATS_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKS}) AS token FROM documents
+), freq AS (
+  SELECT lang, token, COUNT(*) AS freq FROM toks GROUP BY lang, token
+), vocab AS (
+  SELECT lang,
+         COUNT(*) AS distinct_tokens,
+         CAST(SUM(freq) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+  FROM freq GROUP BY lang
+), docs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+SELECT d.lang, d.n_docs,
+       COALESCE(total_tokens, 0) AS total_tokens,
+       COALESCE(distinct_tokens, 0) AS distinct_tokens,
+       COALESCE(hapax_tokens, 0) AS hapax_tokens,
+       CASE WHEN COALESCE(total_tokens, 0) > 0
+            THEN CAST(distinct_tokens AS DOUBLE) / total_tokens END AS type_token_ratio
+FROM docs d LEFT JOIN vocab USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "emb_knn_recall": emb_knn_recall,
+    "doc_dup_cluster_stats": doc_dup_cluster_stats,
+    "doc_vocab_stats": doc_vocab_stats,
     "doc_text_stats": doc_text_stats,
     "doc_token_counts": doc_token_counts,
     "doc_rolling_fp": doc_rolling_fp,
@@ -1775,6 +1872,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "emb_knn_recall": _knn_recall_sql(),
+    "doc_dup_cluster_stats": _dup_cluster_stats_sql(),
+    "doc_vocab_stats": _VOCAB_STATS_SQL,
     "doc_text_stats": _TEXT_STATS_SQL,
     "doc_token_counts": _TOKEN_COUNTS_SQL,
     "doc_rolling_fp": _ROLLING_FP_SQL,

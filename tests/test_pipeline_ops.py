@@ -723,3 +723,51 @@ def test_bm25_rank_rejects_empty_terms():
 
     with pytest.raises(ValueError, match="at least one"):
         bm25_rank(None, terms=())
+
+
+def test_knn_recall_zero_hit_queries_still_reported(spark):
+    from gdutils_spark.operators.similarity import knn_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (2, 20, 0.7), (2, 21, 0.6)],
+        "query_id long, neighbor_id long, score double",
+    )
+    # query 2 missed entirely; query 1 found one of two
+    approx = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 99, 0.5)],
+        "query_id long, neighbor_id long, score double",
+    )
+    rows = {r["query_id"]: r for r in knn_recall(approx, exact, k=2).collect()}
+    assert rows[1]["n_hits"] == 1 and rows[1]["recall_at_k"] == 0.5
+    assert rows[2]["n_hits"] == 0 and rows[2]["recall_at_k"] == 0.0
+
+
+def test_cluster_size_stats_histogram(spark):
+    from gdutils_spark.operators.dedup import cluster_size_stats
+
+    cc = spark.createDataFrame(
+        # two clusters of size 2, one of size 3
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 5), (7, 5)],
+        "node long, comp long",
+    )
+    rows = {r["cluster_size"]: r for r in cluster_size_stats(cc).collect()}
+    assert rows[2]["n_clusters"] == 2 and rows[2]["n_docs"] == 4
+    assert rows[3]["n_clusters"] == 1 and rows[3]["n_docs"] == 3
+
+
+def test_vocab_stats_hapax_and_ratio(spark):
+    from gdutils_spark.operators.text import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a", "en"), (2, "b c", "en"), (3, "x", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["lang"]: r for r in vocab_stats(docs).collect()}
+    en = rows["en"]
+    assert en["n_docs"] == 2
+    assert en["total_tokens"] == 5
+    assert en["distinct_tokens"] == 3
+    assert en["hapax_tokens"] == 1  # only 'c' occurs exactly once
+    assert en["type_token_ratio"] == 3 / 5
+    fr = rows["fr"]
+    assert fr["total_tokens"] == 1 and fr["hapax_tokens"] == 1
