@@ -1817,12 +1817,79 @@ FROM docs d LEFT JOIN vocab USING (lang)
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream — cohort = ISO week
+    of first activity, retention = distinct actives per week offset."""
+    from gdutils_spark.operators import behavior as bh
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    return bh.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+_COHORT_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), pu AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+), counts AS (
+  SELECT cohort_week,
+         CAST((week - cohort_week) / 7 AS INT) AS week_offset,
+         COUNT(*) AS n_users
+  FROM uw JOIN pu USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_users,
+       CAST(n_users AS DOUBLE)
+         / MAX(CASE WHEN week_offset = 0 THEN n_users END)
+             OVER (PARTITION BY cohort_week) AS retention_rate
+FROM counts
+"""
+
+
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered view→click→purchase funnel (first-touch): one
+    Catalyst fold over each user's time-ordered step events."""
+    from gdutils_spark.operators import behavior as bh
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    return bh.funnel(load_table(spark, sf_dir, "events"), steps=FUNNEL_STEPS)
+
+
+def _funnel_sql() -> str:
+    s0, s1, s2 = FUNNEL_STEPS
+    return f"""
+WITH t0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = '{s0}' GROUP BY user_id
+), t1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t0 USING (user_id)
+  WHERE e.event_type = '{s1}' AND e.ts > t0.t GROUP BY e.user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts > t1.t GROUP BY e.user_id
+)
+SELECT 0 AS step_index, '{s0}' AS step, (SELECT COUNT(*) FROM t0) AS n_users
+UNION ALL
+SELECT 1, '{s1}', (SELECT COUNT(*) FROM t1)
+UNION ALL
+SELECT 2, '{s2}', (SELECT COUNT(*) FROM t2)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_recall": emb_knn_recall,
+    "user_cohort_retention": user_cohort_retention,
+    "user_funnel": user_funnel,
     "doc_dup_cluster_stats": doc_dup_cluster_stats,
     "doc_vocab_stats": doc_vocab_stats,
     "doc_text_stats": doc_text_stats,
@@ -1873,6 +1940,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLE: dict[str, str] = {
     "emb_knn_recall": _knn_recall_sql(),
+    "user_cohort_retention": _COHORT_SQL,
+    "user_funnel": _funnel_sql(),
     "doc_dup_cluster_stats": _dup_cluster_stats_sql(),
     "doc_vocab_stats": _VOCAB_STATS_SQL,
     "doc_text_stats": _TEXT_STATS_SQL,

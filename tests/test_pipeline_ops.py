@@ -771,3 +771,60 @@ def test_vocab_stats_hapax_and_ratio(spark):
     assert en["type_token_ratio"] == 3 / 5
     fr = rows["fr"]
     assert fr["total_tokens"] == 1 and fr["hapax_tokens"] == 1
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime
+
+    from gdutils_spark.operators.behavior import funnel
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered conversion
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: purchase BEFORE click — reaches click only
+        (2, t(1), "view"), (2, t(3), "click"), (2, t(2), "purchase"),
+        # user 3: click before any view — reaches view only
+        (3, t(2), "view"), (3, t(1), "click"),
+        # user 4: no view at all — appears nowhere
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["step"]: r["n_users"] for r in funnel(df).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_not_after(spark):
+    from datetime import datetime
+
+    from gdutils_spark.operators.behavior import funnel
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, "view"), (1, t0, "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {r["step"]: r["n_users"] for r in funnel(df).collect()}
+    assert got == {"view": 1, "click": 0, "purchase": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime
+
+    from gdutils_spark.operators.behavior import cohort_retention
+
+    df = spark.createDataFrame(
+        [
+            # user 1: active week 0 (Mon 2024-01-01) and week 2
+            (1, datetime(2024, 1, 2)),
+            (1, datetime(2024, 1, 16)),
+            # user 2: same cohort, week 0 only (two events, one week)
+            (2, datetime(2024, 1, 3)),
+            (2, datetime(2024, 1, 4)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {r["week_offset"]: r for r in cohort_retention(df).collect()}
+    assert rows[0]["n_users"] == 2 and rows[0]["retention_rate"] == 1.0
+    assert rows[2]["n_users"] == 1 and rows[2]["retention_rate"] == 0.5
+    assert str(rows[0]["cohort_week"]) == "2024-01-01"
