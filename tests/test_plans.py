@@ -224,3 +224,28 @@ def test_incremental_dedup_batch_side_broadcasts(spark, sf_correct):
 def test_source_overlap_no_python(spark, sf_correct):
     df = QUERIES["doc_source_overlap"](spark, sf_correct)
     assert not uses_python(df)
+
+
+def test_funnel_prunes_to_step_events_single_user_shuffle(spark, sf_correct):
+    """The funnel scan pushes the step-type IN filter to parquet, the
+    fold stays JVM-side (no Python), and the per-user list build is the
+    only data-sized Exchange (the final count + explode run on 1 row)."""
+    plan = formatted_plan(QUERIES["user_funnel"](spark, sf_correct))
+    assert any("In(event_type" in f for f in pushed_filters(plan))
+    assert not uses_python(plan)
+    # user-key agg exchange + the single-row final agg exchange
+    assert n_exchanges(plan) <= 2
+
+
+def test_vocab_stats_no_python(spark, sf_correct):
+    plan = formatted_plan(QUERIES["doc_vocab_stats"](spark, sf_correct))
+    assert not uses_python(plan)
+
+
+def test_cohort_retention_no_join_on_events(spark, sf_correct):
+    """Retention never joins the event scan against itself: the plan is
+    distinct → user agg → explode → agg → window, with no Join nodes
+    over event-sized inputs (no SortMergeJoin/BroadcastHashJoin at all)."""
+    plan = formatted_plan(QUERIES["user_cohort_retention"](spark, sf_correct))
+    assert "Join" not in plan
+    assert not uses_python(plan)
