@@ -402,25 +402,44 @@ def repetition_signals(
     """
     t = F.col(text_col)
     ws = F.split(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " ")
-    n_tok = F.size(ws)
 
-    def grams(k: int) -> Column:
+    # Materialize the token array (and the gram arrays) as projection
+    # attributes BEFORE any higher-order lambda touches them: HOFs are
+    # CodegenFallback (interpreted), and `element_at` over an
+    # un-materialized split(regexp_replace(...)) subtree re-runs the
+    # regex + split for every element — O(tokens²) regex work per
+    # document (measured: minutes per task at sf0.1 under collect(),
+    # invisible under count() because pruning drops the column). With
+    # `_ws` as an attribute the lambda indexes an in-memory array; the
+    # multi-reference + non-cheap expressions also stop CollapseProject
+    # from inlining them back.
+    def grams(wscol: Column, n_tok: Column, k: int) -> Column:
         g = F.transform(
             F.sequence(F.lit(0), n_tok - k),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + j + 1) for j in range(k)]
+                " ", *[F.element_at(wscol, i + j + 1) for j in range(k)]
             ),
         )
         return F.when(n_tok >= k, g).otherwise(F.array().cast("array<string>"))
 
-    g5 = grams(dup_n)
-    n5 = F.size(g5)
-    dup_frac = F.try_divide((n5 - F.size(F.array_distinct(g5))).cast("double"), n5)
-    exploded = df.select(
+    base = df.select(F.col(id_col), ws.alias("_ws")).select(
+        F.col(id_col), F.col("_ws"), F.size("_ws").alias("_n")
+    )
+    staged = base.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        F.col("_n").alias("n_tokens"),
+        grams(F.col("_ws"), F.col("_n"), dup_n).alias("_g5"),
+        grams(F.col("_ws"), F.col("_n"), 2).alias("_g2"),
+    )
+    n5 = F.size(F.col("_g5"))
+    dup_frac = F.try_divide(
+        (n5 - F.size(F.array_distinct(F.col("_g5")))).cast("double"), n5
+    )
+    exploded = staged.select(
+        F.col(id_col),
+        F.col("n_tokens"),
         dup_frac.alias("dup_ngram_frac"),
-        F.explode_outer(grams(2)).alias("gram"),
+        F.explode_outer(F.col("_g2")).alias("gram"),
     )
     counts = exploded.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("n"),

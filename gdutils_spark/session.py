@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # bench/driver sessions compile hundreds of whole-stage-codegen
+        # classes in one JVM; the 240m default JIT code cache can fill,
+        # which silently disables compilation and drops hot expression
+        # trees into interpreted eval
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Python data sources (sources/erddap.py) receive Catalyst filters
