@@ -41,19 +41,6 @@ def normalize_text(text: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of the normalized text. Empty array
-    when the document has fewer than k tokens."""
-    ws = F.split(normalize_text(text), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(k)]),
-    )
-    return F.when(F.size(ws) >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def _md5_int64(s: Column) -> Column:
     """First 15 hex chars of md5 as a non-negative int64 (60 bits) —
     reproducible in any engine with md5 + hex parsing."""
