@@ -82,16 +82,21 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # Key order matters: the driver's wrapper stores only the LAST ~2 KB
+    # of stdout ("tail"), which front-truncates a long line (observed in
+    # BENCH_r03.json: "parsed": null, tail starts mid-queries). Putting
+    # the headline metric/value/sf AFTER the per-query dict keeps them
+    # inside whatever suffix survives.
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
                 "agg": f"min_of_{RUNS}",
                 "cold_total": round(sum(cold.values()), 4),
+                "metric": "total_query_wall_seconds",
+                "unit": "sec",
+                "sf": _sf_from_dir(SF_DIR),
+                "value": total,
             }
         )
     )

@@ -22,11 +22,27 @@ def load_queries(path: str) -> dict[str, float]:
         d = json.loads(raw.strip().splitlines()[-1])
     if "queries" in d:
         return d["queries"]
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]["queries"]
     # driver wrapper: the bench line is embedded in the "tail" string
-    m = re.search(r'\{"metric".*', d.get("tail", ""))
-    if not m:
+    m = re.search(r'\{"(?:metric|queries)".*', d.get("tail", ""))
+    if m:
+        try:
+            line = json.loads(m.group(0).rstrip("\\n").rstrip())
+            return line["queries"]
+        except (json.JSONDecodeError, KeyError):
+            pass
+    # tail may be FRONT-truncated (the driver keeps only the last ~2 KB):
+    # recover whatever per-query pairs survive
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d.get("tail", ""))
+    out = {
+        k: float(v)
+        for k, v in pairs
+        if k not in ("value", "sf", "cold_total", "n", "rc", "cpus")
+    }
+    if not out:
         raise SystemExit(f"{path}: no bench line found")
-    return json.loads(m.group(0).rstrip("\\n").rstrip())["queries"]
+    return out
 
 
 def main() -> None:
