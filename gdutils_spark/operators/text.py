@@ -664,3 +664,36 @@ def vocab_stats(
             F.col("distinct_tokens").cast("double") / F.col("total_tokens"),
         ).alias("type_token_ratio"),
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    by: str = "source",
+    length_col: str = "n_chars",
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Fixed-width length histogram per group — the corpus-profiling
+    report behind truncation/packing decisions (what share of each
+    source exceeds the context budget). Bucket ``b`` covers
+    ``[b*width, (b+1)*width)``.
+
+    Plan shape: one map-side-combinable hash aggregate over a 2-column
+    projection of the scan; output is (groups × occupied buckets) rows.
+    Integer outputs plus one final IEEE division.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    b = F.floor(F.col(length_col) / bucket_width).cast("long")
+    counts = df.groupBy(F.col(by).alias(by), b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_docs").over(Window.partitionBy(by))
+    return counts.select(
+        by,
+        "bucket",
+        (F.col("bucket") * bucket_width).alias("bucket_lo"),
+        "n_docs",
+        (F.col("n_docs").cast("double") / total).alias("share"),
+    )

@@ -1967,6 +1967,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "emb_knn_recall",
     "doc_dup_cluster_stats",
     "doc_vocab_stats",
+    "doc_length_histogram",
     "user_cohort_retention",
     "user_funnel",
     "q2_min_balance_supplier",

@@ -1788,6 +1788,31 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+LEN_BUCKET = 100
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram (100-char buckets) with each
+    bucket's share of its source — the profiling report behind
+    truncation/packing decisions."""
+    return tx.length_histogram(
+        load_table(spark, sf_dir, "documents"), bucket_width=LEN_BUCKET
+    )
+
+
+_LEN_HIST_SQL = f"""
+WITH counts AS (
+  SELECT source,
+         CAST(FLOOR(n_chars / {LEN_BUCKET}.0) AS BIGINT) AS bucket,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, bucket, bucket * {LEN_BUCKET} AS bucket_lo, n_docs,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source) AS share
+FROM counts
+"""
+
+
 def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary profile (doc/token/type/hapax counts,
     type-token ratio) — the corpus health report run before tokenizer
@@ -1892,6 +1917,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_funnel": user_funnel,
     "doc_dup_cluster_stats": doc_dup_cluster_stats,
     "doc_vocab_stats": doc_vocab_stats,
+    "doc_length_histogram": doc_length_histogram,
     "doc_text_stats": doc_text_stats,
     "doc_token_counts": doc_token_counts,
     "doc_rolling_fp": doc_rolling_fp,
@@ -1944,6 +1970,7 @@ EXT_ORACLE: dict[str, str] = {
     "user_funnel": _funnel_sql(),
     "doc_dup_cluster_stats": _dup_cluster_stats_sql(),
     "doc_vocab_stats": _VOCAB_STATS_SQL,
+    "doc_length_histogram": _LEN_HIST_SQL,
     "doc_text_stats": _TEXT_STATS_SQL,
     "doc_token_counts": _TOKEN_COUNTS_SQL,
     "doc_rolling_fp": _ROLLING_FP_SQL,

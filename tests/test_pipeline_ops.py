@@ -828,3 +828,21 @@ def test_cohort_retention_offsets(spark):
     assert rows[0]["n_users"] == 2 and rows[0]["retention_rate"] == 1.0
     assert rows[2]["n_users"] == 1 and rows[2]["retention_rate"] == 0.5
     assert str(rows[0]["cohort_week"]) == "2024-01-01"
+
+
+def test_length_histogram_buckets_and_share(spark):
+    from gdutils_spark.operators.text import length_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 150), (3, "a", 155), (4, "b", 10)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = {(r["source"], r["bucket"]): r for r in length_histogram(df).collect()}
+    assert rows[("a", 0)]["n_docs"] == 1 and rows[("a", 0)]["bucket_lo"] == 0
+    assert rows[("a", 1)]["n_docs"] == 2 and rows[("a", 1)]["share"] == 2 / 3
+    assert rows[("b", 0)]["share"] == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        length_histogram(df, bucket_width=0)
