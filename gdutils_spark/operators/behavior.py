@@ -131,10 +131,13 @@ def funnel(
             "_evs", _funnel_state(steps, ts_type), _advance
         ).alias("_st")
     )
+    # coalesce: on an empty input sum() is NULL, but the count semantics
+    # (and any COUNT(*)-based oracle) call for 0
     counts = state.agg(
         *[
-            F.sum(
-                F.when(F.col("_st")[f"t{i}"].isNotNull(), 1).otherwise(0)
+            F.coalesce(
+                F.sum(F.when(F.col("_st")[f"t{i}"].isNotNull(), 1).otherwise(0)),
+                F.lit(0),
             ).alias(f"_n{i}")
             for i in range(len(steps))
         ]

@@ -1961,9 +1961,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # entry displaced past position 50 has a green row from r1-r3.
     # After this round's additions the 11 text/dedup entries from
     # doc_text_stats through doc_quality_filter plus the displaced
-    # users_click_no_purchase / event_type_pivot / q10_returned_revenue
-    # sit past the window and stay r2-latest — they are the round-5
-    # rotation priority, together with anything r3-latest by then
+    # q18/q19/daily_revenue_7d_ma/users_click_no_purchase/
+    # event_type_pivot/q10_returned_revenue sit past the window and stay
+    # r2-latest — they are the round-5 rotation priority, together with
+    # anything r3-latest by then
     "emb_knn_recall",
     "doc_dup_cluster_stats",
     "doc_vocab_stats",

@@ -846,3 +846,13 @@ def test_length_histogram_buckets_and_share(spark):
 
     with _pytest.raises(ValueError):
         length_histogram(df, bucket_width=0)
+
+
+def test_funnel_empty_input_counts_zero(spark):
+    from gdutils_spark.operators.behavior import funnel
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    got = {r["step"]: r["n_users"] for r in funnel(df).collect()}
+    assert got == {"view": 0, "click": 0, "purchase": 0}
