@@ -856,3 +856,61 @@ def test_funnel_empty_input_counts_zero(spark):
     )
     got = {r["step"]: r["n_users"] for r in funnel(df).collect()}
     assert got == {"view": 0, "click": 0, "purchase": 0}
+
+
+def test_cohort_retention_invariants_on_events(spark, sf_smoke):
+    """Data invariants at sf0.001: offset-0 row per cohort equals the
+    cohort size (every user is active in their first week), no offset is
+    negative, and no offset's actives exceed the cohort size."""
+    from gdutils_spark.operators.behavior import cohort_retention
+    from gdutils_spark.queries import _utc
+    from gdutils_spark.sources.tables import load_table
+
+    _utc(spark)
+    rows = cohort_retention(load_table(spark, sf_smoke, "events")).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets, f"cohort {cohort} missing offset 0"
+        base = offsets[0]["n_users"]
+        assert offsets[0]["retention_rate"] == 1.0
+        for off, r in offsets.items():
+            assert off >= 0
+            assert 0 < r["n_users"] <= base
+            assert r["retention_rate"] == r["n_users"] / base
+
+
+def test_funnel_monotone_on_events(spark, sf_smoke):
+    """Each funnel step can only lose users relative to the previous."""
+    from gdutils_spark.operators.behavior import funnel
+    from gdutils_spark.queries import _utc
+    from gdutils_spark.sources.tables import load_table
+
+    _utc(spark)
+    rows = sorted(
+        funnel(load_table(spark, sf_smoke, "events")).collect(),
+        key=lambda r: r["step_index"],
+    )
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0  # sf0.001 has view events
+
+
+def test_vocab_stats_totals_match_token_counts(spark, sf_smoke):
+    """Corpus-level conservation: per-lang total_tokens sums to the
+    corpus token count, and hapax <= distinct <= total."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.text import tokens, vocab_stats
+    from gdutils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = vocab_stats(docs).collect()
+    total = sum(r["total_tokens"] for r in rows)
+    expect = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("n")
+    ).collect()[0]["n"]
+    assert total == expect
+    for r in rows:
+        assert r["hapax_tokens"] <= r["distinct_tokens"] <= r["total_tokens"]
