@@ -29,6 +29,11 @@ NAMES = [
     "doc_tfidf_terms",
     "emb_quantize",
     "doc_pii_scrub",
+    "user_funnel",
+    "user_cohort_retention",
+    "doc_vocab_stats",
+    "doc_repetition_signals",
+    "emb_knn_recall",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
