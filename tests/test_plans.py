@@ -249,3 +249,10 @@ def test_cohort_retention_no_join_on_events(spark, sf_correct):
     plan = formatted_plan(QUERIES["user_cohort_retention"](spark, sf_correct))
     assert "Join" not in plan
     assert not uses_python(plan)
+
+
+def test_length_histogram_single_agg_no_python(spark, sf_correct):
+    """Histogram = one combinable hash agg + a tiny window; 2-column scan."""
+    plan = formatted_plan(QUERIES["doc_length_histogram"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
