@@ -820,6 +820,110 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
+# S2: live Advanced-Search catalog source (file:// transport)
+# ---------------------------------------------------------------------------
+
+
+def rt_search_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 Advanced-Search catalog source, end-to-end through the
+    ``erddap`` DataSource's file:// transport
+    (/root/reference/gdutils/__init__.py:483,506-527 — ``get_search_url``
+    + ``pd.read_csv`` + delayed-mode drop): a deterministic catalog CSV
+    derived from ``supplier`` is served as ``{dir}/search/advanced.csv``;
+    ``GdacClient.search_datasets`` (catalog-only / server-backed mode)
+    issues the search with free-text + bbox + time kwargs, the transport
+    evaluates searchFor substring over title/summary/institution and
+    extent INTERSECTION against the fixture's min/max lat/lon/time
+    columns, ERDDAP-style headers normalize to snake_case (P3), and the
+    client drops ``allDatasets`` + ``-delayed`` rows. The oracle replays
+    the identical derivation + predicates in SQL."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rows = sorted(
+        ((r["s_suppkey"], r["s_name"]) for r in sup.collect()), key=lambda t: t[0]
+    )
+    tmp = _work_dir("search_catalog")
+    os.makedirs(os.path.join(tmp, "search"), exist_ok=True)
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+
+    def _iso(d: datetime) -> str:
+        return d.strftime("%Y-%m-%d %H:%M:%S")
+
+    with open(os.path.join(tmp, "search", "advanced.csv"), "w") as f:
+        f.write(
+            "Dataset ID,Title,Summary,Institution,tabledap,"
+            "min_lat,max_lat,min_lon,max_lon,min_time,max_time\n"
+        )
+        # a catalog header row every live server returns; the client must
+        # drop it (reference __init__.py:516)
+        f.write(
+            "allDatasets,All Datasets,every dataset on this server,GDAC,"
+            f"https://gdac.example.org/erddap/tabledap/allDatasets,"
+            f"-90.0,90.0,-180.0,180.0,{_iso(t0)},{_iso(t0 + timedelta(days=365))}\n"
+        )
+        for k, name in rows:
+            ds = f"sg-{k:04d}" + ("-delayed" if k % 10 == 0 else "")
+            mission = "arctic transect" if k % 3 == 0 else "coastal survey"
+            inst = "WHOI" if k % 2 == 0 else "MBARI"
+            lat0 = float(k % 50) - 25.0
+            lon0 = float(k % 140) - 70.0
+            tmin = t0 + timedelta(days=k % 90)
+            f.write(
+                f"{ds},Deployment {name},glider mission {mission},{inst},"
+                f"https://gdac.example.org/erddap/tabledap/{ds},"
+                f"{lat0},{lat0 + 4.0},{lon0},{lon0 + 6.0},"
+                f"{_iso(tmin)},{_iso(tmin + timedelta(days=30))}\n"
+            )
+    client = GdacClient(spark, server=f"file://{tmp}")
+    client.search_datasets(
+        {
+            "search_for": "coastal",
+            "min_lat": -5.0,
+            "max_lat": 20.0,
+            "min_time": "2024-02-01",
+        }
+    )
+    return client.datasets
+
+
+_RT_SEARCH_SQL = """
+WITH cat AS (
+  SELECT concat('sg-', lpad(CAST(s_suppkey AS VARCHAR), 4, '0'),
+                CASE WHEN s_suppkey % 10 = 0 THEN '-delayed' ELSE '' END)
+           AS dataset_id,
+         concat('Deployment ', s_name) AS title,
+         concat('glider mission ',
+                CASE WHEN s_suppkey % 3 = 0 THEN 'arctic transect'
+                     ELSE 'coastal survey' END) AS summary,
+         CASE WHEN s_suppkey % 2 = 0 THEN 'WHOI' ELSE 'MBARI' END AS institution,
+         CAST(s_suppkey % 50 AS DOUBLE) - 25.0 AS min_lat,
+         CAST(s_suppkey % 50 AS DOUBLE) - 21.0 AS max_lat,
+         TIMESTAMP '2024-01-01' + to_days(CAST(s_suppkey % 90 AS INT) + 30)
+           AS max_time
+  FROM supplier
+)
+SELECT CAST(NULL AS VARCHAR) AS subset,
+       concat('https://gdac.example.org/erddap/tabledap/', dataset_id) AS tabledap,
+       CAST(NULL AS VARCHAR) AS make_a_graph,
+       CAST(NULL AS VARCHAR) AS files,
+       title, summary,
+       CAST(NULL AS VARCHAR) AS fgdc,
+       CAST(NULL AS VARCHAR) AS iso_19115,
+       CAST(NULL AS VARCHAR) AS info,
+       CAST(NULL AS VARCHAR) AS background_info,
+       CAST(NULL AS VARCHAR) AS rss,
+       CAST(NULL AS VARCHAR) AS email,
+       institution, dataset_id
+FROM cat
+WHERE contains(lower(concat_ws(' ', title, summary, institution)), 'coastal')
+  AND max_lat >= -5.0 AND min_lat <= 20.0
+  AND max_time >= TIMESTAMP '2024-02-01'
+  AND NOT ends_with(dataset_id, 'delayed')
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -839,6 +943,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_plot_urls": rt_plot_urls,
     "rt_stream_dedup": rt_stream_dedup,
     "rt_stream_daily_counts": rt_stream_daily_counts,
+    "rt_search_catalog": rt_search_catalog,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -857,4 +962,5 @@ RT_ORACLE: dict[str, str] = {
     "rt_plot_urls": _RT_PLOT_URLS_SQL,
     "rt_stream_dedup": _RT_STREAM_DEDUP_SQL,
     "rt_stream_daily_counts": _RT_STREAM_DAILY_SQL,
+    "rt_search_catalog": _RT_SEARCH_SQL,
 }
