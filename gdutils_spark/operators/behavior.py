@@ -12,6 +12,8 @@ pruned and partially aggregated map-side before anything shuffles.
 
 from __future__ import annotations
 
+from datetime import timedelta
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,11 +82,20 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: timedelta | None = None,
 ) -> DataFrame:
     """Strict ordered conversion funnel: a user converts step *i* at the
     first step-*i* event strictly after their step-*i-1* conversion time
     (first-touch attribution). Output: one row per step with the number
     of users who reached it.
+
+    ``within`` adds the standard product-analytics time bound: step *i*
+    converts only if it lands within ``within`` of the step-*i-1*
+    conversion. Because the fold walks events in time order, the first
+    step-*i* event after the anchor is the earliest candidate — if that
+    one is already past the window every later one is too, so the
+    strict-first-touch and first-in-window semantics coincide and the
+    check is a single extra comparison in the fold.
 
     Plan shape: the scan is pruned to funnel-step events only (for a
     3-step funnel over a 100-type stream that's the big reduction), then
@@ -97,6 +108,11 @@ def funnel(
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
+    bound = (
+        F.expr(f"INTERVAL {int(within.total_seconds())} SECONDS")
+        if within is not None
+        else None
+    )
     ts_type = df.schema[ts_col].dataType.simpleString()
     base = df.select(
         F.col(user_col).alias("user_id"),
@@ -121,6 +137,8 @@ def funnel(
                     & prev_new.isNotNull()
                     & (ev["_ts"] > prev_new)
                 )
+                if bound is not None:
+                    cond = cond & (ev["_ts"] <= prev_new + bound)
             new = F.when(cond, ev["_ts"]).otherwise(cur)
             outs.append(new.alias(f"t{i}"))
             prev_new = new

@@ -1907,6 +1907,50 @@ SELECT 2, '{s2}', (SELECT COUNT(*) FROM t2)
 """
 
 
+def user_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded view→click→purchase funnel: each step must convert
+    within 24h of the previous step's conversion (the standard
+    product-analytics form). Same single-fold plan as ``user_funnel`` —
+    the window bound is one extra comparison inside the fold."""
+    from datetime import timedelta
+
+    from gdutils_spark.operators import behavior as bh
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    return bh.funnel(
+        load_table(spark, sf_dir, "events"),
+        steps=FUNNEL_STEPS,
+        within=timedelta(days=1),
+    )
+
+
+def _funnel_windowed_sql() -> str:
+    s0, s1, s2 = FUNNEL_STEPS
+    return f"""
+WITH t0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = '{s0}' GROUP BY user_id
+), t1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t0 USING (user_id)
+  WHERE e.event_type = '{s1}' AND e.ts > t0.t
+    AND e.ts <= t0.t + INTERVAL 1 DAY
+  GROUP BY e.user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts > t1.t
+    AND e.ts <= t1.t + INTERVAL 1 DAY
+  GROUP BY e.user_id
+)
+SELECT 0 AS step_index, '{s0}' AS step, (SELECT COUNT(*) FROM t0) AS n_users
+UNION ALL
+SELECT 1, '{s1}', (SELECT COUNT(*) FROM t1)
+UNION ALL
+SELECT 2, '{s2}', (SELECT COUNT(*) FROM t2)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1915,6 +1959,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_recall": emb_knn_recall,
     "user_cohort_retention": user_cohort_retention,
     "user_funnel": user_funnel,
+    "user_funnel_windowed": user_funnel_windowed,
     "doc_dup_cluster_stats": doc_dup_cluster_stats,
     "doc_vocab_stats": doc_vocab_stats,
     "doc_length_histogram": doc_length_histogram,
@@ -1968,6 +2013,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_recall": _knn_recall_sql(),
     "user_cohort_retention": _COHORT_SQL,
     "user_funnel": _funnel_sql(),
+    "user_funnel_windowed": _funnel_windowed_sql(),
     "doc_dup_cluster_stats": _dup_cluster_stats_sql(),
     "doc_vocab_stats": _VOCAB_STATS_SQL,
     "doc_length_histogram": _LEN_HIST_SQL,

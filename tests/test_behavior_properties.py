@@ -73,6 +73,64 @@ def test_funnel_matches_reference_model(spark, rows):
     assert got == _funnel_model(rows)
 
 
+def _windowed_funnel_model(
+    rows: list[tuple[int, int, str]], within_minutes: int
+) -> dict[str, int]:
+    """Reference for the time-bounded funnel: same strict first-touch
+    state machine, but step i only converts within `within_minutes` of
+    the step-(i-1) conversion."""
+    per_user: dict[int, list[tuple[int, str]]] = {}
+    for u, m, typ in rows:
+        if typ in STEPS:
+            per_user.setdefault(u, []).append((m, typ))
+    counts = dict.fromkeys(STEPS, 0)
+    for evs in per_user.values():
+        state: list[int | None] = [None] * len(STEPS)
+        for m, typ in sorted(evs):
+            for i, s in enumerate(STEPS):
+                if (
+                    state[i] is None
+                    and typ == s
+                    and (
+                        i == 0
+                        or (
+                            state[i - 1] is not None
+                            and m > state[i - 1]
+                            and m <= state[i - 1] + within_minutes
+                        )
+                    )
+                ):
+                    state[i] = m
+                    break
+        for i, s in enumerate(STEPS):
+            if state[i] is not None:
+                counts[s] += 1
+    return counts
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_events, st.integers(min_value=1, max_value=60))
+def test_windowed_funnel_matches_reference_model(spark, rows, within_minutes):
+    from gdutils_spark.operators.behavior import funnel
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + timedelta(minutes=m), typ) for u, m, typ in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            df, steps=STEPS, within=timedelta(minutes=within_minutes)
+        ).collect()
+    }
+    assert got == _windowed_funnel_model(rows, within_minutes)
+
+
 @settings(
     max_examples=10,
     deadline=None,
