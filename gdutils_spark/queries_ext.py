@@ -670,7 +670,10 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_IVF_SQL = f"""
+def _knn_ivf_sql(n_probe: int) -> str:
+    """Seed-centroid IVF probed kNN as SQL, parameterized on the probe
+    count (shared by the fixed-probe oracle and the recall-curve sweep)."""
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
 assign AS (
@@ -686,7 +689,7 @@ probes AS (
     SELECT q.query_id, cent.cid,
            ROW_NUMBER() OVER (PARTITION BY q.query_id
              ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
-    FROM q, cent) WHERE rn <= {IVF_PROBE}
+    FROM q, cent) WHERE rn <= {n_probe}
 )
 SELECT query_id, neighbor_id, score FROM (
   SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -700,6 +703,68 @@ SELECT query_id, neighbor_id, score FROM (
   WHERE a.vec_id <> p.query_id
 ) WHERE rn <= {KNN_K}
 """
+
+
+_KNN_IVF_SQL = _knn_ivf_sql(IVF_PROBE)
+
+IVF_PROBE_SWEEP = (1, 2, 4)
+
+
+def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning report: recall@k vs probe budget for the seed-centroid
+    IVF index — the curve an ANN deployment reads to pick ``n_probe``
+    (cost grows ~linearly with probes; recall saturates). One row per
+    probe setting with exact-integer hit totals and the derived mean
+    recall, so the result is deterministic (single FP division, no
+    FP-sum ordering).
+
+    Plan shape: ground truth is computed once; each probe setting reuses
+    the same centroid seed and assignment pipeline (scan-speed maps +
+    top-k-sized joins — see ``sim.knn_ivf``). The per-setting recall
+    relations are |Q|-row; the union + 3-key aggregate is negligible."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    exact = sim.knn_bruteforce(vectors, queries, k=KNN_K)
+    per_probe = []
+    for p in IVF_PROBE_SWEEP:
+        approx = sim.knn_ivf(
+            vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS, n_probe=p
+        )
+        rec = sim.knn_recall(approx, exact, k=KNN_K)
+        per_probe.append(
+            rec.select(F.lit(p).cast("int").alias("n_probe"), "n_hits")
+        )
+    curve = per_probe[0]
+    for nxt in per_probe[1:]:
+        curve = curve.unionAll(nxt)
+    total = F.sum("n_hits").cast("long")
+    nq = F.count(F.lit(1)).cast("long")
+    return curve.groupBy("n_probe").agg(
+        total.alias("total_hits"),
+        nq.alias("n_queries"),
+        (total.cast("double") / (nq * F.lit(KNN_K)).cast("double")).alias(
+            "mean_recall"
+        ),
+    )
+
+
+def _ivf_recall_curve_sql() -> str:
+    ctes = [f"exact AS ({_KNN_SQL})", "nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM exact)"]
+    arms = []
+    for p in IVF_PROBE_SWEEP:
+        ctes.append(f"a{p} AS ({_knn_ivf_sql(p)})")
+        ctes.append(
+            f"h{p} AS (SELECT COUNT(*) AS c FROM exact e JOIN a{p} a "
+            "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)"
+        )
+        arms.append(
+            f"SELECT CAST({p} AS INT) AS n_probe, "
+            f"CAST(h{p}.c AS BIGINT) AS total_hits, "
+            f"CAST(nq.n AS BIGINT) AS n_queries, "
+            f"CAST(h{p}.c AS DOUBLE) / (nq.n * {KNN_K}) AS mean_recall "
+            f"FROM h{p}, nq"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
 
 
 IVF_REFINE_ITERS = 2
@@ -1990,6 +2055,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_assign": emb_ivf_assign,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
+    "emb_ivf_recall_curve": emb_ivf_recall_curve,
     "emb_knn_lsh": emb_knn_lsh,
     "mm_image_features": mm_image_features,
     "mm_thumbnails": mm_thumbnails,
@@ -2044,6 +2110,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
+    "emb_ivf_recall_curve": _ivf_recall_curve_sql(),
     "emb_knn_lsh": _knn_lsh_sql(),
     "mm_image_features": _MM_IMAGE_SQL,
     "mm_thumbnails": _MM_THUMBNAILS_SQL,
