@@ -1339,10 +1339,14 @@ FROM documents
 
 
 def geo_user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 GeoJSON assembly through the driver gate (rows-only check: the
-    JSON document string isn't practical to rebuild in SQL). Coordinates
-    are derived deterministically from event values since the synthetic
-    events table carries no geography."""
+    """K4 GeoJSON FeatureCollection assembly, hash-verified byte-for-byte:
+    the oracle rebuilds the full document with string aggregation — the
+    quantized doubles format identically in both engines (shortest
+    uniquely-identifying decimal, standard notation in the coordinate
+    range), which ``rt_kml_coords`` already established for this
+    quantizer's outputs. Coordinates are derived deterministically from
+    event values since the synthetic events table carries no
+    geography."""
     from gdutils_spark.sinks.geojson import track_geojson
 
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
@@ -1353,6 +1357,46 @@ def geo_user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") % 360) - 180).cast("double").alias("longitude"),
     )
     return track_geojson(fixes, "user_id", time_col="ts").orderBy("entity")
+
+
+def _geo_tracks_sql() -> str:
+    """Full GeoJSON document reassembly in SQL: same quantization
+    (decimal-exact HALF_DOWN), same time-order (t, lon, lat), same
+    compact Jackson-style number/array rendering the Spark sink's
+    ``to_json`` emits."""
+    from gdutils_spark.queries_rt import _half_down_sql
+
+    lat = _half_down_sql("(value % 180.0) - 90.0")
+    lon = _half_down_sql("CAST((event_id % 360) - 180 AS DOUBLE)")
+    pt = (
+        "'{\"type\": \"Feature\", \"geometry\": {\"type\": \"Point\", "
+        "\"coordinates\": [' || CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) "
+        "|| ']}, \"properties\": {\"ts\": \"' "
+        "|| strftime(t, '%Y-%m-%dT%H:%M:%SZ') || '\"}}'"
+    )
+    return f"""
+WITH f AS (
+  SELECT user_id AS entity, ts AS t, {lat} AS lat, {lon} AS lon
+  FROM events WHERE user_id < 20
+),
+agg AS (
+  SELECT entity,
+         string_agg('[' || CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) || ']',
+                    ',' ORDER BY t, lon, lat) AS line,
+         string_agg({pt}, ', ' ORDER BY t, lon, lat) AS points,
+         CAST(MIN(lon) AS VARCHAR) AS lon_min,
+         CAST(MIN(lat) AS VARCHAR) AS lat_min,
+         CAST(MAX(lon) AS VARCHAR) AS lon_max,
+         CAST(MAX(lat) AS VARCHAR) AS lat_max
+  FROM f GROUP BY entity
+)
+SELECT entity AS user_id,
+       '{{"type": "FeatureCollection", "bbox": ['
+       || lon_min || ',' || lat_min || ',' || lon_max || ',' || lat_max
+       || '], "features": [{{"type": "Feature", "geometry": {{"type": "LineString", "coordinates": ['
+       || line || ']}}, "properties": {{}}}}, ' || points || ']}}' AS geojson
+FROM agg
+"""
 
 
 TOP_TOKENS_K = 10
@@ -2127,6 +2171,5 @@ EXT_ORACLE: dict[str, str] = {
     "doc_domain_mix_sample": _MIX_SAMPLE_SQL,
     "doc_bm25_search": _bm25_sql(),
     "doc_incremental_dedup": _incremental_dedup_sql(),
-    # geo_user_tracks: no oracle — JSON document assembly is not
-    # SQL-practical; the driver records a rows-only check
+    "geo_user_tracks": _geo_tracks_sql(),
 }
