@@ -1952,69 +1952,26 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 4 window: every never-driver-verified query first (the new
-    # round-trip surface queries, refined IVF, chunking/tf-idf/quantize,
-    # thumbnails, streaming round-trips, the TPC-H shapes q2/q7/q8/q9/
-    # q14-q17/q22, the repetition/source/shard/semdedup pipeline ops,
-    # and the recall/cluster-stats/vocab evaluation reports), then as
-    # many of the 17 entries whose latest green row is r2 as fit; every
-    # entry displaced past position 50 has a green row from r1-r3.
-    # After this round's additions the 11 text/dedup entries from
-    # doc_text_stats through doc_quality_filter plus the displaced
-    # q18/q19/daily_revenue_7d_ma/users_click_no_purchase/
-    # event_type_pivot/q10_returned_revenue sit past the window and stay
-    # r2-latest — they are the round-5 rotation priority, together with
-    # anything r3-latest by then
-    "emb_knn_recall",
-    "doc_dup_cluster_stats",
-    "doc_vocab_stats",
-    "doc_length_histogram",
-    "user_cohort_retention",
-    "user_funnel",
-    "q2_min_balance_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
+    # round 5 window: (a) the 3 new queries + geo_user_tracks (first
+    # round with a full-document oracle) + q12_ship_lateness (oracle
+    # BIGINT-cast fix needs a fresh green row); (b) all 17 entries whose
+    # latest green row is r2 (the pre-declared round-5 rotation
+    # priority); (c) 28 of the 49 r3-latest entries, in registry order.
+    # Every entry displaced past position 50 has a green row from r3 or
+    # r4 and keeps full local coverage via tests/test_queries_oracle.py.
+    # Round-6 rotation priority: the 21 r3-latest entries left out here
+    # (rollup_order_totals, event_value_quantiles, order_last_event_asof,
+    # user_event_gaps, orders_above_cust_avg, doc_near_dup_drop,
+    # doc_benchmark_contamination, doc_pii_scrub, event_sessions,
+    # doc_stratified_sample, doc_pack_batches, emb_knn_bruteforce,
+    # emb_near_dup_pairs, emb_lsh_near_dup_pairs, emb_lsh_buckets,
+    # emb_ivf_assign, emb_knn_ivf, emb_knn_lsh, mm_image_features,
+    # mm_audio_features, doc_top_tokens), then anything r4-latest.
+    "rt_search_catalog",
+    "user_funnel_windowed",
+    "emb_ivf_recall_curve",
+    "geo_user_tracks",
     "q12_ship_lateness",
-    "q20_surplus_suppliers",
-    "q21_waiting_suppliers",
-    "doc_repetition_signals",
-    "doc_source_stats",
-    "doc_shard_stats",
-    "emb_semantic_dedup",
-    "doc_source_overlap",
-    "doc_dedup_keep_best",
-    "doc_domain_mix_plan",
-    "doc_domain_mix_sample",
-    "doc_bm25_search",
-    "doc_incremental_dedup",
-    "emb_knn_ivf_refined",
-    "doc_chunks",
-    "doc_tfidf_terms",
-    "emb_quantize",
-    "mm_thumbnails",
-    "mm_pixel_stats",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q22_idle_high_balance",
-    "q7_nation_volume",
-    "q15_top_suppliers",
-    "q17_small_quantity_revenue",
-    "rt_csv_batch_daily",
-    "rt_csv_sink_roundtrip",
-    "rt_json_records_typed",
-    "rt_client_datasets",
-    "rt_client_api_merge",
-    "rt_client_api_merge_right",
-    "rt_dataset_profiles",
-    "rt_dataset_timeseries",
-    "rt_info_card",
-    "rt_canned_filters",
-    "rt_geo_track_points",
-    "rt_kml_coords",
-    "rt_plot_urls",
-    "rt_stream_dedup",
-    "rt_stream_daily_counts",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "daily_revenue_7d_ma",
@@ -2032,6 +1989,34 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_simhash_near_pairs",
     "doc_dup_clusters",
     "doc_quality_filter",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "daily_event_stats",
+    "user_summaries",
+    "yearly_counts",
+    "calendar_ymd_events",
+    "calendar_ym_orders",
+    "calendar_md_orders",
+    "calendar_ym_active_customers",
+    "customer_orphans",
+    "customer_orphan_flag",
+    "user_first_week_events",
+    "part_name_filter",
+    "distinct_user_event_types",
+    "top_order_per_customer",
+    "tagged_event_union",
+    "calendar_ymd_events_dense",
+    "user_day_spine",
+    "event_props_stats",
+    "lineitem_shipped_90d",
+    "event_value_buckets",
+    "calendar_slice_ym",
+    "q6_forecast_revenue",
+    "suppliers_with_shipments_semi",
+    "customer_order_ranks",
+    "q4_priority_exists",
+    "q13_order_distribution",
 )
 
 
