@@ -121,6 +121,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
 
@@ -139,14 +140,21 @@ def ngram_jaccard_pairs(
     document, since doc-frequency f means the shingle is in f docs and
     contributes pair-coverage, not similarity).
     """
-    # the shingle table feeds both self-join sides and the sizes agg;
-    # cache the (small: distinct shingles only) intermediate instead of
-    # recomputing the explode 3x. The cache stays referenced by the
-    # RETURNED plan (unlike lsh_near_dup_pairs' banded table, which is
-    # fully consumed internally and unpersisted there), so it is
-    # reclaimed by Spark's ContextCleaner when the result is released.
-    # At 100 TB stage it to parquet instead.
-    sh = _shingle_table(df, text_col, id_col, k).cache()
+    # the shingle table feeds both self-join sides and the sizes agg —
+    # compute the explode once, not 3x. Default (dev/driver scale):
+    # memory-cache; the cache stays referenced by the RETURNED plan
+    # (unlike lsh_near_dup_pairs' banded table, which is fully consumed
+    # internally and unpersisted there), so it is reclaimed by Spark's
+    # ContextCleaner when the result is released. At 100 TB pass
+    # ``stage_path``: the shingle table is written to parquet once and
+    # every consumer scans the staged files — executor storage memory
+    # holds nothing and the staging doubles as a restart point.
+    sh = _shingle_table(df, text_col, id_col, k)
+    if stage_path is not None:
+        sh.write.mode("overwrite").parquet(stage_path)
+        sh = df.sparkSession.read.parquet(stage_path)
+    else:
+        sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
@@ -297,6 +305,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard.
 
@@ -316,10 +325,17 @@ def minhash_lsh_pairs(
     colliding).
     """
     rows = num_perms // bands
-    # shingles feed signatures + both verification join sides + sizes;
-    # referenced by the returned plan → ContextCleaner-reclaimed when
-    # the result is released (stage to parquet at 100 TB)
-    sh_cached = _shingle_table(df, text_col, id_col, k).cache()
+    # shingles feed signatures + both verification join sides + sizes.
+    # Default: memory-cache, referenced by the returned plan →
+    # ContextCleaner-reclaimed when the result is released. At 100 TB
+    # pass ``stage_path``: the shingle table stages to parquet once and
+    # all four consumers scan the staged files (see ngram_jaccard_pairs).
+    sh_cached = _shingle_table(df, text_col, id_col, k)
+    if stage_path is not None:
+        sh_cached.write.mode("overwrite").parquet(stage_path)
+        sh_cached = df.sparkSession.read.parquet(stage_path)
+    else:
+        sh_cached = sh_cached.cache()
     sig_input = (
         sh_cached
         if max_shingle_freq is None
@@ -490,6 +506,16 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    # convergence checksum: exact decimal label-sum for numeric node ids
+    # (monotone non-increasing → fixpoint iff equal); for non-numeric ids
+    # an xxhash64-sum with the same ~2⁻⁶⁴ collision acceptance the star
+    # variant documents
+    from pyspark.sql.types import NumericType
+
+    if isinstance(edges.schema[src].dataType, NumericType):
+        chk = F.col("comp").cast("decimal(38,0)")
+    else:
+        chk = F.xxhash64("comp").cast("decimal(38,0)")
     prev: object = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
@@ -505,9 +531,7 @@ def connected_components(
                 .agg(F.min("comp").alias("comp"))
                 .localCheckpoint(eager=False)
             )
-            total = labels.agg(
-                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
+            total = labels.agg(F.sum(chk).alias("s")).collect()[0]["s"]
             if total == prev:
                 break
             prev = total
@@ -742,10 +766,12 @@ def keep_best_representative(
         F.col(id_col).alias("doc"), F.col(quality_col).alias("_q")
     )
     members = base.join(F.broadcast(cc.withColumnRenamed("node", "doc")), "doc")
-    # max_by on (quality, -doc): struct comparison is lexicographic, so
-    # highest quality wins and the LOWEST doc id breaks ties
+    # min_by on (-quality, doc): struct comparison is lexicographic, so
+    # highest quality wins and the LOWEST doc id breaks ties — negating
+    # the (numeric) quality instead of the id keeps the rule
+    # order-insensitive in the id domain, so string doc ids work too
     winners = members.groupBy("comp").agg(
-        F.max_by("doc", F.struct(F.col("_q"), (-F.col("doc")).alias("_nd"))).alias(
+        F.min_by("doc", F.struct((-F.col("_q")).alias("_nq"), F.col("doc"))).alias(
             "keep_doc"
         )
     )

@@ -470,6 +470,11 @@ def lsh_near_dup_pairs(
     )
 
 
+def _pykey(v):
+    """Plain-Python dict key for a numpy scalar (or pass through)."""
+    return v.item() if hasattr(v, "item") else v
+
+
 def _seed_centroids(
     vectors: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -499,7 +504,11 @@ def _assign_to(
     ``with_vector=True`` carries the embedding through the map (column
     ``_v``) so consumers that need (assignment, vector) — the Lloyd mean
     step — avoid re-joining the corpus on id, which would be a full
-    corpus shuffle per iteration."""
+    corpus shuffle per iteration.
+
+    Output schema: (``id_col``, centroid, score[, _v]) — the id field
+    keeps the input column's name and type, and ``centroid`` shares that
+    type (centroid ids are drawn from the id domain)."""
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast((cids, C))
 
@@ -527,7 +536,7 @@ def _assign_to(
             # argmax returns the first (lowest) index on ties
             best = scores.argmax(axis=1)
             out = {
-                "vec_id": pdf["_id"].to_numpy(),
+                id_col: pdf["_id"].to_numpy(),
                 "centroid": cids_b[best],
                 "score": scores[np.arange(len(best)), best],
             }
@@ -536,7 +545,8 @@ def _assign_to(
             yield pd.DataFrame(out)
 
     base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    schema = "vec_id long, centroid long, score double"
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, centroid {id_type}, score double"
     if with_vector:
         elem = vectors.schema[vec_col].dataType.elementType.simpleString()
         schema += f", _v array<{elem}>"
@@ -575,7 +585,7 @@ def ivf_refine_centroids(
         # the full corpus on id every iteration at 100 TB)
         joined = _assign_to(vectors, id_col, vec_col, cids, C, with_vector=True).select(
             F.col("centroid"),
-            F.col("vec_id").alias("_vid"),
+            F.col(id_col).alias("_vid"),
             F.posexplode(F.col("_v")).alias("dim", "val"),
         )
         means = joined.groupBy("centroid", "dim").agg(
@@ -602,7 +612,9 @@ def ivf_refine_centroids(
             .collect()
         )
         new_by_cid = {r["centroid"]: np.asarray(r["cv"], dtype=np.float64) for r in rows}
-        C = np.stack([new_by_cid.get(int(c), C[i]) for i, c in enumerate(cids)])
+        C = np.stack(
+            [new_by_cid.get(_pykey(c), C[i]) for i, c in enumerate(cids)]
+        )
     return cids, C
 
 
@@ -669,16 +681,17 @@ def knn_ivf(
     members = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
     ).join(
-        assign.select(F.col("vec_id").alias("neighbor_id"), "centroid"),
+        assign.select(F.col(id_col).alias("neighbor_id"), "centroid"),
         "neighbor_id",
     )
 
     if refine_iters > 0:
         # refined centroids are computed values — ship them as a local
         # relation (16 rows, broadcast)
+        id_type = vectors.schema[id_col].dataType.simpleString()
         cent = vectors.sparkSession.createDataFrame(
-            [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
-            "centroid long, c_vec array<double>",
+            [(_pykey(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
+            f"centroid {id_type}, c_vec array<double>",
         )
     else:
         # seed centroids ARE corpus rows: keep the centroid table as a
@@ -795,8 +808,8 @@ def semantic_dedup(
     only ``a``; use ``lsh_near_dup_pairs`` + connected components when
     component-exact grouping matters).
 
-    Returns one row per input vector: (``vec_id``, ``centroid``,
-    ``is_kept``).
+    Returns one row per input vector: (``id_col``, ``centroid``,
+    ``is_kept``) — the id column keeps its input name and type.
 
     Plan shape: one Arrow assignment pass over the scan (centroid matrix
     broadcast, ``with_vector=True`` so the corpus is never re-joined on
@@ -814,10 +827,10 @@ def semantic_dedup(
         cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     assigned = _assign_to(vectors, id_col, vec_col, cids, C, with_vector=True)
     a = assigned.select(
-        F.col("vec_id").alias("d1"), "centroid", F.col("_v").alias("v1")
+        F.col(id_col).alias("d1"), "centroid", F.col("_v").alias("v1")
     )
     b = assigned.select(
-        F.col("vec_id").alias("d2"), "centroid", F.col("_v").alias("v2")
+        F.col(id_col).alias("d2"), "centroid", F.col("_v").alias("v2")
     )
     dropped = (
         a.join(b, "centroid")
@@ -825,15 +838,15 @@ def semantic_dedup(
         .select("d2", _pair_cosine(F.col("v1"), F.col("v2")).alias("s"))
         # NaN guard as in lsh_near_dup_pairs: zero-norm pairs score 0/0
         .where(~F.isnan("s") & (F.col("s") >= threshold))
-        .select(F.col("d2").alias("vec_id"))
+        .select(F.col("d2").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
     return (
-        assigned.select("vec_id", "centroid")
-        .join(dropped, "vec_id", "left")
+        assigned.select(id_col, "centroid")
+        .join(dropped, id_col, "left")
         .select(
-            "vec_id",
+            id_col,
             "centroid",
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
         )

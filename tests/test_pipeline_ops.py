@@ -210,6 +210,55 @@ def test_ngram_guard_preserves_pairs_while_shrinking_join(boilerplate_docs):
     assert n_cold < n_full
 
 
+def test_dedup_pairs_staged_to_parquet(boilerplate_docs, tmp_path):
+    """stage_path on the shingle-table hot paths (the former in-code
+    '.cache() — stage to parquet at 100 TB' notes): the shingle table
+    lands in parquet once, every consumer scans the staged files (no
+    executor-storage cache), results identical to the cached path."""
+    from gdutils_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from gdutils_spark.plans import formatted_plan
+
+    for fn, name in ((ngram_jaccard_pairs, "ngram_sh"), (minhash_lsh_pairs, "mh_sh")):
+        path = str(tmp_path / name)
+        staged_df = fn(boilerplate_docs, threshold=0.5, stage_path=path)
+        plan = formatted_plan(staged_df)
+        assert plan.count(name) >= 2, "join sides must read the staged table"
+        if fn is ngram_jaccard_pairs:
+            # minhash keeps its by-design candidate-list cache (KB-scale);
+            # the ngram path must hold NO executor-storage cache at all
+            assert "InMemoryTableScan" not in plan
+        staged = sorted(
+            (r.d1, r.d2, round(r.jaccard, 12)) for r in staged_df.collect()
+        )
+        cached = sorted(
+            (r.d1, r.d2, round(r.jaccard, 12))
+            for r in fn(boilerplate_docs, threshold=0.5).collect()
+        )
+        assert staged == cached and len(staged) >= 1
+
+
+def test_keep_best_representative_string_ids(spark):
+    """Quality ties break to the lexicographically-lowest id — the rule
+    must not rely on numeric id negation (ADVICE r4)."""
+    from gdutils_spark.operators.dedup import keep_best_representative
+
+    docs = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.9), ("d", 0.5)],
+        "doc_id string, quality_score double",
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "d1 string, d2 string")
+    got = {
+        r["doc"]: (r["component"], r["is_kept"])
+        for r in keep_best_representative(docs, pairs, "quality_score").collect()
+    }
+    assert got == {
+        "a": ("a", False),
+        "b": ("a", True),  # ties with c on 0.9 → lexicographically lower
+        "c": ("a", False),
+        "d": ("d", True),
+    }
+
+
 def test_minhash_guard_preserves_pairs(boilerplate_docs):
     from gdutils_spark.operators.dedup import minhash_lsh_pairs
 

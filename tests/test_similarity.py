@@ -112,6 +112,25 @@ def test_lsh_pairs_staged_to_parquet(embeddings, tmp_path):
     assert got == cached
 
 
+def test_semantic_dedup_custom_id_col(embeddings):
+    """The output contract follows the input id column's name and type
+    (ADVICE r4: the schema used to hardcode 'vec_id long')."""
+    renamed = embeddings.selectExpr(
+        "CAST(vec_id AS STRING) AS doc_key", "embedding AS emb"
+    )
+    out = sim.semantic_dedup(renamed, id_col="doc_key", vec_col="emb", n_centroids=4)
+    assert [f.name for f in out.schema.fields] == ["doc_key", "centroid", "is_kept"]
+    assert out.schema["doc_key"].dataType.simpleString() == "string"
+    assert out.schema["centroid"].dataType.simpleString() == "string"
+    # one row per input vector, ids round-trip unchanged (no silent
+    # rename/miscast), and the keep rule still fires
+    n = embeddings.count()
+    assert out.count() == n
+    assert out.select("doc_key").distinct().count() == n
+    kept = out.where("is_kept").count()
+    assert 0 < kept < n
+
+
 def test_banded_buckets_shape(embeddings):
     bb = sim.banded_lsh_buckets(embeddings, bands=4, rows_per_band=2)
     rows = bb.groupBy("band").count().collect()
