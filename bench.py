@@ -82,6 +82,32 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # Full per-query artifact: the driver's BENCH_r{N}.json keeps only a
+    # ~2 KB stdout tail, which truncates the per-query dict and has cost
+    # a 35-query blind spot in round-over-round analysis. Every bench run
+    # also writes the COMPLETE payload (min + cold per query) to a repo
+    # file; each round's copy is committed as bench_r{NN}_full.json (see
+    # SCALE.md) so cross-round comparison never depends on the tail.
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full_latest.json"),
+    )
+    with open(full_out, "w") as f:
+        json.dump(
+            {
+                "queries": timings,
+                "cold": cold,
+                "agg": f"min_of_{RUNS}",
+                "cold_total": round(sum(cold.values()), 4),
+                "metric": "total_query_wall_seconds",
+                "unit": "sec",
+                "sf": _sf_from_dir(SF_DIR),
+                "value": total,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     # Key order matters: the driver's wrapper stores only the LAST ~2 KB
     # of stdout ("tail"), which front-truncates a long line (observed in
     # BENCH_r03.json: "parsed": null, tail starts mid-queries). Putting

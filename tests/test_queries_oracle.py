@@ -19,10 +19,10 @@ def test_query_matches_oracle(spark, sf_correct, name):
 
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLE)
-    # non-SQL-expressible ops are allowed to omit the oracle; keep the list
-    # explicit so it never grows silently
-    allowed_missing: set[str] = {"geo_user_tracks"}
-    assert missing == allowed_missing
+    # every registry entry is oracle-backed since round 5 (geo_user_tracks
+    # gained a full-document reassembly oracle); keep the equality check so
+    # a silent omission never ships
+    assert missing == set()
 
 
 def test_entry_smoke(spark):
