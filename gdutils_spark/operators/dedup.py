@@ -901,3 +901,48 @@ def cluster_size_stats(
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def pair_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    keys: tuple[str, str] = ("d1", "d2"),
+) -> DataFrame:
+    """Recall/precision of an approximate duplicate-PAIR detector against
+    an exact baseline — the text-dedup analog of ``similarity.knn_recall``
+    (every LSH deployment tunes perms/bands against exactly this number).
+
+    Both inputs are (d1, d2)-keyed pair relations, e.g.
+    :func:`minhash_lsh_pairs` (approx) vs :func:`ngram_jaccard_pairs`
+    (exact ground truth) at the same shingle k and threshold. Output is
+    ONE row: (n_exact, n_approx, n_hits, recall, precision), with the
+    ratios derived from exact integers by a single IEEE division each —
+    deterministic across engines. For a verified-candidate detector like
+    ``minhash_lsh_pairs`` precision is 1.0 by construction; recall is the
+    banding-geometry number being tuned.
+
+    Plan shape: pair lists are corpus-dup-rate-sized, not corpus-sized;
+    the pair-key equi-join and the three 1-row aggregates are noise next
+    to producing the inputs. Run the exact side on a SAMPLE at 100 TB —
+    recall estimates converge fast (same advice as ``knn_recall``).
+    """
+    ks = list(keys)
+    a = approx.select(*ks).distinct()
+    e = exact.select(*ks).distinct()
+    hits = a.join(e, ks)
+    one = F.count(F.lit(1)).cast("long")
+    stats = (
+        e.agg(one.alias("n_exact"))
+        .crossJoin(a.agg(one.alias("n_approx")))
+        .crossJoin(hits.agg(one.alias("n_hits")))
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+    )
+    return stats.select(
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        ratio("n_hits", "n_exact").alias("recall"),
+        ratio("n_hits", "n_approx").alias("precision"),
+    )

@@ -1866,6 +1866,37 @@ LEFT JOIN hits USING (query_id)
 """
 
 
+def doc_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline tuning report: recall/precision of the banded
+    MinHash-LSH pair detector against the exact n-gram-Jaccard ground
+    truth at the same (k, threshold) — the number perms/bands are tuned
+    against, now driver-verified like the ANN recall closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    approx = dd.minhash_lsh_pairs(
+        docs, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T
+    )
+    exact = dd.ngram_jaccard_pairs(docs, k=NGRAM_K, threshold=JACCARD_T)
+    return dd.pair_recall(approx, exact)
+
+
+def _dedup_recall_sql() -> str:
+    return f"""
+WITH exact_p AS ({_NGRAM_PAIRS_SQL}),
+approx_p AS ({_minhash_lsh_sql()}),
+e AS (SELECT DISTINCT d1, d2 FROM exact_p),
+a AS (SELECT DISTINCT d1, d2 FROM approx_p),
+h AS (SELECT COUNT(*) AS n FROM a JOIN e USING (d1, d2)),
+ne AS (SELECT COUNT(*) AS n FROM e),
+na AS (SELECT COUNT(*) AS n FROM a)
+SELECT CAST(ne.n AS BIGINT) AS n_exact,
+       CAST(na.n AS BIGINT) AS n_approx,
+       CAST(h.n AS BIGINT) AS n_hits,
+       CASE WHEN ne.n > 0 THEN CAST(h.n AS DOUBLE) / ne.n END AS recall,
+       CASE WHEN na.n > 0 THEN CAST(h.n AS DOUBLE) / na.n END AS precision
+FROM ne, na, h
+"""
+
+
 def doc_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup reporting: the duplicate-cluster size distribution (how many
     clusters of each size, and how many documents they hold) over the
@@ -2070,6 +2101,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_funnel": user_funnel,
     "user_funnel_windowed": user_funnel_windowed,
     "doc_dup_cluster_stats": doc_dup_cluster_stats,
+    "doc_dedup_recall": doc_dedup_recall,
     "doc_vocab_stats": doc_vocab_stats,
     "doc_length_histogram": doc_length_histogram,
     "doc_text_stats": doc_text_stats,
@@ -2125,6 +2157,7 @@ EXT_ORACLE: dict[str, str] = {
     "user_funnel": _funnel_sql(),
     "user_funnel_windowed": _funnel_windowed_sql(),
     "doc_dup_cluster_stats": _dup_cluster_stats_sql(),
+    "doc_dedup_recall": _dedup_recall_sql(),
     "doc_vocab_stats": _VOCAB_STATS_SQL,
     "doc_length_histogram": _LEN_HIST_SQL,
     "doc_text_stats": _TEXT_STATS_SQL,

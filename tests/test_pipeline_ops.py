@@ -237,6 +237,27 @@ def test_dedup_pairs_staged_to_parquet(boilerplate_docs, tmp_path):
         assert staged == cached and len(staged) >= 1
 
 
+def test_pair_recall_counts(spark):
+    from gdutils_spark.operators.dedup import pair_recall
+
+    exact = spark.createDataFrame([(1, 2), (3, 4), (5, 6), (7, 8)], EDGES)
+    # 3 of 4 true pairs found, plus one false positive
+    approx = spark.createDataFrame([(1, 2), (3, 4), (5, 6), (9, 10)], EDGES)
+    r = pair_recall(approx, exact).collect()[0]
+    assert (r["n_exact"], r["n_approx"], r["n_hits"]) == (4, 4, 3)
+    assert r["recall"] == 0.75 and r["precision"] == 0.75
+
+
+def test_pair_recall_empty_exact_is_null_not_error(spark):
+    from gdutils_spark.operators.dedup import pair_recall
+
+    exact = spark.createDataFrame([], EDGES)
+    approx = spark.createDataFrame([(1, 2)], EDGES)
+    r = pair_recall(approx, exact).collect()[0]
+    assert (r["n_exact"], r["n_approx"], r["n_hits"]) == (0, 1, 0)
+    assert r["recall"] is None and r["precision"] == 0.0
+
+
 def test_keep_best_representative_string_ids(spark):
     """Quality ties break to the lexicographically-lowest id — the rule
     must not rely on numeric id negation (ADVICE r4)."""
