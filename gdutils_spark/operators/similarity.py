@@ -738,6 +738,104 @@ def knn_ivf(
     )
 
 
+def knn_ivf_sweep(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4),
+    dims: int | None = None,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Probe-budget sweep: for each ``n_probe`` in ``probes``, exactly
+    :func:`knn_ivf`'s top-k result, tagged with an ``n_probe`` column —
+    the input to a recall-vs-cost tuning curve.
+
+    Computed in ONE pass: because a smaller probe budget's candidate set
+    is a prefix of the probe ranking, the corpus is assigned once, the
+    largest budget's candidates are scored once, and each row fans out
+    (map-side ``explode``) to every arm whose budget covers its probe
+    rank — then a single (n_probe, query) window takes top-k per arm. No
+    per-arm corpus re-scan, no cache: sweeping 3 budgets costs one
+    :func:`knn_ivf` plus a candidate-sized explode.
+    """
+    from pyspark.sql import Window
+
+    probes = tuple(sorted(set(int(p) for p in probes)))
+    max_p = probes[-1]
+    if refine_iters > 0:
+        cids, C = ivf_refine_centroids(
+            vectors, id_col, vec_col, n_centroids, refine_iters
+        )
+    else:
+        cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+    assign = _assign_to(vectors, id_col, vec_col, cids, C)
+    members = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+    ).join(
+        assign.select(F.col(id_col).alias("neighbor_id"), "centroid"),
+        "neighbor_id",
+    )
+    if refine_iters > 0:
+        id_type = vectors.schema[id_col].dataType.simpleString()
+        cent = vectors.sparkSession.createDataFrame(
+            [(_pykey(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
+            f"centroid {id_type}, c_vec array<double>",
+        )
+    else:
+        cent = (
+            vectors.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec"))
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_score").desc(), F.col("centroid")
+    )
+    probe_tbl = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "centroid",
+            cosine(F.col("q_vec"), F.col("c_vec"), dims).alias("c_score"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .where(F.col("probe_rank") <= max_p)
+        .select("query_id", "centroid", "probe_rank")
+    )
+    scored = (
+        probe_tbl.join(members, "centroid")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            cosine(F.col("q_vec"), F.col("v_vec"), dims).alias("score"),
+        )
+    )
+    arms = F.array(*[F.lit(p) for p in probes])
+    fanned = scored.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.explode(arms).alias("n_probe"),
+        "probe_rank",
+    ).where(F.col("probe_rank") <= F.col("n_probe"))
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fanned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("n_probe", "query_id", "neighbor_id", "score")
+    )
+
+
 def knn_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -718,33 +718,48 @@ def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall, so the result is deterministic (single FP division, no
     FP-sum ordering).
 
-    Plan shape: ground truth is computed once; each probe setting reuses
-    the same centroid seed and assignment pipeline (scan-speed maps +
-    top-k-sized joins — see ``sim.knn_ivf``). The per-setting recall
-    relations are |Q|-row; the union + 3-key aggregate is negligible."""
+    Plan shape: ground truth is computed once, and ALL probe arms come
+    from ONE ``sim.knn_ivf_sweep`` pass (one assignment map, one scoring
+    of the largest budget's candidates; smaller budgets are prefix
+    subsets of the probe ranking, fanned out map-side) — sweeping never
+    re-scans the corpus per arm. The hit join runs over top-k-sized
+    inputs; arms with zero hits still report (left join from the arm
+    spine, zero-filled)."""
     vectors = load_table(spark, sf_dir, "embeddings")
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
     exact = sim.knn_bruteforce(vectors, queries, k=KNN_K)
-    per_probe = []
-    for p in IVF_PROBE_SWEEP:
-        approx = sim.knn_ivf(
-            vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS, n_probe=p
+    sweep = sim.knn_ivf_sweep(
+        vectors,
+        queries,
+        k=KNN_K,
+        n_centroids=IVF_CENTROIDS,
+        probes=IVF_PROBE_SWEEP,
+    )
+    hits = (
+        sweep.join(
+            exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
         )
-        rec = sim.knn_recall(approx, exact, k=KNN_K)
-        per_probe.append(
-            rec.select(F.lit(p).cast("int").alias("n_probe"), "n_hits")
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("total_hits"))
+    )
+    arm_spine = queries.sparkSession.createDataFrame(
+        [(int(p),) for p in IVF_PROBE_SWEEP], "n_probe int"
+    )
+    nq = exact.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries")
+    )
+    th = F.coalesce(F.col("total_hits"), F.lit(0).cast("long"))
+    return (
+        arm_spine.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "n_probe",
+            th.alias("total_hits"),
+            "n_queries",
+            (th.cast("double") / (F.col("n_queries") * F.lit(KNN_K))).alias(
+                "mean_recall"
+            ),
         )
-    curve = per_probe[0]
-    for nxt in per_probe[1:]:
-        curve = curve.unionAll(nxt)
-    total = F.sum("n_hits").cast("long")
-    nq = F.count(F.lit(1)).cast("long")
-    return curve.groupBy("n_probe").agg(
-        total.alias("total_hits"),
-        nq.alias("n_queries"),
-        (total.cast("double") / (nq * F.lit(KNN_K)).cast("double")).alias(
-            "mean_recall"
-        ),
     )
 
 

@@ -112,6 +112,28 @@ def test_lsh_pairs_staged_to_parquet(embeddings, tmp_path):
     assert got == cached
 
 
+def test_knn_ivf_sweep_matches_per_arm_runs(embeddings):
+    """The single-pass sweep must reproduce knn_ivf exactly for every
+    probe budget (smaller budgets are prefix subsets of the probe
+    ranking — that's the invariant the fan-out exploits)."""
+    queries = embeddings.where("vec_id < 5")
+    sweep = {}
+    for r in sim.knn_ivf_sweep(
+        embeddings, queries, k=3, n_centroids=8, probes=(1, 2, 4)
+    ).collect():
+        sweep.setdefault(r["n_probe"], set()).add(
+            (r["query_id"], r["neighbor_id"], round(r["score"], 12))
+        )
+    for p in (1, 2, 4):
+        arm = {
+            (r["query_id"], r["neighbor_id"], round(r["score"], 12))
+            for r in sim.knn_ivf(
+                embeddings, queries, k=3, n_centroids=8, n_probe=p
+            ).collect()
+        }
+        assert sweep.get(p, set()) == arm, f"n_probe={p}"
+
+
 def test_semantic_dedup_custom_id_col(embeddings):
     """The output contract follows the input id column's name and type
     (ADVICE r4: the schema used to hardcode 'vec_id long')."""
