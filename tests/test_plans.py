@@ -237,6 +237,31 @@ def test_funnel_prunes_to_step_events_single_user_shuffle(spark, sf_correct):
     assert n_exchanges(plan) <= 2
 
 
+def test_windowed_funnel_same_plan_shape(spark, sf_correct):
+    """The within= bound is one extra comparison inside the SAME fold:
+    identical pushdown, still no Python, same shuffle budget."""
+    plan = formatted_plan(QUERIES["user_funnel_windowed"](spark, sf_correct))
+    assert any("In(event_type" in f for f in pushed_filters(plan))
+    assert not uses_python(plan)
+    assert n_exchanges(plan) <= 2
+
+
+def test_ivf_sweep_single_assignment_pass(spark, sf_correct):
+    """The probe sweep assigns the corpus ONCE: exactly one
+    Arrow-batched map (the assignment mapInPandas) in the whole plan,
+    however many probe budgets are swept."""
+    from gdutils_spark.operators import similarity as sim
+
+    vectors = load_table(spark, sf_correct, "embeddings")
+    queries = vectors.where("vec_id < 5")
+    df = sim.knn_ivf_sweep(
+        vectors, queries, k=3, n_centroids=8, probes=(1, 2, 4)
+    )
+    plan = formatted_plan(df)
+    # tree form "MapInPandas (n)" counts each physical node exactly once
+    assert plan.count("MapInPandas (") == 1, plan
+
+
 def test_vocab_stats_no_python(spark, sf_correct):
     plan = formatted_plan(QUERIES["doc_vocab_stats"](spark, sf_correct))
     assert not uses_python(plan)
