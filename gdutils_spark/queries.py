@@ -788,7 +788,8 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANKS_SQL = """
-SELECT o_custkey, o_orderkey, price_rank, running_total FROM (
+SELECT o_custkey, o_orderkey, CAST(price_rank AS INTEGER) AS price_rank,
+       running_total FROM (
   SELECT o_custkey, o_orderkey,
          ROW_NUMBER() OVER w AS price_rank,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER

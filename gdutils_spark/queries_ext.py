@@ -511,7 +511,8 @@ pairs AS (
     ON a.ci = b.ci AND a.cv = b.cv AND a.doc < b.doc
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
-SELECT hamming, COUNT(*) AS n_pairs FROM pairs GROUP BY hamming
+SELECT CAST(hamming AS INTEGER) AS hamming, COUNT(*) AS n_pairs
+FROM pairs GROUP BY 1
 """
 
 

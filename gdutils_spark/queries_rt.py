@@ -750,8 +750,8 @@ def rt_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RT_STREAM_DAILY_SQL = """
 WITH e AS (SELECT ts FROM events WHERE user_id < 30),
 m AS (SELECT MAX(ts) AS mx FROM e)
-SELECT date_trunc('day', ts) AS day_start,
-       date_trunc('day', ts) + INTERVAL 1 DAY AS day_end,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS day_end,
        COUNT(*) AS n_events
 FROM e, m
 GROUP BY 1, 2, m.mx

@@ -61,6 +61,37 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _arrow_type_key(t) -> str:
+    """Normalize an arrow type the way the driver's hash plausibly does:
+    string families collapse, timestamps collapse to naive microseconds
+    (r4 evidence: tz-aware Spark timestamps hash-matched DuckDB naive
+    ones), everything else — int WIDTH, decimal vs int (the q12 HUGEINT
+    bug), float vs decimal — stays distinguishing."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp[us]"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_type_key(t.value_type)}>"
+    return str(t)
+
+
+def arrow_schema_mismatch(spark_df, duck_rel) -> str | None:
+    """Type-STRICT schema compare via arrow on both sides — catches the
+    class of bug the value-normalized compare cannot (DuckDB HUGEINT vs
+    Spark BIGINT hashed differently by the driver despite equal values)."""
+    got = {f.name: _arrow_type_key(f.type) for f in spark_df.toArrow().schema}
+    want = {f.name: _arrow_type_key(f.type) for f in duck_rel.arrow().schema}
+    if set(got) != set(want):
+        return f"columns: {sorted(got)} vs {sorted(want)}"
+    diffs = [f"{c}: spark={got[c]} oracle={want[c]}" for c in sorted(got) if got[c] != want[c]]
+    return "; ".join(diffs) or None
+
+
 def values_match(g: pd.DataFrame, w: pd.DataFrame) -> str | None:
     if list(g.columns) != list(w.columns):
         return f"schema: {list(g.columns)} vs {list(w.columns)}"
@@ -97,7 +128,8 @@ if len(sys.argv) > 1:
 n_ok = n_bad = n_noora = 0
 for name in names:
     try:
-        got = canon(queries[name](spark, SF_DIR).toPandas())
+        sdf = queries[name](spark, SF_DIR)
+        got = canon(sdf.toPandas())
     except Exception as exc:
         print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}", flush=True)
         n_bad += 1
@@ -108,12 +140,23 @@ for name in names:
         n_noora += 1
         continue
     try:
-        want = canon(con.sql(sql).df())
+        rel = con.sql(sql)
+        want = canon(rel.df())
     except Exception as exc:
         print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}", flush=True)
         n_bad += 1
         continue
     err = values_match(got, want)
+    if err is None:
+        # values match under normalization — now the driver-faithful
+        # TYPE check (re-running the query/oracle; both are cheap at
+        # sf0.01 and this tool is a pre-flight, not a benchmark)
+        try:
+            err = arrow_schema_mismatch(queries[name](spark, SF_DIR), con.sql(sql))
+            err = f"TYPE {err}" if err else None
+        except Exception as exc:  # toArrow() gaps shouldn't kill the run
+            print(f"warn {name}: arrow compare skipped ({exc})", flush=True)
+            err = None
     if err:
         print(f"FAIL {name}: {err}", flush=True)
         n_bad += 1
