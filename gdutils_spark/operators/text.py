@@ -624,6 +624,47 @@ def bm25_rank(
     )
 
 
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of two
+    rankings — the standard way to combine keyword (BM25) and vector
+    retrieval without score calibration: ``rrf = Σ 1/(k + rank_i)``,
+    documents absent from a list contribute 0 from it.
+
+    Output: (``id_col``, rank_a, rank_b, rrf_score), ordered/limited to
+    ``top_k`` when given (ties → lowest id). The score is a fixed-order
+    two-term IEEE sum over integer ranks — deterministic across engines.
+
+    Plan shape: inputs are top-k result lists, so the full-outer join and
+    the final sort are k-row work; at 100 TB the cost lives in producing
+    the rankings (one scan each), not fusing them.
+    """
+    ra = a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    rb = b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    j = ra.join(rb, id_col, "full_outer")
+
+    def _contrib(c: str) -> Column:
+        return F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(c)).cast("double"), F.lit(0.0)
+        )
+
+    out = j.select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        (_contrib("rank_a") + _contrib("rank_b")).alias("rrf_score"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(top_k)
+    return out
+
+
 def vocab_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -1953,15 +1953,17 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 5 window: (a) the 4 new queries + geo_user_tracks (first
-    # round with a full-document oracle) + q12_ship_lateness (oracle
-    # BIGINT-cast fix needs a fresh green row); (b) all 17 entries whose
-    # latest green row is r2 (the pre-declared round-5 rotation
-    # priority); (c) 27 of the 49 r3-latest entries, in registry order.
-    # Every entry displaced past position 50 has a green row from r3 or
-    # r4 and keeps full local coverage via tests/test_queries_oracle.py.
-    # Round-6 rotation priority: the 22 r3-latest entries left out here
-    # (q13_order_distribution, rollup_order_totals,
+    # round 5 window: (a) the 5 new queries (hybrid search, dedup
+    # recall, search catalog, windowed funnel, recall curve) +
+    # geo_user_tracks (first round with a full-document oracle) +
+    # q12_ship_lateness (oracle BIGINT-cast fix needs a fresh green
+    # row); (b) all 17 entries whose latest green row is r2 (the
+    # pre-declared round-5 rotation priority); (c) 26 of the 49
+    # r3-latest entries, in registry order. Every entry displaced past
+    # position 50 has a green row from r3 or r4 and keeps full local
+    # coverage via tests/test_queries_oracle.py. Round-6 rotation
+    # priority: the 23 r3-latest entries left out here
+    # (q4_priority_exists, q13_order_distribution, rollup_order_totals,
     # event_value_quantiles, order_last_event_asof, user_event_gaps,
     # orders_above_cust_avg, doc_near_dup_drop,
     # doc_benchmark_contamination, doc_pii_scrub, event_sessions,
@@ -1969,6 +1971,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # emb_near_dup_pairs, emb_lsh_near_dup_pairs, emb_lsh_buckets,
     # emb_ivf_assign, emb_knn_ivf, emb_knn_lsh, mm_image_features,
     # mm_audio_features, doc_top_tokens), then anything r4-latest.
+    "doc_hybrid_search",
     "doc_dedup_recall",
     "rt_search_catalog",
     "user_funnel_windowed",
@@ -2018,7 +2021,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "q6_forecast_revenue",
     "suppliers_with_shipments_semi",
     "customer_order_ranks",
-    "q4_priority_exists",
 )
 
 

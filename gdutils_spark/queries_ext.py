@@ -1848,6 +1848,64 @@ LIMIT {BM25_TOP_K}
 """
 
 
+RRF_K = 60
+HYBRID_QUERY_VEC = 0
+HYBRID_TOP_K = 20
+
+
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking fused with a brute-force
+    vector ranking by reciprocal-rank fusion (RRF, SIGIR'09) — the
+    standard two-tower serving shape (keyword recall + semantic recall,
+    no score calibration). documents and embeddings share the id domain
+    in the driver corpus, so doc_id == vec_id."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    bm = tx.bm25_rank(docs, terms=BM25_TERMS, top_k=BM25_TOP_K)
+    text_rank = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    vec = sim.knn_bruteforce(
+        embs, embs.where(F.col("vec_id") == HYBRID_QUERY_VEC), k=BM25_TOP_K
+    )
+    vec_rank = vec.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("neighbor_id")))
+        .alias("rank"),
+    )
+    return tx.rrf_fuse(text_rank, vec_rank, k=RRF_K, top_k=HYBRID_TOP_K)
+
+
+def _hybrid_sql() -> str:
+    return f"""
+WITH bm AS ({_bm25_sql()}),
+tr AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_a
+       FROM bm),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_VEC}),
+vs AS (SELECT vec_id AS doc_id,
+              list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS vscore
+       FROM embeddings, q WHERE vec_id <> {HYBRID_QUERY_VEC}),
+vr AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS INT) AS rank_b
+       FROM vs ORDER BY vscore DESC, doc_id LIMIT {BM25_TOP_K})
+SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, rank_a, rank_b,
+       COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + rank_a AS DOUBLE), 0.0)
+       + COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + rank_b AS DOUBLE), 0.0)
+         AS rrf_score
+FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+ORDER BY rrf_score DESC, COALESCE(tr.doc_id, vr.doc_id)
+LIMIT {HYBRID_TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Evaluation / profiling reports
 # ---------------------------------------------------------------------------
@@ -2164,6 +2222,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_domain_mix_plan": doc_domain_mix_plan,
     "doc_domain_mix_sample": doc_domain_mix_sample,
     "doc_bm25_search": doc_bm25_search,
+    "doc_hybrid_search": doc_hybrid_search,
     "doc_incremental_dedup": doc_incremental_dedup,
 }
 
@@ -2219,6 +2278,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_domain_mix_plan": _MIX_PLAN_SQL,
     "doc_domain_mix_sample": _MIX_SAMPLE_SQL,
     "doc_bm25_search": _bm25_sql(),
+    "doc_hybrid_search": _hybrid_sql(),
     "doc_incremental_dedup": _incremental_dedup_sql(),
     "geo_user_tracks": _geo_tracks_sql(),
 }
