@@ -34,6 +34,11 @@ NAMES = [
     "doc_vocab_stats",
     "doc_repetition_signals",
     "emb_knn_recall",
+    "emb_ivf_recall_curve",
+    "doc_hybrid_search",
+    "user_funnel_windowed",
+    "doc_dedup_recall",
+    "rt_search_catalog",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
