@@ -237,6 +237,25 @@ def test_dedup_pairs_staged_to_parquet(boilerplate_docs, tmp_path):
         assert staged == cached and len(staged) >= 1
 
 
+def test_rrf_fuse_semantics(spark):
+    """RRF = Σ 1/(k+rank); a doc absent from one list contributes 0 from
+    it, and a doc present high in both beats a doc that tops one list."""
+    from gdutils_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2), (9, 3)], "doc_id long, rank int")
+    rows = {r["doc_id"]: r for r in rrf_fuse(a, b, k=60).collect()}
+    assert rows[2]["rrf_score"] == 1 / 62 + 1 / 61  # both lists
+    assert rows[1]["rrf_score"] == 1 / 61  # a-only
+    assert rows[9]["rrf_score"] == 1 / 63  # b-only
+    assert rows[1]["rank_b"] is None and rows[9]["rank_a"] is None
+    order = [
+        r["doc_id"]
+        for r in rrf_fuse(a, b, k=60, top_k=2).collect()
+    ]
+    assert order == [2, 3]  # consensus docs outrank single-list toppers
+
+
 def test_pair_recall_counts(spark):
     from gdutils_spark.operators.dedup import pair_recall
 
