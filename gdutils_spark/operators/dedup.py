@@ -207,6 +207,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    (Broder's resemblance-vs-containment distinction). Emits one row per
+    unordered pair (d1 < d2) whose containment in EITHER direction
+    reaches ``threshold``: (d1, d2, common, c1, c2), with ``c1`` the
+    share of d1's shingles found in d2 and vice versa.
+
+    This is the duplicate class symmetric Jaccard structurally misses: a
+    tweet-sized quote embedded in a long article has Jaccard ≈ |A|/|B|
+    (tiny) but containment(A→B) ≈ 1. Dedup pipelines run it after
+    Jaccard to catch quote/boilerplate/subset duplication.
+
+    Plan shape is identical to :func:`ngram_jaccard_pairs` (same shingle
+    self-join, same ``max_shingle_freq`` skew guard with exact
+    verification over FULL shingle sets) — only the final score
+    expression differs, so everything SCALE.md says about the Jaccard
+    path applies unchanged.
+    """
+    sh = _shingle_table(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
+    if max_shingle_freq is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        cold = _cold_shingles(sh, max_shingle_freq)
+        a = cold.alias("a")
+        b = cold.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .distinct()
+        )
+        s1 = sh.select(F.col("doc").alias("d1"), "shingle")
+        s2 = sh.select(F.col("doc").alias("d2"), "shingle")
+        common = (
+            cands.join(s1, "d1")
+            .join(s2, ["d2", "shingle"])
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    c1 = F.col("common").cast("double") / F.col("na").cast("double")
+    c2 = F.col("common").cast("double") / F.col("nb").cast("double")
+    return (
+        common.join(sa, "d1")
+        .join(sb, "d2")
+        .select("d1", "d2", "common", c1.alias("c1"), c2.alias("c2"))
+        .where((F.col("c1") >= threshold) | (F.col("c2") >= threshold))
+    )
+
+
 def _cold_shingles(sh: DataFrame, max_freq: int) -> DataFrame:
     """Shingle rows minus shingles whose document frequency exceeds
     ``max_freq`` — one extra hash-agg on the shingle key (map-side

@@ -187,6 +187,36 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_T}
 """
 
 
+CONTAIN_T = 0.6
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs (Broder): the duplicate class
+    symmetric Jaccard misses — a short document embedded in a long one.
+    Same shingle self-join plan as the Jaccard path."""
+    return dd.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), k=NGRAM_K, threshold=CONTAIN_T
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+common AS (
+  SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d1, d2, common,
+       CAST(common AS DOUBLE) / sa.n AS c1,
+       CAST(common AS DOUBLE) / sb.n AS c2
+FROM common
+JOIN sizes sa ON d1 = sa.doc
+JOIN sizes sb ON d2 = sb.doc
+WHERE CAST(common AS DOUBLE) / sa.n >= {CONTAIN_T}
+   OR CAST(common AS DOUBLE) / sb.n >= {CONTAIN_T}
+"""
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction end-to-end with REAL pattern matching: deterministic
     PII (doc_id-derived emails, phones, IPv4s, SSNs, and both Luhn-valid
@@ -2184,6 +2214,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": doc_lang_id,
     "doc_exact_dups": doc_exact_dups,
     "doc_ngram_dup_pairs": doc_ngram_dup_pairs,
+    "doc_containment_pairs": doc_containment_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash": doc_simhash,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,
@@ -2241,6 +2272,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_lang_id": _lang_id_sql(),
     "doc_exact_dups": _EXACT_DUPS_SQL,
     "doc_ngram_dup_pairs": _NGRAM_PAIRS_SQL,
+    "doc_containment_pairs": _CONTAINMENT_SQL,
     "doc_minhash_lsh_pairs": _minhash_lsh_sql(),
     "doc_simhash": _simhash_sql(),
     "doc_simhash_near_pairs": _simhash_pairs_sql(),

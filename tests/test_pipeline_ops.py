@@ -237,6 +237,31 @@ def test_dedup_pairs_staged_to_parquet(boilerplate_docs, tmp_path):
         assert staged == cached and len(staged) >= 1
 
 
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short quote embedded verbatim in a long article: Jaccard is tiny
+    (|A|/|B|) but containment(A→B) ≈ 1 — the pair the containment
+    operator exists to catch."""
+    from gdutils_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} word{i} pad{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")],
+        "doc_id long, text string",
+    )
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # symmetric similarity misses the subset pair
+    con = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(con) == 1
+    r = con[0]
+    assert (r["d1"], r["d2"]) == (1, 2)
+    assert r["c1"] == 1.0  # every quote shingle appears in the article
+    assert r["c2"] < 0.5
+
+
 def test_rrf_fuse_semantics(spark):
     """RRF = Σ 1/(k+rank); a doc absent from one list contributes 0 from
     it, and a doc present high in both beats a doc that tops one list."""
