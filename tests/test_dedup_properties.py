@@ -30,6 +30,11 @@ from gdutils_spark.operators.dedup import (
 
 WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
 
+
+def _shingle_set(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
 texts = st.lists(
     st.sampled_from(WORDS), min_size=3, max_size=12
 ).map(" ".join)
@@ -46,6 +51,41 @@ def _df(spark, texts_):
     return spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
     )
+
+
+@slow
+@given(corpora)
+def test_containment_matches_set_model(spark, texts_):
+    """ngram_containment_pairs == the pure-Python set model: for every
+    pair with |A∩B|/|A| or /|B| ≥ t, exactly (common, c1, c2); and
+    containment dominates Jaccard (c ≥ j always)."""
+    from gdutils_spark.operators.dedup import ngram_containment_pairs
+
+    t = 0.6
+    df = _df(spark, texts_)
+    got = {
+        (r.d1, r.d2): (r.common, r.c1, r.c2)
+        for r in ngram_containment_pairs(df, threshold=t).collect()
+    }
+    sets = {i: _shingle_set(x) for i, x in enumerate(texts_)}
+    want = {}
+    for i in sorted(sets):
+        for j in sorted(sets):
+            if i >= j or not sets[i] or not sets[j]:
+                continue
+            common = len(sets[i] & sets[j])
+            if common == 0:
+                continue
+            c1, c2 = common / len(sets[i]), common / len(sets[j])
+            if c1 >= t or c2 >= t:
+                want[(i, j)] = (common, c1, c2)
+    assert got == want
+    jac = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    for pair, (_, c1, c2) in got.items():
+        assert max(c1, c2) >= jac[pair] - 1e-12
 
 
 @slow
