@@ -759,6 +759,79 @@ HAVING day_end <= m.mx - INTERVAL 1 DAY
 """
 
 
+def rt_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization driver-verified end-to-end:
+    ``session_window`` (30-min gap) in append mode through a parquet
+    sink. The oracle replays the STREAMING merge rule (consecutive gap
+    < 30 min merges — note ``<``, the batch operator's split is ``>``)
+    and the watermark close rule: a session window's end is
+    last_event + gap, and append emits exactly the windows whose end <=
+    max(ts) - delay. If session merging, the gap boundary, or the
+    emission rule drifted, the row set changes."""
+    from gdutils_spark.streaming import stream_sessions
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 25)
+        .select("user_id", "ts")
+    )
+    tmp = _work_dir("stream_sessions")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    e.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    sess = stream_sessions(
+        stream, entity_col="user_id", time_col="ts", gap="30 minutes", watermark="1 day"
+    )
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_sessions: streaming query did not finish")
+    back = spark.read.parquet(out)
+    return back.select(
+        "user_id",
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        "n_events",
+    )
+
+
+_RT_STREAM_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 25),
+m AS (SELECT MAX(ts) AS mx FROM e),
+d AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+agg AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg, m
+WHERE session_end <= m.mx - INTERVAL 1 DAY
+"""
+
+
 # ---------------------------------------------------------------------------
 # K6: server-rendered plot URL builder, driver-verified
 # ---------------------------------------------------------------------------
@@ -944,6 +1017,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_dedup": rt_stream_dedup,
     "rt_stream_daily_counts": rt_stream_daily_counts,
     "rt_search_catalog": rt_search_catalog,
+    "rt_stream_sessions": rt_stream_sessions,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -963,4 +1037,5 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_dedup": _RT_STREAM_DEDUP_SQL,
     "rt_stream_daily_counts": _RT_STREAM_DAILY_SQL,
     "rt_search_catalog": _RT_SEARCH_SQL,
+    "rt_stream_sessions": _RT_STREAM_SESSIONS_SQL,
 }
