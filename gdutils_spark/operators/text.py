@@ -738,3 +738,186 @@ def length_histogram(
         "n_docs",
         (F.col("n_docs").cast("double") / total).alias("share"),
     )
+
+
+def segment_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Split each document into consecutive non-overlapping ``width``-word
+    segments → ``(doc, seg_idx, segment)``. The segment is the unit of
+    CCNet/RefinedWeb-style sub-document dedup: their corpora use lines /
+    paragraphs; this corpus is a single-line word stream, so a fixed
+    word window is the structural analogue (the last segment may be
+    shorter).
+
+    Plan shape: pure map-side — the token array is materialized as a
+    projection attribute FIRST (a lambda over the raw split expression
+    would re-evaluate the regex per element under interpreted HOF eval,
+    the O(n²) cliff), then one linear ``transform``+``slice`` pass and a
+    ``posexplode``. No shuffle.
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    words = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_w"))
+    nseg = F.ceil(F.size(F.col("_w")) / F.lit(width)).cast("int")
+    segs = F.when(F.size(F.col("_w")) > 0, F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(F.col("_w"), i * width + 1, width), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return words.select("doc", F.posexplode(segs).alias("seg_idx", "segment"))
+
+
+def common_segments(
+    seg: DataFrame,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate inventory: segments appearing in ≥ ``min_docs``
+    DISTINCT documents → ``(segment, n_docs)``. One hash aggregate on
+    the segment string; a within-document repeat collapses map-side in
+    the distinct, so the shuffle carries (doc, segment) pairs at most
+    once each."""
+    return (
+        seg.select("doc", "segment")
+        .distinct()
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_common_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Sub-document boilerplate removal (CCNet §3.1 / RefinedWeb's
+    line-wise dedup, re-shaped to fixed word segments): drop every
+    segment whose exact text occurs in ≥ ``min_docs`` distinct
+    documents, and reassemble the surviving segments in order. Returns
+    ``(doc, n_segs, n_kept, cleaned_text)`` — a document made entirely
+    of boilerplate keeps an empty string.
+
+    Plan shape at 100 TB: segmenting is map-side; the boilerplate
+    inventory is one (doc, segment)-distinct hash aggregate; the drop is
+    a left-anti join on the segment string (AQE broadcasts the inventory
+    when it is small — boilerplate inventories are, by construction:
+    only segments repeated across ``min_docs`` docs survive the HAVING);
+    reassembly is one per-doc hash aggregate over struct-sorted
+    ``collect_list`` (no window sort). The corpus shuffles once, keyed
+    by doc, carrying only surviving segments.
+    """
+    seg = segment_table(df, text_col, id_col, width)
+    boiler = common_segments(seg, min_docs).select("segment")
+    kept = seg.join(boiler, "segment", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))),
+                lambda s: s["segment"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = seg.groupBy("doc").agg(F.count(F.lit(1)).alias("n_segs"))
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
+def token_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean corpus-frequency of its tokens — the
+    exact-arithmetic twin of unigram-LM scoring (:func:`unigram_logprob`)
+    used for rarity-based quality triage: a low mean frequency flags
+    documents full of tokens the corpus has barely seen (OCR noise,
+    codes, another language); a high one flags boilerplate. All counts
+    are exact integers; the single IEEE division happens last, so any
+    SQL oracle is bit-identical (same design as :func:`tf_idf_top_terms`
+    — a log score would hash-diverge on libm ulps).
+
+    Plan shape: explode → (doc, token) hash aggregate → token-keyed
+    global-frequency aggregate → join back on token (vocabulary-sized
+    build side, AQE broadcast-decides) → per-doc rollup. Two shuffles
+    over the token stream, both map-side combinable.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = tf.groupBy("token").agg(F.sum("cnt").alias("freq"))
+    return (
+        tf.join(freq, "token")
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("freq")).alias("freq_mass"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            "n_distinct",
+            "freq_mass",
+            (F.col("freq_mass").cast("double") / F.col("n_tokens")).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram language-model score: the mean negative
+    natural-log probability of the document's tokens under the
+    maximum-likelihood unigram model fit on the corpus itself (the
+    KenLM-perplexity stand-in of CCNet's quality bucketing, with the
+    corpus as its own training set — no OOV smoothing needed).
+    ``exp(mean_neg_logprob)`` is the document's unigram perplexity.
+
+    Same two-shuffle plan as :func:`token_rarity`. This operator is the
+    honest log-domain form; because ``ln`` differs across libm
+    implementations in the last ulp, it is verified by property tests
+    against a pure-Python model (tolerance-based), not by a
+    hash-compare SQL oracle — use :func:`token_rarity` where exact
+    cross-engine parity is required.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = tf.groupBy("token").agg(F.sum("cnt").alias("freq"))
+    total = freq.select(F.sum("freq").alias("_total"))
+    return (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                -F.col("cnt")
+                * F.log(F.col("freq").cast("double") / F.col("_total"))
+            ).alias("neg_logprob_sum"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            (F.col("neg_logprob_sum") / F.col("n_tokens")).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )

@@ -2197,6 +2197,70 @@ SELECT 2, '{s2}', (SELECT COUNT(*) FROM t2)
 
 # ---------------------------------------------------------------------------
 # Registry
+SEG_WIDTH = 8
+SEG_MIN_DOCS = 3
+
+
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal (CCNet-style line dedup reshaped
+    to fixed word segments): drop every 8-word segment shared by >= 3
+    documents and reassemble the survivors — the cleaned text itself is
+    hash-verified, so segmentation, the distinct-doc threshold, and
+    ordered reassembly must all agree with the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.remove_common_segments(
+        d, width=SEG_WIDTH, min_docs=SEG_MIN_DOCS
+    )
+
+
+_SEGMENT_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id AS doc, {_TOKS} AS ws FROM documents),
+n AS (SELECT doc, ws, CAST(ceil(len(ws) / {SEG_WIDTH}.0) AS BIGINT) AS nseg FROM w),
+ex AS (SELECT doc, ws, unnest(range(nseg)) AS seg_idx FROM n),
+seg AS (
+  SELECT doc, seg_idx,
+         array_to_string(ws[seg_idx*{SEG_WIDTH}+1 : seg_idx*{SEG_WIDTH}+{SEG_WIDTH}], ' ') AS segment
+  FROM ex
+),
+boiler AS (
+  SELECT segment FROM (SELECT DISTINCT doc, segment FROM seg)
+  GROUP BY segment HAVING COUNT(*) >= {SEG_MIN_DOCS}
+),
+kept AS (SELECT * FROM seg WHERE segment NOT IN (SELECT segment FROM boiler)),
+reb AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(segment, ' ' ORDER BY seg_idx) AS cleaned_text
+  FROM kept GROUP BY doc
+),
+tot AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_segs FROM seg GROUP BY doc)
+SELECT t.doc, t.n_segs, COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN reb USING (doc)
+"""
+
+
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus-frequency of each document's tokens — unigram-LM
+    quality triage in exact integer arithmetic (the log-domain twin,
+    ``unigram_logprob``, is property-tested instead: libm ulps)."""
+    return tx.token_rarity(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_RARITY_SQL = f"""
+WITH toks AS (SELECT doc_id AS doc, unnest({_TOKS}) AS token FROM documents),
+tf AS (
+  SELECT doc, token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY doc, token
+),
+freq AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq FROM tf GROUP BY token)
+SELECT doc,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt * freq) AS BIGINT) AS freq_mass,
+       CAST(SUM(cnt * freq) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS mean_token_freq
+FROM tf JOIN freq USING (token) GROUP BY doc
+"""
+
+
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2255,6 +2319,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25_search": doc_bm25_search,
     "doc_hybrid_search": doc_hybrid_search,
     "doc_incremental_dedup": doc_incremental_dedup,
+    "doc_segment_dedup": doc_segment_dedup,
+    "doc_token_rarity": doc_token_rarity,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -2312,5 +2378,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_bm25_search": _bm25_sql(),
     "doc_hybrid_search": _hybrid_sql(),
     "doc_incremental_dedup": _incremental_dedup_sql(),
+    "doc_segment_dedup": _SEGMENT_DEDUP_SQL,
+    "doc_token_rarity": _TOKEN_RARITY_SQL,
     "geo_user_tracks": _geo_tracks_sql(),
 }

@@ -832,6 +832,80 @@ WHERE session_end <= m.mx - INTERVAL 1 DAY
 """
 
 
+def rt_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator driver-verified end-to-end:
+    ``stream_entity_summaries`` (``applyInPandasWithState`` — one state
+    row per entity, update-mode emissions) run with availableNow over a
+    TWO-batch file source (``maxFilesPerTrigger=1``), each micro-batch
+    appended to parquet via ``foreachBatch``. Entities spanning both
+    batches emit twice; because the event count per entity strictly
+    increases across updates, the max-count row per entity is its FINAL
+    state, which must equal the global batch aggregate regardless of how
+    files were batched — that is exactly the incremental-state
+    invariant this query pins down. Streaming analogue of the
+    reference's poll-time summary rebuild
+    (/root/reference/gdutils/__init__.py:591-614)."""
+    from gdutils_spark.streaming import stream_entity_summaries
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 25)
+        .select("user_id", "ts")
+    )
+    tmp = _work_dir("stream_stateful")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    # two separate appends → two source files → two deterministic-content
+    # micro-batches (file order may vary; the final state per entity
+    # doesn't, which is the point)
+    split = F.dayofmonth(F.col("ts")) % 2 == 0
+    e.where(split).coalesce(1).write.mode("append").parquet(src)
+    e.where(~split).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # timeout_ms=None: a pending processing-time timeout would keep the
+    # availableNow drain alive forever (see the operator's docstring)
+    summ = stream_entity_summaries(
+        stream, entity_col="user_id", time_col="ts", timeout_ms=None
+    )
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        summ.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_stateful: streaming query did not finish")
+    back = spark.read.parquet(out)
+    final = back.groupBy("entity").agg(
+        F.max_by(F.struct("start_time", "end_time", "n_events"), "n_events").alias("s")
+    )
+    return final.select(
+        "entity",
+        F.col("s.start_time").alias("start_time"),
+        F.col("s.end_time").alias("end_time"),
+        F.col("s.n_events").alias("n_events"),
+    )
+
+
+_RT_STREAM_STATEFUL_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS entity,
+       MIN(ts) AS start_time,
+       MAX(ts) AS end_time,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events WHERE user_id < 25 GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # K6: server-rendered plot URL builder, driver-verified
 # ---------------------------------------------------------------------------
@@ -1018,6 +1092,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_daily_counts": rt_stream_daily_counts,
     "rt_search_catalog": rt_search_catalog,
     "rt_stream_sessions": rt_stream_sessions,
+    "rt_stream_stateful": rt_stream_stateful,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -1038,4 +1113,5 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_daily_counts": _RT_STREAM_DAILY_SQL,
     "rt_search_catalog": _RT_SEARCH_SQL,
     "rt_stream_sessions": _RT_STREAM_SESSIONS_SQL,
+    "rt_stream_stateful": _RT_STREAM_STATEFUL_SQL,
 }

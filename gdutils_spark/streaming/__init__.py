@@ -57,7 +57,7 @@ def stream_entity_summaries(
     stream: DataFrame,
     entity_col: str = "dataset_id",
     time_col: str = "ts",
-    timeout_ms: int = 30 * 60 * 1000,
+    timeout_ms: int | None = 30 * 60 * 1000,
 ) -> DataFrame:
     """Custom stateful operator: incrementally-maintained per-entity
     summary rows (first/last fix, event count) — the streaming analogue
@@ -69,6 +69,12 @@ def stream_entity_summaries(
     (bounded by live-entity cardinality, not event volume); a processing
     -time timeout flushes entities that stop reporting. Emits the updated
     summary on every trigger an entity received events.
+
+    ``timeout_ms=None`` disables the timeout (``NoTimeout``). Required
+    for ``Trigger.AvailableNow`` drains: a pending processing-time
+    timeout counts as schedulable work, so the engine keeps firing
+    (empty) micro-batches to service re-armed timeouts and the query
+    never terminates — timeouts are for genuinely continuous streams.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -98,7 +104,7 @@ def stream_entity_summaries(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        if state.hasTimedOut:
+        if timeout_ms is not None and state.hasTimedOut:
             state.remove()
             return
         start_us, end_us, n = state.get if state.exists else (None, None, 0)
@@ -109,7 +115,8 @@ def stream_entity_summaries(
             end_us = hi if end_us is None else max(end_us, hi)
             n += len(pdf)
         state.update((start_us, end_us, n))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "entity": [str(key[0])],
@@ -124,7 +131,11 @@ def stream_entity_summaries(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -202,7 +202,12 @@ def test_stream_entity_summaries_stateful(spark, stream_dirs):
     entity must equal the batch per-entity aggregate."""
     src, chk, events = stream_dirs
     stream = spark.readStream.schema(events.schema).parquet(src)
-    summ = stream_entity_summaries(stream, entity_col="user_id", time_col="ts")
+    # timeout_ms=None: with a processing-time timeout armed, availableNow
+    # NEVER drains (each batch re-arms timeouts → endless empty batches);
+    # the terminated=True assertion below is the regression guard
+    summ = stream_entity_summaries(
+        stream, entity_col="user_id", time_col="ts", timeout_ms=None
+    )
     q = (
         summ.writeStream.format("memory")
         .queryName("entity_summaries_stream")
@@ -211,7 +216,10 @@ def test_stream_entity_summaries_stateful(spark, stream_dirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    terminated = q.awaitTermination(120)
+    if not terminated:
+        q.stop()
+    assert terminated, "availableNow drain must terminate with NoTimeout"
     # update mode emits one row per (trigger, entity); keep the final state
     got = {
         r["entity"]: (r["start_time"], r["end_time"], r["n_events"])

@@ -119,3 +119,104 @@ def test_quantization_preserves_order(spark, vecs):
         pairs = sorted(zip(v, r.codes))
         for (v1, c1), (v2, c2) in zip(pairs, pairs[1:]):
             assert c1 <= c2, (v1, c1, v2, c2)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level boilerplate dedup + token rarity / unigram LM
+# ---------------------------------------------------------------------------
+
+import math
+import re
+
+from gdutils_spark.operators.text import (
+    remove_common_segments,
+    token_rarity,
+    unigram_logprob,
+)
+
+
+def _model_tokens(t: str) -> list[str]:
+    # mirror of operators.text.tokens(): split(lower(trim(text)), '\s+')
+    return re.split(r"\s+", t.strip().lower())
+
+
+def _model_segments(texts_, width, min_docs):
+    per_doc = []
+    for t in texts_:
+        ws = _model_tokens(t)
+        nseg = math.ceil(len(ws) / width)
+        per_doc.append(
+            [" ".join(ws[i * width : (i + 1) * width]) for i in range(nseg)]
+        )
+    doc_count: dict[str, int] = {}
+    for segs in per_doc:
+        for s in set(segs):
+            doc_count[s] = doc_count.get(s, 0) + 1
+    boiler = {s for s, n in doc_count.items() if n >= min_docs}
+    out = {}
+    for i, segs in enumerate(per_doc):
+        kept = [s for s in segs if s not in boiler]
+        out[i] = (len(segs), len(kept), " ".join(kept))
+    return out
+
+
+@given(corpora, st.integers(1, 6), st.integers(2, 3))
+@slow
+def test_segment_dedup_matches_model(spark, texts_, width, min_docs):
+    got = {
+        r.doc: (r.n_segs, r.n_kept, r.cleaned_text)
+        for r in remove_common_segments(
+            _df(spark, texts_), width=width, min_docs=min_docs
+        ).collect()
+    }
+    assert got == _model_segments(texts_, width, min_docs)
+
+
+def _model_rarity(texts_):
+    from collections import Counter
+
+    tf = {
+        i: Counter(w for w in _model_tokens(t) if w != "")
+        for i, t in enumerate(texts_)
+    }
+    freq = Counter()
+    for c in tf.values():
+        freq.update(c)
+    out = {}
+    for i, c in tf.items():
+        if not c:
+            continue  # docs with no nonempty tokens drop out (explode+filter)
+        n = sum(c.values())
+        mass = sum(cnt * freq[w] for w, cnt in c.items())
+        out[i] = (n, len(c), mass, mass / n)
+    return out, freq
+
+
+@given(corpora)
+@slow
+def test_token_rarity_matches_model(spark, texts_):
+    expect, _ = _model_rarity(texts_)
+    got = {
+        r.doc: (r.n_tokens, r.n_distinct, r.freq_mass, r.mean_token_freq)
+        for r in token_rarity(_df(spark, texts_)).collect()
+    }
+    assert got == expect
+
+
+@given(corpora)
+@slow
+def test_unigram_logprob_matches_model(spark, texts_):
+    expect, freq = _model_rarity(texts_)
+    total = sum(freq.values())
+    got = {r.doc: r for r in unigram_logprob(_df(spark, texts_)).collect()}
+    assert set(got) == set(expect)
+    from collections import Counter
+
+    for i in expect:
+        c = Counter(w for w in _model_tokens(texts_[i]) if w != "")
+        n = sum(c.values())
+        want = sum(-cnt * math.log(freq[w] / total) for w, cnt in c.items()) / n
+        r = got[i]
+        assert r.n_tokens == n
+        assert abs(r.mean_neg_logprob - want) <= 1e-9 * max(1.0, abs(want))
+        assert r.mean_neg_logprob >= -1e-12  # -log p is non-negative
