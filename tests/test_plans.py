@@ -281,3 +281,24 @@ def test_length_histogram_single_agg_no_python(spark, sf_correct):
     plan = formatted_plan(QUERIES["doc_length_histogram"](spark, sf_correct))
     assert not uses_python(plan)
     assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_segment_dedup_shape(spark, sf_correct):
+    """Segment dedup: segmenting is map-side (no Python), the boilerplate
+    drop is a JOIN on the segment string (LeftAnti), and the corpus-side
+    work is bounded: inventory agg + reassembly agg, no window sort over
+    segments (struct-sorted collect_list instead)."""
+    plan = formatted_plan(QUERIES["doc_segment_dedup"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert "LeftAnti" in plan
+    assert "Window" not in plan  # reassembly via sorted collect_list, not a window
+
+
+def test_token_rarity_two_token_shuffles_no_python(spark, sf_correct):
+    """Token rarity: explode → (doc,token) agg → token freq agg → join →
+    per-doc rollup. All JVM-side; exchanges stay bounded (tf agg, freq
+    agg, join re-partitions, final doc rollup — AQE may elide some)."""
+    df = QUERIES["doc_token_rarity"](spark, sf_correct)
+    plan = formatted_plan(df)
+    assert not uses_python(plan)
+    assert n_exchanges(plan) <= 5
