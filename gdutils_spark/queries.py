@@ -1977,6 +1977,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "rt_stream_stateful",
     "doc_segment_dedup",
     "doc_token_rarity",
+    "mm_pcm_stats",
     "rt_stream_sessions",
     "doc_containment_pairs",
     "doc_hybrid_search",

@@ -1325,16 +1325,12 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
-def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio decode end-to-end with the REAL RIFF chunk walk: documents
-    become syntactically valid WAV containers (RIFF/WAVE + fmt chunk with
-    doc_id-derived sample rate and channel count, text bytes as the data
-    chunk), built JVM-side — little-endian fields via per-byte hex
-    reversal. The oracle predicts rate/channels/duration arithmetically,
-    so a wrong chunk offset or endianness hash-fails."""
-    from gdutils_spark.operators.multimodal import decode_audio_features
-
-    d = load_table(spark, sf_dir, "documents")
+def _wav_media(d: DataFrame) -> DataFrame:
+    """Documents → syntactically valid PCM WAV containers (RIFF/WAVE +
+    fmt chunk with doc_id-derived sample rate and channel count, the
+    UTF-8 text bytes as the data chunk), built JVM-side — little-endian
+    fields via per-byte hex reversal. Shared fixture for the audio
+    header-decode and PCM sample-decode queries."""
 
     def le(c: F.Column, width: int) -> F.Column:
         """Integer column → little-endian bytes of the given width."""
@@ -1362,13 +1358,71 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         le(data_size, 4),
         F.encode("text", "utf-8"),
     )
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.lit("wav").alias("format"),
         F.lit("audio").alias("kind"),
     )
-    return decode_audio_features(media)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio header decode end-to-end with the REAL RIFF chunk walk over
+    the :func:`_wav_media` fixture. The oracle predicts
+    rate/channels/duration arithmetically, so a wrong chunk offset or
+    endianness hash-fails."""
+    from gdutils_spark.operators.multimodal import decode_audio_features
+
+    return decode_audio_features(
+        _wav_media(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def mm_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level audio decode: int16 PCM amplitude statistics over the
+    same WAV fixture. The data chunk is the document's ASCII text, so
+    every decoded sample is predictable arithmetically — sample i =
+    byte(2i) + 256·byte(2i+1), always non-negative because ASCII high
+    bytes stay < 0x80 — and the oracle rebuilds count/sum/sum-of-squares
+    /peak per document from character codes. A wrong data-chunk offset,
+    endianness, or signedness in the decoder hash-fails; mean and RMS
+    are one IEEE division (+ correctly-rounded sqrt) over exact
+    integers."""
+    from gdutils_spark.operators.multimodal import audio_pcm_stats
+
+    return audio_pcm_stats(_wav_media(load_table(spark, sf_dir, "documents")))
+
+
+_MM_PCM_SQL = """
+WITH s AS (
+  SELECT doc_id AS media_id, text,
+         CAST(length(text) // 2 AS BIGINT) AS n
+  FROM documents
+),
+ex AS (SELECT media_id, text, unnest(range(n)) AS i FROM s),
+samp AS (
+  SELECT media_id,
+         ord(substring(text, CAST(2*i+1 AS INT), 1))
+         + 256 * ord(substring(text, CAST(2*i+2 AS INT), 1)) AS v
+  FROM ex
+),
+agg AS (
+  SELECT media_id,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(v) AS BIGINT) AS sum_amp,
+         CAST(SUM(v*v) AS BIGINT) AS sumsq_amp,
+         CAST(MAX(v) AS INT) AS peak
+  FROM samp GROUP BY media_id
+)
+SELECT s.media_id,
+       COALESCE(n_samples, 0) AS n_samples,
+       COALESCE(sum_amp, 0) AS sum_amp,
+       COALESCE(sumsq_amp, 0) AS sumsq_amp,
+       peak,
+       CASE WHEN n_samples > 0 THEN CAST(sum_amp AS DOUBLE) / n_samples END AS mean_amp,
+       CASE WHEN n_samples > 0 THEN sqrt(CAST(sumsq_amp AS DOUBLE) / n_samples) END AS rms
+FROM s LEFT JOIN agg USING (media_id)
+"""
 
 
 _MM_AUDIO_SQL = """
@@ -2306,6 +2360,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_thumbnails": mm_thumbnails,
     "mm_pixel_stats": mm_pixel_stats,
     "mm_audio_features": mm_audio_features,
+    "mm_pcm_stats": mm_pcm_stats,
     "geo_user_tracks": geo_user_tracks,
     "doc_top_tokens": doc_top_tokens,
     "doc_repetition_signals": doc_repetition_signals,
@@ -2366,6 +2421,7 @@ EXT_ORACLE: dict[str, str] = {
     "mm_thumbnails": _MM_THUMBNAILS_SQL,
     "mm_pixel_stats": _MM_PIXEL_STATS_SQL,
     "mm_audio_features": _MM_AUDIO_SQL,
+    "mm_pcm_stats": _MM_PCM_SQL,
     "doc_top_tokens": _TOP_TOKENS_SQL,
     "doc_repetition_signals": _REPETITION_SQL,
     "doc_source_stats": _SOURCE_STATS_SQL,

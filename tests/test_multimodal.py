@@ -298,3 +298,60 @@ def test_image_pixel_stats_spark(spark):
     assert r1.px_mean == sum(px) / len(px)
     assert (r1.px_min, r1.px_max) == (min(px), max(px))
     assert got[2].px_sum is None
+
+
+def make_wav_pcm(samples, rate=8000, channels=1, extra_byte=False) -> bytes:
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    if extra_byte:
+        data += b"\x01"  # malformed odd tail — decoders drop it
+    byte_rate = rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_pcm_stats_signed_samples():
+    from gdutils_spark.operators.multimodal import pcm_stats
+
+    samples = [100, -200, 32767, -32768]
+    n, s, ss, peak = pcm_stats(make_wav_pcm(samples))
+    assert n == 4
+    assert s == sum(samples)
+    assert ss == sum(x * x for x in samples)
+    assert peak == 32768  # |−32768| — abs must widen past int16
+
+
+def test_pcm_stats_edges():
+    from gdutils_spark.operators.multimodal import pcm_stats
+
+    # odd trailing byte ignored
+    assert pcm_stats(make_wav_pcm([7, -7], extra_byte=True)) == (2, 0, 98, 7)
+    # empty data chunk: zero counts, null peak
+    assert pcm_stats(make_wav_pcm([])) == (0, 0, 0, None)
+    # non-WAV payloads
+    assert pcm_stats(None) is None
+    assert pcm_stats(b"not audio") is None
+
+
+def test_audio_pcm_stats_spark(spark):
+    import math
+
+    from gdutils_spark.operators.multimodal import audio_pcm_stats
+
+    rows = [
+        (1, make_wav_pcm([1000, -1000, 500]), "wav", "audio"),
+        (2, b"\xffgarbage", "mp3", "audio"),
+        (3, make_wav_pcm([4, 4]), "wav", "image"),  # filtered by kind
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, format string, kind string"
+    )
+    got = {r.media_id: r for r in audio_pcm_stats(df).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1.n_samples, r1.sum_amp, r1.sumsq_amp, r1.peak) == (3, 500, 2250000, 1000)
+    assert r1.mean_amp == 500 / 3
+    assert r1.rms == math.sqrt(2250000 / 3)
+    r2 = got[2]
+    assert r2.n_samples is None and r2.rms is None
