@@ -1,0 +1,153 @@
+"""Mergeable sketch operators for corpus-scale profiling.
+
+At 100 TB the only viable shape for "how many distinct X per group" over
+a sharded corpus is a MERGEABLE sketch: each executor folds its partition
+into fixed-size state, partial states combine associatively (map-side
+combine → one tiny shuffle), and yesterday's sketch merges with today's
+without touching yesterday's data. HyperLogLog (Flajolet et al. 2007) is
+the canonical instance; Spark's built-in ``approx_count_distinct`` is an
+HLL++ too, but its estimate is engine-internal and not reproducible by
+any oracle. This implementation is **deterministic and engine-parity by
+construction**:
+
+* hash = first 15 hex chars of md5 → non-negative 60-bit int64 (same
+  construction as the dedup family — any engine with ``md5`` replays it);
+* register index = low ``p`` bits, rank ``rho`` = leading-zero count of
+  the remaining 60−p bits + 1, computed via integer ``bin()`` string
+  length (no floating log2);
+* the harmonic-mean denominator folds ``2^-register`` terms — each term
+  an EXACT power-of-two double built as ``1.0 / (1 << reg)``, never
+  ``pow`` — in ascending register order on both engines (sum order is
+  the only rounding freedom, so it is pinned);
+* the bias constant ``alpha_m · m²`` is precomputed in Python and
+  inlined as one literal, leaving a single final IEEE division.
+
+The raw-estimate form (no small/large-range correction) is reported with
+its components plus the exact distinct count, so the registry query is
+simultaneously a correctness check of the sketch machinery and an error
+report for the estimator — the small-range linear-counting correction
+needs ``ln`` (libm-ulp territory) and belongs to the consumer, not the
+determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_P = 8  # 2^8 = 256 registers ≈ 6.5% standard error
+
+
+def _alpha_m2(p: int) -> float:
+    """alpha_m * m^2 for the raw HLL estimate, as one double literal."""
+    m = 1 << p
+    if p == 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m
+
+
+def hll_rho(hash_col: Column, p: int = DEFAULT_P) -> Column:
+    """Rank of the (60−p)-bit suffix: leading zeros + 1, via the binary
+    string length of the non-negative remainder (``bin`` has no leading
+    zeros, so bit-length = string length; all-zero suffix ⇒ max rank)."""
+    width = 60 - p
+    w = F.shiftright(hash_col, p)
+    return F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Per-group HLL register table ``(group, bucket, reg)``: one
+    map-side-combinable ``max`` aggregate over the hashed value stream.
+    This IS the mergeable state: registers of a union of corpora are the
+    element-wise max of their register tables (property-tested), so
+    incremental ingest unions register tables and re-aggregates —
+    yesterday's corpus is never rescanned."""
+    from gdutils_spark.operators.dedup import _md5_int64
+
+    h = _md5_int64(F.col(value_col))
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        (h % (1 << p)).alias("bucket"),
+        hll_rho(h, p).alias("rho"),
+    )
+    return hashed.groupBy("grp", "bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register tables (same ``p``): element-wise max. The
+    union is register-table-sized — merging N daily sketches costs
+    N · groups · m rows, independent of corpus size."""
+    return (
+        a.unionByName(b)
+        .groupBy("grp", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Per-group distinct-count report: exact count, HLL raw estimate
+    and its relative error, plus the sketch internals (buckets hit,
+    harmonic-mean denominator) that make the estimate reproducible.
+
+    Plan shape: the register aggregate and the exact-distinct aggregate
+    each shuffle the (group, value)-collapsed stream once; the fold over
+    registers is group×m-sized driver-free work. The exact count exists
+    to grade the estimator — a production 100 TB run drops it and keeps
+    only the sketch path.
+    """
+    m = 1 << p
+    reg = hll_registers(df, value_col, group_col, p)
+    # 2^-reg as an exact power-of-two double: integer shift + one
+    # division (the Python-API shiftleft wants a literal shift amount;
+    # the SQL form takes a column). Projected BEFORE the fold so the
+    # interpreted HOF lambda only adds attributes.
+    with_inv = reg.select(
+        "grp", "bucket", F.expr("1.0D / shiftleft(1L, reg)").alias("inv")
+    )
+    folded = with_inv.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "inv"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["inv"],
+        ).alias("sum_present"),
+    )
+    exact = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .groupBy("grp")
+        .agg(F.count_distinct("v").alias("n_exact"))
+    )
+    c = _alpha_m2(p)
+    sum_inv = (
+        F.col("sum_present") + (F.lit(m) - F.col("n_buckets_hit")).cast("double")
+    ).alias("sum_inv")
+    out = exact.join(folded, "grp").select(
+        "grp", "n_exact", "n_buckets_hit", sum_inv
+    )
+    est = (F.lit(c) / F.col("sum_inv")).alias("hll_estimate")
+    out = out.select("grp", "n_exact", "n_buckets_hit", "sum_inv", est)
+    return out.select(
+        "*",
+        (
+            (F.col("hll_estimate") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_error"),
+    )

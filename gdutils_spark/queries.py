@@ -1978,6 +1978,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_segment_dedup",
     "doc_token_rarity",
     "mm_pcm_stats",
+    "doc_hll_tokens",
     "rt_stream_sessions",
     "doc_containment_pairs",
     "doc_hybrid_search",

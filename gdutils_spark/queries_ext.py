@@ -2251,6 +2251,69 @@ SELECT 2, '{s2}', (SELECT COUNT(*) FROM t2)
 
 # ---------------------------------------------------------------------------
 # Registry
+HLL_P = 8
+
+
+def doc_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token HLL report: deterministic md5-hashed
+    registers, ascending-bucket power-of-two fold, one inlined bias
+    literal — the estimate, its components, AND the exact count (to
+    grade the estimator) all hash-verified cross-engine."""
+    from gdutils_spark.operators.sketches import hll_report
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(dd.normalize_text(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return hll_report(toks, "token", "source", p=HLL_P).withColumnRenamed(
+        "grp", "source"
+    )
+
+
+def _hll_tokens_sql() -> str:
+    from gdutils_spark.operators.sketches import _alpha_m2
+
+    m = 1 << HLL_P
+    width = 60 - HLL_P
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+h AS (
+  SELECT source, token, {_h64("token")} AS hv FROM toks WHERE token <> ''
+),
+b AS (SELECT source, token, hv % {m} AS bucket, hv >> {HLL_P} AS w FROM h),
+r AS (
+  SELECT source, bucket,
+         CASE WHEN w = 0 THEN {width + 1}
+              ELSE {width + 1} - length(bin(w)) END AS rho
+  FROM b
+),
+reg AS (SELECT source, bucket, MAX(rho) AS reg FROM r GROUP BY source, bucket),
+fold AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+         list_sum(list(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << reg)
+                       ORDER BY bucket)) AS sum_present
+  FROM reg GROUP BY source
+),
+ex AS (
+  SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact
+  FROM h GROUP BY source
+),
+est AS (
+  SELECT source, n_exact, n_buckets_hit,
+         sum_present + CAST({m} - n_buckets_hit AS DOUBLE) AS sum_inv
+  FROM ex JOIN fold USING (source)
+)
+SELECT source, n_exact, n_buckets_hit, sum_inv,
+       CAST('{_alpha_m2(HLL_P)!r}' AS DOUBLE) / sum_inv AS hll_estimate,
+       (CAST('{_alpha_m2(HLL_P)!r}' AS DOUBLE) / sum_inv - CAST(n_exact AS DOUBLE))
+         / CAST(n_exact AS DOUBLE) AS rel_error
+FROM est
+"""
+
+
 SEG_WIDTH = 8
 SEG_MIN_DOCS = 3
 
@@ -2376,6 +2439,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_incremental_dedup": doc_incremental_dedup,
     "doc_segment_dedup": doc_segment_dedup,
     "doc_token_rarity": doc_token_rarity,
+    "doc_hll_tokens": doc_hll_tokens,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -2436,5 +2500,6 @@ EXT_ORACLE: dict[str, str] = {
     "doc_incremental_dedup": _incremental_dedup_sql(),
     "doc_segment_dedup": _SEGMENT_DEDUP_SQL,
     "doc_token_rarity": _TOKEN_RARITY_SQL,
+    "doc_hll_tokens": _hll_tokens_sql(),
     "geo_user_tracks": _geo_tracks_sql(),
 }

@@ -1,0 +1,93 @@
+"""HLL sketch: mergeability (the property that makes it a 100 TB
+operator), rank correctness vs a pure-Python model, and estimator
+sanity."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gdutils_spark.operators.sketches import (
+    DEFAULT_P,
+    hll_merge,
+    hll_registers,
+    hll_report,
+)
+
+slow = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=6), min_size=1, max_size=30
+)
+
+
+def _df(spark, vals, grp="g"):
+    return spark.createDataFrame(
+        [(grp, v) for v in vals], "src string, v string"
+    )
+
+
+def _model_registers(vals, p=DEFAULT_P):
+    regs: dict[int, int] = {}
+    width = 60 - p
+    for v in set(vals):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        bucket = h % (1 << p)
+        w = h >> p
+        rho = (width + 1) if w == 0 else (width + 1 - w.bit_length())
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+@given(values)
+@slow
+def test_registers_match_python_model(spark, vals):
+    got = {
+        r.bucket: r.reg
+        for r in hll_registers(_df(spark, vals), "v", "src").collect()
+    }
+    assert got == _model_registers(vals)
+
+
+@given(values, values)
+@slow
+def test_merge_equals_union_sketch(spark, a, b):
+    """register(A ∪ B) == elementwise-max(register(A), register(B)) —
+    the mergeability invariant incremental ingest relies on."""
+    ra = hll_registers(_df(spark, a), "v", "src")
+    rb = hll_registers(_df(spark, b), "v", "src")
+    merged = {
+        (r.grp, r.bucket): r.reg for r in hll_merge(ra, rb).collect()
+    }
+    union = {
+        (r.grp, r.bucket): r.reg
+        for r in hll_registers(_df(spark, a + b), "v", "src").collect()
+    }
+    assert merged == union
+
+
+def test_estimate_within_error_bound(spark):
+    """Raw HLL with m=256 has ~6.5% standard error; 5k distinct values
+    must land within 4 sigma."""
+    vals = [f"tok-{i}" for i in range(5000)]
+    row = hll_report(_df(spark, vals), "v", "src").collect()[0]
+    assert row.n_exact == 5000
+    assert abs(row.rel_error) < 4 * 1.04 / (256**0.5)
+
+
+def test_report_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(100)] + [("b", f"y{i}") for i in range(7)],
+        "src string, v string",
+    )
+    rows = {r.grp: r for r in hll_report(df, "v", "src").collect()}
+    assert rows["a"].n_exact == 100 and rows["b"].n_exact == 7
+    # a tiny group cannot inflate past its bucket count's implied bound
+    assert rows["b"].n_buckets_hit <= 7
