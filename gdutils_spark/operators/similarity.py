@@ -646,6 +646,43 @@ def ivf_assign(
     return _assign_to(vectors, id_col, vec_col, cids, C)
 
 
+def ivf_cluster_quality(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Per-cell quality report for an IVF index: member count, worst
+    (min) and mean cosine-to-centroid — the balance/tightness numbers
+    that decide whether an index needs more centroids or a Lloyd refine
+    before serving (a fat low-mean cell degrades every probe that hits
+    it).
+
+    Determinism: assignment scores are the oracle-verified Arrow pass;
+    the mean folds them in ascending member id order (the one rounding
+    freedom in a double sum) over the single centroid-keyed shuffle, so
+    the report is reproducible cross-engine. Aggregate state is
+    cell-count-sized.
+    """
+    assign = ivf_assign(vectors, id_col, vec_col, n_centroids, refine_iters)
+    folded = assign.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("score").alias("min_score"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(id_col, "score"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score"],
+        ).alias("_sum"),
+    )
+    return folded.select(
+        "centroid",
+        "n_members",
+        "min_score",
+        (F.col("_sum") / F.col("n_members")).alias("mean_score"),
+    )
+
+
 def knn_ivf(
     vectors: DataFrame,
     queries: DataFrame,

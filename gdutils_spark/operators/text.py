@@ -9,6 +9,12 @@ over the documents scan: no shuffle at all.
 
 Determinism note: every ratio/score derives from exact integer counts, so
 Spark and any SQL oracle produce bit-identical doubles.
+
+One deliberate exception to "pure Catalyst": :func:`compression_signals`
+shells out to zlib (Arrow-batched ``mapInPandas``) because its whole
+point is the DEFLATE model itself — no SQL engine replays it, so it is
+pytest-verified (deterministic: zlib level 6 output is stable for a
+given input) rather than oracle-backed.
 """
 
 from __future__ import annotations
@@ -920,4 +926,55 @@ def unigram_logprob(
                 "mean_neg_logprob"
             ),
         )
+    )
+
+
+def compression_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compression-ratio quality probe (the Dolma / Gopher-adjacent
+    signal): ``zlib_ratio = deflated_bytes / raw_bytes`` over the UTF-8
+    text. Highly repetitive or templated documents compress far below
+    natural prose (~0.3–0.6), random/encoded blobs sit near 1.0 — a
+    cheap, language-agnostic repetition detector that complements the
+    exact n-gram signals in :func:`repetition_signals` (which a
+    paraphrasing generator can dodge but a compressor still catches).
+
+    Implementation: Arrow-batched ``mapInPandas`` around ``zlib`` level 6
+    (deterministic output for a given input, pinned by test). This is a
+    deliberate Python hot path — the operator IS the DEFLATE model; at
+    100 TB it is an embarrassingly parallel map with no shuffle, and the
+    payload never leaves the executor. Empty documents report ratio NULL.
+    """
+    from collections.abc import Iterator
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["_t"]]
+            nraw = [len(b) for b in raw]
+            ncomp = [len(zlib.compress(b, 6)) if b else None for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["_id"],
+                    "raw_bytes": pd.array(nraw, dtype="Int64"),
+                    "zlib_bytes": pd.array(ncomp, dtype="Int64"),
+                    "zlib_ratio": pd.array(
+                        [
+                            c / n if c is not None and n else None
+                            for c, n in zip(ncomp, nraw)
+                        ],
+                        dtype="Float64",
+                    ),
+                }
+            )
+
+    import pandas as pd
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    return base.mapInPandas(
+        op, "doc long, raw_bytes long, zlib_bytes long, zlib_ratio double"
     )

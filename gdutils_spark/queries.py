@@ -1979,6 +1979,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_token_rarity",
     "mm_pcm_stats",
     "doc_hll_tokens",
+    "emb_ivf_cluster_quality",
     "rt_stream_sessions",
     "doc_containment_pairs",
     "doc_hybrid_search",

@@ -693,6 +693,32 @@ SELECT vec_id, cid AS centroid, s AS score FROM scored WHERE rn = 1
 """
 
 
+def emb_ivf_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell IVF index health: size, worst and mean cosine-to-centroid
+    — assignment scores are the already-verified Arrow pass; the mean is
+    an ascending-member-id ordered fold, reproducible cross-engine."""
+    return sim.ivf_cluster_quality(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=IVF_CENTROIDS
+    )
+
+
+_IVF_QUALITY_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, cent.cid, list_cosine_similarity(e.v, cent.cv) AS s,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY s DESC, cent.cid) AS rn
+  FROM e, cent
+),
+assign AS (SELECT vec_id, cid AS centroid, s AS score FROM scored WHERE rn = 1)
+SELECT centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(score) AS min_score,
+       list_sum(list(score ORDER BY vec_id)) / COUNT(*) AS mean_score
+FROM assign GROUP BY centroid
+"""
+
+
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load_table(spark, sf_dir, "embeddings")
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
@@ -2415,6 +2441,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_near_dup_pairs": emb_lsh_near_dup_pairs,
     "emb_lsh_buckets": emb_lsh_buckets,
     "emb_ivf_assign": emb_ivf_assign,
+    "emb_ivf_cluster_quality": emb_ivf_cluster_quality,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -2477,6 +2504,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_lsh_near_dup_pairs": _lsh_near_dup_sql(),
     "emb_lsh_buckets": _lsh_buckets_sql(),
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
+    "emb_ivf_cluster_quality": _IVF_QUALITY_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

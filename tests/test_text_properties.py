@@ -220,3 +220,29 @@ def test_unigram_logprob_matches_model(spark, texts_):
         assert r.n_tokens == n
         assert abs(r.mean_neg_logprob - want) <= 1e-9 * max(1.0, abs(want))
         assert r.mean_neg_logprob >= -1e-12  # -log p is non-negative
+
+
+def test_compression_signals(spark):
+    from gdutils_spark.operators.text import compression_signals
+
+    import zlib
+
+    rows = [
+        (0, "spam " * 200),                      # templated → compresses hard
+        (1, " ".join(f"w{i * 7919 % 104729}" for i in range(200))),  # high-entropy
+        (2, ""),                                 # empty → NULL ratio
+        (3, None),                               # null text behaves like empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc: r for r in compression_signals(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # exact zlib agreement (determinism of the probe)
+    for i in (0, 1):
+        b = rows[i][1].encode()
+        assert got[i].raw_bytes == len(b)
+        assert got[i].zlib_bytes == len(zlib.compress(b, 6))
+        assert got[i].zlib_ratio == len(zlib.compress(b, 6)) / len(b)
+    # the repetition detector property: templated ≪ high-entropy
+    assert got[0].zlib_ratio < 0.1 < got[1].zlib_ratio
+    for i in (2, 3):
+        assert got[i].raw_bytes == 0 and got[i].zlib_ratio is None
