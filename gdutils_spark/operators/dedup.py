@@ -1018,3 +1018,54 @@ def pair_recall(
         ratio("n_hits", "n_exact").alias("recall"),
         ratio("n_hits", "n_approx").alias("precision"),
     )
+
+
+SPLIT_BUCKETS = 1_000_000
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "d1",
+    dst: str = "d2",
+    holdout_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/holdout split: every member of a duplicate
+    cluster lands in the SAME split, so a held-out document can never
+    have a near-copy in the training set — the contamination mode a
+    plain per-document hash split silently permits (and the reason
+    benchmark decontamination alone is insufficient: eval sets built
+    from the corpus itself leak through duplicates, not just verbatim
+    benchmark strings).
+
+    The split key is the cluster representative (min member id;
+    singletons key on themselves), and the assignment is the same
+    RNG-free rule as :func:`~gdutils_spark.operators.sampling.shard_assign`:
+    ``holdout iff md5int60(salt‖key) mod 1e6 < holdout_frac·1e6`` —
+    deterministic, engine-reproducible, and incrementally stable until
+    a cluster itself merges (in which case re-keying is semantically
+    required anyway).
+
+    Plan shape: connected components over the (tiny) verified pair list;
+    the corpus takes ONE broadcast left join against the edge-sized
+    label table and never shuffles — split assignment is scan-speed.
+    """
+    if not 0.0 <= holdout_frac <= 1.0:
+        raise ValueError("holdout_frac must be in [0, 1]")
+    cc = connected_components(pairs, src=src, dst=dst)
+    base = docs.select(F.col(id_col).alias("doc"))
+    labeled = base.join(
+        F.broadcast(cc.withColumnRenamed("node", "doc")), "doc", "left"
+    )
+    key = F.coalesce(F.col("comp"), F.col("doc"))
+    h = _md5_int64(F.concat(F.lit(salt), key.cast("string")))
+    thresh = int(holdout_frac * SPLIT_BUCKETS)
+    return labeled.select(
+        "doc",
+        key.alias("split_key"),
+        F.when(h % SPLIT_BUCKETS < thresh, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

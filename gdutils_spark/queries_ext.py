@@ -1765,6 +1765,42 @@ LEFT JOIN winners w ON cc.component = w.component
 """
 
 
+SPLIT_HOLDOUT_FRAC = 0.1
+
+
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/holdout split: near-dup cluster members share
+    a split, so holdout docs never have a training-set near-copy. Every
+    per-document assignment is hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T
+    )
+    return dd.leakage_safe_split(docs, pairs, holdout_frac=SPLIT_HOLDOUT_FRAC)
+
+
+def _leakage_split_sql() -> str:
+    thresh = int(SPLIT_HOLDOUT_FRAC * 1_000_000)
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+lab AS (
+  SELECT d.doc_id AS doc, COALESCE(cc.component, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+)
+SELECT doc, split_key,
+       CASE WHEN {_h64("'split' || CAST(split_key AS VARCHAR)")} % 1000000 < {thresh}
+            THEN 'holdout' ELSE 'train' END AS split
+FROM lab
+"""
+
+
 MIX_BUDGET_FRAC = 0.5
 
 
@@ -2467,6 +2503,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_segment_dedup": doc_segment_dedup,
     "doc_token_rarity": doc_token_rarity,
     "doc_hll_tokens": doc_hll_tokens,
+    "doc_leakage_safe_split": doc_leakage_safe_split,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -2529,5 +2566,6 @@ EXT_ORACLE: dict[str, str] = {
     "doc_segment_dedup": _SEGMENT_DEDUP_SQL,
     "doc_token_rarity": _TOKEN_RARITY_SQL,
     "doc_hll_tokens": _hll_tokens_sql(),
+    "doc_leakage_safe_split": _leakage_split_sql(),
     "geo_user_tracks": _geo_tracks_sql(),
 }

@@ -172,3 +172,48 @@ def test_near_dup_drop_is_component_complement(spark):
     }
     assert kept == set(range(len(texts_))) - non_survivors
     assert non_survivors, "corpus must contain near-dups for this test"
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda t: t[0] != t[1]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(edge_lists, st.floats(0.0, 1.0))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_leakage_safe_split_never_splits_a_pair(spark, edges, frac):
+    """The defining invariant: for EVERY near-dup pair, both endpoints
+    get the same split — a holdout doc can never have a training-set
+    near-copy."""
+    from gdutils_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)], "d1 long, d2 long"
+    ).where(F.col("d1") != F.col("d2"))
+    out = {
+        r.doc: (r.split_key, r.split)
+        for r in leakage_safe_split(docs, pairs, holdout_frac=frac).collect()
+    }
+    assert set(out) == set(range(16))  # every doc assigned exactly once
+    for a, b in edges:
+        assert out[a] == out[b], (a, b, out[a], out[b])
+
+
+def test_leakage_safe_split_fraction_and_determinism(spark):
+    from gdutils_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    pairs = spark.createDataFrame([], "d1 long, d2 long")
+    out = leakage_safe_split(docs, pairs, holdout_frac=0.1)
+    frac = out.where(F.col("split") == "holdout").count() / 2000
+    assert 0.05 < frac < 0.15  # md5 buckets ≈ uniform
+    # determinism: a second run is identical
+    again = leakage_safe_split(docs, pairs, holdout_frac=0.1)
+    assert out.exceptAll(again).count() == 0
