@@ -906,6 +906,72 @@ FROM events WHERE user_id < 25 GROUP BY user_id
 """
 
 
+def rt_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment driver-verified end-to-end:
+    events stream through ``stream_enrich`` against the (static)
+    customer catalog — nation id and a flag for orphan users with no
+    catalog row — then aggregate per (nation, event_type) AFTER the
+    parquet sink round-trip. Enrichment is a stateless per-row map +
+    broadcast join, so the result is batching-invariant; the oracle is
+    the plain batch left join. A dropped orphan row (inner-join drift)
+    or a stale catalog resolution changes the row set."""
+    from gdutils_spark.streaming import stream_enrich
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 40)
+        .select("user_id", "event_type", "ts")
+    )
+    catalog = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("uid"), F.col("c_nationkey").alias("nation")
+        )
+        .where(F.col("uid") % 3 != 0)  # leave holes → orphan path exercised
+    )
+    tmp = _work_dir("stream_enrich")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    e.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    enriched = stream_enrich(stream, catalog, "user_id", "uid").select(
+        "user_id", "event_type", F.col("nation"), F.col("uid").isNull().alias("orphan")
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_enrich: streaming query did not finish")
+    back = spark.read.parquet(out)
+    return back.groupBy("nation", "event_type", "orphan").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+_RT_STREAM_ENRICH_SQL = """
+WITH e AS (SELECT user_id, event_type FROM events WHERE user_id < 40),
+cat AS (
+  SELECT c_custkey AS uid, c_nationkey AS nation FROM customer
+  WHERE c_custkey % 3 <> 0
+),
+j AS (
+  SELECT e.user_id, e.event_type, cat.nation, cat.uid IS NULL AS orphan
+  FROM e LEFT JOIN cat ON e.user_id = cat.uid
+)
+SELECT nation, event_type, orphan,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY nation, event_type, orphan
+"""
+
+
 # ---------------------------------------------------------------------------
 # K6: server-rendered plot URL builder, driver-verified
 # ---------------------------------------------------------------------------
@@ -1093,6 +1159,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_search_catalog": rt_search_catalog,
     "rt_stream_sessions": rt_stream_sessions,
     "rt_stream_stateful": rt_stream_stateful,
+    "rt_stream_enrich": rt_stream_enrich,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -1114,4 +1181,5 @@ RT_ORACLE: dict[str, str] = {
     "rt_search_catalog": _RT_SEARCH_SQL,
     "rt_stream_sessions": _RT_STREAM_SESSIONS_SQL,
     "rt_stream_stateful": _RT_STREAM_STATEFUL_SQL,
+    "rt_stream_enrich": _RT_STREAM_ENRICH_SQL,
 }
