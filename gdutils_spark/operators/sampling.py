@@ -230,3 +230,63 @@ def domain_mix_sample(
         .where(bucket < F.col("_thr"))
         .drop("stratum", "_thr")
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture rates (the mT5/multilingual practice):
+    stratum share ∝ (stratum weight)^α, flattening the head and lifting
+    the tail as α → 0 — the standard fix for a corpus where two
+    languages dwarf the rest. Complements :func:`domain_mix_rates`,
+    which takes explicit target weights; here the target is derived
+    from the observed distribution itself.
+
+    Determinism: for the default α = 0.5 the exponent is ``sqrt`` —
+    IEEE-correctly-rounded in every engine, unlike ``pow`` (libm-ulp
+    territory; other α values use ``pow`` and are property-tested, not
+    oracle-compared). The share denominator folds the per-stratum roots
+    in ascending stratum order (the one rounding freedom), and every
+    other term is an exact integer aggregate or a fixed-order IEEE
+    expression — bit-identical cross-engine.
+
+    Plan shape: one stratum-keyed hash agg, a 1-row fold broadcast back;
+    the corpus scans once, rows never shuffle. Feed the rates to
+    :func:`domain_mix_sample`'s md5 rule to apply them RNG-free.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(weight_col)).alias("total_weight"),
+    )
+    tw = F.col("total_weight").cast("double")
+    root = F.sqrt(tw) if alpha == 0.5 else F.pow(tw, F.lit(alpha))
+    per = per.select("stratum", "n_docs", "total_weight", root.alias("_r"))
+    tot = per.agg(
+        F.sum("total_weight").alias("_corpus"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("stratum", "_r"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_r"],
+        ).alias("_S"),
+    )
+    share = F.col("_r") / F.col("_S")
+    rate = F.least(
+        F.lit(1.0),
+        share
+        * (F.col("_corpus").cast("double") * F.lit(float(budget_frac)))
+        / F.col("total_weight").cast("double"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_docs",
+        "total_weight",
+        share.alias("temp_share"),
+        rate.alias("rate"),
+        (rate * F.col("total_weight").cast("double")).alias("expected_weight"),
+    )

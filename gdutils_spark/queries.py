@@ -1986,6 +1986,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "emb_ivf_cluster_quality",
     "doc_leakage_safe_split",
     "rt_stream_enrich",
+    "doc_temperature_mix",
     "rt_stream_sessions",
     "doc_containment_pairs",
     "doc_hybrid_search",

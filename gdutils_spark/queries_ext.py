@@ -1765,6 +1765,51 @@ LEFT JOIN winners w ON cc.component = w.component
 """
 
 
+TEMP_MIX_BUDGET = 0.5
+
+
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature (α=0.5) language-balancing rates over
+    per-language char mass — shares, rates and expected weights all
+    hash-verified (sqrt is IEEE-exact; the share denominator folds in
+    pinned ascending-stratum order)."""
+    from gdutils_spark.operators.sampling import temperature_mix_rates
+
+    return temperature_mix_rates(
+        load_table(spark, sf_dir, "documents"),
+        strata_col="lang",
+        weight_col="n_chars",
+        alpha=0.5,
+        budget_frac=TEMP_MIX_BUDGET,
+    )
+
+
+_TEMP_MIX_SQL = f"""
+WITH per AS (
+  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_weight
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(total_weight) AS BIGINT) AS corpus,
+         list_sum(list(sqrt(CAST(total_weight AS DOUBLE)) ORDER BY stratum)) AS S
+  FROM per
+)
+SELECT stratum, n_docs, total_weight,
+       sqrt(CAST(total_weight AS DOUBLE)) / S AS temp_share,
+       LEAST(CAST(1 AS DOUBLE),
+             sqrt(CAST(total_weight AS DOUBLE)) / S
+               * (CAST(corpus AS DOUBLE) * CAST({TEMP_MIX_BUDGET!r} AS DOUBLE))
+               / CAST(total_weight AS DOUBLE)) AS rate,
+       LEAST(CAST(1 AS DOUBLE),
+             sqrt(CAST(total_weight AS DOUBLE)) / S
+               * (CAST(corpus AS DOUBLE) * CAST({TEMP_MIX_BUDGET!r} AS DOUBLE))
+               / CAST(total_weight AS DOUBLE))
+         * CAST(total_weight AS DOUBLE) AS expected_weight
+FROM per, tot
+"""
+
+
 SPLIT_HOLDOUT_FRAC = 0.1
 
 
@@ -2504,6 +2549,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_rarity": doc_token_rarity,
     "doc_hll_tokens": doc_hll_tokens,
     "doc_leakage_safe_split": doc_leakage_safe_split,
+    "doc_temperature_mix": doc_temperature_mix,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -2567,5 +2613,6 @@ EXT_ORACLE: dict[str, str] = {
     "doc_token_rarity": _TOKEN_RARITY_SQL,
     "doc_hll_tokens": _hll_tokens_sql(),
     "doc_leakage_safe_split": _leakage_split_sql(),
+    "doc_temperature_mix": _TEMP_MIX_SQL,
     "geo_user_tracks": _geo_tracks_sql(),
 }

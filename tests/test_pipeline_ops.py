@@ -1028,3 +1028,27 @@ def test_vocab_stats_totals_match_token_counts(spark, sf_smoke):
     assert total == expect
     for r in rows:
         assert r["hapax_tokens"] <= r["distinct_tokens"] <= r["total_tokens"]
+
+
+def test_temperature_mix_flattens_shares(spark):
+    """α=0.5 shares sit strictly between uniform and raw shares: the
+    dominant stratum shrinks, tail strata grow, shares sum to 1, and
+    expected weights never exceed the stratum mass (rate ≤ 1)."""
+    from gdutils_spark.operators.sampling import temperature_mix_rates
+
+    rows = [("en", 100) for _ in range(90)] + [("fi", 100) for _ in range(9)] + [
+        ("mt", 100)
+    ]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {r.stratum: r for r in temperature_mix_rates(
+        df, "lang", "n_chars", alpha=0.5, budget_frac=0.5
+    ).collect()}
+    total = sum(r.total_weight for r in out.values())
+    raw = {s: r.total_weight / total for s, r in out.items()}
+    assert abs(sum(r.temp_share for r in out.values()) - 1.0) < 1e-12
+    assert out["en"].temp_share < raw["en"]          # head flattened
+    assert out["mt"].temp_share > raw["mt"]          # tail lifted
+    assert out["mt"].temp_share < out["en"].temp_share  # order preserved
+    for r in out.values():
+        assert 0.0 < r.rate <= 1.0
+        assert r.expected_weight <= r.total_weight + 1e-9
