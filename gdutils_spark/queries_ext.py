@@ -1164,7 +1164,17 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CRC bytes are zeroed — header parsers don't verify them.)"""
     from gdutils_spark.operators.multimodal import decode_image_features
 
-    d = load_table(spark, sf_dir, "documents")
+    return decode_image_features(
+        _png_media(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _png_media(d: DataFrame) -> DataFrame:
+    """Documents → syntactically valid PNG streams (signature + IHDR
+    with doc_id-derived dimensions, text bytes as the data segment),
+    built JVM-side with concat/unhex. Shared fixture for the batch and
+    streaming image-decode queries. (CRC bytes are zeroed — header
+    parsers don't verify them.)"""
 
     def be4(c: F.Column) -> F.Column:
         return F.unhex(F.lpad(F.hex(c), 8, "0"))
@@ -1180,13 +1190,12 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(b"\x00\x00\x00\x00"),              # CRC (unchecked by parsers)
         F.encode("text", "utf-8"),               # data segment
     )
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.lit("png").alias("format"),
         F.lit("image").alias("kind"),
     )
-    return decode_image_features(media)
 
 
 _MM_IMAGE_SQL = """

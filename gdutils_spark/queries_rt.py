@@ -906,6 +906,51 @@ FROM events WHERE user_id < 25 GROUP BY user_id
 """
 
 
+def rt_stream_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Featurize-while-ingesting driver-verified end-to-end: the PNG
+    media fixture streams through ``stream_media_features`` (the SAME
+    Arrow-batched header decoder as the batch path — stateless, so
+    micro-batch decode is batching-invariant), availableNow through a
+    parquet sink; the oracle predicts every header field arithmetically
+    from doc_id, so a wrong IHDR offset or endianness in the STREAMING
+    path hash-fails exactly like the batch one."""
+    from gdutils_spark.queries_ext import _png_media
+    from gdutils_spark.streaming import stream_media_features
+
+    _pin_utc(spark)
+    media = _png_media(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    )
+    tmp = _work_dir("stream_media")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    media.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(media.schema).parquet(src)
+    feats = stream_media_features(stream)
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_media: streaming query did not finish")
+    return spark.read.parquet(out)
+
+
+_RT_STREAM_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       'png' AS format,
+       'png' AS detected,
+       CAST(64 + doc_id % 192 AS INT) AS width,
+       CAST(64 + (doc_id * 7) % 192 AS INT) AS height,
+       CAST(octet_length(encode(text)) + 33 AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 200
+"""
+
+
 def rt_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment driver-verified end-to-end:
     events stream through ``stream_enrich`` against the (static)
@@ -1160,6 +1205,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_sessions": rt_stream_sessions,
     "rt_stream_stateful": rt_stream_stateful,
     "rt_stream_enrich": rt_stream_enrich,
+    "rt_stream_media": rt_stream_media,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -1182,4 +1228,5 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_sessions": _RT_STREAM_SESSIONS_SQL,
     "rt_stream_stateful": _RT_STREAM_STATEFUL_SQL,
     "rt_stream_enrich": _RT_STREAM_ENRICH_SQL,
+    "rt_stream_media": _RT_STREAM_MEDIA_SQL,
 }

@@ -39,6 +39,13 @@ NAMES = [
     "user_funnel_windowed",
     "doc_dedup_recall",
     "rt_search_catalog",
+    "doc_segment_dedup",
+    "doc_token_rarity",
+    "doc_hll_tokens",
+    "doc_leakage_safe_split",
+    "doc_temperature_mix",
+    "mm_pcm_stats",
+    "emb_ivf_cluster_quality",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
