@@ -178,29 +178,43 @@ def domain_mix_rates(
     Every output is either an exact integer aggregate or a fixed-order
     IEEE expression over them (share = w/W, rate = min(1, share·budget /
     stratum_weight)), so any engine reproduces the rates bit-for-bit.
-    Plan shape: one hash agg on the stratum key + a 1-row total
-    broadcast back — the corpus scans once and never shuffles rows.
+    Plan shape: ONE hash agg on the stratum key over the corpus; the
+    strata then pack into a single row where both totals fold from the
+    SAME array (exact integer folds, order-insensitive) — a naive
+    ``per.agg(...)`` + join-back duplicates the aggregate subtree and
+    scans the corpus twice. Rows never shuffle.
     """
     per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(weight_col)).alias("total_weight"),
         F.max(target_weight).alias("_tw"),
     )
-    tot = per.agg(
-        F.sum("total_weight").alias("_corpus"), F.sum("_tw").alias("_W")
+    packed = per.agg(
+        F.array_sort(
+            F.collect_list(F.struct("stratum", "n_docs", "total_weight", "_tw"))
+        ).alias("_a")
+    ).select(
+        "_a",
+        F.aggregate(
+            "_a", F.lit(0).cast("long"), lambda acc, x: acc + x["total_weight"]
+        ).alias("_corpus"),
+        F.aggregate(
+            "_a", F.lit(0).cast("long"), lambda acc, x: acc + x["_tw"]
+        ).alias("_W"),
     )
-    share = F.col("_tw").cast("double") / F.col("_W").cast("double")
+    x = F.col("_x")
+    share = x["_tw"].cast("double") / F.col("_W").cast("double")
     budget = F.col("_corpus").cast("double") * F.lit(float(budget_frac))
     rate = F.least(
-        F.lit(1.0), share * budget / F.col("total_weight").cast("double")
+        F.lit(1.0), share * budget / x["total_weight"].cast("double")
     )
-    return per.crossJoin(F.broadcast(tot)).select(
-        "stratum",
-        "n_docs",
-        "total_weight",
+    return packed.select(F.explode("_a").alias("_x"), "_corpus", "_W").select(
+        x["stratum"].alias("stratum"),
+        x["n_docs"].alias("n_docs"),
+        x["total_weight"].alias("total_weight"),
         share.alias("target_share"),
         rate.alias("rate"),
-        (rate * F.col("total_weight").cast("double")).alias("expected_weight"),
+        (rate * x["total_weight"].cast("double")).alias("expected_weight"),
     )
 
 
@@ -254,9 +268,13 @@ def temperature_mix_rates(
     other term is an exact integer aggregate or a fixed-order IEEE
     expression — bit-identical cross-engine.
 
-    Plan shape: one stratum-keyed hash agg, a 1-row fold broadcast back;
-    the corpus scans once, rows never shuffle. Feed the rates to
-    :func:`domain_mix_sample`'s md5 rule to apply them RNG-free.
+    Plan shape: ONE stratum-keyed hash agg over the corpus, then the
+    strata pack into a single row (``collect_list``) where the corpus
+    total and the share denominator both fold from the SAME array — a
+    naive ``per.agg(...)`` + join-back would re-derive the stratum
+    aggregate and scan the corpus twice (plan-asserted single scan).
+    Rows never shuffle. Feed the rates to :func:`domain_mix_sample`'s
+    md5 rule to apply them RNG-free.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
@@ -267,26 +285,32 @@ def temperature_mix_rates(
     tw = F.col("total_weight").cast("double")
     root = F.sqrt(tw) if alpha == 0.5 else F.pow(tw, F.lit(alpha))
     per = per.select("stratum", "n_docs", "total_weight", root.alias("_r"))
-    tot = per.agg(
-        F.sum("total_weight").alias("_corpus"),
+    packed = per.agg(
+        F.array_sort(
+            F.collect_list(F.struct("stratum", "n_docs", "total_weight", "_r"))
+        ).alias("_a")
+    ).select(
+        "_a",
         F.aggregate(
-            F.array_sort(F.collect_list(F.struct("stratum", "_r"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["_r"],
-        ).alias("_S"),
+            "_a", F.lit(0).cast("long"), lambda acc, x: acc + x["total_weight"]
+        ).alias("_corpus"),
+        F.aggregate("_a", F.lit(0.0), lambda acc, x: acc + x["_r"]).alias("_S"),
     )
-    share = F.col("_r") / F.col("_S")
+    x = F.col("_x")
+    share = x["_r"] / F.col("_S")
     rate = F.least(
         F.lit(1.0),
         share
         * (F.col("_corpus").cast("double") * F.lit(float(budget_frac)))
-        / F.col("total_weight").cast("double"),
+        / x["total_weight"].cast("double"),
     )
-    return per.crossJoin(F.broadcast(tot)).select(
-        "stratum",
-        "n_docs",
-        "total_weight",
+    return packed.select(
+        F.explode("_a").alias("_x"), "_corpus", "_S"
+    ).select(
+        x["stratum"].alias("stratum"),
+        x["n_docs"].alias("n_docs"),
+        x["total_weight"].alias("total_weight"),
         share.alias("temp_share"),
         rate.alias("rate"),
-        (rate * F.col("total_weight").cast("double")).alias("expected_weight"),
+        (rate * x["total_weight"].cast("double")).alias("expected_weight"),
     )

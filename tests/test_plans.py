@@ -302,3 +302,23 @@ def test_token_rarity_two_token_shuffles_no_python(spark, sf_correct):
     plan = formatted_plan(df)
     assert not uses_python(plan)
     assert n_exchanges(plan) <= 5
+
+
+def test_hll_no_python_bounded_exchanges(spark, sf_correct):
+    """HLL: hash + register max-agg + group fold — all JVM-side; the
+    register table is the only corpus-derived shuffle input."""
+    plan = formatted_plan(QUERIES["doc_hll_tokens"](spark, sf_correct))
+    assert not uses_python(plan)
+
+
+def test_temperature_mix_no_python_single_stratum_agg(spark, sf_correct):
+    import re
+
+    plan = formatted_plan(QUERIES["doc_temperature_mix"](spark, sf_correct))
+    assert not uses_python(plan)
+    # corpus rows collapse in ONE stratum-keyed agg; the totals fold
+    # from the packed strata row, so the corpus scans exactly once (a
+    # naive per.agg + join-back duplicates the whole agg subtree).
+    # Formatted plans print each node in the tree AND as a detail
+    # header; count the detail headers.
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
