@@ -230,6 +230,7 @@ def tf_idf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf.
 
@@ -244,6 +245,16 @@ def tf_idf_top_terms(
     vocabulary-sized; at 100 TB the join key (term) is the natural
     partitioning and AQE broadcast-decides the df side when the
     vocabulary is small.
+
+    The tf table has three consumers (the score join, the
+    document-frequency aggregate, and — without staging — each
+    re-derives the corpus explode: Spark plans no automatic subtree
+    reuse across them, so the unstaged plan scans and explodes the
+    corpus per consumer. ``stage_path`` writes tf to parquet once and
+    reads it back for every consumer — at 100 TB the staged plan pays
+    ONE corpus explode plus two scans of the (much smaller) tf table.
+    Same convention as the dedup/similarity ``stage_path`` options;
+    results are identical either way (test-pinned).
     """
     from pyspark.sql import Window
 
@@ -252,6 +263,9 @@ def tf_idf_top_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if stage_path is not None:
+        tf.write.mode("overwrite").parquet(stage_path)
+        tf = df.sparkSession.read.parquet(stage_path)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(dfreq, "term")

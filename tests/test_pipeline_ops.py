@@ -1052,3 +1052,35 @@ def test_temperature_mix_flattens_shares(spark):
     for r in out.values():
         assert 0.0 < r.rate <= 1.0
         assert r.expected_weight <= r.total_weight + 1e-9
+
+
+def test_tfidf_staged_matches_unstaged(spark, tmp_path):
+    """stage_path on tf_idf_top_terms: the tf table lands in parquet once
+    and both downstream consumers (score join, document-frequency agg)
+    scan the staged files — the unstaged plan re-derives the corpus
+    explode per consumer (3 corpus scans; staged: 1 + ndocs)."""
+    import re
+
+    from gdutils_spark.operators.text import tf_idf_top_terms
+    from gdutils_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo tok{i} tok{i} charlie") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    corpus = spark.read.parquet(str(tmp_path / "docs"))
+    path = str(tmp_path / "tf_stage")
+    staged_df = tf_idf_top_terms(corpus, k=2, stage_path=path)
+    plan = formatted_plan(staged_df)
+    assert plan.count("tf_stage") >= 2, "both consumers must read the staged tf"
+    # corpus scans collapse: of the parquet scans in the plan, only the
+    # corpus explode + the ndocs count read the docs table
+    scans = re.findall(r"^\(\d+\) Scan parquet.*\n(?:.*\n)*?Location.*", plan, re.M)
+    docs_scans = sum("docs" in s and "tf_stage" not in s for s in scans)
+    assert docs_scans <= 2
+    staged = sorted((r.doc_id, r.term, r.tf, r.df, round(r.score, 12))
+                    for r in staged_df.collect())
+    unstaged = sorted((r.doc_id, r.term, r.tf, r.df, round(r.score, 12))
+                      for r in tf_idf_top_terms(corpus, k=2).collect())
+    assert staged == unstaged
