@@ -906,6 +906,101 @@ FROM events WHERE user_id < 25 GROUP BY user_id
 """
 
 
+def rt_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed JSONL training-data export driver-verified
+    end-to-end: documents take the md5 shard rule
+    (``sampling.shard_assign``), land as shard-partitioned JSON-lines
+    files (`write.partitionBy("shard").json` — the standard LLM corpus
+    export layout, each shard independently streamable), and are read
+    BACK from the JSONL files; per-shard counts, char mass and a
+    recomputed text length prove the hash rule, the partition layout
+    round-trip, and JSON string fidelity in one hash-compare."""
+    from gdutils_spark.operators.sampling import shard_assign
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    sharded = shard_assign(d, n_shards=8).select(
+        "doc_id", "text", "lang", "n_chars", "shard"
+    )
+    tmp = _work_dir("jsonl_shards")
+    out = os.path.join(tmp, "corpus")
+    sharded.write.partitionBy("shard").mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)  # shard inferred from dirs
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("char_mass"),
+        F.sum(F.length("text")).alias("read_back_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+_RT_JSONL_SHARDS_SQL = """
+WITH sharded AS (
+  SELECT doc_id, text, lang, n_chars,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+       CAST(SUM(length(text)) AS BIGINT) AS read_back_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM sharded GROUP BY shard
+"""
+
+
+def rt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC storage round-trip (K1-family, columnar sibling of the CSV
+    sink): a lineitem report writes ORC, re-reads it WITH a pushed
+    filter, and aggregates — exercising Spark's second built-in columnar
+    format end-to-end (type fidelity for date/double/long, predicate
+    pushdown on the ORC reader). Decimal-routed sums keep the doubles
+    bit-identical to the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
+    rep = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+    tmp = _work_dir("orc_sink")
+    out = os.path.join(tmp, "lineitem_orc")
+    rep.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).where(F.col("l_quantity") >= 10.0)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "sum_qty"
+        ),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias(
+            "sum_price"
+        ),
+        F.min("ship_date").alias("d_min"),
+        F.max("ship_date").alias("d_max"),
+    )
+
+
+_RT_ORC_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(CAST(l_shipdate AS DATE)) AS d_min,
+       MAX(CAST(l_shipdate AS DATE)) AS d_max
+FROM lineitem
+WHERE l_orderkey % 7 = 0 AND l_quantity >= 10.0
+GROUP BY l_returnflag
+"""
+
+
 def rt_stream_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Featurize-while-ingesting driver-verified end-to-end: the PNG
     media fixture streams through ``stream_media_features`` (the SAME
@@ -1206,6 +1301,8 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_stateful": rt_stream_stateful,
     "rt_stream_enrich": rt_stream_enrich,
     "rt_stream_media": rt_stream_media,
+    "rt_jsonl_shards": rt_jsonl_shards,
+    "rt_orc_roundtrip": rt_orc_roundtrip,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -1229,4 +1326,6 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_stateful": _RT_STREAM_STATEFUL_SQL,
     "rt_stream_enrich": _RT_STREAM_ENRICH_SQL,
     "rt_stream_media": _RT_STREAM_MEDIA_SQL,
+    "rt_jsonl_shards": _RT_JSONL_SHARDS_SQL,
+    "rt_orc_roundtrip": _RT_ORC_SQL,
 }
