@@ -276,6 +276,49 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    from gdutils_spark.operators import dedup as dd
+
+    spark = _get_spark()
+    docs = _load(spark, args.input)
+    pairs = dd.minhash_lsh_pairs(
+        docs, args.text_col, args.id_col, threshold=args.threshold
+    )
+    df = dd.leakage_safe_split(
+        docs, pairs, id_col=args.id_col, holdout_frac=args.holdout_frac
+    )
+    _emit(_render(df, args.response), args.output)
+    return 0
+
+
+def cmd_export_jsonl(args) -> int:
+    from gdutils_spark.operators.sampling import shard_assign
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    sharded = shard_assign(df, id_col=args.id_col, n_shards=args.shards)
+    sharded.write.partitionBy("shard").mode("overwrite").json(args.dest)
+    print(f"wrote {args.shards} JSONL shards to {args.dest}")
+    return 0
+
+
+def cmd_distinct_sketch(args) -> int:
+    from pyspark.sql import functions as SF
+
+    from gdutils_spark.operators.sketches import hll_report
+    from gdutils_spark.operators.text import tokens
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    if args.value_col == "token":
+        df = df.select(
+            args.group_col, SF.explode(tokens(SF.col(args.text_col))).alias("token")
+        ).where(SF.col("token") != "")
+    out = hll_report(df, args.value_col, args.group_col)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_sessions(args) -> int:
     from gdutils_spark.operators.sessions import session_stats
 
@@ -569,6 +612,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--time-col", default="ts")
     sp.add_argument("--value-col", default=None)
     sp.add_argument("--gap-minutes", type=int, default=30)
+
+    sp = add_pipeline("split", cmd_split)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--holdout-frac", type=float, default=0.1)
+
+    sp = add_pipeline("export-jsonl", cmd_export_jsonl)
+    sp.add_argument("--dest", required=True, help="output directory for shards")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--shards", type=int, default=16)
+
+    sp = add_pipeline("distinct-sketch", cmd_distinct_sketch)
+    sp.add_argument("--group-col", default="source")
+    sp.add_argument("--value-col", default="token",
+                    help="'token' explodes --text-col; else a column name")
+    sp.add_argument("--text-col", default="text")
     return p
 
 

@@ -160,3 +160,34 @@ def test_recent_imagery_manifest(capsys):
     # the track map carries no functional window; the variable plots do
     assert "max%28time%29-6hours" not in by_ds["ds-a"][0][1]
     assert all("max%28time%29-6hours" in u for _, u in by_ds["ds-a"][1:])
+
+
+def test_cli_split(docs_path, capsys):
+    assert main([
+        "split", "--input", docs_path, "--holdout-frac", "0.3", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 20 and {"doc", "split_key", "split"} <= set(recs[0])
+    assert {r["split"] for r in recs} <= {"train", "holdout"}
+
+
+def test_cli_export_jsonl(docs_path, tmp_path, capsys):
+    dest = str(tmp_path / "shards")
+    assert main([
+        "export-jsonl", "--input", docs_path, "--dest", dest, "--shards", "4",
+    ]) == 0
+    import glob as g
+
+    assert "4 JSONL shards" in capsys.readouterr().out
+    dirs = sorted(g.glob(dest + "/shard=*"))
+    assert dirs and all(d.rsplit("=", 1)[1].isdigit() for d in dirs)
+
+
+def test_cli_distinct_sketch(docs_path, capsys):
+    assert main([
+        "distinct-sketch", "--input", docs_path, "--group-col", "lang", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert {r["grp"] for r in recs} == {"en", "fr"}
+    for r in recs:
+        assert r["n_exact"] > 0 and r["hll_estimate"] > 0
