@@ -298,7 +298,12 @@ def cmd_export_jsonl(args) -> int:
     df = _load(spark, args.input)
     sharded = shard_assign(df, id_col=args.id_col, n_shards=args.shards)
     sharded.write.partitionBy("shard").mode("overwrite").json(args.dest)
-    print(f"wrote {args.shards} JSONL shards to {args.dest}")
+    # emit the per-shard balance summary through the shared -o/-f pipe
+    # like every sibling subcommand (re-read the export so the summary
+    # reflects what actually landed on disk)
+    back = spark.read.json(args.dest)
+    summary = back.groupBy(F.col("shard").cast("int").alias("shard")).count()
+    _emit(_render(summary.orderBy("shard"), args.response), args.output)
     return 0
 
 

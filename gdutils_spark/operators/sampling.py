@@ -189,6 +189,12 @@ def domain_mix_rates(
         F.sum(F.col(weight_col)).alias("total_weight"),
         F.max(target_weight).alias("_tw"),
     )
+    # fold zeros typed from the aggregated columns (a long-typed zero
+    # breaks DOUBLE weight columns), and NULL stratum totals coalesced
+    # away so one all-NULL stratum can't poison every other stratum's
+    # rate — matching F.sum's NULL-skipping semantics
+    w_type = per.schema["total_weight"].dataType
+    tw_type = per.schema["_tw"].dataType
     packed = per.agg(
         F.array_sort(
             F.collect_list(F.struct("stratum", "n_docs", "total_weight", "_tw"))
@@ -196,10 +202,15 @@ def domain_mix_rates(
     ).select(
         "_a",
         F.aggregate(
-            "_a", F.lit(0).cast("long"), lambda acc, x: acc + x["total_weight"]
+            "_a",
+            F.lit(0).cast(w_type),
+            lambda acc, x: acc
+            + F.coalesce(x["total_weight"], F.lit(0).cast(w_type)),
         ).alias("_corpus"),
         F.aggregate(
-            "_a", F.lit(0).cast("long"), lambda acc, x: acc + x["_tw"]
+            "_a",
+            F.lit(0).cast(tw_type),
+            lambda acc, x: acc + F.coalesce(x["_tw"], F.lit(0).cast(tw_type)),
         ).alias("_W"),
     )
     x = F.col("_x")
@@ -285,6 +296,10 @@ def temperature_mix_rates(
     tw = F.col("total_weight").cast("double")
     root = F.sqrt(tw) if alpha == 0.5 else F.pow(tw, F.lit(alpha))
     per = per.select("stratum", "n_docs", "total_weight", root.alias("_r"))
+    # fold zero typed from the weight column (long zero breaks DOUBLE
+    # weights); NULL stratum totals coalesced so they can't poison the
+    # corpus total (F.sum semantics)
+    w_type = per.schema["total_weight"].dataType
     packed = per.agg(
         F.array_sort(
             F.collect_list(F.struct("stratum", "n_docs", "total_weight", "_r"))
@@ -292,9 +307,14 @@ def temperature_mix_rates(
     ).select(
         "_a",
         F.aggregate(
-            "_a", F.lit(0).cast("long"), lambda acc, x: acc + x["total_weight"]
+            "_a",
+            F.lit(0).cast(w_type),
+            lambda acc, x: acc
+            + F.coalesce(x["total_weight"], F.lit(0).cast(w_type)),
         ).alias("_corpus"),
-        F.aggregate("_a", F.lit(0.0), lambda acc, x: acc + x["_r"]).alias("_S"),
+        F.aggregate(
+            "_a", F.lit(0.0), lambda acc, x: acc + F.coalesce(x["_r"], F.lit(0.0))
+        ).alias("_S"),
     )
     x = F.col("_x")
     share = x["_r"] / F.col("_S")

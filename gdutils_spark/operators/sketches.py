@@ -77,7 +77,10 @@ def hll_registers(
     yesterday's corpus is never rescanned."""
     from gdutils_spark.operators.dedup import _md5_int64
 
-    h = _md5_int64(F.col(value_col))
+    # cast-to-string before hashing (md5 wants BINARY/STRING): identity
+    # for string columns, and for numerics it matches the SQL replay
+    # md5(CAST(v AS VARCHAR)) — same convention as shard_assign
+    h = _md5_int64(F.col(value_col).cast("string"))
     hashed = df.select(
         F.col(group_col).alias("grp"),
         (h % (1 << p)).alias("bucket"),

@@ -814,6 +814,7 @@ def remove_common_segments(
     id_col: str = "doc_id",
     width: int = 8,
     min_docs: int = 3,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Sub-document boilerplate removal (CCNet §3.1 / RefinedWeb's
     line-wise dedup, re-shaped to fixed word segments): drop every
@@ -828,10 +829,18 @@ def remove_common_segments(
     when it is small — boilerplate inventories are, by construction:
     only segments repeated across ``min_docs`` docs survive the HAVING);
     reassembly is one per-doc hash aggregate over struct-sorted
-    ``collect_list`` (no window sort). The corpus shuffles once, keyed
-    by doc, carrying only surviving segments.
+    ``collect_list`` (no window sort). Surviving segments shuffle once,
+    keyed by doc. The segment table has THREE consumers (inventory,
+    anti-join probe, per-doc totals) and Spark plans no subtree reuse
+    across them — the unstaged plan re-scans and re-segments the corpus
+    per consumer, so at 100 TB pass ``stage_path`` to land the segment
+    table in parquet once (same convention as the dedup/similarity/tf-idf
+    staging options; results identical, test-pinned).
     """
     seg = segment_table(df, text_col, id_col, width)
+    if stage_path is not None:
+        seg.write.mode("overwrite").parquet(stage_path)
+        seg = df.sparkSession.read.parquet(stage_path)
     boiler = common_segments(seg, min_docs).select("segment")
     kept = seg.join(boiler, "segment", "left_anti")
     rebuilt = kept.groupBy("doc").agg(
@@ -857,6 +866,7 @@ def token_rarity(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Per-document mean corpus-frequency of its tokens — the
     exact-arithmetic twin of unigram-LM scoring (:func:`unigram_logprob`)
@@ -870,12 +880,19 @@ def token_rarity(
     Plan shape: explode → (doc, token) hash aggregate → token-keyed
     global-frequency aggregate → join back on token (vocabulary-sized
     build side, AQE broadcast-decides) → per-doc rollup. Two shuffles
-    over the token stream, both map-side combinable.
+    over the token stream, both map-side combinable. The tf table has
+    two consumers (frequency aggregate + join probe) and Spark plans no
+    subtree reuse across them — pass ``stage_path`` at corpus scale to
+    land tf in parquet once instead of re-exploding the corpus per
+    consumer (tf-idf staging convention).
     """
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
     tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    if stage_path is not None:
+        tf.write.mode("overwrite").parquet(stage_path)
+        tf = df.sparkSession.read.parquet(stage_path)
     freq = tf.groupBy("token").agg(F.sum("cnt").alias("freq"))
     return (
         tf.join(freq, "token")
@@ -901,6 +918,7 @@ def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Per-document unigram language-model score: the mean negative
     natural-log probability of the document's tokens under the
@@ -909,17 +927,20 @@ def unigram_logprob(
     corpus as its own training set — no OOV smoothing needed).
     ``exp(mean_neg_logprob)`` is the document's unigram perplexity.
 
-    Same two-shuffle plan as :func:`token_rarity`. This operator is the
-    honest log-domain form; because ``ln`` differs across libm
-    implementations in the last ulp, it is verified by property tests
-    against a pure-Python model (tolerance-based), not by a
-    hash-compare SQL oracle — use :func:`token_rarity` where exact
-    cross-engine parity is required.
+    Same two-shuffle plan (and ``stage_path`` staging convention) as
+    :func:`token_rarity`. This operator is the honest log-domain form;
+    because ``ln`` differs across libm implementations in the last ulp,
+    it is verified by property tests against a pure-Python model
+    (tolerance-based), not by a hash-compare SQL oracle — use
+    :func:`token_rarity` where exact cross-engine parity is required.
     """
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
     tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    if stage_path is not None:
+        tf.write.mode("overwrite").parquet(stage_path)
+        tf = df.sparkSession.read.parquet(stage_path)
     freq = tf.groupBy("token").agg(F.sum("cnt").alias("freq"))
     total = freq.select(F.sum("freq").alias("_total"))
     return (

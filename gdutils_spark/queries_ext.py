@@ -1414,8 +1414,11 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-level audio decode: int16 PCM amplitude statistics over the
-    same WAV fixture. The data chunk is the document's ASCII text, so
+    """Sample-level audio decode: int16 PCM amplitude statistics over
+    the WAV fixture. The data chunk is the document's text restricted to
+    printable ASCII (sanitized identically on both sides, so the oracle
+    holds even if the fixture corpus ever gains multi-byte characters —
+    char count == byte count and ``ord`` == byte only under ASCII), so
     every decoded sample is predictable arithmetically — sample i =
     byte(2i) + 256·byte(2i+1), always non-negative because ASCII high
     bytes stay < 0x80 — and the oracle rebuilds count/sum/sum-of-squares
@@ -1425,13 +1428,17 @@ def mm_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers."""
     from gdutils_spark.operators.multimodal import audio_pcm_stats
 
-    return audio_pcm_stats(_wav_media(load_table(spark, sf_dir, "documents")))
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"[^\x20-\x7E]", "")
+    )
+    return audio_pcm_stats(_wav_media(d))
 
 
-_MM_PCM_SQL = """
+_MM_PCM_SQL = r"""
 WITH s AS (
-  SELECT doc_id AS media_id, text,
-         CAST(length(text) // 2 AS BIGINT) AS n
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS text,
+         CAST(length(regexp_replace(text, '[^\x20-\x7E]', '', 'g')) // 2 AS BIGINT) AS n
   FROM documents
 ),
 ex AS (SELECT media_id, text, unnest(range(n)) AS i FROM s),

@@ -175,10 +175,13 @@ def test_cli_export_jsonl(docs_path, tmp_path, capsys):
     dest = str(tmp_path / "shards")
     assert main([
         "export-jsonl", "--input", docs_path, "--dest", dest, "--shards", "4",
+        "-f", "json",
     ]) == 0
     import glob as g
 
-    assert "4 JSONL shards" in capsys.readouterr().out
+    # the -o/-f pipe works like every sibling: per-shard balance summary
+    recs = json.loads(capsys.readouterr().out)
+    assert sum(r["count"] for r in recs) == 20
     dirs = sorted(g.glob(dest + "/shard=*"))
     assert dirs and all(d.rsplit("=", 1)[1].isdigit() for d in dirs)
 

@@ -1084,3 +1084,42 @@ def test_tfidf_staged_matches_unstaged(spark, tmp_path):
     unstaged = sorted((r.doc_id, r.term, r.tf, r.df, round(r.score, 12))
                       for r in tf_idf_top_terms(corpus, k=2).collect())
     assert staged == unstaged
+
+
+def test_mix_rates_accept_double_weights_and_null_strata(spark):
+    """Review regressions: the packed-fold rewrite must (a) accept
+    DOUBLE weight columns / fractional target weights, (b) not let one
+    all-NULL stratum poison every other stratum's rate (F.sum
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.sampling import (
+        domain_mix_rates,
+        temperature_mix_rates,
+    )
+
+    rows = [("a", 10.0), ("a", 30.0), ("b", 20.0), ("c", None)]
+    df = spark.createDataFrame(rows, "src string, w double")
+    out = {r.stratum: r for r in domain_mix_rates(
+        df, "src", "w", F.lit(0.75), 0.5
+    ).collect()}
+    assert out["a"].rate is not None and out["b"].rate is not None
+    assert abs(out["a"].target_share - 1 / 3) < 1e-12  # 0.75 of 2.25
+    tout = {r.stratum: r for r in temperature_mix_rates(
+        df, "src", "w", alpha=0.5, budget_frac=0.5
+    ).collect()}
+    assert tout["a"].rate is not None and tout["b"].rate is not None
+    # the NULL stratum stays NULL-rated without corrupting the others
+    assert tout["c"].total_weight is None
+
+
+def test_hll_accepts_numeric_value_column(spark):
+    """Review regression: hashing must cast to string first so numeric
+    value columns work (the CLI advertises arbitrary --value-col)."""
+    from gdutils_spark.operators.sketches import hll_report
+
+    df = spark.createDataFrame(
+        [("e", i % 40) for i in range(200)], "et string, user_id long"
+    )
+    row = hll_report(df, "user_id", "et").collect()[0]
+    assert row.n_exact == 40 and row.hll_estimate > 0
