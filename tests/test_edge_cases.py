@@ -101,3 +101,42 @@ def test_geojson_on_empty(empty_events):
     from gdutils_spark.sinks.geojson import track_geojson
 
     assert track_geojson(empty_events, "entity", time_col="ts").collect() == []
+
+
+def test_round5_ops_on_weird_docs(weird_docs, spark):
+    """Empty/whitespace/short docs through every round-5 text/dedup
+    operator: no crashes, and the degenerate-document conventions hold
+    (split('') -> [''] gives a single empty segment; token ops drop
+    empty tokens; sketches/splits assign every doc)."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.dedup import leakage_safe_split
+    from gdutils_spark.operators.sketches import hll_report
+    from gdutils_spark.operators.text import (
+        compression_signals,
+        remove_common_segments,
+        token_rarity,
+        unigram_logprob,
+    )
+
+    seg = {r.doc: r for r in remove_common_segments(weird_docs, width=2).collect()}
+    assert set(seg) == {1, 2, 3, 4, 5}
+    assert seg[1].n_segs == 1 and seg[1].cleaned_text == ""  # [''] segment
+    assert seg[4].cleaned_text == "exactly three tokens"
+
+    rar = {r.doc for r in token_rarity(weird_docs).collect()}
+    assert rar == {3, 4, 5}  # empty-token docs drop out, don't crash
+    lp = {r.doc for r in unigram_logprob(weird_docs).collect()}
+    assert lp == rar
+
+    comp = {r.doc: r for r in compression_signals(weird_docs).collect()}
+    assert comp[1].zlib_ratio is None and comp[5].zlib_ratio > 0
+
+    no_pairs = spark.createDataFrame([], "d1 long, d2 long")
+    split = leakage_safe_split(weird_docs, no_pairs)
+    assert split.count() == 5 and split.where(F.col("split").isNull()).count() == 0
+
+    hll = hll_report(
+        weird_docs.select(F.lit("g").alias("g"), F.col("text")), "text", "g"
+    ).collect()[0]
+    assert hll.n_exact == 5
