@@ -906,6 +906,65 @@ FROM events WHERE user_id < 25 GROUP BY user_id
 """
 
 
+def rt_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-actives streaming (A4) driver-verified: chained
+    stateful operators — watermarked dropDuplicates on (user, day
+    window) feeding a windowed count — through a parquet sink in append
+    mode. Spark won't plan count_distinct in a streaming aggregate; the
+    dedup→count chain is the exact, deterministic equivalent, and the
+    oracle replays it plus the watermark close rule (windows whose end
+    <= max(ts) - 1 day emit; open windows are withheld)."""
+    from gdutils_spark.streaming import stream_active_entities
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 60)
+        .select("user_id", "ts")
+    )
+    tmp = _work_dir("stream_active")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    e.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    act = stream_active_entities(
+        stream, time_col="ts", entity_col="user_id", window="1 day",
+        watermark="1 day", exact=True,
+    )
+    q = (
+        act.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_active_users: streaming query did not finish")
+    back = spark.read.parquet(out)
+    return back.select(
+        F.col("window.start").alias("day_start"),
+        F.col("window.end").alias("day_end"),
+        "active_entities",
+    )
+
+
+_RT_STREAM_ACTIVE_SQL = """
+WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 60),
+m AS (SELECT MAX(ts) AS mx FROM e),
+d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day_start FROM e),
+agg AS (
+  SELECT day_start, CAST(COUNT(*) AS BIGINT) AS active_entities
+  FROM d GROUP BY day_start
+)
+SELECT CAST(day_start AS TIMESTAMP) AS day_start,
+       CAST(day_start + INTERVAL 1 DAY AS TIMESTAMP) AS day_end,
+       active_entities
+FROM agg, m
+WHERE day_start + INTERVAL 1 DAY <= m.mx - INTERVAL 1 DAY
+"""
+
+
 def rt_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed JSONL training-data export driver-verified
     end-to-end: documents take the md5 shard rule
@@ -1303,6 +1362,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_media": rt_stream_media,
     "rt_jsonl_shards": rt_jsonl_shards,
     "rt_orc_roundtrip": rt_orc_roundtrip,
+    "rt_stream_active_users": rt_stream_active_users,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -1328,4 +1388,5 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_media": _RT_STREAM_MEDIA_SQL,
     "rt_jsonl_shards": _RT_JSONL_SHARDS_SQL,
     "rt_orc_roundtrip": _RT_ORC_SQL,
+    "rt_stream_active_users": _RT_STREAM_ACTIVE_SQL,
 }

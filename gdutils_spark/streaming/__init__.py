@@ -240,12 +240,29 @@ def stream_active_entities(
     entity_col: str = "user_id",
     window: str = "1 day",
     watermark: str = "1 day",
+    exact: bool = False,
 ) -> DataFrame:
     """Streaming A4 ('any' deployment semantics): distinct active entities
-    per window — approx_count_distinct keeps state sublinear; exact
-    distinct would require keyed state per entity."""
-    return (
+    per window. Default: ``approx_count_distinct`` keeps state sublinear
+    (one HLL++ sketch per open window). ``exact=True`` chains two
+    stateful operators — watermarked ``dropDuplicates`` on
+    (entity, window) followed by a windowed count — giving EXACT
+    distincts with state bounded by live (entity, window) pairs; Spark
+    won't plan ``count_distinct`` in a streaming aggregate directly, but
+    the dedup→count chain is the supported equivalent (and, being
+    deterministic, the oracle-comparable one)."""
+    w = F.window(F.col(time_col), window).alias("window")
+    if not exact:
+        return (
+            stream.withWatermark(time_col, watermark)
+            .groupBy(w)
+            .agg(F.approx_count_distinct(entity_col).alias("active_entities"))
+        )
+    dedup = (
         stream.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), window).alias("window"))
-        .agg(F.approx_count_distinct(entity_col).alias("active_entities"))
+        .select(F.col(entity_col).alias("_e"), F.col(time_col), w)
+        .dropDuplicates(["_e", "window"])
+    )
+    return dedup.groupBy("window").agg(
+        F.count(F.lit(1)).alias("active_entities")
     )
