@@ -1020,3 +1020,74 @@ def knn_recall(
         n.alias("n_hits"),
         (n.cast("double") / F.lit(float(k))).alias("recall_at_k"),
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): split each
+    vector into ``m`` subspaces and store, per subspace, the index of
+    the nearest codebook entry — ``m·log2(k)`` bits per vector, the
+    memory path ANN takes when even int8 scalar codes
+    (:func:`quantize_embeddings`) are too large. Returns
+    ``(id, codes array<int>, pq_error)`` where ``pq_error`` is the total
+    squared quantization error (the table-lookup distance PQ search
+    approximates with).
+
+    Codebooks are deterministic: the sub-vectors of the ``k`` lowest-id
+    vectors (the :func:`ivf_assign` seed convention — no RNG, no trained
+    model, any engine re-derives them). Distances accumulate
+    DIM-SEQUENTIALLY in ascending dimension order and subspace errors in
+    ascending subspace order, so every distance, argmin comparison and
+    the final error are bit-identical to an ordered SQL fold — the same
+    determinism contract as the cosine kernels. Ties → lowest code
+    index (argmin returns the first index).
+
+    Plan shape: one Arrow-batched map with the (k × D) codebook
+    broadcast — scan-speed at any corpus size; no shuffle.
+    """
+    spark = vectors.sparkSession
+    _ids, C = _seed_centroids(vectors, id_col, vec_col, k)
+    D = C.shape[1]
+    if D % m != 0:
+        raise ValueError(f"dimension {D} not divisible by m={m}")
+    sub = D // m
+    bc = spark.sparkContext.broadcast(C)
+
+    def enc(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(A), m), dtype=np.int32)
+            err = None
+            for s in range(m):
+                lo = s * sub
+                # sequential-dim accumulation (bit-identical to an
+                # ordered fold; never np.sum, which pairwise-reduces)
+                diff = A[:, [lo]] - Cb[:, lo][None, :]
+                acc = diff * diff
+                for i in range(lo + 1, lo + sub):
+                    diff = A[:, [i]] - Cb[:, i][None, :]
+                    acc = acc + diff * diff
+                codes[:, s] = acc.argmin(axis=1)
+                best = acc[np.arange(len(A)), codes[:, s]]
+                err = best if err is None else err + best
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "codes": list(codes),
+                    "pq_error": err,
+                }
+            )
+
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    return base.mapInPandas(
+        enc, f"_id {id_type}, codes array<int>, pq_error double"
+    ).withColumnRenamed("_id", id_col)

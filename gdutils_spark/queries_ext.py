@@ -719,6 +719,56 @@ FROM assign GROUP BY centroid
 """
 
 
+PQ_M = 4
+PQ_K = 8
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codes + total squared quantization error per
+    vector (m=4 subspaces, k=8 deterministic seed codes each): every
+    code assignment (argmin over dim-sequential exact distances) and the
+    error fold are hash-verified cross-engine. Codes explode to one row
+    per (vector, subspace) — the registry convention for array-valued
+    results (the driver compare stringifies arrays engine-dependently)."""
+    enc = sim.pq_encode(load_table(spark, sf_dir, "embeddings"), m=PQ_M, k=PQ_K)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code"), "pq_error"
+    )
+
+
+def _pq_codes_sql() -> str:
+    sub = 64 // PQ_M
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+d AS (
+  SELECT e.vec_id, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+           * (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+         )) AS d2
+  FROM e CROSS JOIN range({PQ_M}) t(s) CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, subspace, code_idx, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d2, code_idx) AS rn
+  FROM d
+),
+tot AS (
+  SELECT vec_id, list_sum(list(d2 ORDER BY subspace)) AS pq_error
+  FROM best WHERE rn = 1 GROUP BY vec_id
+)
+SELECT b.vec_id, CAST(b.subspace AS INT) AS subspace,
+       CAST(b.code_idx AS INT) AS code, tot.pq_error
+FROM best b JOIN tot USING (vec_id)
+WHERE b.rn = 1
+"""
+
+
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load_table(spark, sf_dir, "embeddings")
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
@@ -2539,6 +2589,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_buckets": emb_lsh_buckets,
     "emb_ivf_assign": emb_ivf_assign,
     "emb_ivf_cluster_quality": emb_ivf_cluster_quality,
+    "emb_pq_codes": emb_pq_codes,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -2604,6 +2655,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_lsh_buckets": _lsh_buckets_sql(),
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_ivf_cluster_quality": _IVF_QUALITY_SQL,
+    "emb_pq_codes": _pq_codes_sql(),
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

@@ -223,3 +223,20 @@ def test_zero_norm_vectors_never_pair(spark):
     for r in lsh + bf:
         assert r.d1 not in (100, 101) and r.d2 not in (100, 101)
         assert r.score == r.score  # not NaN
+
+
+def test_pq_encode_seed_self_encoding(spark, embeddings):
+    """Codebook seed vectors must encode to their own code in every
+    subspace with exactly zero quantization error (exact arithmetic);
+    all codes stay in [0, k); error is non-negative."""
+    import gdutils_spark.operators.similarity as sim
+
+    out = {r.vec_id: r for r in sim.pq_encode(embeddings, m=4, k=8).collect()}
+    seeds = sorted(out)[:8]
+    for rank, vid in enumerate(seeds):
+        assert list(out[vid].codes) == [rank] * 4
+        assert out[vid].pq_error == 0.0
+    for r in out.values():
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+        assert r.pq_error >= 0.0
