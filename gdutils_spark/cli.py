@@ -300,8 +300,17 @@ def cmd_export_jsonl(args) -> int:
     sharded.write.partitionBy("shard").mode("overwrite").json(args.dest)
     # emit the per-shard balance summary through the shared -o/-f pipe
     # like every sibling subcommand (re-read the export so the summary
-    # reflects what actually landed on disk)
-    back = spark.read.json(args.dest)
+    # reflects what actually landed on disk). The writer's schema is
+    # known — passing it skips a full inference scan AND keeps an empty
+    # export from raising 'Unable to infer schema'.
+    import pyspark.sql.types as T
+
+    data_schema = T.StructType(
+        [f for f in sharded.schema.fields if f.name != "shard"]
+    )
+    back = spark.read.schema(data_schema).json(args.dest)
+    if "shard" not in back.columns:  # empty export: no partition dirs
+        back = back.withColumn("shard", F.lit(None).cast("int"))
     summary = back.groupBy(F.col("shard").cast("int").alias("shard")).count()
     _emit(_render(summary.orderBy("shard"), args.response), args.output)
     return 0

@@ -207,10 +207,18 @@ def domain_mix_rates(
             lambda acc, x: acc
             + F.coalesce(x["total_weight"], F.lit(0).cast(w_type)),
         ).alias("_corpus"),
+        # a stratum with NO usable weight contributes to neither total:
+        # counting its target weight in _W would dilute every other
+        # stratum's share and silently under-fill the budget (its own
+        # rate is NULL, so its budget slice is unspendable) — consistent
+        # with temperature_mix_rates, whose NULL stratum drops out of _S
         F.aggregate(
             "_a",
             F.lit(0).cast(tw_type),
-            lambda acc, x: acc + F.coalesce(x["_tw"], F.lit(0).cast(tw_type)),
+            lambda acc, x: acc
+            + F.when(
+                x["total_weight"].isNull(), F.lit(0).cast(tw_type)
+            ).otherwise(F.coalesce(x["_tw"], F.lit(0).cast(tw_type))),
         ).alias("_W"),
     )
     x = F.col("_x")

@@ -41,6 +41,15 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def _stage(frame, stage_path):
+    """The staging convention shared by every multi-consumer table in
+    this module: land the frame in parquet once, hand every downstream
+    consumer the staged scan (Spark plans no subtree reuse, so the
+    unstaged alternative re-derives the corpus per consumer)."""
+    frame.write.mode("overwrite").parquet(stage_path)
+    return frame.sparkSession.read.parquet(stage_path)
+
+
 def token_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(tokens(text))
@@ -264,8 +273,7 @@ def tf_idf_top_terms(
     ).where(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     if stage_path is not None:
-        tf.write.mode("overwrite").parquet(stage_path)
-        tf = df.sparkSession.read.parquet(stage_path)
+        tf = _stage(tf, stage_path)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(dfreq, "term")
@@ -839,8 +847,7 @@ def remove_common_segments(
     """
     seg = segment_table(df, text_col, id_col, width)
     if stage_path is not None:
-        seg.write.mode("overwrite").parquet(stage_path)
-        seg = df.sparkSession.read.parquet(stage_path)
+        seg = _stage(seg, stage_path)
     boiler = common_segments(seg, min_docs).select("segment")
     kept = seg.join(boiler, "segment", "left_anti")
     rebuilt = kept.groupBy("doc").agg(
@@ -891,8 +898,7 @@ def token_rarity(
     ).where(F.col("token") != "")
     tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("cnt"))
     if stage_path is not None:
-        tf.write.mode("overwrite").parquet(stage_path)
-        tf = df.sparkSession.read.parquet(stage_path)
+        tf = _stage(tf, stage_path)
     freq = tf.groupBy("token").agg(F.sum("cnt").alias("freq"))
     return (
         tf.join(freq, "token")
@@ -939,8 +945,7 @@ def unigram_logprob(
     ).where(F.col("token") != "")
     tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("cnt"))
     if stage_path is not None:
-        tf.write.mode("overwrite").parquet(stage_path)
-        tf = df.sparkSession.read.parquet(stage_path)
+        tf = _stage(tf, stage_path)
     freq = tf.groupBy("token").agg(F.sum("cnt").alias("freq"))
     total = freq.select(F.sum("freq").alias("_total"))
     return (

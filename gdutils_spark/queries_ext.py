@@ -737,7 +737,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_codes_sql() -> str:
-    sub = 64 // PQ_M
+    sub = EMB_DIMS // PQ_M
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cb AS (

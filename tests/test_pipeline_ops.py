@@ -1104,7 +1104,9 @@ def test_mix_rates_accept_double_weights_and_null_strata(spark):
         df, "src", "w", F.lit(0.75), 0.5
     ).collect()}
     assert out["a"].rate is not None and out["b"].rate is not None
-    assert abs(out["a"].target_share - 1 / 3) < 1e-12  # 0.75 of 2.25
+    # the NULL stratum claims NO share: its budget slice would be
+    # unspendable (rate NULL), so a and b renormalize to 1/2 each
+    assert abs(out["a"].target_share - 0.5) < 1e-12
     tout = {r.stratum: r for r in temperature_mix_rates(
         df, "src", "w", alpha=0.5, budget_frac=0.5
     ).collect()}
@@ -1123,3 +1125,37 @@ def test_hll_accepts_numeric_value_column(spark):
     )
     row = hll_report(df, "user_id", "et").collect()[0]
     assert row.n_exact == 40 and row.hll_estimate > 0
+
+
+def test_text_ops_staged_match_unstaged(spark, tmp_path):
+    """stage_path parity on the three round-5 text operators (segment
+    dedup, token rarity, unigram logprob): the staged plan reads the
+    landed table for every consumer and produces identical results."""
+    from gdutils_spark.operators.text import (
+        remove_common_segments,
+        token_rarity,
+        unigram_logprob,
+    )
+    from gdutils_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"shared boiler plate text unique{i} token{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    cases = [
+        (remove_common_segments, dict(width=2, min_docs=3), "seg_st"),
+        (token_rarity, {}, "tr_st"),
+        (unigram_logprob, {}, "lp_st"),
+    ]
+    for fn, kw, name in cases:
+        path = str(tmp_path / name)
+        staged_df = fn(docs, stage_path=path, **kw)
+        assert formatted_plan(staged_df).count(name) >= 2, name
+        staged = sorted(map(tuple, staged_df.collect()))
+        unstaged = sorted(map(tuple, fn(docs, **kw).collect()))
+        if fn is unigram_logprob:  # float scores: tolerance, not equality
+            for s, u in zip(staged, unstaged):
+                assert s[:2] == u[:2] and abs(s[2] - u[2]) < 1e-12
+            assert len(staged) == len(unstaged)
+        else:
+            assert staged == unstaged, name
