@@ -240,3 +240,40 @@ def test_pq_encode_seed_self_encoding(spark, embeddings):
         assert len(r.codes) == 4
         assert all(0 <= c < 8 for c in r.codes)
         assert r.pq_error >= 0.0
+
+
+def test_pq_encode_matches_python_model(spark):
+    """pq_encode vs a pure-Python model with the same sequential-dim
+    accumulation: codes AND errors must match EXACTLY (all arithmetic is
+    order-pinned IEEE, so there is no tolerance to hide behind)."""
+    import gdutils_spark.operators.similarity as sim
+
+    dim, m, k = 8, 4, 3
+    vecs = [
+        (i, [float(((i * 7 + j * 13) % 19) - 9) / 3.0 for j in range(dim)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    sub = dim // m
+    C = [v for _, v in vecs[:k]]  # lowest-id seeds
+    expect = {}
+    for vid, v in vecs:
+        codes, err = [], 0.0
+        for s in range(m):
+            dists = []
+            for c in C:
+                acc = (v[s * sub] - c[s * sub]) * (v[s * sub] - c[s * sub])
+                for i in range(s * sub + 1, (s + 1) * sub):
+                    acc = acc + (v[i] - c[i]) * (v[i] - c[i])
+                dists.append(acc)
+            best = min(range(k), key=lambda j: (dists[j], j))
+            codes.append(best)
+            err = dists[best] if s == 0 else err + dists[best]
+        expect[vid] = (codes, err)
+
+    got = {
+        r.vec_id: (list(r.codes), r.pq_error)
+        for r in sim.pq_encode(df, m=m, k=k).collect()
+    }
+    assert got == expect
