@@ -51,6 +51,8 @@ HEADLINERS = [
     ("emb_ivf_cluster_quality", "IVF cell health: Arrow assign pass + ONE centroid-keyed agg with ordered-fold mean"),
     ("doc_leakage_safe_split", "leakage-safe split: edge-sized components broadcast onto the scan, corpus never shuffles"),
     ("doc_temperature_mix", "temperature mix: one stratum agg + 1-row fold broadcast back, rows never shuffle"),
+    ("emb_pq_codes", "product quantization: one Arrow map with the codebook broadcast + map-side explode, no shuffle"),
+    ("rt_jsonl_shards", "JSONL shard export read-back: md5 shard rule, partition-pruned JSONL scan, one agg"),
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
