@@ -1069,3 +1069,59 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_NUM_PERMS,
+    k: int = 3,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sketch-accuracy report: for every VERIFIED near-dup pair, the
+    MinHash-estimated Jaccard (fraction of matching signature positions
+    — the estimator whose expectation IS the Jaccard, Broder 1997)
+    against the exact value, plus the signed error. This is the
+    num_perms tuning loop made first-class: estimator spread tells you
+    directly whether the permutation budget supports the threshold you
+    dedup at (stddev ≈ sqrt(J(1-J)/P)).
+
+    All arithmetic is exact integers + two final divisions, so any
+    engine reproduces the report bit-for-bit. Plan shape: the pair list
+    is dup-rate-sized; each side joins the signature table (wide
+    codegen'd equality sum, no explode), so the report costs two
+    pair-keyed joins beyond the pair pipeline itself.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_perms=num_perms, k=k, bands=bands,
+        threshold=threshold,
+    )
+    sigs = minhash_signatures(df, text_col, id_col, num_perms, k)
+    a = sigs.select(
+        F.col("doc").alias("d1"),
+        *[F.col(f"sig{p:02d}").alias(f"a{p:02d}") for p in range(num_perms)],
+    )
+    b = sigs.select(
+        F.col("doc").alias("d2"),
+        *[F.col(f"sig{p:02d}").alias(f"b{p:02d}") for p in range(num_perms)],
+    )
+    matches = None
+    for p in range(num_perms):
+        term = F.when(F.col(f"a{p:02d}") == F.col(f"b{p:02d}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            matches.cast("long").alias("sig_matches"),
+            (matches.cast("double") / F.lit(num_perms)).alias("est_jaccard"),
+            (
+                (matches.cast("double") / F.lit(num_perms)) - F.col("jaccard")
+            ).alias("est_error"),
+        )
+    )

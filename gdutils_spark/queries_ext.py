@@ -485,6 +485,69 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_T}
 """
 
 
+def doc_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-accuracy report: estimated vs exact Jaccard (and
+    the signed error) for every verified near-dup pair — the num_perms
+    tuning loop, hash-verified bit-for-bit."""
+    return dd.minhash_estimate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T,
+    )
+
+
+def _minhash_estimate_sql() -> str:
+    rows = NUM_PERMS // BANDS
+    pa, pb = dd._perm_constants(NUM_PERMS)
+    base_h = f"({_h64('shingle')} % {dd.MINHASH_PRIME})"
+    sig_aggs = ", ".join(
+        f"MIN(({base_h} * {pa[p]} + {pb[p]}) % {dd.MINHASH_PRIME}) AS sig{p:02d}"
+        for p in range(NUM_PERMS)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        cols = ", ".join(f"sig{p:02d}" for p in range(b * rows, (b + 1) * rows))
+        band_rows.append(
+            f"SELECT doc, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig{p:02d} = sb.sig{p:02d} THEN 1 ELSE 0 END"
+        for p in range(NUM_PERMS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc, {sig_aggs} FROM sh GROUP BY doc),
+banded AS ({banded}),
+cands AS (
+  SELECT DISTINCT a.doc AS d1, b.doc AS d2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+),
+common AS (
+  SELECT c.d1, c.d2, COUNT(*) AS common
+  FROM cands c
+  JOIN sh s1 ON s1.doc = c.d1
+  JOIN sh s2 ON s2.doc = c.d2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT common.d1, common.d2,
+         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.d1 = sa.doc
+  JOIN sizes sb ON common.d2 = sb.doc
+  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_T}
+)
+SELECT p.d1, p.d2, p.jaccard,
+       CAST({match_sum} AS BIGINT) AS sig_matches,
+       CAST({match_sum} AS DOUBLE) / {NUM_PERMS} AS est_jaccard,
+       CAST({match_sum} AS DOUBLE) / {NUM_PERMS} - p.jaccard AS est_error
+FROM pairs p
+JOIN sigs sa ON p.d1 = sa.doc
+JOIN sigs sb ON p.d2 = sb.doc
+"""
+
+
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
@@ -2570,6 +2633,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_dup_pairs": doc_ngram_dup_pairs,
     "doc_containment_pairs": doc_containment_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_minhash_estimate": doc_minhash_estimate,
     "doc_simhash": doc_simhash,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,
     "doc_dup_clusters": doc_dup_clusters,
@@ -2636,6 +2700,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_ngram_dup_pairs": _NGRAM_PAIRS_SQL,
     "doc_containment_pairs": _CONTAINMENT_SQL,
     "doc_minhash_lsh_pairs": _minhash_lsh_sql(),
+    "doc_minhash_estimate": _minhash_estimate_sql(),
     "doc_simhash": _simhash_sql(),
     "doc_simhash_near_pairs": _simhash_pairs_sql(),
     "doc_dup_clusters": _dup_clusters_sql(),

@@ -1159,3 +1159,25 @@ def test_text_ops_staged_match_unstaged(spark, tmp_path):
             assert len(staged) == len(unstaged)
         else:
             assert staged == unstaged, name
+
+
+def test_minhash_estimate_pairs(boilerplate_docs):
+    """Sketch-accuracy report: every verified pair gets an estimate in
+    [0,1] consistent with its match count; identical documents estimate
+    exactly 1.0 (all signature positions equal)."""
+    from gdutils_spark.operators.dedup import minhash_estimate_pairs
+
+    twin = boilerplate_docs.union(
+        boilerplate_docs.selectExpr("doc_id + 100 AS doc_id", "text")
+    )
+    rows = minhash_estimate_pairs(twin, num_perms=32, bands=8, threshold=0.5).collect()
+    assert rows, "twin corpus must produce verified pairs"
+    exact_twins = 0
+    for r in rows:
+        assert 0 <= r.sig_matches <= 32
+        assert r.est_jaccard == r.sig_matches / 32
+        assert abs(r.est_error - (r.est_jaccard - r.jaccard)) == 0.0
+        if r.d2 == r.d1 + 100:  # identical text → identical signatures
+            assert r.jaccard == 1.0 and r.est_jaccard == 1.0
+            exact_twins += 1
+    assert exact_twins >= 5
