@@ -1091,3 +1091,102 @@ def pq_encode(
     return base.mapInPandas(
         enc, f"_id {id_type}, codes array<int>, pq_error double"
     ).withColumnRenamed("_id", id_col)
+
+
+def knn_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+) -> DataFrame:
+    """Approximate kNN by asymmetric distance computation (ADC) over PQ
+    codes — the search side of :func:`pq_encode`: each query precomputes
+    an (m × n_codes) table of exact sub-distances to the codebook, and a
+    corpus vector's approximate distance is the sum of m table lookups —
+    the corpus is scanned as CODES (m small ints per vector), never as
+    floats. Returns ``(query_id, neighbor_id, approx_d2)`` top-k rows
+    per query (self-matches excluded; ties → lowest neighbor id).
+
+    Determinism: tables use the same sequential-dim accumulation as the
+    encoder, the m lookups add in ascending subspace order, and top-k
+    ordering ties break on id — the whole search is bit-reproducible by
+    an ordered SQL replay. Plan shape: one Arrow pass encodes+scores the
+    corpus with (codebook + tables) broadcast; one query-keyed shuffle
+    for top-k. At 100 TB the scan cost is the CODE columns, the float
+    corpus is never re-read once codes are staged.
+    """
+    from pyspark.sql import Window
+
+    spark = vectors.sparkSession
+    _ids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
+    D = C.shape[1]
+    if D % m != 0:
+        raise ValueError(f"dimension {D} not divisible by m={m}")
+    sub = D // m
+    qpdf = (
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .orderBy("_qid")
+        .toPandas()
+    )
+    qids = qpdf["_qid"].to_numpy()
+    Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
+    # per-query ADC tables, sequential-dim accumulation (encoder parity)
+    T = np.empty((len(Q), m, C.shape[0]), dtype=np.float64)
+    for s in range(m):
+        lo = s * sub
+        diff = Q[:, [lo]] - C[:, lo][None, :]
+        acc = diff * diff
+        for i in range(lo + 1, lo + sub):
+            diff = Q[:, [i]] - C[:, i][None, :]
+            acc = acc + diff * diff
+        T[:, s, :] = acc
+    bc = spark.sparkContext.broadcast((qids, T, C))
+
+    def score(batches):
+        qids_b, Tb, Cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            ids = pdf["_id"].to_numpy()
+            codes = np.empty((len(A), m), dtype=np.int64)
+            for s in range(m):
+                lo = s * sub
+                diff = A[:, [lo]] - Cb[:, lo][None, :]
+                acc = diff * diff
+                for i in range(lo + 1, lo + sub):
+                    diff = A[:, [i]] - Cb[:, i][None, :]
+                    acc = acc + diff * diff
+                codes[:, s] = acc.argmin(axis=1)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids_b)):
+                d = Tb[qi, 0, codes[:, 0]]
+                for s in range(1, m):
+                    d = d + Tb[qi, s, codes[:, s]]
+                out_q.append(np.full(len(ids), qids_b[qi]))
+                out_n.append(ids)
+                out_d.append(d)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx_d2": np.concatenate(out_d),
+                }
+            )
+
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    scored = base.mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, approx_d2 double"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

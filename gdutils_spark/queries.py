@@ -1953,21 +1953,21 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 5 window: (a) the 22 new queries (streaming sessions,
+    # round 5 window: (a) the 23 new queries (streaming sessions,
     # stateful streaming summaries, streaming enrichment, streaming
     # media featurize, exact streaming actives, containment pairs,
     # hybrid search, dedup recall, search catalog, windowed funnel,
     # recall curve, segment dedup, token rarity, PCM stats, HLL tokens,
     # IVF cluster quality, leakage-safe split, temperature mix, JSONL
-    # shard export, ORC round-trip, PQ codes, minhash estimate) +
-    # geo_user_tracks (first round with a full-document oracle) +
-    # q12_ship_lateness (oracle BIGINT-cast fix needs a fresh green
-    # row); (b) all 17 entries whose latest green row is r2 (the
-    # pre-declared round-5 rotation priority); (c) 9 of the 49
+    # shard export, ORC round-trip, PQ codes, PQ-ADC search, minhash
+    # estimate) + geo_user_tracks (first round with a full-document
+    # oracle) + q12_ship_lateness (oracle BIGINT-cast fix needs a fresh
+    # green row); (b) all 17 entries whose latest green row is r2 (the
+    # pre-declared round-5 rotation priority); (c) 8 of the 49
     # r3-latest entries, in registry order. Every entry displaced past
     # position 50 has a green row from r3 or r4 and keeps full local
     # coverage via tests/test_queries_oracle.py. Round-6 rotation
-    # priority: the 40 r3-latest entries left out here
+    # priority: the 41 r3-latest entries left out here
     # (suppliers_with_shipments_semi, customer_order_ranks,
     # q4_priority_exists, q13_order_distribution, rollup_order_totals,
     # event_value_quantiles, order_last_event_asof, user_event_gaps,
@@ -1976,7 +1976,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # doc_stratified_sample, doc_pack_batches, emb_knn_bruteforce,
     # emb_near_dup_pairs, emb_lsh_near_dup_pairs, emb_lsh_buckets,
     # emb_ivf_assign, emb_knn_ivf, emb_knn_lsh, mm_image_features,
-    # mm_audio_features, doc_top_tokens, calendar_ym_active_customers,
+    # mm_audio_features, doc_top_tokens, calendar_md_orders,
+    # calendar_ym_active_customers,
     # customer_orphans, customer_orphan_flag,
     # user_first_week_events, part_name_filter, distinct_user_event_types,
     # top_order_per_customer, tagged_event_union,
@@ -1998,6 +1999,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "rt_stream_active_users",
     "emb_pq_codes",
     "doc_minhash_estimate",
+    "emb_knn_pq",
     "rt_stream_sessions",
     "doc_containment_pairs",
     "doc_hybrid_search",

@@ -832,6 +832,55 @@ WHERE b.rn = 1
 """
 
 
+def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate kNN: per-query distance tables + m code
+    lookups per corpus vector — the search side of emb_pq_codes; every
+    approximate distance and the top-k ordering hash-verified."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_pq(vectors, queries, k=KNN_K, m=PQ_M, n_codes=PQ_K)
+
+
+def _knn_pq_sql() -> str:
+    sub = EMB_DIMS // PQ_M
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+d AS (
+  SELECT e.vec_id, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+           * (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+         )) AS d2
+  FROM e CROSS JOIN range({PQ_M}) t(s) CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, subspace, code_idx, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d2, code_idx) AS rn
+  FROM d
+),
+adc AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list(t.d2 ORDER BY b.subspace)) AS approx_d2
+  FROM (SELECT vec_id FROM e WHERE vec_id < {N_QUERIES}) q
+  JOIN best b ON b.rn = 1 AND b.vec_id <> q.vec_id
+  JOIN d t ON t.vec_id = q.vec_id AND t.subspace = b.subspace
+          AND t.code_idx = b.code_idx
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_d2 FROM (
+  SELECT query_id, neighbor_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load_table(spark, sf_dir, "embeddings")
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
@@ -2654,6 +2703,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_assign": emb_ivf_assign,
     "emb_ivf_cluster_quality": emb_ivf_cluster_quality,
     "emb_pq_codes": emb_pq_codes,
+    "emb_knn_pq": emb_knn_pq,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -2721,6 +2771,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_ivf_assign": _IVF_ASSIGN_SQL,
     "emb_ivf_cluster_quality": _IVF_QUALITY_SQL,
     "emb_pq_codes": _pq_codes_sql(),
+    "emb_knn_pq": _knn_pq_sql(),
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),
