@@ -396,7 +396,6 @@ def minhash_lsh_pairs(
     recall changes (pairs similar solely through boilerplate stop
     colliding).
     """
-    rows = num_perms // bands
     # shingles feed signatures + both verification join sides + sizes.
     # Default: memory-cache, referenced by the returned plan →
     # ContextCleaner-reclaimed when the result is released. At 100 TB
@@ -414,6 +413,21 @@ def minhash_lsh_pairs(
         else _cold_shingles(sh_cached, max_shingle_freq)
     )
     sigs = minhash_signatures(df, text_col, id_col, num_perms, k, _shingles=sig_input)
+    return _lsh_verify_pairs(sh_cached, sigs, num_perms, bands, threshold)
+
+
+def _lsh_verify_pairs(
+    sh_cached: DataFrame,
+    sigs: DataFrame,
+    num_perms: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Band the signature table, self-join on (band, band-hash) for
+    candidates, verify with exact Jaccard over the shingle table.
+    Factored out so :func:`minhash_estimate_pairs` can share ONE
+    shingle/signature computation with the pair pipeline."""
+    rows = num_perms // bands
     banded = _banded_signatures(sigs, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1079,6 +1093,7 @@ def minhash_estimate_pairs(
     k: int = 3,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Sketch-accuracy report: for every VERIFIED near-dup pair, the
     MinHash-estimated Jaccard (fraction of matching signature positions
@@ -1089,16 +1104,25 @@ def minhash_estimate_pairs(
     dedup at (stddev ≈ sqrt(J(1-J)/P)).
 
     All arithmetic is exact integers + two final divisions, so any
-    engine reproduces the report bit-for-bit. Plan shape: the pair list
-    is dup-rate-sized; each side joins the signature table (wide
-    codegen'd equality sum, no explode), so the report costs two
-    pair-keyed joins beyond the pair pipeline itself.
+    engine reproduces the report bit-for-bit. Plan shape: the corpus is
+    shingled and md5-hashed ONCE — the signature table here is the same
+    one the pair pipeline bands (shared via :func:`_lsh_verify_pairs`),
+    not a recompute — and each pair side joins it with a wide codegen'd
+    equality sum (no explode), so the report costs two pair-keyed joins
+    beyond the pair pipeline itself. At 100 TB pass ``stage_path`` to
+    land the shingle table in parquet for its multiple consumers.
     """
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, num_perms=num_perms, k=k, bands=bands,
-        threshold=threshold,
-    )
-    sigs = minhash_signatures(df, text_col, id_col, num_perms, k)
+    sh_cached = _shingle_table(df, text_col, id_col, k)
+    if stage_path is not None:
+        sh_cached.write.mode("overwrite").parquet(stage_path)
+        sh_cached = df.sparkSession.read.parquet(stage_path)
+    else:
+        sh_cached = sh_cached.cache()
+    # cached: consumed by banding AND both estimate-join sides below
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perms, k, _shingles=sh_cached
+    ).cache()
+    pairs = _lsh_verify_pairs(sh_cached, sigs, num_perms, bands, threshold)
     a = sigs.select(
         F.col("doc").alias("d1"),
         *[F.col(f"sig{p:02d}").alias(f"a{p:02d}") for p in range(num_perms)],

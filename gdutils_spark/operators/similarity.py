@@ -87,6 +87,7 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     dims: int | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
@@ -94,12 +95,14 @@ def knn_bruteforce(
     |queries|·N pair count is small, and an unrolled 64-term expression
     would cost more in codegen compilation than interpretation saves.
 
-    queries is broadcast (always small relative to the corpus); scoring is
-    a map over the corpus scan; top-k is one shuffle on query_id. Ties
-    break on neighbor id for determinism.
+    queries is broadcast (always small relative to the corpus —
+    ``max_query_rows`` fail-fasts an accidental corpus-as-queries swap);
+    scoring is a map over the corpus scan; top-k is one shuffle on
+    query_id. Ties break on neighbor id for determinism.
     """
     from pyspark.sql import Window
 
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_bruteforce")
     # hoist each side's norm out of the pair computation: computed once
     # per row at scan time, not once per (query, neighbor) pair
     q = queries.select(
@@ -475,6 +478,27 @@ def _pykey(v):
     return v.item() if hasattr(v, "item") else v
 
 
+def _guard_query_rows(queries: DataFrame, id_col: str, max_query_rows: int, fn: str):
+    """Fail-fast for the kNN family's query-side broadcasts/collects.
+
+    Every ``knn_*`` operator broadcasts (or driver-collects) the QUERY
+    relation — correct by contract (query sets are top-k-request-sized),
+    but aiming a corpus at the ``queries`` parameter would OOM the driver
+    instead of raising. Same probe as ``embedding_near_dup_pairs``'s
+    ``max_broadcast_rows`` guard: a LIMIT-bounded count that scans at most
+    ``max_query_rows + 1`` ids before any collect happens.
+    """
+    n = queries.select(id_col).limit(max_query_rows + 1).count()
+    if n > max_query_rows:
+        raise ValueError(
+            f"{fn}: queries relation exceeds max_query_rows={max_query_rows}. "
+            f"The query side is broadcast/collected driver-side by design; "
+            f"the corpus belongs in the `vectors` parameter (which stays "
+            f"partitioned at any scale). Swap the arguments, or raise "
+            f"max_query_rows explicitly if you really mean it."
+        )
+
+
 def _seed_centroids(
     vectors: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -693,6 +717,7 @@ def knn_ivf(
     n_probe: int = 4,
     dims: int | None = None,
     refine_iters: int = 0,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` clusters whose
     centroids are nearest each query, then exact-score the members.
@@ -708,6 +733,7 @@ def knn_ivf(
     """
     from pyspark.sql import Window
 
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_ivf")
     if refine_iters > 0:
         cids, C = ivf_refine_centroids(
             vectors, id_col, vec_col, n_centroids, refine_iters
@@ -785,6 +811,7 @@ def knn_ivf_sweep(
     probes: tuple[int, ...] = (1, 2, 4),
     dims: int | None = None,
     refine_iters: int = 0,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Probe-budget sweep: for each ``n_probe`` in ``probes``, exactly
     :func:`knn_ivf`'s top-k result, tagged with an ``n_probe`` column —
@@ -800,6 +827,9 @@ def knn_ivf_sweep(
     """
     from pyspark.sql import Window
 
+    if not probes:
+        raise ValueError("knn_ivf_sweep: probes must be non-empty")
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_ivf_sweep")
     probes = tuple(sorted(set(int(p) for p in probes)))
     max_p = probes[-1]
     if refine_iters > 0:
@@ -881,12 +911,14 @@ def knn_lsh(
     k: int = 5,
     planes: int = 8,
     dims: int = 64,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Recall < 1 by construction; this is the plan shape for 100 TB
     (bucket equi-join instead of crossJoin)."""
     from pyspark.sql import Window
 
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_lsh")
     vb = lsh_buckets(vectors, id_col, vec_col, planes, dims)
     v = vectors.join(vb, id_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -1101,6 +1133,7 @@ def knn_pq(
     k: int = 5,
     m: int = 4,
     n_codes: int = 8,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate kNN by asymmetric distance computation (ADC) over PQ
     codes — the search side of :func:`pq_encode`: each query precomputes
@@ -1120,6 +1153,7 @@ def knn_pq(
     """
     from pyspark.sql import Window
 
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_pq")
     spark = vectors.sparkSession
     _ids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
     D = C.shape[1]

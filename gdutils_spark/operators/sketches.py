@@ -81,6 +81,10 @@ def hll_registers(
     # for string columns, and for numerics it matches the SQL replay
     # md5(CAST(v AS VARCHAR)) — same convention as shard_assign
     h = _md5_int64(F.col(value_col).cast("string"))
+    # NULL values hash to NULL and would seed a NULL-bucket register that
+    # NULL-poisons the hll_report fold; count_distinct skips NULLs, so the
+    # sketch must too
+    df = df.where(F.col(value_col).isNotNull())
     hashed = df.select(
         F.col(group_col).alias("grp"),
         (h % (1 << p)).alias("bucket"),

@@ -1014,7 +1014,10 @@ def compression_signals(
 
     import pandas as pd
 
+    # derive the id type from the input schema (string/int/long doc ids
+    # all pass through unchanged) — same convention as audio_pcm_stats
+    id_type = df.schema[id_col].dataType.simpleString()
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     return base.mapInPandas(
-        op, "doc long, raw_bytes long, zlib_bytes long, zlib_ratio double"
+        op, f"doc {id_type}, raw_bytes long, zlib_bytes long, zlib_ratio double"
     )

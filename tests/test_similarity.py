@@ -277,3 +277,30 @@ def test_pq_encode_matches_python_model(spark):
         for r in sim.pq_encode(df, m=m, k=k).collect()
     }
     assert got == expect
+
+
+def test_knn_query_side_guards(embeddings):
+    """Every knn_* operator broadcasts/collects the QUERY relation; an
+    accidental corpus-as-queries swap must raise, not OOM the driver."""
+    import pytest
+
+    queries = embeddings.where("vec_id < 5")
+    for fn, kw in [
+        (sim.knn_bruteforce, {}),
+        (sim.knn_ivf, {"n_centroids": 8}),
+        (sim.knn_ivf_sweep, {"n_centroids": 8, "probes": (1, 2)}),
+        (sim.knn_lsh, {}),
+        (sim.knn_pq, {"m": 4, "n_codes": 8}),
+    ]:
+        with pytest.raises(ValueError, match="max_query_rows"):
+            fn(embeddings, embeddings, k=3, max_query_rows=3, **kw)
+        # legitimate query sets still run (guard scans ≤ max+1 ids)
+        assert fn(embeddings, queries, k=1, max_query_rows=5, **kw).count() > 0
+
+
+def test_knn_ivf_sweep_rejects_empty_probes(embeddings):
+    import pytest
+
+    queries = embeddings.where("vec_id < 3")
+    with pytest.raises(ValueError, match="probes must be non-empty"):
+        sim.knn_ivf_sweep(embeddings, queries, probes=())

@@ -91,3 +91,20 @@ def test_report_groups_are_independent(spark):
     assert rows["a"].n_exact == 100 and rows["b"].n_exact == 7
     # a tiny group cannot inflate past its bucket count's implied bound
     assert rows["b"].n_buckets_hit <= 7
+
+
+def test_null_values_are_skipped(spark):
+    """A NULL value must not seed a NULL-bucket register (which would
+    NULL-poison the report fold); semantics match count_distinct's
+    NULL-skipping."""
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b"), ("h", None)],
+        "src string, v string",
+    )
+    regs = hll_registers(df, "v", "src").collect()
+    assert all(r.bucket is not None and r.reg is not None for r in regs)
+    assert {r.grp for r in regs} == {"g"}  # all-NULL group has no registers
+    rows = {r.grp: r for r in hll_report(df, "v", "src").collect()}
+    assert rows["g"].n_exact == 2
+    assert rows["g"].hll_estimate is not None
+    assert rows["g"].rel_error is not None

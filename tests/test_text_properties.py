@@ -246,3 +246,18 @@ def test_compression_signals(spark):
     assert got[0].zlib_ratio < 0.1 < got[1].zlib_ratio
     for i in (2, 3):
         assert got[i].raw_bytes == 0 and got[i].zlib_ratio is None
+
+
+def test_compression_signals_generic_id_type(spark):
+    """The output schema must inherit the input id type — string doc ids
+    pass through (previously hardcoded to long → Arrow failure)."""
+    from gdutils_spark.operators.text import compression_signals
+
+    df = spark.createDataFrame(
+        [("doc-a", "spam " * 50), ("doc-b", None)], "doc_id string, text string"
+    )
+    out = compression_signals(df)
+    assert out.schema["doc"].dataType.simpleString() == "string"
+    got = {r.doc: r for r in out.collect()}
+    assert set(got) == {"doc-a", "doc-b"}
+    assert got["doc-a"].zlib_ratio < 0.2 and got["doc-b"].zlib_ratio is None
