@@ -1060,6 +1060,7 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = 4,
     k: int = 8,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Product quantization (Jégou et al., TPAMI 2011): split each
     vector into ``m`` subspaces and store, per subspace, the index of
@@ -1079,11 +1080,18 @@ def pq_encode(
     determinism contract as the cosine kernels. Ties → lowest code
     index (argmin returns the first index).
 
+    ``refine_iters > 0`` runs that many per-subspace Lloyd iterations
+    (:func:`pq_refine_codebooks`) first — trained codebooks, lower
+    quantization error at the same bit budget.
+
     Plan shape: one Arrow-batched map with the (k × D) codebook
     broadcast — scan-speed at any corpus size; no shuffle.
     """
     spark = vectors.sparkSession
-    _ids, C = _seed_centroids(vectors, id_col, vec_col, k)
+    if refine_iters > 0:
+        C = pq_refine_codebooks(vectors, id_col, vec_col, m, k, refine_iters)
+    else:
+        _ids, C = _seed_centroids(vectors, id_col, vec_col, k)
     D = C.shape[1]
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
@@ -1134,6 +1142,7 @@ def knn_pq(
     m: int = 4,
     n_codes: int = 8,
     max_query_rows: int = 100_000,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate kNN by asymmetric distance computation (ADC) over PQ
     codes — the search side of :func:`pq_encode`: each query precomputes
@@ -1155,7 +1164,10 @@ def knn_pq(
 
     _guard_query_rows(queries, id_col, max_query_rows, "knn_pq")
     spark = vectors.sparkSession
-    _ids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
+    if refine_iters > 0:
+        C = pq_refine_codebooks(vectors, id_col, vec_col, m, n_codes, refine_iters)
+    else:
+        _ids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
     D = C.shape[1]
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
@@ -1221,6 +1233,235 @@ def knn_pq(
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def pq_refine_codebooks(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+) -> np.ndarray:
+    """Per-subspace Lloyd (k-means) refinement of the PQ seed codebooks —
+    the training step Jégou et al. (TPAMI 2011, §III) run per subspace;
+    seed-only codebooks cost real recall at scale. Returns the refined
+    (k × D) codebook matrix, where each subspace's columns were refined
+    independently (a code keeps its previous sub-centroid in any
+    subspace where it loses all members).
+
+    Fully deterministic and ORACLE-REPRODUCIBLE, by the same contract as
+    :func:`ivf_refine_centroids`: assignment uses dim-sequential squared
+    distances with lowest-code-index tie-breaks (exactly
+    :func:`pq_encode`'s argmin), and each (code, dim) mean is a
+    sequential left fold over member values in ascending member-id order
+    — bit-matching DuckDB's ``list_sum(list(x ORDER BY vec_id))``.
+
+    Plan shape per iteration: one scan-speed Arrow assignment map
+    (codebook broadcast, vector carried through — no corpus re-join), one
+    shuffle on (code, dim), and a k·D-row collect (tiny). Unlike coarse
+    IVF training, PQ training at 100 TB typically runs on a SAMPLE; pass
+    a sampled ``vectors`` relation for that — the refinement is
+    per-subspace, so the sample just needs subspace coverage.
+    """
+    spark = vectors.sparkSession
+    _ids, C = _seed_centroids(vectors, id_col, vec_col, k)
+    D = C.shape[1]
+    if D % m != 0:
+        raise ValueError(f"dimension {D} not divisible by m={m}")
+    sub = D // m
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def enc(batches, _bc=bc):
+            Cb = _bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                codes = np.empty((len(A), m), dtype=np.int32)
+                for s in range(m):
+                    lo = s * sub
+                    diff = A[:, [lo]] - Cb[:, lo][None, :]
+                    acc = diff * diff
+                    for i in range(lo + 1, lo + sub):
+                        diff = A[:, [i]] - Cb[:, i][None, :]
+                        acc = acc + diff * diff
+                    codes[:, s] = acc.argmin(axis=1)
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "_v": pdf["_v"], "codes": list(codes)}
+                )
+
+        assigned = base.mapInPandas(
+            enc, f"_id {id_type}, _v array<double>, codes array<int>"
+        )
+        # dim → owning subspace → that subspace's code; mean per (code, dim)
+        # as the ascending-member-id ordered fold (oracle parity)
+        exploded = assigned.select(
+            F.col("_id"),
+            F.posexplode("_v").alias("dim", "val"),
+            F.col("codes"),
+        ).select(
+            "_id",
+            "dim",
+            "val",
+            F.element_at(
+                "codes", (F.floor(F.col("dim") / F.lit(sub)) + 1).cast("int")
+            ).alias("code"),
+        )
+        means = exploded.groupBy("code", "dim").agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_id", "val"))),
+                        lambda s: s["val"].cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count("*")
+            ).alias("mval")
+        )
+        newC = C.copy()
+        for r in means.collect():  # ≤ k·D rows
+            newC[r["code"], r["dim"]] = r["mval"]
+        C = newC
+    return C
+
+
+def knn_ivf_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Composed IVF-PQ search — the Faiss ``IndexIVFPQ`` shape, and the
+    plan an actual 100 TB ANN deployment runs: coarse-probe the
+    ``n_probe`` cells nearest each query (cosine, as :func:`knn_ivf`),
+    then rank members of the probed cells by asymmetric distance over
+    their PQ CODES (as :func:`knn_pq`, raw-vector encoding). Returns
+    ``(query_id, neighbor_id, approx_d2)`` top-k per query.
+
+    Cost at scale multiplies both savings: the scan touches
+    ~``n_probe/n_centroids`` of the corpus, and what it reads is
+    ``m·log2(n_codes)`` bits of codes per vector, not floats. Recall < 1
+    from both stages by construction; sweep against
+    :func:`knn_recall`'s exact truth to tune.
+
+    Fully JVM-side scoring: the per-query ADC tables (|Q|·m·n_codes
+    rows, exact dim-sequential sub-distances) ship as a broadcast local
+    relation; scoring is two broadcast hash joins (probe filter, table
+    lookup) plus ONE (query, neighbor)-keyed aggregate whose sum folds
+    in ascending subspace order — bit-identical to the ordered SQL
+    replay. No Python touches the corpus beyond the already-verified
+    encode/assign maps.
+    """
+    from pyspark.sql import Window
+
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_ivf_pq")
+    spark = vectors.sparkSession
+    cids, CC = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+    _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
+    D = C.shape[1]
+    if D % m != 0:
+        raise ValueError(f"dimension {D} not divisible by m={m}")
+    sub = D // m
+
+    # corpus as (neighbor_id, centroid, subspace, code): the staged
+    # representation an IVF-PQ index IS — codes from the encode map,
+    # cells from the assign map
+    assign = _assign_to(vectors, id_col, vec_col, cids, CC)
+    codes = (
+        pq_encode(vectors, id_col, vec_col, m=m, k=n_codes)
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.posexplode("codes").alias("subspace", "code"))
+        .join(
+            assign.select(F.col(id_col).alias("neighbor_id"), "centroid"),
+            "neighbor_id",
+        )
+    )
+
+    # coarse probe ranking: same JVM cosine + window as knn_ivf
+    cent = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_score").desc(), F.col("centroid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "centroid",
+            cosine(F.col("q_vec"), F.col("c_vec"), None).alias("c_score"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "centroid")
+    )
+
+    # per-query ADC tables (exact sub-distances to every code), computed
+    # driver-side over the guarded query set, shipped as a local relation
+    qpdf = (
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .orderBy("_qid")
+        .toPandas()
+    )
+    Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
+    adc_rows = []
+    for s in range(m):
+        lo = s * sub
+        diff = Q[:, [lo]] - C[:, lo][None, :]
+        acc = diff * diff
+        for i in range(lo + 1, lo + sub):
+            diff = Q[:, [i]] - C[:, i][None, :]
+            acc = acc + diff * diff
+        for qi in range(len(Q)):
+            for c in range(C.shape[0]):
+                adc_rows.append(
+                    (_pykey(qpdf["_qid"][qi]), s, c, float(acc[qi, c]))
+                )
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    adc = spark.createDataFrame(
+        adc_rows, f"query_id {id_type}, subspace int, code int, d2 double"
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2"), F.col("neighbor_id")
+    )
+    return (
+        probes.join(codes, "centroid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(adc), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("subspace", "d2"))),
+                    lambda s: s["d2"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )

@@ -158,3 +158,37 @@ def hll_report(
             / F.col("n_exact").cast("double")
         ).alias("rel_error"),
     )
+
+
+def hll_corrected(report: DataFrame, p: int = DEFAULT_P) -> DataFrame:
+    """Consumer-side small-range correction (Flajolet et al. 2007 §4):
+    when the raw estimate is below ``2.5·m`` and some registers are
+    still empty, linear counting ``m·ln(m / V)`` (V = empty registers)
+    is the better estimator — the raw harmonic mean biases high in that
+    regime. Adds ``hll_corrected`` and ``corrected_rel_error`` columns
+    to a :func:`hll_report` result.
+
+    This lives OUTSIDE the determinism contract on purpose: ``ln`` is
+    libm-ulp territory, so the correction is property-tested (accuracy
+    bounds vs exact counts) rather than hash-compared — the sketch
+    machinery underneath it stays oracle-verified. Columnar arithmetic
+    over the (groups-sized) report: free at any corpus scale.
+    """
+    m = 1 << p
+    empty = (F.lit(m) - F.col("n_buckets_hit")).cast("double")
+    corrected = (
+        F.when(
+            (F.col("hll_estimate") <= 2.5 * m) & (empty > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+        )
+        .otherwise(F.col("hll_estimate"))
+        .alias("hll_corrected")
+    )
+    out = report.select("*", corrected)
+    return out.select(
+        "*",
+        (
+            (F.col("hll_corrected") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("corrected_rel_error"),
+    )

@@ -881,6 +881,181 @@ SELECT query_id, neighbor_id, approx_d2 FROM (
 """
 
 
+PQ_REFINE_ITERS = 2
+
+
+def emb_pq_codes_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes from Lloyd-REFINED codebooks (2 per-subspace k-means
+    iterations over the seed): the trained-codebook path, verified like
+    emb_pq_codes — every refined sub-centroid, code assignment and error
+    fold replayed bit-identically by the oracle's ordered-fold CTE
+    chain (the per-subspace analog of emb_knn_ivf_refined's Lloyd
+    replay)."""
+    enc = sim.pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        m=PQ_M, k=PQ_K, refine_iters=PQ_REFINE_ITERS,
+    )
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code"), "pq_error"
+    )
+
+
+def _pq_refined_cb_ctes(n_iters: int) -> str:
+    """CTE chain computing ``cb{n_iters}``: per-subspace Lloyd with
+    lowest-code-index tie-breaks; each (code, dim) mean is list_sum over
+    member values ordered by vec_id (sequential left fold — bit-matching
+    the Spark side's sorted-fold aggregate), and a code keeps its
+    previous sub-centroid in any subspace where it loses all members."""
+    sub = EMB_DIMS // PQ_M
+    ctes = [
+        f"""cb0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K}))"""
+    ]
+    for i in range(1, n_iters + 1):
+        prev = f"cb{i - 1}"
+        ctes.append(
+            f"""pd{i} AS (
+  SELECT e.vec_id, t.s AS subspace, c.code_idx,
+         list_sum(list_transform(range({sub}), j ->
+           (e.v[CAST(t.s*{sub} + j + 1 AS INT)] - c.cv[CAST(t.s*{sub} + j + 1 AS INT)])
+           * (e.v[CAST(t.s*{sub} + j + 1 AS INT)] - c.cv[CAST(t.s*{sub} + j + 1 AS INT)])
+         )) AS d2
+  FROM e CROSS JOIN range({PQ_M}) t(s) CROSS JOIN {prev} c)"""
+        )
+        ctes.append(
+            f"""pa{i} AS (
+  SELECT vec_id, subspace, code_idx FROM (
+    SELECT vec_id, subspace, code_idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d2, code_idx) AS rn
+    FROM pd{i}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""pm{i} AS (
+  SELECT a.code_idx, t.dim,
+         list_sum(list(e.v[CAST(t.dim AS INT)] ORDER BY e.vec_id)) / COUNT(*) AS mval
+  FROM pa{i} a JOIN e USING (vec_id), range(1, {EMB_DIMS} + 1) t(dim)
+  WHERE (t.dim - 1) // {sub} = a.subspace
+  GROUP BY a.code_idx, t.dim)"""
+        )
+        ctes.append(
+            f"""cb{i} AS (
+  SELECT p.code_idx,
+         list(COALESCE(m.mval, p.cv[CAST(t.dim AS INT)]) ORDER BY t.dim) AS cv
+  FROM {prev} p CROSS JOIN range(1, {EMB_DIMS} + 1) t(dim)
+  LEFT JOIN pm{i} m ON m.code_idx = p.code_idx AND m.dim = t.dim
+  GROUP BY p.code_idx)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _pq_codes_refined_sql() -> str:
+    sub = EMB_DIMS // PQ_M
+    n = PQ_REFINE_ITERS
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_pq_refined_cb_ctes(n)},
+d AS (
+  SELECT e.vec_id, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+           * (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+         )) AS d2
+  FROM e CROSS JOIN range({PQ_M}) t(s) CROSS JOIN cb{n} cb
+),
+best AS (
+  SELECT vec_id, subspace, code_idx, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d2, code_idx) AS rn
+  FROM d
+),
+tot AS (
+  SELECT vec_id, list_sum(list(d2 ORDER BY subspace)) AS pq_error
+  FROM best WHERE rn = 1 GROUP BY vec_id
+)
+SELECT b.vec_id, CAST(b.subspace AS INT) AS subspace,
+       CAST(b.code_idx AS INT) AS code, tot.pq_error
+FROM best b JOIN tot USING (vec_id)
+WHERE b.rn = 1
+"""
+
+
+IVFPQ_PROBE = 4
+
+
+def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ search (the Faiss IndexIVFPQ shape, and the plan
+    a 100 TB ANN deployment runs): coarse-probe the cells nearest each
+    query, then rank members of the probed cells by ADC over their PQ
+    codes — both stages' savings multiply. Every probe choice, table
+    lookup and the ordered approx-distance fold is hash-verified."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_ivf_pq(
+        vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS,
+        n_probe=IVFPQ_PROBE, m=PQ_M, n_codes=PQ_K,
+    )
+
+
+def _knn_ivfpq_sql() -> str:
+    sub = EMB_DIMS // PQ_M
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT e.vec_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid) AS rn
+    FROM e, cent) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cid AS centroid FROM (
+    SELECT q.query_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cid) AS rn
+    FROM q, cent) WHERE rn <= {IVFPQ_PROBE}
+),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+d AS (
+  SELECT e.vec_id, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+           * (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+         )) AS d2
+  FROM e CROSS JOIN range({PQ_M}) t(s) CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, subspace, code_idx FROM (
+    SELECT vec_id, subspace, code_idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d2, code_idx) AS rn
+    FROM d) WHERE rn = 1
+),
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list(t.d2 ORDER BY b.subspace)) AS approx_d2
+  FROM probes p
+  JOIN assign a ON a.centroid = p.centroid AND a.vec_id <> p.query_id
+  JOIN best b ON b.vec_id = a.vec_id
+  JOIN d t ON t.vec_id = p.query_id AND t.subspace = b.subspace
+          AND t.code_idx = b.code_idx
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_d2 FROM (
+  SELECT query_id, neighbor_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load_table(spark, sf_dir, "embeddings")
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
@@ -2704,6 +2879,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_cluster_quality": emb_ivf_cluster_quality,
     "emb_pq_codes": emb_pq_codes,
     "emb_knn_pq": emb_knn_pq,
+    "emb_pq_codes_refined": emb_pq_codes_refined,
+    "emb_knn_ivfpq": emb_knn_ivfpq,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -2772,6 +2949,8 @@ EXT_ORACLE: dict[str, str] = {
     "emb_ivf_cluster_quality": _IVF_QUALITY_SQL,
     "emb_pq_codes": _pq_codes_sql(),
     "emb_knn_pq": _knn_pq_sql(),
+    "emb_pq_codes_refined": _pq_codes_refined_sql(),
+    "emb_knn_ivfpq": _knn_ivfpq_sql(),
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

@@ -304,3 +304,110 @@ def test_knn_ivf_sweep_rejects_empty_probes(embeddings):
     queries = embeddings.where("vec_id < 3")
     with pytest.raises(ValueError, match="probes must be non-empty"):
         sim.knn_ivf_sweep(embeddings, queries, probes=())
+
+
+def _np_model(embeddings):
+    import numpy as np
+
+    pdf = embeddings.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    return ids, M
+
+
+def test_knn_ivf_pq_matches_python_model(embeddings):
+    """IVF-PQ composition == (probe cells like knn_ivf) ∩ (rank by ADC
+    like knn_pq), checked against an independent numpy replay."""
+    import numpy as np
+
+    K, NC, NP, M_, NCODES = 3, 8, 2, 4, 8
+    ids, M = _np_model(embeddings)
+    assert list(ids[:NC]) == sorted(ids)[:NC]
+    CC = M[:NC]  # coarse centroids = lowest-id vectors (ids sorted)
+    C = M[:NCODES]
+    D = M.shape[1]
+    sub = D // M_
+    norms = np.linalg.norm(M, axis=1)
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # corpus cell assignment (max cosine, lowest cid tie-break == argmax)
+    cell = {
+        ids[i]: ids[int(np.argmax([cos(M[i], c) for c in CC]))]
+        for i in range(len(ids))
+    }
+    codes = {
+        ids[i]: [
+            int(np.argmin([np.sum((M[i, s * sub:(s + 1) * sub] - C[c, s * sub:(s + 1) * sub]) ** 2) for c in range(NCODES)]))
+            for s in range(M_)
+        ]
+        for i in range(len(ids))
+    }
+    queries = embeddings.where("vec_id < 5")
+    got = {}
+    for r in sim.knn_ivf_pq(
+        embeddings, queries, k=K, n_centroids=NC, n_probe=NP, m=M_, n_codes=NCODES
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.approx_d2))
+    for qid in [i for i in ids if i < 5]:
+        qv = M[list(ids).index(qid)]
+        probe_rank = sorted(range(NC), key=lambda c: (-cos(qv, CC[c]), ids[c]))
+        probed = {ids[c] for c in probe_rank[:NP]}
+        # ADC table for this query
+        T = [
+            [float(np.sum((qv[s * sub:(s + 1) * sub] - C[c, s * sub:(s + 1) * sub]) ** 2)) for c in range(NCODES)]
+            for s in range(M_)
+        ]
+        cand = [
+            (i, sum(T[s][codes[i][s]] for s in range(M_)))
+            for i in ids
+            if i != qid and cell[i] in probed
+        ]
+        cand.sort(key=lambda t: (t[1], t[0]))
+        want = cand[:K]
+        have = sorted(got.get(qid, []), key=lambda t: (t[1], t[0]))
+        assert [n for n, _ in have] == [n for n, _ in want], qid
+        for (hn, hd), (wn, wd) in zip(have, want):
+            assert hd == pytest.approx(wd, rel=1e-9)
+
+
+def test_pq_refined_codebooks_reduce_error(embeddings):
+    """Lloyd-refined codebooks must not increase total quantization
+    error (k-means iterations are non-increasing in SSE), and on real
+    data strictly reduce it; codes remain valid indices."""
+    from pyspark.sql import functions as F
+
+    seed = sim.pq_encode(embeddings, m=4, k=8)
+    refined = sim.pq_encode(embeddings, m=4, k=8, refine_iters=2)
+    e0 = seed.agg(F.sum("pq_error")).collect()[0][0]
+    e2 = refined.agg(F.sum("pq_error")).collect()[0][0]
+    assert e2 < e0, (e0, e2)
+    mx = refined.select(F.array_max("codes").alias("m")).agg(F.max("m")).collect()[0][0]
+    assert mx <= 7
+
+
+def test_pq_refine_matches_python_lloyd(embeddings):
+    """The refined codebook equals an independent per-subspace Lloyd
+    replay (assign to nearest sub-centroid, mean of members, keep-empty
+    rule), up to fp tolerance."""
+    import numpy as np
+
+    M_, NCODES, ITERS = 4, 8, 2
+    ids, M = _np_model(embeddings)
+    C = M[:NCODES].copy()
+    D = M.shape[1]
+    sub = D // M_
+    for _ in range(ITERS):
+        newC = C.copy()
+        for s in range(M_):
+            lo, hi = s * sub, (s + 1) * sub
+            d = ((M[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(NCODES):
+                members = M[a == c, lo:hi]
+                if len(members):
+                    newC[c, lo:hi] = members.mean(axis=0)
+        C = newC
+    got = sim.pq_refine_codebooks(embeddings, m=M_, k=NCODES, n_iters=ITERS)
+    assert np.allclose(got, C, atol=1e-9), np.abs(got - C).max()

@@ -108,3 +108,37 @@ def test_null_values_are_skipped(spark):
     assert rows["g"].n_exact == 2
     assert rows["g"].hll_estimate is not None
     assert rows["g"].rel_error is not None
+
+
+def test_small_range_correction_beats_raw(spark):
+    """Linear counting must sharply improve small-cardinality estimates
+    (the raw harmonic-mean form biases high when most registers are
+    empty) and leave large cardinalities untouched."""
+    from gdutils_spark.operators.sketches import hll_corrected
+
+    small = [f"s{i}" for i in range(20)]
+    big = [f"b{i}" for i in range(5000)]
+    df = spark.createDataFrame(
+        [("small", v) for v in small] + [("big", v) for v in big],
+        "src string, v string",
+    )
+    rows = {r.grp: r for r in hll_corrected(hll_report(df, "v", "src")).collect()}
+    s = rows["small"]
+    assert abs(s.corrected_rel_error) < 0.15
+    assert abs(s.corrected_rel_error) <= abs(s.rel_error)
+    b = rows["big"]
+    assert b.hll_corrected == b.hll_estimate  # out of linear-counting regime
+
+
+@given(st.integers(min_value=1, max_value=300))
+@slow
+def test_correction_accuracy_across_cardinalities(spark, n):
+    """Property: in the small-range regime the corrected estimate lands
+    within 4x the linear-counting std error sqrt(m·(e^t − t − 1))/t·... —
+    use the practical bound: ≤ max(2, 15% of n)."""
+    from gdutils_spark.operators.sketches import hll_corrected
+
+    vals = [f"v{i}" for i in range(n)]
+    row = hll_corrected(hll_report(_df(spark, vals), "v", "src")).collect()[0]
+    assert row.n_exact == n
+    assert abs(row.hll_corrected - n) <= max(2.0, 0.15 * n)
