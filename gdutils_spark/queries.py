@@ -1953,103 +1953,78 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 5 window: (a) the 23 new queries (streaming sessions,
-    # stateful streaming summaries, streaming enrichment, streaming
-    # media featurize, exact streaming actives, containment pairs,
-    # hybrid search, dedup recall, search catalog, windowed funnel,
-    # recall curve, segment dedup, token rarity, PCM stats, HLL tokens,
-    # IVF cluster quality, leakage-safe split, temperature mix, JSONL
-    # shard export, ORC round-trip, PQ codes, PQ-ADC search, minhash
-    # estimate) + geo_user_tracks (first round with a full-document
-    # oracle) + q12_ship_lateness (oracle BIGINT-cast fix needs a fresh
-    # green row); (b) all 17 entries whose latest green row is r2 (the
-    # pre-declared round-5 rotation priority); (c) 8 of the 49
-    # r3-latest entries, in registry order. Every entry displaced past
-    # position 50 has a green row from r3 or r4 and keeps full local
-    # coverage via tests/test_queries_oracle.py. Round-6 rotation
-    # priority: the 41 r3-latest entries left out here
-    # (suppliers_with_shipments_semi, customer_order_ranks,
-    # q4_priority_exists, q13_order_distribution, rollup_order_totals,
-    # event_value_quantiles, order_last_event_asof, user_event_gaps,
-    # orders_above_cust_avg, doc_near_dup_drop,
-    # doc_benchmark_contamination, doc_pii_scrub, event_sessions,
-    # doc_stratified_sample, doc_pack_batches, emb_knn_bruteforce,
-    # emb_near_dup_pairs, emb_lsh_near_dup_pairs, emb_lsh_buckets,
-    # emb_ivf_assign, emb_knn_ivf, emb_knn_lsh, mm_image_features,
-    # mm_audio_features, doc_top_tokens, calendar_md_orders,
-    # calendar_ym_active_customers,
-    # customer_orphans, customer_orphan_flag,
-    # user_first_week_events, part_name_filter, distinct_user_event_types,
-    # top_order_per_customer, tagged_event_union,
-    # calendar_ymd_events_dense, user_day_spine, event_props_stats,
-    # lineitem_shipped_90d, event_value_buckets, calendar_slice_ym,
-    # q6_forecast_revenue), then anything r4-latest.
-    "rt_stream_stateful",
-    "doc_segment_dedup",
-    "doc_token_rarity",
-    "mm_pcm_stats",
-    "doc_hll_tokens",
-    "emb_ivf_cluster_quality",
-    "doc_leakage_safe_split",
-    "rt_stream_enrich",
-    "doc_temperature_mix",
-    "rt_stream_media",
-    "rt_jsonl_shards",
-    "rt_orc_roundtrip",
-    "rt_stream_active_users",
-    "emb_pq_codes",
-    "doc_minhash_estimate",
-    "emb_knn_pq",
-    "rt_stream_sessions",
-    "doc_containment_pairs",
-    "doc_hybrid_search",
-    "doc_dedup_recall",
-    "rt_search_catalog",
-    "user_funnel_windowed",
-    "emb_ivf_recall_curve",
-    "geo_user_tracks",
-    "q12_ship_lateness",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "daily_revenue_7d_ma",
-    "users_click_no_purchase",
-    "event_type_pivot",
-    "q10_returned_revenue",
-    "doc_text_stats",
-    "doc_token_counts",
-    "doc_rolling_fp",
-    "doc_lang_id",
-    "doc_exact_dups",
-    "doc_ngram_dup_pairs",
-    "doc_minhash_lsh_pairs",
-    "doc_simhash",
-    "doc_simhash_near_pairs",
-    "doc_dup_clusters",
-    "doc_quality_filter",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "daily_event_stats",
-    "user_summaries",
-    "yearly_counts",
-    "calendar_ymd_events",
-    "calendar_ym_orders",
+    # round 6 window (exactly 50): (a) the 6 new queries — refined PQ
+    # codes, composed IVF-PQ search, PQ training-lift recall report,
+    # merged-HLL incremental distinct actives, RFM quintile scores,
+    # daily volume z-scores; (b) ALL 41 entries whose latest green row
+    # was r3 (the pre-declared round-6 rotation priority — clears the
+    # rotation debt flagged in VERDICT r5); (c) 3 r4-latest fillers
+    # (emb_knn_recall, doc_dup_cluster_stats, doc_vocab_stats) to top
+    # the window up to 50. After this round no entry's freshest green
+    # row predates r4. Round-7 rotation priority: the remaining 46
+    # r4-latest entries (user_cohort_retention, user_funnel,
+    # q2/q7/q8/q9/q11/q14/q15/q16/q17/q20/q21/q22,
+    # doc_repetition_signals, doc_source_stats, doc_shard_stats,
+    # emb_semantic_dedup, doc_source_overlap, doc_dedup_keep_best,
+    # doc_domain_mix_plan, doc_domain_mix_sample, doc_bm25_search,
+    # doc_incremental_dedup, emb_knn_ivf_refined, doc_chunks,
+    # doc_tfidf_terms, emb_quantize, mm_thumbnails, mm_pixel_stats,
+    # rt_csv_batch_daily, rt_csv_sink_roundtrip, rt_json_records_typed,
+    # rt_client_datasets, rt_client_api_merge, rt_client_api_merge_right,
+    # rt_dataset_profiles, rt_dataset_timeseries, rt_info_card,
+    # rt_canned_filters, rt_geo_track_points, rt_kml_coords,
+    # rt_plot_urls, rt_stream_dedup, rt_stream_daily_counts), then
+    # r5-latest in registry order.
+    "emb_pq_codes_refined",
+    "emb_knn_ivfpq",
+    "emb_pq_recall",
+    "events_hll_users_incremental",
+    "customer_rfm_scores",
+    "event_type_daily_zscore",
     "calendar_md_orders",
-    "calendar_ym_active_customers",
-    "customer_orphans",
-    "customer_orphan_flag",
-    "user_first_week_events",
-    "part_name_filter",
-    "distinct_user_event_types",
-    "top_order_per_customer",
-    "tagged_event_union",
-    "calendar_ymd_events_dense",
-    "user_day_spine",
-    "event_props_stats",
-    "lineitem_shipped_90d",
-    "event_value_buckets",
     "calendar_slice_ym",
+    "calendar_ym_active_customers",
+    "calendar_ymd_events_dense",
+    "customer_order_ranks",
+    "customer_orphan_flag",
+    "customer_orphans",
+    "distinct_user_event_types",
+    "doc_benchmark_contamination",
+    "doc_near_dup_drop",
+    "doc_pack_batches",
+    "doc_pii_scrub",
+    "doc_stratified_sample",
+    "doc_top_tokens",
+    "emb_ivf_assign",
+    "emb_knn_bruteforce",
+    "emb_knn_ivf",
+    "emb_knn_lsh",
+    "emb_lsh_buckets",
+    "emb_lsh_near_dup_pairs",
+    "emb_near_dup_pairs",
+    "event_props_stats",
+    "event_sessions",
+    "event_value_buckets",
+    "event_value_quantiles",
+    "lineitem_shipped_90d",
+    "mm_audio_features",
+    "mm_image_features",
+    "order_last_event_asof",
+    "orders_above_cust_avg",
+    "part_name_filter",
+    "q13_order_distribution",
+    "q4_priority_exists",
     "q6_forecast_revenue",
+    "rollup_order_totals",
+    "suppliers_with_shipments_semi",
+    "tagged_event_union",
+    "top_order_per_customer",
+    "user_day_spine",
+    "user_event_gaps",
+    "user_first_week_events",
+    "emb_knn_recall",
+    "doc_dup_cluster_stats",
+    "doc_vocab_stats",
 )
 
 

@@ -2839,6 +2839,251 @@ FROM tf JOIN freq USING (token) GROUP BY doc
 
 
 # ---------------------------------------------------------------------------
+# Round 6: incremental sketch merge, PQ training lift, behavior analytics
+# ---------------------------------------------------------------------------
+
+HLL_MERGE_CUTOFF = "2024-01-15"
+
+
+def events_hll_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-actives via MERGED HLL sketches — the 100 TB
+    ingest shape driver-verified: the corpus splits at a date cutoff,
+    each half folds into its own register table, and ``hll_merge``
+    (element-wise max) combines them WITHOUT rescanning either half. The
+    oracle computes the whole-corpus register table directly, so the
+    merge's losslessness is itself the hash-checked claim."""
+    from gdutils_spark.operators.sketches import hll_merge, hll_registers
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cut = F.lit(HLL_MERGE_CUTOFF).cast("date")
+    early = e.where(F.to_date("ts") < cut)
+    late = e.where(F.to_date("ts") >= cut)
+    ra = hll_registers(early, "user_id", "event_type", p=HLL_P)
+    rb = hll_registers(late, "user_id", "event_type", p=HLL_P)
+    return (
+        hll_merge(ra, rb)
+        .select(F.col("grp").alias("event_type"), "bucket", "reg")
+    )
+
+
+def _hll_merge_sql() -> str:
+    m = 1 << HLL_P
+    width = 60 - HLL_P
+    return f"""
+WITH h AS (
+  SELECT event_type, {_h64("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, hv % {m} AS bucket,
+         CASE WHEN (hv >> {HLL_P}) = 0 THEN {width + 1}
+              ELSE {width + 1} - length(bin(hv >> {HLL_P})) END AS rho
+  FROM h
+)
+SELECT event_type, bucket, CAST(MAX(rho) AS INT) AS reg
+FROM r GROUP BY 1, 2
+"""
+
+
+def _pq_adc_search_sql(extra_ctes: str, cb_name: str) -> str:
+    """Full PQ-ADC top-k search as SQL over an arbitrary codebook CTE —
+    shared by the refined-codebook arm of emb_pq_recall (the seed arm
+    reuses the already-green _knn_pq_sql)."""
+    sub = EMB_DIMS // PQ_M
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{extra_ctes},
+d AS (
+  SELECT e.vec_id, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+           * (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+         )) AS d2
+  FROM e CROSS JOIN range({PQ_M}) t(s) CROSS JOIN {cb_name} cb
+),
+best AS (
+  SELECT vec_id, subspace, code_idx, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d2, code_idx) AS rn
+  FROM d
+),
+adc AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list(t.d2 ORDER BY b.subspace)) AS approx_d2
+  FROM (SELECT vec_id FROM e WHERE vec_id < {N_QUERIES}) q
+  JOIN best b ON b.rn = 1 AND b.vec_id <> q.vec_id
+  JOIN d t ON t.vec_id = q.vec_id AND t.subspace = b.subspace
+          AND t.code_idx = b.code_idx
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_d2 FROM (
+  SELECT query_id, neighbor_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ training lift, driver-verified: recall@k of PQ-ADC search with
+    SEED codebooks vs Lloyd-REFINED codebooks against the exact
+    brute-force truth — the report that justifies paying for codebook
+    training. Exact-integer hit totals, one final division."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    truth = sim.knn_bruteforce(vectors, queries, k=KNN_K)
+    denom = float(N_QUERIES * KNN_K)
+    arms = []
+    for variant, iters in (("seed", 0), ("refined", PQ_REFINE_ITERS)):
+        approx = sim.knn_pq(
+            vectors, queries, k=KNN_K, m=PQ_M, n_codes=PQ_K, refine_iters=iters
+        )
+        hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        arms.append(
+            hits.agg(
+                F.lit(variant).alias("variant"),
+                F.count(F.lit(1)).alias("n_hits"),
+                (F.count(F.lit(1)).cast("double") / F.lit(denom)).alias(
+                    "mean_recall"
+                ),
+            )
+        )
+    return arms[0].unionByName(arms[1])
+
+
+def _pq_recall_sql() -> str:
+    refined_cb = _pq_refined_cb_ctes(PQ_REFINE_ITERS)
+    return f"""
+WITH exact AS ({_KNN_SQL}),
+seed AS ({_knn_pq_sql()}),
+refined AS ({_pq_adc_search_sql(refined_cb, f"cb{PQ_REFINE_ITERS}")})
+SELECT 'seed' AS variant, CAST(h.n AS BIGINT) AS n_hits,
+       CAST(h.n AS DOUBLE) / CAST({N_QUERIES * KNN_K} AS DOUBLE) AS mean_recall
+FROM (SELECT COUNT(*) AS n FROM exact e
+      JOIN seed a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id) h
+UNION ALL
+SELECT 'refined' AS variant, CAST(h.n AS BIGINT) AS n_hits,
+       CAST(h.n AS DOUBLE) / CAST({N_QUERIES * KNN_K} AS DOUBLE) AS mean_recall
+FROM (SELECT COUNT(*) AS n FROM exact e
+      JOIN refined a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id) h
+"""
+
+
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile scoring (recency / frequency / monetary) per
+    customer over orders — the classic segmentation rollup. Monetary
+    routes through DECIMAL for bit-parity; every ntile ordering carries
+    a custkey tie-break so ranks are deterministic. One orders shuffle
+    on custkey + three windows over the customer-sized aggregate."""
+    from pyspark.sql import Window
+
+    from gdutils_spark.queries import _dec, _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days"), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+
+
+_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+FROM per
+"""
+
+
+def event_type_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scores: per (event_type, day), the z-score of that
+    day's event count against the type's own daily history — the
+    monitoring query every ingest pipeline runs. Bit-exact across
+    engines WITHOUT ordered folds: numerator ``cnt·n − Σx`` and the
+    variance radicand ``n·Σx² − (Σx)²`` are exact integers, sqrt is
+    IEEE-exact, and one final division closes it. Two map-combinable
+    aggregates + a type-keyed broadcast join."""
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    radicand = (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    num = (F.col("n_events") * F.col("n_days") - F.col("s1")).cast("double")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(radicand > 0, num / F.sqrt(radicand)).alias("zscore"),
+    )
+
+
+_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS s1,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n_events,
+       CASE WHEN n_days * s2 - s1 * s1 > 0
+            THEN CAST(d.n_events * n_days - s1 AS DOUBLE)
+                 / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE))
+       END AS zscore
+FROM daily d JOIN stats USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_recall": emb_knn_recall,
@@ -2881,6 +3126,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_pq": emb_knn_pq,
     "emb_pq_codes_refined": emb_pq_codes_refined,
     "emb_knn_ivfpq": emb_knn_ivfpq,
+    "emb_pq_recall": emb_pq_recall,
+    "events_hll_users_incremental": events_hll_users_incremental,
+    "customer_rfm_scores": customer_rfm_scores,
+    "event_type_daily_zscore": event_type_daily_zscore,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -2951,6 +3200,10 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_pq": _knn_pq_sql(),
     "emb_pq_codes_refined": _pq_codes_refined_sql(),
     "emb_knn_ivfpq": _knn_ivfpq_sql(),
+    "emb_pq_recall": _pq_recall_sql(),
+    "events_hll_users_incremental": _hll_merge_sql(),
+    "customer_rfm_scores": _RFM_SQL,
+    "event_type_daily_zscore": _ZSCORE_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),
