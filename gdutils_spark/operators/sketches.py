@@ -192,3 +192,115 @@ def hll_corrected(report: DataFrame, p: int = DEFAULT_P) -> DataFrame:
             / F.col("n_exact").cast("double")
         ).alias("corrected_rel_error"),
     )
+
+
+CMS_PRIME = 2147483647  # 2^31-1, matches the minhash permutation domain
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_registers(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch register table ``(row, col, cnt)`` (Cormode &
+    Muthukrishnan 2005): ``depth`` pairwise-independent hash rows of
+    ``width`` counters; every occurrence increments one counter per row.
+    Point-frequency estimates (:func:`cms_estimate`) take the MIN over
+    rows — always an over-estimate, with error ≤ 2N/width at confidence
+    1 − 2^-depth.
+
+    The HLL counterpart for FREQUENCY (not cardinality), and the same
+    100 TB shape: registers are one map-side-combinable ``sum``
+    aggregate; sketches of corpus parts merge by elementwise ADD
+    (:func:`cms_merge`) — yesterday's stream is never rescanned. All
+    arithmetic is exact integers: row hashes are the md5-seeded affine
+    permutations the MinHash family inlines into its oracles, so any
+    engine reproduces every counter bit-for-bit.
+
+    ``weight_col``: sum that column instead of counting occurrences
+    (e.g. token counts pre-aggregated per document).
+    """
+    from gdutils_spark.operators.dedup import _md5_int64, _perm_constants
+
+    a, b = _perm_constants(depth)
+    base = df.where(F.col(value_col).isNotNull())
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    hashed = base.select(
+        (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("h"),
+        w.alias("w"),
+    )
+    cells = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            ((F.col("h") * a[i] + b[i]) % CMS_PRIME) % width
+                        ).cast("int").alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+        "w",
+    )
+    return (
+        cells.select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"), "w")
+        .groupBy("row", "col")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS register tables (same depth/width/hash family):
+    elementwise sum — register-table-sized work, corpus never rescanned."""
+    return a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    registers: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for each probe value: MIN over the
+    ``depth`` counters the value hashes to. Adds ``cms_est`` to the
+    probe relation. The register table is aggregate-sized — broadcast —
+    so probing is a map + one probe-keyed aggregate."""
+    from gdutils_spark.operators.dedup import _md5_int64, _perm_constants
+
+    a, b = _perm_constants(depth)
+    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("h")
+    cells = probes.select("*", h).select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            ((F.col("h") * a[i] + b[i]) % CMS_PRIME) % width
+                        ).cast("int").alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    )
+    keep = [c for c in probes.columns]
+    return (
+        cells.select(*keep, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .join(F.broadcast(registers), ["row", "col"], "left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est"))
+    )

@@ -1981,6 +1981,9 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "events_hll_users_incremental",
     "customer_rfm_scores",
     "event_type_daily_zscore",
+    "doc_cms_token_freq",
+    "orders_cdc_upsert",
+    "user_event_type_scd2",
     "calendar_md_orders",
     "calendar_slice_ym",
     "calendar_ym_active_customers",
@@ -2022,9 +2025,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "user_day_spine",
     "user_event_gaps",
     "user_first_week_events",
-    "emb_knn_recall",
-    "doc_dup_cluster_stats",
-    "doc_vocab_stats",
 )
 
 

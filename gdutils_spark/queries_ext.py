@@ -2887,6 +2887,166 @@ FROM r GROUP BY 1, 2
 """
 
 
+CDC_NEW_KEY_OFFSET = 100_000_000
+
+
+def orders_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics driver-verified: a deterministic CDC batch
+    (deletes for keys ≡0 mod 21, price-bump updates for other keys ≡0
+    mod 7, re-keyed inserts for keys ≡3 mod 7) applied to the orders
+    snapshot via anti-join + union — the copy-on-write merge a lakehouse
+    format runs internally, as two shuffles on the merge key."""
+    from gdutils_spark.operators.cdc import apply_cdc
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dels = o.where(k % 21 == 0).withColumn("op", F.lit("D"))
+    upds = (
+        o.where((k % 7 == 0) & (k % 21 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("op", F.lit("U"))
+    )
+    ins = (
+        o.where(k % 7 == 3)
+        .withColumn("o_orderkey", k + F.lit(CDC_NEW_KEY_OFFSET))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = dels.unionByName(upds).unionByName(ins)
+    return apply_cdc(o, changes, ["o_orderkey"])
+
+
+_CDC_UPSERT_SQL = f"""
+WITH ch AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 'D' AS op
+  FROM orders WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'X', o_totalprice + CAST(100 AS DOUBLE),
+         o_orderdate, o_orderpriority, 'U'
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+  UNION ALL
+  SELECT o_orderkey + {CDC_NEW_KEY_OFFSET}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority, 'I'
+  FROM orders WHERE o_orderkey % 7 = 3
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o LEFT JOIN (SELECT DISTINCT o_orderkey FROM ch) c USING (o_orderkey)
+WHERE c.o_orderkey IS NULL
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM ch WHERE op <> 'D'
+"""
+
+
+def user_event_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build from the event stream: one row per
+    (user, event_type) run with valid_from/valid_to interval bounds and
+    an is_current flag — lag-based change-point detection + lead-based
+    interval close, event_id tie-broken so the history is well-defined.
+    The standard SCD2 ETL, as two window passes over one shuffle."""
+    from gdutils_spark.operators.cdc import scd2_history
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        e, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+
+
+_SCD2_SQL = """
+WITH pts AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type,
+         LAG(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cp AS (
+  SELECT user_id, event_type, ts, event_id FROM pts
+  WHERE prev_ts IS NULL OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       (LEAD(ts) OVER w2 IS NULL) AS is_current
+FROM cp
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+CMS_PROBES = 20
+
+
+def doc_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy report: for the corpus's top tokens,
+    the CMS frequency estimate (min over 4 md5-affine hash rows of 256
+    exact-integer counters) against the exact count, plus the
+    guaranteed-non-negative overcount. Every counter, probe cell and
+    min is integer arithmetic — hash-verified cross-engine; the
+    registers are the same map-combinable/mergeable shape as the HLL
+    registers (frequency instead of cardinality)."""
+    from gdutils_spark.operators.sketches import cms_estimate, cms_registers
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(dd.normalize_text(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    reg = cms_registers(toks, "token")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_freq"))
+    probes = exact.orderBy(F.col("exact_freq").desc(), "token").limit(CMS_PROBES)
+    est = cms_estimate(reg, probes, "token")
+    return est.select(
+        "token",
+        "exact_freq",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_freq")).alias("overcount"),
+    )
+
+
+def _cms_sql() -> str:
+    from gdutils_spark.operators.dedup import _perm_constants
+    from gdutils_spark.operators.sketches import CMS_DEPTH, CMS_PRIME, CMS_WIDTH
+
+    a, b = _perm_constants(CMS_DEPTH)
+    cell_arms = "\n  UNION ALL ".join(
+        f"SELECT token, {i} AS row, "
+        f"CAST(((h * {a[i]} + {b[i]}) % {CMS_PRIME}) % {CMS_WIDTH} AS INT) AS col "
+        f"FROM hx"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH occ AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+o AS (SELECT token FROM occ WHERE token <> ''),
+hx AS (SELECT token, {_h64("token")} % {CMS_PRIME} AS h FROM o),
+cells AS (
+  {cell_arms}
+),
+reg AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_freq FROM o GROUP BY 1),
+probes AS (
+  SELECT token, exact_freq FROM exact ORDER BY exact_freq DESC, token LIMIT {CMS_PROBES}
+),
+ph AS (SELECT token, {_h64("token")} % {CMS_PRIME} AS h FROM probes),
+pcells AS (
+  {cell_arms.replace("FROM hx", "FROM ph")}
+),
+est AS (
+  SELECT pc.token, MIN(COALESCE(r.cnt, 0)) AS cms_est
+  FROM pcells pc LEFT JOIN reg r USING (row, col)
+  GROUP BY pc.token
+)
+SELECT p.token, p.exact_freq, e.cms_est, e.cms_est - p.exact_freq AS overcount
+FROM probes p JOIN est e USING (token)
+"""
+
+
 def _pq_adc_search_sql(extra_ctes: str, cb_name: str) -> str:
     """Full PQ-ADC top-k search as SQL over an arbitrary codebook CTE —
     shared by the refined-codebook arm of emb_pq_recall (the seed arm
@@ -3130,6 +3290,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_users_incremental": events_hll_users_incremental,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
+    "doc_cms_token_freq": doc_cms_token_freq,
+    "orders_cdc_upsert": orders_cdc_upsert,
+    "user_event_type_scd2": user_event_type_scd2,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -3204,6 +3367,9 @@ EXT_ORACLE: dict[str, str] = {
     "events_hll_users_incremental": _hll_merge_sql(),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
+    "doc_cms_token_freq": _cms_sql(),
+    "orders_cdc_upsert": _CDC_UPSERT_SQL,
+    "user_event_type_scd2": _SCD2_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

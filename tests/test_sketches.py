@@ -142,3 +142,47 @@ def test_correction_accuracy_across_cardinalities(spark, n):
     row = hll_corrected(hll_report(_df(spark, vals), "v", "src")).collect()[0]
     assert row.n_exact == n
     assert abs(row.hll_corrected - n) <= max(2.0, 0.15 * n)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS invariants: estimate >= exact for every value (min-of-counters
+    never undercounts), and sketches of a split corpus merged by
+    elementwise sum equal the whole-corpus sketch."""
+    from gdutils_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_registers,
+    )
+
+    vals = [f"t{i % 37}" for i in range(500)] + ["hot"] * 200
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    reg = cms_registers(df, "v")
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact"))
+    est = {r.v: r for r in cms_estimate(reg, exact, "v").collect()}
+    for v, r in est.items():
+        assert r.cms_est >= r.exact, v
+    assert est["hot"].cms_est >= 200
+    # total mass per row == N (each occurrence lands once per row)
+    per_row = {r.row: r.s for r in reg.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert all(s == len(vals) for s in per_row.values())
+    # mergeability
+    half = len(vals) // 2
+    a = cms_registers(spark.createDataFrame([(v,) for v in vals[:half]], "v string"), "v")
+    b = cms_registers(spark.createDataFrame([(v,) for v in vals[half:]], "v string"), "v")
+    merged = {(r.row, r.col): r.cnt for r in cms_merge(a, b).collect()}
+    whole = {(r.row, r.col): r.cnt for r in reg.collect()}
+    assert merged == whole
+
+
+def test_cms_null_and_weighted(spark):
+    from gdutils_spark.operators.sketches import cms_estimate, cms_registers
+
+    df = spark.createDataFrame(
+        [("a", 3), (None, 5), ("a", 2), ("b", 1)], "v string, w int"
+    )
+    reg = cms_registers(df, "v", weight_col="w")
+    probes = spark.createDataFrame([("a",), ("b",)], "v string")
+    est = {r.v: r.cms_est for r in cms_estimate(reg, probes, "v").collect()}
+    assert est["a"] >= 5 and est["b"] >= 1  # weights summed, NULLs skipped
+    total = reg.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    assert all(r.s == 6 for r in total)
