@@ -266,3 +266,38 @@ def stream_active_entities(
     return dedup.groupBy("window").agg(
         F.count(F.lit(1)).alias("active_entities")
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time interval join of TWO streams (the attribution shape:
+    e.g. purchases joined to the click that preceded them): rows match
+    when keys are equal and ``right_time`` falls in
+    ``[left_time, left_time + max_delay]``.
+
+    Both sides carry watermarks AND the join condition carries time
+    bounds — that pair is what lets Spark expire buffered rows, so state
+    is bounded by (key cardinality × max_delay + watermark) instead of
+    the whole stream history. Inner join → append mode: a match emits
+    exactly once, when both sides have arrived. ``left_time`` /
+    ``right_time`` must be distinct names (rename before calling) so the
+    output is unambiguous; ``key`` must be same-named on both sides.
+    """
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r = right.withWatermark(right_time, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.{right_time}")
+            <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner").drop(r[key])

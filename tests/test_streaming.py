@@ -351,3 +351,61 @@ def test_stream_media_features_matches_batch(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dirs):
+    """Stream-stream interval join (click→purchase attribution) must
+    converge to the identical batch interval join."""
+    from gdutils_spark.streaming import stream_stream_join
+
+    src, chk, events = stream_dirs
+    schema = events.schema
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, purchases
+
+    sc, sp = split(spark.readStream.schema(schema).parquet(src))
+    joined = stream_stream_join(
+        sc, sp, key="user_id", left_time="click_ts", right_time="purchase_ts",
+        max_delay="6 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_stream")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_join_stream").collect()
+    }
+    bc, bp = split(events)
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in bc.alias("l")
+        .join(
+            bp.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.purchase_ts") >= F.col("l.click_ts"))
+            & (
+                F.col("r.purchase_ts")
+                <= F.col("l.click_ts") + F.expr("INTERVAL 6 hours")
+            ),
+        )
+        .collect()
+    }
+    assert want, "fixture must produce attribution pairs"
+    assert got == want
