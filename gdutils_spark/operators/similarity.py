@@ -1380,16 +1380,59 @@ def knn_ivf_pq(
     sub = D // m
 
     # corpus as (neighbor_id, centroid, subspace, code): the staged
-    # representation an IVF-PQ index IS — codes from the encode map,
-    # cells from the assign map
-    assign = _assign_to(vectors, id_col, vec_col, cids, CC)
+    # representation an IVF-PQ index IS. Cell assignment and PQ encoding
+    # are FUSED into one Arrow pass (both codebooks broadcast together) —
+    # building them separately would join two corpus-sized relations on
+    # id, a full corpus shuffle the index build doesn't need. The numpy
+    # kernels are verbatim _assign_to (cosine argmax, clamp, lowest-id
+    # tie via ascending cids) and pq_encode (dim-sequential distances,
+    # lowest-code argmin), so every value matches the separately-verified
+    # emb_ivf_assign / emb_pq_codes results bit-for-bit.
+    id_type_idx = vectors.schema[id_col].dataType.simpleString()
+    bc_idx = spark.sparkContext.broadcast((cids, CC, C))
+
+    def index(batches):
+        cids_b, CCb, Cb = bc_idx.value
+
+        def norms(X):
+            acc = X[:, 0] * X[:, 0]
+            for j in range(1, X.shape[1]):
+                acc = acc + X[:, j] * X[:, j]
+            return np.sqrt(acc)
+
+        nc = norms(CCb)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            acc = A[:, [0]] * CCb[:, 0][None, :]
+            for j in range(1, A.shape[1]):
+                acc = acc + A[:, [j]] * CCb[:, j][None, :]
+            scores = np.clip(acc / (norms(A)[:, None] * nc[None, :]), -1.0, 1.0)
+            cell = cids_b[scores.argmax(axis=1)]
+            codes = np.empty((len(A), m), dtype=np.int32)
+            for s in range(m):
+                lo = s * sub
+                diff = A[:, [lo]] - Cb[:, lo][None, :]
+                d2 = diff * diff
+                for i in range(lo + 1, lo + sub):
+                    diff = A[:, [i]] - Cb[:, i][None, :]
+                    d2 = d2 + diff * diff
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "centroid": cell, "codes": list(codes)}
+            )
+
     codes = (
-        pq_encode(vectors, id_col, vec_col, m=m, k=n_codes)
-        .select(F.col(id_col).alias("neighbor_id"),
-                F.posexplode("codes").alias("subspace", "code"))
-        .join(
-            assign.select(F.col(id_col).alias("neighbor_id"), "centroid"),
-            "neighbor_id",
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(
+            index,
+            f"_id {id_type_idx}, centroid {id_type_idx}, codes array<int>",
+        )
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            "centroid",
+            F.posexplode("codes").alias("subspace", "code"),
         )
     )
 
@@ -1447,7 +1490,9 @@ def knn_ivf_pq(
         F.col("approx_d2"), F.col("neighbor_id")
     )
     return (
-        probes.join(codes, "centroid")
+        # probes is |queries|·n_probe rows — ALWAYS broadcast (hinted:
+        # Catalyst can't size it through the window)
+        codes.join(F.broadcast(probes), "centroid")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(adc), ["query_id", "subspace", "code"])
         .groupBy("query_id", "neighbor_id")

@@ -322,3 +322,66 @@ def test_temperature_mix_no_python_single_stratum_agg(spark, sf_correct):
     # Formatted plans print each node in the tree AND as a detail
     # header; count the detail headers.
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_ivfpq_broadcasts_probe_and_adc_tables(spark, sf_correct):
+    """IVF-PQ search: the probe table and ADC tables are tiny — both
+    must broadcast; the corpus-sized codes relation must never build a
+    hash side. Scoring stays JVM-side past the (already-audited) encode
+    and assign Arrow maps."""
+    plan = formatted_plan(QUERIES["emb_knn_ivfpq"](spark, sf_correct))
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
+    # cell assignment + PQ encoding are FUSED: exactly one Arrow pass
+    # touches the corpus (building them separately would shuffle-join
+    # two corpus-sized relations on id)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+
+
+def test_cms_no_python_two_corpus_shuffles(spark, sf_correct):
+    """CMS report: hash rows are codegen'd md5 affine maps (no Python);
+    corpus-scale shuffles are the register agg and the exact-count agg —
+    everything downstream is probe-sized."""
+    plan = formatted_plan(QUERIES["doc_cms_token_freq"](spark, sf_correct))
+    assert not uses_python(plan)
+
+
+def test_cdc_upsert_no_python_single_key_shuffle_shape(spark, sf_correct):
+    """MERGE shape: anti join + union, keyed on the merge key only — no
+    Python, no nested-loop join."""
+    plan = formatted_plan(QUERIES["orders_cdc_upsert"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_scd2_single_shuffle_two_windows(spark, sf_correct):
+    """SCD2: both window passes share the (user_id) partitioning — ONE
+    exchange of the event stream, no joins."""
+    df = QUERIES["user_event_type_scd2"](spark, sf_correct)
+    plan = formatted_plan(df)
+    assert not uses_python(plan)
+    assert "Join" not in plan
+    assert n_exchanges(plan) == 1
+
+
+def test_rfm_single_agg_then_tiny_windows(spark, sf_correct):
+    """RFM: orders collapse in one custkey agg; the three ntile windows
+    run over the customer-sized aggregate, and the global-max side is
+    broadcast."""
+    plan = formatted_plan(QUERIES["customer_rfm_scores"](spark, sf_correct))
+    assert not uses_python(plan)
+    # the global-max side is ONE row: a broadcast nested-loop cross join
+    # is exactly right there (no key to hash on)
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_broadcast_stats_join(spark, sf_correct):
+    """Anomaly z-scores: the per-type stats table (types-sized) joins
+    back broadcast; the daily aggregate is the only event-scale work."""
+    plan = formatted_plan(QUERIES["event_type_daily_zscore"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan

@@ -53,6 +53,11 @@ HEADLINERS = [
     ("doc_temperature_mix", "temperature mix: one stratum agg + 1-row fold broadcast back, rows never shuffle"),
     ("emb_pq_codes", "product quantization: one Arrow map with the codebook broadcast + map-side explode, no shuffle"),
     ("rt_jsonl_shards", "JSONL shard export read-back: md5 shard rule, partition-pruned JSONL scan, one agg"),
+    ("emb_knn_ivfpq", "IVF-PQ search: broadcast probe + ADC tables over the codes scan, one (query,neighbor) agg — no corpus hash side"),
+    ("doc_cms_token_freq", "count-min sketch: codegen affine hash rows, combinable register agg, broadcast probe lookup"),
+    ("orders_cdc_upsert", "MERGE INTO: latest-change window, anti join + union — one key shuffle of the snapshot"),
+    ("user_event_type_scd2", "SCD2 history: lag change-points + lead interval close share ONE (key, ts) sort"),
+    ("event_type_daily_zscore", "volume anomalies: daily agg + types-sized stats broadcast back, exact-integer z-scores"),
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
