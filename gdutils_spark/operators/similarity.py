@@ -740,12 +740,12 @@ def knn_ivf(
         )
     else:
         cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
-    assign = _assign_to(vectors, id_col, vec_col, cids, C)
-    members = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
-    ).join(
-        assign.select(F.col(id_col).alias("neighbor_id"), "centroid"),
-        "neighbor_id",
+    # with_vector: the assignment map carries the embedding through, so
+    # the member table needs NO corpus self-join on id (which would
+    # shuffle the full corpus before the probe filter ever runs);
+    # original element type is preserved, so scores are bit-identical
+    members = _assign_to(vectors, id_col, vec_col, cids, C, with_vector=True).select(
+        F.col(id_col).alias("neighbor_id"), "centroid", F.col("_v").alias("v_vec")
     )
 
     if refine_iters > 0:
@@ -838,12 +838,12 @@ def knn_ivf_sweep(
         )
     else:
         cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
-    assign = _assign_to(vectors, id_col, vec_col, cids, C)
-    members = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
-    ).join(
-        assign.select(F.col(id_col).alias("neighbor_id"), "centroid"),
-        "neighbor_id",
+    # with_vector: the assignment map carries the embedding through, so
+    # the member table needs NO corpus self-join on id (which would
+    # shuffle the full corpus before the probe filter ever runs);
+    # original element type is preserved, so scores are bit-identical
+    members = _assign_to(vectors, id_col, vec_col, cids, C, with_vector=True).select(
+        F.col(id_col).alias("neighbor_id"), "centroid", F.col("_v").alias("v_vec")
     )
     if refine_iters > 0:
         id_type = vectors.schema[id_col].dataType.simpleString()
