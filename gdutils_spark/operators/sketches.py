@@ -304,3 +304,107 @@ def cms_estimate(
         .groupBy(*keep)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est"))
     )
+
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Bloom filter as a packed word table ``(word, bits)`` (Bloom 1970):
+    each value sets ``n_hashes`` bit positions (md5-affine row hashes —
+    the same deterministic family as the CMS/MinHash oracles); position
+    ``p`` lives in word ``p >> 5`` at bit ``p & 31`` (32 bits per
+    64-bit word — bit 63 would overflow DuckDB's checked ``<<`` and flip
+    the sign bit in Spark's, so the packing stays in the safe range). The third
+    mergeable sketch: HLL answers "how many distinct", CMS "how often",
+    Bloom "have I seen this" — at 100 TB the membership question behind
+    decontamination and incremental-dedup probes, with NO join against
+    the historical corpus.
+
+    One map-side-combinable ``bit_or`` aggregate; sketches of corpus
+    parts merge by elementwise OR (:func:`bloom_merge`). All integer
+    arithmetic — any engine with ``bit_or`` replays the words exactly.
+    No false negatives ever; false-positive rate ≈
+    ``(1 − e^(−k·n/m))^k``.
+    """
+    from gdutils_spark.operators.dedup import _md5_int64, _perm_constants
+
+    a, b = _perm_constants(n_hashes)
+    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("h")
+    hashed = df.where(F.col(value_col).isNotNull()).select(h)
+    pos = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("h") * a[i] + b[i]) % CMS_PRIME) % n_bits
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    words = pos.select(
+        F.shiftright(F.col("p"), 5).alias("word"),
+        F.expr("shiftleft(1L, CAST(p & 31 AS INT))").alias("bit"),
+    )
+    return words.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Bloom word tables (same geometry): elementwise OR."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    words: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Membership probe: adds ``might_contain`` to the probe relation —
+    true iff ALL ``n_hashes`` positions are set (no false negatives, so
+    ``false`` is definitive). The word table is sketch-sized — broadcast
+    — making the probe a map + one probe-keyed aggregate, never a join
+    against the original corpus."""
+    from gdutils_spark.operators.dedup import _md5_int64, _perm_constants
+
+    a, b = _perm_constants(n_hashes)
+    keep = list(probes.columns)
+    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("h")
+    cells = probes.select(*keep, h).select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("h") * a[i] + b[i]) % CMS_PRIME) % n_bits
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p"),
+    )
+    checked = (
+        cells.select(
+            *keep,
+            F.shiftright(F.col("p"), 5).alias("word"),
+            F.expr("shiftleft(1L, CAST(p & 31 AS INT))").alias("bit"),
+        )
+        .join(F.broadcast(words), "word", "left")
+        .select(
+            *keep,
+            (
+                F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+                    F.col("bit")
+                )
+                != 0
+            ).alias("hit"),
+        )
+    )
+    return checked.groupBy(*keep).agg(
+        F.min(F.col("hit").cast("int")).cast("boolean").alias("might_contain")
+    )

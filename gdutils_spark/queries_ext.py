@@ -2979,6 +2979,78 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def doc_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup screen — the membership sketch completing the
+    family (HLL: how many distinct; CMS: how often; Bloom: seen
+    before?): the historical half of the corpus folds into a 4096-bit
+    packed word table (bit_or aggregate), and the incoming half probes
+    it WITHOUT any join against the history. might_contain=false is
+    definitive (no false negatives — the property that makes Bloom a
+    safe pre-filter for incremental dedup / decontamination at 100 TB);
+    true → verify the tiny candidate set exactly. Every word, bit and
+    verdict is integer arithmetic — hash-verified cross-engine."""
+    from gdutils_spark.operators.sketches import bloom_bits, bloom_might_contain
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.md5(dd.normalize_text(F.col("text"))).alias("fp")
+    )
+    hist = fp.where(F.col("doc_id") % 2 == 0)
+    batch = fp.where(F.col("doc_id") % 2 == 1)
+    words = bloom_bits(hist, "fp")
+    return bloom_might_contain(words, batch, "fp")
+
+
+def _bloom_screen_sql() -> str:
+    from gdutils_spark.operators.dedup import _perm_constants
+    from gdutils_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        CMS_PRIME,
+    )
+
+    a, b = _perm_constants(BLOOM_HASHES)
+    hist_arms = "\n  UNION ALL ".join(
+        f"SELECT ((h * {a[i]} + {b[i]}) % {CMS_PRIME}) % {BLOOM_BITS} AS p FROM hx"
+        for i in range(BLOOM_HASHES)
+    )
+    batch_arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id, fp, ((h * {a[i]} + {b[i]}) % {CMS_PRIME}) % {BLOOM_BITS} AS p"
+        f" FROM batch"
+        for i in range(BLOOM_HASHES)
+    )
+    return f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+hx AS (
+  SELECT {_h64("fp")} % {CMS_PRIME} AS h FROM fp WHERE doc_id % 2 = 0
+),
+pos AS (
+  {hist_arms}
+),
+words AS (
+  SELECT p >> 5 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+batch AS (
+  SELECT doc_id, fp, {_h64("fp")} % {CMS_PRIME} AS h
+  FROM fp WHERE doc_id % 2 = 1
+),
+bpos AS (
+  {batch_arms}
+),
+chk AS (
+  SELECT bp.doc_id, bp.fp,
+         (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(bp.p & 31 AS INT)))
+           <> 0 AS hit
+  FROM (SELECT doc_id, fp, p, p >> 5 AS word FROM bpos) bp
+  LEFT JOIN words w USING (word)
+)
+SELECT doc_id, fp, CAST(MIN(CAST(hit AS INT)) AS BOOLEAN) AS might_contain
+FROM chk GROUP BY 1, 2
+"""
+
+
 CMS_PROBES = 20
 
 
@@ -3293,6 +3365,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_cms_token_freq": doc_cms_token_freq,
     "orders_cdc_upsert": orders_cdc_upsert,
     "user_event_type_scd2": user_event_type_scd2,
+    "doc_bloom_screen": doc_bloom_screen,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -3370,6 +3443,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_cms_token_freq": _cms_sql(),
     "orders_cdc_upsert": _CDC_UPSERT_SQL,
     "user_event_type_scd2": _SCD2_SQL,
+    "doc_bloom_screen": _bloom_screen_sql(),
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

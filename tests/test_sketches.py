@@ -186,3 +186,28 @@ def test_cms_null_and_weighted(spark):
     assert est["a"] >= 5 and est["b"] >= 1  # weights summed, NULLs skipped
     total = reg.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
     assert all(r.s == 6 for r in total)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from gdutils_spark.operators.sketches import (
+        bloom_bits,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    present = [f"in-{i}" for i in range(300)]
+    absent = [f"out-{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in present], "v string")
+    words = bloom_bits(df, "v")
+    probes = spark.createDataFrame([(v,) for v in present + absent], "v string")
+    got = {r.v: r.might_contain for r in bloom_might_contain(words, probes, "v").collect()}
+    assert all(got[v] for v in present)  # NO false negatives, ever
+    fp = sum(got[v] for v in absent) / len(absent)
+    # m=4096, k=4, n=300 → fp ≈ (1-e^(-0.293))^4 ≈ 0.4%; allow slack
+    assert fp < 0.05, fp
+    # mergeability: OR of half-sketches == whole-corpus sketch
+    a = bloom_bits(spark.createDataFrame([(v,) for v in present[:150]], "v string"), "v")
+    b = bloom_bits(spark.createDataFrame([(v,) for v in present[150:]], "v string"), "v")
+    merged = {(r.word, r.bits) for r in bloom_merge(a, b).collect()}
+    whole = {(r.word, r.bits) for r in words.collect()}
+    assert merged == whole
