@@ -1335,6 +1335,73 @@ WHERE contains(lower(concat_ws(' ', title, summary, institution)), 'coastal')
 """
 
 
+def rt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join driver-verified end-to-end: the
+    click and purchase slices of the event stream join on user within a
+    6-hour event-time window (``stream_stream_join`` — watermarks on
+    both inputs + time bounds in the condition, so buffered state
+    expires), append-sink to parquet, read back. The oracle is the plain
+    batch interval join: a dropped or duplicated match (the failure
+    modes of stream-stream state management) changes the row set."""
+    from gdutils_spark.streaming import stream_stream_join
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 60)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    tmp = _work_dir("stream_ss_join")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    e.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = stream_stream_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay="6 hours",
+    ).select("user_id", "click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_stream_join: streaming query did not finish")
+    return spark.read.parquet(out)
+
+
+_RT_STREAM_SS_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 60
+),
+c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_id, p.purchase_id
+FROM c JOIN p ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1359,6 +1426,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_sessions": rt_stream_sessions,
     "rt_stream_stateful": rt_stream_stateful,
     "rt_stream_enrich": rt_stream_enrich,
+    "rt_stream_stream_join": rt_stream_stream_join,
     "rt_stream_media": rt_stream_media,
     "rt_jsonl_shards": rt_jsonl_shards,
     "rt_orc_roundtrip": rt_orc_roundtrip,
@@ -1385,6 +1453,7 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_sessions": _RT_STREAM_SESSIONS_SQL,
     "rt_stream_stateful": _RT_STREAM_STATEFUL_SQL,
     "rt_stream_enrich": _RT_STREAM_ENRICH_SQL,
+    "rt_stream_stream_join": _RT_STREAM_SS_JOIN_SQL,
     "rt_stream_media": _RT_STREAM_MEDIA_SQL,
     "rt_jsonl_shards": _RT_JSONL_SHARDS_SQL,
     "rt_orc_roundtrip": _RT_ORC_SQL,
