@@ -1021,3 +1021,61 @@ def compression_signals(
     return base.mapInPandas(
         op, f"doc {id_type}, raw_bytes long, zlib_bytes long, zlib_ratio double"
     )
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Bigram language-model table: corpus-wide adjacent-pair counts
+    with the conditional probability ``P(w2 | w1) = c(w1,w2) / c(w1,·)``
+    — the counting kernel under n-gram LM quality scoring (the KenLM
+    preprocessing step of CCNet-style pipelines) and the seed statistics
+    for data-driven tokenizer merges. Denominator is the bigram-START
+    total, so probabilities sum to exactly 1 per history.
+
+    Exact integers + one final IEEE division per row — engine-replayable
+    bit-for-bit. Plan shape: one map-side pair explode (the token array
+    materialized as a projection attribute first — the interpreted-HOF
+    O(tokens²) cliff, see :func:`repetition_signals`), a pair-keyed
+    count, a history-keyed rollup of that count, and a vocabulary-sized
+    join — all map-combinable, corpus rows shuffle only as (pair, n)
+    aggregates. ``top_k``: keep the most frequent pairs
+    (count desc, w1, w2 — fully tie-broken, so the cut is deterministic).
+    """
+    t = F.col(text_col)
+    ws = F.split(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " ")
+    base = df.select(ws.alias("_ws")).select(
+        "_ws", F.size("_ws").alias("_n")
+    )
+    pairs_col = F.when(
+        F.col("_n") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("_ws"), i + 1).alias("w1"),
+                F.element_at(F.col("_ws"), i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = base.select(F.explode(pairs_col).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    pc = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    wt = pc.groupBy("w1").agg(F.sum("pair_count").alias("w1_count"))
+    out = pc.join(wt, "w1").select(
+        "w1",
+        "w2",
+        "pair_count",
+        "w1_count",
+        (F.col("pair_count").cast("double") / F.col("w1_count")).alias(
+            "cond_prob"
+        ),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("pair_count").desc(), "w1", "w2"
+        ).limit(top_k)
+    return out

@@ -3051,6 +3051,44 @@ FROM chk GROUP BY 1, 2
 """
 
 
+BIGRAM_TOP_K = 30
+
+
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM table: top adjacent-pair counts with exact
+    conditional probabilities P(w2|w1) = c(w1,w2)/c(w1,·) — the counting
+    kernel under n-gram LM quality scoring (KenLM-style CCNet prep) and
+    tokenizer-merge statistics. Exact integers + one division per row;
+    the top-k cut is fully tie-broken, so the whole table hash-verifies."""
+    from gdutils_spark.operators.text import bigram_lm
+
+    return bigram_lm(
+        load_table(spark, sf_dir, "documents"), top_k=BIGRAM_TOP_K
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH base AS (SELECT regexp_split_to_array({_NORM}, ' ') AS w FROM documents),
+g AS (
+  SELECT CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w)-1),
+                                  i -> [w[i], w[i+1]])
+              ELSE CAST([] AS VARCHAR[][]) END AS pairs
+  FROM base
+),
+pc AS (
+  SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM (SELECT unnest(pairs) AS p FROM g) GROUP BY 1, 2
+),
+wt AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS w1_count FROM pc GROUP BY 1)
+SELECT w1, w2, pair_count, w1_count,
+       CAST(pair_count AS DOUBLE) / w1_count AS cond_prob
+FROM pc JOIN wt USING (w1)
+ORDER BY pair_count DESC, w1, w2
+LIMIT {BIGRAM_TOP_K}
+"""
+
+
 CMS_PROBES = 20
 
 
@@ -3366,6 +3404,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_cdc_upsert": orders_cdc_upsert,
     "user_event_type_scd2": user_event_type_scd2,
     "doc_bloom_screen": doc_bloom_screen,
+    "doc_bigram_lm": doc_bigram_lm,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -3444,6 +3483,7 @@ EXT_ORACLE: dict[str, str] = {
     "orders_cdc_upsert": _CDC_UPSERT_SQL,
     "user_event_type_scd2": _SCD2_SQL,
     "doc_bloom_screen": _bloom_screen_sql(),
+    "doc_bigram_lm": _BIGRAM_LM_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

@@ -261,3 +261,36 @@ def test_compression_signals_generic_id_type(spark):
     got = {r.doc: r for r in out.collect()}
     assert set(got) == {"doc-a", "doc-b"}
     assert got["doc-a"].zlib_ratio < 0.2 and got["doc-b"].zlib_ratio is None
+
+
+def test_bigram_lm_probabilities_sum_to_one(spark):
+    """Conditional probabilities per history must sum to exactly 1 (the
+    denominator is the bigram-START total), and counts must match a
+    Python model."""
+    from collections import Counter
+
+    from gdutils_spark.operators.text import bigram_lm
+
+    texts = ["a b a b c", "b c b", "a  b", "solo", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = bigram_lm(df).collect()
+    model = Counter()
+    for t in texts:
+        ws = t.split()
+        for x, y in zip(ws, ws[1:]):
+            model[(x, y)] += 1
+    got = {(r.w1, r.w2): r.pair_count for r in rows}
+    assert got == dict(model)
+    from collections import defaultdict
+
+    per_w1 = defaultdict(float)
+    for r in rows:
+        assert r.cond_prob == r.pair_count / r.w1_count
+        per_w1[r.w1] += r.cond_prob
+    assert all(abs(s - 1.0) < 1e-12 for s in per_w1.values())
+    # top_k cut is deterministic and ordered
+    top = bigram_lm(df, top_k=2).collect()
+    assert len(top) == 2
+    assert top[0].pair_count >= top[1].pair_count
