@@ -349,6 +349,61 @@ def cmd_sessions(args) -> int:
     return 0
 
 
+def cmd_freq_sketch(args) -> int:
+    from pyspark.sql import functions as SF
+
+    from gdutils_spark.operators.sketches import cms_estimate, cms_registers
+    from gdutils_spark.operators.text import tokens
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    if args.value_col == "token":
+        df = df.select(
+            SF.explode(tokens(SF.col(args.text_col))).alias("token")
+        ).where(SF.col("token") != "")
+    reg = cms_registers(df, args.value_col)
+    exact = df.groupBy(args.value_col).agg(SF.count(SF.lit(1)).alias("exact_freq"))
+    probes = exact.orderBy(
+        SF.col("exact_freq").desc(), args.value_col
+    ).limit(args.top)
+    out = cms_estimate(reg, probes, args.value_col)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_bloom_screen(args) -> int:
+    from pyspark.sql import functions as SF
+
+    from gdutils_spark.operators.sketches import bloom_bits, bloom_might_contain
+
+    spark = _get_spark()
+    hist = _load(spark, args.history).select(args.value_col)
+    batch = _load(spark, args.input)
+    words = bloom_bits(hist, args.value_col)
+    out = bloom_might_contain(
+        words, batch.select(args.id_col, args.value_col), args.value_col
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_cdc_apply(args) -> int:
+    from gdutils_spark.operators.cdc import apply_cdc
+
+    spark = _get_spark()
+    snapshot = _load(spark, args.input)
+    changes = _load(spark, args.changes)
+    out = apply_cdc(
+        snapshot, changes, args.key, op_col=args.op_col, seq_col=args.seq_col
+    )
+    if args.dest:
+        out.write.mode("overwrite").parquet(args.dest)
+        print(args.dest)
+        return 0
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def _img_ext(img_type: str) -> str:
     return img_type[-3:].lower()
 
@@ -643,6 +698,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--value-col", default="token",
                     help="'token' explodes --text-col; else a column name")
     sp.add_argument("--text-col", default="text")
+
+    sp = add_pipeline("freq-sketch", cmd_freq_sketch)
+    sp.add_argument("--value-col", default="token",
+                    help="'token' explodes --text-col; else a column name")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--top", type=int, default=20)
+
+    sp = add_pipeline("bloom-screen", cmd_bloom_screen)
+    sp.add_argument("--history", required=True,
+                    help="table whose values seed the filter")
+    sp.add_argument("--value-col", default="fp")
+    sp.add_argument("--id-col", default="doc_id")
+
+    sp = add_pipeline("cdc-apply", cmd_cdc_apply)
+    sp.add_argument("--changes", required=True,
+                    help="change-batch table (snapshot schema + op col)")
+    sp.add_argument("--key", action="append", required=True,
+                    help="merge key column (repeatable)")
+    sp.add_argument("--op-col", default="op")
+    sp.add_argument("--seq-col", default=None)
+    sp.add_argument("--dest", help="write merged table here instead of rendering")
     return p
 
 

@@ -194,3 +194,46 @@ def test_cli_distinct_sketch(docs_path, capsys):
     assert {r["grp"] for r in recs} == {"en", "fr"}
     for r in recs:
         assert r["n_exact"] > 0 and r["hll_estimate"] > 0
+
+
+def test_cli_freq_sketch(docs_path, capsys):
+    assert main([
+        "freq-sketch", "--input", docs_path, "--top", "5", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 5
+    for r in recs:
+        assert r["cms_est"] >= r["exact_freq"] > 0  # CMS never undercounts
+
+
+def test_cli_bloom_screen(docs_path, spark, tmp_path, capsys):
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [("sample document number 0 with shared words",)], "fp string"
+    ).write.parquet(hist)
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(0, "sample document number 0 with shared words"), (1, "novel text")],
+        "doc_id long, fp string",
+    ).write.parquet(batch)
+    assert main([
+        "bloom-screen", "--input", batch, "--history", hist, "-f", "json",
+    ]) == 0
+    recs = {r["doc_id"]: r["might_contain"] for r in json.loads(capsys.readouterr().out)}
+    assert recs[0] is True and recs[1] is False
+
+
+def test_cli_cdc_apply(spark, tmp_path, capsys):
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(snap)
+    ch = str(tmp_path / "ch")
+    spark.createDataFrame(
+        [(2, "b2", "U"), (3, "c", "I")], "id long, v string, op string"
+    ).write.parquet(ch)
+    assert main([
+        "cdc-apply", "--input", snap, "--changes", ch, "--key", "id", "-f", "json",
+    ]) == 0
+    recs = {r["id"]: r["v"] for r in json.loads(capsys.readouterr().out)}
+    assert recs == {1: "a", 2: "b2", 3: "c"}
