@@ -1346,6 +1346,7 @@ def knn_ivf_pq(
     m: int = 4,
     n_codes: int = 8,
     max_query_rows: int = 100_000,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ search — the Faiss ``IndexIVFPQ`` shape, and the
     plan an actual 100 TB ANN deployment runs: coarse-probe the
@@ -1435,6 +1436,14 @@ def knn_ivf_pq(
             F.posexplode("codes").alias("subspace", "code"),
         )
     )
+    # ``stage_path``: land the (id, cell, subspace, code) table in
+    # parquet — this IS the persistable IVF-PQ index. Every subsequent
+    # search scans the staged codes (m small ints + a cell id per
+    # vector) and the float corpus is never re-read; partitioning the
+    # staged table by ``centroid`` would add cell pruning on top.
+    if stage_path is not None:
+        codes.write.mode("overwrite").parquet(stage_path)
+        codes = spark.read.parquet(stage_path)
 
     # coarse probe ranking: same JVM cosine + window as knn_ivf
     cent = (

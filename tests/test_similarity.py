@@ -411,3 +411,23 @@ def test_pq_refine_matches_python_lloyd(embeddings):
         C = newC
     got = sim.pq_refine_codebooks(embeddings, m=M_, k=NCODES, n_iters=ITERS)
     assert np.allclose(got, C, atol=1e-9), np.abs(got - C).max()
+
+
+def test_knn_ivf_pq_staged_index_matches(embeddings, tmp_path):
+    """stage_path lands the IVF-PQ index in parquet; the staged search
+    must return identical results and read the staged files."""
+    from gdutils_spark.plans import formatted_plan
+
+    queries = embeddings.where("vec_id < 5")
+    kw = dict(k=3, n_centroids=8, n_probe=2, m=4, n_codes=8)
+    path = str(tmp_path / "ivfpq_index")
+    staged = sim.knn_ivf_pq(embeddings, queries, stage_path=path, **kw)
+    plan = formatted_plan(staged)
+    assert "ivfpq_index" in plan
+    live = {
+        (r.query_id, r.neighbor_id, r.approx_d2)
+        for r in sim.knn_ivf_pq(embeddings, queries, **kw).collect()
+    }
+    assert {
+        (r.query_id, r.neighbor_id, r.approx_d2) for r in staged.collect()
+    } == live
