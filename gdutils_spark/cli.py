@@ -361,6 +361,10 @@ def cmd_freq_sketch(args) -> int:
         df = df.select(
             SF.explode(tokens(SF.col(args.text_col))).alias("token")
         ).where(SF.col("token") != "")
+    # match cms_registers' NULL-skipping: a NULL group in the exact
+    # counts would rank into the probes, hash to nothing, and report
+    # cms_est=0 < exact_freq — a fake undercount
+    df = df.where(SF.col(args.value_col).isNotNull())
     reg = cms_registers(df, args.value_col)
     exact = df.groupBy(args.value_col).agg(SF.count(SF.lit(1)).alias("exact_freq"))
     probes = exact.orderBy(

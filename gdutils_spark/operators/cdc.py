@@ -40,15 +40,37 @@ def apply_cdc(
     ``changes`` carries full rows in the snapshot's schema plus
     ``op_col`` ('I' | 'U' | 'D') and optionally ``seq_col`` (a change
     sequence number; when given, only the latest change per key
-    applies — ties break toward the higher sequence, so sequences
-    should be unique per key). Deletes drop the key; inserts and
-    updates both land the change row (upsert — 'I' vs 'U' is audit
-    metadata, not behavior, matching MERGE WHEN [NOT] MATCHED).
+    applies). Deletes drop the key; inserts and updates both land the
+    change row (upsert — 'I' vs 'U' is audit metadata, not behavior,
+    matching MERGE WHEN [NOT] MATCHED).
+
+    The op domain is VALIDATED: a NULL or unrecognized op raises instead
+    of silently corrupting the merge (a NULL op would fail the upsert
+    filter yet still anti-join its snapshot row away — a dirty-feed row
+    must not delete data). The probe is LIMIT-bounded over the (small)
+    change batch. Equal sequences tie-break on op ('U' > 'I' > 'D', so
+    an update beats a simultaneous delete deterministically); rows equal
+    in (key, seq, op) but differing in payload are the caller's contract
+    to prevent — use unique sequences per key.
     """
     keys = list(keys)
+    bad = (
+        changes.where(
+            F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"apply_cdc: change batch contains a row with {op_col}="
+            f"{bad[0][op_col]!r}; ops must be 'I', 'U' or 'D'"
+        )
     latest = changes
     if seq_col is not None:
-        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
         latest = (
             changes.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -77,16 +99,22 @@ def scd2_history(
     interval. Ordering is (ts, *tiebreak_cols) — pass a unique
     tie-breaker (an event id) if timestamps can collide, otherwise the
     history is not well-defined. NULL-safe attribute comparison (a
-    NULL→value transition is a change).
+    NULL→value transition is a change). Rows with a NULL timestamp are
+    DROPPED — a state change at an unknown time has no place on a
+    validity timeline (and NULLs sort first, which would fabricate a
+    NULL-valid_from interval plus a spurious change point).
     """
     keys = list(key_cols)
     attrs = list(attr_cols)
+    df = df.where(F.col(ts_col).isNotNull())
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
     w = Window.partitionBy(*keys).orderBy(*order)
     changed = F.lit(False)
     for a in attrs:
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
-    first = F.lag(ts_col).over(w).isNull()
+    # first row per key by row_number, not lag(ts).isNull() — the
+    # latter conflates "no previous row" with "previous ts was NULL"
+    first = F.row_number().over(w) == 1
     points = df.select(
         *keys, *attrs, F.col(ts_col), *tiebreak_cols
     ).withColumn("_chg", first | changed)

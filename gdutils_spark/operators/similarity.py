@@ -1335,43 +1335,34 @@ def pq_refine_codebooks(
     return C
 
 
-def knn_ivf_pq(
+def ivfpq_index(
     vectors: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
     m: int = 4,
     n_codes: int = 8,
-    max_query_rows: int = 100_000,
     stage_path: str | None = None,
 ) -> DataFrame:
-    """Composed IVF-PQ search — the Faiss ``IndexIVFPQ`` shape, and the
-    plan an actual 100 TB ANN deployment runs: coarse-probe the
-    ``n_probe`` cells nearest each query (cosine, as :func:`knn_ivf`),
-    then rank members of the probed cells by asymmetric distance over
-    their PQ CODES (as :func:`knn_pq`, raw-vector encoding). Returns
-    ``(query_id, neighbor_id, approx_d2)`` top-k per query.
+    """Build the IVF-PQ index relation ``(neighbor_id, centroid,
+    subspace, code)`` — the persistable artifact a 100 TB deployment
+    stages once and searches many times (pass it back to
+    :func:`knn_ivf_pq` via ``index=``, or read the ``stage_path``
+    parquet in a later session).
 
-    Cost at scale multiplies both savings: the scan touches
-    ~``n_probe/n_centroids`` of the corpus, and what it reads is
-    ``m·log2(n_codes)`` bits of codes per vector, not floats. Recall < 1
-    from both stages by construction; sweep against
-    :func:`knn_recall`'s exact truth to tune.
-
-    Fully JVM-side scoring: the per-query ADC tables (|Q|·m·n_codes
-    rows, exact dim-sequential sub-distances) ship as a broadcast local
-    relation; scoring is two broadcast hash joins (probe filter, table
-    lookup) plus ONE (query, neighbor)-keyed aggregate whose sum folds
-    in ascending subspace order — bit-identical to the ordered SQL
-    replay. No Python touches the corpus beyond the already-verified
-    encode/assign maps.
+    Cell assignment and PQ encoding are FUSED into one Arrow pass (both
+    codebooks broadcast together) — building them separately would join
+    two corpus-sized relations on id, a full corpus shuffle the index
+    build doesn't need. The numpy kernels are verbatim
+    :func:`_assign_to` (cosine argmax, clamp, lowest-id tie via
+    ascending cids) and :func:`pq_encode` (dim-sequential distances,
+    lowest-code argmin), so every value matches the
+    separately-verified emb_ivf_assign / emb_pq_codes results
+    bit-for-bit. With ``stage_path`` the table lands in parquet and the
+    returned frame scans the staged files — the float corpus is never
+    re-read by searches; partitioning by ``centroid`` would add cell
+    pruning on top.
     """
-    from pyspark.sql import Window
-
-    _guard_query_rows(queries, id_col, max_query_rows, "knn_ivf_pq")
     spark = vectors.sparkSession
     cids, CC = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
@@ -1379,16 +1370,6 @@ def knn_ivf_pq(
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
     sub = D // m
-
-    # corpus as (neighbor_id, centroid, subspace, code): the staged
-    # representation an IVF-PQ index IS. Cell assignment and PQ encoding
-    # are FUSED into one Arrow pass (both codebooks broadcast together) —
-    # building them separately would join two corpus-sized relations on
-    # id, a full corpus shuffle the index build doesn't need. The numpy
-    # kernels are verbatim _assign_to (cosine argmax, clamp, lowest-id
-    # tie via ascending cids) and pq_encode (dim-sequential distances,
-    # lowest-code argmin), so every value matches the separately-verified
-    # emb_ivf_assign / emb_pq_codes results bit-for-bit.
     id_type_idx = vectors.schema[id_col].dataType.simpleString()
     bc_idx = spark.sparkContext.broadcast((cids, CC, C))
 
@@ -1436,14 +1417,76 @@ def knn_ivf_pq(
             F.posexplode("codes").alias("subspace", "code"),
         )
     )
-    # ``stage_path``: land the (id, cell, subspace, code) table in
-    # parquet — this IS the persistable IVF-PQ index. Every subsequent
-    # search scans the staged codes (m small ints + a cell id per
-    # vector) and the float corpus is never re-read; partitioning the
-    # staged table by ``centroid`` would add cell pruning on top.
     if stage_path is not None:
         codes.write.mode("overwrite").parquet(stage_path)
         codes = spark.read.parquet(stage_path)
+    return codes
+
+
+def knn_ivf_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    max_query_rows: int = 100_000,
+    stage_path: str | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Composed IVF-PQ search — the Faiss ``IndexIVFPQ`` shape, and the
+    plan an actual 100 TB ANN deployment runs: coarse-probe the
+    ``n_probe`` cells nearest each query (cosine, as :func:`knn_ivf`),
+    then rank members of the probed cells by asymmetric distance over
+    their PQ CODES (as :func:`knn_pq`, raw-vector encoding). Returns
+    ``(query_id, neighbor_id, approx_d2)`` top-k per query.
+
+    Cost at scale multiplies both savings: the scan touches
+    ~``n_probe/n_centroids`` of the corpus, and what it reads is
+    ``m·log2(n_codes)`` bits of codes per vector, not floats. Recall < 1
+    from both stages by construction; sweep against
+    :func:`knn_recall`'s exact truth to tune.
+
+    Fully JVM-side scoring: the per-query ADC tables (|Q|·m·n_codes
+    rows, exact dim-sequential sub-distances) ship as a broadcast local
+    relation; scoring is two broadcast hash joins (probe filter, table
+    lookup) plus ONE (query, neighbor)-keyed aggregate whose sum folds
+    in ascending subspace order — bit-identical to the ordered SQL
+    replay. No Python touches the corpus beyond the already-verified
+    encode/assign maps.
+
+    ``index``: a prebuilt :func:`ivfpq_index` relation (or a staged
+    copy read back from parquet) — the search-many-times path; the
+    corpus encode is skipped entirely and ``vectors`` is only touched
+    for the (LIMIT-sized) codebook seeds. ``stage_path``: build AND
+    stage the index in this call (one-shot convenience; build once with
+    :func:`ivfpq_index` when multiple searches share it). ``index`` and
+    ``stage_path`` are mutually exclusive.
+    """
+    from pyspark.sql import Window
+
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_ivf_pq")
+    if index is not None and stage_path is not None:
+        raise ValueError(
+            "knn_ivf_pq: pass either a prebuilt `index` or `stage_path`, "
+            "not both (stage via ivfpq_index when reusing)"
+        )
+    spark = vectors.sparkSession
+    _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
+    D = C.shape[1]
+    if D % m != 0:
+        raise ValueError(f"dimension {D} not divisible by m={m}")
+    sub = D // m
+    codes = (
+        index
+        if index is not None
+        else ivfpq_index(
+            vectors, id_col, vec_col, n_centroids, m, n_codes, stage_path
+        )
+    )
 
     # coarse probe ranking: same JVM cosine + window as knn_ivf
     cent = (

@@ -199,6 +199,30 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+def _affine_positions(h: Column, n: int, modulus: int) -> list[Column]:
+    """``((h·a_i + b_i) mod P) mod modulus`` for the ``n`` md5-seeded
+    affine rows — THE expression that defines cross-engine hash parity
+    for the CMS and Bloom sketches, built in one place so a sketch's
+    build and probe paths can never desynchronize."""
+    from gdutils_spark.operators.dedup import _perm_constants
+
+    a, b = _perm_constants(n)
+    return [((h * a[i] + b[i]) % CMS_PRIME) % modulus for i in range(n)]
+
+
+def _guard_probe_columns(probes: DataFrame, reserved: set[str], fn: str) -> None:
+    """Probe relations ride through the sketch-probe plans next to
+    internal working columns; a same-named probe column would make the
+    downstream join/groupBy ambiguous — fail fast instead."""
+    clash = sorted(c for c in probes.columns if c in reserved)
+    if clash:
+        raise ValueError(
+            f"{fn}: probe column(s) {clash} collide with the sketch's "
+            f"working/register columns ({sorted(reserved)}); rename them "
+            f"before probing"
+        )
+
+
 def cms_registers(
     df: DataFrame,
     value_col: str,
@@ -224,9 +248,8 @@ def cms_registers(
     ``weight_col``: sum that column instead of counting occurrences
     (e.g. token counts pre-aggregated per document).
     """
-    from gdutils_spark.operators.dedup import _md5_int64, _perm_constants
+    from gdutils_spark.operators.dedup import _md5_int64
 
-    a, b = _perm_constants(depth)
     base = df.where(F.col(value_col).isNotNull())
     w = (
         F.col(weight_col).cast("long")
@@ -234,29 +257,29 @@ def cms_registers(
         else F.lit(1).cast("long")
     )
     hashed = base.select(
-        (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("h"),
-        w.alias("w"),
+        (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("_h"),
+        w.alias("_w"),
     )
+    cols = _affine_positions(F.col("_h"), depth, width)
     cells = hashed.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("row"),
-                        (
-                            ((F.col("h") * a[i] + b[i]) % CMS_PRIME) % width
-                        ).cast("int").alias("col"),
+                        F.lit(i).alias("row"), c.cast("int").alias("col")
                     )
-                    for i in range(depth)
+                    for i, c in enumerate(cols)
                 ]
             )
-        ).alias("rc"),
-        "w",
+        ).alias("_rc"),
+        "_w",
     )
     return (
-        cells.select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"), "w")
+        cells.select(
+            F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"), "_w"
+        )
         .groupBy("row", "col")
-        .agg(F.sum("w").alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 
@@ -275,31 +298,34 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates for each probe value: MIN over the
     ``depth`` counters the value hashes to. Adds ``cms_est`` to the
-    probe relation. The register table is aggregate-sized — broadcast —
-    so probing is a map + one probe-keyed aggregate."""
-    from gdutils_spark.operators.dedup import _md5_int64, _perm_constants
+    probe relation (whose columns must not collide with the working
+    names — guarded). The register table is aggregate-sized — broadcast
+    — so probing is a map + one probe-keyed aggregate."""
+    from gdutils_spark.operators.dedup import _md5_int64
 
-    a, b = _perm_constants(depth)
-    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("h")
+    keep = list(probes.columns)
+    _guard_probe_columns(
+        probes, {"_h", "_rc", "row", "col", "cnt", "cms_est"}, "cms_estimate"
+    )
+    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("_h")
+    cols = _affine_positions(F.col("_h"), depth, width)
     cells = probes.select("*", h).select(
         "*",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("row"),
-                        (
-                            ((F.col("h") * a[i] + b[i]) % CMS_PRIME) % width
-                        ).cast("int").alias("col"),
+                        F.lit(i).alias("row"), c.cast("int").alias("col")
                     )
-                    for i in range(depth)
+                    for i, c in enumerate(cols)
                 ]
             )
-        ).alias("rc"),
+        ).alias("_rc"),
     )
-    keep = [c for c in probes.columns]
     return (
-        cells.select(*keep, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        cells.select(
+            *keep, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col")
+        )
         .join(F.broadcast(registers), ["row", "col"], "left")
         .groupBy(*keep)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est"))
@@ -333,26 +359,20 @@ def bloom_bits(
     No false negatives ever; false-positive rate ≈
     ``(1 − e^(−k·n/m))^k``.
     """
-    from gdutils_spark.operators.dedup import _md5_int64, _perm_constants
+    from gdutils_spark.operators.dedup import _md5_int64
 
-    a, b = _perm_constants(n_hashes)
-    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("h")
+    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("_h")
     hashed = df.where(F.col(value_col).isNotNull()).select(h)
     pos = hashed.select(
         F.explode(
-            F.array(
-                *[
-                    ((F.col("h") * a[i] + b[i]) % CMS_PRIME) % n_bits
-                    for i in range(n_hashes)
-                ]
-            )
-        ).alias("p")
+            F.array(*_affine_positions(F.col("_h"), n_hashes, n_bits))
+        ).alias("_p")
     )
     words = pos.select(
-        F.shiftright(F.col("p"), 5).alias("word"),
-        F.expr("shiftleft(1L, CAST(p & 31 AS INT))").alias("bit"),
+        F.shiftright(F.col("_p"), 5).alias("word"),
+        F.expr("shiftleft(1L, CAST(_p & 31 AS INT))").alias("_bit"),
     )
-    return words.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+    return words.groupBy("word").agg(F.bit_or("_bit").alias("bits"))
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -369,42 +389,42 @@ def bloom_might_contain(
 ) -> DataFrame:
     """Membership probe: adds ``might_contain`` to the probe relation —
     true iff ALL ``n_hashes`` positions are set (no false negatives, so
-    ``false`` is definitive). The word table is sketch-sized — broadcast
+    ``false`` is definitive). Probe columns must not collide with the
+    working names (guarded). The word table is sketch-sized — broadcast
     — making the probe a map + one probe-keyed aggregate, never a join
     against the original corpus."""
-    from gdutils_spark.operators.dedup import _md5_int64, _perm_constants
+    from gdutils_spark.operators.dedup import _md5_int64
 
-    a, b = _perm_constants(n_hashes)
     keep = list(probes.columns)
-    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("h")
+    _guard_probe_columns(
+        probes,
+        {"_h", "_p", "_bit", "_hit", "word", "bits", "might_contain"},
+        "bloom_might_contain",
+    )
+    h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("_h")
     cells = probes.select(*keep, h).select(
         *keep,
         F.explode(
-            F.array(
-                *[
-                    ((F.col("h") * a[i] + b[i]) % CMS_PRIME) % n_bits
-                    for i in range(n_hashes)
-                ]
-            )
-        ).alias("p"),
+            F.array(*_affine_positions(F.col("_h"), n_hashes, n_bits))
+        ).alias("_p"),
     )
     checked = (
         cells.select(
             *keep,
-            F.shiftright(F.col("p"), 5).alias("word"),
-            F.expr("shiftleft(1L, CAST(p & 31 AS INT))").alias("bit"),
+            F.shiftright(F.col("_p"), 5).alias("word"),
+            F.expr("shiftleft(1L, CAST(_p & 31 AS INT))").alias("_bit"),
         )
         .join(F.broadcast(words), "word", "left")
         .select(
             *keep,
             (
                 F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
-                    F.col("bit")
+                    F.col("_bit")
                 )
                 != 0
-            ).alias("hit"),
+            ).alias("_hit"),
         )
     )
     return checked.groupBy(*keep).agg(
-        F.min(F.col("hit").cast("int")).cast("boolean").alias("might_contain")
+        F.min(F.col("_hit").cast("int")).cast("boolean").alias("might_contain")
     )

@@ -1045,9 +1045,10 @@ def bigram_lm(
     aggregates. ``top_k``: keep the most frequent pairs
     (count desc, w1, w2 — fully tie-broken, so the cut is deterministic).
     """
-    t = F.col(text_col)
-    ws = F.split(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " ")
-    base = df.select(ws.alias("_ws")).select(
+    # the module's shared whitespace tokenizer (tokens() splits on \s+
+    # after trim — identical token arrays to the oracle's
+    # normalize-then-split-on-single-space formulation)
+    base = df.select(tokens(F.col(text_col)).alias("_ws")).select(
         "_ws", F.size("_ws").alias("_n")
     )
     pairs_col = F.when(

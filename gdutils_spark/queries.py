@@ -1953,16 +1953,17 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 6 window (exactly 50): (a) the 6 new queries — refined PQ
+    # round 6 window (exactly 50): (a) the 9 new queries — refined PQ
     # codes, composed IVF-PQ search, PQ training-lift recall report,
     # merged-HLL incremental distinct actives, RFM quintile scores,
-    # daily volume z-scores; (b) ALL 41 entries whose latest green row
-    # was r3 (the pre-declared round-6 rotation priority — clears the
-    # rotation debt flagged in VERDICT r5); (c) 3 r4-latest fillers
-    # (emb_knn_recall, doc_dup_cluster_stats, doc_vocab_stats) to top
-    # the window up to 50. After this round no entry's freshest green
-    # row predates r4. Round-7 rotation priority: the remaining 46
-    # r4-latest entries (user_cohort_retention, user_funnel,
+    # daily volume z-scores, count-min token frequencies, CDC merge,
+    # SCD2 history; (b) ALL 41 entries whose latest green row was r3
+    # (the pre-declared round-6 rotation priority — clears the rotation
+    # debt flagged in VERDICT r5). No r4 fillers made the cut — the new
+    # queries took those slots. After this round no entry's freshest
+    # green row predates r4. Round-7 rotation priority: the 49
+    # r4-latest entries (emb_knn_recall, doc_dup_cluster_stats,
+    # doc_vocab_stats, user_cohort_retention, user_funnel,
     # q2/q7/q8/q9/q11/q14/q15/q16/q17/q20/q21/q22,
     # doc_repetition_signals, doc_source_stats, doc_shard_stats,
     # emb_semantic_dedup, doc_source_overlap, doc_dedup_keep_best,

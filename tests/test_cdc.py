@@ -70,3 +70,42 @@ def test_scd2_null_transitions_are_changes(spark):
     df = spark.createDataFrame(rows, "k long, attr string, ts long, eid long")
     got = scd2_history(df, ["k"], ["attr"], "ts", tiebreak_cols=["eid"]).collect()
     assert len(got) == 3
+
+
+def test_apply_cdc_rejects_bad_ops(spark):
+    """A NULL or unrecognized op must raise — a dirty-feed row would
+    otherwise anti-join its snapshot row away (silent delete)."""
+    import pytest
+
+    snap = spark.createDataFrame([(1, "a")], "id long, v string")
+    for bad_op in [None, "d", "delete", "X"]:
+        changes = spark.createDataFrame(
+            [(1, "z", bad_op)], "id long, v string, op string"
+        )
+        with pytest.raises(ValueError, match="ops must be"):
+            apply_cdc(snap, changes, ["id"])
+
+
+def test_apply_cdc_equal_seq_update_beats_delete(spark):
+    """Deterministic tie at equal sequences: 'U' > 'D' by op ordering."""
+    snap = spark.createDataFrame([(1, "a")], "id long, v string")
+    changes = spark.createDataFrame(
+        [(1, "upd", "U", 5), (1, None, "D", 5)],
+        "id long, v string, op string, seq long",
+    )
+    got = apply_cdc(snap, changes, ["id"], seq_col="seq").collect()
+    assert len(got) == 1 and got[0].v == "upd"
+
+
+def test_scd2_drops_null_timestamps(spark):
+    rows = [(1, "a", None, 1), (1, "a", 10, 2), (1, "b", 20, 3)]
+    df = spark.createDataFrame(rows, "k long, attr string, ts long, eid long")
+    got = sorted(
+        scd2_history(df, ["k"], ["attr"], "ts", tiebreak_cols=["eid"]).collect(),
+        key=lambda r: r.valid_from,
+    )
+    # the NULL-ts row contributes nothing; no NULL valid_from interval
+    assert [(r.attr, r.valid_from, r.valid_to) for r in got] == [
+        ("a", 10, 20),
+        ("b", 20, None),
+    ]

@@ -431,3 +431,31 @@ def test_knn_ivf_pq_staged_index_matches(embeddings, tmp_path):
     assert {
         (r.query_id, r.neighbor_id, r.approx_d2) for r in staged.collect()
     } == live
+
+
+def test_knn_ivf_pq_prebuilt_index_reuse(embeddings, tmp_path):
+    """The search-many-times path: an ivfpq_index built (and staged)
+    once feeds multiple searches with identical results and no corpus
+    re-encode in the search plan."""
+    from gdutils_spark.plans import formatted_plan
+
+    kw = dict(k=3, n_centroids=8, n_probe=2, m=4, n_codes=8)
+    path = str(tmp_path / "idx")
+    idx = sim.ivfpq_index(
+        embeddings, n_centroids=8, m=4, n_codes=8, stage_path=path
+    )
+    queries = embeddings.where("vec_id < 5")
+    via_index = sim.knn_ivf_pq(embeddings, queries, index=idx, **kw)
+    plan = formatted_plan(via_index)
+    assert "MapInPandas" not in plan  # no re-encode: scans the staged index
+    inline = {
+        (r.query_id, r.neighbor_id, r.approx_d2)
+        for r in sim.knn_ivf_pq(embeddings, queries, **kw).collect()
+    }
+    assert {
+        (r.query_id, r.neighbor_id, r.approx_d2) for r in via_index.collect()
+    } == inline
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not both"):
+        sim.knn_ivf_pq(embeddings, queries, index=idx, stage_path=path, **kw)

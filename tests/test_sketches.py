@@ -211,3 +211,26 @@ def test_bloom_no_false_negatives_and_merge(spark):
     merged = {(r.word, r.bits) for r in bloom_merge(a, b).collect()}
     whole = {(r.word, r.bits) for r in words.collect()}
     assert merged == whole
+
+
+def test_probe_column_collisions_raise(spark):
+    """Probe relations carrying sketch-internal column names must fail
+    fast instead of producing ambiguous-reference errors downstream."""
+    import pytest
+
+    from gdutils_spark.operators.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+        cms_estimate,
+        cms_registers,
+    )
+
+    df = spark.createDataFrame([("a",)], "v string")
+    reg = cms_registers(df, "v")
+    bad = spark.createDataFrame([("a", 1)], "v string, row int")
+    with pytest.raises(ValueError, match="collide"):
+        cms_estimate(reg, bad, "v")
+    words = bloom_bits(df, "v")
+    bad2 = spark.createDataFrame([("a", 1)], "v string, word int")
+    with pytest.raises(ValueError, match="collide"):
+        bloom_might_contain(words, bad2, "v")
