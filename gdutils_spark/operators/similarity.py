@@ -1343,6 +1343,8 @@ def ivfpq_index(
     m: int = 4,
     n_codes: int = 8,
     stage_path: str | None = None,
+    coarse_refine_iters: int = 0,
+    pq_refine_iters: int = 0,
 ) -> DataFrame:
     """Build the IVF-PQ index relation ``(neighbor_id, centroid,
     subspace, code)`` — the persistable artifact a 100 TB deployment
@@ -1362,10 +1364,26 @@ def ivfpq_index(
     returned frame scans the staged files — the float corpus is never
     re-read by searches; partitioning by ``centroid`` would add cell
     pruning on top.
+
+    ``coarse_refine_iters`` / ``pq_refine_iters``: Lloyd-train the cell
+    centroids (:func:`ivf_refine_centroids`) and/or the PQ codebooks
+    (:func:`pq_refine_codebooks`) before the encode pass — the trained
+    index (both stages' recall improves at the same probe/bit budget;
+    training costs one scan per iteration, run it on a sample at scale).
     """
     spark = vectors.sparkSession
-    cids, CC = _seed_centroids(vectors, id_col, vec_col, n_centroids)
-    _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
+    if coarse_refine_iters > 0:
+        cids, CC = ivf_refine_centroids(
+            vectors, id_col, vec_col, n_centroids, coarse_refine_iters
+        )
+    else:
+        cids, CC = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+    if pq_refine_iters > 0:
+        C = pq_refine_codebooks(
+            vectors, id_col, vec_col, m, n_codes, pq_refine_iters
+        )
+    else:
+        _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
     D = C.shape[1]
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
@@ -1436,6 +1454,8 @@ def knn_ivf_pq(
     max_query_rows: int = 100_000,
     stage_path: str | None = None,
     index: DataFrame | None = None,
+    coarse_refine_iters: int = 0,
+    pq_refine_iters: int = 0,
 ) -> DataFrame:
     """Composed IVF-PQ search — the Faiss ``IndexIVFPQ`` shape, and the
     plan an actual 100 TB ANN deployment runs: coarse-probe the
@@ -1475,7 +1495,17 @@ def knn_ivf_pq(
             "not both (stage via ivfpq_index when reusing)"
         )
     spark = vectors.sparkSession
-    _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
+    # training knobs: the probe centroids and the ADC codebook MUST
+    # match the index's build exactly — when searching a prebuilt/staged
+    # index, pass the SAME coarse_refine_iters / pq_refine_iters it was
+    # built with (the ADC table is only asymmetric against that
+    # codebook; a mismatch silently returns wrong distances)
+    if pq_refine_iters > 0:
+        C = pq_refine_codebooks(
+            vectors, id_col, vec_col, m, n_codes, pq_refine_iters
+        )
+    else:
+        _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
     D = C.shape[1]
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
@@ -1484,16 +1514,32 @@ def knn_ivf_pq(
         index
         if index is not None
         else ivfpq_index(
-            vectors, id_col, vec_col, n_centroids, m, n_codes, stage_path
+            vectors, id_col, vec_col, n_centroids, m, n_codes, stage_path,
+            coarse_refine_iters, pq_refine_iters,
         )
     )
 
     # coarse probe ranking: same JVM cosine + window as knn_ivf
-    cent = (
-        vectors.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec"))
-    )
+    if coarse_refine_iters > 0:
+        ccids, CCr = ivf_refine_centroids(
+            vectors, id_col, vec_col, n_centroids, coarse_refine_iters
+        )
+        id_type_c = vectors.schema[id_col].dataType.simpleString()
+        cent = spark.createDataFrame(
+            [
+                (_pykey(c), [float(x) for x in CCr[i]])
+                for i, c in enumerate(ccids)
+            ],
+            f"centroid {id_type_c}, c_vec array<double>",
+        )
+    else:
+        cent = (
+            vectors.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec")
+            )
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

@@ -301,3 +301,69 @@ def stream_stream_join(
         )
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def stream_apply_cdc(
+    changes: DataFrame,
+    snapshot_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    initial: DataFrame | None = None,
+    available_now: bool = True,
+):
+    """Continuous MERGE INTO: a CDC change stream maintains a VERSIONED
+    parquet snapshot — each micro-batch applies
+    :func:`~gdutils_spark.operators.cdc.apply_cdc` to the latest
+    snapshot version and writes ``snapshot_dir/v=<batch_id>`` (what a
+    lakehouse table format does internally, with the micro-batch id as
+    the commit id). Readers pick the highest version for a consistent
+    view; old versions are time travel until vacuumed.
+
+    Idempotent per micro-batch: a replayed batch id overwrites its own
+    version directory, and version listing goes through the Hadoop
+    FileSystem API so any HDFS-compatible store works. Each version is
+    a full copy-on-write snapshot — at 100 TB you'd partition the
+    snapshot and rewrite only touched partitions; the merge itself
+    already only shuffles on the key.
+
+    Returns the started ``StreamingQuery`` (caller owns stop/await).
+    """
+    from gdutils_spark.operators.cdc import apply_cdc
+
+    spark = changes.sparkSession
+    payload = [c for c in changes.columns if c not in (op_col, seq_col)]
+
+    def _latest_version(sess) -> int | None:
+        jvm = sess._jvm
+        path = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+        fs = path.getFileSystem(sess._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return None
+        best = None
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                v = int(name.split("=", 1)[1])
+                best = v if best is None or v > best else best
+        return best
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        v = _latest_version(sess)
+        if v is not None:
+            current = sess.read.parquet(f"{snapshot_dir}/v={v}")
+        elif initial is not None:
+            current = initial
+        else:
+            current = batch.select(*payload).limit(0)
+        merged = apply_cdc(current, batch, keys, op_col=op_col, seq_col=seq_col)
+        merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -459,3 +459,27 @@ def test_knn_ivf_pq_prebuilt_index_reuse(embeddings, tmp_path):
 
     with _pt.raises(ValueError, match="not both"):
         sim.knn_ivf_pq(embeddings, queries, index=idx, stage_path=path, **kw)
+
+
+def test_knn_ivf_pq_trained_beats_or_ties_seed_recall(embeddings):
+    """A fully-trained IVF-PQ (Lloyd coarse + Lloyd codebooks) must not
+    lose recall vs the seed index at the same probe/bit budget, and must
+    run end-to-end (param threading: probe table and ADC codebook match
+    the trained index)."""
+    queries = embeddings.where("vec_id < 8")
+    truth = sim.knn_bruteforce(embeddings, queries, k=3)
+    t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.knn_ivf_pq(
+                embeddings, queries, k=3, n_centroids=8, n_probe=4,
+                m=4, n_codes=8, **kw
+            ).collect()
+        }
+        return len(got & t) / len(t)
+
+    seed = recall()
+    trained = recall(coarse_refine_iters=2, pq_refine_iters=2)
+    assert trained >= seed - 1e-9, (seed, trained)

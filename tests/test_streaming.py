@@ -409,3 +409,63 @@ def test_stream_stream_join_matches_batch(spark, stream_dirs):
     }
     assert want, "fixture must produce attribution pairs"
     assert got == want
+
+
+def test_stream_apply_cdc_versions_match_sequential_batches(spark, sf_smoke, tmp_path):
+    """Streaming MERGE INTO: micro-batch application to the versioned
+    snapshot must equal applying the same batches sequentially in batch
+    mode (and the final version must reflect every delete/update/insert)."""
+    from gdutils_spark.operators.cdc import apply_cdc
+    from gdutils_spark.streaming import stream_apply_cdc
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    b1 = o.where(k % 10 == 0).withColumn("op", F.lit("D")).withColumn(
+        "batch", F.lit(0)
+    )
+    b2 = (
+        o.where(k % 10 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("op", F.lit("U"))
+        .withColumn("batch", F.lit(1))
+    )
+    src = str(tmp_path / "cdc_src")
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .drop("batch")
+    )
+    snap_dir = str(tmp_path / "snapshot")
+    q = stream_apply_cdc(
+        stream,
+        snap_dir,
+        str(tmp_path / "chk"),
+        keys=["o_orderkey"],
+        initial=o,
+    )
+    assert q.awaitTermination(120)
+    import glob
+
+    versions = sorted(glob.glob(snap_dir + "/v=*"))
+    assert len(versions) == 2
+    final = {
+        r.o_orderkey: r.o_totalprice
+        for r in spark.read.parquet(versions[-1]).collect()
+    }
+    # sequential batch-mode application (order of the two batches is
+    # whichever the stream took; both touch disjoint keys so either
+    # order gives the same final state)
+    want_df = apply_cdc(
+        apply_cdc(o, b1.drop("batch"), ["o_orderkey"]),
+        b2.drop("batch"),
+        ["o_orderkey"],
+    )
+    want = {r.o_orderkey: r.o_totalprice for r in want_df.collect()}
+    assert final == want
+    assert all(kk % 10 != 0 for kk in final)  # deletes applied
