@@ -1975,9 +1975,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # rt_dataset_profiles, rt_dataset_timeseries, rt_info_card,
     # rt_canned_filters, rt_geo_track_points, rt_kml_coords,
     # rt_plot_urls, rt_stream_dedup, rt_stream_daily_counts), PLUS
-    # doc_bloom_screen, rt_stream_stream_join and doc_bigram_lm (added
-    # late in r6 past the full window — locally driver-sim green, FIRST
-    # in the r7 window per the newly-added rule),
+    # doc_bloom_screen, rt_stream_stream_join, doc_bigram_lm and
+    # emb_knn_ivfpq_trained (added late in r6 past the full window —
+    # each locally driver-sim green, FIRST in the r7 window per the
+    # newly-added rule),
     # then r5-latest in registry order.
     "emb_pq_codes_refined",
     "emb_knn_ivfpq",

@@ -1056,6 +1056,81 @@ SELECT query_id, neighbor_id, approx_d2 FROM (
 """
 
 
+def emb_knn_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY-TRAINED IVF-PQ search: Lloyd-refined coarse centroids AND
+    Lloyd-refined per-subspace codebooks feeding the composed
+    probe-then-ADC search — the production configuration (training
+    lifts recall at both stages for the same probe/bit budget). The
+    repo's hardest oracle: both Lloyd CTE chains + probe ranking + ADC
+    lookup + the ordered distance fold, all replayed in one SQL
+    statement."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_ivf_pq(
+        vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS,
+        n_probe=IVFPQ_PROBE, m=PQ_M, n_codes=PQ_K,
+        coarse_refine_iters=IVF_REFINE_ITERS,
+        pq_refine_iters=PQ_REFINE_ITERS,
+    )
+
+
+def _knn_ivfpq_trained_sql() -> str:
+    sub = EMB_DIMS // PQ_M
+    nc = IVF_REFINE_ITERS
+    npq = PQ_REFINE_ITERS
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_ivf_refined_cent_ctes(nc)},
+{_pq_refined_cb_ctes(npq)},
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e, cent{nc} c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cid AS centroid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+    FROM q, cent{nc} c) WHERE rn <= {IVFPQ_PROBE}
+),
+d AS (
+  SELECT e.vec_id, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+           * (e.v[CAST(t.s*{sub} + i + 1 AS INT)] - cb.cv[CAST(t.s*{sub} + i + 1 AS INT)])
+         )) AS d2
+  FROM e CROSS JOIN range({PQ_M}) t(s) CROSS JOIN cb{npq} cb
+),
+best AS (
+  SELECT vec_id, subspace, code_idx FROM (
+    SELECT vec_id, subspace, code_idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d2, code_idx) AS rn
+    FROM d) WHERE rn = 1
+),
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list(t.d2 ORDER BY b.subspace)) AS approx_d2
+  FROM probes p
+  JOIN assign a ON a.centroid = p.centroid AND a.vec_id <> p.query_id
+  JOIN best b ON b.vec_id = a.vec_id
+  JOIN d t ON t.vec_id = p.query_id AND t.subspace = b.subspace
+          AND t.code_idx = b.code_idx
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_d2 FROM (
+  SELECT query_id, neighbor_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load_table(spark, sf_dir, "embeddings")
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
@@ -3396,6 +3471,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_pq": emb_knn_pq,
     "emb_pq_codes_refined": emb_pq_codes_refined,
     "emb_knn_ivfpq": emb_knn_ivfpq,
+    "emb_knn_ivfpq_trained": emb_knn_ivfpq_trained,
     "emb_pq_recall": emb_pq_recall,
     "events_hll_users_incremental": events_hll_users_incremental,
     "customer_rfm_scores": customer_rfm_scores,
@@ -3475,6 +3551,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_pq": _knn_pq_sql(),
     "emb_pq_codes_refined": _pq_codes_refined_sql(),
     "emb_knn_ivfpq": _knn_ivfpq_sql(),
+    "emb_knn_ivfpq_trained": _knn_ivfpq_trained_sql(),
     "emb_pq_recall": _pq_recall_sql(),
     "events_hll_users_incremental": _hll_merge_sql(),
     "customer_rfm_scores": _RFM_SQL,
