@@ -1345,6 +1345,8 @@ def ivfpq_index(
     stage_path: str | None = None,
     coarse_refine_iters: int = 0,
     pq_refine_iters: int = 0,
+    _coarse: tuple[np.ndarray, np.ndarray] | None = None,
+    _codebook: np.ndarray | None = None,
 ) -> DataFrame:
     """Build the IVF-PQ index relation ``(neighbor_id, centroid,
     subspace, code)`` — the persistable artifact a 100 TB deployment
@@ -1370,15 +1372,22 @@ def ivfpq_index(
     (:func:`pq_refine_codebooks`) before the encode pass — the trained
     index (both stages' recall improves at the same probe/bit budget;
     training costs one scan per iteration, run it on a sample at scale).
+    ``_coarse`` / ``_codebook``: already-trained matrices from the
+    caller (``knn_ivf_pq`` trains once and shares them with its probe
+    ranking and ADC tables — retraining here would double the cost).
     """
     spark = vectors.sparkSession
-    if coarse_refine_iters > 0:
+    if _coarse is not None:
+        cids, CC = _coarse
+    elif coarse_refine_iters > 0:
         cids, CC = ivf_refine_centroids(
             vectors, id_col, vec_col, n_centroids, coarse_refine_iters
         )
     else:
         cids, CC = _seed_centroids(vectors, id_col, vec_col, n_centroids)
-    if pq_refine_iters > 0:
+    if _codebook is not None:
+        C = _codebook
+    elif pq_refine_iters > 0:
         C = pq_refine_codebooks(
             vectors, id_col, vec_col, m, n_codes, pq_refine_iters
         )
@@ -1510,20 +1519,27 @@ def knn_ivf_pq(
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
     sub = D // m
+    # train the coarse quantizer ONCE — shared by the probe table and
+    # the index build (retraining inside ivfpq_index would double the
+    # Lloyd cost)
+    if coarse_refine_iters > 0:
+        coarse = ivf_refine_centroids(
+            vectors, id_col, vec_col, n_centroids, coarse_refine_iters
+        )
+    else:
+        coarse = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     codes = (
         index
         if index is not None
         else ivfpq_index(
             vectors, id_col, vec_col, n_centroids, m, n_codes, stage_path,
-            coarse_refine_iters, pq_refine_iters,
+            _coarse=coarse, _codebook=C,
         )
     )
 
     # coarse probe ranking: same JVM cosine + window as knn_ivf
     if coarse_refine_iters > 0:
-        ccids, CCr = ivf_refine_centroids(
-            vectors, id_col, vec_col, n_centroids, coarse_refine_iters
-        )
+        ccids, CCr = coarse
         id_type_c = vectors.schema[id_col].dataType.simpleString()
         cent = spark.createDataFrame(
             [
