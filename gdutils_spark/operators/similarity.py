@@ -478,6 +478,35 @@ def _pykey(v):
     return v.item() if hasattr(v, "item") else v
 
 
+def _cent_frame(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    cids=None,
+    C=None,
+    trained: bool = False,
+) -> DataFrame:
+    """Centroid table for probe ranking, shared by knn_ivf and
+    knn_ivf_pq (ONE place for any future parity tweak). Trained
+    centroids are computed values — shipped as a local relation
+    (n_centroids rows, broadcast); seed centroids ARE corpus rows, so
+    the table stays a lazy JVM-side limit over the scan — measurably
+    cheaper than round-tripping the matrix through a Python local
+    relation."""
+    if trained:
+        id_type = vectors.schema[id_col].dataType.simpleString()
+        return vectors.sparkSession.createDataFrame(
+            [(_pykey(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
+            f"centroid {id_type}, c_vec array<double>",
+        )
+    return (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec"))
+    )
+
+
 def _guard_query_rows(queries: DataFrame, id_col: str, max_query_rows: int, fn: str):
     """Fail-fast for the kNN family's query-side broadcasts/collects.
 
@@ -748,23 +777,10 @@ def knn_ivf(
         F.col(id_col).alias("neighbor_id"), "centroid", F.col("_v").alias("v_vec")
     )
 
-    if refine_iters > 0:
-        # refined centroids are computed values — ship them as a local
-        # relation (16 rows, broadcast)
-        id_type = vectors.schema[id_col].dataType.simpleString()
-        cent = vectors.sparkSession.createDataFrame(
-            [(_pykey(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
-            f"centroid {id_type}, c_vec array<double>",
-        )
-    else:
-        # seed centroids ARE corpus rows: keep the centroid table as a
-        # lazy JVM-side limit over the scan — measurably cheaper than
-        # round-tripping the matrix through a Python local relation
-        cent = (
-            vectors.orderBy(id_col)
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec"))
-        )
+    cent = _cent_frame(
+        vectors, id_col, vec_col, n_centroids, cids, C,
+        trained=refine_iters > 0,
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -1465,6 +1481,8 @@ def knn_ivf_pq(
     index: DataFrame | None = None,
     coarse_refine_iters: int = 0,
     pq_refine_iters: int = 0,
+    coarse: tuple[np.ndarray, np.ndarray] | None = None,
+    codebook: np.ndarray | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ search — the Faiss ``IndexIVFPQ`` shape, and the
     plan an actual 100 TB ANN deployment runs: coarse-probe the
@@ -1489,11 +1507,16 @@ def knn_ivf_pq(
 
     ``index``: a prebuilt :func:`ivfpq_index` relation (or a staged
     copy read back from parquet) — the search-many-times path; the
-    corpus encode is skipped entirely and ``vectors`` is only touched
-    for the (LIMIT-sized) codebook seeds. ``stage_path``: build AND
-    stage the index in this call (one-shot convenience; build once with
-    :func:`ivfpq_index` when multiple searches share it). ``index`` and
-    ``stage_path`` are mutually exclusive.
+    corpus encode is skipped entirely. For a SEED index the corpus is
+    only touched for the (LIMIT-sized) codebook seeds; for a TRAINED
+    index also pass the trained matrices via ``coarse`` (from
+    :func:`ivf_refine_centroids`) and ``codebook`` (from
+    :func:`pq_refine_codebooks`) — otherwise this call retrains them
+    from ``vectors`` (correct, but pays the Lloyd scans the staging was
+    meant to avoid). ``stage_path``: build AND stage the index in this
+    call (one-shot convenience; build once with :func:`ivfpq_index`
+    when multiple searches share it). ``index`` and ``stage_path`` are
+    mutually exclusive.
     """
     from pyspark.sql import Window
 
@@ -1509,7 +1532,9 @@ def knn_ivf_pq(
     # index, pass the SAME coarse_refine_iters / pq_refine_iters it was
     # built with (the ADC table is only asymmetric against that
     # codebook; a mismatch silently returns wrong distances)
-    if pq_refine_iters > 0:
+    if codebook is not None:
+        C = codebook
+    elif pq_refine_iters > 0:
         C = pq_refine_codebooks(
             vectors, id_col, vec_col, m, n_codes, pq_refine_iters
         )
@@ -1519,15 +1544,18 @@ def knn_ivf_pq(
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
     sub = D // m
-    # train the coarse quantizer ONCE — shared by the probe table and
-    # the index build (retraining inside ivfpq_index would double the
-    # Lloyd cost)
-    if coarse_refine_iters > 0:
-        coarse = ivf_refine_centroids(
-            vectors, id_col, vec_col, n_centroids, coarse_refine_iters
-        )
-    else:
-        coarse = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+    # the coarse quantizer is trained ONCE and shared by the probe table
+    # and the index build; it is only materialized when actually needed
+    # (trained probe ranking, or an inline index build) — the
+    # prebuilt-seed-index path runs NO extra corpus job
+    trained_coarse = coarse_refine_iters > 0 or coarse is not None
+    if coarse is None and (trained_coarse or index is None):
+        if coarse_refine_iters > 0:
+            coarse = ivf_refine_centroids(
+                vectors, id_col, vec_col, n_centroids, coarse_refine_iters
+            )
+        else:
+            coarse = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     codes = (
         index
         if index is not None
@@ -1538,24 +1566,11 @@ def knn_ivf_pq(
     )
 
     # coarse probe ranking: same JVM cosine + window as knn_ivf
-    if coarse_refine_iters > 0:
-        ccids, CCr = coarse
-        id_type_c = vectors.schema[id_col].dataType.simpleString()
-        cent = spark.createDataFrame(
-            [
-                (_pykey(c), [float(x) for x in CCr[i]])
-                for i, c in enumerate(ccids)
-            ],
-            f"centroid {id_type_c}, c_vec array<double>",
-        )
-    else:
-        cent = (
-            vectors.orderBy(id_col)
-            .limit(n_centroids)
-            .select(
-                F.col(id_col).alias("centroid"), F.col(vec_col).alias("c_vec")
-            )
-        )
+    cent = _cent_frame(
+        vectors, id_col, vec_col, n_centroids,
+        *(coarse if trained_coarse else (None, None)),
+        trained=trained_coarse,
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

@@ -303,6 +303,36 @@ def stream_stream_join(
     return l.join(r, cond, "inner").drop(r[key])
 
 
+def snapshot_base_version(sess, snapshot_dir: str, before: int) -> int | None:
+    """Highest COMMITTED snapshot version strictly below ``before`` —
+    the base a (possibly replayed) micro-batch merges onto. Versions at
+    or past the replayed batch id are ignored (reading v=N while
+    overwriting v=N throws, and a crash between the parquet commit and
+    the checkpoint commit would otherwise loop forever), and a
+    directory without the ``_SUCCESS`` marker is an uncommitted partial
+    write — never a base. Hadoop FileSystem API, so any HDFS-compatible
+    store works; external readers should use the same rule with
+    ``before = infinity``."""
+    jvm = sess._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    path = Path(snapshot_dir)
+    fs = path.getFileSystem(sess._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    best = None
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        v = int(name.split("=", 1)[1])
+        if v >= before:  # replay: rebuild from the predecessor
+            continue
+        if not fs.exists(Path(f"{snapshot_dir}/{name}/_SUCCESS")):
+            continue  # uncommitted partial write — never a base
+        best = v if best is None or v > best else best
+    return best
+
+
 def stream_apply_cdc(
     changes: DataFrame,
     snapshot_dir: str,
@@ -321,12 +351,19 @@ def stream_apply_cdc(
     the commit id). Readers pick the highest version for a consistent
     view; old versions are time travel until vacuumed.
 
-    Idempotent per micro-batch: a replayed batch id overwrites its own
-    version directory, and version listing goes through the Hadoop
-    FileSystem API so any HDFS-compatible store works. Each version is
-    a full copy-on-write snapshot — at 100 TB you'd partition the
-    snapshot and rewrite only touched partitions; the merge itself
-    already only shuffles on the key.
+    Idempotent per micro-batch: a replayed batch id re-derives its
+    version from the PREDECESSOR — the base lookup ignores versions at
+    or past the replayed id (reading v=N while overwriting v=N would
+    throw, and a crash between the parquet commit and the checkpoint
+    commit would otherwise loop forever) — and only COMMITTED versions
+    count as a base (``_SUCCESS`` marker present), so a half-written
+    directory from a mid-write crash is never read back as the
+    snapshot. Version listing goes through the Hadoop FileSystem API so
+    any HDFS-compatible store works. Each version is a full
+    copy-on-write snapshot — at 100 TB you'd partition the snapshot and
+    rewrite only touched partitions; the merge itself already only
+    shuffles on the key. Readers should likewise pick the highest
+    ``_SUCCESS``-marked version.
 
     Returns the started ``StreamingQuery`` (caller owns stop/await).
     """
@@ -335,23 +372,9 @@ def stream_apply_cdc(
     spark = changes.sparkSession
     payload = [c for c in changes.columns if c not in (op_col, seq_col)]
 
-    def _latest_version(sess) -> int | None:
-        jvm = sess._jvm
-        path = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
-        fs = path.getFileSystem(sess._jsc.hadoopConfiguration())
-        if not fs.exists(path):
-            return None
-        best = None
-        for st in fs.listStatus(path):
-            name = st.getPath().getName()
-            if name.startswith("v="):
-                v = int(name.split("=", 1)[1])
-                best = v if best is None or v > best else best
-        return best
-
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        v = _latest_version(sess)
+        v = snapshot_base_version(sess, snapshot_dir, batch_id)
         if v is not None:
             current = sess.read.parquet(f"{snapshot_dir}/v={v}")
         elif initial is not None:

@@ -483,3 +483,32 @@ def test_knn_ivf_pq_trained_beats_or_ties_seed_recall(embeddings):
     seed = recall()
     trained = recall(coarse_refine_iters=2, pq_refine_iters=2)
     assert trained >= seed - 1e-9, (seed, trained)
+
+
+def test_knn_ivf_pq_trained_index_with_matrices_no_retrain(embeddings, tmp_path):
+    """The documented trained-reuse flow: train once, stage the index,
+    pass the matrices to every search — results identical to inline
+    training, and no encode map in the search plan."""
+    from gdutils_spark.plans import formatted_plan
+
+    kw = dict(k=3, n_centroids=8, n_probe=2, m=4, n_codes=8)
+    coarse = sim.ivf_refine_centroids(embeddings, n_centroids=8, n_iters=1)
+    codebook = sim.pq_refine_codebooks(embeddings, m=4, k=8, n_iters=1)
+    idx = sim.ivfpq_index(
+        embeddings, n_centroids=8, m=4, n_codes=8,
+        stage_path=str(tmp_path / "tidx"), _coarse=coarse, _codebook=codebook,
+    )
+    queries = embeddings.where("vec_id < 5")
+    reused = sim.knn_ivf_pq(
+        embeddings, queries, index=idx, coarse=coarse, codebook=codebook, **kw
+    )
+    assert "MapInPandas" not in formatted_plan(reused)
+    inline = {
+        (r.query_id, r.neighbor_id, r.approx_d2)
+        for r in sim.knn_ivf_pq(
+            embeddings, queries, coarse_refine_iters=1, pq_refine_iters=1, **kw
+        ).collect()
+    }
+    assert {
+        (r.query_id, r.neighbor_id, r.approx_d2) for r in reused.collect()
+    } == inline

@@ -469,3 +469,27 @@ def test_stream_apply_cdc_versions_match_sequential_batches(spark, sf_smoke, tmp
     want = {r.o_orderkey: r.o_totalprice for r in want_df.collect()}
     assert final == want
     assert all(kk % 10 != 0 for kk in final)  # deletes applied
+
+
+def test_snapshot_base_version_replay_and_partial_writes(spark, tmp_path):
+    """Crash-replay semantics: a replayed batch id must base on its
+    PREDECESSOR (never read the version it is about to overwrite), and
+    an uncommitted partial write (no _SUCCESS) is never a base."""
+    from gdutils_spark.streaming import snapshot_base_version
+
+    snap = str(tmp_path / "snap")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    df.write.parquet(snap + "/v=0")   # committed (_SUCCESS written)
+    df.write.parquet(snap + "/v=1")
+    import os
+
+    os.remove(snap + "/v=1/_SUCCESS")  # simulate a mid-write crash
+    df.write.parquet(snap + "/v=2")
+    # batch 2 replay: v=2 (its own output) ignored; v=1 partial ignored
+    assert snapshot_base_version(spark, snap, before=2) == 0
+    # batch 3: v=2 is committed and below → base
+    assert snapshot_base_version(spark, snap, before=3) == 2
+    # reader view (before = infinity)
+    assert snapshot_base_version(spark, snap, before=1 << 60) == 2
+    # empty dir
+    assert snapshot_base_version(spark, str(tmp_path / "none"), before=5) is None
