@@ -46,6 +46,16 @@ NAMES = [
     "doc_temperature_mix",
     "mm_pcm_stats",
     "emb_ivf_cluster_quality",
+    "emb_knn_ivfpq",
+    "emb_pq_codes_refined",
+    "events_hll_users_incremental",
+    "doc_cms_token_freq",
+    "doc_bloom_screen",
+    "orders_cdc_upsert",
+    "user_event_type_scd2",
+    "customer_rfm_scores",
+    "event_type_daily_zscore",
+    "doc_bigram_lm",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
