@@ -109,3 +109,111 @@ def test_scd2_drops_null_timestamps(spark):
         ("a", 10, 20),
         ("b", 20, None),
     ]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_snap_rows = st.lists(
+    st.tuples(st.integers(0, 12), st.text("abc", min_size=1, max_size=3)),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+_change_rows = st.lists(
+    st.tuples(
+        st.integers(0, 12),
+        st.text("xyz", min_size=1, max_size=3),
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 5),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[3]),  # unique (key, seq): the API contract
+)
+
+
+@given(_snap_rows, _change_rows)
+@_slow
+def test_apply_cdc_matches_python_model(spark, snap_rows, change_rows):
+    """Differential test: apply_cdc == a dict-based merge model for any
+    snapshot and any valid change batch (unique (key, seq))."""
+    snap = spark.createDataFrame(snap_rows or [(99, "z")], "id long, v string")
+    if not snap_rows:
+        snap = snap.where("id < 0")  # truly empty, schema kept
+    changes = spark.createDataFrame(
+        change_rows, "id long, v string, op string, seq long"
+    )
+    got = {
+        (r.id, r.v) for r in apply_cdc(snap, changes, ["id"], seq_col="seq").collect()
+    }
+    model = dict(snap_rows)
+    latest: dict[int, tuple] = {}
+    for k, v, op, seq in change_rows:
+        if k not in latest or seq > latest[k][2] or (
+            seq == latest[k][2] and op > latest[k][1]
+        ):
+            latest[k] = (v, op, seq)
+    for k, (v, op, _seq) in latest.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == set(model.items())
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # key
+        st.sampled_from(["a", "b", None]),  # attr
+        st.integers(0, 50),         # ts
+        st.integers(0, 10 ** 6),    # unique eid
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[3],
+)
+
+
+@given(_events)
+@_slow
+def test_scd2_matches_python_model(spark, rows):
+    """Differential test: scd2_history == a Python run-collapse model
+    over any (key, attr, ts, eid) stream (NULL attrs allowed)."""
+    df = spark.createDataFrame(rows, "k long, attr string, ts long, eid long")
+    def keyfn(t):
+        k, a, vf, vt, cur = t
+        return (k, vf, a is None, a or "", vt is None, vt or 0)
+
+    got = sorted(
+        (
+            (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(
+                df, ["k"], ["attr"], "ts", tiebreak_cols=["eid"]
+            ).collect()
+        ),
+        key=keyfn,
+    )
+    model = []
+    by_key = {}
+    for k, a, ts, eid in rows:
+        by_key.setdefault(k, []).append((ts, eid, a))
+    _first = object()
+    for k, evs in by_key.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        cps = []
+        prev = _first
+        for ts, _eid, a in evs:
+            if prev is _first or a != prev:  # None==None → no change
+                cps.append((ts, a))
+            prev = a
+        for i, (ts, a) in enumerate(cps):
+            nxt = cps[i + 1][0] if i + 1 < len(cps) else None
+            model.append((k, a, ts, nxt, nxt is None))
+    assert got == sorted(model, key=keyfn)
