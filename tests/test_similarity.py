@@ -512,3 +512,31 @@ def test_knn_ivf_pq_trained_index_with_matrices_no_retrain(embeddings, tmp_path)
     assert {
         (r.query_id, r.neighbor_id, r.approx_d2) for r in reused.collect()
     } == inline
+
+
+@pytest.mark.parametrize("m_,ncodes", [(2, 4), (8, 16), (16, 8)])
+def test_pq_encode_geometries_match_model(embeddings, m_, ncodes):
+    """pq_encode across subspace/codebook geometries: codes match an
+    independent numpy replay (argmin over per-subspace squared
+    distances, lowest-index ties) — guards the sub-dimension slicing
+    arithmetic for every D % m == 0 configuration."""
+    import numpy as np
+
+    ids, M = _np_model(embeddings)
+    C = M[:ncodes]
+    D = M.shape[1]
+    sub = D // m_
+    got = {r.vec_id: list(r.codes) for r in sim.pq_encode(
+        embeddings, m=m_, k=ncodes
+    ).collect()}
+    sample = list(ids[:40])
+    for vid in sample:
+        x = M[list(ids).index(vid)]
+        want = [
+            int(np.argmin([
+                np.sum((x[s * sub:(s + 1) * sub] - C[c, s * sub:(s + 1) * sub]) ** 2)
+                for c in range(ncodes)
+            ]))
+            for s in range(m_)
+        ]
+        assert got[vid] == want, (vid, m_, ncodes)
