@@ -51,7 +51,10 @@ def apply_cdc(
     change batch. Equal sequences tie-break on op ('U' > 'I' > 'D', so
     an update beats a simultaneous delete deterministically); rows equal
     in (key, seq, op) but differing in payload are the caller's contract
-    to prevent — use unique sequences per key.
+    to prevent — use unique sequences per key. Without ``seq_col`` the
+    batch must carry at most ONE change row per key — VALIDATED with a
+    LIMIT-bounded probe (duplicates would all survive the upsert filter
+    and silently break snapshot key uniqueness).
     """
     keys = list(keys)
     bad = (
@@ -67,6 +70,25 @@ def apply_cdc(
             f"{bad[0][op_col]!r}; ops must be 'I', 'U' or 'D'"
         )
     latest = changes
+    if seq_col is None:
+        # no-seq contract: at most ONE change row per key — with several
+        # non-delete changes for a key, every one would survive the
+        # upsert filter and silently break the snapshot's key
+        # uniqueness. Probe is LIMIT-bounded over the (small) batch,
+        # like the op-domain check above.
+        dup = (
+            changes.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "apply_cdc: change batch has multiple rows for key "
+                f"{tuple(dup[0][k] for k in keys)!r} but seq_col is None; "
+                "pass seq_col so the latest change per key can be chosen"
+            )
     if seq_col is not None:
         w = Window.partitionBy(*keys).orderBy(
             F.col(seq_col).desc(), F.col(op_col).desc()

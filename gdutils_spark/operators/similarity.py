@@ -1564,6 +1564,23 @@ def knn_ivf_pq(
             _coarse=coarse, _codebook=C,
         )
     )
+    if index is not None:
+        # fail-fast geometry check on a prebuilt/staged index: the ADC
+        # join on (subspace, code) SILENTLY drops sub-distance terms if
+        # the index was built with different m / n_codes, so a mismatch
+        # would rank wrong with no error. One aggregate over the
+        # (code-table-sized) index; training-state mismatches remain the
+        # caller's contract (see docstring).
+        geo = codes.agg(
+            F.max("subspace").alias("ms"), F.max("code").alias("mc")
+        ).collect()[0]
+        if geo["ms"] is not None and (geo["ms"] != m - 1 or geo["mc"] >= n_codes):
+            raise ValueError(
+                f"knn_ivf_pq: prebuilt index geometry mismatch — index has "
+                f"subspaces 0..{geo['ms']} and max code {geo['mc']}, but the "
+                f"search call asked for m={m}, n_codes={n_codes}; rebuild the "
+                "index or pass the m/n_codes it was built with"
+            )
 
     # coarse probe ranking: same JVM cosine + window as knn_ivf
     cent = _cent_frame(
@@ -1596,6 +1613,13 @@ def knn_ivf_pq(
         .orderBy("_qid")
         .toPandas()
     )
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    if not len(qpdf):
+        # degrade gracefully like the other knn_* operators — np.stack
+        # on an empty column would raise an opaque ValueError
+        return spark.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, approx_d2 double"
+        )
     Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
     adc_rows = []
     for s in range(m):
@@ -1610,7 +1634,6 @@ def knn_ivf_pq(
                 adc_rows.append(
                     (_pykey(qpdf["_qid"][qi]), s, c, float(acc[qi, c]))
                 )
-    id_type = vectors.schema[id_col].dataType.simpleString()
     adc = spark.createDataFrame(
         adc_rows, f"query_id {id_type}, subspace int, code int, d2 double"
     )

@@ -299,8 +299,11 @@ def cms_estimate(
     """Point-frequency estimates for each probe value: MIN over the
     ``depth`` counters the value hashes to. Adds ``cms_est`` to the
     probe relation (whose columns must not collide with the working
-    names — guarded). The register table is aggregate-sized — broadcast
-    — so probing is a map + one probe-keyed aggregate."""
+    names — guarded). Probe rows whose ``value_col`` is NULL report
+    ``cms_est=0`` — the builder skips NULLs, so zero occurrences is the
+    consistent (and deliberate) answer. The register table is
+    aggregate-sized — broadcast — so probing is a map + one probe-keyed
+    aggregate."""
     from gdutils_spark.operators.dedup import _md5_int64
 
     keep = list(probes.columns)
@@ -389,10 +392,13 @@ def bloom_might_contain(
 ) -> DataFrame:
     """Membership probe: adds ``might_contain`` to the probe relation —
     true iff ALL ``n_hashes`` positions are set (no false negatives, so
-    ``false`` is definitive). Probe columns must not collide with the
-    working names (guarded). The word table is sketch-sized — broadcast
-    — making the probe a map + one probe-keyed aggregate, never a join
-    against the original corpus."""
+    ``false`` is definitive). Probe rows whose ``value_col`` is NULL get
+    ``might_contain=false`` — the builder skips NULLs (they were never
+    inserted), so "definitely absent" is the consistent answer, not a
+    NULL that matches neither branch downstream. Probe columns must not
+    collide with the working names (guarded). The word table is
+    sketch-sized — broadcast — making the probe a map + one probe-keyed
+    aggregate, never a join against the original corpus."""
     from gdutils_spark.operators.dedup import _md5_int64
 
     keep = list(probes.columns)
@@ -426,5 +432,9 @@ def bloom_might_contain(
         )
     )
     return checked.groupBy(*keep).agg(
-        F.min(F.col("_hit").cast("int")).cast("boolean").alias("might_contain")
+        # NULL probe value → every _hit is NULL → min is NULL; coalesce
+        # to false (never inserted, so definitively absent)
+        F.coalesce(
+            F.min(F.col("_hit").cast("int")).cast("boolean"), F.lit(False)
+        ).alias("might_contain")
     )

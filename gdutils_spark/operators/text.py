@@ -1026,7 +1026,6 @@ def compression_signals(
 def bigram_lm(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_k: int | None = None,
 ) -> DataFrame:
     """Bigram language-model table: corpus-wide adjacent-pair counts

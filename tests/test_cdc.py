@@ -86,6 +86,27 @@ def test_apply_cdc_rejects_bad_ops(spark):
             apply_cdc(snap, changes, ["id"])
 
 
+def test_apply_cdc_no_seq_duplicate_keys_raise(spark):
+    """Without seq_col there is no latest-change rule: multiple change
+    rows for one key would ALL survive the upsert filter and silently
+    break snapshot key uniqueness — must raise instead."""
+    import pytest
+
+    snap = spark.createDataFrame([(1, "a")], "id long, v string")
+    changes = spark.createDataFrame(
+        [(1, "x", "U"), (1, "y", "U")], "id long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="seq_col"):
+        apply_cdc(snap, changes, ["id"])
+    # with a seq the same batch is legal — latest wins
+    seq_changes = spark.createDataFrame(
+        [(1, "x", "U", 1), (1, "y", "U", 2)],
+        "id long, v string, op string, seq long",
+    )
+    got = apply_cdc(snap, seq_changes, ["id"], seq_col="seq").collect()
+    assert len(got) == 1 and got[0].v == "y"
+
+
 def test_apply_cdc_equal_seq_update_beats_delete(spark):
     """Deterministic tie at equal sequences: 'U' > 'D' by op ordering."""
     snap = spark.createDataFrame([(1, "a")], "id long, v string")

@@ -461,6 +461,36 @@ def test_knn_ivf_pq_prebuilt_index_reuse(embeddings, tmp_path):
         sim.knn_ivf_pq(embeddings, queries, index=idx, stage_path=path, **kw)
 
 
+def test_knn_ivf_pq_empty_queries_returns_empty(embeddings):
+    """An empty query relation degrades gracefully (empty result with
+    the output schema) like the other knn_* operators, instead of an
+    opaque np.stack ValueError."""
+    empty_q = embeddings.where("vec_id < 0")
+    out = sim.knn_ivf_pq(
+        embeddings, empty_q, k=3, n_centroids=8, n_probe=2, m=4, n_codes=8
+    )
+    assert out.columns == ["query_id", "neighbor_id", "approx_d2"]
+    assert out.count() == 0
+
+
+def test_knn_ivf_pq_prebuilt_index_geometry_mismatch_raises(embeddings):
+    """A prebuilt index searched with different m / n_codes must fail
+    fast — the ADC join would otherwise silently drop subspace terms and
+    rank wrong with no error."""
+    idx = sim.ivfpq_index(embeddings, n_centroids=8, m=4, n_codes=8)
+    queries = embeddings.where("vec_id < 3")
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        sim.knn_ivf_pq(
+            embeddings, queries, index=idx,
+            k=3, n_centroids=8, n_probe=2, m=2, n_codes=8,
+        )
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        sim.knn_ivf_pq(
+            embeddings, queries, index=idx,
+            k=3, n_centroids=8, n_probe=2, m=4, n_codes=4,
+        )
+
+
 def test_knn_ivf_pq_trained_beats_or_ties_seed_recall(embeddings):
     """A fully-trained IVF-PQ (Lloyd coarse + Lloyd codebooks) must not
     lose recall vs the seed index at the same probe/bit budget, and must

@@ -213,6 +213,32 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert merged == whole
 
 
+def test_null_probe_values_are_definitive(spark):
+    """NULL probe values: builders skip NULLs, so probes answer
+    'definitely absent' — bloom might_contain=false (not NULL, which
+    would match neither branch downstream) and cms_est=0."""
+    from gdutils_spark.operators.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+        cms_estimate,
+        cms_registers,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    probes = spark.createDataFrame([("a",), (None,)], "v string")
+    words = bloom_bits(df, "v")
+    got = {
+        r.v: r.might_contain
+        for r in bloom_might_contain(words, probes, "v").collect()
+    }
+    assert got["a"] is True
+    assert got[None] is False  # false, never NULL
+    reg = cms_registers(df, "v")
+    est = {r.v: r.cms_est for r in cms_estimate(reg, probes, "v").collect()}
+    assert est["a"] >= 1
+    assert est[None] == 0
+
+
 def test_probe_column_collisions_raise(spark):
     """Probe relations carrying sketch-internal column names must fail
     fast instead of producing ambiguous-reference errors downstream."""
