@@ -1387,6 +1387,92 @@ def rt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def rt_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join driver-verified
+    end-to-end: the attribution report that also keeps clicks that never
+    converted. Matches emit eagerly like the inner variant; an unmatched
+    click null-emits only once the global watermark strictly passes its
+    join-window end (``click_ts + 6h``) — clicks whose window is still
+    open when the availableNow drain finishes are withheld. The oracle
+    is the batch left interval join WITH that watermark cut encoded:
+    ``W = min(max(click_ts), max(purchase_ts)) − 1h`` and unmatched
+    clicks kept iff ``click_ts + 6h < W`` (strictness pinned by the
+    boundary case in ``test_streaming.py``). A dropped match, duplicated
+    match, early null emission (row later matched = wrong), or missed
+    null emission all change the row set."""
+    from gdutils_spark.streaming import stream_stream_join
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 60)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    tmp = _work_dir("stream_ss_left_join")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    e.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = stream_stream_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay="6 hours",
+        watermark="1 hour",
+        how="left_outer",
+    ).select("user_id", "click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "rt_stream_stream_left_join: streaming query did not finish"
+        )
+    return spark.read.parquet(out)
+
+
+_RT_STREAM_SS_LEFT_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 60
+),
+c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM e WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                    (SELECT max(purchase_ts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+m AS (
+  SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id
+  FROM c LEFT JOIN p ON p.user_id = c.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
+)
+SELECT user_id, click_id, purchase_id FROM m WHERE purchase_id IS NOT NULL
+UNION ALL
+SELECT user_id, click_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM m, wm
+WHERE purchase_id IS NULL AND click_ts + INTERVAL 6 HOUR < wm.w
+"""
+
+
 _RT_STREAM_SS_JOIN_SQL = """
 WITH e AS (
   SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 60
@@ -1427,6 +1513,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_stateful": rt_stream_stateful,
     "rt_stream_enrich": rt_stream_enrich,
     "rt_stream_stream_join": rt_stream_stream_join,
+    "rt_stream_stream_left_join": rt_stream_stream_left_join,
     "rt_stream_media": rt_stream_media,
     "rt_jsonl_shards": rt_jsonl_shards,
     "rt_orc_roundtrip": rt_orc_roundtrip,
@@ -1454,6 +1541,7 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_stateful": _RT_STREAM_STATEFUL_SQL,
     "rt_stream_enrich": _RT_STREAM_ENRICH_SQL,
     "rt_stream_stream_join": _RT_STREAM_SS_JOIN_SQL,
+    "rt_stream_stream_left_join": _RT_STREAM_SS_LEFT_JOIN_SQL,
     "rt_stream_media": _RT_STREAM_MEDIA_SQL,
     "rt_jsonl_shards": _RT_JSONL_SHARDS_SQL,
     "rt_orc_roundtrip": _RT_ORC_SQL,

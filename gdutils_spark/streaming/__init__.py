@@ -276,6 +276,7 @@ def stream_stream_join(
     right_time: str,
     max_delay: str = "1 hour",
     watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join of TWO streams (the attribution shape:
     e.g. purchases joined to the click that preceded them): rows match
@@ -289,7 +290,25 @@ def stream_stream_join(
     exactly once, when both sides have arrived. ``left_time`` /
     ``right_time`` must be distinct names (rename before calling) so the
     output is unambiguous; ``key`` must be same-named on both sides.
+
+    ``how='left_outer'`` is the attribution report that ALSO keeps
+    unmatched left rows (clicks that never converted): matches emit
+    eagerly as in the inner join; an unmatched left row emits
+    null-padded only once the global watermark passes
+    ``left_time + max_delay`` — before that a matching right row could
+    still arrive, so the row is provably unmatched only after its join
+    window closes. Consequence a consumer must know: left rows whose
+    window is still open when the stream (or an availableNow drain)
+    ends are withheld, NOT emitted with nulls — the batch-equivalent
+    result is the left join with that watermark cut applied to the
+    unmatched rows.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"stream_stream_join: how={how!r} not supported — use 'inner' "
+            "or 'left_outer' (right/full outer mirror left_outer; rename "
+            "sides instead)"
+        )
     l = left.withWatermark(left_time, watermark).alias("l")
     r = right.withWatermark(right_time, watermark).alias("r")
     cond = (
@@ -300,7 +319,15 @@ def stream_stream_join(
             <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    # select via the l/r alias qualifiers, NOT drop(r[key]): when both
+    # sides derive from the same source stream (a self-join, e.g. two
+    # filters of one event stream) Catalyst re-aliases one side's
+    # attribute ids and the Column reference can resolve to the LEFT
+    # key — which under left_outer silently yields the right side's
+    # NULL key for unmatched rows
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}") for c in right.columns if c != key]
+    return l.join(r, cond, how).select(*lcols, *rcols)
 
 
 def snapshot_base_version(sess, snapshot_dir: str, before: int) -> int | None:

@@ -411,6 +411,70 @@ def test_stream_stream_join_matches_batch(spark, stream_dirs):
     assert got == want
 
 
+def test_stream_stream_left_join_matches_batch_with_watermark_cut(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: matches emit eagerly; an unmatched
+    left row null-emits ONLY once the global watermark strictly passes
+    its join-window end (left_ts + max_delay) — rows still inside an
+    open window at stream end are withheld. Fixture covers all four
+    cases: matched, unmatched-closed (emitted with nulls),
+    unmatched-boundary (window end == final watermark → withheld,
+    pinning the strict < rule), unmatched-open (withheld)."""
+    from gdutils_spark.streaming import stream_stream_join
+
+    rows_c = [
+        (1, "2024-01-01 00:00:00", 101),  # matched by p201
+        (2, "2024-01-01 00:00:00", 102),  # unmatched, closes 01:00 < W
+        (5, "2024-01-01 10:00:00", 105),  # unmatched, closes 11:00 == W
+        (3, "2024-01-01 10:30:00", 103),  # unmatched, closes 11:30 > W
+        (4, "2024-01-01 12:00:00", 104),  # unmatched, open at stream end
+    ]
+    rows_p = [
+        (1, "2024-01-01 00:30:00", 201),
+        (99, "2024-01-01 12:00:00", 299),  # unmatched right (dropped)
+    ]
+    src_c, src_p, chk = (str(tmp_path / d) for d in ("c", "p", "chk"))
+    dfc = spark.createDataFrame(
+        rows_c, "user_id long, click_ts string, click_id long"
+    ).withColumn("click_ts", F.to_timestamp("click_ts"))
+    dfp = spark.createDataFrame(
+        rows_p, "user_id long, purchase_ts string, purchase_id long"
+    ).withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+    dfc.write.parquet(src_c)
+    dfp.write.parquet(src_p)
+    sc = spark.readStream.schema(dfc.schema).parquet(src_c)
+    sp = spark.readStream.schema(dfp.schema).parquet(src_p)
+    # final watermark W = min(max click_ts, max purchase_ts) - 1h = 11:00
+    joined = stream_stream_join(
+        sc, sp, key="user_id", left_time="click_ts",
+        right_time="purchase_ts", max_delay="1 hour",
+        watermark="1 hour", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_join_stream")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_left_join_stream").collect()
+    }
+    assert got == {(101, 201), (102, None)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not supported"):
+        stream_stream_join(
+            sc, sp, key="user_id", left_time="click_ts",
+            right_time="purchase_ts", how="full_outer",
+        )
+
+
 def test_stream_apply_cdc_versions_match_sequential_batches(spark, sf_smoke, tmp_path):
     """Streaming MERGE INTO: micro-batch application to the versioned
     snapshot must equal applying the same batches sequentially in batch
