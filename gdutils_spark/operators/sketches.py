@@ -438,3 +438,110 @@ def bloom_might_contain(
             F.min(F.col("_hit").cast("int")).cast("boolean"), F.lit(False)
         ).alias("might_contain")
     )
+
+
+HIST_BINS = 512
+
+
+def hist_registers(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Fixed-bin histogram as a register table ``(bin, cnt)`` — the
+    fourth mergeable sketch: HLL answers "how many distinct", CMS "how
+    often", Bloom "have I seen this", the histogram "how is it
+    DISTRIBUTED" (quantiles, :func:`hist_quantiles`). Same 100 TB shape
+    as the others: one map-side-combinable ``count`` aggregate into
+    ``n_bins`` integer counters; sketches of corpus parts merge by
+    elementwise ADD (:func:`hist_merge`) — yesterday's stream is never
+    rescanned, which is exactly what exact ``percentile`` (full value
+    set per group) cannot do.
+
+    Bounds ``[lo, hi)`` are DECLARED, the fixed-bin trade-off (a KLL /
+    t-digest removes it at the cost of randomized or engine-internal
+    state — Spark's own ``approx_percentile`` is such a sketch but its
+    estimate is not oracle-reproducible). Values are clamped into the
+    edge bins, so out-of-range mass is visible there rather than
+    dropped; NULLs are skipped like every builder in this module. The
+    bin rule ``floor((x − lo) · n_bins / (hi − lo))`` is two IEEE ops +
+    a floor — deterministic and engine-replayable bit-for-bit.
+    """
+    x = F.col(value_col).cast("double")
+    raw = F.floor(
+        (x - F.lit(float(lo)))
+        * F.lit(float(n_bins))
+        / (F.lit(float(hi)) - F.lit(float(lo)))
+    ).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.where(x.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two histogram register tables (same lo/hi/n_bins geometry):
+    elementwise sum — register-table-sized work, corpus never rescanned."""
+    return a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    qs: "list[float]",
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates from a histogram register table: for each
+    ``q`` the continuous rank ``t = q·(N−1)`` (the ``quantile_cont``
+    convention) lands in exactly one bin by cumulative count, and the
+    estimate interpolates uniformly inside it:
+    ``lo + width·(bin + (t − cum_below)/cnt)``. Returns ``(q, est)``.
+
+    All register-table-sized work (one window cumsum over ``n_bins``
+    rows + a quantile-list cross join); every arithmetic step is a
+    pinned IEEE expression, so any engine replays the estimates
+    bit-for-bit. Estimate error is bounded by the in-bin uniformity
+    assumption — at most ~one bin width when mass is spread, which is
+    the knob ``n_bins`` buys. ``registers`` must be non-empty."""
+    from pyspark.sql import Window
+
+    spark = registers.sparkSession
+    w_cum = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = registers.select(
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0).cast("long")).alias(
+            "cum_below"
+        ),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    q_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    width = (F.lit(float(hi)) - F.lit(float(lo))) / F.lit(float(n_bins))
+    t = F.col("q") * (F.col("total").cast("double") - F.lit(1.0))
+    est = F.lit(float(lo)) + width * (
+        F.col("bin").cast("double")
+        + (t - F.col("cum_below").cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return (
+        cum.join(F.broadcast(q_df))
+        .where(
+            (F.col("cum_below").cast("double") <= t)
+            & (t < (F.col("cum_below") + F.col("cnt")).cast("double"))
+        )
+        .select("q", est.alias("est"))
+    )

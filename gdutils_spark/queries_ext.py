@@ -3126,6 +3126,130 @@ FROM chk GROUP BY 1, 2
 """
 
 
+HIST_LO = 0.0
+HIST_HI = 500.0
+HIST_NBINS = 500
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def event_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile report via the fixed-bin histogram sketch —
+    the distribution question (p50/p90/p99) answered the way HLL answers
+    distinct-count: the corpus splits in two halves, each folds into a
+    500-bin integer register table, :func:`hist_merge` adds them WITHOUT
+    rescanning either half, and :func:`hist_quantiles` interpolates the
+    estimates from the merged counts. Exact ``percentile`` over the
+    whole corpus rides alongside to grade the estimator (``abs_err``) —
+    a production 100 TB run drops the exact column and keeps the sketch
+    path, which is one map-combinable aggregate into 500 counters.
+    Every estimate step is pinned IEEE arithmetic, so the whole report
+    hash-verifies against the SQL replay."""
+    from gdutils_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_registers,
+    )
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    ra = hist_registers(
+        e.where(F.col("event_id") % 2 == 0), "value", HIST_LO, HIST_HI,
+        HIST_NBINS,
+    )
+    rb = hist_registers(
+        e.where(F.col("event_id") % 2 == 1), "value", HIST_LO, HIST_HI,
+        HIST_NBINS,
+    )
+    ests = hist_quantiles(
+        hist_merge(ra, rb), list(HIST_QS), HIST_LO, HIST_HI, HIST_NBINS
+    )
+    exact = e.agg(
+        *[
+            F.percentile(F.col("value"), F.lit(q)).alias(
+                f"_e{int(q * 100)}"
+            )
+            for q in HIST_QS
+        ]
+    )
+    exact_col = (
+        F.when(F.col("q") == HIST_QS[0], F.col(f"_e{int(HIST_QS[0]*100)}"))
+        .when(F.col("q") == HIST_QS[1], F.col(f"_e{int(HIST_QS[1]*100)}"))
+        .otherwise(F.col(f"_e{int(HIST_QS[2]*100)}"))
+    )
+    # 1-row exact side → BroadcastNestedLoopJoin Cross is the correct
+    # plan for a 1-row relation (precedent: customer_rfm_scores)
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "q",
+        "est",
+        exact_col.alias("exact_q"),
+        F.abs(F.col("est") - exact_col).alias("abs_err"),
+    )
+
+
+_HIST_QSKETCH_SQL = f"""
+WITH vals AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT event_id,
+         least(greatest(CAST(floor((v - CAST({HIST_LO} AS DOUBLE))
+                                   * CAST({HIST_NBINS} AS DOUBLE)
+                                   / (CAST({HIST_HI} AS DOUBLE)
+                                      - CAST({HIST_LO} AS DOUBLE))) AS INT),
+                        0), {HIST_NBINS - 1}) AS bin
+  FROM vals
+),
+ra AS (SELECT bin, COUNT(*) AS cnt FROM binned WHERE event_id % 2 = 0 GROUP BY bin),
+rb AS (SELECT bin, COUNT(*) AS cnt FROM binned WHERE event_id % 2 = 1 GROUP BY bin),
+merged AS (
+  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) u GROUP BY bin
+),
+cum AS (
+  SELECT bin, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_below,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS total
+  FROM merged
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES ({HIST_QS[0]}), ({HIST_QS[1]}), ({HIST_QS[2]})) t(q)),
+picked AS (
+  SELECT q, bin, cnt, cum_below,
+         q * (CAST(total AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS t
+  FROM cum, qs
+),
+ests AS (
+  SELECT q,
+         CAST({HIST_LO} AS DOUBLE)
+         + ((CAST({HIST_HI} AS DOUBLE) - CAST({HIST_LO} AS DOUBLE))
+            / CAST({HIST_NBINS} AS DOUBLE))
+           * (CAST(bin AS DOUBLE)
+              + (t - CAST(cum_below AS DOUBLE)) / CAST(cnt AS DOUBLE)) AS est
+  FROM picked
+  WHERE CAST(cum_below AS DOUBLE) <= t
+    AND t < CAST(cum_below + cnt AS DOUBLE)
+),
+exact AS (
+  SELECT quantile_cont(v, {HIST_QS[0]}) AS e50,
+         quantile_cont(v, {HIST_QS[1]}) AS e90,
+         quantile_cont(v, {HIST_QS[2]}) AS e99
+  FROM vals
+)
+SELECT q, est,
+       CASE WHEN q = CAST({HIST_QS[0]} AS DOUBLE) THEN e50
+            WHEN q = CAST({HIST_QS[1]} AS DOUBLE) THEN e90
+            ELSE e99 END AS exact_q,
+       abs(est - CASE WHEN q = CAST({HIST_QS[0]} AS DOUBLE) THEN e50
+                      WHEN q = CAST({HIST_QS[1]} AS DOUBLE) THEN e90
+                      ELSE e99 END) AS abs_err
+FROM ests, exact
+"""
+
+
 BIGRAM_TOP_K = 30
 
 
@@ -3481,6 +3605,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_type_scd2": user_event_type_scd2,
     "doc_bloom_screen": doc_bloom_screen,
     "doc_bigram_lm": doc_bigram_lm,
+    "event_value_quantile_sketch": event_value_quantile_sketch,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -3561,6 +3686,7 @@ EXT_ORACLE: dict[str, str] = {
     "user_event_type_scd2": _SCD2_SQL,
     "doc_bloom_screen": _bloom_screen_sql(),
     "doc_bigram_lm": _BIGRAM_LM_SQL,
+    "event_value_quantile_sketch": _HIST_QSKETCH_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

@@ -260,3 +260,68 @@ def test_probe_column_collisions_raise(spark):
     bad2 = spark.createDataFrame([("a", 1)], "v string, word int")
     with pytest.raises(ValueError, match="collide"):
         bloom_might_contain(words, bad2, "v")
+
+
+def test_hist_registers_merge_equals_whole(spark):
+    """Histogram mergeability: hist_merge of two half-corpus register
+    tables == the whole-corpus register table (exact integer counts)."""
+    from gdutils_spark.operators.sketches import hist_merge, hist_registers
+
+    vals = [(i, float(i % 97)) for i in range(500)] + [(500, None)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    whole = {
+        (r.bin, r.cnt)
+        for r in hist_registers(df, "v", 0.0, 100.0, 50).collect()
+    }
+    a = hist_registers(df.where("id % 2 = 0"), "v", 0.0, 100.0, 50)
+    b = hist_registers(df.where("id % 2 = 1"), "v", 0.0, 100.0, 50)
+    merged = {(r.bin, r.cnt) for r in hist_merge(a, b).collect()}
+    assert merged == whole
+    assert sum(c for _, c in whole) == 500  # NULL skipped
+
+
+def test_hist_registers_clamps_out_of_range(spark):
+    from gdutils_spark.operators.sketches import hist_registers
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (99.9,), (100.0,), (250.0,)], "v double"
+    )
+    got = {r.bin: r.cnt for r in hist_registers(df, "v", 0.0, 100.0, 10).collect()}
+    assert got[0] == 2  # -5 clamped in, 0.0 in bin 0
+    assert got[9] == 3  # 99.9 in last bin; 100.0 and 250.0 clamped in
+
+
+def test_hist_quantiles_exact_on_bin_centers(spark):
+    """With every value on a distinct bin's left edge and one value per
+    bin, the uniform-in-bin interpolation is exact: est(q) == the
+    quantile_cont value for integer ranks."""
+    from gdutils_spark.operators.sketches import hist_quantiles, hist_registers
+
+    # values 0..9 with lo=0 hi=10 n_bins=10 → one per bin, cnt=1 each
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    reg = hist_registers(df, "v", 0.0, 10.0, 10)
+    got = {r.q: r.est for r in hist_quantiles(reg, [0.0, 0.5, 1.0], 0.0, 10.0, 10).collect()}
+    # t = q*(N-1): q=0 → 0th value = 0.0; q=0.5 → rank 4.5 → 4.5;
+    # q=1 → rank 9 → 9.0 (within bin 9: 9 + (9-9)/1 = 9.0)
+    assert got[0.0] == 0.0
+    assert got[0.5] == 4.5
+    assert got[1.0] == 9.0
+
+
+def test_hist_quantiles_error_bounded_by_bin_width(spark):
+    """On a dense uniform-ish corpus the estimate should sit within one
+    bin width of the exact quantile — the resolution n_bins buys."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.sketches import hist_quantiles, hist_registers
+
+    df = spark.range(2000).select(
+        ((F.col("id") * 37 % 1000).cast("double") / 10.0).alias("v")
+    )
+    reg = hist_registers(df, "v", 0.0, 100.0, 100)
+    ests = {r.q: r.est for r in hist_quantiles(reg, [0.5, 0.9, 0.99], 0.0, 100.0, 100).collect()}
+    exact = df.agg(
+        *[F.percentile("v", F.lit(q)).alias(str(q)) for q in (0.5, 0.9, 0.99)]
+    ).collect()[0]
+    for q in (0.5, 0.9, 0.99):
+        assert abs(ests[q] - exact[str(q)]) <= 1.0 + 1e-9, (q, ests[q], exact[str(q)])
