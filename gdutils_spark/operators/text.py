@@ -869,6 +869,128 @@ def remove_common_segments(
     )
 
 
+def substring_sites(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Every OVERLAPPING ``k``-token shingle of every document →
+    ``(doc, pos, h)`` with ``h`` the md5-int64 of the space-joined
+    shingle (the engine-replayable hash the whole dedup family uses).
+    The site table under substring-level dedup
+    (:func:`remove_repeated_substrings`): any repeated substring of
+    ≥ ``k`` tokens has ALL its k-shingles repeated, so repeated-shingle
+    sites locate repeated substrings without pairwise comparison.
+
+    Plan shape: pure map-side — token array materialized as a projection
+    attribute first (interpreted-HOF O(n²) cliff avoided, see
+    :func:`repetition_signals`), one linear transform + posexplode;
+    ~one site row per corpus token."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from gdutils_spark.operators.dedup import _md5_int64
+
+    words = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_w")
+    )
+    n = F.size(F.col("_w"))
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                _md5_int64(
+                    F.array_join(F.slice(F.col("_w"), i + 1, k), " ")
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    return words.select("doc", F.explode(shingles).alias("s")).select(
+        "doc", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
+    )
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", ExactSubstr) — the third dedup
+    tier between document-level (MinHash/SimHash, ``dedup.py``) and
+    segment-level boilerplate (:func:`remove_common_segments`): remove
+    every repeated span of ≥ ``k`` tokens, keeping its FIRST occurrence
+    in global (doc, pos) order. Returns
+    ``(doc, n_tokens, n_kept, cleaned_text)``.
+
+    The reference paper builds a corpus suffix array — inherently
+    sequential. The Spark-first equivalent shingles at token
+    granularity: a token is dropped iff it is covered by a
+    non-canonical occurrence of a duplicated k-shingle (canonical =
+    min (doc, pos) site per shingle). Every occurrence of a duplicated
+    run beyond the first is removed exactly; the known over-removal
+    edge is a shingle of the first occurrence whose text ALSO appeared
+    in some earlier context — greedy but deterministic, and ``k`` is
+    the Lee et al. min-match length knob (they use 50 BPE tokens;
+    boilerplate-heavy corpora should run
+    :func:`remove_common_segments` first so hot segments don't skew
+    the shingle shuffle).
+
+    Plan shape at 100 TB: the site table is linear in corpus tokens and
+    shuffles ONCE keyed by shingle hash (same shape as MinHash-LSH
+    banding) for the row_number that marks non-canonical occurrences;
+    covered positions are removal-bounded; the rebuild is one per-doc
+    hash aggregate over struct-sorted ``collect_list`` (no window
+    sort). The corpus is token-exploded twice (sites + rebuild), both
+    map-side scans. ``stage_path`` lands the site table in parquet once
+    (standard staging convention) — without it the two site consumers
+    re-derive the corpus scan.
+    """
+    from pyspark.sql import Window
+
+    sites = substring_sites(df, text_col, id_col, k)
+    if stage_path is not None:
+        sites = _stage(sites, stage_path)
+    w = Window.partitionBy("h").orderBy("doc", "pos")
+    removals = (
+        sites.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc", "pos")
+    )
+    covered = removals.select(
+        "doc",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    words = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_w")
+    )
+    toks = words.select("doc", F.posexplode("_w").alias("pos", "tok"))
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = words.select("doc", F.size("_w").alias("n_tokens"))
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def token_rarity(
     df: DataFrame,
     text_col: str = "text",

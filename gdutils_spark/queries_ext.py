@@ -2853,6 +2853,61 @@ SEG_WIDTH = 8
 SEG_MIN_DOCS = 3
 
 
+SUBSTR_K = 8
+
+
+def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2021 ExactSubstr, shingle
+    formulation): every repeated span of ≥ 8 tokens loses all but its
+    first occurrence in global (doc, pos) order — the third dedup tier
+    between document-level MinHash and segment-level boilerplate. The
+    cleaned text itself is hash-verified, so shingling, the canonical-
+    site rule, span coverage, and ordered reassembly must all agree
+    with the oracle replay."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.remove_repeated_substrings(d, k=SUBSTR_K)
+
+
+_SUBSTRING_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id AS doc, {_TOKS} AS ws FROM documents),
+sites AS (
+  SELECT doc, CAST(i - 1 AS INT) AS pos,
+         {_h64(f"array_to_string(ws[i : i + {SUBSTR_K} - 1], ' ')")} AS h
+  FROM (SELECT doc, ws, unnest(generate_series(1, len(ws) - {SUBSTR_K} + 1)) AS i
+        FROM w WHERE len(ws) >= {SUBSTR_K}) s
+),
+rem AS (
+  SELECT doc, pos FROM (
+    SELECT doc, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc, pos) AS rn
+    FROM sites) r
+  WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT doc, CAST(unnest(generate_series(pos, pos + {SUBSTR_K} - 1)) AS INT) AS p
+  FROM rem
+),
+toks AS (
+  SELECT doc, CAST(i - 1 AS INT) AS pos, ws[i] AS tok
+  FROM (SELECT doc, ws, unnest(generate_series(1, len(ws))) AS i FROM w) t
+),
+kept AS (
+  SELECT toks.doc, toks.pos, toks.tok
+  FROM toks LEFT JOIN cov ON cov.doc = toks.doc AND cov.p = toks.pos
+  WHERE cov.doc IS NULL
+),
+reb AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc
+),
+tot AS (SELECT doc, CAST(len(ws) AS INT) AS n_tokens FROM w)
+SELECT t.doc, t.n_tokens, COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN reb USING (doc)
+"""
+
+
 def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document boilerplate removal (CCNet-style line dedup reshaped
     to fixed word segments): drop every 8-word segment shared by >= 3
@@ -3629,6 +3684,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_hybrid_search": doc_hybrid_search,
     "doc_incremental_dedup": doc_incremental_dedup,
     "doc_segment_dedup": doc_segment_dedup,
+    "doc_substring_dedup": doc_substring_dedup,
     "doc_token_rarity": doc_token_rarity,
     "doc_hll_tokens": doc_hll_tokens,
     "doc_leakage_safe_split": doc_leakage_safe_split,
@@ -3709,6 +3765,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_hybrid_search": _hybrid_sql(),
     "doc_incremental_dedup": _incremental_dedup_sql(),
     "doc_segment_dedup": _SEGMENT_DEDUP_SQL,
+    "doc_substring_dedup": _SUBSTRING_DEDUP_SQL,
     "doc_token_rarity": _TOKEN_RARITY_SQL,
     "doc_hll_tokens": _hll_tokens_sql(),
     "doc_leakage_safe_split": _leakage_split_sql(),

@@ -294,3 +294,72 @@ def test_bigram_lm_probabilities_sum_to_one(spark):
     top = bigram_lm(df, top_k=2).collect()
     assert len(top) == 2
     assert top[0].pair_count >= top[1].pair_count
+
+
+def _substring_dedup_model(texts_, k):
+    """Pure-Python replay of remove_repeated_substrings: repeated
+    k-shingle sites lose every occurrence after the global (doc, pos)
+    minimum; a token is dropped iff covered by a removed site."""
+    from collections import defaultdict
+
+    toks = {d: t.split(" ") if t else [""] for d, t in enumerate(texts_)}
+    by_sh = defaultdict(list)
+    for d, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            by_sh[" ".join(ws[p : p + k])].append((d, p))
+    covered = defaultdict(set)
+    for sites in by_sh.values():
+        for d, p in sorted(sites)[1:]:
+            covered[d].update(range(p, p + k))
+    out = {}
+    for d, ws in toks.items():
+        keep = [t for i, t in enumerate(ws) if i not in covered[d]]
+        out[d] = (len(ws), len(keep), " ".join(keep))
+    return out
+
+
+@given(st.lists(st.lists(st.sampled_from(WORDS), min_size=1, max_size=30).map(" ".join), min_size=1, max_size=6), st.integers(min_value=2, max_value=6))
+@slow
+def test_remove_repeated_substrings_matches_model(spark, texts_, k):
+    from gdutils_spark.operators.text import remove_repeated_substrings
+
+    got = {
+        r.doc: (r.n_tokens, r.n_kept, r.cleaned_text)
+        for r in remove_repeated_substrings(_df(spark, texts_), k=k).collect()
+    }
+    assert got == _substring_dedup_model(texts_, k)
+
+
+def test_remove_repeated_substrings_keeps_first_occurrence(spark):
+    from gdutils_spark.operators.text import remove_repeated_substrings
+
+    span = "one two three four"
+    texts_ = [
+        f"{span} tail0",          # doc 0: first occurrence — kept whole
+        f"head1 {span} tail1",    # doc 1: span removed
+        "unique words only here",  # doc 2: untouched
+    ]
+    got = {
+        r.doc: r.cleaned_text
+        for r in remove_repeated_substrings(_df(spark, texts_), k=4).collect()
+    }
+    assert got[0] == f"{span} tail0"
+    assert got[1] == "head1 tail1"
+    assert got[2] == "unique words only here"
+
+
+def test_remove_repeated_substrings_staged_identical(spark, tmp_path):
+    from gdutils_spark.operators.text import remove_repeated_substrings
+
+    texts_ = ["a b c d a b c d x", "z a b c d w", "a b c d"]
+    live = {
+        tuple(r)
+        for r in remove_repeated_substrings(_df(spark, texts_), k=4).collect()
+    }
+    staged = {
+        tuple(r)
+        for r in remove_repeated_substrings(
+            _df(spark, texts_), k=4, stage_path=str(tmp_path / "sites")
+        ).collect()
+    }
+    assert staged == live
