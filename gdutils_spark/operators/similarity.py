@@ -543,6 +543,28 @@ def _seed_centroids(
     return cent["_id"].to_numpy(), np.stack(cent["_v"].to_numpy()).astype(np.float64)
 
 
+def _residual_of(S: np.ndarray, cids: np.ndarray, CC: np.ndarray) -> np.ndarray:
+    """Residuals ``x − centroid(x)`` of the rows of ``S`` against the
+    coarse centroids ``CC`` — the SAME numpy ops (dim-sequential dot,
+    clip, first-index argmax over ascending cids) as the
+    :func:`_assign_to` / :func:`ivfpq_index` kernels, so the cell choice
+    (and hence the residual) is bit-identical to what the index pass
+    computes for the same vectors. Driver-side, seed-sized inputs."""
+
+    def norms(X):
+        acc = X[:, 0] * X[:, 0]
+        for j in range(1, X.shape[1]):
+            acc = acc + X[:, j] * X[:, j]
+        return np.sqrt(acc)
+
+    nc = norms(CC)
+    acc = S[:, [0]] * CC[:, 0][None, :]
+    for j in range(1, S.shape[1]):
+        acc = acc + S[:, [j]] * CC[:, j][None, :]
+    scores = np.clip(acc / (norms(S)[:, None] * nc[None, :]), -1.0, 1.0)
+    return S - CC[scores.argmax(axis=1)]
+
+
 def _assign_to(
     vectors: DataFrame,
     id_col: str,
@@ -1261,6 +1283,7 @@ def pq_refine_codebooks(
     m: int = 4,
     k: int = 8,
     n_iters: int = 2,
+    seeds: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace Lloyd (k-means) refinement of the PQ seed codebooks —
     the training step Jégou et al. (TPAMI 2011, §III) run per subspace;
@@ -1284,7 +1307,17 @@ def pq_refine_codebooks(
     per-subspace, so the sample just needs subspace coverage.
     """
     spark = vectors.sparkSession
-    _ids, C = _seed_centroids(vectors, id_col, vec_col, k)
+    if seeds is not None:
+        # caller-supplied seed matrix (e.g. residual-space seeds from
+        # _residual_codebook — the default lowest-id rows of a residual
+        # relation are the coarse seeds' own residuals, i.e. zeros)
+        C = seeds.astype(np.float64)
+        if len(C) != k:
+            raise ValueError(
+                f"pq_refine_codebooks: {len(C)} seeds for k={k}"
+            )
+    else:
+        _ids, C = _seed_centroids(vectors, id_col, vec_col, k)
     D = C.shape[1]
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
@@ -1351,6 +1384,75 @@ def pq_refine_codebooks(
     return C
 
 
+def _residual_frame(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cids: np.ndarray,
+    CC: np.ndarray,
+) -> DataFrame:
+    """Corpus residuals ``(id, _rv)`` with ``_rv = x − centroid(x)`` as
+    ``array<double>`` — the training relation for residual-PQ Lloyd.
+    One Arrow assignment pass (vector carried through, no corpus
+    re-join) + a JVM ``zip_with`` subtract; ``CAST(float AS DOUBLE)`` is
+    exact widening, so the values match the numpy float64 subtract in
+    the index kernel bit-for-bit."""
+    spark = vectors.sparkSession
+    assigned = _assign_to(vectors, id_col, vec_col, cids, CC, with_vector=True)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    cent_df = spark.createDataFrame(
+        [(c.item() if hasattr(c, "item") else c, [float(x) for x in CC[i]])
+         for i, c in enumerate(cids)],
+        f"centroid {id_type}, _cv array<double>",
+    )
+    return assigned.join(F.broadcast(cent_df), "centroid").select(
+        F.col(id_col),
+        F.zip_with(
+            F.col("_v"), F.col("_cv"), lambda a, b: a.cast("double") - b
+        ).alias("_rv"),
+    )
+
+
+def _residual_codebook(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_codes: int,
+    cids: np.ndarray,
+    CC: np.ndarray,
+    m: int,
+    pq_refine_iters: int,
+) -> np.ndarray:
+    """PQ codebook over RESIDUALS: seeded from the residuals of the
+    ``n_codes`` vectors ranked just PAST the coarse seeds (ids ranked
+    ``n_centroids .. n_centroids+n_codes``) — the lowest-id vectors ARE
+    the coarse seeds, whose residuals are zero, a degenerate codebook.
+    Optionally Lloyd-refined per subspace on the corpus residual
+    relation (:func:`_residual_frame` + :func:`pq_refine_codebooks` —
+    the actual Faiss IndexIVFPQ training flow, recommended)."""
+    n_skip = len(cids)
+    head = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(n_skip + n_codes)
+        .toPandas()
+    )
+    S = np.stack(head["_v"].to_numpy()[n_skip:]).astype(np.float64)
+    if len(S) != n_codes:
+        raise ValueError(
+            f"_residual_codebook: corpus has fewer than "
+            f"{n_skip + n_codes} vectors"
+        )
+    seed_resid = _residual_of(S, cids, CC)
+    if pq_refine_iters > 0:
+        resid = _residual_frame(vectors, id_col, vec_col, cids, CC)
+        return pq_refine_codebooks(
+            resid, id_col, "_rv", m, n_codes, pq_refine_iters,
+            seeds=seed_resid,
+        )
+    return seed_resid
+
+
 def ivfpq_index(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -1361,6 +1463,7 @@ def ivfpq_index(
     stage_path: str | None = None,
     coarse_refine_iters: int = 0,
     pq_refine_iters: int = 0,
+    residual: bool = False,
     _coarse: tuple[np.ndarray, np.ndarray] | None = None,
     _codebook: np.ndarray | None = None,
 ) -> DataFrame:
@@ -1369,6 +1472,17 @@ def ivfpq_index(
     stages once and searches many times (pass it back to
     :func:`knn_ivf_pq` via ``index=``, or read the ``stage_path``
     parquet in a later session).
+
+    ``residual=True`` encodes ``x − centroid(x)`` instead of raw ``x``
+    (the Faiss IndexIVFPQ DEFAULT, Jégou et al. 2011 §IV-A): residuals
+    have far smaller spread than raw vectors, so the same
+    ``m·log2(n_codes)`` bit budget buys materially more accuracy. The
+    codebook is then seeded from (or trained on) RESIDUALS, and a
+    search must decode per probed cell — :func:`knn_ivf_pq` with
+    ``residual=True`` does. An index's residual flag is part of its
+    geometry: searching a residual index without ``residual=True`` (or
+    vice versa) silently ranks wrong, exactly like an m/n_codes
+    mismatch — keep the build call's flags with the staged parquet.
 
     Cell assignment and PQ encoding are FUSED into one Arrow pass (both
     codebooks broadcast together) — building them separately would join
@@ -1403,6 +1517,10 @@ def ivfpq_index(
         cids, CC = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     if _codebook is not None:
         C = _codebook
+    elif residual:
+        C = _residual_codebook(
+            vectors, id_col, vec_col, n_codes, cids, CC, m, pq_refine_iters
+        )
     elif pq_refine_iters > 0:
         C = pq_refine_codebooks(
             vectors, id_col, vec_col, m, n_codes, pq_refine_iters
@@ -1434,14 +1552,18 @@ def ivfpq_index(
             for j in range(1, A.shape[1]):
                 acc = acc + A[:, [j]] * CCb[:, j][None, :]
             scores = np.clip(acc / (norms(A)[:, None] * nc[None, :]), -1.0, 1.0)
-            cell = cids_b[scores.argmax(axis=1)]
+            best = scores.argmax(axis=1)
+            cell = cids_b[best]
+            # residual encoding: quantize x − centroid(x), not x (same
+            # subtract as _residual_of, so seeds/encodes agree exactly)
+            E = A - CCb[best] if residual else A
             codes = np.empty((len(A), m), dtype=np.int32)
             for s in range(m):
                 lo = s * sub
-                diff = A[:, [lo]] - Cb[:, lo][None, :]
+                diff = E[:, [lo]] - Cb[:, lo][None, :]
                 d2 = diff * diff
                 for i in range(lo + 1, lo + sub):
-                    diff = A[:, [i]] - Cb[:, i][None, :]
+                    diff = E[:, [i]] - Cb[:, i][None, :]
                     d2 = d2 + diff * diff
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame(
@@ -1481,6 +1603,7 @@ def knn_ivf_pq(
     index: DataFrame | None = None,
     coarse_refine_iters: int = 0,
     pq_refine_iters: int = 0,
+    residual: bool = False,
     coarse: tuple[np.ndarray, np.ndarray] | None = None,
     codebook: np.ndarray | None = None,
 ) -> DataFrame:
@@ -1488,8 +1611,17 @@ def knn_ivf_pq(
     plan an actual 100 TB ANN deployment runs: coarse-probe the
     ``n_probe`` cells nearest each query (cosine, as :func:`knn_ivf`),
     then rank members of the probed cells by asymmetric distance over
-    their PQ CODES (as :func:`knn_pq`, raw-vector encoding). Returns
+    their PQ CODES (as :func:`knn_pq`). Returns
     ``(query_id, neighbor_id, approx_d2)`` top-k per query.
+
+    ``residual=True`` searches a RESIDUAL-encoded index (the Faiss
+    IndexIVFPQ default; see :func:`ivfpq_index`): codes quantize
+    ``x − centroid(x)``, so the ADC tables become per-(query,
+    probed-cell) — the query's residual against each probed centroid —
+    still ``|Q|·n_probe·m·n_codes`` rows, broadcast. Most of PQ's
+    accuracy at a fixed code budget comes from this. The flag must
+    match the index build's flag (a mismatch silently ranks wrong,
+    like an m/n_codes mismatch — the geometry guard cannot see it).
 
     Cost at scale multiplies both savings: the scan touches
     ~``n_probe/n_centroids`` of the corpus, and what it reads is
@@ -1532,8 +1664,25 @@ def knn_ivf_pq(
     # index, pass the SAME coarse_refine_iters / pq_refine_iters it was
     # built with (the ADC table is only asymmetric against that
     # codebook; a mismatch silently returns wrong distances)
+    # the coarse quantizer is trained ONCE and shared by the probe table
+    # and the index build; it is only materialized when actually needed
+    # (trained probe ranking, an inline index build, or residual ADC —
+    # residual search ALWAYS needs the centroid matrix) — the
+    # prebuilt-seed-index raw path runs NO extra corpus job
+    trained_coarse = coarse_refine_iters > 0 or coarse is not None
+    if coarse is None and (trained_coarse or index is None or residual):
+        if coarse_refine_iters > 0:
+            coarse = ivf_refine_centroids(
+                vectors, id_col, vec_col, n_centroids, coarse_refine_iters
+            )
+        else:
+            coarse = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     if codebook is not None:
         C = codebook
+    elif residual:
+        C = _residual_codebook(
+            vectors, id_col, vec_col, n_codes, *coarse, m, pq_refine_iters
+        )
     elif pq_refine_iters > 0:
         C = pq_refine_codebooks(
             vectors, id_col, vec_col, m, n_codes, pq_refine_iters
@@ -1544,24 +1693,12 @@ def knn_ivf_pq(
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
     sub = D // m
-    # the coarse quantizer is trained ONCE and shared by the probe table
-    # and the index build; it is only materialized when actually needed
-    # (trained probe ranking, or an inline index build) — the
-    # prebuilt-seed-index path runs NO extra corpus job
-    trained_coarse = coarse_refine_iters > 0 or coarse is not None
-    if coarse is None and (trained_coarse or index is None):
-        if coarse_refine_iters > 0:
-            coarse = ivf_refine_centroids(
-                vectors, id_col, vec_col, n_centroids, coarse_refine_iters
-            )
-        else:
-            coarse = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     codes = (
         index
         if index is not None
         else ivfpq_index(
             vectors, id_col, vec_col, n_centroids, m, n_codes, stage_path,
-            _coarse=coarse, _codebook=C,
+            residual=residual, _coarse=coarse, _codebook=C,
         )
     )
     if index is not None:
@@ -1621,22 +1758,56 @@ def knn_ivf_pq(
             [], f"query_id {id_type}, neighbor_id {id_type}, approx_d2 double"
         )
     Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
-    adc_rows = []
-    for s in range(m):
-        lo = s * sub
-        diff = Q[:, [lo]] - C[:, lo][None, :]
-        acc = diff * diff
-        for i in range(lo + 1, lo + sub):
-            diff = Q[:, [i]] - C[:, i][None, :]
-            acc = acc + diff * diff
-        for qi in range(len(Q)):
-            for c in range(C.shape[0]):
-                adc_rows.append(
-                    (_pykey(qpdf["_qid"][qi]), s, c, float(acc[qi, c]))
-                )
-    adc = spark.createDataFrame(
-        adc_rows, f"query_id {id_type}, subspace int, code int, d2 double"
-    )
+    if residual:
+        # residual ADC: per (query, probed cell) — the codes quantize
+        # x − centroid(x), so the lookup table for a probed cell is the
+        # QUERY's residual against that cell vs the codebook. Probe
+        # pairs are |Q|·n_probe (window-derived, deterministic); the
+        # table stays |Q|·n_probe·m·n_codes rows — broadcast.
+        cids_np, CC_np = coarse
+        cid_row = {c: i for i, c in enumerate(cids_np.tolist())}
+        qindex = {
+            _pykey(qpdf["_qid"][qi]): qi for qi in range(len(Q))
+        }
+        probe_pairs = [
+            (r["query_id"], r["centroid"]) for r in probes.collect()
+        ]
+        adc_rows = []
+        for qid, cell in sorted(probe_pairs):
+            R = Q[qindex[qid]] - CC_np[cid_row[cell]]
+            for s in range(m):
+                lo = s * sub
+                diff = R[lo] - C[:, lo]
+                acc = diff * diff
+                for i in range(lo + 1, lo + sub):
+                    diff = R[i] - C[:, i]
+                    acc = acc + diff * diff
+                for c in range(C.shape[0]):
+                    adc_rows.append((qid, cell, s, c, float(acc[c])))
+        adc = spark.createDataFrame(
+            adc_rows,
+            f"query_id {id_type}, centroid {id_type}, "
+            "subspace int, code int, d2 double",
+        )
+        adc_keys = ["query_id", "centroid", "subspace", "code"]
+    else:
+        adc_rows = []
+        for s in range(m):
+            lo = s * sub
+            diff = Q[:, [lo]] - C[:, lo][None, :]
+            acc = diff * diff
+            for i in range(lo + 1, lo + sub):
+                diff = Q[:, [i]] - C[:, i][None, :]
+                acc = acc + diff * diff
+            for qi in range(len(Q)):
+                for c in range(C.shape[0]):
+                    adc_rows.append(
+                        (_pykey(qpdf["_qid"][qi]), s, c, float(acc[qi, c]))
+                    )
+        adc = spark.createDataFrame(
+            adc_rows, f"query_id {id_type}, subspace int, code int, d2 double"
+        )
+        adc_keys = ["query_id", "subspace", "code"]
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2"), F.col("neighbor_id")
@@ -1646,7 +1817,7 @@ def knn_ivf_pq(
         # Catalyst can't size it through the window)
         codes.join(F.broadcast(probes), "centroid")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(adc), ["query_id", "subspace", "code"])
+        .join(F.broadcast(adc), adc_keys)
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.aggregate(

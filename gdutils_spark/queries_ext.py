@@ -1131,6 +1131,187 @@ SELECT query_id, neighbor_id, approx_d2 FROM (
 """
 
 
+def _ivfpq_arm_sql(residual: bool) -> str:
+    """Trained-coarse IVF-PQ search chain as SQL, parameterized on the
+    encoding: raw (codes quantize x against raw seed codewords) vs
+    RESIDUAL (codes quantize x − centroid(x) against residual seeds
+    drawn just past the coarse seed ids; query ADC becomes per probed
+    cell). Shared by the residual registry oracle and the raw-vs-
+    residual recall report, so the two arms differ ONLY in encoding."""
+    sub = EMB_DIMS // PQ_M
+    nc = IVF_REFINE_ITERS
+    ix = f"[CAST(t.s*{sub} + i + 1 AS INT)]"
+    head = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_ivf_refined_cent_ctes(nc)},
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e, cent{nc} c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cid AS centroid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+    FROM q, cent{nc} c) WHERE rn <= {IVFPQ_PROBE}
+),"""
+    if residual:
+        body = f"""
+resid AS (
+  SELECT a.vec_id, a.centroid,
+         list_transform(range({EMB_DIMS}),
+                        i -> e.v[CAST(i + 1 AS INT)] - c.cv[CAST(i + 1 AS INT)]) AS rv
+  FROM assign a JOIN e USING (vec_id) JOIN cent{nc} c ON c.cid = a.centroid
+),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx, rv AS cv
+  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id
+        LIMIT {PQ_K} OFFSET {IVF_CENTROIDS})
+),
+d AS (
+  SELECT r.vec_id, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           (r.rv{ix} - cb.cv{ix}) * (r.rv{ix} - cb.cv{ix}))) AS d2
+  FROM resid r CROSS JOIN range({PQ_M}) t(s) CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, subspace, code_idx FROM (
+    SELECT vec_id, subspace, code_idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d2, code_idx) AS rn
+    FROM d) WHERE rn = 1
+),
+dq AS (
+  SELECT p.query_id, p.centroid, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           ((q.qv{ix} - c.cv{ix}) - cb.cv{ix})
+           * ((q.qv{ix} - c.cv{ix}) - cb.cv{ix}))) AS d2
+  FROM probes p JOIN q USING (query_id)
+  JOIN cent{nc} c ON c.cid = p.centroid
+  CROSS JOIN range({PQ_M}) t(s) CROSS JOIN cb
+),
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list(t.d2 ORDER BY b.subspace)) AS approx_d2
+  FROM probes p
+  JOIN assign a ON a.centroid = p.centroid AND a.vec_id <> p.query_id
+  JOIN best b ON b.vec_id = a.vec_id
+  JOIN dq t ON t.query_id = p.query_id AND t.centroid = p.centroid
+          AND t.subspace = b.subspace AND t.code_idx = b.code_idx
+  GROUP BY 1, 2
+)"""
+    else:
+        body = f"""
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+d AS (
+  SELECT e.vec_id, t.s AS subspace, cb.code_idx,
+         list_sum(list_transform(range({sub}), i ->
+           (e.v{ix} - cb.cv{ix}) * (e.v{ix} - cb.cv{ix}))) AS d2
+  FROM e CROSS JOIN range({PQ_M}) t(s) CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, subspace, code_idx FROM (
+    SELECT vec_id, subspace, code_idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d2, code_idx) AS rn
+    FROM d) WHERE rn = 1
+),
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list(t.d2 ORDER BY b.subspace)) AS approx_d2
+  FROM probes p
+  JOIN assign a ON a.centroid = p.centroid AND a.vec_id <> p.query_id
+  JOIN best b ON b.vec_id = a.vec_id
+  JOIN d t ON t.vec_id = p.query_id AND t.subspace = b.subspace
+          AND t.code_idx = b.code_idx
+  GROUP BY 1, 2
+)"""
+    return f"""{head}{body}
+SELECT query_id, neighbor_id, approx_d2 FROM (
+  SELECT query_id, neighbor_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {KNN_K}
+"""
+
+
+def emb_knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ search (the Faiss IndexIVFPQ default,
+    Jégou et al. 2011 §IV-A): codes quantize x − centroid(x) against a
+    residual-space codebook, and the query ADC tables become per probed
+    cell — the encoding that buys most of PQ's accuracy at a fixed bit
+    budget once the coarse quantizer is trained. Trained coarse (Lloyd)
+    + residual seed codebook; every residual subtract, per-cell ADC
+    lookup and the ordered distance fold is hash-verified."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_ivf_pq(
+        vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS,
+        n_probe=IVFPQ_PROBE, m=PQ_M, n_codes=PQ_K,
+        coarse_refine_iters=IVF_REFINE_ITERS, residual=True,
+    )
+
+
+def emb_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-vs-RESIDUAL encoding ablation at a fixed probe/bit budget:
+    recall@k of the trained-coarse IVF-PQ search with raw seed
+    codewords vs residual seed codewords, against the exact brute-force
+    truth — the report that grades the Faiss-default encoding choice on
+    THIS corpus (residual wins once coarse cells capture real energy;
+    the coarse quantizer is trained once and shared by both arms).
+    Exact-integer hit totals, one final division."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    truth = sim.knn_bruteforce(vectors, queries, k=KNN_K)
+    denom = float(N_QUERIES * KNN_K)
+    coarse = sim.ivf_refine_centroids(
+        vectors, n_centroids=IVF_CENTROIDS, n_iters=IVF_REFINE_ITERS
+    )
+    arms = []
+    for variant, res in (("raw", False), ("residual", True)):
+        approx = sim.knn_ivf_pq(
+            vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS,
+            n_probe=IVFPQ_PROBE, m=PQ_M, n_codes=PQ_K,
+            coarse=coarse, residual=res,
+        )
+        hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        arms.append(
+            hits.agg(
+                F.lit(variant).alias("variant"),
+                F.count(F.lit(1)).alias("n_hits"),
+                (F.count(F.lit(1)).cast("double") / F.lit(denom)).alias(
+                    "mean_recall"
+                ),
+            )
+        )
+    return arms[0].unionByName(arms[1])
+
+
+def _ivfpq_residual_recall_sql() -> str:
+    return f"""
+WITH exact AS ({_KNN_SQL}),
+rawarm AS ({_ivfpq_arm_sql(False)}),
+resarm AS ({_ivfpq_arm_sql(True)})
+SELECT 'raw' AS variant, CAST(h.n AS BIGINT) AS n_hits,
+       CAST(h.n AS DOUBLE) / CAST({N_QUERIES * KNN_K} AS DOUBLE) AS mean_recall
+FROM (SELECT COUNT(*) AS n FROM exact e
+      JOIN rawarm a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id) h
+UNION ALL
+SELECT 'residual' AS variant, CAST(h.n AS BIGINT) AS n_hits,
+       CAST(h.n AS DOUBLE) / CAST({N_QUERIES * KNN_K} AS DOUBLE) AS mean_recall
+FROM (SELECT COUNT(*) AS n FROM exact e
+      JOIN resarm a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id) h
+"""
+
+
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load_table(spark, sf_dir, "embeddings")
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
@@ -3651,6 +3832,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pq_codes_refined": emb_pq_codes_refined,
     "emb_knn_ivfpq": emb_knn_ivfpq,
     "emb_knn_ivfpq_trained": emb_knn_ivfpq_trained,
+    "emb_knn_ivfpq_residual": emb_knn_ivfpq_residual,
+    "emb_ivfpq_residual_recall": emb_ivfpq_residual_recall,
     "emb_pq_recall": emb_pq_recall,
     "events_hll_users_incremental": events_hll_users_incremental,
     "customer_rfm_scores": customer_rfm_scores,
@@ -3733,6 +3916,8 @@ EXT_ORACLE: dict[str, str] = {
     "emb_pq_codes_refined": _pq_codes_refined_sql(),
     "emb_knn_ivfpq": _knn_ivfpq_sql(),
     "emb_knn_ivfpq_trained": _knn_ivfpq_trained_sql(),
+    "emb_knn_ivfpq_residual": _ivfpq_arm_sql(True),
+    "emb_ivfpq_residual_recall": _ivfpq_residual_recall_sql(),
     "emb_pq_recall": _pq_recall_sql(),
     "events_hll_users_incremental": _hll_merge_sql(),
     "customer_rfm_scores": _RFM_SQL,

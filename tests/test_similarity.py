@@ -570,3 +570,106 @@ def test_pq_encode_geometries_match_model(embeddings, m_, ncodes):
             for s in range(m_)
         ]
         assert got[vid] == want, (vid, m_, ncodes)
+
+
+def test_knn_ivf_pq_residual_matches_numpy_model(embeddings):
+    """Residual IVF-PQ end-to-end vs an independent numpy replay:
+    trained-coarse assignment, residual encode against offset seeds,
+    per-probed-cell ADC, top-k — the full chain."""
+    import numpy as np
+
+    k, nc, npb, m_, ncodes = 3, 8, 2, 4, 8
+    queries = embeddings.where("vec_id < 5")
+    got = {
+        (r.query_id, r.neighbor_id): r.approx_d2
+        for r in sim.knn_ivf_pq(
+            embeddings, queries, k=k, n_centroids=nc, n_probe=npb,
+            m=m_, n_codes=ncodes, coarse_refine_iters=1, residual=True,
+        ).collect()
+    }
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    cids, CC = sim.ivf_refine_centroids(
+        embeddings, n_centroids=nc, n_iters=1
+    )
+    nrm = lambda M: np.linalg.norm(M, axis=1)
+    S = np.clip((X @ CC.T) / (nrm(X)[:, None] * nrm(CC)[None, :]), -1, 1)
+    cell_idx = S.argmax(axis=1)
+    R = X - CC[cell_idx]
+    # offset residual seeds: ids ranked nc..nc+ncodes
+    order = np.argsort(ids)
+    seed_rows = order[nc : nc + ncodes]
+    C = R[seed_rows]
+    sub = X.shape[1] // m_
+    codes = np.empty((len(X), m_), dtype=int)
+    for s in range(m_):
+        lo = s * sub
+        d2 = ((R[:, None, lo:lo + sub] - C[None, :, lo:lo + sub]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    id_of = {i: int(ids[i]) for i in range(len(ids))}
+    qrows = [i for i in range(len(ids)) if ids[i] < 5]
+    model = {}
+    for qi in qrows:
+        probe_order = np.lexsort((cids, -S[qi]))[:npb]
+        cands = []
+        for ci in probe_order:
+            Rq = X[qi] - CC[ci]
+            for xi in np.where(cell_idx == ci)[0]:
+                if xi == qi:
+                    continue
+                d = 0.0
+                for s in range(m_):
+                    lo = s * sub
+                    d += ((Rq[lo:lo + sub] - C[codes[xi, s], lo:lo + sub]) ** 2).sum()
+                cands.append((d, id_of[xi]))
+        for d, nid in sorted(cands)[:k]:
+            model[(id_of[qi], nid)] = d
+    assert set(got) == set(model)
+    for key in got:
+        assert abs(got[key] - model[key]) < 1e-9, key
+
+
+def test_knn_ivf_pq_residual_prebuilt_index_reuse(embeddings, tmp_path):
+    """Residual index built once + searched via index=/coarse=/codebook=
+    equals the inline residual search, with no re-encode in the plan."""
+    from gdutils_spark.plans import formatted_plan
+
+    kw = dict(k=3, n_centroids=8, n_probe=2, m=4, n_codes=8)
+    coarse = sim.ivf_refine_centroids(embeddings, n_centroids=8, n_iters=1)
+    codebook = sim._residual_codebook(
+        embeddings, "vec_id", "embedding", 8, *coarse, 4, 0
+    )
+    idx = sim.ivfpq_index(
+        embeddings, n_centroids=8, m=4, n_codes=8,
+        stage_path=str(tmp_path / "ridx"),
+        residual=True, _coarse=coarse, _codebook=codebook,
+    )
+    queries = embeddings.where("vec_id < 5")
+    reused = sim.knn_ivf_pq(
+        embeddings, queries, index=idx, residual=True,
+        coarse=coarse, codebook=codebook, **kw,
+    )
+    assert "MapInPandas" not in formatted_plan(reused)
+    inline = {
+        (r.query_id, r.neighbor_id, r.approx_d2)
+        for r in sim.knn_ivf_pq(
+            embeddings, queries, coarse_refine_iters=1, residual=True, **kw
+        ).collect()
+    }
+    assert {
+        (r.query_id, r.neighbor_id, r.approx_d2) for r in reused.collect()
+    } == inline
+
+
+def test_residual_codebook_seeds_are_not_degenerate(embeddings):
+    """The residual codebook must seed PAST the coarse seed ids — the
+    lowest-id vectors ARE the coarse seeds, whose residuals are zero."""
+    import numpy as np
+
+    coarse = sim._seed_centroids(embeddings, "vec_id", "embedding", 8)
+    C = sim._residual_codebook(
+        embeddings, "vec_id", "embedding", 8, *coarse, 4, 0
+    )
+    norms = np.linalg.norm(C, axis=1)
+    assert (norms > 1e-6).all(), norms
