@@ -391,6 +391,30 @@ def cmd_bloom_screen(args) -> int:
     return 0
 
 
+def cmd_substring_dedup(args) -> int:
+    from gdutils_spark.operators.text import remove_repeated_substrings
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = remove_repeated_substrings(
+        df, args.text_col, args.id_col, k=args.min_tokens,
+        stage_path=args.stage_path,
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_quantiles(args) -> int:
+    from gdutils_spark.operators.sketches import hist_quantiles, hist_registers
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    reg = hist_registers(df, args.value_col, args.lo, args.hi, args.bins)
+    out = hist_quantiles(reg, args.q, args.lo, args.hi, args.bins)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_cdc_apply(args) -> int:
     from gdutils_spark.operators.cdc import apply_cdc
 
@@ -714,6 +738,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="table whose values seed the filter")
     sp.add_argument("--value-col", default="fp")
     sp.add_argument("--id-col", default="doc_id")
+
+    sp = add_pipeline("substring-dedup", cmd_substring_dedup)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--min-tokens", type=int, default=8,
+                    help="minimum repeated-span length (Lee et al. knob)")
+    sp.add_argument("--stage-path", help="stage the shingle-site table here")
+
+    sp = add_pipeline("quantiles", cmd_quantiles)
+    sp.add_argument("--value-col", default="value")
+    sp.add_argument("--lo", type=float, required=True)
+    sp.add_argument("--hi", type=float, required=True)
+    sp.add_argument("--bins", type=int, default=512)
+    sp.add_argument("--q", type=float, action="append", required=True,
+                    help="quantile in [0,1] (repeatable)")
 
     sp = add_pipeline("cdc-apply", cmd_cdc_apply)
     sp.add_argument("--changes", required=True,

@@ -237,3 +237,31 @@ def test_cli_cdc_apply(spark, tmp_path, capsys):
     ]) == 0
     recs = {r["id"]: r["v"] for r in json.loads(capsys.readouterr().out)}
     assert recs == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_cli_substring_dedup(docs_path, capsys):
+    assert main([
+        "substring-dedup", "--input", docs_path, "--min-tokens", "3",
+        "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 20
+    # every fixture doc shares the 3-token spans "sample document number"
+    # and "with shared words"; all occurrences after the global first
+    # are removed, so every doc except one loses tokens
+    removed = [r for r in recs if r["n_kept"] < r["n_tokens"]]
+    assert len(removed) >= 19, recs
+
+
+def test_cli_quantiles(spark, tmp_path, capsys):
+    d = str(tmp_path / "vals")
+    spark.createDataFrame(
+        [(float(i),) for i in range(100)], "value double"
+    ).write.parquet(d)
+    assert main([
+        "quantiles", "--input", d, "--lo", "0", "--hi", "100",
+        "--bins", "100", "--q", "0.5", "--q", "0.9", "-f", "json",
+    ]) == 0
+    recs = {r["q"]: r["est"] for r in json.loads(capsys.readouterr().out)}
+    assert abs(recs[0.5] - 49.5) <= 1.0
+    assert abs(recs[0.9] - 89.1) <= 1.0
