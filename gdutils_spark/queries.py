@@ -1953,83 +1953,73 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 6 window (exactly 50): (a) the 9 new queries — refined PQ
-    # codes, composed IVF-PQ search, PQ training-lift recall report,
-    # merged-HLL incremental distinct actives, RFM quintile scores,
-    # daily volume z-scores, count-min token frequencies, CDC merge,
-    # SCD2 history; (b) ALL 41 entries whose latest green row was r3
-    # (the pre-declared round-6 rotation priority — clears the rotation
-    # debt flagged in VERDICT r5). No r4 fillers made the cut — the new
-    # queries took those slots. After this round no entry's freshest
-    # green row predates r4. Round-7 rotation priority: the 49
-    # r4-latest entries (emb_knn_recall, doc_dup_cluster_stats,
-    # doc_vocab_stats, user_cohort_retention, user_funnel,
-    # q2/q7/q8/q9/q11/q14/q15/q16/q17/q20/q21/q22,
-    # doc_repetition_signals, doc_source_stats, doc_shard_stats,
-    # emb_semantic_dedup, doc_source_overlap, doc_dedup_keep_best,
-    # doc_domain_mix_plan, doc_domain_mix_sample, doc_bm25_search,
-    # doc_incremental_dedup, emb_knn_ivf_refined, doc_chunks,
-    # doc_tfidf_terms, emb_quantize, mm_thumbnails, mm_pixel_stats,
-    # rt_csv_batch_daily, rt_csv_sink_roundtrip, rt_json_records_typed,
-    # rt_client_datasets, rt_client_api_merge, rt_client_api_merge_right,
-    # rt_dataset_profiles, rt_dataset_timeseries, rt_info_card,
-    # rt_canned_filters, rt_geo_track_points, rt_kml_coords,
-    # rt_plot_urls, rt_stream_dedup, rt_stream_daily_counts), PLUS
-    # doc_bloom_screen, rt_stream_stream_join, doc_bigram_lm and
-    # emb_knn_ivfpq_trained (added late in r6 past the full window —
-    # each locally driver-sim green, FIRST in the r7 window per the
-    # newly-added rule),
-    # then r5-latest in registry order.
-    "emb_pq_codes_refined",
-    "emb_knn_ivfpq",
-    "emb_pq_recall",
-    "events_hll_users_incremental",
-    "customer_rfm_scores",
-    "event_type_daily_zscore",
-    "doc_cms_token_freq",
-    "orders_cdc_upsert",
-    "user_event_type_scd2",
-    "calendar_md_orders",
-    "calendar_slice_ym",
-    "calendar_ym_active_customers",
-    "calendar_ymd_events_dense",
-    "customer_order_ranks",
-    "customer_orphan_flag",
-    "customer_orphans",
-    "distinct_user_event_types",
-    "doc_benchmark_contamination",
-    "doc_near_dup_drop",
-    "doc_pack_batches",
-    "doc_pii_scrub",
-    "doc_stratified_sample",
-    "doc_top_tokens",
-    "emb_ivf_assign",
-    "emb_knn_bruteforce",
-    "emb_knn_ivf",
-    "emb_knn_lsh",
-    "emb_lsh_buckets",
-    "emb_lsh_near_dup_pairs",
-    "emb_near_dup_pairs",
-    "event_props_stats",
-    "event_sessions",
-    "event_value_buckets",
-    "event_value_quantiles",
-    "lineitem_shipped_90d",
-    "mm_audio_features",
-    "mm_image_features",
-    "order_last_event_asof",
-    "orders_above_cust_avg",
-    "part_name_filter",
-    "q13_order_distribution",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "rollup_order_totals",
-    "suppliers_with_shipments_semi",
-    "tagged_event_union",
-    "top_order_per_customer",
-    "user_day_spine",
-    "user_event_gaps",
-    "user_first_week_events",
+    # round 7 window (exactly 50): (a) the 5 NEW round-7 queries —
+    # substring-level dedup (Lee et al. ExactSubstr), left-outer
+    # stream-stream join with the watermark-cut oracle, the mergeable
+    # histogram quantile sketch, residual IVF-PQ search, and the
+    # raw-vs-residual recall ablation; (b) the 4 r6-late additions that
+    # have never had a driver row (doc_bloom_screen, doc_bigram_lm,
+    # emb_knn_ivfpq_trained, rt_stream_stream_join — pre-declared first
+    # in the r6 ledger, locally drive-sim green); (c) 41 of the 49
+    # entries whose latest green row is r4 (the pre-declared round-7
+    # rotation priority). The 8 r4-latest entries that did NOT fit —
+    # rt_plot_urls, rt_kml_coords, rt_info_card, rt_canned_filters,
+    # rt_csv_sink_roundtrip, rt_geo_track_points, rt_client_api_merge,
+    # rt_client_api_merge_right (all static client/sink presentation
+    # surfaces untouched since r4, re-verified locally every session by
+    # tests/test_queries_oracle.py) — are the ROUND-8 ROTATION PRIORITY
+    # and must head the r8 window. After this round no other entry's
+    # freshest green row predates r5.
+    "doc_substring_dedup",
+    "rt_stream_stream_left_join",
+    "event_value_quantile_sketch",
+    "emb_knn_ivfpq_residual",
+    "emb_ivfpq_residual_recall",
+    "doc_bloom_screen",
+    "doc_bigram_lm",
+    "emb_knn_ivfpq_trained",
+    "rt_stream_stream_join",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q22_idle_high_balance",
+    "q7_nation_volume",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q2_min_balance_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q20_surplus_suppliers",
+    "q21_waiting_suppliers",
+    "emb_knn_recall",
+    "user_cohort_retention",
+    "user_funnel",
+    "doc_dup_cluster_stats",
+    "doc_vocab_stats",
+    "doc_length_histogram",
+    "doc_chunks",
+    "doc_tfidf_terms",
+    "emb_quantize",
+    "emb_knn_ivf_refined",
+    "mm_thumbnails",
+    "mm_pixel_stats",
+    "doc_repetition_signals",
+    "doc_source_stats",
+    "doc_shard_stats",
+    "emb_semantic_dedup",
+    "doc_source_overlap",
+    "doc_dedup_keep_best",
+    "doc_domain_mix_plan",
+    "doc_domain_mix_sample",
+    "doc_bm25_search",
+    "doc_incremental_dedup",
+    "rt_csv_batch_daily",
+    "rt_json_records_typed",
+    "rt_client_datasets",
+    "rt_dataset_profiles",
+    "rt_dataset_timeseries",
+    "rt_stream_dedup",
+    "rt_stream_daily_counts",
 )
 
 
