@@ -52,9 +52,11 @@ def apply_cdc(
     an update beats a simultaneous delete deterministically); rows equal
     in (key, seq, op) but differing in payload are the caller's contract
     to prevent — use unique sequences per key. Without ``seq_col`` the
-    batch must carry at most ONE change row per key — VALIDATED with a
-    LIMIT-bounded probe (duplicates would all survive the upsert filter
-    and silently break snapshot key uniqueness).
+    batch must carry at most ONE DISTINCT change row per key — VALIDATED
+    with a LIMIT-bounded probe (conflicting changes would all survive
+    the upsert filter and silently break snapshot key uniqueness);
+    fully identical duplicates (at-least-once delivery retries) are
+    idempotent and collapse instead of raising.
     """
     keys = list(keys)
     bad = (
@@ -71,13 +73,18 @@ def apply_cdc(
         )
     latest = changes
     if seq_col is None:
-        # no-seq contract: at most ONE change row per key — with several
-        # non-delete changes for a key, every one would survive the
-        # upsert filter and silently break the snapshot's key
-        # uniqueness. Probe is LIMIT-bounded over the (small) batch,
-        # like the op-domain check above.
+        # no-seq contract: at most ONE DISTINCT change row per key —
+        # with several conflicting changes for a key, every non-delete
+        # would survive the upsert filter and silently break the
+        # snapshot's key uniqueness. Fully identical duplicate rows
+        # (an at-least-once feed retrying the same change) are
+        # idempotent, so they collapse rather than raise — a retried
+        # delete must not crash a streaming merge. Probe is
+        # LIMIT-bounded over the (small) batch, like the op-domain
+        # check above.
+        latest = changes.dropDuplicates()
         dup = (
-            changes.groupBy(*keys)
+            latest.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > 1)
             .limit(1)
@@ -85,9 +92,10 @@ def apply_cdc(
         )
         if dup:
             raise ValueError(
-                "apply_cdc: change batch has multiple rows for key "
-                f"{tuple(dup[0][k] for k in keys)!r} but seq_col is None; "
-                "pass seq_col so the latest change per key can be chosen"
+                "apply_cdc: change batch has multiple distinct rows for "
+                f"key {tuple(dup[0][k] for k in keys)!r} but seq_col is "
+                "None; pass seq_col so the latest change per key can be "
+                "chosen"
             )
     if seq_col is not None:
         w = Window.partitionBy(*keys).orderBy(

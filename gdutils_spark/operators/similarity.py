@@ -1437,12 +1437,15 @@ def _residual_codebook(
         .limit(n_skip + n_codes)
         .toPandas()
     )
-    S = np.stack(head["_v"].to_numpy()[n_skip:]).astype(np.float64)
-    if len(S) != n_codes:
+    rows = head["_v"].to_numpy()[n_skip:]
+    if len(rows) != n_codes:
+        # check BEFORE np.stack — an empty slice would raise an opaque
+        # "need at least one array to stack" instead of this message
         raise ValueError(
             f"_residual_codebook: corpus has fewer than "
             f"{n_skip + n_codes} vectors"
         )
+    S = np.stack(rows).astype(np.float64)
     seed_resid = _residual_of(S, cids, CC)
     if pq_refine_iters > 0:
         resid = _residual_frame(vectors, id_col, vec_col, cids, CC)
@@ -1705,18 +1708,30 @@ def knn_ivf_pq(
         # fail-fast geometry check on a prebuilt/staged index: the ADC
         # join on (subspace, code) SILENTLY drops sub-distance terms if
         # the index was built with different m / n_codes, so a mismatch
-        # would rank wrong with no error. One aggregate over the
-        # (code-table-sized) index; training-state mismatches remain the
-        # caller's contract (see docstring).
-        geo = codes.agg(
-            F.max("subspace").alias("ms"), F.max("code").alias("mc")
-        ).collect()[0]
-        if geo["ms"] is not None and (geo["ms"] != m - 1 or geo["mc"] >= n_codes):
+        # would rank wrong with no error. LIMIT-bounded probes, not a
+        # full aggregate — the index is |corpus|·m rows and the
+        # search-many-times path must not rescan it per call:
+        # built-BIGGER shows up as any row past the geometry; built-
+        # SMALLER as a non-empty index with no subspace m−1 row (every
+        # indexed vector carries all its subspaces). Training-state and
+        # residual-flag mismatches remain the caller's contract (see
+        # docstring).
+        too_big = (
+            codes.where(
+                (F.col("subspace") >= m) | (F.col("code") >= n_codes)
+            )
+            .limit(1)
+            .collect()
+        )
+        too_small = (
+            not codes.where(F.col("subspace") == m - 1).limit(1).collect()
+            and bool(codes.limit(1).collect())
+        )
+        if too_big or too_small:
             raise ValueError(
-                f"knn_ivf_pq: prebuilt index geometry mismatch — index has "
-                f"subspaces 0..{geo['ms']} and max code {geo['mc']}, but the "
-                f"search call asked for m={m}, n_codes={n_codes}; rebuild the "
-                "index or pass the m/n_codes it was built with"
+                "knn_ivf_pq: prebuilt index geometry mismatch — the index "
+                f"was not built with m={m}, n_codes={n_codes}; rebuild it "
+                "or pass the m/n_codes it was built with"
             )
 
     # coarse probe ranking: same JVM cosine + window as knn_ivf
@@ -1772,6 +1787,13 @@ def knn_ivf_pq(
         probe_pairs = [
             (r["query_id"], r["centroid"]) for r in probes.collect()
         ]
+        # the ranking job already ran for the collect — rebuild probes
+        # as a local relation so the final join doesn't recompute the
+        # queries×centroids cosine window a second time (and the ADC
+        # rows and the join see bit-identical probe sets)
+        probes = spark.createDataFrame(
+            sorted(probe_pairs), f"query_id {id_type}, centroid {id_type}"
+        )
         adc_rows = []
         for qid, cell in sorted(probe_pairs):
             R = Q[qindex[qid]] - CC_np[cid_row[cell]]

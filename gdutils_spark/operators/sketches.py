@@ -469,13 +469,24 @@ def hist_registers(
     bin rule ``floor((x − lo) · n_bins / (hi − lo))`` is two IEEE ops +
     a floor — deterministic and engine-replayable bit-for-bit.
     """
+    if hi <= lo:
+        raise ValueError(f"hist_registers: hi={hi} must exceed lo={lo}")
+    if n_bins <= 0:
+        raise ValueError(f"hist_registers: n_bins={n_bins} must be positive")
     x = F.col(value_col).cast("double")
     raw = F.floor(
         (x - F.lit(float(lo)))
         * F.lit(float(n_bins))
         / (F.lit(float(hi)) - F.lit(float(lo)))
+    )
+    # clamp the LONG floor result BEFORE the int cast: a far outlier
+    # (e.g. an epoch-millis value against a [0, 500) range) would wrap
+    # around int32 into an arbitrary interior bin — or throw under ANSI
+    # mode — instead of landing in the documented edge bin
+    b = F.least(
+        F.greatest(raw, F.lit(0).cast("long")),
+        F.lit(n_bins - 1).cast("long"),
     ).cast("int")
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     return (
         df.where(x.isNotNull())
         .select(b.alias("bin"))
@@ -511,6 +522,12 @@ def hist_quantiles(
     the knob ``n_bins`` buys. ``registers`` must be non-empty."""
     from pyspark.sql import Window
 
+    bad_q = [q for q in qs if not 0.0 <= float(q) <= 1.0]
+    if bad_q:
+        # an out-of-range q would bracket no bin and its output row
+        # would silently VANISH, misaligning consumers that zip
+        # estimates to requested quantiles
+        raise ValueError(f"hist_quantiles: quantiles outside [0, 1]: {bad_q}")
     spark = registers.sparkSession
     w_cum = (
         Window.orderBy("bin")

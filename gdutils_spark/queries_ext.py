@@ -3430,11 +3430,12 @@ WITH vals AS (
 ),
 binned AS (
   SELECT event_id,
-         least(greatest(CAST(floor((v - CAST({HIST_LO} AS DOUBLE))
+         CAST(least(greatest(floor((v - CAST({HIST_LO} AS DOUBLE))
                                    * CAST({HIST_NBINS} AS DOUBLE)
                                    / (CAST({HIST_HI} AS DOUBLE)
-                                      - CAST({HIST_LO} AS DOUBLE))) AS INT),
-                        0), {HIST_NBINS - 1}) AS bin
+                                      - CAST({HIST_LO} AS DOUBLE))),
+                             CAST(0 AS DOUBLE)),
+                    CAST({HIST_NBINS - 1} AS DOUBLE)) AS INT) AS bin
   FROM vals
 ),
 ra AS (SELECT bin, COUNT(*) AS cnt FROM binned WHERE event_id % 2 = 0 GROUP BY bin),

@@ -238,3 +238,16 @@ def test_scd2_matches_python_model(spark, rows):
             nxt = cps[i + 1][0] if i + 1 < len(cps) else None
             model.append((k, a, ts, nxt, nxt is None))
     assert got == sorted(model, key=keyfn)
+
+
+def test_apply_cdc_identical_duplicate_rows_are_idempotent(spark):
+    """At-least-once delivery: fully identical duplicate change rows
+    (a retried delete or update) collapse instead of raising — only
+    CONFLICTING no-seq changes for a key are an error."""
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    retried = spark.createDataFrame(
+        [(1, None, "D"), (1, None, "D"), (2, "b2", "U"), (2, "b2", "U")],
+        "id long, v string, op string",
+    )
+    got = {r.id: r.v for r in apply_cdc(snap, retried, ["id"]).collect()}
+    assert got == {2: "b2"}

@@ -325,3 +325,35 @@ def test_hist_quantiles_error_bounded_by_bin_width(spark):
     ).collect()[0]
     for q in (0.5, 0.9, 0.99):
         assert abs(ests[q] - exact[str(q)]) <= 1.0 + 1e-9, (q, ests[q], exact[str(q)])
+
+
+def test_hist_outliers_clamp_to_edge_bins_not_int_wrap(spark):
+    """A far outlier (e.g. an epoch-millis value against a small range)
+    must land in the documented edge bin — clamping happens on the LONG
+    floor result BEFORE the int cast, so int32 wraparound can't scatter
+    it into an arbitrary interior bin."""
+    from gdutils_spark.operators.sketches import hist_registers
+
+    df = spark.createDataFrame(
+        [(3.0e9,), (-3.0e9,), (50.0,)], "v double"
+    )
+    got = {r.bin: r.cnt for r in hist_registers(df, "v", 0.0, 100.0, 10).collect()}
+    assert got == {9: 1, 0: 1, 5: 1}
+
+
+def test_hist_validates_inputs(spark):
+    import pytest
+
+    from gdutils_spark.operators.sketches import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="must exceed"):
+        hist_registers(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError, match="must be positive"):
+        hist_registers(df, "v", 0.0, 1.0, 0)
+    reg = hist_registers(df, "v", 0.0, 10.0, 10)
+    with pytest.raises(ValueError, match="outside"):
+        hist_quantiles(reg, [0.5, 1.5], 0.0, 10.0, 10)
