@@ -160,6 +160,41 @@ def hll_report(
     )
 
 
+def hll_estimate(registers: DataFrame, p: int = DEFAULT_P) -> DataFrame:
+    """Raw HLL estimate from a REGISTER TABLE ``(grp, bucket, reg)`` —
+    the fold of :func:`hll_report` without the exact-count corpus scan.
+    This is the consumer for merged/staged sketches: estimate a union by
+    folding :func:`hll_merge` output, or yesterday's persisted registers,
+    without touching the data that built them. Same determinism contract
+    as the report (exact power-of-two doubles, pinned ascending-bucket
+    fold, one inlined bias literal), so the estimate hash-verifies
+    cross-engine. Register-table-sized work."""
+    m = 1 << p
+    with_inv = registers.select(
+        "grp", "bucket", F.expr("1.0D / shiftleft(1L, reg)").alias("inv")
+    )
+    folded = with_inv.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "inv"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["inv"],
+        ).alias("sum_present"),
+    )
+    c = _alpha_m2(p)
+    sum_inv = (
+        F.col("sum_present")
+        + (F.lit(m) - F.col("n_buckets_hit")).cast("double")
+    ).alias("sum_inv")
+    out = folded.select("grp", "n_buckets_hit", sum_inv)
+    return out.select(
+        "grp",
+        "n_buckets_hit",
+        "sum_inv",
+        (F.lit(c) / F.col("sum_inv")).alias("hll_estimate"),
+    )
+
+
 def hll_corrected(report: DataFrame, p: int = DEFAULT_P) -> DataFrame:
     """Consumer-side small-range correction (Flajolet et al. 2007 §4):
     when the raw estimate is below ``2.5·m`` and some registers are

@@ -3198,6 +3198,138 @@ FROM r GROUP BY 1, 2
 """
 
 
+HLL_OVERLAP_CUT_A = "1998-01-01"  # cohort A: orders shipping before
+HLL_OVERLAP_CUT_B = "1996-01-01"  # cohort B: orders shipping on/after
+
+
+def lineitem_hll_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA driver-verified: estimate the overlap of two
+    order cohorts (orders with shipments before 1998 vs on/after 1996 —
+    the intersection is orders ACTIVE across both windows) by
+    inclusion-exclusion over sketches alone:
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)``, the union sketch from
+    :func:`hll_merge` (element-wise max) and every estimate folded from
+    REGISTER TABLES by :func:`hll_estimate` — the events are never
+    rescanned past the two register builds. This is the 100 TB
+    audience/entity-overlap question answered at sketch cost; exact
+    distinct counts ride alongside to grade the estimator (the standard
+    caveat applies and is visible in the report: inclusion-exclusion
+    error scales with the SET sizes, not the intersection size). One
+    output row, every float pinned IEEE."""
+    from gdutils_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cut_a = F.lit(HLL_OVERLAP_CUT_A).cast("date")
+    cut_b = F.lit(HLL_OVERLAP_CUT_B).cast("date")
+    cohort_a = li.where(F.col("l_shipdate") < cut_a)
+    cohort_b = li.where(F.col("l_shipdate") >= cut_b)
+    ra = hll_registers(
+        cohort_a.withColumn("_g", F.lit("a")), "l_orderkey", "_g", p=HLL_P
+    )
+    rb = hll_registers(
+        cohort_b.withColumn("_g", F.lit("b")), "l_orderkey", "_g", p=HLL_P
+    )
+    ru = hll_merge(
+        ra.withColumn("grp", F.lit("u")), rb.withColumn("grp", F.lit("u"))
+    )
+    ests = hll_estimate(ra.unionByName(rb).unionByName(ru), p=HLL_P)
+    pick = lambda g: F.max(F.when(F.col("grp") == g, F.col("hll_estimate")))
+    wide = ests.agg(
+        pick("a").alias("est_a"), pick("b").alias("est_b"),
+        pick("u").alias("est_union"),
+    )
+    flags = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_shipdate") < cut_a).cast("int")).alias("_fa"),
+        F.max((F.col("l_shipdate") >= cut_b).cast("int")).alias("_fb"),
+    )
+    exact = flags.agg(
+        F.sum("_fa").alias("n_exact_a"),
+        F.sum("_fb").alias("n_exact_b"),
+        F.sum((F.col("_fa") + F.col("_fb") == 2).cast("long")).alias(
+            "n_exact_intersection"
+        ),
+    )
+    inter = (F.col("est_a") + F.col("est_b")) - F.col("est_union")
+    return wide.crossJoin(F.broadcast(exact)).select(
+        "est_a", "est_b", "est_union",
+        inter.alias("est_intersection"),
+        "n_exact_a", "n_exact_b", "n_exact_intersection",
+        (
+            (inter - F.col("n_exact_intersection").cast("double"))
+            / F.col("n_exact_intersection").cast("double")
+        ).alias("intersection_rel_error"),
+    )
+
+
+def _hll_overlap_sql() -> str:
+    from gdutils_spark.operators.sketches import _alpha_m2
+
+    m = 1 << HLL_P
+    width = 60 - HLL_P
+    alpha = f"CAST('{_alpha_m2(HLL_P)!r}' AS DOUBLE)"
+    fold = (
+        "list_sum(list(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << reg) "
+        "ORDER BY bucket))"
+    )
+    rho = (
+        f"MAX(CASE WHEN (hv >> {HLL_P}) = 0 THEN {width + 1} "
+        f"ELSE {width + 1} - length(bin(hv >> {HLL_P})) END)"
+    )
+    return f"""
+WITH ha AS (SELECT DISTINCT {_h64("CAST(l_orderkey AS VARCHAR)")} AS hv
+            FROM lineitem WHERE l_shipdate < DATE '{HLL_OVERLAP_CUT_A}'),
+hb AS (SELECT DISTINCT {_h64("CAST(l_orderkey AS VARCHAR)")} AS hv
+       FROM lineitem WHERE l_shipdate >= DATE '{HLL_OVERLAP_CUT_B}'),
+ra AS (SELECT hv % {m} AS bucket, {rho} AS reg FROM ha GROUP BY 1),
+rb AS (SELECT hv % {m} AS bucket, {rho} AS reg FROM hb GROUP BY 1),
+ru AS (SELECT bucket, MAX(reg) AS reg
+       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+folds AS (
+  SELECT 'a' AS grp, CAST(COUNT(*) AS BIGINT) AS nb, {fold} AS sp FROM ra
+  UNION ALL
+  SELECT 'b', CAST(COUNT(*) AS BIGINT), {fold} FROM rb
+  UNION ALL
+  SELECT 'u', CAST(COUNT(*) AS BIGINT), {fold} FROM ru
+),
+ests AS (
+  SELECT grp, {alpha} / (sp + CAST({m} - nb AS DOUBLE)) AS est FROM folds
+),
+wide AS (
+  SELECT MAX(CASE WHEN grp = 'a' THEN est END) AS est_a,
+         MAX(CASE WHEN grp = 'b' THEN est END) AS est_b,
+         MAX(CASE WHEN grp = 'u' THEN est END) AS est_union
+  FROM ests
+),
+flags AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_shipdate < DATE '{HLL_OVERLAP_CUT_A}'
+                  THEN 1 ELSE 0 END) AS fa,
+         MAX(CASE WHEN l_shipdate >= DATE '{HLL_OVERLAP_CUT_B}'
+                  THEN 1 ELSE 0 END) AS fb
+  FROM lineitem GROUP BY l_orderkey
+),
+exact AS (
+  SELECT CAST(SUM(fa) AS BIGINT) AS n_exact_a,
+         CAST(SUM(fb) AS BIGINT) AS n_exact_b,
+         CAST(SUM(CASE WHEN fa + fb = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_intersection
+  FROM flags
+)
+SELECT est_a, est_b, est_union,
+       (est_a + est_b) - est_union AS est_intersection,
+       n_exact_a, n_exact_b, n_exact_intersection,
+       ((est_a + est_b) - est_union - CAST(n_exact_intersection AS DOUBLE))
+         / CAST(n_exact_intersection AS DOUBLE) AS intersection_rel_error
+FROM wide, exact
+"""
+
+
 CDC_NEW_KEY_OFFSET = 100_000_000
 
 
@@ -3837,6 +3969,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivfpq_residual_recall": emb_ivfpq_residual_recall,
     "emb_pq_recall": emb_pq_recall,
     "events_hll_users_incremental": events_hll_users_incremental,
+    "lineitem_hll_order_overlap": lineitem_hll_order_overlap,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -3921,6 +4054,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_ivfpq_residual_recall": _ivfpq_residual_recall_sql(),
     "emb_pq_recall": _pq_recall_sql(),
     "events_hll_users_incremental": _hll_merge_sql(),
+    "lineitem_hll_order_overlap": _hll_overlap_sql(),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),

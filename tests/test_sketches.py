@@ -357,3 +357,32 @@ def test_hist_validates_inputs(spark):
     reg = hist_registers(df, "v", 0.0, 10.0, 10)
     with pytest.raises(ValueError, match="outside"):
         hist_quantiles(reg, [0.5, 1.5], 0.0, 10.0, 10)
+
+
+def test_hll_estimate_from_merged_registers_matches_report(spark):
+    """hll_estimate over a hll_merge'd register table == hll_report's
+    estimate over the combined corpus — the sketch-algebra invariant
+    that makes union (and inclusion-exclusion intersection) estimates
+    valid without rescanning either side."""
+    from gdutils_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        hll_report,
+    )
+
+    a = [f"x{i}" for i in range(400)]
+    b = [f"x{i}" for i in range(200, 700)]  # genuine overlap
+    df_a = spark.createDataFrame([("g", v) for v in a], "src string, v string")
+    df_b = spark.createDataFrame([("g", v) for v in b], "src string, v string")
+    both = spark.createDataFrame(
+        [("g", v) for v in a + b], "src string, v string"
+    )
+    merged = hll_merge(
+        hll_registers(df_a, "v", "src"), hll_registers(df_b, "v", "src")
+    )
+    est = hll_estimate(merged).collect()[0]
+    rep = hll_report(both, "v", "src").collect()[0]
+    assert est.hll_estimate == rep.hll_estimate
+    assert est.n_buckets_hit == rep.n_buckets_hit
+    assert est.sum_inv == rep.sum_inv
