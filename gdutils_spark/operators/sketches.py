@@ -597,3 +597,73 @@ def hist_quantiles(
         )
         .select("q", est.alias("est"))
     )
+
+
+BOTTOMK_K = 512
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """Deterministic mergeable uniform row sample ``(hk, val)``: the
+    ``k`` rows whose md5-hashed key is smallest (a KMV / bottom-k
+    sketch). Because md5 is a fixed function of the key, the "random"
+    sample is REPRODUCIBLE by any engine, incrementally stable, and
+    MERGEABLE: the bottom-k of a union is the bottom-k of the combined
+    bottom-k's (:func:`bottomk_merge`) — so per-shard samples combine
+    without rescanning any shard. This is the complement of
+    :func:`hist_registers` for quantiles: no declared [lo, hi) bounds,
+    at the cost of sampling error ~1/sqrt(k) in RANK terms
+    (:func:`bottomk_quantiles`).
+
+    ``key_col`` should be row-unique (an event/row id); duplicate keys
+    tie on ``hk`` and are then ordered by value, keeping the cut
+    deterministic. NULL keys and NULL values are skipped like every
+    builder in this module. Plan shape: a global ordered LIMIT — Spark
+    plans TakeOrderedAndProject (per-partition top-k, single tiny
+    merge), never a full sort."""
+    from gdutils_spark.operators.dedup import _md5_int64
+
+    return (
+        df.where(
+            F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            _md5_int64(F.col(key_col).cast("string")).alias("hk"),
+            F.col(value_col).cast("double").alias("val"),
+        )
+        .orderBy("hk", "val")
+        .limit(k)
+    )
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
+    """Merge two bottom-k samples (same key hashing): bottom-k of the
+    union — sample-sized work, the shards are never rescanned."""
+    return a.unionByName(b).orderBy("hk", "val").limit(k)
+
+
+def bottomk_quantiles(sample: DataFrame, qs: "list[float]") -> DataFrame:
+    """Quantile estimates from a bottom-k sample: exact ``percentile``
+    over the sampled values, one ``(q, est)`` row per requested
+    quantile. The sample is uniform over rows (md5 keys), so the sample
+    quantile converges to the population quantile with rank error
+    ~1/sqrt(k). Sample-sized work; the percentile interpolation is the
+    engine-parity `quantile_cont` convention."""
+    bad_q = [q for q in qs if not 0.0 <= float(q) <= 1.0]
+    if bad_q:
+        raise ValueError(f"bottomk_quantiles: quantiles outside [0, 1]: {bad_q}")
+    arms = [
+        sample.agg(
+            F.lit(float(q)).alias("q"),
+            F.percentile(F.col("val"), F.lit(float(q))).alias("est"),
+        )
+        for q in qs
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -3619,6 +3619,93 @@ FROM ests, exact
 """
 
 
+BK_K = 512
+BK_QS = (0.5, 0.9, 0.99)
+
+
+def event_value_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED-domain mergeable quantiles via the bottom-k (KMV)
+    sample — the complement of ``event_value_quantile_sketch``'s
+    fixed-bin histogram: no declared [lo, hi) bounds, rank error
+    ~1/sqrt(k) instead of bin-width error. The md5-keyed sample is
+    deterministic and MERGEABLE (bottom-k of a union == bottom-k of the
+    combined bottom-k's), demonstrated the incremental way: each corpus
+    half folds to its own k-sample, :func:`bottomk_merge` combines them
+    without rescanning either half, and the quantiles come off the
+    merged sample. Exact percentiles ride alongside to grade the
+    estimator; the whole report hash-verifies (the sample membership is
+    a pure function of the keys)."""
+    from gdutils_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    sa = bottomk_sample(e.where(F.col("event_id") % 2 == 0), "event_id", "value", BK_K)
+    sb = bottomk_sample(e.where(F.col("event_id") % 2 == 1), "event_id", "value", BK_K)
+    ests = bottomk_quantiles(bottomk_merge(sa, sb, BK_K), list(BK_QS))
+    exact = e.agg(
+        *[
+            F.percentile(F.col("value"), F.lit(q)).alias(f"_e{int(q * 100)}")
+            for q in BK_QS
+        ]
+    )
+    exact_col = (
+        F.when(F.col("q") == BK_QS[0], F.col(f"_e{int(BK_QS[0]*100)}"))
+        .when(F.col("q") == BK_QS[1], F.col(f"_e{int(BK_QS[1]*100)}"))
+        .otherwise(F.col(f"_e{int(BK_QS[2]*100)}"))
+    )
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "q",
+        "est",
+        exact_col.alias("exact_q"),
+        F.abs(F.col("est") - exact_col).alias("abs_err"),
+    )
+
+
+def _bottomk_quantiles_sql() -> str:
+    hk = _h64("CAST(event_id AS VARCHAR)")
+    arm = lambda q: (
+        f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(val, {q}) AS est FROM m"
+    )
+    return f"""
+WITH vals AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_id IS NOT NULL AND value IS NOT NULL
+),
+sa AS (SELECT {hk} AS hk, v AS val FROM vals WHERE event_id % 2 = 0
+       ORDER BY 1, 2 LIMIT {BK_K}),
+sb AS (SELECT {hk} AS hk, v AS val FROM vals WHERE event_id % 2 = 1
+       ORDER BY 1, 2 LIMIT {BK_K}),
+m AS (SELECT hk, val FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) u
+      ORDER BY hk, val LIMIT {BK_K}),
+ests AS (
+  {arm(BK_QS[0])}
+  UNION ALL
+  {arm(BK_QS[1])}
+  UNION ALL
+  {arm(BK_QS[2])}
+),
+exact AS (
+  SELECT quantile_cont(v, {BK_QS[0]}) AS e50,
+         quantile_cont(v, {BK_QS[1]}) AS e90,
+         quantile_cont(v, {BK_QS[2]}) AS e99
+  FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL) t
+)
+SELECT q, est,
+       CASE WHEN q = CAST({BK_QS[0]} AS DOUBLE) THEN e50
+            WHEN q = CAST({BK_QS[1]} AS DOUBLE) THEN e90
+            ELSE e99 END AS exact_q,
+       abs(est - CASE WHEN q = CAST({BK_QS[0]} AS DOUBLE) THEN e50
+                      WHEN q = CAST({BK_QS[1]} AS DOUBLE) THEN e90
+                      ELSE e99 END) AS abs_err
+FROM ests, exact
+"""
+
+
 BIGRAM_TOP_K = 30
 
 
@@ -3978,6 +4065,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bloom_screen": doc_bloom_screen,
     "doc_bigram_lm": doc_bigram_lm,
     "event_value_quantile_sketch": event_value_quantile_sketch,
+    "event_value_bottomk_quantiles": event_value_bottomk_quantiles,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -4063,6 +4151,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_bloom_screen": _bloom_screen_sql(),
     "doc_bigram_lm": _BIGRAM_LM_SQL,
     "event_value_quantile_sketch": _HIST_QSKETCH_SQL,
+    "event_value_bottomk_quantiles": _bottomk_quantiles_sql(),
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

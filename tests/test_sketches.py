@@ -386,3 +386,58 @@ def test_hll_estimate_from_merged_registers_matches_report(spark):
     assert est.hll_estimate == rep.hll_estimate
     assert est.n_buckets_hit == rep.n_buckets_hit
     assert est.sum_inv == rep.sum_inv
+
+
+def test_bottomk_merge_equals_whole_sample(spark):
+    """KMV mergeability: bottom-k of two half-corpus samples merged ==
+    bottom-k of the whole corpus (min-k of a union)."""
+    from gdutils_spark.operators.sketches import bottomk_merge, bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 83)) for i in range(1000)], "id long, v double"
+    )
+    whole = [
+        (r.hk, r.val) for r in bottomk_sample(df, "id", "v", 64).collect()
+    ]
+    a = bottomk_sample(df.where("id % 2 = 0"), "id", "v", 64)
+    b = bottomk_sample(df.where("id % 2 = 1"), "id", "v", 64)
+    merged = [(r.hk, r.val) for r in bottomk_merge(a, b, 64).collect()]
+    assert sorted(merged) == sorted(whole)
+    assert len(whole) == 64
+
+
+def test_bottomk_quantiles_track_population(spark):
+    """On a large uniform-ish population the k=256 sample quantiles land
+    within a few rank-percent of the exact quantiles."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.sketches import bottomk_quantiles, bottomk_sample
+
+    df = spark.range(5000).select(
+        F.col("id"), ((F.col("id") * 41 % 5000).cast("double") / 50.0).alias("v")
+    )
+    s = bottomk_sample(df, "id", "v", 256)
+    ests = {r.q: r.est for r in bottomk_quantiles(s, [0.5, 0.9]).collect()}
+    exact = df.agg(
+        F.percentile("v", F.lit(0.5)).alias("m"),
+        F.percentile("v", F.lit(0.9)).alias("n"),
+    ).collect()[0]
+    # rank error ~1/sqrt(256) ≈ 6%; values span [0, 100) so allow ~8 units
+    assert abs(ests[0.5] - exact.m) < 8.0
+    assert abs(ests[0.9] - exact.n) < 8.0
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        bottomk_quantiles(s, [2.0])
+
+
+def test_bottomk_sample_skips_nulls_and_plans_takeordered(spark):
+    from gdutils_spark.operators.sketches import bottomk_sample
+    from gdutils_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (None, 1.0), (3, None), (4, 2.0)], "id long, v double"
+    )
+    s = bottomk_sample(df, "id", "v", 10)
+    assert s.count() == 2  # NULL key and NULL value rows skipped
+    assert "TakeOrderedAndProject" in formatted_plan(s)
