@@ -1335,6 +1335,63 @@ WHERE contains(lower(concat_ws(' ', title, summary, institution)), 'coastal')
 """
 
 
+def rt_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SKETCH MAINTENANCE driver-verified: the event stream is
+    drained one parquet file per micro-batch (``maxFilesPerTrigger=1``,
+    so the merge path genuinely runs), each batch folds into its own
+    histogram register table and ``stream_merge_sketch`` merges it onto
+    the latest committed version — the versioned-snapshot protocol of
+    the streaming MERGE INTO, applied to mergeable-sketch state. The
+    returned relation is the FINAL register table; the oracle computes
+    the whole-corpus binning directly, so a dropped batch, double merge
+    (replay bug) or binning drift changes the hashed counters."""
+    from gdutils_spark.operators.sketches import hist_merge, hist_registers
+    from gdutils_spark.queries_ext import HIST_HI, HIST_LO, HIST_NBINS
+    from gdutils_spark.streaming import latest_sketch, stream_merge_sketch
+
+    _pin_utc(spark)
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    tmp = _work_dir("stream_hist")
+    src, chk, snap = (os.path.join(tmp, d) for d in ("src", "chk", "snap"))
+    e.repartition(4).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_merge_sketch(
+        stream,
+        build=lambda b: hist_registers(b, "value", HIST_LO, HIST_HI, HIST_NBINS),
+        merge=hist_merge,
+        snapshot_dir=snap,
+        checkpoint=chk,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "rt_stream_quantile_sketch: streaming query did not finish"
+        )
+    return latest_sketch(spark, snap).select("bin", "cnt")
+
+
+def _stream_hist_sql() -> str:
+    from gdutils_spark.queries_ext import HIST_HI, HIST_LO, HIST_NBINS
+
+    return f"""
+WITH vals AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(least(greatest(floor((v - CAST({HIST_LO} AS DOUBLE))
+                                 * CAST({HIST_NBINS} AS DOUBLE)
+                                 / (CAST({HIST_HI} AS DOUBLE)
+                                    - CAST({HIST_LO} AS DOUBLE))),
+                           CAST(0 AS DOUBLE)),
+                  CAST({HIST_NBINS - 1} AS DOUBLE)) AS INT) AS bin,
+       COUNT(*) AS cnt
+FROM vals GROUP BY 1
+"""
+
+
 def rt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join driver-verified end-to-end: the
     click and purchase slices of the event stream join on user within a
@@ -1514,6 +1571,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_enrich": rt_stream_enrich,
     "rt_stream_stream_join": rt_stream_stream_join,
     "rt_stream_stream_left_join": rt_stream_stream_left_join,
+    "rt_stream_quantile_sketch": rt_stream_quantile_sketch,
     "rt_stream_media": rt_stream_media,
     "rt_jsonl_shards": rt_jsonl_shards,
     "rt_orc_roundtrip": rt_orc_roundtrip,
@@ -1542,6 +1600,7 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_enrich": _RT_STREAM_ENRICH_SQL,
     "rt_stream_stream_join": _RT_STREAM_SS_JOIN_SQL,
     "rt_stream_stream_left_join": _RT_STREAM_SS_LEFT_JOIN_SQL,
+    "rt_stream_quantile_sketch": _stream_hist_sql(),
     "rt_stream_media": _RT_STREAM_MEDIA_SQL,
     "rt_jsonl_shards": _RT_JSONL_SHARDS_SQL,
     "rt_orc_roundtrip": _RT_ORC_SQL,

@@ -417,3 +417,67 @@ def stream_apply_cdc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_sketch(
+    stream: DataFrame,
+    build,
+    merge,
+    snapshot_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuous MERGEABLE-SKETCH maintenance: each micro-batch folds
+    into its own sketch (``build(batch) -> DataFrame``) and merges with
+    the latest committed sketch version (``merge(prev, cur) ->
+    DataFrame``), committing ``snapshot_dir/v=<batch_id>`` — the
+    streaming counterpart of the incremental-ingest story every sketch
+    in ``operators/sketches.py`` is built for. Works unchanged for HLL
+    registers (merge = :func:`~gdutils_spark.operators.sketches.hll_merge`),
+    CMS counters (``cms_merge``), Bloom words (``bloom_merge``),
+    histogram bins (``hist_merge``) and bottom-k samples — anything with
+    an associative, idempotent-under-replay merge whose state is
+    sketch-sized, so each micro-batch costs one batch scan plus
+    sketch-sized work regardless of how much history the sketch
+    summarizes.
+
+    Crash-replay safety is inherited from the versioned-snapshot
+    protocol of :func:`stream_apply_cdc` (via
+    :func:`snapshot_base_version`): a replayed batch re-merges onto its
+    PREDECESSOR version, never its own partial output, and only
+    ``_SUCCESS``-committed versions count as a base. NOTE the replay
+    contract this imposes on ``build``/``merge``: the pair must be
+    deterministic functions of the batch ROWS (true for every sketch
+    here — md5 hashing, integer counters), so a replayed batch produces
+    the identical sketch and the re-merge converges to the same
+    version.
+
+    Returns the started ``StreamingQuery`` (caller owns stop/await).
+    """
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        cur = build(batch)
+        v = snapshot_base_version(sess, snapshot_dir, batch_id)
+        if v is not None:
+            prev = sess.read.parquet(f"{snapshot_dir}/v={v}")
+            cur = merge(prev, cur)
+        cur.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_sketch(spark, snapshot_dir: str):
+    """Read the highest COMMITTED sketch version (the consistent-view
+    rule every reader of the versioned-snapshot protocol follows)."""
+    v = snapshot_base_version(spark, snapshot_dir, before=1 << 62)
+    if v is None:
+        raise FileNotFoundError(
+            f"latest_sketch: no committed version under {snapshot_dir}"
+        )
+    return spark.read.parquet(f"{snapshot_dir}/v={v}")

@@ -557,3 +557,74 @@ def test_snapshot_base_version_replay_and_partial_writes(spark, tmp_path):
     assert snapshot_base_version(spark, snap, before=1 << 60) == 2
     # empty dir
     assert snapshot_base_version(spark, str(tmp_path / "none"), before=5) is None
+
+
+def test_stream_merge_sketch_hist_matches_batch(spark, tmp_path):
+    """Incremental histogram maintenance: one parquet file per
+    micro-batch, each merged onto the last committed version — the final
+    register table equals the batch whole-corpus registers, and several
+    versions exist (the merge path genuinely ran)."""
+    import os
+
+    from gdutils_spark.operators.sketches import hist_merge, hist_registers
+    from gdutils_spark.streaming import latest_sketch, stream_merge_sketch
+
+    src, chk, snap = (str(tmp_path / d) for d in ("src", "chk", "snap"))
+    df = spark.range(300).select(
+        F.col("id"), ((F.col("id") * 7 % 100).cast("double")).alias("v")
+    )
+    df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_merge_sketch(
+        stream,
+        build=lambda b: hist_registers(b, "v", 0.0, 100.0, 20),
+        merge=hist_merge,
+        snapshot_dir=snap,
+        checkpoint=chk,
+    )
+    assert q.awaitTermination(120)
+    got = {(r.bin, r.cnt) for r in latest_sketch(spark, snap).collect()}
+    want = {
+        (r.bin, r.cnt) for r in hist_registers(df, "v", 0.0, 100.0, 20).collect()
+    }
+    assert got == want
+    versions = [d for d in os.listdir(snap) if d.startswith("v=")]
+    assert len(versions) >= 3  # one per file → merging actually happened
+
+
+def test_stream_merge_sketch_generalizes_to_hll(spark, tmp_path):
+    """The same maintainer runs any mergeable sketch: HLL registers
+    maintained incrementally equal the batch whole-corpus registers."""
+    from gdutils_spark.operators.sketches import hll_merge, hll_registers
+    from gdutils_spark.streaming import latest_sketch, stream_merge_sketch
+
+    src, chk, snap = (str(tmp_path / d) for d in ("hsrc", "hchk", "hsnap"))
+    df = spark.range(500).select(
+        F.lit("g").alias("grp_src"), F.col("id").cast("string").alias("v")
+    )
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_merge_sketch(
+        stream,
+        build=lambda b: hll_registers(b, "v", "grp_src"),
+        merge=hll_merge,
+        snapshot_dir=snap,
+        checkpoint=chk,
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.grp, r.bucket, r.reg) for r in latest_sketch(spark, snap).collect()
+    }
+    want = {
+        (r.grp, r.bucket, r.reg)
+        for r in hll_registers(df, "v", "grp_src").collect()
+    }
+    assert got == want
