@@ -1,0 +1,108 @@
+"""Iterative graph algorithms beyond connected components
+(``dedup.connected_components``): deterministic PageRank.
+
+The reference has no graph operators; this family exists because a
+training-data pipeline ends up with graphs everywhere — co-occurrence
+graphs for importance weighting, near-dup pair graphs for clustering,
+citation/link graphs for quality priors (the original PageRank use).
+
+Spark-first shape: one iteration = one equi-join of the edge list with
+the current rank vector plus one destination-keyed aggregate — no
+driver-side state, no collect; ranks and edges are node/edge-sized
+relations that ``localCheckpoint`` pins between iterations (the same
+lineage-truncation discipline as ``connected_components`` — without it
+the final plan re-derives every earlier iteration per consumer, the
+no-subtree-reuse trap).
+
+Determinism contract (oracle-replayable like the Lloyd chains): the
+per-node contribution sum is an ascending-source ordered fold
+(``list_sum(list(c ORDER BY src))`` in the SQL replay), divisions are
+single IEEE ops, and the teleport/damping constants are computed ONCE in
+Python and inlined as literals on both engines — so a fixed number of
+iterations reproduces bit-identical ranks anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iters: int = 3,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list (pass both directions for an
+    undirected graph) — ``(node, pr)`` after ``n_iters`` power
+    iterations of ``pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)/outdeg(u)``,
+    uniform ``1/N`` start.
+
+    Node set = distinct sources (for undirected input that is the full
+    node set; a directed sink node with no out-edges would drop its
+    mass — the standard simplification, document or add self-loops).
+    Fixed iteration count, not convergence-tested: the fixed chain is
+    what an oracle can replay, and at 100 TB you budget iterations
+    anyway. Per iteration: one broadcast-or-shuffle equi-join on the
+    edge source + one dst-keyed ordered-fold aggregate; edge list and
+    each rank vector are ``localCheckpoint``-pinned so iteration t+1
+    reuses t's result instead of re-deriving the whole chain.
+    """
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # constants inlined ONCE from python floats — the SQL replay embeds
+    # repr() of these same values, so both engines use the identical
+    # doubles (1 - 0.85 is NOT the literal 0.15 in IEEE)
+    teleport = 1.0 - damping
+    pr = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            (F.lit(1.0) / F.col("n").cast("double")).alias("pr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_iters):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                "src",
+                (F.col("pr") / F.col("deg").cast("double")).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    lambda s: s["c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s")
+        )
+        pr = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("n").cast("double")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

@@ -3198,6 +3198,85 @@ FROM r GROUP BY 1, 2
 """
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_TOP = 50
+
+
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative GRAPH algorithm driver-verified: PageRank over the part
+    co-purchase graph (parts sharing an order are linked, both
+    directions) — the importance-weighting primitive link/citation/
+    co-occurrence graphs feed in a data pipeline. Three fully
+    distributed power iterations (edge join + dst-keyed ordered-fold
+    aggregate per iteration, localCheckpoint lineage pinning — no
+    driver-side state); the oracle replays the whole chain as iteration
+    CTEs like the Lloyd trainings, so every rank double is bit-exact.
+    Returns the top 50 parts by rank, fully tie-broken."""
+    from pyspark.sql import Window
+
+    from gdutils_spark.operators.graph import pagerank
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    pr = pagerank(edges, damping=PR_DAMPING, n_iters=PR_ITERS)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PR_TOP)
+        .select(F.col("node").alias("part"), "pr")
+    )
+
+
+def _pagerank_sql() -> str:
+    teleport = 1.0 - PR_DAMPING
+    tele = f"CAST('{teleport!r}' AS DOUBLE)"
+    damp = f"CAST('{PR_DAMPING!r}' AS DOUBLE)"
+    ctes = [
+        "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        """ed AS (SELECT DISTINCT a.p AS src, b.p AS dst
+       FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p)""",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT src AS node FROM ed)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        """pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+        FROM nodes, nn)""",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        prev = f"pr{i - 1}"
+        ctes.append(
+            f"""c{i} AS (
+  SELECT ed.dst AS node, ed.src AS src, p.pr / CAST(deg.deg AS DOUBLE) AS c
+  FROM ed JOIN {prev} p ON p.node = ed.src JOIN deg ON deg.src = ed.src)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT node, list_sum(list(c ORDER BY src)) AS s FROM c{i} GROUP BY node)"""
+        )
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT nd.node,
+         {tele} / CAST(nn.n AS DOUBLE)
+         + {damp} * COALESCE(s, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes nd LEFT JOIN s{i} USING (node), nn)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node AS part, pr FROM (
+  SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+  FROM pr{PR_ITERS}
+) WHERE rn <= {PR_TOP}
+"""
+
+
 HLL_OVERLAP_CUT_A = "1998-01-01"  # cohort A: orders shipping before
 HLL_OVERLAP_CUT_B = "1996-01-01"  # cohort B: orders shipping on/after
 
@@ -4057,6 +4136,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pq_recall": emb_pq_recall,
     "events_hll_users_incremental": events_hll_users_incremental,
     "lineitem_hll_order_overlap": lineitem_hll_order_overlap,
+    "part_copurchase_pagerank": part_copurchase_pagerank,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -4143,6 +4223,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_pq_recall": _pq_recall_sql(),
     "events_hll_users_incremental": _hll_merge_sql(),
     "lineitem_hll_order_overlap": _hll_overlap_sql(),
+    "part_copurchase_pagerank": _pagerank_sql(),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),

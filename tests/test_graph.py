@@ -1,0 +1,67 @@
+"""PageRank operator properties (oracle hash-parity for the registry
+query lives in test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gdutils_spark.operators.graph import pagerank
+
+
+def _model(edge_list, d=0.85, iters=3):
+    """Pure-Python power iteration with the SAME ordered-fold sum rule
+    (contributions added in ascending source order)."""
+    from collections import defaultdict
+
+    edges = sorted(set(edge_list))
+    deg = defaultdict(int)
+    out = defaultdict(list)
+    for s, t in edges:
+        deg[s] += 1
+    for s, t in edges:
+        out[t].append(s)
+    nodes = sorted({s for s, _ in edges})
+    n = len(nodes)
+    pr = {v: 1.0 / float(n) for v in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            s = 0.0
+            for u in sorted(out.get(v, [])):
+                s = s + pr[u] / float(deg[u])
+            nxt[v] = (1.0 - d) / float(n) + d * s
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_python_model_bit_exact(spark):
+    edge_list = [
+        (1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3),
+        (4, 1), (1, 4), (5, 1), (1, 5), (5, 4), (4, 5),
+    ]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank(df, n_iters=3).collect()}
+    want = _model(edge_list, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == want[v], (v, got[v], want[v])  # bit-exact
+
+
+def test_pagerank_mass_conserved_and_hub_wins(spark):
+    """On an undirected graph (no dangling mass) total rank stays 1, and
+    the highest-degree hub out-ranks the leaves."""
+    star = [(0, i) for i in range(1, 8)] + [(i, 0) for i in range(1, 8)]
+    ring = [(10, 11), (11, 10), (11, 12), (12, 11), (12, 10), (10, 12)]
+    df = spark.createDataFrame(star + ring, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank(df, n_iters=5).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] == max(got.values())  # the star hub
+
+
+def test_pagerank_validates_iters(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iters"):
+        pagerank(df, n_iters=-1)
+    # zero iterations = the uniform start vector
+    got = {r.node: r.pr for r in pagerank(df, n_iters=0).collect()}
+    assert got == {1: 1.0}
