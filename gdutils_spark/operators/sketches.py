@@ -484,6 +484,7 @@ def hist_registers(
     lo: float,
     hi: float,
     n_bins: int = HIST_BINS,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Fixed-bin histogram as a register table ``(bin, cnt)`` — the
     fourth mergeable sketch: HLL answers "how many distinct", CMS "how
@@ -503,6 +504,11 @@ def hist_registers(
     dropped; NULLs are skipped like every builder in this module. The
     bin rule ``floor((x − lo) · n_bins / (hi − lo))`` is two IEEE ops +
     a floor — deterministic and engine-replayable bit-for-bit.
+
+    ``group_col``: per-group registers ``(grp, bin, cnt)`` — the
+    per-segment distribution report (p50/p90 per event type, per
+    source, ...); state is groups × n_bins counters, still one
+    map-combinable aggregate.
     """
     if hi <= lo:
         raise ValueError(f"hist_registers: hi={hi} must exceed lo={lo}")
@@ -522,18 +528,24 @@ def hist_registers(
         F.greatest(raw, F.lit(0).cast("long")),
         F.lit(n_bins - 1).cast("long"),
     ).cast("int")
+    cols = ([F.col(group_col).alias("grp")] if group_col else []) + [
+        b.alias("bin")
+    ]
+    names = (["grp"] if group_col else []) + ["bin"]
     return (
         df.where(x.isNotNull())
-        .select(b.alias("bin"))
-        .groupBy("bin")
+        .select(*cols)
+        .groupBy(*names)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def hist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two histogram register tables (same lo/hi/n_bins geometry):
-    elementwise sum — register-table-sized work, corpus never rescanned."""
-    return a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    elementwise sum — register-table-sized work, corpus never rescanned.
+    Grouped register tables (a ``grp`` column) merge per group."""
+    keys = [c for c in a.columns if c != "cnt"]
+    return a.unionByName(b).groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 
 
 def hist_quantiles(
@@ -564,14 +576,16 @@ def hist_quantiles(
         # estimates to requested quantiles
         raise ValueError(f"hist_quantiles: quantiles outside [0, 1]: {bad_q}")
     spark = registers.sparkSession
-    w_cum = (
-        Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.orderBy("bin").rowsBetween(
+    # a grouped register table (grp column) yields per-group estimates
+    grouped = "grp" in registers.columns
+    w_base = Window.partitionBy("grp") if grouped else Window.partitionBy()
+    w_cum = w_base.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = w_base.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    keep = ["grp"] if grouped else []
     cum = registers.select(
+        *keep,
         "bin",
         "cnt",
         F.coalesce(F.sum("cnt").over(w_cum), F.lit(0).cast("long")).alias(
@@ -595,7 +609,7 @@ def hist_quantiles(
             (F.col("cum_below").cast("double") <= t)
             & (t < (F.col("cum_below") + F.col("cnt")).cast("double"))
         )
-        .select("q", est.alias("est"))
+        .select(*keep, "q", est.alias("est"))
     )
 
 

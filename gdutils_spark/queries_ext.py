@@ -3698,6 +3698,99 @@ FROM ests, exact
 """
 
 
+GHIST_QS = (0.5, 0.9)
+
+
+def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP quantile sketch: p50/p90 of event value per event type
+    from grouped histogram registers (groups × 500 integer counters, one
+    map-combinable aggregate) — the per-segment distribution report that
+    exact per-group ``percentile`` cannot partial-aggregate at 100 TB.
+    Exact grouped percentiles ride alongside; every estimate step is
+    pinned IEEE, so all groups × quantiles hash-verify."""
+    from gdutils_spark.operators.sketches import hist_quantiles, hist_registers
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    reg = hist_registers(
+        e, "value", HIST_LO, HIST_HI, HIST_NBINS, group_col="event_type"
+    )
+    ests = hist_quantiles(reg, list(GHIST_QS), HIST_LO, HIST_HI, HIST_NBINS)
+    exact = e.groupBy(F.col("event_type").alias("grp")).agg(
+        *[
+            F.percentile(F.col("value"), F.lit(q)).alias(f"_e{int(q * 100)}")
+            for q in GHIST_QS
+        ]
+    )
+    exact_col = F.when(
+        F.col("q") == GHIST_QS[0], F.col(f"_e{int(GHIST_QS[0]*100)}")
+    ).otherwise(F.col(f"_e{int(GHIST_QS[1]*100)}"))
+    return ests.join(F.broadcast(exact), "grp").select(
+        F.col("grp").alias("event_type"),
+        "q",
+        "est",
+        exact_col.alias("exact_q"),
+        F.abs(F.col("est") - exact_col).alias("abs_err"),
+    )
+
+
+_GHIST_SQL = f"""
+WITH vals AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT grp,
+         CAST(least(greatest(floor((v - CAST({HIST_LO} AS DOUBLE))
+                                   * CAST({HIST_NBINS} AS DOUBLE)
+                                   / (CAST({HIST_HI} AS DOUBLE)
+                                      - CAST({HIST_LO} AS DOUBLE))),
+                             CAST(0 AS DOUBLE)),
+                    CAST({HIST_NBINS - 1} AS DOUBLE)) AS INT) AS bin
+  FROM vals
+),
+reg AS (SELECT grp, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bin, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_below,
+         CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS total
+  FROM reg
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES ({GHIST_QS[0]}), ({GHIST_QS[1]})) t(q)),
+picked AS (
+  SELECT grp, q, bin, cnt, cum_below,
+         q * (CAST(total AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS t
+  FROM cum, qs
+),
+ests AS (
+  SELECT grp, q,
+         CAST({HIST_LO} AS DOUBLE)
+         + ((CAST({HIST_HI} AS DOUBLE) - CAST({HIST_LO} AS DOUBLE))
+            / CAST({HIST_NBINS} AS DOUBLE))
+           * (CAST(bin AS DOUBLE)
+              + (t - CAST(cum_below AS DOUBLE)) / CAST(cnt AS DOUBLE)) AS est
+  FROM picked
+  WHERE CAST(cum_below AS DOUBLE) <= t
+    AND t < CAST(cum_below + cnt AS DOUBLE)
+),
+exact AS (
+  SELECT grp, quantile_cont(v, {GHIST_QS[0]}) AS e50,
+         quantile_cont(v, {GHIST_QS[1]}) AS e90
+  FROM vals GROUP BY grp
+)
+SELECT e.grp AS event_type, q, est,
+       CASE WHEN q = CAST({GHIST_QS[0]} AS DOUBLE) THEN e50
+            ELSE e90 END AS exact_q,
+       abs(est - CASE WHEN q = CAST({GHIST_QS[0]} AS DOUBLE) THEN e50
+                      ELSE e90 END) AS abs_err
+FROM ests e JOIN exact USING (grp)
+"""
+
+
 BK_K = 512
 BK_QS = (0.5, 0.9, 0.99)
 
@@ -4146,6 +4239,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bigram_lm": doc_bigram_lm,
     "event_value_quantile_sketch": event_value_quantile_sketch,
     "event_value_bottomk_quantiles": event_value_bottomk_quantiles,
+    "event_type_quantile_sketch": event_type_quantile_sketch,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -4233,6 +4327,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_bigram_lm": _BIGRAM_LM_SQL,
     "event_value_quantile_sketch": _HIST_QSKETCH_SQL,
     "event_value_bottomk_quantiles": _bottomk_quantiles_sql(),
+    "event_type_quantile_sketch": _GHIST_SQL,
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

@@ -385,3 +385,44 @@ def test_zscore_broadcast_stats_join(spark, sf_correct):
     assert not uses_python(plan)
     assert has_broadcast_join(plan)
     assert "SortMergeJoin" not in plan
+
+
+def test_substring_dedup_no_python_no_cartesian(spark, sf_correct):
+    """Substring dedup: shingle sites, canonical marking, coverage and
+    rebuild are all codegen'd relational ops — no Python anywhere, no
+    all-pairs product; the anti join on (doc, pos) is hash-keyed."""
+    plan = formatted_plan(QUERIES["doc_substring_dedup"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_hist_sketch_no_python_registers_are_one_agg(spark, sf_correct):
+    """Histogram quantile sketch: binning is a codegen'd map, registers
+    one hash agg; no Python, and the exact-percentile side is the only
+    sort-based aggregate."""
+    plan = formatted_plan(QUERIES["event_value_quantile_sketch"](spark, sf_correct))
+    assert not uses_python(plan)
+
+
+def test_bottomk_no_python_takeordered(spark, sf_correct):
+    """Bottom-k quantiles: samples are TakeOrderedAndProject (never a
+    full sort of the corpus), no Python."""
+    plan = formatted_plan(QUERIES["event_value_bottomk_quantiles"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_no_python_no_cartesian(spark, sf_correct):
+    """PageRank: every iteration is equi-join + hash agg over
+    checkpointed relations — no Python, no nested-loop/cartesian
+    product in the final plan."""
+    plan = formatted_plan(QUERIES["part_copurchase_pagerank"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_overlap_no_python(spark, sf_correct):
+    """HLL set algebra: register builds, merge and folds are relational;
+    the 1-row exact side broadcasts."""
+    plan = formatted_plan(QUERIES["lineitem_hll_order_overlap"](spark, sf_correct))
+    assert not uses_python(plan)

@@ -441,3 +441,32 @@ def test_bottomk_sample_skips_nulls_and_plans_takeordered(spark):
     s = bottomk_sample(df, "id", "v", 10)
     assert s.count() == 2  # NULL key and NULL value rows skipped
     assert "TakeOrderedAndProject" in formatted_plan(s)
+
+
+def test_hist_grouped_registers_and_quantiles(spark):
+    """Grouped histogram: per-group registers merge per group and the
+    per-group quantile estimates are independent across groups."""
+    from gdutils_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    rows = [("a", float(i % 10)) for i in range(100)] + [
+        ("b", 50.0 + float(i % 10)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    reg = hist_registers(df, "v", 0.0, 100.0, 100, group_col="g")
+    assert set(reg.columns) == {"grp", "bin", "cnt"}
+    # merge of group-split halves == whole (per group)
+    a = hist_registers(df.where("v < 50"), "v", 0.0, 100.0, 100, group_col="g")
+    b = hist_registers(df.where("v >= 50"), "v", 0.0, 100.0, 100, group_col="g")
+    merged = {(r.grp, r.bin, r.cnt) for r in hist_merge(a, b).collect()}
+    whole = {(r.grp, r.bin, r.cnt) for r in reg.collect()}
+    assert merged == whole
+    ests = {
+        (r.grp, r.q): r.est
+        for r in hist_quantiles(reg, [0.5], 0.0, 100.0, 100).collect()
+    }
+    assert 0.0 <= ests[("a", 0.5)] <= 10.0
+    assert 50.0 <= ests[("b", 0.5)] <= 60.0
