@@ -3698,6 +3698,49 @@ FROM ests, exact
 """
 
 
+Z_BITS = 8
+Z_SPECS = (("user_id", 0.0, 2048.0), ("value", 0.0, 500.0))
+Z_BUCKET_LOG2 = 4
+
+
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering key driver-verified: Morton-interleave
+    (user_id, value) bits — the Delta/Iceberg OPTIMIZE ZORDER BY
+    technique — and report each top-4-bit bucket's row count and
+    per-dimension min/max envelope, i.e. exactly the statistics a
+    reader's file-skipping consults. Tight envelopes in BOTH dimensions
+    per bucket are the clustering claim; the whole key computation is
+    integer shifts over declared ranges, replayed bit-for-bit in SQL."""
+    from gdutils_spark.operators.layout import zorder_layout_stats
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return zorder_layout_stats(
+        e, list(Z_SPECS), bits=Z_BITS, n_buckets_log2=Z_BUCKET_LOG2
+    )
+
+
+def _zorder_sql() -> str:
+    from gdutils_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(list(Z_SPECS), bits=Z_BITS)
+    shift = len(Z_SPECS) * Z_BITS - Z_BUCKET_LOG2
+    return f"""
+WITH e AS (
+  SELECT user_id, value FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+keyed AS (SELECT ({z}) >> {shift} AS bucket, user_id, value FROM e)
+SELECT bucket, COUNT(*) AS n_rows,
+       MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM keyed GROUP BY bucket
+"""
+
+
 GHIST_QS = (0.5, 0.9)
 
 
@@ -4240,6 +4283,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_value_quantile_sketch": event_value_quantile_sketch,
     "event_value_bottomk_quantiles": event_value_bottomk_quantiles,
     "event_type_quantile_sketch": event_type_quantile_sketch,
+    "events_zorder_layout": events_zorder_layout,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -4328,6 +4372,7 @@ EXT_ORACLE: dict[str, str] = {
     "event_value_quantile_sketch": _HIST_QSKETCH_SQL,
     "event_value_bottomk_quantiles": _bottomk_quantiles_sql(),
     "event_type_quantile_sketch": _GHIST_SQL,
+    "events_zorder_layout": _zorder_sql(),
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

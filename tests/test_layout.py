@@ -1,0 +1,68 @@
+"""Z-order clustering key properties (oracle hash-parity for the
+registry query lives in test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdutils_spark.operators.layout import (
+    zorder_key,
+    zorder_layout_stats,
+)
+
+
+def _morton2(a, b, bits):
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """The interleave matches a reference Morton encode on already-
+    quantized integer cells (lo=0, hi=2^bits → cell == value)."""
+    bits = 4
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b",
+            zorder_key([("a", 0.0, 16.0), ("b", 0.0, 16.0)], bits).alias("z"),
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _morton2(a, b, bits), (a, b)
+    # bijective over the grid
+    assert len(set(got.values())) == 256
+
+
+def test_zorder_buckets_are_tight_rectangles(spark):
+    """The clustering claim: each top-bits bucket's min/max envelope
+    covers at most a quarter of EACH dimension's range (16 buckets over
+    a 2-d 8-bit grid → 4×4 macro-cells), where a single-column sort
+    would leave one dimension at full range."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, float(rng.uniform(0, 1000)), float(rng.uniform(0, 100)))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    stats = zorder_layout_stats(
+        df, [("x", 0.0, 1000.0), ("y", 0.0, 100.0)], bits=8, n_buckets_log2=4
+    ).collect()
+    assert len(stats) == 16  # dense uniform data hits every macro-cell
+    for r in stats:
+        assert r.max_x - r.min_x <= 1000.0 / 4 + 1e-6, r
+        assert r.max_y - r.min_y <= 100.0 / 4 + 1e-6, r
+
+
+def test_zorder_validates_bit_budget(spark):
+    with pytest.raises(ValueError, match="62"):
+        zorder_key([("a", 0.0, 1.0)] * 4, bits=16)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key([])
