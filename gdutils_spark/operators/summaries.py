@@ -86,3 +86,49 @@ def deployment_days(
     return bounds.select(
         entity_col, F.explode(F.sequence("d0", "d1")).alias("date")
     ).withColumn("deployed", F.lit(1))
+
+
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data profile — ``(col_name, dtype, n_rows, n_null,
+    n_distinct, min_num, max_num)``, one row per profiled column — the
+    "describe this table" surface a pipeline runs before trusting a new
+    feed: null rates, cardinalities, numeric ranges.
+
+    ONE pass: every statistic folds in a single global aggregate and the
+    wide 1-row result melts to rows with a codegen'd ``stack`` — no
+    per-column jobs. Numeric min/max are order-insensitive (safe
+    doubles); means are deliberately absent (a double sum is
+    fold-order-sensitive — use the histogram/bottom-k sketches for
+    distribution shape). Multiple exact ``count_distinct`` aggregates
+    plan one Expand of the scan (rows × columns) — fine for profiling;
+    at 100 TB run on a sample or swap in the HLL sketch per column.
+    """
+    cols = columns if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        dt = df.schema[c].dataType.simpleString()
+        if dt.startswith(_NUMERIC_PREFIXES):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+    wide = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        numeric = dt.startswith(_NUMERIC_PREFIXES)
+        mn = f"`_mn_{c}`" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`_mx_{c}`" if numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"'{c}', '{dt}', _n, _n - `_nn_{c}`, `_nd_{c}`, {mn}, {mx}"
+        )
+    stack = (
+        f"stack({len(cols)}, {', '.join(parts)}) AS "
+        "(col_name, dtype, n_rows, n_null, n_distinct, min_num, max_num)"
+    )
+    return wide.select(F.expr(stack))

@@ -1953,24 +1953,25 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 7 window (exactly 50): (a) the 11 NEW round-7 queries —
+    # round 7 window (exactly 50): (a) the 12 NEW round-7 queries —
     # substring-level dedup (Lee et al. ExactSubstr), left-outer
     # stream-stream join with the watermark-cut oracle, the mergeable
     # histogram quantile sketch, residual IVF-PQ search, the
     # raw-vs-residual recall ablation, HLL inclusion-exclusion cohort
     # overlap, bottom-k (KMV) quantiles, streaming sketch maintenance,
     # co-purchase PageRank, per-group histogram quantiles, and the
-    # Z-order clustering-key layout report; (b) the 4 r6-late additions that have never had a
+    # Z-order clustering-key layout report, and the per-column table
+    # profile; (b) the 4 r6-late additions that have never had a
     # driver row (doc_bloom_screen, doc_bigram_lm, emb_knn_ivfpq_trained,
     # rt_stream_stream_join — pre-declared first in the r6 ledger,
-    # locally drive-sim green); (c) 35 of the 49 entries whose latest
+    # locally drive-sim green); (c) 34 of the 49 entries whose latest
     # green row is r4 (the pre-declared round-7 rotation priority). The
-    # 14 r4-latest entries that did NOT fit — rt_plot_urls,
+    # 15 r4-latest entries that did NOT fit — rt_plot_urls,
     # rt_kml_coords, rt_info_card, rt_canned_filters,
     # rt_csv_sink_roundtrip, rt_geo_track_points, rt_client_api_merge,
     # rt_client_api_merge_right, rt_csv_batch_daily, rt_client_datasets,
     # rt_json_records_typed, rt_stream_daily_counts, rt_dataset_profiles,
-    # rt_dataset_timeseries (static
+    # rt_dataset_timeseries, rt_stream_dedup (static
     # client/source/sink/streaming surfaces
     # untouched since r4, re-verified locally every session by
     # tests/test_queries_oracle.py) — are the ROUND-8 ROTATION PRIORITY
@@ -1991,6 +1992,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "part_copurchase_pagerank",
     "event_type_quantile_sketch",
     "events_zorder_layout",
+    "events_profile",
     "q14_promo_revenue",
     "q16_supplier_part_counts",
     "q22_idle_high_balance",
@@ -2025,7 +2027,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_domain_mix_sample",
     "doc_bm25_search",
     "doc_incremental_dedup",
-    "rt_stream_dedup",
 )
 
 

@@ -3698,6 +3698,54 @@ FROM ests, exact
 """
 
 
+_PROFILE_COLS = (
+    ("event_id", "bigint", True),
+    ("ts", "timestamp", False),
+    ("user_id", "bigint", True),
+    ("event_type", "string", False),
+    ("value", "double", True),
+    ("props", "string", False),
+)
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile driver-verified: null counts, exact
+    cardinalities and numeric ranges for every events column, computed
+    in ONE global aggregate and melted to rows with a codegen'd stack —
+    the describe-this-feed report a pipeline runs before trusting new
+    data. Means are deliberately absent (double sums are
+    fold-order-sensitive; distribution shape lives in the sketch
+    queries)."""
+    from gdutils_spark.operators.summaries import profile_table
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    return profile_table(load_table(spark, sf_dir, "events"))
+
+
+def _profile_sql() -> str:
+    aggs = ["COUNT(*) AS n"]
+    arms = []
+    for c, dt, num in _PROFILE_COLS:
+        aggs.append(f"COUNT({c}) AS nn_{c}")
+        aggs.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
+        if num:
+            aggs.append(f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}")
+        mn = f"mn_{c}" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if num else "CAST(NULL AS DOUBLE)"
+        arms.append(
+            f"SELECT '{c}' AS col_name, '{dt}' AS dtype, "
+            f"CAST(n AS BIGINT) AS n_rows, CAST(n - nn_{c} AS BIGINT) AS n_null, "
+            f"CAST(nd_{c} AS BIGINT) AS n_distinct, {mn} AS min_num, "
+            f"{mx} AS max_num FROM w"
+        )
+    return (
+        "WITH w AS (SELECT " + ", ".join(aggs) + " FROM events)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
 Z_BITS = 8
 Z_SPECS = (("user_id", 0.0, 2048.0), ("value", 0.0, 500.0))
 Z_BUCKET_LOG2 = 4
@@ -4284,6 +4332,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_value_bottomk_quantiles": event_value_bottomk_quantiles,
     "event_type_quantile_sketch": event_type_quantile_sketch,
     "events_zorder_layout": events_zorder_layout,
+    "events_profile": events_profile,
     "emb_knn_ivf": emb_knn_ivf,
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
@@ -4373,6 +4422,7 @@ EXT_ORACLE: dict[str, str] = {
     "event_value_bottomk_quantiles": _bottomk_quantiles_sql(),
     "event_type_quantile_sketch": _GHIST_SQL,
     "events_zorder_layout": _zorder_sql(),
+    "events_profile": _profile_sql(),
     "emb_knn_ivf": _KNN_IVF_SQL,
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),

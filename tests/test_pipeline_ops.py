@@ -1181,3 +1181,24 @@ def test_minhash_estimate_pairs(boilerplate_docs):
             assert r.jaccard == 1.0 and r.est_jaccard == 1.0
             exact_twins += 1
     assert exact_twins >= 5
+
+
+def test_profile_table_one_row_per_column(spark):
+    from gdutils_spark.operators.summaries import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "a", None, None), (None, "b", 2.5, None)],
+        "k long, s string, v double, z string",
+    )
+    got = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "s", "v", "z"}
+    assert got["k"].n_rows == 3 and got["k"].n_null == 1
+    assert got["k"].n_distinct == 2
+    assert got["k"].min_num == 1.0 and got["k"].max_num == 2.0
+    assert got["s"].min_num is None  # non-numeric: no range
+    assert got["s"].n_distinct == 2
+    assert got["v"].n_null == 1 and got["v"].max_num == 2.5
+    assert got["z"].n_null == 3 and got["z"].n_distinct == 0
+    # column subset
+    sub = profile_table(df, columns=["k"]).collect()
+    assert len(sub) == 1 and sub[0].col_name == "k"
