@@ -57,9 +57,20 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # deg / nodes / n are consumed by EVERY iteration — checkpoint them
+    # too, or each iteration re-runs the degree aggregate and the node
+    # distinct from the edge list (no subtree reuse)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     # constants inlined ONCE from python floats — the SQL replay embeds
     # repr() of these same values, so both engines use the identical
     # doubles (1 - 0.85 is NOT the literal 0.15 in IEEE)

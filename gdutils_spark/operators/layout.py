@@ -27,16 +27,19 @@ from pyspark.sql import functions as F
 
 def _cell(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Quantize to [0, 2^bits): the histogram bin rule (two IEEE ops +
-    floor), clamped on the LONG before any narrowing."""
+    floor), clamped on the LONG before any narrowing. NULL input stays
+    NULL (greatest/least would otherwise SKIP the NULL and silently
+    alias it with the range minimum)."""
     n = 1 << bits
     raw = F.floor(
         (col.cast("double") - F.lit(float(lo)))
         * F.lit(float(n))
         / (F.lit(float(hi)) - F.lit(float(lo)))
     )
-    return F.least(
+    clamped = F.least(
         F.greatest(raw, F.lit(0).cast("long")), F.lit(n - 1).cast("long")
     )
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def zorder_key(
@@ -47,17 +50,29 @@ def zorder_key(
     column quantizes to ``bits`` bits over its declared range and the
     bits interleave round-robin (dimension i owns bit positions
     ``i, i+d, i+2d, ...``). ``d·bits`` result bits must stay ≤ 62 (the
-    cross-engine shift-safe range). Pure codegen integer expression —
-    no UDF, no shuffle; pair with ``repartitionByRange(zorder)`` + a
-    within-partition sort to cluster files for min/max skipping."""
+    cross-engine shift-safe range). A NULL in ANY dimension yields a
+    NULL key (a NULL must not silently alias the range minimum — route
+    null rows to a dedicated file at write time). Pure codegen integer
+    expression — no UDF, no shuffle; pair with
+    ``repartitionByRange(zorder)`` + a within-partition sort to cluster
+    files for min/max skipping."""
     d = len(specs)
     if d == 0:
         raise ValueError("zorder_key: at least one column spec required")
+    if bits <= 0:
+        raise ValueError(f"zorder_key: bits={bits} must be positive")
     if d * bits > 62:
         raise ValueError(
             f"zorder_key: {d} dims × {bits} bits = {d * bits} result bits; "
             "must stay ≤ 62 (cross-engine shift safety)"
         )
+    for col, lo, hi in specs:
+        if hi <= lo:
+            raise ValueError(
+                f"zorder_key: hi={hi} must exceed lo={lo} for {col!r} "
+                "(a degenerate range would divide by zero and collapse "
+                "every row into one cell)"
+            )
     z = F.lit(0).cast("long")
     for i, (col, lo, hi) in enumerate(specs):
         c = _cell(F.col(col) if isinstance(col, str) else col, lo, hi, bits)
@@ -105,8 +120,18 @@ def zorder_layout_stats(
     per-dimension min/max envelope — the exact statistics a reader's
     min/max skipping consults. Tight envelopes in every dimension =
     effective skipping; a single-column sort would show one tight and
-    one full-range dimension. One map + one bucket-keyed aggregate."""
+    one full-range dimension. One map + one bucket-keyed aggregate.
+    Rows with a NULL in any clustered dimension have no z-key (NULL
+    propagates) and are EXCLUDED — at write time they'd go to a
+    dedicated null file, not smear a bucket's envelope."""
     d = len(specs)
+    if not 0 <= n_buckets_log2 <= d * bits:
+        # a negative shift would be Java-masked (shift by (x & 63)) and
+        # silently send every row to one garbage bucket
+        raise ValueError(
+            f"zorder_layout_stats: n_buckets_log2={n_buckets_log2} must be "
+            f"in [0, {d * bits}] (the z-key width)"
+        )
     z = zorder_key(specs, bits)
     shift = d * bits - n_buckets_log2
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -115,6 +140,7 @@ def zorder_layout_stats(
         aggs.append(F.max(col).alias(f"max_{col}"))
     return (
         df.select(F.shiftright(z, shift).alias("bucket"), *[s[0] for s in specs])
+        .where(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(*aggs)
     )

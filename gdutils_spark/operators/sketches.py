@@ -120,37 +120,18 @@ def hll_report(
     to grade the estimator — a production 100 TB run drops it and keeps
     only the sketch path.
     """
-    m = 1 << p
-    reg = hll_registers(df, value_col, group_col, p)
-    # 2^-reg as an exact power-of-two double: integer shift + one
-    # division (the Python-API shiftleft wants a literal shift amount;
-    # the SQL form takes a column). Projected BEFORE the fold so the
-    # interpreted HOF lambda only adds attributes.
-    with_inv = reg.select(
-        "grp", "bucket", F.expr("1.0D / shiftleft(1L, reg)").alias("inv")
-    )
-    folded = with_inv.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_buckets_hit"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("bucket", "inv"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["inv"],
-        ).alias("sum_present"),
-    )
+    # the fold lives in ONE place — hll_estimate — so the determinism-
+    # critical arithmetic can't drift between the report and the
+    # register-table (merged-sketch) consumer
+    ests = hll_estimate(hll_registers(df, value_col, group_col, p), p)
     exact = (
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
         .groupBy("grp")
         .agg(F.count_distinct("v").alias("n_exact"))
     )
-    c = _alpha_m2(p)
-    sum_inv = (
-        F.col("sum_present") + (F.lit(m) - F.col("n_buckets_hit")).cast("double")
-    ).alias("sum_inv")
-    out = exact.join(folded, "grp").select(
-        "grp", "n_exact", "n_buckets_hit", sum_inv
+    out = exact.join(ests, "grp").select(
+        "grp", "n_exact", "n_buckets_hit", "sum_inv", "hll_estimate"
     )
-    est = (F.lit(c) / F.col("sum_inv")).alias("hll_estimate")
-    out = out.select("grp", "n_exact", "n_buckets_hit", "sum_inv", est)
     return out.select(
         "*",
         (
@@ -670,14 +651,19 @@ def bottomk_quantiles(sample: DataFrame, qs: "list[float]") -> DataFrame:
     bad_q = [q for q in qs if not 0.0 <= float(q) <= 1.0]
     if bad_q:
         raise ValueError(f"bottomk_quantiles: quantiles outside [0, 1]: {bad_q}")
-    arms = [
-        sample.agg(
-            F.lit(float(q)).alias("q"),
-            F.percentile(F.col("val"), F.lit(float(q))).alias("est"),
-        )
-        for q in qs
-    ]
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out
+    # ONE aggregate for all quantiles, melted to rows — a union of
+    # per-q aggregates would re-execute the whole sample subtree
+    # (corpus scan + TakeOrdered) once per quantile: Catalyst plans no
+    # subtree reuse
+    wide = sample.agg(
+        *[
+            F.percentile(F.col("val"), F.lit(float(q))).alias(f"_p{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    parts = ", ".join(
+        f"CAST('{float(q)!r}' AS DOUBLE), _p{i}" for i, q in enumerate(qs)
+    )
+    return wide.select(
+        F.expr(f"stack({len(qs)}, {parts}) AS (q, est)")
+    )

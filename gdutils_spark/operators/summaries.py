@@ -88,11 +88,6 @@ def deployment_days(
     ).withColumn("deployed", F.lit(1))
 
 
-_NUMERIC_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
-)
-
-
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Per-column data profile — ``(col_name, dtype, n_rows, n_null,
     n_distinct, min_num, max_num)``, one row per profiled column — the
@@ -108,24 +103,36 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     plan one Expand of the scan (rows × columns) — fine for profiling;
     at 100 TB run on a sample or swap in the HLL sketch per column.
     """
+    from pyspark.sql.types import NumericType
+
     cols = columns if columns is not None else list(df.columns)
+    # positional aliases + df[...] resolution: column names with dots,
+    # quotes or backticks neither break resolution nor the generated
+    # stack expression (only the display literal carries the raw name,
+    # quote-escaped)
+    numeric = [isinstance(df.schema[c].dataType, NumericType) for c in cols]
+
+    def ref(c):
+        # backtick-quoted reference: plain df[c]/F.col(c) would parse a
+        # dotted name as nested-field access
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
-        dt = df.schema[c].dataType.simpleString()
-        if dt.startswith(_NUMERIC_PREFIXES):
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(ref(c)).alias(f"_nn_{i}"))
+        aggs.append(F.count_distinct(ref(c)).alias(f"_nd_{i}"))
+        if numeric[i]:
+            aggs.append(F.min(ref(c)).cast("double").alias(f"_mn_{i}"))
+            aggs.append(F.max(ref(c)).cast("double").alias(f"_mx_{i}"))
     wide = df.agg(*aggs)
     parts = []
-    for c in cols:
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType.simpleString()
-        numeric = dt.startswith(_NUMERIC_PREFIXES)
-        mn = f"`_mn_{c}`" if numeric else "CAST(NULL AS DOUBLE)"
-        mx = f"`_mx_{c}`" if numeric else "CAST(NULL AS DOUBLE)"
+        mn = f"_mn_{i}" if numeric[i] else "CAST(NULL AS DOUBLE)"
+        mx = f"_mx_{i}" if numeric[i] else "CAST(NULL AS DOUBLE)"
+        lit_name = c.replace("'", "''")
         parts.append(
-            f"'{c}', '{dt}', _n, _n - `_nn_{c}`, `_nd_{c}`, {mn}, {mx}"
+            f"'{lit_name}', '{dt}', _n, _n - _nn_{i}, _nd_{i}, {mn}, {mx}"
         )
     stack = (
         f"stack({len(cols)}, {', '.join(parts)}) AS "

@@ -66,3 +66,30 @@ def test_zorder_validates_bit_budget(spark):
         zorder_key([("a", 0.0, 1.0)] * 4, bits=16)
     with pytest.raises(ValueError, match="at least one"):
         zorder_key([])
+
+
+def test_zorder_null_dim_yields_null_key_and_is_excluded(spark):
+    """A NULL in any clustered dimension must NOT alias the range
+    minimum — the key is NULL and layout stats exclude the row."""
+    df = spark.createDataFrame(
+        [(0.0, 5.0), (None, 5.0), (3.0, None)], "x double, y double"
+    )
+    keyed = df.select(
+        zorder_key([("x", 0.0, 16.0), ("y", 0.0, 16.0)], 4).alias("z")
+    ).collect()
+    zs = [r.z for r in keyed]
+    assert zs[0] is not None and zs[1] is None and zs[2] is None
+    stats = zorder_layout_stats(
+        df, [("x", 0.0, 16.0), ("y", 0.0, 16.0)], bits=4, n_buckets_log2=2
+    ).collect()
+    assert sum(r.n_rows for r in stats) == 1  # only the fully-non-NULL row
+
+
+def test_zorder_validates_ranges_and_bucket_budget(spark):
+    with pytest.raises(ValueError, match="must exceed"):
+        zorder_key([("x", 5.0, 5.0)])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key([("x", 0.0, 1.0)], bits=0)
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="n_buckets_log2"):
+        zorder_layout_stats(df, [("x", 0.0, 1.0)], bits=2, n_buckets_log2=4)

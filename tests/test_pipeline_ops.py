@@ -1202,3 +1202,25 @@ def test_profile_table_one_row_per_column(spark):
     # column subset
     sub = profile_table(df, columns=["k"]).collect()
     assert len(sub) == 1 and sub[0].col_name == "k"
+
+
+def test_profile_table_interval_and_weird_names(spark):
+    """Interval-typed columns are non-numeric (no invalid DOUBLE cast),
+    and column names with dots/quotes neither break resolution nor the
+    generated stack expression."""
+    df = spark.sql(
+        "SELECT 1 AS k, timestamp'2020-01-02' - timestamp'2020-01-01' AS dur"
+    )
+    from pyspark.sql import functions as SF
+
+    from gdutils_spark.operators.summaries import profile_table
+
+    got = {r.col_name: r for r in profile_table(df).collect()}
+    assert got["dur"].min_num is None  # interval: profiled, not cast
+    assert got["k"].min_num == 1.0
+    weird = spark.range(2).select(
+        SF.col("id").alias("a.b"), SF.lit("x'y").alias("q't")
+    )
+    rows = {r.col_name: r for r in profile_table(weird).collect()}
+    assert set(rows) == {"a.b", "q't"}
+    assert rows["a.b"].n_distinct == 2
