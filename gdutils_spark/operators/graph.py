@@ -34,6 +34,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iters: int = 3,
+    ordered_fold: bool = True,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (pass both directions for an
     undirected graph) — ``(node, pr)`` after ``n_iters`` power
@@ -49,6 +50,13 @@ def pagerank(
     edge source + one dst-keyed ordered-fold aggregate; edge list and
     each rank vector are ``localCheckpoint``-pinned so iteration t+1
     reuses t's result instead of re-deriving the whole chain.
+
+    ``ordered_fold``: True (default) sums each node's contributions in
+    ascending-source order via a sorted ``collect_list`` — bit-exact and
+    oracle-replayable, but the per-node list is IN-DEGREE-sized, so a
+    celebrity node with 10⁸ in-edges is a memory hazard. Pass False at
+    production scale for a plain map-combinable ``sum`` — same ranks up
+    to float summation order (property-tested ≈), hub-skew-safe.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -93,16 +101,19 @@ def pagerank(
                 (F.col("pr") / F.col("deg").cast("double")).alias("c"),
             )
         )
-        sums = contrib.groupBy("node").agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("src", "c"))),
-                    lambda s: s["c"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("s")
-        )
+        if ordered_fold:
+            sums = contrib.groupBy("node").agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("src", "c"))),
+                        lambda s: s["c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("s")
+            )
+        else:
+            sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         pr = (
             nodes.join(sums, "node", "left")
             .crossJoin(F.broadcast(n_df))

@@ -65,3 +65,28 @@ def test_pagerank_validates_iters(spark):
     # zero iterations = the uniform start vector
     got = {r.node: r.pr for r in pagerank(df, n_iters=0).collect()}
     assert got == {1: 1.0}
+
+
+def test_pagerank_plain_sum_matches_ordered_fold_approximately(spark):
+    """ordered_fold=False (the hub-skew-safe production path) must agree
+    with the bit-exact ordered fold to float-summation tolerance."""
+    import random
+
+    rng = random.Random(11)
+    edge_list = list(
+        {
+            (rng.randrange(30), rng.randrange(30))
+            for _ in range(300)
+        }
+    )
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edge_list += [(b, a) for a, b in edge_list]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    exact = {r.node: r.pr for r in pagerank(df, n_iters=3).collect()}
+    fast = {
+        r.node: r.pr
+        for r in pagerank(df, n_iters=3, ordered_fold=False).collect()
+    }
+    assert set(exact) == set(fast)
+    for v in exact:
+        assert abs(exact[v] - fast[v]) < 1e-12, v
