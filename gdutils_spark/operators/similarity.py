@@ -950,10 +950,21 @@ def knn_lsh(
     planes: int = 8,
     dims: int = 64,
     max_query_rows: int = 100_000,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Recall < 1 by construction; this is the plan shape for 100 TB
-    (bucket equi-join instead of crossJoin)."""
+    (bucket equi-join instead of crossJoin).
+
+    ``multi_probe=True`` (Lv et al., VLDB 2007): each query ALSO probes
+    every bucket at Hamming distance 1 (one hyperplane sign flipped) —
+    the standard recall lift at a fixed hash budget, because a near
+    neighbor lost to one marginal hyperplane lands exactly one bit away.
+    Candidates grow ≤ ×(1+planes) but remain bucket-bounded; the corpus
+    side is untouched (each corpus vector still sits in ONE bucket, so
+    no (query, neighbor) pair is scored twice). Multi-probe recall is a
+    SUPERSET guarantee: the candidate set contains the single-probe
+    candidates, so recall@k can only improve or tie (test-pinned)."""
     from pyspark.sql import Window
 
     _guard_query_rows(queries, id_col, max_query_rows, "knn_lsh")
@@ -964,6 +975,17 @@ def knn_lsh(
         F.col("bucket"),
     )
     qb = lsh_buckets(queries, id_col, vec_col, planes, dims)
+    if multi_probe:
+        probe_set = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(planes)
+            ],
+        )
+        qb = qb.select(
+            id_col, F.explode(probe_set).alias("bucket")
+        )
     q = queries.join(qb, id_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col("bucket")
     )

@@ -1571,6 +1571,48 @@ SELECT query_id, neighbor_id, score FROM (
 """
 
 
+def emb_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-k (Lv et al. 2007): each query also
+    probes every Hamming-distance-1 bucket — the standard recall lift
+    at a fixed hash budget. Candidates stay bucket-bounded (×(1+planes)
+    on the query side only); the probe expansion, every bucket XOR and
+    the scored ranking are hash-verified."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_lsh(
+        vectors, queries, k=KNN_K, planes=LSH_PLANES, dims=EMB_DIMS,
+        multi_probe=True,
+    )
+
+
+def _knn_lsh_multiprobe_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS ({_lsh_buckets_sql()}),
+q0 AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+  FROM e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < {N_QUERIES}
+),
+q AS (
+  SELECT query_id, qv, bucket FROM q0
+  UNION ALL
+  SELECT query_id, qv, xor(bucket, (1 << CAST(t.i AS INT)))
+  FROM q0 CROSS JOIN range({LSH_PLANES}) t(i)
+),
+v AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS vv, b.bucket
+  FROM e JOIN b ON b.vec_id = e.vec_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT q.query_id, v.neighbor_id,
+         list_cosine_similarity(q.qv, v.vv) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, v.vv) DESC, v.neighbor_id) AS rn
+  FROM q JOIN v ON v.bucket = q.bucket AND v.neighbor_id <> q.query_id
+) WHERE rn <= {KNN_K}
+"""
+
+
 QUALITY_MIN_TOKENS = 5
 QUALITY_MIN_SCORE = 0.0
 
@@ -4337,6 +4379,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_ivf_refined": emb_knn_ivf_refined,
     "emb_ivf_recall_curve": emb_ivf_recall_curve,
     "emb_knn_lsh": emb_knn_lsh,
+    "emb_knn_lsh_multiprobe": emb_knn_lsh_multiprobe,
     "mm_image_features": mm_image_features,
     "mm_thumbnails": mm_thumbnails,
     "mm_pixel_stats": mm_pixel_stats,
@@ -4427,6 +4470,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_ivf_refined": _knn_ivf_refined_sql(),
     "emb_ivf_recall_curve": _ivf_recall_curve_sql(),
     "emb_knn_lsh": _knn_lsh_sql(),
+    "emb_knn_lsh_multiprobe": _knn_lsh_multiprobe_sql(),
     "mm_image_features": _MM_IMAGE_SQL,
     "mm_thumbnails": _MM_THUMBNAILS_SQL,
     "mm_pixel_stats": _MM_PIXEL_STATS_SQL,

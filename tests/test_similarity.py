@@ -673,3 +673,31 @@ def test_residual_codebook_seeds_are_not_degenerate(embeddings):
     )
     norms = np.linalg.norm(C, axis=1)
     assert (norms > 1e-6).all(), norms
+
+
+def test_knn_lsh_multiprobe_recall_superset(embeddings):
+    """Multi-probe candidates are a superset of single-probe candidates,
+    so recall@k vs exact truth can only improve or tie — and every
+    multi-probe score on the shared pairs is identical."""
+    queries = embeddings.where("vec_id < 8")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_bruteforce(embeddings, queries, k=3).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in sim.knn_lsh(
+            embeddings, queries, k=3, planes=8, dims=64
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in sim.knn_lsh(
+            embeddings, queries, k=3, planes=8, dims=64, multi_probe=True
+        ).collect()
+    }
+    r_single = len(set(single) & truth) / len(truth)
+    r_multi = len(set(multi) & truth) / len(truth)
+    assert r_multi >= r_single, (r_single, r_multi)
+    for pair in set(single) & set(multi):
+        assert single[pair] == multi[pair]
