@@ -991,6 +991,92 @@ def remove_repeated_substrings(
     )
 
 
+def remove_repeated_substrings_between(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    corpus_sites_path: str | None = None,
+) -> DataFrame:
+    """INCREMENTAL substring dedup — the nightly-ingest pattern for
+    :func:`remove_repeated_substrings`: clean a new ``batch`` against an
+    existing ``corpus`` (plus the batch itself) without ever shuffling
+    the corpus. A batch token is dropped iff covered by a batch shingle
+    site whose text already occurs in the CORPUS (any occurrence — the
+    corpus copy is canonical) or earlier in the batch (the usual
+    (doc, pos)-minimum rule). Returns the batch relation
+    ``(doc, n_tokens, n_kept, cleaned_text)``.
+
+    Plan shape at 100 TB: the batch's distinct shingle hashes (batch-
+    sized) BROADCAST against the corpus site table, which is consumed
+    map-side as a semi-join probe — the corpus never shuffles and is
+    touched by exactly one scan (zero when ``corpus_sites_path`` points
+    at a staged :func:`substring_sites` parquet, the artifact a nightly
+    pipeline maintains). Batch-side work is the standalone operator's:
+    one shingle-hash shuffle of BATCH sites only. Same shape as
+    ``dedup.minhash_lsh_pairs_between``.
+    """
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    if corpus_sites_path is not None:
+        corpus_sites = spark.read.parquet(corpus_sites_path)
+    else:
+        corpus_sites = substring_sites(corpus, text_col, id_col, k)
+    bsites = substring_sites(batch, text_col, id_col, k)
+    # shingles present anywhere in the corpus: semi-join the corpus site
+    # table by the (batch-sized, broadcast) batch hash set — corpus-side
+    # map work only
+    bhashes = bsites.select("h").distinct()
+    in_corpus = (
+        corpus_sites.join(F.broadcast(bhashes), "h", "left_semi")
+        .select("h")
+        .distinct()
+    )
+    # batch-internal repeats: every site after the (doc, pos) minimum
+    w = Window.partitionBy("h").orderBy("doc", "pos")
+    internal = (
+        bsites.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc", "pos")
+    )
+    # sites whose shingle exists in the corpus: ALL batch occurrences go
+    # (the corpus copy is the canonical survivor)
+    vs_corpus = bsites.join(F.broadcast(in_corpus), "h", "left_semi").select(
+        "doc", "pos"
+    )
+    removals = internal.unionByName(vs_corpus).distinct()
+    covered = removals.select(
+        "doc",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    words = batch.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_w")
+    )
+    toks = words.select("doc", F.posexplode("_w").alias("pos", "tok"))
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = words.select("doc", F.size("_w").alias("n_tokens"))
+    return totals.join(rebuilt, "doc", "left").select(
+        "doc",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def token_rarity(
     df: DataFrame,
     text_col: str = "text",

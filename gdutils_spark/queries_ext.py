@@ -3131,6 +3131,76 @@ FROM tot t LEFT JOIN reb USING (doc)
 """
 
 
+def doc_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL substring dedup driver-verified: the batch slice
+    (doc_id % 3 == 0) is cleaned against the corpus slice (the rest)
+    plus itself — corpus-present spans lose ALL batch occurrences (the
+    corpus copy is canonical), batch-internal repeats keep their first.
+    The corpus never shuffles (broadcast semi-join probes only); the
+    cleaned batch text itself is hash-verified."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    batch = d.where(F.col("doc_id") % 3 == 0)
+    return tx.remove_repeated_substrings_between(corpus, batch, k=SUBSTR_K)
+
+
+_INCR_SUBSTRING_SQL = f"""
+WITH w AS (SELECT doc_id AS doc, {_TOKS} AS ws FROM documents),
+csites AS (
+  SELECT doc, CAST(i - 1 AS INT) AS pos,
+         {_h64(f"array_to_string(ws[i : i + {SUBSTR_K} - 1], ' ')")} AS h
+  FROM (SELECT doc, ws, unnest(generate_series(1, len(ws) - {SUBSTR_K} + 1)) AS i
+        FROM w WHERE len(ws) >= {SUBSTR_K} AND doc % 3 <> 0) s
+),
+bsites AS (
+  SELECT doc, CAST(i - 1 AS INT) AS pos,
+         {_h64(f"array_to_string(ws[i : i + {SUBSTR_K} - 1], ' ')")} AS h
+  FROM (SELECT doc, ws, unnest(generate_series(1, len(ws) - {SUBSTR_K} + 1)) AS i
+        FROM w WHERE len(ws) >= {SUBSTR_K} AND doc % 3 = 0) s
+),
+in_corpus AS (
+  SELECT DISTINCT h FROM csites WHERE h IN (SELECT h FROM bsites)
+),
+internal AS (
+  SELECT doc, pos FROM (
+    SELECT doc, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc, pos) AS rn
+    FROM bsites) r
+  WHERE rn > 1
+),
+vs_corpus AS (
+  SELECT doc, pos FROM bsites WHERE h IN (SELECT h FROM in_corpus)
+),
+rem AS (
+  SELECT DISTINCT doc, pos
+  FROM (SELECT * FROM internal UNION ALL SELECT * FROM vs_corpus) u
+),
+cov AS (
+  SELECT DISTINCT doc, CAST(unnest(generate_series(pos, pos + {SUBSTR_K} - 1)) AS INT) AS p
+  FROM rem
+),
+toks AS (
+  SELECT doc, CAST(i - 1 AS INT) AS pos, ws[i] AS tok
+  FROM (SELECT doc, ws, unnest(generate_series(1, len(ws))) AS i
+        FROM w WHERE doc % 3 = 0) t
+),
+kept AS (
+  SELECT toks.doc, toks.pos, toks.tok
+  FROM toks LEFT JOIN cov ON cov.doc = toks.doc AND cov.p = toks.pos
+  WHERE cov.doc IS NULL
+),
+reb AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc
+),
+tot AS (SELECT doc, CAST(len(ws) AS INT) AS n_tokens FROM w WHERE doc % 3 = 0)
+SELECT t.doc, t.n_tokens, COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN reb USING (doc)
+"""
+
+
 def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document boilerplate removal (CCNet-style line dedup reshaped
     to fixed word segments): drop every 8-word segment shared by >= 3
@@ -4400,6 +4470,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_incremental_dedup": doc_incremental_dedup,
     "doc_segment_dedup": doc_segment_dedup,
     "doc_substring_dedup": doc_substring_dedup,
+    "doc_incremental_substring_dedup": doc_incremental_substring_dedup,
     "doc_token_rarity": doc_token_rarity,
     "doc_hll_tokens": doc_hll_tokens,
     "doc_leakage_safe_split": doc_leakage_safe_split,
@@ -4490,6 +4561,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_incremental_dedup": _incremental_dedup_sql(),
     "doc_segment_dedup": _SEGMENT_DEDUP_SQL,
     "doc_substring_dedup": _SUBSTRING_DEDUP_SQL,
+    "doc_incremental_substring_dedup": _INCR_SUBSTRING_SQL,
     "doc_token_rarity": _TOKEN_RARITY_SQL,
     "doc_hll_tokens": _hll_tokens_sql(),
     "doc_leakage_safe_split": _leakage_split_sql(),

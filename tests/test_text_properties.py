@@ -363,3 +363,54 @@ def test_remove_repeated_substrings_staged_identical(spark, tmp_path):
         ).collect()
     }
     assert staged == live
+
+
+def test_incremental_substring_dedup_semantics(spark, tmp_path):
+    """Batch-vs-corpus substring dedup: a span present in the corpus
+    loses ALL batch occurrences; a batch-only repeated span keeps its
+    first; unique batch text is untouched. Staged corpus sites give
+    identical results."""
+    from gdutils_spark.operators.text import (
+        remove_repeated_substrings_between,
+        substring_sites,
+    )
+
+    span = "alpha beta gamma delta"
+    corpus = _df(spark, [f"{span} corpus tail", "other corpus words here"])
+    batch_texts = [
+        f"{span} batch one",          # span in corpus → removed
+        f"also {span} again",         # second batch occurrence → removed
+        "fresh pair fresh pair x",    # batch-internal repeat (k=2)
+        "totally unique text row",
+    ]
+    batch = spark.createDataFrame(
+        [(10 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc: r.cleaned_text
+        for r in remove_repeated_substrings_between(
+            corpus, batch, k=4
+        ).collect()
+    }
+    assert got[10] == "batch one"
+    assert got[11] == "also again"
+    assert got[13] == "totally unique text row"
+    # k=2 internal repeat check: "fresh pair" repeats within doc 12
+    got2 = {
+        r.doc: r.cleaned_text
+        for r in remove_repeated_substrings_between(
+            corpus, batch, k=2
+        ).collect()
+    }
+    assert "fresh pair" in got2[12] or got2[12].count("fresh") == 1
+    # staged corpus sites path
+    path = str(tmp_path / "csites")
+    substring_sites(corpus, k=4).write.parquet(path)
+    staged = {
+        r.doc: r.cleaned_text
+        for r in remove_repeated_substrings_between(
+            corpus, batch, k=4, corpus_sites_path=path
+        ).collect()
+    }
+    assert staged == got
