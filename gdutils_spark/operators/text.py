@@ -991,6 +991,57 @@ def remove_repeated_substrings(
     )
 
 
+def bigram_oov_rate(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram OUT-OF-VOCABULARY rate against a
+    :func:`bigram_lm` table — the exact-integer slice of n-gram LM
+    quality scoring: a document whose adjacent pairs rarely appear in
+    the reference LM is off-distribution (noise, another language,
+    mangled text). Returns ``(doc, n_bigrams, n_oov, oov_rate)`` —
+    exact counts + one final IEEE division, fully oracle-replayable
+    (the log-prob twin lives with ``unigram_logprob`` in property-test
+    territory: libm ulps).
+
+    ``lm`` must be the FULL pair table (``top_k=None``) for a true OOV
+    judgment — a truncated table inflates the rate by construction.
+    Plan shape: one map-side pair explode per document, one broadcast-
+    or-shuffle join against the (vocabulary²-bounded) LM pair set, one
+    doc-keyed count — documents shuffle only as (doc, pair) rows.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_ws")
+    ).select("doc", "_ws", F.size("_ws").alias("_n"))
+    pairs_col = F.when(
+        F.col("_n") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("_ws"), i + 1).alias("w1"),
+                F.element_at(F.col("_ws"), i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = base.select("doc", F.explode(pairs_col).alias("p")).select(
+        "doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    known = lm.select("w1", "w2").distinct()
+    flagged = exploded.join(
+        known.withColumn("_known", F.lit(1)), ["w1", "w2"], "left"
+    )
+    return flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("_known").isNull()).cast("long")).alias("n_oov"),
+        (
+            F.sum((F.col("_known").isNull()).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )
+
+
 def remove_repeated_substrings_between(
     corpus: DataFrame,
     batch: DataFrame,

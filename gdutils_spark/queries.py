@@ -1975,10 +1975,11 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # client/source/sink/streaming surfaces
     # untouched since r4, re-verified locally every session by
     # tests/test_queries_oracle.py) — are the ROUND-8 ROTATION PRIORITY.
-    # emb_knn_lsh_multiprobe and doc_incremental_substring_dedup (added
-    # past the full r7 window, each locally drive-sim green) have NEVER
-    # had a driver row and must take the r8 window's FIRST slots,
-    # followed by those 15 carry-overs and any r8-new queries. After this round no other entry's freshest green
+    # emb_knn_lsh_multiprobe, doc_incremental_substring_dedup and
+    # doc_bigram_oov (added past the full r7 window, each locally
+    # drive-sim green) have NEVER had a driver row and must take the r8
+    # window's FIRST slots, followed by those 15 carry-overs and any
+    # r8-new queries. After this round no other entry's freshest green
     # row predates r5.
     "doc_substring_dedup",
     "rt_stream_stream_left_join",

@@ -4119,6 +4119,51 @@ LIMIT {BIGRAM_TOP_K}
 """
 
 
+def doc_bigram_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram OOV-rate scoring driver-verified, in the cross-validation
+    shape: the held-out slice (doc_id % 5 == 0) is scored against a
+    bigram LM built from the REST of the corpus — the exact-integer
+    n-gram quality signal (a doc whose adjacent pairs are absent from
+    the reference LM is off-distribution). Exact counts + one final
+    division per doc, all hash-verified."""
+    from gdutils_spark.operators.text import bigram_lm, bigram_oov_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    lm = bigram_lm(d.where(F.col("doc_id") % 5 != 0))
+    return bigram_oov_rate(d.where(F.col("doc_id") % 5 == 0), lm)
+
+
+_BIGRAM_OOV_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS doc, regexp_split_to_array({_NORM}, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc, CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w)-1),
+                                  i -> [w[i], w[i+1]])
+              ELSE CAST([] AS VARCHAR[][]) END AS pairs
+  FROM base
+),
+lmp AS (
+  SELECT DISTINCT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(pairs) AS p FROM g WHERE doc % 5 <> 0) s
+),
+bp AS (
+  SELECT doc, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc, unnest(pairs) AS p FROM g WHERE doc % 5 = 0) s
+),
+fl AS (
+  SELECT bp.doc,
+         CASE WHEN lmp.w1 IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bp LEFT JOIN lmp ON lmp.w1 = bp.w1 AND lmp.w2 = bp.w2
+)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM fl GROUP BY doc
+"""
+
+
 CMS_PROBES = 20
 
 
@@ -4440,6 +4485,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_type_scd2": user_event_type_scd2,
     "doc_bloom_screen": doc_bloom_screen,
     "doc_bigram_lm": doc_bigram_lm,
+    "doc_bigram_oov": doc_bigram_oov,
     "event_value_quantile_sketch": event_value_quantile_sketch,
     "event_value_bottomk_quantiles": event_value_bottomk_quantiles,
     "event_type_quantile_sketch": event_type_quantile_sketch,
@@ -4532,6 +4578,7 @@ EXT_ORACLE: dict[str, str] = {
     "user_event_type_scd2": _SCD2_SQL,
     "doc_bloom_screen": _bloom_screen_sql(),
     "doc_bigram_lm": _BIGRAM_LM_SQL,
+    "doc_bigram_oov": _BIGRAM_OOV_SQL,
     "event_value_quantile_sketch": _HIST_QSKETCH_SQL,
     "event_value_bottomk_quantiles": _bottomk_quantiles_sql(),
     "event_type_quantile_sketch": _GHIST_SQL,

@@ -414,3 +414,24 @@ def test_incremental_substring_dedup_semantics(spark, tmp_path):
         ).collect()
     }
     assert staged == got
+
+
+def test_bigram_oov_rate_semantics(spark):
+    from gdutils_spark.operators.text import bigram_lm, bigram_oov_rate
+
+    ref = _df(spark, ["alpha bravo charlie", "bravo charlie delta"])
+    lm = bigram_lm(ref)
+    probe = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie"),   # all pairs known → 0
+            (2, "echo foxtrot golf"),     # no pairs known → 1
+            (3, "alpha bravo zulu"),      # 1 of 2 known → 0.5
+            (4, "single"),                # no bigrams → no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc: r for r in bigram_oov_rate(probe, lm).collect()}
+    assert got[1].oov_rate == 0.0 and got[1].n_bigrams == 2
+    assert got[2].oov_rate == 1.0
+    assert got[3].n_oov == 1 and got[3].oov_rate == 0.5
+    assert 4 not in got
