@@ -415,6 +415,22 @@ def cmd_quantiles(args) -> int:
     return 0
 
 
+def cmd_bpe_train(args) -> int:
+    from gdutils_spark.operators.text import bpe_encode_stats, bpe_train
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    if args.encode:
+        out = bpe_encode_stats(
+            df, id_col=args.id_col, text_col=args.text_col,
+            n_merges=args.merges,
+        )
+    else:
+        out = bpe_train(df, text_col=args.text_col, n_merges=args.merges)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_cdc_apply(args) -> int:
     from gdutils_spark.operators.cdc import apply_cdc
 
@@ -753,6 +769,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--bins", type=int, default=512)
     sp.add_argument("--q", type=float, action="append", required=True,
                     help="quantile in [0,1] (repeatable)")
+
+    sp = add_pipeline("bpe-train", cmd_bpe_train)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--merges", type=int, default=8,
+                    help="number of BPE merge rounds to learn")
+    sp.add_argument("--encode", action="store_true",
+                    help="emit per-document token counts instead of the merge table")
 
     sp = add_pipeline("cdc-apply", cmd_cdc_apply)
     sp.add_argument("--changes", required=True,

@@ -1338,3 +1338,229 @@ def bigram_lm(
             F.col("pair_count").desc(), "w1", "w2"
         ).limit(top_k)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, ACL — "Neural Machine
+# Translation of Rare Words with Subword Units"). Beyond-reference: the
+# reference has no tokenizer learner; this is the data-driven step that
+# turns the bigram-LM/token-count machinery above into a real subword
+# tokenizer, trained distributed.
+# ---------------------------------------------------------------------------
+
+BPE_END_OF_WORD = "</w>"
+
+
+def _bpe_word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus word-frequency table — the ONLY corpus-sized pass BPE
+    makes. Classic BPE trains on the word-frequency dictionary, not the
+    running text, so everything after this aggregate is vocabulary-sized
+    (distinct words): at 100 TB of text the corpus shuffles once as
+    ``(word, count)`` partials (map-side combine) and the training loop
+    never touches it again."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _bpe_initial_state(wf: DataFrame) -> DataFrame:
+    """Seed vocabulary state: each word as a space-separated symbol
+    string of its characters plus the end-of-word marker (``"the"`` →
+    ``"t h e </w>"``). Explicit per-index ``substr`` (not regex split)
+    so a SQL oracle can rebuild the identical seed."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return wf.select(
+        "word",
+        "freq",
+        F.concat(
+            F.array_join(chars, " "), F.lit(" " + BPE_END_OF_WORD)
+        ).alias("sym"),
+    )
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """Adjacent-symbol-pair counts weighted by word frequency — the
+    get_stats() kernel of Sennrich's reference implementation, as one
+    vocabulary-sized explode + hash aggregate. The symbol array is
+    materialized as a projection attribute BEFORE the pair lambda
+    indexes it (interpreted-HOF O(n²) guard, cf.
+    :func:`repetition_signals`)."""
+    base = state.select(
+        "freq", F.split("sym", " ").alias("_s")
+    ).select("freq", "_s", F.size("_s").alias("_n"))
+    pairs = F.when(
+        F.col("_n") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("_s"), i + 1).alias("a"),
+                F.element_at(F.col("_s"), i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        base.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _bpe_merge_expr(sym_arr: Column, a: str, b: str) -> Column:
+    """Apply merge ``(a, b) → ab`` to one symbol array via a left fold
+    (greedy left-to-right, exactly Sennrich's in-place scan): the
+    accumulator is the merged space-separated string; a step merges iff
+    the accumulator's LAST symbol is exactly ``a`` and the next symbol
+    is ``b``. The fold re-examines the merged symbol as the new last, so
+    ``a a a`` under ``(a,a)`` yields ``aa a`` — greedy, not maximal.
+    Bit-identical to DuckDB ``list_reduce`` with the same CASE."""
+    la = len(a)
+
+    def step(acc: Column, x: Column) -> Column:
+        last_is_a = (acc == F.lit(a)) | (
+            (F.length(acc) >= F.lit(la + 1))
+            & (
+                acc.substr(F.length(acc) - F.lit(la), F.lit(la + 1))
+                == F.lit(" " + a)
+            )
+        )
+        return F.when(
+            last_is_a & (x == F.lit(b)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - F.lit(la)),
+                F.lit(a + b),
+            ),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+
+    return F.aggregate(
+        F.slice(sym_arr, 2, F.size(sym_arr) - 1),
+        F.element_at(sym_arr, 1),
+        step,
+    )
+
+
+def _bpe_fit(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared training loop: returns (merge list, final vocabulary
+    state). Each iteration is ONE vocabulary-sized aggregate to score
+    pairs, ONE single-row argmax collect (the same bounded model-
+    parameter collect as Lloyd centroids in ``similarity.py``), and ONE
+    codegen fold projection to apply the winner — so a full train is
+    ``n_merges`` vocabulary passes and never rescans the corpus. The
+    argmax tie-break (count desc, then (a, b) lexicographic) makes the
+    whole chain deterministic and SQL-replayable.
+
+    Raises ``ValueError`` if the vocabulary exhausts its pairs before
+    ``n_merges`` merges (every word fused to a single symbol): a partial
+    merge table would silently diverge from the requested model size.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    state = _bpe_initial_state(_bpe_word_freq(df, text_col))
+    state = state.persist()
+    merges: list[tuple[int, str, str, int]] = []
+    prev = state
+    for rank in range(1, n_merges + 1):
+        best = (
+            _bpe_pair_counts(prev)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            prev.unpersist()
+            raise ValueError(
+                f"vocabulary exhausted after {rank - 1} merges; "
+                f"requested n_merges={n_merges}"
+            )
+        a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
+        merges.append((rank, a, b, cnt))
+        nxt = prev.select(
+            "word",
+            "freq",
+            _bpe_merge_expr(F.split("sym", " "), a, b).alias("sym"),
+        ).persist()
+        nxt.count()
+        prev.unpersist()
+        prev = nxt
+    return merges, prev
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn a BPE merge table from a corpus: ``(rank, left_sym,
+    right_sym, pair_count)`` — rank is merge order (1-based), pair_count
+    the frequency-weighted adjacency count that won that round.
+
+    100 TB shape: one corpus scan (word counts, map-side combined), then
+    ``n_merges`` vocabulary-sized rounds; the model itself is tiny
+    (``n_merges`` rows) and returned as a local relation, exactly like a
+    trained centroid table."""
+    spark = df.sparkSession
+    merges, state = _bpe_fit(df, text_col, n_merges)
+    state.unpersist()
+    return spark.createDataFrame(
+        [(r, a, b, c) for r, a, b, c in merges],
+        "rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Corpus token table under the learned BPE: ``(token,
+    n_occurrences)`` — every subword the trained tokenizer would emit,
+    weighted by word frequency. Computed from the final vocabulary
+    state, so it is vocabulary-sized work regardless of corpus size."""
+    _, state = _bpe_fit(df, text_col, n_merges)
+    out = (
+        state.select(
+            "freq", F.explode(F.split("sym", " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+    )
+    return out
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Per-document BPE token counts: ``(doc, n_words, n_bpe_tokens)``
+    — the sequence-length accounting a training pipeline does before
+    packing (cf. ``pack_batches``). Joins each document's words against
+    the trained vocabulary's per-word symbol counts: the vocabulary is
+    the SMALL side (broadcast at scale), the corpus never shuffles —
+    one explode + broadcast join + per-doc re-aggregate."""
+    _, state = _bpe_fit(df, text_col, n_merges)
+    word_len = state.select(
+        "word", F.size(F.split("sym", " ")).alias("_n_sym")
+    )
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).where(F.length("word") > 0)
+    return (
+        words.join(F.broadcast(word_len), "word")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_sym").alias("n_bpe_tokens"),
+        )
+    )

@@ -668,6 +668,41 @@ SELECT query_id, neighbor_id, score FROM (
 """
 
 
+N_HARD_NEG = 5
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR-style): per query the corpus rows
+    ranked (k, k+n] by exact cosine — the nearest non-neighbors a
+    contrastive trainer should sample against. Same broadcast-queries /
+    corpus-scan / one-shuffle plan as emb_knn_bruteforce; the band cut
+    is fully tie-broken so every row hash-verifies."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_hard_negatives(
+        vectors, queries, k_pos=KNN_K, n_neg=N_HARD_NEG
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), v AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qe, ve) AS score
+  FROM q, v WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, score,
+       CAST(rn - {KNN_K} AS INT) AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM s
+) WHERE rn > {KNN_K} AND rn <= {KNN_K + N_HARD_NEG}
+"""
+
+
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_T
@@ -3389,6 +3424,61 @@ SELECT node AS part, pr FROM (
 """
 
 
+LPA_ITERS = 3
+
+
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection driver-verified: synchronous label
+    propagation (Raghavan et al. 2007) over the part co-purchase graph
+    — the clustering primitive for co-occurrence/near-dup graphs when
+    connected components is too coarse (CC merges everything touching;
+    LPA keeps densely-linked groups apart). Three fully distributed
+    rounds (edge join + (node,label) count + node-keyed argmax per
+    round), all-integer arithmetic, fully tie-broken — the oracle
+    replays the chain as iteration CTEs. Returns every part's final
+    community label."""
+    from gdutils_spark.operators.graph import label_propagation
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    lab = label_propagation(edges, n_iters=LPA_ITERS)
+    return lab.select(F.col("node").alias("part"), F.col("label").alias("community"))
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        """ed AS (SELECT DISTINCT a.p AS src, b.p AS dst
+       FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed)",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT ed.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ed JOIN l{i - 1} l ON l.node = ed.src GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM a{i}) WHERE rn = 1)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node AS part, label AS community FROM l{LPA_ITERS}
+"""
+
+
 HLL_OVERLAP_CUT_A = "1998-01-01"  # cohort A: orders shipping before
 HLL_OVERLAP_CUT_B = "1996-01-01"  # cohort B: orders shipping on/after
 
@@ -4429,6 +4519,144 @@ FROM daily d JOIN stats USING (event_type)
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — beyond-reference: the
+# data-driven subword tokenizer learner. The oracle replays the full
+# training loop as a CTE chain (the repo's Lloyd-chain pattern): per
+# iteration, pair counts over the vocabulary state, the fully tie-broken
+# argmax, and the same greedy left-fold merge via list_reduce.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table: 8 merge rounds over the corpus word-
+    frequency dictionary — one corpus scan total, then vocabulary-sized
+    rounds (pair-count aggregate + 1-row argmax + codegen fold), the
+    distributed form of Sennrich et al.'s learn_bpe. Fully tie-broken
+    (count desc, pair lexicographic), so the merge table is
+    deterministic and the DuckDB oracle replays the identical chain."""
+    from gdutils_spark.operators.text import bpe_train
+
+    return bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    ).select(
+        F.col("rank").alias("merge_rank"),
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )
+
+
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus subword-token table under the learned BPE: every token the
+    trained tokenizer emits, weighted by word frequency — computed from
+    the final vocabulary state, so corpus-size-independent after the one
+    word-count scan."""
+    from gdutils_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(
+        load_table(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    )
+
+
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE sequence-length accounting (the pre-packing
+    token budget): each document's words joined against the trained
+    vocabulary's per-word symbol counts — vocabulary broadcast, corpus
+    never shuffles."""
+    from gdutils_spark.operators.text import bpe_encode_stats
+
+    return bpe_encode_stats(
+        load_table(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    )
+
+
+def _bpe_ctes(n_iters: int) -> str:
+    """CTE chain computing the BPE training loop to ``v{n_iters}`` /
+    ``b1..b{n_iters}``: seed state = per-character symbols + '</w>',
+    then per round pair counts (adjacency weighted by word freq), the
+    tie-broken argmax, and the greedy left-fold merge — ``list_reduce``
+    with the same last-symbol CASE as the Spark ``aggregate`` fold
+    (verified bit-identical)."""
+    ctes = [
+        f"base AS (SELECT regexp_split_to_array({_NORM}, ' ') AS w FROM documents)",
+        """wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(w) AS word FROM base)
+  WHERE length(word) > 0 GROUP BY word)""",
+        """v0 AS (
+  SELECT word, freq,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, CAST(i AS INT), 1)),
+                         ' ') || ' </w>' AS sym
+  FROM wf)""",
+    ]
+    for i in range(1, n_iters + 1):
+        prev = f"v{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, unnest(CASE WHEN len(s) >= 2
+        THEN list_transform(generate_series(1, len(s) - 1),
+                            j -> [s[j], s[j + 1]])
+        ELSE CAST([] AS VARCHAR[][]) END) AS pr
+    FROM (SELECT freq, string_split(sym, ' ') AS s FROM {prev})
+  ) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"""v{i} AS (
+  SELECT v.word, v.freq,
+         list_reduce(string_split(v.sym, ' '), (acc, x) ->
+           CASE WHEN (acc = b.a OR (length(acc) >= length(b.a) + 1
+                        AND right(acc, length(b.a) + 1) = ' ' || b.a))
+                     AND x = b.b
+                THEN left(acc, length(acc) - length(b.a)) || b.a || b.b
+                ELSE acc || ' ' || x END) AS sym
+  FROM {prev} v CROSS JOIN b{i} b)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _bpe_merges_sql() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"cnt AS pair_count FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"WITH {_bpe_ctes(BPE_MERGES)}\n{unions}"
+
+
+def _bpe_token_stats_sql() -> str:
+    return f"""
+WITH {_bpe_ctes(BPE_MERGES)}
+SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM (SELECT freq, unnest(string_split(sym, ' ')) AS token FROM v{BPE_MERGES})
+GROUP BY token
+"""
+
+
+def _bpe_encode_sql() -> str:
+    return f"""
+WITH {_bpe_ctes(BPE_MERGES)},
+wl AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym
+       FROM v{BPE_MERGES}),
+dw AS (
+  SELECT doc, word FROM (
+    SELECT doc_id AS doc, unnest(regexp_split_to_array({_NORM}, ' ')) AS word
+    FROM documents)
+  WHERE length(word) > 0)
+SELECT dw.doc, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wl USING (word) GROUP BY dw.doc
+"""
+
+
+# ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_recall": emb_knn_recall,
@@ -4462,6 +4690,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_batches": doc_pack_batches,
     "emb_knn_bruteforce": emb_knn_bruteforce,
+    "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_lsh_near_dup_pairs": emb_lsh_near_dup_pairs,
     "emb_lsh_buckets": emb_lsh_buckets,
@@ -4478,6 +4707,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_users_incremental": events_hll_users_incremental,
     "lineitem_hll_order_overlap": lineitem_hll_order_overlap,
     "part_copurchase_pagerank": part_copurchase_pagerank,
+    "part_copurchase_communities": part_copurchase_communities,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -4486,6 +4716,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bloom_screen": doc_bloom_screen,
     "doc_bigram_lm": doc_bigram_lm,
     "doc_bigram_oov": doc_bigram_oov,
+    "doc_bpe_merges": doc_bpe_merges,
+    "doc_bpe_token_stats": doc_bpe_token_stats,
+    "doc_bpe_encode": doc_bpe_encode,
     "event_value_quantile_sketch": event_value_quantile_sketch,
     "event_value_bottomk_quantiles": event_value_bottomk_quantiles,
     "event_type_quantile_sketch": event_type_quantile_sketch,
@@ -4555,6 +4788,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_batches": _pack_batches_sql(),
     "emb_knn_bruteforce": _KNN_SQL,
+    "emb_hard_negatives": _HARD_NEG_SQL,
     "emb_near_dup_pairs": _NEAR_DUP_SQL,
     "emb_lsh_near_dup_pairs": _lsh_near_dup_sql(),
     "emb_lsh_buckets": _lsh_buckets_sql(),
@@ -4571,6 +4805,7 @@ EXT_ORACLE: dict[str, str] = {
     "events_hll_users_incremental": _hll_merge_sql(),
     "lineitem_hll_order_overlap": _hll_overlap_sql(),
     "part_copurchase_pagerank": _pagerank_sql(),
+    "part_copurchase_communities": _lpa_sql(),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),
@@ -4579,6 +4814,9 @@ EXT_ORACLE: dict[str, str] = {
     "doc_bloom_screen": _bloom_screen_sql(),
     "doc_bigram_lm": _BIGRAM_LM_SQL,
     "doc_bigram_oov": _BIGRAM_OOV_SQL,
+    "doc_bpe_merges": _bpe_merges_sql(),
+    "doc_bpe_token_stats": _bpe_token_stats_sql(),
+    "doc_bpe_encode": _bpe_encode_sql(),
     "event_value_quantile_sketch": _HIST_QSKETCH_SQL,
     "event_value_bottomk_quantiles": _bottomk_quantiles_sql(),
     "event_type_quantile_sketch": _GHIST_SQL,

@@ -265,3 +265,26 @@ def test_cli_quantiles(spark, tmp_path, capsys):
     recs = {r["q"]: r["est"] for r in json.loads(capsys.readouterr().out)}
     assert abs(recs[0.5] - 49.5) <= 1.0
     assert abs(recs[0.9] - 89.1) <= 1.0
+
+
+def test_cli_bpe_train(docs_path, capsys):
+    assert main([
+        "bpe-train", "--input", docs_path, "--merges", "3", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert [r["rank"] for r in recs] == [1, 2, 3]
+    for r in recs:
+        assert r["left_sym"] and r["right_sym"] and r["pair_count"] > 0
+
+
+def test_cli_bpe_encode(docs_path, capsys):
+    assert main([
+        "bpe-train", "--input", docs_path, "--merges", "2", "--encode",
+        "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert recs
+    for r in recs:
+        # every word yields at least one subword plus </w> context:
+        # token count is bounded below by word count
+        assert r["n_bpe_tokens"] >= r["n_words"]

@@ -435,3 +435,90 @@ def test_bigram_oov_rate_semantics(spark):
     assert got[2].oov_rate == 1.0
     assert got[3].n_oov == 1 and got[3].oov_rate == 0.5
     assert 4 not in got
+
+
+# ---------------------------------------------------------------------------
+# BPE training: differential test against a pure-Python transcription of
+# Sennrich et al.'s learn_bpe (pair counting over the word-frequency
+# dict, tie-broken argmax, greedy left-to-right merge).
+# ---------------------------------------------------------------------------
+
+
+def _model_bpe(texts_, n_merges):
+    from collections import Counter
+
+    wf = Counter(w for t in texts_ for w in t.lower().split() if w)
+    vocab = {w: (tuple(w) + ("</w>",), f) for w, f in wf.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            return merges, vocab, True
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        new = {}
+        for w, (syms, f) in vocab.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new[w] = (tuple(out), f)
+        vocab = new
+    return merges, vocab, False
+
+
+@given(st.lists(texts, min_size=1, max_size=5), st.integers(1, 3))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_matches_sennrich_model(spark, texts_, n_merges):
+    import pytest as _pytest
+
+    from gdutils_spark.operators.text import bpe_token_stats, bpe_train
+
+    model_merges, model_vocab, exhausted = _model_bpe(texts_, n_merges)
+    if exhausted or not any(t.strip() for t in texts_):
+        with _pytest.raises(ValueError):
+            bpe_train(_df(spark, texts_), n_merges=n_merges)
+        return
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(_df(spark, texts_), n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == model_merges
+    # final-state token stream matches the model's vocabulary state
+    from collections import Counter
+
+    want = Counter()
+    for syms, f in model_vocab.values():
+        for s in syms:
+            want[s] += f
+    stats = {
+        r.token: r.n_occurrences
+        for r in bpe_token_stats(_df(spark, texts_), n_merges=n_merges).collect()
+    }
+    assert stats == dict(want)
+
+
+def test_bpe_greedy_overlap_and_encode(spark):
+    from gdutils_spark.operators.text import bpe_encode_stats, bpe_train
+
+    # 'aaa' under merge (a,a) must become [aa, a] — greedy, not maximal
+    df = spark.createDataFrame(
+        [(0, "aaa aaa ab"), (1, "aaa")], "doc_id long, text string"
+    )
+    m = bpe_train(df, n_merges=1).collect()[0]
+    assert (m.left_sym, m.right_sym) == ("a", "a")
+    enc = {r.doc: r for r in bpe_encode_stats(df, n_merges=1).collect()}
+    # 'aaa' → [aa, a, </w>] = 3 symbols; 'ab' → [a, b, </w>] = 3
+    assert enc[0].n_words == 3 and enc[0].n_bpe_tokens == 3 + 3 + 3
+    assert enc[1].n_words == 1 and enc[1].n_bpe_tokens == 3
