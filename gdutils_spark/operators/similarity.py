@@ -137,6 +137,67 @@ def knn_bruteforce(
     )
 
 
+def knn_hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_pos: int = 5,
+    n_neg: int = 5,
+    dims: int | None = None,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    corpus rows ranked ``(k_pos, k_pos + n_neg]`` by exact cosine — the
+    nearest NON-neighbors, the negatives just below the positive cut
+    that carry the most gradient signal (cf. DPR, Karpukhin et al.
+    2020). Returns ``(query_id, neighbor_id, score, neg_rank)`` with
+    ``neg_rank`` 1-based within the negative band.
+
+    Identical plan shape to :func:`knn_bruteforce` (broadcast queries,
+    corpus-scan scoring, ONE query-keyed top-(k+n) shuffle): mining
+    negatives costs exactly one brute-force pass, and at scale the same
+    IVF/PQ candidate generators substitute for the exact ranking."""
+    from pyspark.sql import Window
+
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_hard_negatives")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col), dims).alias("q_norm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v_vec"),
+        norm(F.col(vec_col), dims).alias("v_norm"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("v_vec"), dims)
+                / (F.col("q_norm") * F.col("v_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > k_pos) & (F.col("rn") <= k_pos + n_neg))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            (F.col("rn") - F.lit(k_pos)).cast("int").alias("neg_rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
