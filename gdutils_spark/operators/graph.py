@@ -1,5 +1,6 @@
 """Iterative graph algorithms beyond connected components
-(``dedup.connected_components``): deterministic PageRank.
+(``dedup.connected_components``): deterministic PageRank and
+label-propagation community detection.
 
 The reference has no graph operators; this family exists because a
 training-data pipeline ends up with graphs everywhere — co-occurrence
@@ -128,3 +129,62 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, Phys. Rev. E 76) — ``(node, label)`` after ``n_iters``
+    rounds of "adopt the label most frequent among your neighbors",
+    seeded with each node's own id. Fully deterministic: the adopt step
+    is tie-broken (count desc, then smallest label) and updates are
+    synchronous, so a fixed iteration count replays identically in SQL
+    — and the whole chain is INTEGER arithmetic, no float parity
+    surface at all.
+
+    Node set = distinct sources (pass both edge directions for an
+    undirected graph, the :func:`pagerank` convention). Per iteration:
+    one equi-join of the edge list with the label vector + one
+    (node, label)-keyed count + one node-keyed argmax — all shuffles on
+    graph keys, no driver-side state; each label vector is
+    ``localCheckpoint``-pinned (no-subtree-reuse discipline). Fixed
+    iterations rather than convergence detection: synchronous LPA can
+    two-cycle on bipartite structure, and a bounded chain is what both
+    a 100 TB budget and an oracle replay want.
+    """
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    for _ in range(n_iters):
+        nbr = e.join(lab.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "label"
+        )
+        cnt = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return lab

@@ -90,3 +90,65 @@ def test_pagerank_plain_sum_matches_ordered_fold_approximately(spark):
     assert set(exact) == set(fast)
     for v in exact:
         assert abs(exact[v] - fast[v]) < 1e-12, v
+
+
+def _lpa_model(edge_list, iters=3):
+    """Pure-Python synchronous LPA with (count desc, min label) adopt."""
+    from collections import defaultdict
+
+    edges = sorted(set(edge_list))
+    nbrs = defaultdict(list)
+    for s, t in edges:
+        nbrs[t].append(s)
+    nodes = sorted({s for s, _ in edges})
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            counts = defaultdict(int)
+            for u in nbrs.get(v, []):
+                counts[lab[u]] += 1
+            if counts:
+                nxt[v] = min(counts, key=lambda c: (-counts[c], c))
+            else:
+                nxt[v] = lab[v]
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_python_model(spark):
+    import random
+
+    from gdutils_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    # two dense cliques with one bridge edge: LPA should keep them apart
+    clique = lambda lo, hi: [
+        (a, b) for a in range(lo, hi) for b in range(lo, hi) if a != b
+    ]
+    edge_list = clique(0, 6) + clique(10, 16) + [(5, 10), (10, 5)]
+    edge_list += list(
+        {(rng.randrange(20, 26), rng.randrange(20, 26)) for _ in range(30)}
+    )
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edge_list += [(b, a) for a, b in edge_list]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, n_iters=3).collect()}
+    want = _lpa_model(edge_list, iters=3)
+    assert got == want
+    # the two cliques converge to distinct internal labels
+    assert len({got[v] for v in range(0, 6)}) == 1
+    assert len({got[v] for v in range(10, 16)}) == 1
+    assert got[0] != got[11]
+
+
+def test_label_propagation_zero_iters_is_identity_seed(spark):
+    from gdutils_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1), (1, 3)], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(df, n_iters=0).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+    with pytest.raises(ValueError):
+        label_propagation(df, n_iters=-1)
