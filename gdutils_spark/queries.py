@@ -1953,34 +1953,45 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 7 window (exactly 50): (a) the 12 NEW round-7 queries —
-    # substring-level dedup (Lee et al. ExactSubstr), left-outer
-    # stream-stream join with the watermark-cut oracle, the mergeable
-    # histogram quantile sketch, residual IVF-PQ search, the
-    # raw-vs-residual recall ablation, HLL inclusion-exclusion cohort
-    # overlap, bottom-k (KMV) quantiles, streaming sketch maintenance,
-    # co-purchase PageRank, per-group histogram quantiles, and the
-    # Z-order clustering-key layout report, and the per-column table
-    # profile; (b) the 4 r6-late additions that have never had a
-    # driver row (doc_bloom_screen, doc_bigram_lm, emb_knn_ivfpq_trained,
+    # round 7 window (exactly 50): (a) the 20 NEW round-7 queries, i.e.
+    # EVERY entry that has never had a driver row — substring-level
+    # dedup (Lee et al. ExactSubstr) + its incremental batch-vs-corpus
+    # variant, left-outer stream-stream join with the watermark-cut
+    # oracle, the mergeable histogram quantile sketch (global and
+    # per-group), residual IVF-PQ search, the raw-vs-residual recall
+    # ablation, multi-probe LSH, HLL inclusion-exclusion cohort overlap,
+    # bottom-k (KMV) quantiles, streaming sketch maintenance,
+    # co-purchase PageRank + label-propagation communities, the Z-order
+    # clustering-key layout report, the per-column table profile, the
+    # BPE tokenizer-training family (merge table / token stats / encode
+    # accounting), bigram OOV scoring, and DPR-style hard-negative
+    # mining; (b) the 4 r6-late additions that have never had a driver
+    # row (doc_bloom_screen, doc_bigram_lm, emb_knn_ivfpq_trained,
     # rt_stream_stream_join — pre-declared first in the r6 ledger,
-    # locally drive-sim green); (c) 34 of the 49 entries whose latest
+    # locally drive-sim green); (c) 26 of the 49 entries whose latest
     # green row is r4 (the pre-declared round-7 rotation priority). The
-    # 15 r4-latest entries that did NOT fit — rt_plot_urls,
+    # 23 r4-latest entries that did NOT fit — rt_plot_urls,
     # rt_kml_coords, rt_info_card, rt_canned_filters,
     # rt_csv_sink_roundtrip, rt_geo_track_points, rt_client_api_merge,
     # rt_client_api_merge_right, rt_csv_batch_daily, rt_client_datasets,
     # rt_json_records_typed, rt_stream_daily_counts, rt_dataset_profiles,
-    # rt_dataset_timeseries, rt_stream_dedup (static
-    # client/source/sink/streaming surfaces
-    # untouched since r4, re-verified locally every session by
-    # tests/test_queries_oracle.py) — are the ROUND-8 ROTATION PRIORITY.
-    # emb_knn_lsh_multiprobe, doc_incremental_substring_dedup and
-    # doc_bigram_oov (added past the full r7 window, each locally
-    # drive-sim green) have NEVER had a driver row and must take the r8
-    # window's FIRST slots, followed by those 15 carry-overs and any
-    # r8-new queries. After this round no other entry's freshest green
-    # row predates r5.
+    # rt_dataset_timeseries, rt_stream_dedup, doc_shard_stats,
+    # emb_semantic_dedup, doc_source_overlap, doc_dedup_keep_best,
+    # doc_domain_mix_plan, doc_domain_mix_sample, doc_bm25_search,
+    # doc_incremental_dedup (static surfaces untouched since r4,
+    # re-verified locally every session by tests/test_queries_oracle.py)
+    # — are the ROUND-8 ROTATION PRIORITY and must head the r8 window
+    # together with any r8-new queries. After this round every entry
+    # has a driver row and none's freshest green row predates r5 except
+    # those 23 documented carry-overs.
+    "emb_knn_lsh_multiprobe",
+    "doc_incremental_substring_dedup",
+    "doc_bigram_oov",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
+    "doc_bpe_encode",
+    "emb_hard_negatives",
+    "part_copurchase_communities",
     "doc_substring_dedup",
     "rt_stream_stream_left_join",
     "event_value_quantile_sketch",
@@ -2023,14 +2034,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "mm_pixel_stats",
     "doc_repetition_signals",
     "doc_source_stats",
-    "doc_shard_stats",
-    "emb_semantic_dedup",
-    "doc_source_overlap",
-    "doc_dedup_keep_best",
-    "doc_domain_mix_plan",
-    "doc_domain_mix_sample",
-    "doc_bm25_search",
-    "doc_incremental_dedup",
 )
 
 
