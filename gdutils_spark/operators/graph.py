@@ -1,6 +1,7 @@
 """Iterative graph algorithms beyond connected components
-(``dedup.connected_components``): deterministic PageRank and
-label-propagation community detection.
+(``dedup.connected_components``): deterministic PageRank,
+label-propagation community detection, and degree-ordered exact
+triangle counting.
 
 The reference has no graph operators; this family exists because a
 training-data pipeline ends up with graphs everywhere — co-occurrence
@@ -131,6 +132,110 @@ def pagerank(
     return pr
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph (directions in the input are ignored — edges are
+    canonicalized to ``least/greatest`` pairs and deduped):
+    ``(node, degree, n_triangles, lcc)`` with
+    ``lcc = 2·T / (d·(d−1))`` (0.0 when ``d < 2``) — the standard
+    cohesion diagnostic next to :func:`pagerank` (importance) and
+    :func:`label_propagation` (partition): a co-purchase/co-occurrence
+    node with high degree but near-zero closure is a hub mixing
+    unrelated contexts, a classic quality prior.
+
+    Spark-first shape (Suri & Vassilvitskii 2011, WWW — "Counting
+    triangles and the curse of the last reducer"): orient every edge
+    from the endpoint with the smaller ``(degree, id)`` to the larger,
+    generate wedges ONLY from each node's oriented out-neighbors, and
+    close them with one semi-join back against the oriented edge set.
+    The orientation bounds every out-list by O(√m) regardless of degree
+    skew, so a celebrity node with 10⁸ neighbors contributes wedges
+    from its (few) higher-rank neighbors instead of the d² all-pairs
+    blow-up — total wedge work is O(m^{3/2}) worst-case, the best
+    possible for exact counting. Each triangle is generated EXACTLY
+    once (its rank-minimal vertex is the wedge center and the closing
+    pair is rank-ordered), so the per-node explode counts every vertex
+    of every triangle once. All-integer arithmetic + one final IEEE
+    division per node — fully oracle-replayable.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("u"), F.col("degree").alias("du")),
+        "u",
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")),
+        "v",
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=False)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedges from shared center a, out-neighbors rank-ordered so the
+    # closing edge (x, y), if present, is oriented exactly x -> y
+    wedges = o1.join(
+        o2,
+        (F.col("o1.a") == F.col("o2.a"))
+        & (
+            (F.col("o1.db") < F.col("o2.db"))
+            | (
+                (F.col("o1.db") == F.col("o2.db"))
+                & (F.col("o1.b") < F.col("o2.b"))
+            )
+        ),
+    ).select(
+        F.col("o1.a").alias("c"),
+        F.col("o1.b").alias("x"),
+        F.col("o2.b").alias("y"),
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    cnt = (
+        tri.select(F.explode(F.array("c", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    return deg.join(cnt, "node", "left").select(
+        "node",
+        "degree",
+        n_tri.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * n_tri).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
@@ -147,14 +252,18 @@ def label_propagation(
     surface at all.
 
     Node set = distinct sources (pass both edge directions for an
-    undirected graph, the :func:`pagerank` convention). Per iteration:
-    one equi-join of the edge list with the label vector + one
-    (node, label)-keyed count + one node-keyed argmax — all shuffles on
-    graph keys, no driver-side state; each label vector is
-    ``localCheckpoint``-pinned (no-subtree-reuse discipline). Fixed
-    iterations rather than convergence detection: synchronous LPA can
-    two-cycle on bipartite structure, and a bounded chain is what both
-    a 100 TB budget and an oracle replay want.
+    undirected graph, the :func:`pagerank` convention) and is STABLE
+    across iterations: a node with no in-neighbors this round keeps its
+    current label (carried forward via a left join), and a
+    destination-only node never enters the output — on directed input
+    the contract holds instead of the label vector drifting toward the
+    destination set. Per iteration: one equi-join of the edge list with
+    the label vector + one (node, label)-keyed count + one node-keyed
+    argmax — all shuffles on graph keys, no driver-side state; each
+    label vector is ``localCheckpoint``-pinned (no-subtree-reuse
+    discipline). Fixed iterations rather than convergence detection:
+    synchronous LPA can two-cycle on bipartite structure, and a bounded
+    chain is what both a 100 TB budget and an oracle replay want.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -181,10 +290,17 @@ def label_propagation(
         cnt = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        lab = (
+        best = (
             cnt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("node", "label")
+            .select("node", F.col("label").alias("_new"))
+        )
+        lab = (
+            lab.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
             .localCheckpoint(eager=False)
         )
     return lab

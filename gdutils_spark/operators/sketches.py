@@ -667,3 +667,155 @@ def bottomk_quantiles(sample: DataFrame, qs: "list[float]") -> DataFrame:
     return wide.select(
         F.expr(f"stack({len(qs)}, {parts}) AS (q, est)")
     )
+
+
+KMV_K = 256
+_KMV_DOMAIN = float(1 << 60)  # _md5_int64 is uniform over [0, 2^60)
+
+
+def kmv_sketch(df: DataFrame, value_col: str, k: int = KMV_K) -> DataFrame:
+    """Bottom-k DISTINCT-VALUE sketch (KMV — Bar-Yossef et al. 2002,
+    RANDOM, "Counting distinct elements in a data stream"): the ``k``
+    smallest md5-int64 hashes of the column's distinct values, one
+    ``(hk)`` row each. Where :func:`bottomk_sample` samples ROWS (for
+    quantiles), this sketches the distinct-value SET — and unlike an HLL
+    register table it supports set ALGEBRA beyond union: because every
+    engine hashes a value to the same point, two sketches share hash
+    members exactly where the underlying sets share values, so Jaccard
+    and intersection sizes fall out of member overlap
+    (:func:`kmv_overlap_report`) — the inclusion-exclusion-free
+    alternative to :func:`hll_estimate` cohort overlap.
+
+    Deterministic (md5, no RNG), MERGEABLE (:func:`kmv_merge`), and
+    oracle-replayable. NULL values are skipped like every builder in
+    this module. Plan shape: map-side hash projection, one distinct
+    shuffle, then a global ordered LIMIT — TakeOrderedAndProject
+    (per-partition top-k + one tiny merge), never a full sort; the
+    sketch is k rows regardless of corpus size."""
+    from gdutils_spark.operators.dedup import _md5_int64
+
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(_md5_int64(F.col(value_col).cast("string")).alias("hk"))
+        .distinct()
+        .orderBy("hk")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge two KMV sketches (same hash function): the bottom-k of the
+    member union IS the sketch of the set union — sketch-sized work,
+    the corpora are never rescanned."""
+    return a.unionByName(b).distinct().orderBy("hk").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: one row
+    ``(n_hashes, kth_frac, est_distinct)``. With fewer than ``k``
+    members the sketch IS the distinct value set (estimate exact); at
+    capacity the classic unbiased estimator ``(k−1) / U(k)`` applies,
+    ``U(k)`` = the k-th smallest hash normalized to (0, 1). Relative
+    error ~1/sqrt(k−2). The normalization and division are single IEEE
+    ops on exactly-representable inputs (60-bit hash, power-of-two
+    domain), so the estimate hash-verifies cross-engine."""
+    n = F.col("n_hashes")
+    kth = F.col("kth_frac")
+    return (
+        sketch.agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            (F.max("hk").cast("double") / F.lit(_KMV_DOMAIN)).alias(
+                "kth_frac"
+            ),
+        )
+        .select(
+            "n_hashes",
+            "kth_frac",
+            F.when(n < k, n.cast("double"))
+            .otherwise(F.lit(float(k - 1)) / kth)
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_overlap_report(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Two-set KMV algebra report, one row: per-set and union
+    distinct-count estimates, the member-overlap Jaccard estimate
+    ``|K(A∪B) ∩ A ∩ B| / |K(A∪B)|`` (Beyer et al. 2007, SIGMOD), and
+    the intersection-size estimate ``jaccard · est_union`` — plus the
+    exact distinct/intersection counts computed alongside to grade the
+    sketch (a production run drops the exact columns; the
+    :func:`hll_report` convention).
+
+    Plan shape: each input is scanned once for its sketch and once for
+    the exact grading counts; everything downstream is sketch-sized
+    (≤ 3k rows) with single-row cross-joined aggregates — the 100 TB
+    cost is the two corpus scans, exactly like the HLL overlap path,
+    but the Jaccard needs no inclusion-exclusion subtraction (better
+    conditioned for small intersections)."""
+    ska = kmv_sketch(a, value_col, k).localCheckpoint(eager=False)
+    skb = kmv_sketch(b, value_col, k).localCheckpoint(eager=False)
+    sku = kmv_merge(ska, skb, k).localCheckpoint(eager=False)
+    est_a = kmv_estimate(ska, k).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    est_b = kmv_estimate(skb, k).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    est_u = kmv_estimate(sku, k).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    shared = (
+        sku.join(ska, "hk", "left_semi")
+        .join(skb, "hk", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    usize = sku.agg(F.count(F.lit(1)).alias("n_union_sketch"))
+    exact_a = a.where(F.col(value_col).isNotNull()).agg(
+        F.count_distinct(value_col).alias("n_a_exact")
+    )
+    exact_b = b.where(F.col(value_col).isNotNull()).agg(
+        F.count_distinct(value_col).alias("n_b_exact")
+    )
+    exact_i = (
+        a.select(F.col(value_col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .distinct()
+        .join(
+            b.select(F.col(value_col).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .distinct(),
+            "_v",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    row = (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(shared)
+        .crossJoin(usize)
+        .crossJoin(exact_a)
+        .crossJoin(exact_b)
+        .crossJoin(exact_i)
+    )
+    jac = F.col("n_shared").cast("double") / F.col(
+        "n_union_sketch"
+    ).cast("double")
+    return row.select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_inter_exact",
+        "est_a",
+        "est_b",
+        "est_union",
+        "n_shared",
+        "n_union_sketch",
+        jac.alias("jaccard_est"),
+        (jac * F.col("est_union")).alias("est_intersection"),
+    )

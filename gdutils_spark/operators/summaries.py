@@ -139,3 +139,60 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "(col_name, dtype, n_rows, n_null, n_distinct, min_num, max_num)"
     )
     return wide.select(F.expr(stack))
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group ROBUST outlier summary via the modified z-score
+    (Iglewicz & Hoaglin 1993, "How to Detect and Handle Outliers"):
+    ``(grp, n, med, mad, n_outliers, outlier_frac)`` where a row is an
+    outlier iff ``0.6745 · |v − median| > threshold · MAD`` — the
+    median/MAD pair is the breakdown-resistant replacement for the
+    mean/stddev z-score (``event_type_daily_zscore``), immune to the
+    very outliers it hunts. Formulated multiplicatively so a MAD of 0
+    (constant-majority groups) needs no division guard: nothing
+    exceeds ``threshold · 0`` except genuinely deviant values.
+
+    Determinism: ``percentile`` == DuckDB ``quantile_cont`` (proven
+    parity), the 0.6745/threshold constants are inlined literals, and
+    the flag arithmetic is two IEEE multiplies on identical doubles —
+    counts hash-verify cross-engine. Plan shape: two grouped percentile
+    aggregates (median, then MAD of the residuals) with the group-sized
+    median table broadcast back between them, then one counting pass —
+    three shuffles of (grp, value)-shaped data, no window, no
+    driver-side state, group cardinality never materialized on the
+    driver."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("v").isNotNull())
+    med = base.groupBy("grp").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("med")
+    )
+    resid = base.join(F.broadcast(med), "grp").select(
+        "grp", "v", "med", F.abs(F.col("v") - F.col("med")).alias("r")
+    )
+    mad = resid.groupBy("grp").agg(
+        F.percentile(F.col("r"), F.lit(0.5)).alias("mad")
+    )
+    flagged = resid.join(F.broadcast(mad), "grp").select(
+        "grp",
+        "med",
+        "mad",
+        (
+            F.col("r") * F.lit(0.6745)
+            > F.lit(float(threshold)) * F.col("mad")
+        ).alias("is_out"),
+    )
+    return flagged.groupBy("grp", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
+        (
+            F.sum(F.col("is_out").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("outlier_frac"),
+    )

@@ -991,6 +991,30 @@ def remove_repeated_substrings(
     )
 
 
+def _adjacent_pairs(arr: Column, n: Column, a_name: str, b_name: str) -> Column:
+    """Array of adjacent-element pairs of ``arr`` as
+    ``struct<a_name:string, b_name:string>`` (empty, correctly typed,
+    when ``n < 2``) — the shared explode kernel under :func:`bigram_lm`,
+    :func:`bigram_oov_rate` and the BPE pair counter, so the
+    interpreted-HOF subtlety lives in ONE place: the caller must pass
+    ``arr``/``n`` as already-materialized projection attributes (never
+    inline expressions), or the per-index ``element_at`` lambda
+    re-evaluates the producer per element — the O(tokens²) cliff
+    (cf. :func:`repetition_signals`)."""
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(arr, i + 1).alias(a_name),
+                F.element_at(arr, i + 2).alias(b_name),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(f"array<struct<{a_name}:string,{b_name}:string>>")
+    )
+
+
 def bigram_oov_rate(
     df: DataFrame,
     lm: DataFrame,
@@ -1015,16 +1039,7 @@ def bigram_oov_rate(
     base = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_ws")
     ).select("doc", "_ws", F.size("_ws").alias("_n"))
-    pairs_col = F.when(
-        F.col("_n") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.col("_n") - 2),
-            lambda i: F.struct(
-                F.element_at(F.col("_ws"), i + 1).alias("w1"),
-                F.element_at(F.col("_ws"), i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs_col = _adjacent_pairs(F.col("_ws"), F.col("_n"), "w1", "w2")
     exploded = base.select("doc", F.explode(pairs_col).alias("p")).select(
         "doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
@@ -1049,6 +1064,7 @@ def remove_repeated_substrings_between(
     id_col: str = "doc_id",
     k: int = 8,
     corpus_sites_path: str | None = None,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """INCREMENTAL substring dedup — the nightly-ingest pattern for
     :func:`remove_repeated_substrings`: clean a new ``batch`` against an
@@ -1065,8 +1081,12 @@ def remove_repeated_substrings_between(
     touched by exactly one scan (zero when ``corpus_sites_path`` points
     at a staged :func:`substring_sites` parquet, the artifact a nightly
     pipeline maintains). Batch-side work is the standalone operator's:
-    one shingle-hash shuffle of BATCH sites only. Same shape as
-    ``dedup.minhash_lsh_pairs_between``.
+    one shingle-hash shuffle of BATCH sites only. The batch site table
+    has THREE consumers (hash set, internal window, corpus probe) and
+    Spark plans no subtree reuse — pass ``stage_path`` at scale to land
+    it in parquet once instead of re-shingling the batch per consumer
+    (standard staging convention; results identical, test-pinned).
+    Same shape as ``dedup.minhash_lsh_pairs_between``.
     """
     from pyspark.sql import Window
 
@@ -1076,6 +1096,8 @@ def remove_repeated_substrings_between(
     else:
         corpus_sites = substring_sites(corpus, text_col, id_col, k)
     bsites = substring_sites(batch, text_col, id_col, k)
+    if stage_path is not None:
+        bsites = _stage(bsites, stage_path)
     # shingles present anywhere in the corpus: semi-join the corpus site
     # table by the (batch-sized, broadcast) batch hash set — corpus-side
     # map work only
@@ -1309,16 +1331,7 @@ def bigram_lm(
     base = df.select(tokens(F.col(text_col)).alias("_ws")).select(
         "_ws", F.size("_ws").alias("_n")
     )
-    pairs_col = F.when(
-        F.col("_n") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.col("_n") - 2),
-            lambda i: F.struct(
-                F.element_at(F.col("_ws"), i + 1).alias("w1"),
-                F.element_at(F.col("_ws"), i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs_col = _adjacent_pairs(F.col("_ws"), F.col("_n"), "w1", "w2")
     exploded = base.select(F.explode(pairs_col).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
@@ -1394,16 +1407,7 @@ def _bpe_pair_counts(state: DataFrame) -> DataFrame:
     base = state.select(
         "freq", F.split("sym", " ").alias("_s")
     ).select("freq", "_s", F.size("_s").alias("_n"))
-    pairs = F.when(
-        F.col("_n") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.col("_n") - 2),
-            lambda i: F.struct(
-                F.element_at(F.col("_s"), i + 1).alias("a"),
-                F.element_at(F.col("_s"), i + 2).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = _adjacent_pairs(F.col("_s"), F.col("_n"), "a", "b")
     return (
         base.select("freq", F.explode(pairs).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -1458,9 +1462,13 @@ def _bpe_fit(
     argmax tie-break (count desc, then (a, b) lexicographic) makes the
     whole chain deterministic and SQL-replayable.
 
-    Raises ``ValueError`` if the vocabulary exhausts its pairs before
-    ``n_merges`` merges (every word fused to a single symbol): a partial
-    merge table would silently diverge from the requested model size.
+    Stops EARLY (returning the partial merge list and the state at
+    exhaustion) if the vocabulary runs out of pairs before ``n_merges``
+    merges — Sennrich's reference learner does the same, and the SQL
+    oracle's per-round CTEs degrade identically (an exhausted round is
+    a no-op carry-forward), so operator and oracle agree on the
+    exhaustion contract instead of one raising where the other returns.
+    Callers own unpersisting the returned (persisted) state.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -1476,11 +1484,7 @@ def _bpe_fit(
             .collect()
         )
         if not best:
-            prev.unpersist()
-            raise ValueError(
-                f"vocabulary exhausted after {rank - 1} merges; "
-                f"requested n_merges={n_merges}"
-            )
+            break
         a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
         merges.append((rank, a, b, cnt))
         nxt = prev.select(
@@ -1501,7 +1505,10 @@ def bpe_train(
 ) -> DataFrame:
     """Learn a BPE merge table from a corpus: ``(rank, left_sym,
     right_sym, pair_count)`` — rank is merge order (1-based), pair_count
-    the frequency-weighted adjacency count that won that round.
+    the frequency-weighted adjacency count that won that round. Returns
+    FEWER than ``n_merges`` rows when the vocabulary exhausts its pairs
+    first (every word fused to one symbol) — the standard BPE early
+    stop, mirrored exactly by the SQL oracle.
 
     100 TB shape: one corpus scan (word counts, map-side combined), then
     ``n_merges`` vocabulary-sized rounds; the model itself is tiny
@@ -1524,7 +1531,12 @@ def bpe_token_stats(
     """Corpus token table under the learned BPE: ``(token,
     n_occurrences)`` — every subword the trained tokenizer would emit,
     weighted by word frequency. Computed from the final vocabulary
-    state, so it is vocabulary-sized work regardless of corpus size."""
+    state, so it is vocabulary-sized work regardless of corpus size.
+    The (vocabulary-sized) result is ``localCheckpoint``-materialized so
+    the training state's cache can be released before returning —
+    ``_bpe_fit`` hands back a persisted state that would otherwise stay
+    pinned in executor storage for the session (checkpoint RDDs are
+    ContextCleaner-collected; CacheManager entries are not)."""
     _, state = _bpe_fit(df, text_col, n_merges)
     out = (
         state.select(
@@ -1532,7 +1544,9 @@ def bpe_token_stats(
         )
         .groupBy("token")
         .agg(F.sum("freq").alias("n_occurrences"))
+        .localCheckpoint(eager=True)
     )
+    state.unpersist()
     return out
 
 
@@ -1547,11 +1561,15 @@ def bpe_encode_stats(
     packing (cf. ``pack_batches``). Joins each document's words against
     the trained vocabulary's per-word symbol counts: the vocabulary is
     the SMALL side (broadcast at scale), the corpus never shuffles —
-    one explode + broadcast join + per-doc re-aggregate."""
+    one explode + broadcast join + per-doc re-aggregate. The
+    vocabulary-sized per-word symbol counts are ``localCheckpoint``-
+    materialized so the training state's cache is released up front
+    rather than pinned for the session (cf. :func:`bpe_token_stats`)."""
     _, state = _bpe_fit(df, text_col, n_merges)
     word_len = state.select(
         "word", F.size(F.split("sym", " ")).alias("_n_sym")
-    )
+    ).localCheckpoint(eager=True)
+    state.unpersist()
     words = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("word"),

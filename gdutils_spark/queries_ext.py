@@ -4608,16 +4608,21 @@ def _bpe_ctes(n_iters: int) -> str:
         ctes.append(
             f"b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE (not CROSS JOIN): an exhausted round — empty
+        # b{i} — must carry v{i-1} forward unchanged, matching the Spark
+        # trainer's early stop; a cross join would empty every later CTE
+        # and silently truncate the chain instead.
         ctes.append(
             f"""v{i} AS (
   SELECT v.word, v.freq,
-         list_reduce(string_split(v.sym, ' '), (acc, x) ->
+         CASE WHEN b.a IS NULL THEN v.sym
+              ELSE list_reduce(string_split(v.sym, ' '), (acc, x) ->
            CASE WHEN (acc = b.a OR (length(acc) >= length(b.a) + 1
                         AND right(acc, length(b.a) + 1) = ' ' || b.a))
                      AND x = b.b
                 THEN left(acc, length(acc) - length(b.a)) || b.a || b.b
-                ELSE acc || ' ' || x END) AS sym
-  FROM {prev} v CROSS JOIN b{i} b)"""
+                ELSE acc || ' ' || x END) END AS sym
+  FROM {prev} v LEFT JOIN b{i} b ON TRUE)"""
         )
     return ",\n".join(ctes)
 
@@ -4653,6 +4658,205 @@ dw AS (
 SELECT dw.doc, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_tokens
 FROM dw JOIN wl USING (word) GROUP BY dw.doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-7 late additions: exact triangle counting, KMV set algebra,
+# robust (median/MAD) outlier detection.
+# ---------------------------------------------------------------------------
+
+TRI_TOP = 100
+
+
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting driver-verified: per-part triangle count
+    + local clustering coefficient over the part co-purchase graph via
+    degree-ordered orientation (Suri & Vassilvitskii 2011) — wedge work
+    bounded O(m^{3/2}) regardless of degree skew, each triangle
+    generated exactly once, all-integer arithmetic + one final IEEE
+    division. Top ``TRI_TOP`` parts by (n_triangles desc, part) — a
+    deterministic TakeOrderedAndProject cut, no window."""
+    from gdutils_spark.operators.graph import triangle_count
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    tri = triangle_count(edges)
+    return (
+        tri.orderBy(F.col("n_triangles").desc(), F.col("node"))
+        .limit(TRI_TOP)
+        .select(F.col("node").alias("part"), "degree", "n_triangles", "lcc")
+    )
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+eu AS (SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+       FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        (SELECT u AS node FROM eu UNION ALL SELECT v AS node FROM eu)
+        GROUP BY node),
+ed AS (SELECT eu.u, eu.v, du.degree AS du, dv.degree AS dv
+       FROM eu JOIN deg du ON eu.u = du.node JOIN deg dv ON eu.v = dv.node),
+o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+      FROM ed),
+w AS (SELECT o1.a AS c, o1.b AS x, o2.b AS y
+      FROM o o1 JOIN o o2 ON o1.a = o2.a
+       AND (o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b))),
+t AS (SELECT c, x, y FROM w
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.y)),
+tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM
+       (SELECT c AS node FROM t UNION ALL SELECT x AS node FROM t
+        UNION ALL SELECT y AS node FROM t) GROUP BY node),
+fin AS (SELECT deg.node, deg.degree,
+               COALESCE(tn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+        FROM deg LEFT JOIN tn ON deg.node = tn.node)
+SELECT node AS part, degree, n_triangles,
+       CASE WHEN degree >= 2
+            THEN CAST(2 * n_triangles AS DOUBLE)
+                 / CAST(degree * (degree - 1) AS DOUBLE)
+            ELSE CAST('0.0' AS DOUBLE) END AS lcc
+FROM fin
+ORDER BY n_triangles DESC, part
+LIMIT {TRI_TOP}
+"""
+
+
+KMV_OVERLAP_K = 256
+KMV_CUT_A = "1994-01-01"
+KMV_CUT_B = "1996-01-01"
+
+
+def lineitem_kmv_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA driver-verified: estimate the overlap of two part
+    cohorts (parts shipped before {KMV_CUT_A} vs on/after {KMV_CUT_B})
+    from bottom-k distinct-value sketches alone — union = member-merge,
+    Jaccard = shared-member fraction of the union sketch (Beyer et al.
+    2007), intersection = jaccard · est(union). The
+    inclusion-exclusion-free twin of ``lineitem_hll_order_overlap``:
+    overlap error scales with the UNION sketch, not the set sizes.
+    Exact counts ride alongside to grade the estimator; one output row,
+    every float a single IEEE op on md5-pinned inputs."""
+    from gdutils_spark.operators.sketches import kmv_overlap_report
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cohort_a = li.where(F.col("l_shipdate") < F.lit(KMV_CUT_A).cast("date"))
+    cohort_b = li.where(F.col("l_shipdate") >= F.lit(KMV_CUT_B).cast("date"))
+    return kmv_overlap_report(
+        cohort_a, cohort_b, "l_partkey", k=KMV_OVERLAP_K
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    k = KMV_OVERLAP_K
+    dom = f"CAST('{float(1 << 60)!r}' AS DOUBLE)"
+    km1 = f"CAST('{float(k - 1)!r}' AS DOUBLE)"
+
+    def est(t: str) -> str:
+        return (
+            f"CASE WHEN {t}.n < {k} THEN CAST({t}.n AS DOUBLE) "
+            f"ELSE {km1} / (CAST({t}.mx AS DOUBLE) / {dom}) END"
+        )
+
+    return f"""
+WITH ca AS (SELECT DISTINCT {_h64("CAST(l_partkey AS VARCHAR)")} AS hk
+            FROM lineitem WHERE l_shipdate < DATE '{KMV_CUT_A}'),
+ska AS (SELECT hk FROM ca ORDER BY hk LIMIT {k}),
+cb AS (SELECT DISTINCT {_h64("CAST(l_partkey AS VARCHAR)")} AS hk
+       FROM lineitem WHERE l_shipdate >= DATE '{KMV_CUT_B}'),
+skb AS (SELECT hk FROM cb ORDER BY hk LIMIT {k}),
+sku AS (SELECT hk FROM (SELECT hk FROM ska UNION SELECT hk FROM skb)
+        ORDER BY hk LIMIT {k}),
+ea AS (SELECT COUNT(*) AS n, MAX(hk) AS mx FROM ska),
+eb AS (SELECT COUNT(*) AS n, MAX(hk) AS mx FROM skb),
+eu AS (SELECT COUNT(*) AS n, MAX(hk) AS mx FROM sku),
+sh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared FROM sku
+       WHERE hk IN (SELECT hk FROM ska) AND hk IN (SELECT hk FROM skb)),
+us AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sketch FROM sku),
+xa AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_a_exact
+       FROM lineitem WHERE l_shipdate < DATE '{KMV_CUT_A}'),
+xb AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_b_exact
+       FROM lineitem WHERE l_shipdate >= DATE '{KMV_CUT_B}'),
+xi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_exact FROM (
+         SELECT DISTINCT l_partkey FROM lineitem
+         WHERE l_shipdate < DATE '{KMV_CUT_A}'
+         INTERSECT
+         SELECT DISTINCT l_partkey FROM lineitem
+         WHERE l_shipdate >= DATE '{KMV_CUT_B}'))
+SELECT xa.n_a_exact, xb.n_b_exact, xi.n_inter_exact,
+       {est("ea")} AS est_a,
+       {est("eb")} AS est_b,
+       {est("eu")} AS est_union,
+       sh.n_shared, us.n_union_sketch,
+       CAST(sh.n_shared AS DOUBLE) / CAST(us.n_union_sketch AS DOUBLE)
+         AS jaccard_est,
+       (CAST(sh.n_shared AS DOUBLE) / CAST(us.n_union_sketch AS DOUBLE))
+         * ({est("eu")})
+         AS est_intersection
+FROM ea, eb, eu, sh, us, xa, xb, xi
+"""
+
+
+MAD_THRESHOLD = 3.5
+
+
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection driver-verified: per-event-type modified
+    z-score summary (Iglewicz & Hoaglin 1993) — median/MAD instead of
+    mean/stddev (the ``event_type_daily_zscore`` pair), so the location
+    and scale estimates cannot be dragged by the outliers themselves.
+    Multiplicative flag form needs no MAD=0 division guard; percentile
+    == quantile_cont parity carries the medians, every other float op is
+    a single IEEE multiply/divide."""
+    from gdutils_spark.operators.summaries import mad_outlier_summary
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outlier_summary(
+        ev, "value", "event_type", threshold=MAD_THRESHOLD
+    ).select(
+        F.col("grp").alias("event_type"),
+        "med",
+        "mad",
+        "n",
+        "n_outliers",
+        "outlier_frac",
+    )
+
+
+def _mad_outliers_sql() -> str:
+    c_mad = f"CAST('{0.6745!r}' AS DOUBLE)"
+    c_thr = f"CAST('{float(MAD_THRESHOLD)!r}' AS DOUBLE)"
+    return f"""
+WITH base AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+              FROM events WHERE value IS NOT NULL),
+med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM base GROUP BY grp),
+resid AS (SELECT base.grp, base.v, med.med, abs(base.v - med.med) AS r
+          FROM base JOIN med USING (grp)),
+mad AS (SELECT grp, quantile_cont(r, 0.5) AS mad FROM resid GROUP BY grp),
+fl AS (SELECT resid.grp, resid.med, mad.mad,
+              (resid.r * {c_mad} > {c_thr} * mad.mad) AS is_out
+       FROM resid JOIN mad USING (grp))
+SELECT grp AS event_type, med, mad,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
+FROM fl GROUP BY grp, med, mad
 """
 
 
@@ -4708,6 +4912,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_hll_order_overlap": lineitem_hll_order_overlap,
     "part_copurchase_pagerank": part_copurchase_pagerank,
     "part_copurchase_communities": part_copurchase_communities,
+    "part_copurchase_triangles": part_copurchase_triangles,
+    "lineitem_kmv_part_overlap": lineitem_kmv_part_overlap,
+    "event_value_outliers": event_value_outliers,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -4806,6 +5013,9 @@ EXT_ORACLE: dict[str, str] = {
     "lineitem_hll_order_overlap": _hll_overlap_sql(),
     "part_copurchase_pagerank": _pagerank_sql(),
     "part_copurchase_communities": _lpa_sql(),
+    "part_copurchase_triangles": _triangles_sql(),
+    "lineitem_kmv_part_overlap": _kmv_overlap_sql(),
+    "event_value_outliers": _mad_outliers_sql(),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),

@@ -152,3 +152,106 @@ def test_label_propagation_zero_iters_is_identity_seed(spark):
     assert got == {1: 1, 2: 2, 3: 3}
     with pytest.raises(ValueError):
         label_propagation(df, n_iters=-1)
+
+
+def test_label_propagation_directed_keeps_node_set_stable(spark):
+    """Directed input: a source with no in-edges keeps its own label and
+    stays in the output; a destination-only node never enters it — the
+    node set is exactly the distinct sources at every iteration count
+    (regression: labels used to drift toward the destination set)."""
+    from gdutils_spark.operators.graph import label_propagation
+
+    # 1 -> 2 -> 3 (3 is dst-only); 1 has no in-edges.
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, n_iters=iters).collect()
+        }
+        assert got == {1: 1, 2: 1}, (iters, got)
+    # and the differential model agrees on a random directed graph
+    import random
+
+    rng = random.Random(11)
+    edge_list = sorted(
+        {(rng.randrange(12), rng.randrange(12)) for _ in range(40)}
+    )
+    edge_list = [(s, t) for s, t in edge_list if s != t]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, n_iters=3).collect()}
+    assert got == _lpa_model(edge_list, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting: differential vs brute-force model + known graphs.
+# ---------------------------------------------------------------------------
+
+
+def _tri_model(edge_list):
+    """Brute-force per-node triangle counts over an undirected graph."""
+    from itertools import combinations
+
+    adj = {}
+    for s, t in edge_list:
+        if s == t:
+            continue
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    tri = {v: 0 for v in adj}
+    for v in adj:
+        for x, y in combinations(sorted(adj[v]), 2):
+            if y in adj.get(x, ()):
+                tri[v] += 1
+    # each triangle counted once per vertex as the wedge center over
+    # sorted neighbor pairs → exactly 1x per vertex here? No: the wedge
+    # (x, v, y) is counted at center v only; summing over all centers
+    # counts each triangle 3 times total, once per vertex. Per-node
+    # count = wedges at that node that close = its triangle membership.
+    deg = {v: len(adj[v]) for v in adj}
+    return {
+        v: (deg[v], tri[v], (2.0 * tri[v]) / (deg[v] * (deg[v] - 1)) if deg[v] >= 2 else 0.0)
+        for v in adj
+    }
+
+
+def test_triangle_count_k4_and_path(spark):
+    from gdutils_spark.operators.graph import triangle_count
+
+    # K4: every vertex in C(3,2)=3 triangles, lcc = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    got = {
+        r.node: (r.degree, r.n_triangles, r.lcc)
+        for r in triangle_count(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert got == {v: (3, 3, 1.0) for v in range(4)}
+    # path graph: no triangles, zero lcc everywhere (incl. degree-1 ends)
+    path = [(0, 1), (1, 2), (2, 3)]
+    got = {
+        r.node: (r.n_triangles, r.lcc)
+        for r in triangle_count(
+            spark.createDataFrame(path, "src long, dst long")
+        ).collect()
+    }
+    assert got == {0: (0, 0.0), 1: (0, 0.0), 2: (0, 0.0), 3: (0, 0.0)}
+
+
+def test_triangle_count_matches_bruteforce_model(spark):
+    import random
+
+    from gdutils_spark.operators.graph import triangle_count
+
+    rng = random.Random(23)
+    edge_list = sorted(
+        {(rng.randrange(15), rng.randrange(15)) for _ in range(70)}
+    )
+    edge_list = [(s, t) for s, t in edge_list if s != t]
+    # feed DIRECTED, duplicated edges — operator canonicalizes
+    got = {
+        r.node: (r.degree, r.n_triangles, r.lcc)
+        for r in triangle_count(
+            spark.createDataFrame(edge_list, "src long, dst long")
+        ).collect()
+    }
+    assert got == _tri_model(edge_list)

@@ -470,3 +470,72 @@ def test_hist_grouped_registers_and_quantiles(spark):
     }
     assert 0.0 <= ests[("a", 0.5)] <= 10.0
     assert 50.0 <= ests[("b", 0.5)] <= 60.0
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-value sketch: set algebra (union merge, Jaccard,
+# intersection) on md5-pinned bottom-k member sets.
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_equals_whole_set_sketch(spark):
+    """Sketch of the union == merge of per-shard sketches (member-exact,
+    not just estimate-close) — the incremental property."""
+    from gdutils_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+    whole = a.unionByName(b)
+    k = 64
+    merged = sorted(
+        r.hk for r in kmv_merge(kmv_sketch(a, "v", k), kmv_sketch(b, "v", k), k).collect()
+    )
+    direct = sorted(r.hk for r in kmv_sketch(whole, "v", k).collect())
+    assert merged == direct and len(direct) == k
+
+
+def test_kmv_estimate_exact_under_capacity_and_bounded_at_capacity(spark):
+    from gdutils_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    small = spark.range(0, 40).select(F.col("id").alias("v"))
+    row = kmv_estimate(kmv_sketch(small, "v", 256), 256).collect()[0]
+    assert row.n_hashes == 40 and row.est_distinct == 40.0
+    big = spark.range(0, 20000).select(F.col("id").alias("v"))
+    est = kmv_estimate(kmv_sketch(big, "v", 256), 256).collect()[0]
+    # rel error ~1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(est.est_distinct - 20000) / 20000 < 0.25
+
+
+def test_kmv_overlap_report_tracks_exact_sets(spark):
+    from gdutils_spark.operators.sketches import kmv_overlap_report
+
+    a = spark.range(0, 8000).select(F.col("id").alias("v"))
+    b = spark.range(4000, 12000).select(F.col("id").alias("v"))
+    r = kmv_overlap_report(a, b, "v", k=256).collect()[0]
+    assert (r.n_a_exact, r.n_b_exact, r.n_inter_exact) == (8000, 8000, 4000)
+    # true jaccard = 4000/12000 = 1/3; binomial error on 256 members
+    assert abs(r.jaccard_est - 1 / 3) < 0.15
+    assert abs(r.est_intersection - 4000) / 4000 < 0.45
+    assert abs(r.est_union - 12000) / 12000 < 0.25
+    # skips NULLs like every builder
+    an = a.select(F.when(F.col("v") < 0, F.col("v")).alias("v"))
+    rn = kmv_overlap_report(an, b, "v", k=256).collect()[0]
+    assert rn.n_a_exact == 0 and rn.n_inter_exact == 0
+
+
+def test_mad_outlier_summary_flags_known_outliers(spark):
+    from gdutils_spark.operators.summaries import mad_outlier_summary
+
+    rows = [("a", float(v)) for v in range(1, 22)] + [
+        ("a", 1000.0),            # obvious outlier
+        ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 99.0),  # MAD = 0 group
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r.grp: r for r in mad_outlier_summary(df, "v", "grp").collect()}
+    # group a: median 11.5, MAD ~5.5 → only 1000 crosses 3.5·MAD/0.6745
+    assert got["a"].n == 22 and got["a"].n_outliers == 1
+    # group b: MAD = 0 → anything off-median is an outlier, no div crash
+    assert got["b"].mad == 0.0 and got["b"].n_outliers == 1
+    # NULL-only group dropped entirely
+    assert "c" not in got
