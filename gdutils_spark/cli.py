@@ -431,6 +431,43 @@ def cmd_bpe_train(args) -> int:
     return 0
 
 
+def cmd_triangles(args) -> int:
+    from gdutils_spark.operators.graph import triangle_count
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = triangle_count(df, src=args.src_col, dst=args.dst_col)
+    if args.top:
+        out = out.orderBy(
+            F.col("n_triangles").desc(), F.col("node")
+        ).limit(args.top)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_set_overlap(args) -> int:
+    from gdutils_spark.operators.sketches import kmv_overlap_report
+
+    spark = _get_spark()
+    a = _load(spark, args.input)
+    b = _load(spark, args.other)
+    out = kmv_overlap_report(a, b, args.value_col, k=args.k)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_outliers(args) -> int:
+    from gdutils_spark.operators.summaries import mad_outlier_summary
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = mad_outlier_summary(
+        df, args.value_col, args.group_col, threshold=args.threshold
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_cdc_apply(args) -> int:
     from gdutils_spark.operators.cdc import apply_cdc
 
@@ -777,6 +814,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="number of BPE merge rounds to learn")
     sp.add_argument("--encode", action="store_true",
                     help="emit per-document token counts instead of the merge table")
+
+    sp = add_pipeline("triangles", cmd_triangles)
+    sp.add_argument("--src-col", default="src")
+    sp.add_argument("--dst-col", default="dst")
+    sp.add_argument("--top", type=int, default=0,
+                    help="keep only the top-N nodes by triangle count")
+
+    sp = add_pipeline("set-overlap", cmd_set_overlap)
+    sp.add_argument("--other", required=True,
+                    help="second table for the overlap estimate")
+    sp.add_argument("--value-col", default="doc_id")
+    sp.add_argument("--k", type=int, default=256,
+                    help="KMV sketch size (rel error ~1/sqrt(k-2))")
+
+    sp = add_pipeline("outliers", cmd_outliers)
+    sp.add_argument("--value-col", default="value")
+    sp.add_argument("--group-col", default="event_type")
+    sp.add_argument("--threshold", type=float, default=3.5,
+                    help="modified z-score cut (Iglewicz-Hoaglin 3.5)")
 
     sp = add_pipeline("cdc-apply", cmd_cdc_apply)
     sp.add_argument("--changes", required=True,

@@ -288,3 +288,34 @@ def test_cli_bpe_encode(docs_path, capsys):
         # every word yields at least one subword plus </w> context:
         # token count is bounded below by word count
         assert r["n_bpe_tokens"] >= r["n_words"]
+
+
+def test_cli_triangles(spark, tmp_path, capsys):
+    path = str(tmp_path / "edges")
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    spark.createDataFrame(k4, "src long, dst long").write.parquet(path)
+    assert main(["triangles", "--input", path, "--top", "2", "-f", "json"]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 2
+    assert all(r["n_triangles"] == 3 and r["lcc"] == 1.0 for r in recs)
+
+
+def test_cli_set_overlap(spark, tmp_path, capsys):
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(0, 300).selectExpr("id AS doc_id").write.parquet(pa)
+    spark.range(150, 450).selectExpr("id AS doc_id").write.parquet(pb)
+    assert main([
+        "set-overlap", "--input", pa, "--other", pb, "--k", "64", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 1 and recs[0]["n_inter_exact"] == 150
+    assert 0.0 < recs[0]["jaccard_est"] < 1.0
+
+
+def test_cli_outliers(spark, tmp_path, capsys):
+    path = str(tmp_path / "vals")
+    rows = [("a", float(v)) for v in range(1, 22)] + [("a", 1000.0)]
+    spark.createDataFrame(rows, "event_type string, value double").write.parquet(path)
+    assert main(["outliers", "--input", path, "-f", "json"]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 1 and recs[0]["n_outliers"] == 1
