@@ -4860,6 +4860,244 @@ FROM fl GROUP BY grp, med, mad
 """
 
 
+BASKET_MIN_PAIR = 2
+BASKET_TOP = 100
+
+
+def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (Agrawal &
+    Srikant 1994's A-priori level-2 statistics, Spark-first): for every
+    part pair co-occurring in ≥ ``BASKET_MIN_PAIR`` orders, support,
+    both directed confidences, and lift — top ``BASKET_TOP`` by
+    (pair count desc, a, b). The co-occurrence twin of the
+    co-purchase GRAPH queries: same underlying self-join, but scored as
+    rule statistics instead of topology.
+
+    Determinism: every statistic is a ratio of exact BIGINT counts
+    (lift's numerator/denominator are integer PRODUCTS — ``c_ab·N`` and
+    ``c_a·c_b`` — multiplied before the single IEEE division), so the
+    whole result hash-verifies with no ordered folds anywhere.
+
+    100 TB shape: the pair count is the standard (basket, item)
+    self-join bucketed by basket key — never all item pairs globally,
+    only within-basket pairs (Σ b_i² work, the A-priori candidate
+    bound); item counts and the basket total are map-combinable; the
+    rule table joins item counts twice, both item-sized (AQE
+    broadcasts). A hot basket (one order with 10⁶ items) is the skew
+    hazard — cap basket size upstream, the standard A-priori move."""
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_baskets = items.agg(
+        F.count_distinct("o").alias("n_baskets")
+    )
+    item_cnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= BASKET_MIN_PAIR)
+    )
+    scored = (
+        pair_cnt.join(
+            item_cnt.select(F.col("p").alias("pa"), F.col("c").alias("c_a")),
+            "pa",
+        )
+        .join(
+            item_cnt.select(F.col("p").alias("pb"), F.col("c").alias("c_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return (
+        scored.select(
+            "pa",
+            "pb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.col("c_ab").cast("double")
+                / F.col("n_baskets").cast("double")
+            ).alias("support"),
+            (F.col("c_ab").cast("double") / F.col("c_a").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("c_ab").cast("double") / F.col("c_b").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+            (
+                (F.col("c_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "pa", "pb")
+        .limit(BASKET_TOP)
+    )
+
+
+def _basket_rules_sql() -> str:
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM items),
+ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY p),
+pc AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       GROUP BY a.p, b.p
+       HAVING COUNT(*) >= {BASKET_MIN_PAIR})
+SELECT pc.pa, pc.pb, pc.c_ab, ia.c AS c_a, ib.c AS c_b,
+       CAST(pc.c_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+       CAST(pc.c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE) AS conf_a_to_b,
+       CAST(pc.c_ab AS DOUBLE) / CAST(ib.c AS DOUBLE) AS conf_b_to_a,
+       CAST(pc.c_ab * nb.n_baskets AS DOUBLE)
+         / CAST(ia.c * ib.c AS DOUBLE) AS lift
+FROM pc JOIN ic ia ON pc.pa = ia.p JOIN ic ib ON pc.pb = ib.p, nb
+ORDER BY pc.c_ab DESC, pc.pa, pc.pb
+LIMIT {BASKET_TOP}
+"""
+
+
+def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    sequences: ``(from_type, to_type, n, p)`` with ``p`` the row-
+    normalized transition probability — the behavioral-model primitive
+    under funnel design and sessionized recommendation ("what follows a
+    click?"). Successor pairs come from one ``lead`` window per user
+    ordered by (ts, event_id) — fully tie-broken, so the sequence (and
+    every count downstream) is deterministic. Exact integer counts +
+    one final IEEE division per row.
+
+    100 TB shape: ONE window shuffle keyed by user (state = one row
+    lookahead, no collect_list), then a (from, to)-keyed map-combinable
+    count — the transition table is |event types|² regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return cnt.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+cnt AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM cnt GROUP BY from_type)
+SELECT cnt.from_type, cnt.to_type, cnt.n, tot.n_from,
+       CAST(cnt.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
+FROM cnt JOIN tot USING (from_type)
+"""
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of shipment volume
+    across each nation's suppliers: ``(nation, n_suppliers, n_items,
+    hhi, equivalent_n)`` — HHI = Σ share² over the nation's suppliers,
+    ``equivalent_n = 1/HHI`` the effective competitor count. The
+    supply-concentration risk report (a nation whose HHI → 1 ships
+    everything through one supplier).
+
+    The whole index is computed in INTEGER space — HHI =
+    Σ c_s² / (Σ c_s)² with c_s the supplier's lineitem count, so the
+    numerator and denominator are exact BIGINTs and the only float ops
+    are two final IEEE divisions. No ordered folds, no share-sum
+    order sensitivity (the naive Σ(c/total)² is order-dependent; the
+    integer form is not). Two map-combinable aggregates + one
+    nation-keyed rollup + a broadcast nation-name join."""
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nk")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    per_sup = (
+        li.join(F.broadcast(sup), "s")
+        .groupBy("nk", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_nat = per_sup.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("c").alias("n_items"),
+        F.sum(F.col("c") * F.col("c")).alias("_sum_sq"),
+    )
+    hhi = F.col("_sum_sq").cast("double") / (
+        F.col("n_items") * F.col("n_items")
+    ).cast("double")
+    return per_nat.join(F.broadcast(nat), "nk").select(
+        "nation",
+        "n_suppliers",
+        "n_items",
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("equivalent_n"),
+    )
+
+
+_HHI_SQL = """
+WITH per_sup AS (
+  SELECT s.s_nationkey AS nk, li.l_suppkey AS sk,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, li.l_suppkey),
+per_nat AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(c) AS BIGINT) AS n_items,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM per_sup GROUP BY nk)
+SELECT n.n_name AS nation, p.n_suppliers, p.n_items,
+       CAST(p.sum_sq AS DOUBLE) / CAST(p.n_items * p.n_items AS DOUBLE)
+         AS hhi,
+       CAST('1.0' AS DOUBLE)
+         / (CAST(p.sum_sq AS DOUBLE) / CAST(p.n_items * p.n_items AS DOUBLE))
+         AS equivalent_n
+FROM per_nat p JOIN nation n ON p.nk = n.n_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4915,6 +5153,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_copurchase_triangles": part_copurchase_triangles,
     "lineitem_kmv_part_overlap": lineitem_kmv_part_overlap,
     "event_value_outliers": event_value_outliers,
+    "part_basket_rules": part_basket_rules,
+    "user_event_transitions": user_event_transitions,
+    "nation_supplier_hhi": nation_supplier_hhi,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -5016,6 +5257,9 @@ EXT_ORACLE: dict[str, str] = {
     "part_copurchase_triangles": _triangles_sql(),
     "lineitem_kmv_part_overlap": _kmv_overlap_sql(),
     "event_value_outliers": _mad_outliers_sql(),
+    "part_basket_rules": _basket_rules_sql(),
+    "user_event_transitions": _TRANSITIONS_SQL,
+    "nation_supplier_hhi": _HHI_SQL,
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),
