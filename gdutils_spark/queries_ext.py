@@ -4685,8 +4685,11 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     a, b = li.alias("a"), li.alias("b")
+    # a.p < b.p (not !=): triangle_count canonicalizes edges anyway, so
+    # emitting both directions would just double the rows into its
+    # distinct — half the self-join output for the identical result
     edges = a.join(
-        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
     ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
     tri = triangle_count(edges)
     return (
