@@ -64,6 +64,20 @@ def n_exchanges(df_or_plan: DataFrame | str) -> int:
     return len(re.findall(r"^\(\d+\) (?:Exchange|BroadcastExchange)", plan, flags=re.M))
 
 
+def n_nodes(df_or_plan: DataFrame | str, node: str) -> int:
+    """Number of physical nodes named ``node`` (exact name, e.g.
+    ``Window``, ``Sort``, ``BroadcastNestedLoopJoin``). Same
+    double-listing discipline as :func:`n_exchanges`: count the
+    ``(n) Node`` detail headers, or only the Final tree under AQE."""
+    plan = (
+        df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
+    )
+    if "== Final Plan ==" in plan:
+        tree = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+        return len(re.findall(rf"(?<![\w]){re.escape(node)} \(\d+\)", tree))
+    return len(re.findall(rf"^\(\d+\) {re.escape(node)}$", plan, flags=re.M))
+
+
 def pushed_filters(df_or_plan: DataFrame | str) -> list[str]:
     """The PushedFilters lists attached to every scan in the plan."""
     plan = (

@@ -4984,7 +4984,11 @@ def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: ONE window shuffle keyed by user (state = one row
     lookahead, no collect_list), then a (from, to)-keyed map-combinable
     count — the transition table is |event types|² regardless of corpus
-    size."""
+    size. The row normalizer is a window-SUM over that tiny count table
+    (one types²-sized shuffle), NOT a groupBy + join back: the join
+    formulation gives `cnt` two consumers and Catalyst plans no subtree
+    reuse, so the corpus lead() window would execute twice
+    (plan-asserted single Window over the corpus)."""
     from pyspark.sql import Window
 
     from gdutils_spark.queries import _utc
@@ -5003,15 +5007,16 @@ def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("n_from"))
-    return cnt.join(tot, "from_type").select(
+    w_tot = Window.partitionBy("from_type")
+    return cnt.select(
         "from_type",
         "to_type",
         "n",
-        "n_from",
-        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
-            "p"
-        ),
+        F.sum("n").over(w_tot).alias("n_from"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_tot).cast("double")
+        ).alias("p"),
     )
 
 

@@ -13,6 +13,7 @@ from gdutils_spark.plans import (
     formatted_plan,
     has_broadcast_join,
     n_exchanges,
+    n_nodes,
     pushed_filters,
     uses_python,
     whole_stage_codegen_active,
@@ -426,3 +427,67 @@ def test_hll_overlap_no_python(spark, sf_correct):
     the 1-row exact side broadcasts."""
     plan = formatted_plan(QUERIES["lineitem_hll_order_overlap"](spark, sf_correct))
     assert not uses_python(plan)
+
+
+def test_triangles_equi_wedges_and_semi_closure(spark, sf_correct):
+    """Triangle counting: the wedge generator is an EQUI join on the
+    shared center (rank compare as residual condition, never a
+    cartesian product) and closure is one left-semi join."""
+    plan = formatted_plan(QUERIES["part_copurchase_triangles"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan  # tie-broken top-N, no full sort
+
+
+def test_basket_rules_bucketed_pair_join(spark, sf_correct):
+    """A-priori pair counting: within-basket equi self-join on the order
+    key; the only nested-loop is the 1-row basket-total broadcast."""
+    plan = formatted_plan(QUERIES["part_basket_rules"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_transitions_corpus_window_runs_once(spark, sf_correct):
+    """Markov transitions: the corpus lead() window executes ONCE and
+    the row normalizer is a window over the types²-sized count table —
+    exactly 2 Window nodes total (a groupBy+join normalizer would give
+    the corpus window two consumers and re-run it: the no-subtree-reuse
+    trap, regression-pinned here)."""
+    plan = formatted_plan(QUERIES["user_event_transitions"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert n_nodes(plan, "Window") == 2
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_hhi_broadcasts_dims(spark, sf_correct):
+    """HHI: supplier and nation dims broadcast; the fact side only
+    probes."""
+    plan = formatted_plan(QUERIES["nation_supplier_hhi"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mad_outliers_broadcasts_group_tables(spark, sf_correct):
+    """MAD outliers: the group-sized median/MAD tables broadcast back
+    onto the value stream (hinted, not AQE-dependent)."""
+    plan = formatted_plan(QUERIES["event_value_outliers"](spark, sf_correct))
+    assert not uses_python(plan)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_kmv_sketch_is_takeordered_not_full_sort(spark, sf_correct):
+    """KMV sketch build: the bottom-k is TakeOrderedAndProject
+    (per-partition top-k + tiny merge), never a full corpus sort. The
+    overlap REPORT's sketches hide behind localCheckpoint boundaries,
+    so assert on the sketch operator itself."""
+    from gdutils_spark.operators.sketches import kmv_sketch
+
+    df = load_table(spark, sf_correct, "lineitem")
+    plan = formatted_plan(kmv_sketch(df, "l_partkey", 256))
+    assert not uses_python(plan)
+    assert "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "Sort") == 0
