@@ -445,6 +445,19 @@ def cmd_triangles(args) -> int:
     return 0
 
 
+def cmd_kcore(args) -> int:
+    from gdutils_spark.operators.graph import k_core
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = k_core(
+        df, k=args.k, src=args.src_col, dst=args.dst_col,
+        n_iters=args.iters,
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_set_overlap(args) -> int:
     from gdutils_spark.operators.sketches import kmv_overlap_report
 
@@ -820,6 +833,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dst-col", default="dst")
     sp.add_argument("--top", type=int, default=0,
                     help="keep only the top-N nodes by triangle count")
+
+    sp = add_pipeline("kcore", cmd_kcore)
+    sp.add_argument("--k", type=int, required=True,
+                    help="minimum in-core degree")
+    sp.add_argument("--src-col", default="src")
+    sp.add_argument("--dst-col", default="dst")
+    sp.add_argument("--iters", type=int, default=4,
+                    help="bounded peeling rounds (extra rounds are no-ops)")
 
     sp = add_pipeline("set-overlap", cmd_set_overlap)
     sp.add_argument("--other", required=True,

@@ -236,6 +236,76 @@ def triangle_count(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 4,
+) -> DataFrame:
+    """Bounded-iteration k-core peel (Seidman 1983, "Network structure
+    and minimum degree"): repeatedly drop nodes whose CURRENT degree is
+    below ``k`` — after convergence the survivors are the k-core, the
+    maximal subgraph of minimum degree ≥ k, the standard robustness/
+    nucleus filter next to :func:`triangle_count`'s cohesion and
+    :func:`pagerank`'s importance. Directions in the input are ignored
+    (edges canonicalized + deduped). Returns ``(node, core_degree)``
+    for the surviving nodes — ``core_degree`` is the degree INSIDE the
+    surviving subgraph.
+
+    Fixed iteration count, not convergence detection — the oracle-
+    replayable discipline of the whole module (:func:`pagerank`): a
+    converged peel makes further rounds exact no-ops, so extra
+    iterations are free of semantic drift, and an UNconverged bound
+    returns a (documented) superset of the true core — check
+    ``min(core_degree) >= k`` to certify convergence (test-pinned; peels
+    on real graphs converge in a handful of rounds because each round
+    removes whole frontier layers). Per iteration: one degree aggregate
+    + two semi-joins of the edge list against the (node-sized,
+    broadcastable) survivor set, all keyed shuffles, no driver state;
+    the edge list is ``localCheckpoint``-pinned per round (the survivor
+    set has two consumers — u-side and v-side probes — and the edge
+    list feeds both the degree aggregate and next round's probes: the
+    no-subtree-reuse discipline)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(edge_df: DataFrame) -> DataFrame:
+        return (
+            edge_df.select(F.col("u").alias("node"))
+            .unionByName(edge_df.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+
+    for _ in range(n_iters):
+        keep = (
+            degrees(e)
+            .where(F.col("core_degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        e = (
+            e.join(
+                keep.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(e)
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

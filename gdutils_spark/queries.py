@@ -1965,16 +1965,17 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # clustering-key layout report, the per-column table profile, the
     # BPE tokenizer-training family (merge table / token stats / encode
     # accounting), bigram OOV scoring, and DPR-style hard-negative
-    # mining, plus the 6 latest: degree-ordered exact triangle counting,
+    # mining, plus the 7 latest: degree-ordered exact triangle counting,
     # KMV bottom-k set algebra, median/MAD robust outliers,
     # market-basket association rules, the per-user Markov transition
-    # table, and HHI supplier concentration; (b) the
+    # table, HHI supplier concentration, and the bounded k-core peel;
+    # (b) the
     # 4 r6-late additions that have never had a driver
     # row (doc_bloom_screen, doc_bigram_lm, emb_knn_ivfpq_trained,
     # rt_stream_stream_join — pre-declared first in the r6 ledger,
     # locally drive-sim green); (c) 20 of the 49 entries whose latest
     # green row is r4 (the pre-declared round-7 rotation priority). The
-    # 29 r4-latest entries that did NOT fit — rt_plot_urls,
+    # 30 r4-latest entries that did NOT fit — rt_plot_urls,
     # rt_kml_coords, rt_info_card, rt_canned_filters,
     # rt_csv_sink_roundtrip, rt_geo_track_points, rt_client_api_merge,
     # rt_client_api_merge_right, rt_csv_batch_daily, rt_client_datasets,
@@ -1983,13 +1984,14 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # emb_semantic_dedup, doc_source_overlap, doc_dedup_keep_best,
     # doc_domain_mix_plan, doc_domain_mix_sample, doc_bm25_search,
     # doc_incremental_dedup, doc_repetition_signals, doc_source_stats,
-    # mm_pixel_stats, emb_quantize, emb_knn_ivf_refined, mm_thumbnails
-    # (static surfaces untouched since r4,
+    # mm_pixel_stats, emb_quantize, emb_knn_ivf_refined, mm_thumbnails,
+    # doc_tfidf_terms (static surfaces untouched since r4,
     # re-verified locally every session by tests/test_queries_oracle.py)
     # — are the ROUND-8 ROTATION PRIORITY and must head the r8 window
     # together with any r8-new queries. After this round every entry
     # has a driver row and none's freshest green row predates r5 except
-    # those 29 documented carry-overs.
+    # those 30 documented carry-overs.
+    "part_copurchase_kcore",
     "part_basket_rules",
     "user_event_transitions",
     "nation_supplier_hhi",
@@ -2039,7 +2041,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "doc_vocab_stats",
     "doc_length_histogram",
     "doc_chunks",
-    "doc_tfidf_terms",
 )
 
 

@@ -4812,6 +4812,74 @@ FROM ea, eb, eu, sh, us, xa, xb, xi
 """
 
 
+# k sits just below the co-purchase graph's sharp core threshold (the
+# random-graph core phase transition: k=80 retains a ~1,860-node
+# nucleus at sf0.01, k=95 peels the whole graph), and 6 rounds converge
+# it (min core_degree >= k, test-pinned at this fixture).
+KCORE_K = 80
+KCORE_ITERS = 6
+
+
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel driver-verified: the degree-≥-{KCORE_K} nucleus of
+    the part co-purchase graph after {KCORE_ITERS} bounded peeling
+    rounds — the robustness member of the graph family (importance =
+    pagerank, partition = LPA, cohesion = triangles). All-integer
+    arithmetic; the oracle replays every round as iteration CTEs, so a
+    converged-vs-not bound can never diverge between engines."""
+    from gdutils_spark.operators.graph import k_core
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    return k_core(edges, k=KCORE_K, n_iters=KCORE_ITERS).select(
+        F.col("node").alias("part"), "core_degree"
+    )
+
+
+def _kcore_sql() -> str:
+    # every e{i} is consumed THREE times (its degree table twice via the
+    # UNION ALL unpivot, and the next round's filter) — inlined CTEs
+    # would re-derive the whole chain 3^iters times, so each round is
+    # AS MATERIALIZED (DuckDB's explicit no-subtree-reuse escape, the
+    # SQL-side twin of the operator's localCheckpoint discipline)
+    ctes = [
+        "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p)""",
+    ]
+    for i in range(1, KCORE_ITERS + 1):
+        prev = f"e{i - 1}"
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM
+  (SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+  GROUP BY node)"""
+        )
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {KCORE_K})"
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i}))"""
+        )
+    body = ",\n".join(ctes)
+    last = f"e{KCORE_ITERS}"
+    return f"""
+WITH {body}
+SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS core_degree FROM
+  (SELECT u AS node FROM {last} UNION ALL SELECT v AS node FROM {last})
+GROUP BY node
+"""
+
+
 MAD_THRESHOLD = 3.5
 
 
@@ -5164,6 +5232,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_basket_rules": part_basket_rules,
     "user_event_transitions": user_event_transitions,
     "nation_supplier_hhi": nation_supplier_hhi,
+    "part_copurchase_kcore": part_copurchase_kcore,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -5268,6 +5337,7 @@ EXT_ORACLE: dict[str, str] = {
     "part_basket_rules": _basket_rules_sql(),
     "user_event_transitions": _TRANSITIONS_SQL,
     "nation_supplier_hhi": _HHI_SQL,
+    "part_copurchase_kcore": _kcore_sql(),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),

@@ -319,3 +319,13 @@ def test_cli_outliers(spark, tmp_path, capsys):
     assert main(["outliers", "--input", path, "-f", "json"]) == 0
     recs = json.loads(capsys.readouterr().out)
     assert len(recs) == 1 and recs[0]["n_outliers"] == 1
+
+
+def test_cli_kcore(spark, tmp_path, capsys):
+    path = str(tmp_path / "kedges")
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(path)
+    assert main(["kcore", "--input", path, "--k", "3", "-f", "json"]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert {r["node"] for r in recs} == {0, 1, 2, 3}
+    assert all(r["core_degree"] == 3 for r in recs)

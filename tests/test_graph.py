@@ -255,3 +255,82 @@ def test_triangle_count_matches_bruteforce_model(spark):
         ).collect()
     }
     assert got == _tri_model(edge_list)
+
+
+# ---------------------------------------------------------------------------
+# k-core peel: differential vs an exact peel-to-fixpoint model.
+# ---------------------------------------------------------------------------
+
+
+def _kcore_model(edge_list, k):
+    """Exact k-core by peeling to fixpoint; returns {node: core_degree}."""
+    adj = {}
+    for s, t in edge_list:
+        if s == t:
+            continue
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def test_k_core_matches_fixpoint_model(spark):
+    import random
+
+    from gdutils_spark.operators.graph import k_core
+
+    rng = random.Random(31)
+    # dense clique + sparse fringe: the fringe peels, the clique stays
+    edge_list = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edge_list += [(5 + i, 6 + i) for i in range(6)]  # a path tail
+    edge_list += sorted({(rng.randrange(12), rng.randrange(12)) for _ in range(10)})
+    edge_list = [(s, t) for s, t in edge_list if s != t]
+    got = {
+        r.node: r.core_degree
+        for r in k_core(
+            spark.createDataFrame(edge_list, "src long, dst long"), k=3, n_iters=8
+        ).collect()
+    }
+    want = _kcore_model(edge_list, 3)
+    assert got == want
+    assert want, "fixture must leave a non-empty core"
+    assert min(got.values()) >= 3  # converged
+
+
+def test_k_core_extra_iterations_are_noops_and_validation(spark):
+    import pytest
+
+    from gdutils_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    for iters in (1, 3, 6):
+        got = {
+            r.node: r.core_degree for r in k_core(df, k=3, n_iters=iters).collect()
+        }
+        assert got == {v: 3 for v in range(4)}, iters
+    # k larger than any degree peels everything
+    assert k_core(df, k=4, n_iters=2).count() == 0
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
+    with pytest.raises(ValueError):
+        k_core(df, k=2, n_iters=-1)
+
+
+def test_part_copurchase_kcore_converges_at_fixture(spark, sf_correct):
+    """The registry constants (k=80, 6 rounds) CONVERGE on the sf0.01
+    co-purchase graph — min surviving core_degree >= k — so the driver-
+    verified result is the true k-core, not a bounded superset."""
+    from gdutils_spark.queries import QUERIES
+    from gdutils_spark.queries_ext import KCORE_K
+
+    rows = QUERIES["part_copurchase_kcore"](spark, sf_correct).collect()
+    assert rows and min(r.core_degree for r in rows) >= KCORE_K
