@@ -1973,7 +1973,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # 4 r6-late additions that have never had a driver
     # row (doc_bloom_screen, doc_bigram_lm, emb_knn_ivfpq_trained,
     # rt_stream_stream_join — pre-declared first in the r6 ledger,
-    # locally drive-sim green); (c) 20 of the 49 entries whose latest
+    # locally drive-sim green); (c) 19 of the 49 entries whose latest
     # green row is r4 (the pre-declared round-7 rotation priority). The
     # 30 r4-latest entries that did NOT fit — rt_plot_urls,
     # rt_kml_coords, rt_info_card, rt_canned_filters,
