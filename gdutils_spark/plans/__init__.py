@@ -75,7 +75,14 @@ def n_nodes(df_or_plan: DataFrame | str, node: str) -> int:
     if "== Final Plan ==" in plan:
         tree = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
         return len(re.findall(rf"(?<![\w]){re.escape(node)} \(\d+\)", tree))
-    return len(re.findall(rf"^\(\d+\) {re.escape(node)}$", plan, flags=re.M))
+    # detail headers may carry a codegen tag: "(4) Sort [codegen id : 2]"
+    return len(
+        re.findall(
+            rf"^\(\d+\) {re.escape(node)}(?: \[codegen id : \d+\])?$",
+            plan,
+            flags=re.M,
+        )
+    )
 
 
 def pushed_filters(df_or_plan: DataFrame | str) -> list[str]:

@@ -3350,6 +3350,30 @@ PR_ITERS = 3
 PR_TOP = 50
 
 
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, both_directions: bool
+) -> DataFrame:
+    """The part co-purchase edge list (parts sharing an order are
+    linked) — the ONE builder every graph-family query uses, so the
+    join semantics can never drift between them. ``both_directions``
+    for the operators whose node-set convention is "distinct sources"
+    (pagerank, LPA); the canonicalizing operators (triangle_count,
+    k_core) take the ``a.p < b.p`` half — both directions would only
+    double the rows into their internal distinct."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cmp = (
+        (F.col("a.p") != F.col("b.p"))
+        if both_directions
+        else (F.col("a.p") < F.col("b.p"))
+    )
+    return a.join(b, (F.col("a.o") == F.col("b.o")) & cmp).select(
+        F.col("a.p").alias("src"), F.col("b.p").alias("dst")
+    )
+
+
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative GRAPH algorithm driver-verified: PageRank over the part
     co-purchase graph (parts sharing an order are linked, both
@@ -3366,13 +3390,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
-    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    edges = _copurchase_edges(spark, sf_dir, both_directions=True)
     pr = pagerank(edges, damping=PR_DAMPING, n_iters=PR_ITERS)
     w = Window.orderBy(F.col("pr").desc(), F.col("node"))
     return (
@@ -3441,13 +3459,7 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
-    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    edges = _copurchase_edges(spark, sf_dir, both_directions=True)
     lab = label_propagation(edges, n_iters=LPA_ITERS)
     return lab.select(F.col("node").alias("part"), F.col("label").alias("community"))
 
@@ -4681,16 +4693,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    # a.p < b.p (not !=): triangle_count canonicalizes edges anyway, so
-    # emitting both directions would just double the rows into its
-    # distinct — half the self-join output for the identical result
-    edges = a.join(
-        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
-    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    edges = _copurchase_edges(spark, sf_dir, both_directions=False)
     tri = triangle_count(edges)
     return (
         tri.orderBy(F.col("n_triangles").desc(), F.col("node"))
@@ -4742,7 +4745,8 @@ KMV_CUT_B = "1996-01-01"
 
 def lineitem_kmv_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV SET ALGEBRA driver-verified: estimate the overlap of two part
-    cohorts (parts shipped before {KMV_CUT_A} vs on/after {KMV_CUT_B})
+    cohorts (parts shipped before ``KMV_CUT_A`` vs on/after
+    ``KMV_CUT_B``)
     from bottom-k distinct-value sketches alone — union = member-merge,
     Jaccard = shared-member fraction of the union sketch (Beyer et al.
     2007), intersection = jaccard · est(union). The
@@ -4821,9 +4825,10 @@ KCORE_ITERS = 6
 
 
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core peel driver-verified: the degree-≥-{KCORE_K} nucleus of
-    the part co-purchase graph after {KCORE_ITERS} bounded peeling
-    rounds — the robustness member of the graph family (importance =
+    """k-core peel driver-verified: the degree-≥-``KCORE_K`` (80)
+    nucleus of the part co-purchase graph after ``KCORE_ITERS`` (6)
+    bounded peeling rounds — the robustness member of the graph family
+    (importance =
     pagerank, partition = LPA, cohesion = triangles). All-integer
     arithmetic; the oracle replays every round as iteration CTEs, so a
     converged-vs-not bound can never diverge between engines."""
@@ -4831,13 +4836,7 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
-    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    edges = _copurchase_edges(spark, sf_dir, both_directions=False)
     return k_core(edges, k=KCORE_K, n_iters=KCORE_ITERS).select(
         F.col("node").alias("part"), "core_degree"
     )
@@ -4954,8 +4953,16 @@ def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within-basket pairs (Σ b_i² work, the A-priori candidate
     bound); item counts and the basket total are map-combinable; the
     rule table joins item counts twice, both item-sized (AQE
-    broadcasts). A hot basket (one order with 10⁶ items) is the skew
-    hazard — cap basket size upstream, the standard A-priori move."""
+    broadcasts). The distinct (basket, item) table has FIVE consumers
+    (self-join both sides, item counts, basket total) and Spark plans
+    no subtree reuse, so it is localCheckpoint-pinned — unstaged, the
+    corpus scan and the distinct shuffle would run five times. A hot
+    basket (one order with 10⁶ items) is the skew hazard — cap basket
+    size upstream, the standard A-priori move. Integer-overflow note:
+    lift's ``c_ab·N`` product wraps silently in non-ANSI Spark past
+    2^63 (N > ~3·10⁹ baskets against a universal item) where the
+    DuckDB oracle raises — at that scale enable ANSI mode or scale the
+    counts, the repo's documented wrap-vs-raise trap."""
     from gdutils_spark.queries import _utc
 
     _utc(spark)
@@ -4963,6 +4970,7 @@ def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_baskets = items.agg(
         F.count_distinct("o").alias("n_baskets")
@@ -5118,7 +5126,11 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     are two final IEEE divisions. No ordered folds, no share-sum
     order sensitivity (the naive Σ(c/total)² is order-dependent; the
     integer form is not). Two map-combinable aggregates + one
-    nation-keyed rollup + a broadcast nation-name join."""
+    nation-keyed rollup + a broadcast nation-name join.
+    Integer-overflow note: ``c²`` wraps silently in non-ANSI Spark
+    once a single supplier exceeds ~3·10⁹ rows (the DuckDB oracle
+    raises instead) — at that scale enable ANSI mode or pre-scale the
+    counts, the repo's documented wrap-vs-raise trap."""
     from gdutils_spark.queries import _utc
 
     _utc(spark)

@@ -468,7 +468,7 @@ def test_hhi_broadcasts_dims(spark, sf_correct):
     probes."""
     plan = formatted_plan(QUERIES["nation_supplier_hhi"](spark, sf_correct))
     assert not uses_python(plan)
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
 
 
 def test_mad_outliers_broadcasts_group_tables(spark, sf_correct):
@@ -476,7 +476,7 @@ def test_mad_outliers_broadcasts_group_tables(spark, sf_correct):
     onto the value stream (hinted, not AQE-dependent)."""
     plan = formatted_plan(QUERIES["event_value_outliers"](spark, sf_correct))
     assert not uses_python(plan)
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
 
 
 def test_kmv_sketch_is_takeordered_not_full_sort(spark, sf_correct):
