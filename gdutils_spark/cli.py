@@ -236,6 +236,10 @@ def cmd_dedup(args) -> int:
         df = dd.simhash_near_pairs(
             docs, args.text_col, args.id_col, max_hamming=args.max_hamming
         )
+    elif args.method == "cosine":
+        df = dd.cosine_tf_pairs(
+            docs, args.text_col, args.id_col, threshold=args.threshold
+        )
     else:  # clusters
         pairs = dd.minhash_lsh_pairs(
             docs, args.text_col, args.id_col, threshold=args.threshold
@@ -751,7 +755,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add_pipeline("dedup", cmd_dedup)
     sp.add_argument("--method", default="exact",
-                    choices=["exact", "minhash", "simhash", "clusters"])
+                    choices=["exact", "minhash", "simhash", "cosine", "clusters"])
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--threshold", type=float, default=0.5)

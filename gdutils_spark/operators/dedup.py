@@ -207,6 +207,114 @@ def ngram_jaccard_pairs(
     )
 
 
+def cosine_tf_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_token_freq: int | None = None,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Exact token-TF COSINE similarity pairs (d1 < d2,
+    cosine >= threshold) — the bag-of-words vector-space twin of
+    :func:`ngram_jaccard_pairs`: Jaccard scores set overlap and ignores
+    repetition; tf-cosine weights repeated vocabulary, the similarity
+    BM25-era retrieval and many near-dup miners actually rank by.
+    Returns ``(d1, d2, dot, cosine)``.
+
+    Determinism for free: tf vectors are INTEGER count vectors, so the
+    dot product is an exact BIGINT sum (map-combinable — no float
+    order sensitivity to pin) and each norm is ``sqrt`` of an exact
+    BIGINT; cosine = one integer cast, two IEEE-exact sqrts, one
+    multiply, one divide — bit-replayable in any engine with no
+    ordered folds anywhere (the idf-weighted variant would put ``ln``
+    ulps in every score, which is why the exact operator is tf-only;
+    rank by BM25 via ``bm25_search`` when idf matters).
+
+    Plan shape: token explode → (doc, token) tf aggregate (computed
+    ONCE — cache or ``stage_path``, the :func:`ngram_jaccard_pairs`
+    convention) → inverted-index self-join on token → pair-keyed BIGINT
+    dot aggregate → two doc-sized norm joins. A token in f documents
+    contributes f² join rows from one partition, so ``max_token_freq``
+    is the skew guard: hotter tokens are dropped from CANDIDATE
+    GENERATION only and every candidate's dot product is then
+    re-computed over the FULL tf vectors — emitted scores stay exact,
+    and only pairs whose every shared token is hot (stopword-only
+    overlap, negligible cosine against any real document) can be
+    missed."""
+    from gdutils_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if stage_path is not None:
+        tf.write.mode("overwrite").parquet(stage_path)
+        tf = df.sparkSession.read.parquet(stage_path)
+    else:
+        tf = tf.cache()
+    norms = tf.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("sq")
+    )
+    na = norms.select(F.col("doc").alias("d1"), F.col("sq").alias("sq1"))
+    nb = norms.select(F.col("doc").alias("d2"), F.col("sq").alias("sq2"))
+    if max_token_freq is None:
+        a, b = tf.alias("a"), tf.alias("b")
+        dots = (
+            a.join(
+                b,
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+        )
+    else:
+        if max_token_freq < 1:
+            raise ValueError("max_token_freq must be >= 1")
+        doc_freq = tf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        cold = tf.join(
+            doc_freq.where(F.col("_df") <= max_token_freq).select("token"),
+            "token",
+            "left_semi",
+        )
+        a, b = cold.alias("a"), cold.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .distinct()
+        )
+        t1 = tf.select(F.col("doc").alias("d1"), "token", F.col("tf").alias("tf1"))
+        t2 = tf.select(F.col("doc").alias("d2"), "token", F.col("tf").alias("tf2"))
+        dots = (
+            cands.join(t1, "d1")
+            .join(t2, ["d2", "token"])
+            .groupBy("d1", "d2")
+            .agg(F.sum(F.col("tf1") * F.col("tf2")).alias("dot"))
+        )
+    return (
+        dots.join(na, "d1")
+        .join(nb, "d2")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("sq1").cast("double"))
+                * F.sqrt(F.col("sq2").cast("double"))
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("d1", "d2", "dot", "cosine")
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -4879,6 +4879,46 @@ GROUP BY node
 """
 
 
+COSINE_T = 0.9
+
+
+def doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-cosine similarity join driver-verified: all document
+    pairs with bag-of-words cosine ≥ ``COSINE_T`` via the inverted-index
+    self-join (``dedup.cosine_tf_pairs``) — the vector-space twin of
+    ``doc_ngram_dup_pairs``'s set-overlap Jaccard. Integer tf vectors
+    make the dot product an exact BIGINT and the norms IEEE-exact
+    sqrts, so every score hash-verifies with no ordered folds."""
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    return dd.cosine_tf_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=COSINE_T
+    )
+
+
+_COSINE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks WHERE length(token) > 0 GROUP BY doc, token),
+norms AS (SELECT doc, CAST(SUM(tf * tf) AS BIGINT) AS sq FROM tf GROUP BY doc),
+dots AS (SELECT a.doc AS d1, b.doc AS d2,
+                CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         FROM tf a JOIN tf b ON a.token = b.token AND a.doc < b.doc
+         GROUP BY a.doc, b.doc),
+scored AS (
+  SELECT d1, d2, dot,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+           AS cosine
+  FROM dots JOIN norms na ON dots.d1 = na.doc
+            JOIN norms nb ON dots.d2 = nb.doc)
+SELECT d1, d2, dot, cosine FROM scored
+WHERE cosine >= CAST('{COSINE_T!r}' AS DOUBLE)
+"""
+
+
 MAD_THRESHOLD = 3.5
 
 
@@ -5245,6 +5285,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_transitions": user_event_transitions,
     "nation_supplier_hhi": nation_supplier_hhi,
     "part_copurchase_kcore": part_copurchase_kcore,
+    "doc_cosine_pairs": doc_cosine_pairs,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -5350,6 +5391,7 @@ EXT_ORACLE: dict[str, str] = {
     "user_event_transitions": _TRANSITIONS_SQL,
     "nation_supplier_hhi": _HHI_SQL,
     "part_copurchase_kcore": _kcore_sql(),
+    "doc_cosine_pairs": _COSINE_PAIRS_SQL,
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),

@@ -329,3 +329,14 @@ def test_cli_kcore(spark, tmp_path, capsys):
     recs = json.loads(capsys.readouterr().out)
     assert {r["node"] for r in recs} == {0, 1, 2, 3}
     assert all(r["core_degree"] == 3 for r in recs)
+
+
+def test_cli_dedup_cosine(docs_path, capsys):
+    assert main([
+        "dedup", "--input", docs_path, "--method", "cosine",
+        "--threshold", "0.5", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    # the shared-words fixture docs overlap heavily on tf-cosine
+    assert recs and {"d1", "d2", "dot", "cosine"} <= set(recs[0])
+    assert all(r["cosine"] >= 0.5 and r["d1"] < r["d2"] for r in recs)

@@ -217,3 +217,85 @@ def test_leakage_safe_split_fraction_and_determinism(spark):
     # determinism: a second run is identical
     again = leakage_safe_split(docs, pairs, holdout_frac=0.1)
     assert out.exceptAll(again).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact tf-cosine pairs: differential vs a pure-Python bag-of-words model.
+# ---------------------------------------------------------------------------
+
+
+def _cosine_model(texts_, threshold):
+    import math
+    from collections import Counter
+
+    tfs = {
+        i: Counter(w for w in t.lower().split() if w)
+        for i, t in enumerate(texts_)
+    }
+    tfs = {i: c for i, c in tfs.items() if c}
+    out = {}
+    ids = sorted(tfs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d1, d2 = ids[x], ids[y]
+            a, b = tfs[d1], tfs[d2]
+            dot = sum(a[w] * b[w] for w in a.keys() & b.keys())
+            if dot == 0:
+                continue
+            cos = dot / (
+                math.sqrt(sum(v * v for v in a.values()))
+                * math.sqrt(sum(v * v for v in b.values()))
+            )
+            if cos >= threshold:
+                out[(d1, d2)] = (dot, cos)
+    return out
+
+
+def test_cosine_tf_pairs_matches_model(spark):
+    from gdutils_spark.operators.dedup import cosine_tf_pairs
+
+    texts_ = [
+        "the cat sat on the mat",
+        "the cat sat on the mat today",   # near-dup of 0
+        "dogs dogs dogs bark loudly",
+        "completely different words here",
+        "the the the cat cat mat",        # repetition-heavy overlap w/ 0
+        "",
+    ]
+    got = {
+        (r.d1, r.d2): (r.dot, r.cosine)
+        for r in cosine_tf_pairs(_df(spark, texts_), threshold=0.5).collect()
+    }
+    assert got == _cosine_model(texts_, 0.5)
+    assert (0, 1) in got  # the engineered near-dup survives the cut
+
+
+def test_cosine_tf_pairs_freq_cap_scores_stay_exact(spark):
+    """max_token_freq prunes CANDIDATES only: every emitted pair's dot
+    and cosine equal the uncapped values (verification re-reads the
+    full tf vectors), and capped results are a subset."""
+    from gdutils_spark.operators.dedup import cosine_tf_pairs
+
+    texts_ = [
+        "alpha beta gamma shared shared",
+        "alpha beta gamma shared delta",
+        "alpha epsilon zeta eta theta",
+        "iota kappa lambda mu nu",
+    ]
+    df = _df(spark, texts_)
+    full = {
+        (r.d1, r.d2): (r.dot, r.cosine)
+        for r in cosine_tf_pairs(df, threshold=0.2).collect()
+    }
+    capped = {
+        (r.d1, r.d2): (r.dot, r.cosine)
+        for r in cosine_tf_pairs(df, threshold=0.2, max_token_freq=2).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, scores in capped.items():
+        assert scores == full[pair]
+    # 'alpha' (df=3) is hot under the cap, but pairs sharing cold tokens
+    # keep their exact full-vector dot incl. the hot token's term
+    assert (0, 1) in capped
+    with pytest.raises(ValueError):
+        cosine_tf_pairs(df, max_token_freq=0)
