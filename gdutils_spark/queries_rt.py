@@ -1505,6 +1505,104 @@ def rt_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def rt_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream interval join driver-verified
+    end-to-end — the complete attribution audit: matches, clicks that
+    never converted (left orphans) AND purchases with no preceding
+    click (right orphans). Matches emit eagerly; a left orphan
+    null-emits once the watermark strictly passes ``click_ts + 6h``
+    (the pinned left rule); a right orphan once it strictly passes
+    ``purchase_ts`` — its window end on the shared clock, since a
+    matching click can be no later than the purchase (boundary
+    measured and pinned in ``test_streaming.py``). The oracle is the
+    batch full interval join with BOTH watermark cuts encoded —
+    a dropped/duplicated match or an early/missed null emission on
+    either side changes the row set."""
+    from gdutils_spark.streaming import stream_stream_join
+
+    _pin_utc(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 60)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    tmp = _work_dir("stream_ss_full_join")
+    src, chk, out = (os.path.join(tmp, d) for d in ("src", "chk", "out"))
+    e.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = stream_stream_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay="6 hours",
+        watermark="1 hour",
+        how="full_outer",
+    ).select("user_id", "click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "rt_stream_stream_full_join: streaming query did not finish"
+        )
+    return spark.read.parquet(out)
+
+
+_RT_STREAM_SS_FULL_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 60
+),
+c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM e WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                    (SELECT max(purchase_ts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+m AS (
+  SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id
+  FROM c LEFT JOIN p ON p.user_id = c.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
+),
+rphan AS (
+  SELECT p.user_id, p.purchase_ts, p.purchase_id FROM p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND p.purchase_ts >= c.click_ts
+      AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR)
+)
+SELECT user_id, click_id, purchase_id FROM m WHERE purchase_id IS NOT NULL
+UNION ALL
+SELECT user_id, click_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM m, wm
+WHERE purchase_id IS NULL AND click_ts + INTERVAL 6 HOUR < wm.w
+UNION ALL
+SELECT user_id, CAST(NULL AS BIGINT) AS click_id, purchase_id
+FROM rphan, wm
+WHERE purchase_ts < wm.w
+"""
+
+
 _RT_STREAM_SS_LEFT_JOIN_SQL = """
 WITH e AS (
   SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 60
@@ -1571,6 +1669,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_enrich": rt_stream_enrich,
     "rt_stream_stream_join": rt_stream_stream_join,
     "rt_stream_stream_left_join": rt_stream_stream_left_join,
+    "rt_stream_stream_full_join": rt_stream_stream_full_join,
     "rt_stream_quantile_sketch": rt_stream_quantile_sketch,
     "rt_stream_media": rt_stream_media,
     "rt_jsonl_shards": rt_jsonl_shards,
@@ -1600,6 +1699,7 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_enrich": _RT_STREAM_ENRICH_SQL,
     "rt_stream_stream_join": _RT_STREAM_SS_JOIN_SQL,
     "rt_stream_stream_left_join": _RT_STREAM_SS_LEFT_JOIN_SQL,
+    "rt_stream_stream_full_join": _RT_STREAM_SS_FULL_JOIN_SQL,
     "rt_stream_quantile_sketch": _stream_hist_sql(),
     "rt_stream_media": _RT_STREAM_MEDIA_SQL,
     "rt_jsonl_shards": _RT_JSONL_SHARDS_SQL,

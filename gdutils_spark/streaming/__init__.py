@@ -302,12 +302,23 @@ def stream_stream_join(
     ends are withheld, NOT emitted with nulls — the batch-equivalent
     result is the left join with that watermark cut applied to the
     unmatched rows.
+
+    ``how='full_outer'`` additionally keeps unmatched RIGHT rows
+    (purchases with no preceding click — the orphan side of the
+    attribution audit). A right row's implied join window is
+    ``[right_time − max_delay, right_time]`` on the left clock, so its
+    null emission waits for the watermark to pass ``right_time`` (its
+    window END on the shared clock); the left cut rule is unchanged.
+    Output keeps ``key`` defined on whichever side is present
+    (``coalesce`` — a bare ``l.key`` would be NULL on right-orphan
+    rows). ``right_outer`` stays unsupported: it IS left_outer with the
+    sides renamed, so rename instead of growing the matrix.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(
-            f"stream_stream_join: how={how!r} not supported — use 'inner' "
-            "or 'left_outer' (right/full outer mirror left_outer; rename "
-            "sides instead)"
+            f"stream_stream_join: how={how!r} not supported — use 'inner', "
+            "'left_outer' or 'full_outer' (right_outer is left_outer with "
+            "the sides renamed)"
         )
     l = left.withWatermark(left_time, watermark).alias("l")
     r = right.withWatermark(right_time, watermark).alias("r")
@@ -325,6 +336,12 @@ def stream_stream_join(
     # attribute ids and the Column reference can resolve to the LEFT
     # key — which under left_outer silently yields the right side's
     # NULL key for unmatched rows
+    if how == "full_outer":
+        # the key must survive right-orphan rows, where l.key is NULL
+        kcol = F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)
+        lcols = [F.col(f"l.{c}") for c in left.columns if c != key]
+        rcols = [F.col(f"r.{c}") for c in right.columns if c != key]
+        return l.join(r, cond, how).select(kcol, *lcols, *rcols)
     lcols = [F.col(f"l.{c}") for c in left.columns]
     rcols = [F.col(f"r.{c}") for c in right.columns if c != key]
     return l.join(r, cond, how).select(*lcols, *rcols)

@@ -471,8 +471,66 @@ def test_stream_stream_left_join_matches_batch_with_watermark_cut(
     with _pt.raises(ValueError, match="not supported"):
         stream_stream_join(
             sc, sp, key="user_id", left_time="click_ts",
-            right_time="purchase_ts", how="full_outer",
+            right_time="purchase_ts", how="right_outer",
         )
+
+
+def test_stream_stream_full_join_cuts_both_sides(spark, tmp_path):
+    """Full-outer stream-stream join: left orphans null-emit once the
+    watermark STRICTLY passes left_ts + max_delay (the pinned left
+    rule); right orphans once it strictly passes right_ts — their
+    window end on the shared clock (a matching left row can be no
+    later than the right row). Fixture pins both boundary cases
+    (window end == final watermark → withheld) and the coalesced key
+    on right-orphan rows."""
+    from gdutils_spark.streaming import stream_stream_join
+
+    rows_c = [
+        (1, "2024-01-01 00:00:00", 101),  # matched by p201
+        (2, "2024-01-01 00:00:00", 102),  # left orphan, closes 01:00 < W
+        (5, "2024-01-01 10:00:00", 105),  # left orphan, closes 11:00 == W
+        (4, "2024-01-01 12:00:00", 104),  # left orphan, open
+    ]
+    rows_p = [
+        (1, "2024-01-01 00:30:00", 201),   # matched
+        (7, "2024-01-01 00:30:00", 207),   # right orphan, 00:30 < W
+        (8, "2024-01-01 11:00:00", 208),   # right orphan, 11:00 == W
+        (9, "2024-01-01 11:30:00", 209),   # right orphan, 11:30 > W
+        (99, "2024-01-01 12:00:00", 299),  # sets max purchase_ts
+    ]
+    src_c, src_p, chk = (str(tmp_path / d) for d in ("cf", "pf", "chkf"))
+    dfc = spark.createDataFrame(
+        rows_c, "user_id long, click_ts string, click_id long"
+    ).withColumn("click_ts", F.to_timestamp("click_ts"))
+    dfp = spark.createDataFrame(
+        rows_p, "user_id long, purchase_ts string, purchase_id long"
+    ).withColumn("purchase_ts", F.to_timestamp("purchase_ts"))
+    dfc.write.parquet(src_c)
+    dfp.write.parquet(src_p)
+    sc = spark.readStream.schema(dfc.schema).parquet(src_c)
+    sp = spark.readStream.schema(dfp.schema).parquet(src_p)
+    # final watermark W = min(12:00, 12:00) - 1h = 11:00
+    joined = stream_stream_join(
+        sc, sp, key="user_id", left_time="click_ts",
+        right_time="purchase_ts", max_delay="1 hour",
+        watermark="1 hour", how="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_full_join_stream")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, click_id, purchase_id FROM ss_full_join_stream"
+    ).collect()
+    got = {(r.click_id, r.purchase_id) for r in rows}
+    assert got == {(101, 201), (102, None), (None, 207)}
+    # the coalesced key survives the right-orphan row
+    assert {r.user_id for r in rows if r.click_id is None} == {7}
 
 
 def test_stream_apply_cdc_versions_match_sequential_batches(spark, sf_smoke, tmp_path):
