@@ -37,6 +37,7 @@ def pagerank(
     damping: float = 0.85,
     n_iters: int = 3,
     ordered_fold: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (pass both directions for an
     undirected graph) — ``(node, pr)`` after ``n_iters`` power
@@ -59,20 +60,54 @@ def pagerank(
     celebrity node with 10⁸ in-edges is a memory hazard. Pass False at
     production scale for a plain map-combinable ``sum`` — same ranks up
     to float summation order (property-tested ≈), hub-skew-safe.
+
+    ``weight``: optional INTEGER edge-weight column — contributions
+    become ``pr(u)·w(u,v)/W(u)`` with ``W(u)`` the exact BIGINT sum of
+    u's out-weights (a co-occurrence count is the natural weight: an
+    edge seen 40 times should carry 40× the endorsement of a one-off).
+    Duplicate (src, dst) rows are rejected rather than silently
+    de-duplicated (which weight would survive?). Arithmetic stays
+    replayable: integer weights, one multiply + one divide per edge.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        ).localCheckpoint(eager=False)
+        dup = (
+            e.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "pagerank: duplicate (src, dst) rows with weight= set — "
+                "pre-aggregate the weights (which copy would win is "
+                "ambiguous)"
+            )
     # deg / nodes / n are consumed by EVERY iteration — checkpoint them
     # too, or each iteration re-runs the degree aggregate and the node
     # distinct from the edge list (no subtree reuse)
     deg = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            (
+                F.count(F.lit(1))
+                if weight is None
+                else F.sum("w")
+            ).alias("deg")
+        )
         .localCheckpoint(eager=False)
     )
     nodes = (
@@ -94,13 +129,22 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     for _ in range(n_iters):
+        c_expr = (
+            (F.col("pr") / F.col("deg").cast("double"))
+            if weight is None
+            else (
+                F.col("pr")
+                * F.col("w").cast("double")
+                / F.col("deg").cast("double")
+            )
+        )
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 "src",
-                (F.col("pr") / F.col("deg").cast("double")).alias("c"),
+                c_expr.alias("c"),
             )
         )
         if ordered_fold:

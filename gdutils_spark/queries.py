@@ -1969,14 +1969,14 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # KMV bottom-k set algebra, median/MAD robust outliers,
     # market-basket association rules, the per-user Markov transition
     # table, HHI supplier concentration, the bounded k-core peel, the
-    # exact tf-cosine similarity join, and the full-outer stream-stream
-    # join; (b) the
+    # exact tf-cosine similarity join, the full-outer stream-stream
+    # join, and co-occurrence-weighted PageRank; (b) the
     # 4 r6-late additions that have never had a driver
     # row (doc_bloom_screen, doc_bigram_lm, emb_knn_ivfpq_trained,
     # rt_stream_stream_join — pre-declared first in the r6 ledger,
-    # locally drive-sim green); (c) 17 of the 49 entries whose latest
+    # locally drive-sim green); (c) 16 of the 49 entries whose latest
     # green row is r4 (the pre-declared round-7 rotation priority). The
-    # 32 r4-latest entries that did NOT fit — rt_plot_urls,
+    # 33 r4-latest entries that did NOT fit — rt_plot_urls,
     # rt_kml_coords, rt_info_card, rt_canned_filters,
     # rt_csv_sink_roundtrip, rt_geo_track_points, rt_client_api_merge,
     # rt_client_api_merge_right, rt_csv_batch_daily, rt_client_datasets,
@@ -1986,13 +1986,14 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # doc_domain_mix_plan, doc_domain_mix_sample, doc_bm25_search,
     # doc_incremental_dedup, doc_repetition_signals, doc_source_stats,
     # mm_pixel_stats, emb_quantize, emb_knn_ivf_refined, mm_thumbnails,
-    # doc_tfidf_terms, doc_chunks, doc_length_histogram (static
-    # surfaces untouched since r4,
+    # doc_tfidf_terms, doc_chunks, doc_length_histogram, doc_vocab_stats
+    # (static surfaces untouched since r4,
     # re-verified locally every session by tests/test_queries_oracle.py)
     # — are the ROUND-8 ROTATION PRIORITY and must head the r8 window
     # together with any r8-new queries. After this round every entry
     # has a driver row and none's freshest green row predates r5 except
-    # those 32 documented carry-overs.
+    # those 33 documented carry-overs.
+    "part_copurchase_pagerank_weighted",
     "rt_stream_stream_full_join",
     "doc_cosine_pairs",
     "part_copurchase_kcore",
@@ -2042,7 +2043,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "user_cohort_retention",
     "user_funnel",
     "doc_dup_cluster_stats",
-    "doc_vocab_stats",
 )
 
 

@@ -3400,15 +3400,26 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(weighted: bool = False) -> str:
     teleport = 1.0 - PR_DAMPING
     tele = f"CAST('{teleport!r}' AS DOUBLE)"
     damp = f"CAST('{PR_DAMPING!r}' AS DOUBLE)"
+    if weighted:
+        ed_cte = """ed AS (SELECT a.p AS src, b.p AS dst,
+       CAST(COUNT(*) AS BIGINT) AS w
+       FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+       GROUP BY a.p, b.p)"""
+        deg_cte = "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM ed GROUP BY 1)"
+        c_expr = "p.pr * CAST(ed.w AS DOUBLE) / CAST(deg.deg AS DOUBLE)"
+    else:
+        ed_cte = """ed AS (SELECT DISTINCT a.p AS src, b.p AS dst
+       FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p)"""
+        deg_cte = "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1)"
+        c_expr = "p.pr / CAST(deg.deg AS DOUBLE)"
     ctes = [
         "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
-        """ed AS (SELECT DISTINCT a.p AS src, b.p AS dst
-       FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p)""",
-        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1)",
+        ed_cte,
+        deg_cte,
         "nodes AS (SELECT DISTINCT src AS node FROM ed)",
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
         """pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
@@ -3418,7 +3429,7 @@ def _pagerank_sql() -> str:
         prev = f"pr{i - 1}"
         ctes.append(
             f"""c{i} AS (
-  SELECT ed.dst AS node, ed.src AS src, p.pr / CAST(deg.deg AS DOUBLE) AS c
+  SELECT ed.dst AS node, ed.src AS src, {c_expr} AS c
   FROM ed JOIN {prev} p ON p.node = ed.src JOIN deg ON deg.src = ed.src)"""
         )
         ctes.append(
@@ -3440,6 +3451,39 @@ SELECT node AS part, pr FROM (
   FROM pr{PR_ITERS}
 ) WHERE rn <= {PR_TOP}
 """
+
+
+def part_copurchase_pagerank_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED PageRank over the part co-purchase graph: edge weight =
+    number of orders sharing the pair, so an edge seen 40 times carries
+    40x the endorsement of a one-off — the co-occurrence-weighted
+    importance signal a real recommendation prior uses. Same fully
+    distributed chain as ``part_copurchase_pagerank`` with
+    contributions ``pr·w/W`` (integer weights, one multiply + one
+    divide per edge, ordered-fold sums) — every rank double bit-exact
+    against the weighted iteration-CTE oracle. Top 50, tie-broken."""
+    from pyspark.sql import Window
+
+    from gdutils_spark.operators.graph import pagerank
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    wedges = (
+        _copurchase_edges(spark, sf_dir, both_directions=True)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(
+        wedges, damping=PR_DAMPING, n_iters=PR_ITERS, weight="w"
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PR_TOP)
+        .select(F.col("node").alias("part"), "pr")
+    )
 
 
 LPA_ITERS = 3
@@ -5286,6 +5330,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_supplier_hhi": nation_supplier_hhi,
     "part_copurchase_kcore": part_copurchase_kcore,
     "doc_cosine_pairs": doc_cosine_pairs,
+    "part_copurchase_pagerank_weighted": part_copurchase_pagerank_weighted,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -5392,6 +5437,7 @@ EXT_ORACLE: dict[str, str] = {
     "nation_supplier_hhi": _HHI_SQL,
     "part_copurchase_kcore": _kcore_sql(),
     "doc_cosine_pairs": _COSINE_PAIRS_SQL,
+    "part_copurchase_pagerank_weighted": _pagerank_sql(weighted=True),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),

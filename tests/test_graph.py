@@ -334,3 +334,58 @@ def test_part_copurchase_kcore_converges_at_fixture(spark, sf_correct):
 
     rows = QUERIES["part_copurchase_kcore"](spark, sf_correct).collect()
     assert rows and min(r.core_degree for r in rows) >= KCORE_K
+
+
+def _wmodel(wedges, d=0.85, iters=3):
+    """Weighted pure-Python power iteration, same ordered-fold rule;
+    contribution pr(u)*w/W(u) computed as (pr * w) / W like the
+    operator's left-associated expression."""
+    from collections import defaultdict
+
+    W = defaultdict(int)
+    inn = defaultdict(list)
+    for s, t, w in wedges:
+        W[s] += w
+    for s, t, w in wedges:
+        inn[t].append((s, w))
+    nodes = sorted({s for s, _, _ in wedges})
+    n = len(nodes)
+    pr = {v: 1.0 / float(n) for v in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            s = 0.0
+            for u, w in sorted(inn.get(v, [])):
+                s = s + (pr[u] * float(w)) / float(W[u])
+            nxt[v] = (1.0 - d) / float(n) + d * s
+        pr = nxt
+    return pr
+
+
+def test_pagerank_weighted_matches_model_and_validates(spark):
+    """weight= contributions are pr*w/W bit-exact vs the model; a
+    weight-1 graph equals the unweighted ranks; duplicate (src,dst)
+    rows with weight= raise instead of silently picking a copy."""
+    wedges = [
+        (1, 2, 3), (2, 1, 3), (2, 3, 1), (3, 2, 1),
+        (3, 1, 5), (1, 3, 5), (4, 1, 2), (1, 4, 2),
+    ]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {r.node: r.pr for r in pagerank(df, n_iters=3, weight="w").collect()}
+    want = _wmodel(wedges)
+    assert got == want  # bit-exact
+    # all-ones weights reproduce the unweighted ranks exactly
+    ones = spark.createDataFrame(
+        [(s, t, 1) for s, t, _ in wedges], "src long, dst long, w long"
+    )
+    unw = spark.createDataFrame(
+        [(s, t) for s, t, _ in wedges], "src long, dst long"
+    )
+    assert {
+        r.node: r.pr for r in pagerank(ones, n_iters=3, weight="w").collect()
+    } == {r.node: r.pr for r in pagerank(unw, n_iters=3).collect()}
+    dup = spark.createDataFrame(
+        [(1, 2, 3), (1, 2, 4), (2, 1, 1)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        pagerank(dup, n_iters=1, weight="w")
