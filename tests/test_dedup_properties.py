@@ -299,3 +299,40 @@ def test_cosine_tf_pairs_freq_cap_scores_stay_exact(spark):
     assert (0, 1) in capped
     with pytest.raises(ValueError):
         cosine_tf_pairs(df, max_token_freq=0)
+
+
+def test_cosine_tf_pairs_shingle_mode_matches_model(spark):
+    """shingle_k counts k-shingles (repetition kept) — equivalent to the
+    unigram model run on the shingle stream."""
+    from gdutils_spark.operators.dedup import cosine_tf_pairs
+
+    texts_ = [
+        "a b c d e f",
+        "a b c d e g",        # shares 3 of 4 3-shingles with doc 0
+        "x y z a b c",
+        "a b a b a b a b",    # repeated shingles exercise the counts
+    ]
+
+    def shingle_stream(t, k=3):
+        ws = t.lower().split()
+        return " ".join(
+            "_".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+        )
+
+    # model: run the unigram model over the shingle stream (joined by a
+    # NON-whitespace char — the fixture tokens contain no underscores —
+    # so shingles stay single "words"; note \x1f and friends ARE
+    # whitespace to str.split())
+    want = _cosine_model([shingle_stream(t) for t in texts_], 0.3)
+    got = {
+        (r.d1, r.d2): (r.dot, r.cosine)
+        for r in cosine_tf_pairs(
+            _df(spark, texts_), threshold=0.3, shingle_k=3
+        ).collect()
+    }
+    assert got == want
+    assert (0, 1) in got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="shingle_k"):
+        cosine_tf_pairs(_df(spark, texts_), shingle_k=0)
