@@ -238,7 +238,8 @@ def cmd_dedup(args) -> int:
         )
     elif args.method == "cosine":
         df = dd.cosine_tf_pairs(
-            docs, args.text_col, args.id_col, threshold=args.threshold
+            docs, args.text_col, args.id_col, threshold=args.threshold,
+            shingle_k=args.shingle_k, max_token_freq=args.max_token_freq,
         )
     else:  # clusters
         pairs = dd.minhash_lsh_pairs(
@@ -760,6 +761,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--threshold", type=float, default=0.5)
     sp.add_argument("--max-hamming", type=int, default=3)
+    sp.add_argument("--shingle-k", type=int, default=None,
+                    help="cosine unit = k-token shingles (mandatory on "
+                    "small-vocabulary corpora — see SCALE.md)")
+    sp.add_argument("--max-token-freq", type=int, default=None,
+                    help="cosine hot-token cap: candidates only, "
+                    "emitted scores stay exact")
 
     sp = add_pipeline("sample", cmd_sample)
     sp.add_argument("--strata-col", default="lang")

@@ -264,6 +264,8 @@ def cosine_tf_pairs(
     else:
         if shingle_k < 1:
             raise ValueError("shingle_k must be >= 1")
+        from gdutils_spark.operators.text import kgram
+
         words = df.select(
             F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_w")
         )
@@ -272,12 +274,15 @@ def cosine_tf_pairs(
             n >= shingle_k,
             F.transform(
                 F.sequence(F.lit(0), n - shingle_k),
-                lambda i: F.array_join(
-                    F.slice(F.col("_w"), i + 1, shingle_k), " "
-                ),
+                lambda i: kgram(F.col("_w"), i, shingle_k),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        toks = words.select("doc", F.explode(shingles).alias("token"))
+        # same ''-skip as the unigram path: a blank document tokenizes
+        # to [''] and would otherwise shingle to '' at k=1, pairing
+        # unrelated empty docs at cosine 1.0 (k >= 2 never produces '')
+        toks = words.select("doc", F.explode(shingles).alias("token")).where(
+            F.col("token") != ""
+        )
     tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
     if stage_path is not None:
         tf.write.mode("overwrite").parquet(stage_path)

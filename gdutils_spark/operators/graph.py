@@ -66,8 +66,11 @@ def pagerank(
     u's out-weights (a co-occurrence count is the natural weight: an
     edge seen 40 times should carry 40× the endorsement of a one-off).
     Duplicate (src, dst) rows are rejected rather than silently
-    de-duplicated (which weight would survive?). Arithmetic stays
-    replayable: integer weights, one multiply + one divide per edge.
+    de-duplicated (which weight would survive?), and NULL or
+    non-positive weights are rejected too — a zero out-weight sum would
+    silently turn contributions into NaN that the fold spreads into
+    every rank. Arithmetic stays replayable: integer weights, one
+    multiply + one divide per edge.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -83,6 +86,17 @@ def pagerank(
             F.col(dst).alias("dst"),
             F.col(weight).cast("long").alias("w"),
         ).localCheckpoint(eager=False)
+        bad_w = (
+            e.where(F.col("w").isNull() | (F.col("w") <= 0))
+            .limit(1)
+            .collect()
+        )
+        if bad_w:
+            raise ValueError(
+                "pagerank: NULL or non-positive weight — a zero out-"
+                "weight sum yields NaN contributions that poison every "
+                "rank; filter or fix the weights first"
+            )
         dup = (
             e.groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("_n"))

@@ -41,6 +41,17 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def kgram(arr: Column, i: Column, k: int) -> Column:
+    """The space-joined k-token window of ``arr`` starting at 0-based
+    position ``i`` — the ONE shingle-text expression shared by
+    :func:`substring_sites` and ``dedup.cosine_tf_pairs``, so the
+    window arithmetic (and any future fix to it) can't drift between
+    the shingle consumers. Caller contract: ``arr`` must be a
+    materialized projection attribute (interpreted-HOF O(n²) guard,
+    cf. :func:`repetition_signals`)."""
+    return F.array_join(F.slice(arr, i + 1, k), " ")
+
+
 def _stage(frame, stage_path):
     """The staging convention shared by every multi-consumer table in
     this module: land the frame in parquet once, hand every downstream
@@ -901,9 +912,7 @@ def substring_sites(
             F.sequence(F.lit(0), n - k),
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                _md5_int64(
-                    F.array_join(F.slice(F.col("_w"), i + 1, k), " ")
-                ).alias("h"),
+                _md5_int64(kgram(F.col("_w"), i, k)).alias("h"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))

@@ -4949,15 +4949,23 @@ def doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the k-gram expression and the range bound BOTH derive from
+# COSINE_SHINGLE_K — a hardcoded width would silently desync the
+# oracle from the Spark side if the constant ever changes
+_COSINE_KGRAM = " || ' ' || ".join(
+    f"ws[i+{j}]" if j else "ws[i]" for j in range(COSINE_SHINGLE_K)
+)
+
 _COSINE_PAIRS_SQL = f"""
 WITH toks AS (
   SELECT doc_id AS doc, {_TOKS} AS ws FROM documents),
 sh AS (
-  SELECT doc, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                      for i in range(1, len(ws) - 1)]) AS token
+  SELECT doc, unnest([{_COSINE_KGRAM}
+                      for i in range(1, len(ws) - {COSINE_SHINGLE_K - 2})])
+         AS token
   FROM toks WHERE len(ws) >= {COSINE_SHINGLE_K}),
 tf AS (SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM sh GROUP BY doc, token),
+       FROM sh WHERE token <> '' GROUP BY doc, token),
 norms AS (SELECT doc, CAST(SUM(tf * tf) AS BIGINT) AS sq FROM tf GROUP BY doc),
 dots AS (SELECT a.doc AS d1, b.doc AS d2,
                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot

@@ -337,11 +337,15 @@ def stream_stream_join(
     # key — which under left_outer silently yields the right side's
     # NULL key for unmatched rows
     if how == "full_outer":
-        # the key must survive right-orphan rows, where l.key is NULL
+        # the key must survive right-orphan rows, where l.key is NULL —
+        # coalesced IN the key's original left-side position, so the
+        # output column order is identical across how= modes
         kcol = F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)
-        lcols = [F.col(f"l.{c}") for c in left.columns if c != key]
+        lcols = [
+            kcol if c == key else F.col(f"l.{c}") for c in left.columns
+        ]
         rcols = [F.col(f"r.{c}") for c in right.columns if c != key]
-        return l.join(r, cond, how).select(kcol, *lcols, *rcols)
+        return l.join(r, cond, how).select(*lcols, *rcols)
     lcols = [F.col(f"l.{c}") for c in left.columns]
     rcols = [F.col(f"r.{c}") for c in right.columns if c != key]
     return l.join(r, cond, how).select(*lcols, *rcols)

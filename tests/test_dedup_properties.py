@@ -336,3 +336,20 @@ def test_cosine_tf_pairs_shingle_mode_matches_model(spark):
 
     with _pt.raises(ValueError, match="shingle_k"):
         cosine_tf_pairs(_df(spark, texts_), shingle_k=0)
+
+
+def test_cosine_tf_pairs_shingle_k1_skips_blank_docs(spark):
+    """shingle_k=1 must match unigram semantics on blank documents: a
+    blank text tokenizes to [''] and the ''-shingle is skipped, so two
+    empty docs never pair at cosine 1.0 (regression)."""
+    from gdutils_spark.operators.dedup import cosine_tf_pairs
+
+    texts_ = ["", "   ", "real words here", "real words here too"]
+    got = {
+        (r.d1, r.d2)
+        for r in cosine_tf_pairs(
+            _df(spark, texts_), threshold=0.1, shingle_k=1
+        ).collect()
+    }
+    assert (0, 1) not in got
+    assert (2, 3) in got

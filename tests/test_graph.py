@@ -389,3 +389,18 @@ def test_pagerank_weighted_matches_model_and_validates(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         pagerank(dup, n_iters=1, weight="w")
+
+
+def test_pagerank_weighted_rejects_bad_weights(spark):
+    from gdutils_spark.operators.graph import pagerank
+
+    zero = spark.createDataFrame(
+        [(1, 2, 0), (2, 1, 1)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="non-positive"):
+        pagerank(zero, n_iters=1, weight="w")
+    nul = spark.createDataFrame(
+        [(1, 2, None), (2, 1, 1)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="non-positive"):
+        pagerank(nul, n_iters=1, weight="w")
