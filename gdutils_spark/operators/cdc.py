@@ -34,6 +34,7 @@ def apply_cdc(
     keys: Sequence[str],
     op_col: str = "op",
     seq_col: str | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Apply a CDC batch to a snapshot (MERGE INTO semantics).
 
@@ -57,22 +58,35 @@ def apply_cdc(
     the upsert filter and silently break snapshot key uniqueness);
     fully identical duplicates (at-least-once delivery retries) are
     idempotent and collapse instead of raising.
+
+    ``validate=False`` skips BOTH eager probes (the op-domain check and,
+    without ``seq_col``, the dropDuplicates + duplicate-key check) — the
+    trusted-feed escape hatch, same convention as ``pagerank``'s
+    ``ordered_fold=False``: each probe is an extra Spark job over the
+    change batch, pure overhead for a production merge loop whose feed
+    already guarantees clean ops and key-unique batches (a CDC connector
+    with exactly-once delivery). The caller then OWNS the contract: a
+    bad op or a no-seq duplicate silently corrupts the merge exactly as
+    documented above — including at-least-once RETRIES, which the
+    skipped dropDuplicates no longer collapses. Keep the default for
+    anything hand-built or third-party.
     """
     keys = list(keys)
-    bad = (
-        changes.where(
-            F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+    if validate:
+        bad = (
+            changes.where(
+                F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+            )
+            .limit(1)
+            .collect()
         )
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"apply_cdc: change batch contains a row with {op_col}="
-            f"{bad[0][op_col]!r}; ops must be 'I', 'U' or 'D'"
-        )
+        if bad:
+            raise ValueError(
+                f"apply_cdc: change batch contains a row with {op_col}="
+                f"{bad[0][op_col]!r}; ops must be 'I', 'U' or 'D'"
+            )
     latest = changes
-    if seq_col is None:
+    if seq_col is None and validate:
         # no-seq contract: at most ONE DISTINCT change row per key —
         # with several conflicting changes for a key, every non-delete
         # would survive the upsert filter and silently break the

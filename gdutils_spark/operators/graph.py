@@ -38,6 +38,8 @@ def pagerank(
     n_iters: int = 3,
     ordered_fold: bool = True,
     weight: str | None = None,
+    validate: bool = True,
+    start_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (pass both directions for an
     undirected graph) — ``(node, pr)`` after ``n_iters`` power
@@ -71,6 +73,26 @@ def pagerank(
     silently turn contributions into NaN that the fold spreads into
     every rank. Arithmetic stays replayable: integer weights, one
     multiply + one divide per edge.
+
+    ``validate``: the weight checks above are two eager LIMIT-bounded
+    jobs at call time, and the duplicate-(src,dst) probe is a full
+    groupBy shuffle over the edge list — at 100 TB a corpus-scale
+    pre-job on EVERY invocation. Pass ``validate=False`` when the
+    weights come from your own pre-aggregation (a ``groupBy(src,
+    dst).count()`` cannot produce duplicates or NULLs) — the
+    trusted-input escape hatch, same convention as ``ordered_fold``;
+    the caller then owns the no-dup/positive-weight contract.
+
+    ``start_ranks``: optional ``(node, pr)`` seed — the warm-start /
+    INCREMENTAL-maintenance path: after a delta-batch of edges merges
+    into the graph, restart from yesterday's converged ranks and run 1–2
+    iterations instead of the full budget (power iteration contracts
+    toward the stationary vector from ANY start, and a near-converged
+    seed is near the new fixed point when the delta is small). Nodes
+    absent from the seed (genuinely new) start at uniform ``1/N`` over
+    the CURRENT node set; seed rows for nodes no longer in the graph are
+    ignored. The seed is consumed as-given (not renormalized) so a fixed
+    chain stays oracle-replayable.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -86,30 +108,31 @@ def pagerank(
             F.col(dst).alias("dst"),
             F.col(weight).cast("long").alias("w"),
         ).localCheckpoint(eager=False)
-        bad_w = (
-            e.where(F.col("w").isNull() | (F.col("w") <= 0))
-            .limit(1)
-            .collect()
-        )
-        if bad_w:
-            raise ValueError(
-                "pagerank: NULL or non-positive weight — a zero out-"
-                "weight sum yields NaN contributions that poison every "
-                "rank; filter or fix the weights first"
+        if validate:
+            bad_w = (
+                e.where(F.col("w").isNull() | (F.col("w") <= 0))
+                .limit(1)
+                .collect()
             )
-        dup = (
-            e.groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                "pagerank: duplicate (src, dst) rows with weight= set — "
-                "pre-aggregate the weights (which copy would win is "
-                "ambiguous)"
+            if bad_w:
+                raise ValueError(
+                    "pagerank: NULL or non-positive weight — a zero out-"
+                    "weight sum yields NaN contributions that poison every "
+                    "rank; filter or fix the weights first"
+                )
+            dup = (
+                e.groupBy("src", "dst")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .limit(1)
+                .collect()
             )
+            if dup:
+                raise ValueError(
+                    "pagerank: duplicate (src, dst) rows with weight= set — "
+                    "pre-aggregate the weights (which copy would win is "
+                    "ambiguous)"
+                )
     # deg / nodes / n are consumed by EVERY iteration — checkpoint them
     # too, or each iteration re-runs the degree aggregate and the node
     # distinct from the edge list (no subtree reuse)
@@ -134,12 +157,21 @@ def pagerank(
     # repr() of these same values, so both engines use the identical
     # doubles (1 - 0.85 is NOT the literal 0.15 in IEEE)
     teleport = 1.0 - damping
-    pr = (
-        nodes.crossJoin(F.broadcast(n_df))
-        .select(
-            "node",
-            (F.lit(1.0) / F.col("n").cast("double")).alias("pr"),
+    uniform = F.lit(1.0) / F.col("n").cast("double")
+    if start_ranks is None:
+        seed = uniform
+        base = nodes
+    else:
+        # warm start: inner-join would DROP new nodes and a seed row for
+        # a departed node must not resurrect it — left join from the
+        # CURRENT node set, uniform fill for the genuinely new
+        seed = F.coalesce(F.col("pr"), uniform)
+        base = nodes.join(
+            start_ranks.select("node", "pr"), "node", "left"
         )
+    pr = (
+        base.crossJoin(F.broadcast(n_df))
+        .select("node", seed.alias("pr"))
         .localCheckpoint(eager=False)
     )
     for _ in range(n_iters):

@@ -3475,8 +3475,14 @@ def part_copurchase_pagerank_weighted(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # validate=False: the weights come straight from our own
+    # groupBy(src, dst).count() — duplicates and NULL/non-positive
+    # weights are impossible by construction, so the two probe jobs
+    # (one a full edge-list shuffle) would be pure overhead; the
+    # validating path is pinned by tests/test_graph.py
     pr = pagerank(
-        wedges, damping=PR_DAMPING, n_iters=PR_ITERS, weight="w"
+        wedges, damping=PR_DAMPING, n_iters=PR_ITERS, weight="w",
+        validate=False,
     )
     w = Window.orderBy(F.col("pr").desc(), F.col("node"))
     return (
@@ -3695,7 +3701,11 @@ def orders_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("op", F.lit("I"))
     )
     changes = dels.unionByName(upds).unionByName(ins)
-    return apply_cdc(o, changes, ["o_orderkey"])
+    # validate=False: this batch is constructed from disjoint key
+    # residues (op domain and key uniqueness hold by construction), so
+    # it is exactly the trusted-feed case the escape hatch exists for —
+    # the two skipped probe jobs are covered by tests/test_cdc.py
+    return apply_cdc(o, changes, ["o_orderkey"], validate=False)
 
 
 _CDC_UPSERT_SQL = f"""

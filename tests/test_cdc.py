@@ -251,3 +251,40 @@ def test_apply_cdc_identical_duplicate_rows_are_idempotent(spark):
     )
     got = {r.id: r.v for r in apply_cdc(snap, retried, ["id"]).collect()}
     assert got == {2: "b2"}
+
+
+def test_apply_cdc_validate_false_skips_probes_same_result(spark):
+    """The trusted-feed escape hatch: on a clean batch validate=False
+    returns the identical merge, with ZERO eager jobs at call time
+    (both probes are collect()s — if any ran, the job counter moves)."""
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", "U"), (3, None, "D"), (4, "d", "I")],
+        "id long, v string, op string",
+    )
+    checked = sorted(
+        (r.id, r.v) for r in apply_cdc(snap, changes, ["id"]).collect()
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    trusted = apply_cdc(snap, changes, ["id"], validate=False)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "validate=False must not run eager probe jobs"
+    assert sorted((r.id, r.v) for r in trusted.collect()) == checked
+
+
+def test_apply_cdc_validate_false_caller_owns_contract(spark):
+    """validate=False does NOT raise on a batch validate=True rejects —
+    the documented trade: the caller owns op-domain and key-uniqueness."""
+    import pytest
+
+    snap = spark.createDataFrame([(1, "a")], "id long, v string")
+    dirty = spark.createDataFrame(
+        [(1, "x", "U"), (1, "y", "U")], "id long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="multiple distinct rows"):
+        apply_cdc(snap, dirty, ["id"])
+    # trusted path: no probe, both conflicting rows land (documented)
+    assert apply_cdc(snap, dirty, ["id"], validate=False).count() == 2

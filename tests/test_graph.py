@@ -404,3 +404,69 @@ def test_pagerank_weighted_rejects_bad_weights(spark):
     )
     with pytest.raises(ValueError, match="non-positive"):
         pagerank(nul, n_iters=1, weight="w")
+
+
+def test_pagerank_weighted_validate_false_same_ranks_no_probe_jobs(spark):
+    """The trusted-input escape hatch: on pre-aggregated weights,
+    validate=False returns identical ranks and runs no eager probe jobs
+    (the two probes are collect()s — the job counter would move)."""
+    edge_list = [(1, 2, 3), (2, 1, 1), (2, 3, 2), (3, 1, 5), (1, 3, 1), (3, 2, 2)]
+    df = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    tracker = spark.sparkContext.statusTracker()
+
+    def construction_jobs(**kw):
+        # AQE runs the shuffle-map stages of each lazy localCheckpoint
+        # at construction time, so the counter is nonzero either way —
+        # the PROBE jobs are the delta between the two paths
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        pr = pagerank(df, weight="w", **kw)
+        return pr, len(tracker.getJobIdsForGroup(None) or []) - before
+
+    checked_df, jobs_checked = construction_jobs()
+    trusted_df, jobs_trusted = construction_jobs(validate=False)
+    assert jobs_trusted < jobs_checked, (
+        "validate=False must skip the eager probe jobs "
+        f"(ran {jobs_trusted}, validating path ran {jobs_checked})"
+    )
+    checked = {r.node: r.pr for r in checked_df.collect()}
+    got = {r.node: r.pr for r in trusted_df.collect()}
+    assert got == checked  # bit-identical, not approximately
+
+
+def test_pagerank_warm_start_seed(spark):
+    """start_ranks semantics: seeded nodes start from the given pr, new
+    nodes from uniform 1/N over the CURRENT node set, departed-node seed
+    rows are ignored — checked bit-exactly at n_iters=0 (the seed IS the
+    output) and for one iteration against the hand model."""
+    base = [(1, 2), (2, 1)]
+    df0 = spark.createDataFrame(base, "src long, dst long")
+    pr0 = pagerank(df0, n_iters=3)
+    # merged graph adds node 3 (and edges both ways to 1)
+    merged = base + [(1, 3), (3, 1)]
+    df1 = spark.createDataFrame(merged, "src long, dst long")
+    seed0 = {r.node: r.pr for r in pr0.collect()}
+    got0 = {
+        r.node: r.pr
+        for r in pagerank(df1, n_iters=0, start_ranks=pr0).collect()
+    }
+    assert got0[1] == seed0[1] and got0[2] == seed0[2]
+    assert got0[3] == 1.0 / 3.0  # new node: uniform over CURRENT nodes
+    # one warm iteration == hand-rolled power step from that seed
+    d = 0.85
+    deg = {1: 2, 2: 1, 3: 1}
+    want = {}
+    for v, ins in {1: [2, 3], 2: [1], 3: [1]}.items():
+        s = 0.0
+        for u in sorted(ins):
+            s = s + got0[u] / float(deg[u])
+        want[v] = (1.0 - d) / 3.0 + d * s
+    got1 = {
+        r.node: r.pr
+        for r in pagerank(df1, n_iters=1, start_ranks=pr0).collect()
+    }
+    for v in want:
+        assert got1[v] == want[v], (v, got1[v], want[v])
+    # a seed row for a node NOT in the current graph must not resurrect it
+    ghost = spark.createDataFrame([(99, 0.5)], "node long, pr double")
+    got_g = pagerank(df0, n_iters=0, start_ranks=ghost).collect()
+    assert {r.node for r in got_g} == {1, 2}
