@@ -29,17 +29,24 @@ def _cell(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Quantize to [0, 2^bits): the histogram bin rule (two IEEE ops +
     floor), clamped on the LONG before any narrowing. NULL input stays
     NULL (greatest/least would otherwise SKIP the NULL and silently
-    alias it with the range minimum)."""
+    alias it with the range minimum) — and NaN propagates to NULL the
+    same way: Spark's floor(NaN) casts to 0L (the range MINIMUM) while
+    an oracle's clamp sends NaN to the top cell, so a NaN measurement
+    must route to the dedicated null file, not silently cluster with
+    either extreme (the ``hist_registers`` NaN rule)."""
     n = 1 << bits
+    x = col.cast("double")
     raw = F.floor(
-        (col.cast("double") - F.lit(float(lo)))
+        (x - F.lit(float(lo)))
         * F.lit(float(n))
         / (F.lit(float(hi)) - F.lit(float(lo)))
     )
     clamped = F.least(
         F.greatest(raw, F.lit(0).cast("long")), F.lit(n - 1).cast("long")
     )
-    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(clamped)
+    return F.when(
+        col.isNull() | F.isnan(x), F.lit(None).cast("long")
+    ).otherwise(clamped)
 
 
 def zorder_key(
@@ -92,7 +99,9 @@ def zorder_key_sql(
     bits: int = 8,
 ) -> str:
     """The IDENTICAL z-key as an ANSI-SQL expression string (for the
-    DuckDB oracle replay): same quantize rule, same bit positions."""
+    DuckDB oracle replay): same quantize rule, same bit positions, same
+    NaN→NULL rule (DuckDB's greatest/least would otherwise clamp NaN —
+    which sorts above every value — into the TOP cell)."""
     d = len(specs)
     n = 1 << bits
     terms = []
@@ -102,6 +111,10 @@ def zorder_key_sql(
             f"- CAST({lo} AS DOUBLE)) * CAST({n} AS DOUBLE) "
             f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))), "
             f"CAST(0 AS DOUBLE)), CAST({n - 1} AS DOUBLE)) AS BIGINT)"
+        )
+        cell = (
+            f"(CASE WHEN isnan(CAST({col} AS DOUBLE)) THEN NULL "
+            f"ELSE {cell} END)"
         )
         for b in range(bits):
             terms.append(f"((({cell} >> {b}) & 1) << {b * d + i})")

@@ -351,6 +351,43 @@ def cms_estimate(
     )
 
 
+def cms_heavy_hitters(
+    registers: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    threshold: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Frequent-items (heavy hitters) report from a CMS register table:
+    the candidate values whose estimated frequency reaches ``threshold``
+    (the φ·N cut of Cormode & Muthukrishnan §4.2), with the estimate
+    attached as ``cms_est`` — the surface frequency-sketch users
+    actually want ("which items are hot?"), built on the point-estimate
+    primitive (:func:`cms_estimate`).
+
+    The CMS never undercounts, so every TRUE heavy hitter whose value
+    appears in ``candidates`` survives the cut — NO FALSE NEGATIVES,
+    the property that makes the sketch a safe pre-filter; false
+    positives (overcounted near-misses) are bounded by the usual
+    2N/width error and are verified exactly downstream if they matter.
+    The candidate relation is what bounds the probe cost: at 100 TB pass
+    a pruned candidate set (e.g. a per-partition local top-k union, or
+    yesterday's hitters plus today's new values) — the register table
+    itself cannot enumerate values, that is the sketch trade-off.
+
+    Probe-sized work on top of a broadcast register table (the
+    :func:`cms_estimate` plan); all-integer arithmetic, so the report
+    hash-verifies cross-engine."""
+    if threshold < 1:
+        raise ValueError(
+            f"cms_heavy_hitters: threshold={threshold} must be >= 1 "
+            "(a zero threshold keeps every candidate — not a cut)"
+        )
+    est = cms_estimate(registers, candidates, value_col, depth, width)
+    return est.where(F.col("cms_est") >= threshold)
+
+
 BLOOM_BITS = 4096
 BLOOM_HASHES = 4
 
@@ -482,8 +519,13 @@ def hist_registers(
     state — Spark's own ``approx_percentile`` is such a sketch but its
     estimate is not oracle-reproducible). Values are clamped into the
     edge bins, so out-of-range mass is visible there rather than
-    dropped; NULLs are skipped like every builder in this module. The
-    bin rule ``floor((x − lo) · n_bins / (hi − lo))`` is two IEEE ops +
+    dropped; NULLs are skipped like every builder in this module — and
+    so are NaNs, explicitly: Spark's ``floor(NaN)`` casts to ``0L``
+    (bin 0) while an oracle's clamp sends NaN (which sorts above every
+    value) to the TOP bin, so letting NaN through would silently break
+    the module's cross-engine bit-parity; a not-a-number measurement
+    belongs in neither tail. The bin rule
+    ``floor((x − lo) · n_bins / (hi − lo))`` is two IEEE ops +
     a floor — deterministic and engine-replayable bit-for-bit.
 
     ``group_col``: per-group registers ``(grp, bin, cnt)`` — the
@@ -514,7 +556,7 @@ def hist_registers(
     ]
     names = (["grp"] if group_col else []) + ["bin"]
     return (
-        df.where(x.isNotNull())
+        df.where(x.isNotNull() & ~F.isnan(x))
         .select(*cols)
         .groupBy(*names)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -556,6 +598,28 @@ def hist_quantiles(
         # would silently VANISH, misaligning consumers that zip
         # estimates to requested quantiles
         raise ValueError(f"hist_quantiles: quantiles outside [0, 1]: {bad_q}")
+    # fail-fast geometry probe (the knn_ivf_pq staged-index convention):
+    # lo/hi/n_bins are re-declared here independently of how the
+    # register table was built, and a mismatch — or merging registers
+    # built with different bins — silently yields wrong estimates. A
+    # register outside [0, n_bins) proves the declared geometry is not
+    # the build's; LIMIT-bounded over the (sketch-sized) register table.
+    # The converse gap remains the caller's contract: registers built
+    # with FEWER bins all land inside the declared range undetected —
+    # keep (lo, hi, n_bins) with the staged sketch.
+    bad_bin = (
+        registers.where(
+            (F.col("bin") < 0) | (F.col("bin") >= n_bins)
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad_bin:
+        raise ValueError(
+            f"hist_quantiles: register bin {bad_bin[0]['bin']} outside "
+            f"[0, {n_bins}) — the register table was not built with "
+            "this n_bins (or mixed-geometry registers were merged)"
+        )
     spark = registers.sparkSession
     # a grouped register table (grp column) yields per-group estimates
     grouped = "grp" in registers.columns
@@ -602,6 +666,7 @@ def bottomk_sample(
     key_col: str,
     value_col: str,
     k: int = BOTTOMK_K,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic mergeable uniform row sample ``(hk, val)``: the
     ``k`` rows whose md5-hashed key is smallest (a KMV / bottom-k
@@ -619,35 +684,63 @@ def bottomk_sample(
     deterministic. NULL keys and NULL values are skipped like every
     builder in this module. Plan shape: a global ordered LIMIT — Spark
     plans TakeOrderedAndProject (per-partition top-k, single tiny
-    merge), never a full sort."""
+    merge), never a full sort.
+
+    ``group_col``: a PER-GROUP sample ``(grp, hk, val)`` — k smallest
+    hashed keys within each group, the unbounded-domain per-segment
+    quantile path (latency percentiles per tenant / per event type)
+    that the fixed-bin histogram's declared [lo, hi) cannot cover
+    (mirrors ``hist_registers(group_col=)``). Rows with a NULL group are
+    skipped like NULL keys. Plan shape: one shuffle on the group key +
+    a per-group rank cut (window row_number) — state is
+    groups × k rows, still mergeable per group."""
+    from pyspark.sql import Window
+
     from gdutils_spark.operators.dedup import _md5_int64
 
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    hk = _md5_int64(F.col(key_col).cast("string")).alias("hk")
+    val = F.col(value_col).cast("double").alias("val")
+    if group_col is None:
+        return base.select(hk, val).orderBy("hk", "val").limit(k)
+    w = Window.partitionBy("grp").orderBy("hk", "val")
     return (
-        df.where(
-            F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
-        )
-        .select(
-            _md5_int64(F.col(key_col).cast("string")).alias("hk"),
-            F.col(value_col).cast("double").alias("val"),
-        )
-        .orderBy("hk", "val")
-        .limit(k)
+        base.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), hk, val)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 
 def bottomk_merge(a: DataFrame, b: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
     """Merge two bottom-k samples (same key hashing): bottom-k of the
-    union — sample-sized work, the shards are never rescanned."""
-    return a.unionByName(b).orderBy("hk", "val").limit(k)
+    union — sample-sized work, the shards are never rescanned. Grouped
+    samples (a ``grp`` column) merge per group (both inputs must be
+    grouped the same way — unionByName raises on a shape mismatch)."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b)
+    if "grp" not in u.columns:
+        return u.orderBy("hk", "val").limit(k)
+    w = Window.partitionBy("grp").orderBy("hk", "val")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def bottomk_quantiles(sample: DataFrame, qs: "list[float]") -> DataFrame:
     """Quantile estimates from a bottom-k sample: exact ``percentile``
     over the sampled values, one ``(q, est)`` row per requested
-    quantile. The sample is uniform over rows (md5 keys), so the sample
-    quantile converges to the population quantile with rank error
-    ~1/sqrt(k). Sample-sized work; the percentile interpolation is the
-    engine-parity `quantile_cont` convention."""
+    quantile — per group when the sample carries a ``grp`` column
+    (``(grp, q, est)``). The sample is uniform over rows (md5 keys), so
+    the sample quantile converges to the population quantile with rank
+    error ~1/sqrt(k). Sample-sized work; the percentile interpolation is
+    the engine-parity `quantile_cont` convention."""
     bad_q = [q for q in qs if not 0.0 <= float(q) <= 1.0]
     if bad_q:
         raise ValueError(f"bottomk_quantiles: quantiles outside [0, 1]: {bad_q}")
@@ -655,17 +748,18 @@ def bottomk_quantiles(sample: DataFrame, qs: "list[float]") -> DataFrame:
     # per-q aggregates would re-execute the whole sample subtree
     # (corpus scan + TakeOrdered) once per quantile: Catalyst plans no
     # subtree reuse
-    wide = sample.agg(
-        *[
-            F.percentile(F.col("val"), F.lit(float(q))).alias(f"_p{i}")
-            for i, q in enumerate(qs)
-        ]
-    )
+    aggs = [
+        F.percentile(F.col("val"), F.lit(float(q))).alias(f"_p{i}")
+        for i, q in enumerate(qs)
+    ]
+    grouped = "grp" in sample.columns
+    wide = sample.groupBy("grp").agg(*aggs) if grouped else sample.agg(*aggs)
     parts = ", ".join(
         f"CAST('{float(q)!r}' AS DOUBLE), _p{i}" for i, q in enumerate(qs)
     )
+    keep = ["grp"] if grouped else []
     return wide.select(
-        F.expr(f"stack({len(qs)}, {parts}) AS (q, est)")
+        *keep, F.expr(f"stack({len(qs)}, {parts}) AS (q, est)")
     )
 
 

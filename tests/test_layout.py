@@ -93,3 +93,20 @@ def test_zorder_validates_ranges_and_bucket_budget(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="n_buckets_log2"):
         zorder_layout_stats(df, [("x", 0.0, 1.0)], bits=2, n_buckets_log2=4)
+
+
+def test_zorder_nan_dim_yields_null_key(spark):
+    """A NaN in any clustered dimension must route to the null file like
+    a NULL — Spark's floor(NaN)→0L would otherwise silently cluster it
+    at the range minimum (and DuckDB's clamp at the maximum)."""
+    from gdutils_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (float("nan"), 1.0), (2.0, float("nan"))],
+        "x double, y double",
+    )
+    got = df.select(
+        zorder_key([("x", 0.0, 4.0), ("y", 0.0, 4.0)], bits=2).alias("z")
+    ).collect()
+    assert got[0].z is not None
+    assert got[1].z is None and got[2].z is None

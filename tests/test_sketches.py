@@ -539,3 +539,127 @@ def test_mad_outlier_summary_flags_known_outliers(spark):
     assert got["b"].mad == 0.0 and got["b"].n_outliers == 1
     # NULL-only group dropped entirely
     assert "c" not in got
+
+
+def test_bottomk_grouped_sample_merge_and_quantiles(spark):
+    """Per-group bottom-k: the sample is the k smallest hashed keys
+    WITHIN each group, per-group merge of shard samples equals the
+    whole-corpus grouped sample, and quantiles come out per group."""
+    from gdutils_spark.operators.dedup import _md5_int64
+    from gdutils_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    rows = [(i, float(i % 97), "a" if i % 3 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    k = 16
+    got = bottomk_sample(df, "id", "v", k, group_col="g")
+    # python model: per group, k smallest (md5(id), v)
+    hashed = {
+        r.id: r.hk
+        for r in df.select(
+            "id", _md5_int64(F.col("id").cast("string")).alias("hk")
+        ).collect()
+    }
+    by_g = {}
+    for i, v, g in rows:
+        by_g.setdefault(g, []).append((hashed[i], v))
+    want = {
+        g: sorted(pairs)[:k] for g, pairs in by_g.items()
+    }
+    got_rows = sorted((r.grp, r.hk, r.val) for r in got.collect())
+    want_rows = sorted(
+        (g, hk, v) for g, pairs in want.items() for hk, v in pairs
+    )
+    assert got_rows == want_rows
+    # merge lemma per group: shard samples combine to the whole sample
+    sa = bottomk_sample(df.where(F.col("id") % 2 == 0), "id", "v", k, group_col="g")
+    sb = bottomk_sample(df.where(F.col("id") % 2 == 1), "id", "v", k, group_col="g")
+    merged = sorted(
+        (r.grp, r.hk, r.val) for r in bottomk_merge(sa, sb, k).collect()
+    )
+    assert merged == want_rows
+    # per-group quantiles: one (grp, q, est) row per group per q
+    qs = bottomk_quantiles(got, [0.5])
+    est = {(r.grp, r.q): r.est for r in qs.collect()}
+    assert set(est) == {("a", 0.5), ("b", 0.5)}
+    import statistics
+
+    for g in ("a", "b"):
+        vals = [v for _hk, v in want[g]]
+        assert est[(g, 0.5)] == statistics.median(vals)
+
+
+def test_bottomk_grouped_skips_null_groups(spark):
+    from gdutils_spark.operators.sketches import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, None), (3, 3.0, "a")],
+        "id long, v double, g string",
+    )
+    got = bottomk_sample(df, "id", "v", 8, group_col="g").collect()
+    assert all(r.grp == "a" for r in got) and len(got) == 2
+
+
+def test_cms_heavy_hitters_no_false_negatives_and_merge(spark):
+    """Every true heavy hitter in the candidate set survives the cut
+    (CMS never undercounts); the report off MERGED half-corpus sketches
+    equals the whole-corpus report; threshold is validated."""
+    import pytest
+
+    from gdutils_spark.operators.sketches import (
+        cms_heavy_hitters,
+        cms_merge,
+        cms_registers,
+    )
+
+    # zipf-ish: token t_i appears ~ 600 // (i + 1) times
+    rows = [(f"t{i}",) for i in range(40) for _ in range(600 // (i + 1))]
+    df = spark.createDataFrame(rows, "tok string")
+    reg = cms_registers(df, "tok")
+    exact = df.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    threshold = 60
+    got = cms_heavy_hitters(reg, exact, "tok", threshold)
+    hitters = {r.tok: r.cms_est for r in got.collect()}
+    truth = {r.tok: r.exact for r in exact.collect()}
+    for tok, n in truth.items():
+        if n >= threshold:
+            assert tok in hitters, f"true hitter {tok} missed"
+            assert hitters[tok] >= n  # never undercounts
+    # merged shard sketches give the identical report
+    ra = cms_registers(df.where(F.length("tok") % 2 == 0), "tok")
+    rb = cms_registers(df.where(F.length("tok") % 2 == 1), "tok")
+    merged = cms_heavy_hitters(cms_merge(ra, rb), exact, "tok", threshold)
+    assert sorted((r.tok, r.cms_est) for r in merged.collect()) == sorted(
+        hitters.items()
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        cms_heavy_hitters(reg, exact, "tok", 0)
+
+
+def test_hist_registers_skip_nan_like_null(spark):
+    """NaN values are skipped (Spark floor(NaN)→0L would land them in
+    bin 0 while an oracle clamp sends them to the top bin — neither is
+    right; the NULL rule applies)."""
+    from gdutils_spark.operators.sketches import hist_registers
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,), (2.0,)], "v double"
+    )
+    regs = hist_registers(df, "v", 0.0, 4.0, 4)
+    assert sum(r.cnt for r in regs.collect()) == 2
+
+
+def test_hist_quantiles_rejects_mismatched_geometry(spark):
+    """A register table whose bins fall outside [0, n_bins) proves the
+    declared geometry is not the build's — fail fast, not silently
+    wrong estimates."""
+    import pytest
+
+    from gdutils_spark.operators.sketches import hist_quantiles
+
+    bad = spark.createDataFrame([(0, 5), (700, 3)], "bin int, cnt long")
+    with pytest.raises(ValueError, match="outside"):
+        hist_quantiles(bad, [0.5], 0.0, 1.0, n_bins=512)
