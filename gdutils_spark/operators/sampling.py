@@ -61,6 +61,57 @@ def stratified_sample(
     return df.where(bucket < threshold)
 
 
+PRIORITY_DOMAIN = float(1 << 60)  # _md5_int64 is uniform over [0, 2^60)
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic WEIGHTED sample without replacement of size ``k``
+    (priority sampling — Duffield, Lund & Thorup 2007, JACM
+    "Priority sampling for estimation of arbitrary subset sums"): each
+    row draws ``u = md5-frac(id) ∈ (0, 1)`` and gets priority
+    ``u / w``; the ``k`` SMALLEST priorities are kept, so a row's
+    inclusion odds scale with its weight — sample long/high-quality
+    documents more, without ever materializing per-row RNG state. The
+    md5 draw makes the "random" sample REPRODUCIBLE by any engine,
+    incrementally STABLE (a doc's fate never flips when unrelated data
+    arrives — the module invariant), and MERGEABLE: the bottom-k by
+    priority of a union is the bottom-k of the combined per-shard
+    bottom-k's, the :func:`~gdutils_spark.operators.sketches
+    .bottomk_sample` lemma with weighted keys.
+
+    Returns ``(id, weight, priority)`` for the kept rows. Rows with
+    NULL ids or NULL/non-positive weights are SKIPPED (a zero weight
+    divides to +inf — never sampled anyway; negative weights have no
+    sampling meaning). Arithmetic is two sequential IEEE divisions on
+    exactly-representable inputs (60-bit hash, power-of-two domain,
+    integer weight), so the sample hash-verifies cross-engine. Plan
+    shape: map + global ordered LIMIT — TakeOrderedAndProject
+    (per-partition top-k, one tiny merge), never a full sort."""
+    from gdutils_spark.operators.dedup import _md5_int64
+
+    if k < 1:
+        raise ValueError(f"priority_sample: k={k} must be >= 1")
+    u = _md5_int64(F.col(id_col).cast("string")).cast("double") / F.lit(
+        PRIORITY_DOMAIN
+    )
+    w = F.col(weight_col).cast("long")
+    return (
+        df.where(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col).alias("id"),
+            w.alias("weight"),
+            (u / w.cast("double")).alias("priority"),
+        )
+        .orderBy("priority", "id")
+        .limit(k)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1670,7 +1670,75 @@ def ivfpq_index(
     )
     if stage_path is not None:
         codes.write.mode("overwrite").parquet(stage_path)
+        # geometry sidecar: the built-SMALLER case (an index with fewer
+        # n_codes than a later search declares) is UNDETECTABLE from the
+        # code values themselves (codes 0..n_built−1 all pass a
+        # `code >= n_codes` probe), so the build's geometry is persisted
+        # next to the index and load_ivfpq_index validates it on read —
+        # the refine-iteration counts ride along (-1 = trained matrices
+        # were passed in, provenance unknown to this call)
+        meta = spark.createDataFrame(
+            [
+                (
+                    m,
+                    n_codes,
+                    n_centroids,
+                    bool(residual),
+                    -1 if _coarse is not None else coarse_refine_iters,
+                    -1 if _codebook is not None else pq_refine_iters,
+                )
+            ],
+            "m int, n_codes int, n_centroids int, residual boolean, "
+            "coarse_refine_iters int, pq_refine_iters int",
+        )
+        meta.write.mode("overwrite").parquet(stage_path + "_meta")
         codes = spark.read.parquet(stage_path)
+    return codes
+
+
+def load_ivfpq_index(
+    spark,
+    stage_path: str,
+    m: int,
+    n_codes: int,
+    residual: bool = False,
+) -> DataFrame:
+    """Read back a staged :func:`ivfpq_index` and VALIDATE its geometry
+    sidecar against the search call's declared ``m`` / ``n_codes`` /
+    ``residual`` — closing the gap the in-relation probe in
+    :func:`knn_ivf_pq` cannot see: an index built with SMALLER n_codes
+    (its codes 0..n_built−1 all look legal) or a residual-flag mismatch
+    silently mis-ranks with no error. Raises on any mismatch; an index
+    staged by an older build without the sidecar loads with a clear
+    error telling the caller to restage. Returns the staged code
+    relation, ready to pass to ``knn_ivf_pq(index=...)`` (whose own
+    LIMIT-probes then re-check the built-bigger direction for free)."""
+    from pyspark.errors import AnalysisException
+
+    codes = spark.read.parquet(stage_path)
+    try:
+        meta = spark.read.parquet(stage_path + "_meta").collect()
+    except AnalysisException as exc:
+        raise ValueError(
+            f"load_ivfpq_index: no geometry sidecar at {stage_path}_meta "
+            "— the index predates sidecar staging; rebuild it with "
+            "ivfpq_index(stage_path=...) so geometry mismatches "
+            "(including the undetectable built-smaller n_codes case) "
+            "fail fast"
+        ) from exc
+    got = meta[0]
+    if (
+        got["m"] != m
+        or got["n_codes"] != n_codes
+        or bool(got["residual"]) != bool(residual)
+    ):
+        raise ValueError(
+            "load_ivfpq_index: staged index geometry "
+            f"(m={got['m']}, n_codes={got['n_codes']}, "
+            f"residual={got['residual']}) does not match the search's "
+            f"(m={m}, n_codes={n_codes}, residual={residual}) — the ADC "
+            "table would silently mis-rank; rebuild or fix the call"
+        )
     return codes
 
 
@@ -1794,11 +1862,17 @@ def knn_ivf_pq(
         # would rank wrong with no error. LIMIT-bounded probes, not a
         # full aggregate — the index is |corpus|·m rows and the
         # search-many-times path must not rescan it per call:
-        # built-BIGGER shows up as any row past the geometry; built-
-        # SMALLER as a non-empty index with no subspace m−1 row (every
-        # indexed vector carries all its subspaces). Training-state and
-        # residual-flag mismatches remain the caller's contract (see
-        # docstring).
+        # built-BIGGER shows up as any row past the geometry; an index
+        # built with SMALLER m as a non-empty index with no subspace
+        # m−1 row (every indexed vector carries all its subspaces).
+        # KNOWN GAP: an index built with SMALLER n_codes is undetectable
+        # here — its codes 0..n_built−1 all pass the `code >= n_codes`
+        # probe, and with refined/residual codebooks the ADC table then
+        # silently mis-ranks. Training-state and residual-flag
+        # mismatches are equally invisible to the relation. For staged
+        # indexes use load_ivfpq_index, which validates the persisted
+        # geometry sidecar and closes all three; for an in-memory
+        # prebuilt relation they remain the caller's contract.
         too_big = (
             codes.where(
                 (F.col("subspace") >= m) | (F.col("code") >= n_codes)

@@ -1953,96 +1953,85 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 7 window (exactly 50): (a) the 20 NEW round-7 queries, i.e.
-    # EVERY entry that has never had a driver row — substring-level
-    # dedup (Lee et al. ExactSubstr) + its incremental batch-vs-corpus
-    # variant, left-outer stream-stream join with the watermark-cut
-    # oracle, the mergeable histogram quantile sketch (global and
-    # per-group), residual IVF-PQ search, the raw-vs-residual recall
-    # ablation, multi-probe LSH, HLL inclusion-exclusion cohort overlap,
-    # bottom-k (KMV) quantiles, streaming sketch maintenance,
-    # co-purchase PageRank + label-propagation communities, the Z-order
-    # clustering-key layout report, the per-column table profile, the
-    # BPE tokenizer-training family (merge table / token stats / encode
-    # accounting), bigram OOV scoring, and DPR-style hard-negative
-    # mining, plus the 7 latest: degree-ordered exact triangle counting,
-    # KMV bottom-k set algebra, median/MAD robust outliers,
-    # market-basket association rules, the per-user Markov transition
-    # table, HHI supplier concentration, the bounded k-core peel, the
-    # exact tf-cosine similarity join, the full-outer stream-stream
-    # join, and co-occurrence-weighted PageRank; (b) the
-    # 4 r6-late additions that have never had a driver
-    # row (doc_bloom_screen, doc_bigram_lm, emb_knn_ivfpq_trained,
-    # rt_stream_stream_join — pre-declared first in the r6 ledger,
-    # locally drive-sim green); (c) 16 of the 49 entries whose latest
-    # green row is r4 (the pre-declared round-7 rotation priority). The
-    # 33 r4-latest entries that did NOT fit — rt_plot_urls,
-    # rt_kml_coords, rt_info_card, rt_canned_filters,
-    # rt_csv_sink_roundtrip, rt_geo_track_points, rt_client_api_merge,
-    # rt_client_api_merge_right, rt_csv_batch_daily, rt_client_datasets,
-    # rt_json_records_typed, rt_stream_daily_counts, rt_dataset_profiles,
-    # rt_dataset_timeseries, rt_stream_dedup, doc_shard_stats,
-    # emb_semantic_dedup, doc_source_overlap, doc_dedup_keep_best,
-    # doc_domain_mix_plan, doc_domain_mix_sample, doc_bm25_search,
-    # doc_incremental_dedup, doc_repetition_signals, doc_source_stats,
-    # mm_pixel_stats, emb_quantize, emb_knn_ivf_refined, mm_thumbnails,
-    # doc_tfidf_terms, doc_chunks, doc_length_histogram, doc_vocab_stats
-    # (static surfaces untouched since r4,
-    # re-verified locally every session by tests/test_queries_oracle.py)
-    # — are the ROUND-8 ROTATION PRIORITY and must head the r8 window
-    # together with any r8-new queries. After this round every entry
-    # has a driver row and none's freshest green row predates r5 except
-    # those 33 documented carry-overs.
-    "part_copurchase_pagerank_weighted",
-    "rt_stream_stream_full_join",
-    "doc_cosine_pairs",
-    "part_copurchase_kcore",
-    "part_basket_rules",
-    "user_event_transitions",
-    "nation_supplier_hhi",
-    "part_copurchase_triangles",
-    "lineitem_kmv_part_overlap",
-    "event_value_outliers",
-    "emb_knn_lsh_multiprobe",
-    "doc_incremental_substring_dedup",
-    "doc_bigram_oov",
-    "doc_bpe_merges",
-    "doc_bpe_token_stats",
-    "doc_bpe_encode",
-    "emb_hard_negatives",
-    "part_copurchase_communities",
-    "doc_substring_dedup",
-    "rt_stream_stream_left_join",
-    "event_value_quantile_sketch",
-    "emb_knn_ivfpq_residual",
-    "emb_ivfpq_residual_recall",
-    "doc_bloom_screen",
-    "doc_bigram_lm",
-    "emb_knn_ivfpq_trained",
-    "rt_stream_stream_join",
-    "lineitem_hll_order_overlap",
-    "event_value_bottomk_quantiles",
-    "rt_stream_quantile_sketch",
-    "part_copurchase_pagerank",
-    "event_type_quantile_sketch",
-    "events_zorder_layout",
-    "events_profile",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q22_idle_high_balance",
-    "q7_nation_volume",
-    "q15_top_suppliers",
-    "q17_small_quantity_revenue",
-    "q2_min_balance_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q20_surplus_suppliers",
-    "q21_waiting_suppliers",
-    "emb_knn_recall",
-    "user_cohort_retention",
-    "user_funnel",
-    "doc_dup_cluster_stats",
+    # round 8 window (exactly 50), honoring VERDICT r7's cap-new-at-~15
+    # directive: (a) the 4 NEW round-8 queries (CMS heavy-hitters
+    # frequent-items report, per-group bottom-k quantiles, incremental
+    # co-purchase PageRank maintenance — additive weight-table merge +
+    # warm-restart iteration — and deterministic weighted priority
+    # sampling); (b) ALL 33 entries whose latest green row is r4 — the
+    # pre-declared round-8 rotation priority carried verbatim from the
+    # r7 ledger (static rt_* client/sink surfaces + the r4 doc/emb/mm
+    # entries, re-verified locally every session by
+    # tests/test_queries_oracle.py); (c) 13 of the 50 entries whose
+    # latest green row is r5, chosen to lead with the fragile streaming
+    # + format-roundtrip surfaces (rt_jsonl_shards ... event_type_pivot
+    # below). After this round no entry's freshest green row predates
+    # r5, and the remaining 37 r5-latest entries are the ROUND-9
+    # ROTATION PRIORITY: calendar_ym_orders, calendar_ymd_events,
+    # daily_event_stats, daily_revenue_7d_ma, doc_containment_pairs,
+    # doc_dedup_recall, doc_dup_clusters, doc_exact_dups, doc_hll_tokens,
+    # doc_hybrid_search, doc_lang_id, doc_leakage_safe_split,
+    # doc_minhash_estimate, doc_minhash_lsh_pairs, doc_ngram_dup_pairs,
+    # doc_quality_filter, doc_rolling_fp, doc_segment_dedup, doc_simhash,
+    # doc_simhash_near_pairs, doc_temperature_mix, doc_text_stats,
+    # doc_token_counts, doc_token_rarity, emb_ivf_cluster_quality,
+    # emb_ivf_recall_curve, emb_knn_pq, emb_pq_codes, mm_pcm_stats,
+    # q10_returned_revenue, q12_ship_lateness, q18_large_orders,
+    # q19_disjunctive_revenue,
+    # user_funnel_windowed, user_summaries, users_click_no_purchase,
+    # yearly_counts — they must head the r9 window with any r9-new
+    # queries (r9 should likewise cap new entries so the backlog clears
+    # in one more round).
+    "doc_cms_heavy_hitters",
+    "event_type_bottomk_quantiles",
+    "part_copurchase_pagerank_incremental",
+    "doc_weighted_sample",
+    "rt_plot_urls",
+    "rt_kml_coords",
+    "rt_info_card",
+    "rt_canned_filters",
+    "rt_csv_sink_roundtrip",
+    "rt_geo_track_points",
+    "rt_client_api_merge",
+    "rt_client_api_merge_right",
+    "rt_csv_batch_daily",
+    "rt_client_datasets",
+    "rt_json_records_typed",
+    "rt_stream_daily_counts",
+    "rt_dataset_profiles",
+    "rt_dataset_timeseries",
+    "rt_stream_dedup",
+    "doc_shard_stats",
+    "emb_semantic_dedup",
+    "doc_source_overlap",
+    "doc_dedup_keep_best",
+    "doc_domain_mix_plan",
+    "doc_domain_mix_sample",
+    "doc_bm25_search",
+    "doc_incremental_dedup",
+    "doc_repetition_signals",
+    "doc_source_stats",
+    "mm_pixel_stats",
+    "emb_quantize",
+    "emb_knn_ivf_refined",
+    "mm_thumbnails",
+    "doc_tfidf_terms",
+    "doc_chunks",
+    "doc_length_histogram",
+    "doc_vocab_stats",
+    "rt_jsonl_shards",
+    "rt_orc_roundtrip",
+    "rt_search_catalog",
+    "rt_stream_active_users",
+    "rt_stream_enrich",
+    "rt_stream_media",
+    "rt_stream_sessions",
+    "rt_stream_stateful",
+    "geo_user_tracks",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "event_type_pivot",
 )
 
 

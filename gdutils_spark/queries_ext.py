@@ -5301,6 +5301,396 @@ FROM per_nat p JOIN nation n ON p.nk = n.n_nationkey
 
 
 # ---------------------------------------------------------------------------
+# Round 8: CMS heavy hitters, per-group bottom-k quantiles, incremental
+# PageRank maintenance, weighted priority sampling
+# ---------------------------------------------------------------------------
+
+HH_DIVISOR = 1000  # heavy-hitter cut: phi = 1/1000 of total occurrences
+
+
+def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS FREQUENT-ITEMS report driver-verified — the surface a
+    frequency sketch exists for ("which items are hot?"), on bigrams
+    (the unigram vocabulary is deliberately flat in this corpus): the
+    register table is built INCREMENTALLY (each half-corpus folds to
+    its own sketch, ``cms_merge`` adds them without rescanning either
+    half — the merge's losslessness is itself hash-checked), the
+    φ·N threshold derives from the corpus size, and the report keeps
+    the exact count alongside so the no-false-negatives property is
+    visible: every true hitter survives (CMS never undercounts);
+    ``is_true_hitter`` grades the overcounted near-misses. All-integer
+    counters and cuts — the whole report hash-verifies."""
+    from gdutils_spark.operators.sketches import (
+        cms_heavy_hitters,
+        cms_merge,
+        cms_registers,
+    )
+    from gdutils_spark.operators.text import _adjacent_pairs
+    from gdutils_spark.operators.text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("doc"), _tokens(F.col("text")).alias("_ws")
+    ).select("doc", "_ws", F.size("_ws").alias("_n"))
+    # pair occurrences feed FOUR consumers (total count, two half
+    # sketches, exact candidate counts) — pin the explode once
+    pairs = (
+        base.select(
+            "doc",
+            F.explode(
+                _adjacent_pairs(F.col("_ws"), F.col("_n"), "w1", "w2")
+            ).alias("p"),
+        )
+        .select("doc", F.concat_ws(" ", "p.w1", "p.w2").alias("pair"))
+        .localCheckpoint(eager=False)
+    )
+    threshold = max(1, pairs.count() // HH_DIVISOR)
+    ra = cms_registers(pairs.where(F.col("doc") % 2 == 0), "pair")
+    rb = cms_registers(pairs.where(F.col("doc") % 2 == 1), "pair")
+    exact = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("exact_freq"))
+    hh = cms_heavy_hitters(cms_merge(ra, rb), exact, "pair", threshold)
+    return hh.select(
+        "pair",
+        "exact_freq",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_freq")).alias("overcount"),
+        F.lit(threshold).cast("long").alias("threshold"),
+        (F.col("exact_freq") >= threshold).alias("is_true_hitter"),
+    )
+
+
+def _cms_heavy_hitters_sql() -> str:
+    from gdutils_spark.operators.dedup import _perm_constants
+    from gdutils_spark.operators.sketches import CMS_DEPTH, CMS_PRIME, CMS_WIDTH
+
+    a, b = _perm_constants(CMS_DEPTH)
+    cell_arms = "\n  UNION ALL ".join(
+        f"SELECT pair, {i} AS row, "
+        f"CAST(((h * {a[i]} + {b[i]}) % {CMS_PRIME}) % {CMS_WIDTH} AS INT) AS col "
+        f"FROM hx"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS doc, {_TOKS} AS w FROM documents),
+g AS (
+  SELECT doc, CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w)-1),
+                                  i -> w[i] || ' ' || w[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS pairs
+  FROM base
+),
+o AS (SELECT doc, unnest(pairs) AS pair FROM g),
+th AS (SELECT GREATEST(CAST(COUNT(*) // {HH_DIVISOR} AS BIGINT),
+                       CAST(1 AS BIGINT)) AS th FROM o),
+hx AS (SELECT pair, {_h64("pair")} % {CMS_PRIME} AS h FROM o),
+cells AS (
+  {cell_arms}
+),
+reg AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS exact_freq FROM o GROUP BY 1),
+ph AS (SELECT pair, {_h64("pair")} % {CMS_PRIME} AS h FROM exact),
+pcells AS (
+  {cell_arms.replace("FROM hx", "FROM ph")}
+),
+est AS (
+  SELECT pc.pair, MIN(COALESCE(r.cnt, 0)) AS cms_est
+  FROM pcells pc LEFT JOIN reg r USING (row, col)
+  GROUP BY pc.pair
+)
+SELECT e.pair, x.exact_freq, e.cms_est,
+       e.cms_est - x.exact_freq AS overcount,
+       th.th AS threshold,
+       x.exact_freq >= th.th AS is_true_hitter
+FROM est e JOIN exact x USING (pair), th
+WHERE e.cms_est >= th.th
+"""
+
+
+GBK_K = 256
+GBK_QS = (0.5, 0.9)
+
+
+def event_type_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP unbounded-domain quantiles via grouped bottom-k (KMV)
+    samples — the per-segment complement of
+    ``event_value_bottomk_quantiles`` (global) and
+    ``event_type_quantile_sketch`` (fixed-bin, needs declared [lo, hi)):
+    per event type, the k smallest md5-hashed event ids form a
+    deterministic uniform sample, built INCREMENTALLY (each corpus half
+    samples independently, ``bottomk_merge`` re-cuts per group without
+    rescanning either half), and p50/p90 come off the merged sample.
+    Exact per-group percentiles ride alongside to grade the estimator;
+    the whole report hash-verifies (sample membership is a pure
+    function of the keys)."""
+    from gdutils_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    sa = bottomk_sample(
+        e.where(F.col("event_id") % 2 == 0),
+        "event_id",
+        "value",
+        GBK_K,
+        group_col="event_type",
+    )
+    sb = bottomk_sample(
+        e.where(F.col("event_id") % 2 == 1),
+        "event_id",
+        "value",
+        GBK_K,
+        group_col="event_type",
+    )
+    ests = bottomk_quantiles(bottomk_merge(sa, sb, GBK_K), list(GBK_QS))
+    exact = (
+        e.where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.percentile(F.col("value"), F.lit(GBK_QS[0])).alias("_e0"),
+            F.percentile(F.col("value"), F.lit(GBK_QS[1])).alias("_e1"),
+        )
+    )
+    exact_col = (
+        F.when(F.col("q") == GBK_QS[0], F.col("_e0")).otherwise(F.col("_e1"))
+    )
+    return ests.join(exact, "grp").select(
+        F.col("grp").alias("event_type"),
+        "q",
+        "est",
+        exact_col.alias("exact_q"),
+        F.abs(F.col("est") - exact_col).alias("abs_err"),
+    )
+
+
+def _grouped_bottomk_sql() -> str:
+    hk = _h64("CAST(event_id AS VARCHAR)")
+    cut = (
+        "SELECT grp, hk, val FROM ("
+        "SELECT grp, hk, val, ROW_NUMBER() OVER "
+        "(PARTITION BY grp ORDER BY hk, val) AS rn FROM {src}) "
+        f"WHERE rn <= {GBK_K}"
+    )
+    arm = lambda q: (
+        f"SELECT grp, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_cont(val, {q}) AS est FROM m GROUP BY grp"
+    )
+    return f"""
+WITH vals AS (
+  SELECT event_id, event_type AS grp, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+),
+ha AS (SELECT grp, {hk} AS hk, v AS val FROM vals WHERE event_id % 2 = 0),
+hb AS (SELECT grp, {hk} AS hk, v AS val FROM vals WHERE event_id % 2 = 1),
+sa AS ({cut.format(src="ha")}),
+sb AS ({cut.format(src="hb")}),
+u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb),
+m AS ({cut.format(src="u")}),
+ests AS (
+  {arm(GBK_QS[0])}
+  UNION ALL
+  {arm(GBK_QS[1])}
+),
+exact AS (
+  SELECT grp, quantile_cont(v, {GBK_QS[0]}) AS e0,
+         quantile_cont(v, {GBK_QS[1]}) AS e1
+  FROM vals GROUP BY grp
+)
+SELECT e.grp AS event_type, q, est,
+       CASE WHEN q = CAST({GBK_QS[0]} AS DOUBLE) THEN e0 ELSE e1 END AS exact_q,
+       abs(est - CASE WHEN q = CAST({GBK_QS[0]} AS DOUBLE) THEN e0
+                      ELSE e1 END) AS abs_err
+FROM ests e JOIN exact USING (grp)
+"""
+
+
+PR_INCR_ITERS = 2  # yesterday's budget; the restart adds ONE catch-up pass
+PR_INCR_MOD = 10  # delta batch = orders with orderkey ≡ 0 (mod 10)
+
+
+def part_copurchase_pagerank_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL graph maintenance driver-verified — the nightly-
+    ingest story the dedup/sketch families already have, for the graph
+    family: co-occurrence EDGE WEIGHTS are additive counters, so the
+    delta batch's weight table merges into yesterday's by a plain
+    groupBy-sum (``hll_merge``/``cms_merge`` shape — yesterday's
+    lineitem is never rescanned at merge time), and PageRank RESTARTS
+    from yesterday's converged ranks (``start_ranks=``) for ONE
+    catch-up iteration over the merged graph instead of re-running the
+    full budget — power iteration contracts from any start, and a
+    near-converged seed is near the new fixed point when the delta is
+    small. New nodes enter at uniform 1/N over the merged node set.
+    The oracle replays the whole fixed chain (base iterations + merge +
+    restart iteration) as CTEs, so every rank double is bit-exact.
+    Top 50 parts, fully tie-broken."""
+    from pyspark.sql import Window
+
+    from gdutils_spark.operators.graph import pagerank
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    # edges live entirely within one order, so an orderkey split cleanly
+    # partitions edge OCCURRENCES between base and delta — which means
+    # ONE batch-tagged self-join builds both batches' weight tables
+    # (separate wtable(base)/wtable(delta) builds would run the
+    # corpus-sized self-join twice); the tagged table feeds three
+    # consumers, so it is checkpoint-pinned (no-subtree-reuse)
+    a, b = li.alias("a"), li.alias("b")
+    tagged = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")),
+        )
+        .select(
+            F.col("a.p").alias("src"),
+            F.col("b.p").alias("dst"),
+            (F.col("a.o") % PR_INCR_MOD == 0).alias("is_delta"),
+        )
+        .groupBy("src", "dst", "is_delta")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    wb = tagged.where(~F.col("is_delta")).select("src", "dst", "w")
+    wd = tagged.where(F.col("is_delta")).select("src", "dst", "w")
+    merged = (
+        wb.unionByName(wd).groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    # validate=False throughout: both weight tables come from our own
+    # groupBy counts (no NULLs/dups by construction)
+    base_pr = pagerank(
+        wb, damping=PR_DAMPING, n_iters=PR_INCR_ITERS, weight="w",
+        validate=False,
+    )
+    pr = pagerank(
+        merged, damping=PR_DAMPING, n_iters=1, weight="w",
+        validate=False, start_ranks=base_pr,
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PR_TOP)
+        .select(F.col("node").alias("part"), "pr")
+    )
+
+
+def _pagerank_incr_sql() -> str:
+    teleport = 1.0 - PR_DAMPING
+    tele = f"CAST('{teleport!r}' AS DOUBLE)"
+    damp = f"CAST('{PR_DAMPING!r}' AS DOUBLE)"
+
+    def wtable(name: str, pred: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+  WHERE {pred} GROUP BY a.p, b.p)"""
+
+    def iteration(i: int, prev: str, out: str, ed: str, deg: str,
+                  nodes: str, nn: str) -> list[str]:
+        return [
+            f"""c{i} AS (
+  SELECT {ed}.dst AS node, {ed}.src AS src,
+         p.pr * CAST({ed}.w AS DOUBLE) / CAST({deg}.deg AS DOUBLE) AS c
+  FROM {ed} JOIN {prev} p ON p.node = {ed}.src
+  JOIN {deg} ON {deg}.src = {ed}.src)""",
+            f"""s{i} AS (
+  SELECT node, list_sum(list(c ORDER BY src)) AS s FROM c{i} GROUP BY node)""",
+            f"""{out} AS (
+  SELECT nd.node,
+         {tele} / CAST({nn}.n AS DOUBLE)
+         + {damp} * COALESCE(s, CAST(0.0 AS DOUBLE)) AS pr
+  FROM {nodes} nd LEFT JOIN s{i} USING (node), {nn})""",
+        ]
+
+    ctes = [
+        "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        wtable("edb", f"a.o % {PR_INCR_MOD} <> 0"),
+        "degb AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edb GROUP BY 1)",
+        "nodesb AS (SELECT DISTINCT src AS node FROM edb)",
+        "nnb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodesb)",
+        """prb0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+        FROM nodesb, nnb)""",
+    ]
+    for i in range(1, PR_INCR_ITERS + 1):
+        ctes += iteration(
+            i, f"prb{i - 1}", f"prb{i}", "edb", "degb", "nodesb", "nnb"
+        )
+    ctes += [
+        # merged weights computed directly from the full corpus — equal
+        # to the half-table sum because co-occurrence counts are
+        # additive over the orderkey split (the merge-losslessness
+        # claim, checked by the hash)
+        wtable("edm", "TRUE"),
+        "degm AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edm GROUP BY 1)",
+        "nodesm AS (SELECT DISTINCT src AS node FROM edm)",
+        "nnm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodesm)",
+        f"""seed AS (
+  SELECT nd.node, COALESCE(p.pr, CAST(1.0 AS DOUBLE) / CAST(nnm.n AS DOUBLE)) AS pr
+  FROM nodesm nd LEFT JOIN prb{PR_INCR_ITERS} p USING (node), nnm)""",
+    ]
+    ctes += iteration(
+        PR_INCR_ITERS + 1, "seed", "prm", "edm", "degm", "nodesm", "nnm"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node AS part, pr FROM (
+  SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+  FROM prm
+) WHERE rn <= {PR_TOP}
+"""
+
+
+WS_K = 64
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (priority
+    sampling, Duffield–Lund–Thorup) driver-verified: documents are kept
+    with odds scaling with their token count — the "sample long/high-
+    quality docs more" primitive under mixture building — via the k
+    smallest ``md5-frac(id)/weight`` priorities. No RNG anywhere: the
+    sample is reproducible cross-engine (hash-verified), incrementally
+    stable, and mergeable (bottom-k by priority). Plan shape: one map +
+    TakeOrderedAndProject."""
+    from gdutils_spark.operators.sampling import priority_sample
+    from gdutils_spark.operators.text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return priority_sample(weighted, "doc_id", "n_tokens", WS_K).select(
+        F.col("id").alias("doc_id"),
+        F.col("weight").alias("n_tokens"),
+        "priority",
+    )
+
+
+def _weighted_sample_sql() -> str:
+    h = _h64("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         (CAST({h} AS DOUBLE) / CAST({1 << 60} AS DOUBLE))
+           / CAST(n_tokens AS DOUBLE) AS priority
+  FROM w WHERE doc_id IS NOT NULL AND n_tokens > 0
+)
+SELECT doc_id, n_tokens, priority FROM p ORDER BY priority, doc_id LIMIT {WS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_recall": emb_knn_recall,
@@ -5361,9 +5751,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_copurchase_kcore": part_copurchase_kcore,
     "doc_cosine_pairs": doc_cosine_pairs,
     "part_copurchase_pagerank_weighted": part_copurchase_pagerank_weighted,
+    "part_copurchase_pagerank_incremental": part_copurchase_pagerank_incremental,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
+    "doc_cms_heavy_hitters": doc_cms_heavy_hitters,
     "orders_cdc_upsert": orders_cdc_upsert,
     "user_event_type_scd2": user_event_type_scd2,
     "doc_bloom_screen": doc_bloom_screen,
@@ -5374,6 +5766,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_encode": doc_bpe_encode,
     "event_value_quantile_sketch": event_value_quantile_sketch,
     "event_value_bottomk_quantiles": event_value_bottomk_quantiles,
+    "event_type_bottomk_quantiles": event_type_bottomk_quantiles,
     "event_type_quantile_sketch": event_type_quantile_sketch,
     "events_zorder_layout": events_zorder_layout,
     "events_profile": events_profile,
@@ -5397,6 +5790,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_domain_mix_plan": doc_domain_mix_plan,
     "doc_domain_mix_sample": doc_domain_mix_sample,
+    "doc_weighted_sample": doc_weighted_sample,
     "doc_bm25_search": doc_bm25_search,
     "doc_hybrid_search": doc_hybrid_search,
     "doc_incremental_dedup": doc_incremental_dedup,
@@ -5468,9 +5862,11 @@ EXT_ORACLE: dict[str, str] = {
     "part_copurchase_kcore": _kcore_sql(),
     "doc_cosine_pairs": _COSINE_PAIRS_SQL,
     "part_copurchase_pagerank_weighted": _pagerank_sql(weighted=True),
+    "part_copurchase_pagerank_incremental": _pagerank_incr_sql(),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),
+    "doc_cms_heavy_hitters": _cms_heavy_hitters_sql(),
     "orders_cdc_upsert": _CDC_UPSERT_SQL,
     "user_event_type_scd2": _SCD2_SQL,
     "doc_bloom_screen": _bloom_screen_sql(),
@@ -5481,6 +5877,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_bpe_encode": _bpe_encode_sql(),
     "event_value_quantile_sketch": _HIST_QSKETCH_SQL,
     "event_value_bottomk_quantiles": _bottomk_quantiles_sql(),
+    "event_type_bottomk_quantiles": _grouped_bottomk_sql(),
     "event_type_quantile_sketch": _GHIST_SQL,
     "events_zorder_layout": _zorder_sql(),
     "events_profile": _profile_sql(),
@@ -5503,6 +5900,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_dedup_keep_best": _dedup_keep_best_sql(),
     "doc_domain_mix_plan": _MIX_PLAN_SQL,
     "doc_domain_mix_sample": _MIX_SAMPLE_SQL,
+    "doc_weighted_sample": _weighted_sample_sql(),
     "doc_bm25_search": _bm25_sql(),
     "doc_hybrid_search": _hybrid_sql(),
     "doc_incremental_dedup": _incremental_dedup_sql(),

@@ -1224,3 +1224,53 @@ def test_profile_table_interval_and_weird_names(spark):
     rows = {r.col_name: r for r in profile_table(weird).collect()}
     assert set(rows) == {"a.b", "q't"}
     assert rows["a.b"].n_distinct == 2
+
+
+def test_priority_sample_model_merge_and_validation(spark):
+    """Priority sampling: (a) matches the python model bit-exactly,
+    (b) the bottom-k-by-priority merge lemma holds across shards,
+    (c) NULL/non-positive weights and NULL ids are skipped, k validated,
+    (d) heavier rows are sampled more often (the point of the op)."""
+    import pytest
+
+    from gdutils_spark.operators.dedup import _md5_int64
+    from gdutils_spark.operators.sampling import (
+        PRIORITY_DOMAIN,
+        priority_sample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, 100 if i % 10 == 0 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    k = 50
+    got = priority_sample(df, "id", "w", k)
+    hashed = {
+        r.id: r.hk
+        for r in df.select(
+            "id", _md5_int64(F.col("id").cast("string")).alias("hk")
+        ).collect()
+    }
+    model = sorted(
+        ((hashed[i] / PRIORITY_DOMAIN) / float(w), i, w) for i, w in rows
+    )[:k]
+    want = sorted((i, w, p) for p, i, w in model)
+    assert sorted((r.id, r.weight, r.priority) for r in got.collect()) == want
+    # merge lemma: per-shard bottom-k's re-cut to the global sample
+    sa = priority_sample(df.where(F.col("id") % 2 == 0), "id", "w", k)
+    sb = priority_sample(df.where(F.col("id") % 2 == 1), "id", "w", k)
+    merged = (
+        sa.unionByName(sb).orderBy("priority", "id").limit(k).collect()
+    )
+    assert sorted((r.id, r.weight, r.priority) for r in merged) == want
+    # heavy rows (weight 100, 10% of rows) dominate the sample
+    heavy = sum(1 for i, w, _p in want if w == 100)
+    assert heavy > k // 2
+    # skips and validation
+    dirty = spark.createDataFrame(
+        [(1, 5), (None, 5), (2, None), (3, 0), (4, -2)],
+        "id long, w long",
+    )
+    kept = priority_sample(dirty, "id", "w", 10).collect()
+    assert [r.id for r in kept] == [1]
+    with pytest.raises(ValueError, match="k="):
+        priority_sample(df, "id", "w", 0)

@@ -701,3 +701,37 @@ def test_knn_lsh_multiprobe_recall_superset(embeddings):
     assert r_multi >= r_single, (r_single, r_multi)
     for pair in set(single) & set(multi):
         assert single[pair] == multi[pair]
+
+
+def test_ivfpq_staged_index_sidecar_validates_geometry(spark, tmp_path):
+    """The staged-index sidecar closes the built-SMALLER n_codes gap the
+    in-relation probe cannot see: loading with mismatched m / n_codes /
+    residual raises; a matching load returns the staged codes."""
+    import pytest
+
+    from gdutils_spark.operators.similarity import (
+        ivfpq_index,
+        load_ivfpq_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    built = ivfpq_index(
+        vecs, n_centroids=4, m=4, n_codes=4, stage_path=path, residual=True
+    )
+    ok = load_ivfpq_index(spark, path, m=4, n_codes=4, residual=True)
+    assert ok.count() == built.count()
+    # the undetectable-by-probe case: searching with LARGER n_codes
+    with pytest.raises(ValueError, match="geometry"):
+        load_ivfpq_index(spark, path, m=4, n_codes=8, residual=True)
+    with pytest.raises(ValueError, match="geometry"):
+        load_ivfpq_index(spark, path, m=2, n_codes=4, residual=True)
+    with pytest.raises(ValueError, match="geometry"):
+        load_ivfpq_index(spark, path, m=4, n_codes=4, residual=False)
+    # an index staged without the sidecar must say so, not silently load
+    built.write.mode("overwrite").parquet(str(tmp_path / "old"))
+    with pytest.raises(ValueError, match="sidecar"):
+        load_ivfpq_index(spark, str(tmp_path / "old"), m=4, n_codes=4)
