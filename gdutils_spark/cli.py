@@ -380,6 +380,82 @@ def cmd_freq_sketch(args) -> int:
     return 0
 
 
+def cmd_heavy_hitters(args) -> int:
+    from pyspark.sql import functions as SF
+
+    from gdutils_spark.operators.sketches import (
+        cms_heavy_hitters,
+        cms_registers,
+    )
+    from gdutils_spark.operators.text import tokens
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    if args.value_col == "token":
+        df = df.select(
+            SF.explode(tokens(SF.col(args.text_col))).alias("token")
+        ).where(SF.col("token") != "")
+    df = df.where(SF.col(args.value_col).isNotNull())
+    reg = cms_registers(df, args.value_col)
+    # candidate set: the exact grouped counts (at warehouse scale swap
+    # in a pruned per-partition top-k union — the sketch can't
+    # enumerate values, so candidates are always the caller's input)
+    exact = df.groupBy(args.value_col).agg(
+        SF.count(SF.lit(1)).alias("exact_freq")
+    )
+    threshold = args.threshold
+    if threshold is None:
+        total = df.count()
+        threshold = max(1, int(total * args.phi))
+    out = cms_heavy_hitters(reg, exact, args.value_col, threshold)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_weighted_sample(args) -> int:
+    from pyspark.sql import functions as SF
+
+    from gdutils_spark.operators.sampling import priority_sample
+    from gdutils_spark.operators.text import token_count
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    if args.weight_col == "tokens":
+        df = df.select(
+            SF.col(args.id_col),
+            token_count(SF.col(args.text_col)).alias("_w"),
+        )
+        weight = "_w"
+    else:
+        weight = args.weight_col
+    out = priority_sample(df, args.id_col, weight, args.k)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_pagerank(args) -> int:
+    from pyspark.sql import functions as SF
+
+    from gdutils_spark.operators.graph import pagerank
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = pagerank(
+        df,
+        src=args.src_col,
+        dst=args.dst_col,
+        damping=args.damping,
+        n_iters=args.iters,
+        ordered_fold=not args.plain_sum,
+        weight=args.weight_col,
+        validate=not args.no_validate,
+    )
+    if args.top:
+        out = out.orderBy(SF.col("pr").desc(), "node").limit(args.top)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_bloom_screen(args) -> int:
     from pyspark.sql import functions as SF
 
@@ -493,7 +569,8 @@ def cmd_cdc_apply(args) -> int:
     snapshot = _load(spark, args.input)
     changes = _load(spark, args.changes)
     out = apply_cdc(
-        snapshot, changes, args.key, op_col=args.op_col, seq_col=args.seq_col
+        snapshot, changes, args.key, op_col=args.op_col,
+        seq_col=args.seq_col, validate=not args.no_validate,
     )
     if args.dest:
         out.write.mode("overwrite").parquet(args.dest)
@@ -810,6 +887,39 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--top", type=int, default=20)
 
+    sp = add_pipeline("heavy-hitters", cmd_heavy_hitters)
+    sp.add_argument("--value-col", default="token",
+                    help="'token' explodes --text-col; else a column name")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--threshold", type=int, default=None,
+                    help="absolute frequency cut (else phi*N)")
+    sp.add_argument("--phi", type=float, default=0.001,
+                    help="relative cut when --threshold is not given")
+
+    sp = add_pipeline("weighted-sample", cmd_weighted_sample)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--weight-col", default="tokens",
+                    help="'tokens' counts --text-col tokens; else a column")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--k", type=int, default=64,
+                    help="sample size (priority sampling, no RNG)")
+
+    sp = add_pipeline("pagerank", cmd_pagerank)
+    sp.add_argument("--src-col", default="src")
+    sp.add_argument("--dst-col", default="dst")
+    sp.add_argument("--weight-col", default=None,
+                    help="integer edge-weight column (pre-aggregated)")
+    sp.add_argument("--damping", type=float, default=0.85)
+    sp.add_argument("--iters", type=int, default=3)
+    sp.add_argument("--top", type=int, default=0,
+                    help="keep only the top-N nodes by rank")
+    sp.add_argument("--plain-sum", action="store_true",
+                    help="map-combinable sums instead of the bit-exact "
+                    "ordered fold (the hub-skew-safe production path)")
+    sp.add_argument("--no-validate", action="store_true",
+                    help="skip the eager weight probes (trusted, "
+                    "pre-aggregated weights)")
+
     sp = add_pipeline("bloom-screen", cmd_bloom_screen)
     sp.add_argument("--history", required=True,
                     help="table whose values seed the filter")
@@ -873,6 +983,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="merge key column (repeatable)")
     sp.add_argument("--op-col", default="op")
     sp.add_argument("--seq-col", default=None)
+    sp.add_argument("--no-validate", action="store_true",
+                    help="skip the eager batch probes (trusted "
+                    "exactly-once feed; caller owns op-domain and "
+                    "key-uniqueness)")
     sp.add_argument("--dest", help="write merged table here instead of rendering")
     return p
 

@@ -340,3 +340,52 @@ def test_cli_dedup_cosine(docs_path, capsys):
     # the shared-words fixture docs overlap heavily on tf-cosine
     assert recs and {"d1", "d2", "dot", "cosine"} <= set(recs[0])
     assert all(r["cosine"] >= 0.5 and r["d1"] < r["d2"] for r in recs)
+
+
+def test_cli_heavy_hitters(docs_path, capsys):
+    assert main([
+        "heavy-hitters", "--input", docs_path, "--phi", "0.01", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert recs, "phi=1% of a tiny fixture should keep common tokens"
+    for r in recs:
+        assert r["cms_est"] >= r["exact_freq"] > 0  # never undercounts
+
+
+def test_cli_weighted_sample(spark, tmp_path, capsys):
+    path = str(tmp_path / "wdocs")
+    rows = [(i, "long text " * 50 if i % 5 == 0 else "short") for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    assert main([
+        "weighted-sample", "--input", path, "--k", "20", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 20
+    heavy = sum(1 for r in recs if r["weight"] > 1)
+    assert heavy > 10  # long docs (20% of rows) dominate the sample
+
+
+def test_cli_pagerank(spark, tmp_path, capsys):
+    path = str(tmp_path / "predges")
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    spark.createDataFrame(star, "src long, dst long").write.parquet(path)
+    assert main([
+        "pagerank", "--input", path, "--top", "1", "--plain-sum", "-f", "json",
+    ]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert len(recs) == 1 and recs[0]["node"] == 0  # the hub wins
+
+
+def test_cli_cdc_apply_no_validate(spark, tmp_path, capsys):
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(snap)
+    ch = str(tmp_path / "ch")
+    spark.createDataFrame(
+        [(2, "b2", "U"), (3, "c", "I")], "id long, v string, op string"
+    ).write.parquet(ch)
+    assert main([
+        "cdc-apply", "--input", snap, "--changes", ch, "--key", "id",
+        "--no-validate", "-f", "json",
+    ]) == 0
+    recs = {r["id"]: r["v"] for r in json.loads(capsys.readouterr().out)}
+    assert recs == {1: "a", 2: "b2", 3: "c"}
