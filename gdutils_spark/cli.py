@@ -395,7 +395,12 @@ def cmd_heavy_hitters(args) -> int:
         df = df.select(
             SF.explode(tokens(SF.col(args.text_col))).alias("token")
         ).where(SF.col("token") != "")
-    df = df.where(SF.col(args.value_col).isNotNull())
+    # the (possibly token-exploded) occurrences feed up to three
+    # consumers (registers, exact counts, the phi total) — pin once
+    # (no subtree reuse), like the library query this mirrors
+    df = df.where(SF.col(args.value_col).isNotNull()).localCheckpoint(
+        eager=False
+    )
     reg = cms_registers(df, args.value_col)
     # candidate set: the exact grouped counts (at warehouse scale swap
     # in a pruned per-partition top-k union — the sketch can't

@@ -92,7 +92,9 @@ def pagerank(
     absent from the seed (genuinely new) start at uniform ``1/N`` over
     the CURRENT node set; seed rows for nodes no longer in the graph are
     ignored. The seed is consumed as-given (not renormalized) so a fixed
-    chain stays oracle-replayable.
+    chain stays oracle-replayable; duplicate seed node rows are rejected
+    under ``validate=True`` (they would double-count that node's
+    contributions in every iteration).
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -162,6 +164,26 @@ def pagerank(
         seed = uniform
         base = nodes
     else:
+        if validate:
+            # a duplicate node row in the seed would survive the left
+            # join as two pr rows, double-count that node's
+            # out-contributions in every iteration, and poison all
+            # downstream ranks with no error — the seed twin of the
+            # duplicate-(src,dst) weight probe above
+            dup_seed = (
+                start_ranks.groupBy("node")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup_seed:
+                raise ValueError(
+                    "pagerank: start_ranks has multiple rows for node "
+                    f"{dup_seed[0]['node']!r} — a duplicated seed row "
+                    "double-counts that node's contributions in every "
+                    "iteration; deduplicate the seed first"
+                )
         # warm start: inner-join would DROP new nodes and a seed row for
         # a departed node must not resurrect it — left join from the
         # CURRENT node set, uniform fill for the genuinely new

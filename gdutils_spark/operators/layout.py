@@ -100,8 +100,10 @@ def zorder_key_sql(
 ) -> str:
     """The IDENTICAL z-key as an ANSI-SQL expression string (for the
     DuckDB oracle replay): same quantize rule, same bit positions, same
-    NaN→NULL rule (DuckDB's greatest/least would otherwise clamp NaN —
-    which sorts above every value — into the TOP cell)."""
+    NULL/NaN→NULL rule — both need an explicit CASE in DuckDB, whose
+    greatest/least IGNORE a NULL argument (a NULL input would otherwise
+    clamp to cell 0) and clamp NaN — which sorts above every value —
+    into the TOP cell."""
     d = len(specs)
     n = 1 << bits
     terms = []
@@ -113,7 +115,8 @@ def zorder_key_sql(
             f"CAST(0 AS DOUBLE)), CAST({n - 1} AS DOUBLE)) AS BIGINT)"
         )
         cell = (
-            f"(CASE WHEN isnan(CAST({col} AS DOUBLE)) THEN NULL "
+            f"(CASE WHEN {col} IS NULL "
+            f"OR isnan(CAST({col} AS DOUBLE)) THEN NULL "
             f"ELSE {cell} END)"
         )
         for b in range(bits):

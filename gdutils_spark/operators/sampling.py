@@ -73,7 +73,7 @@ def priority_sample(
     """Deterministic WEIGHTED sample without replacement of size ``k``
     (priority sampling — Duffield, Lund & Thorup 2007, JACM
     "Priority sampling for estimation of arbitrary subset sums"): each
-    row draws ``u = md5-frac(id) ∈ (0, 1)`` and gets priority
+    row draws ``u = md5-frac(id) ∈ [0, 1)`` and gets priority
     ``u / w``; the ``k`` SMALLEST priorities are kept, so a row's
     inclusion odds scale with its weight — sample long/high-quality
     documents more, without ever materializing per-row RNG state. The
@@ -87,11 +87,16 @@ def priority_sample(
     Returns ``(id, weight, priority)`` for the kept rows. Rows with
     NULL ids or NULL/non-positive weights are SKIPPED (a zero weight
     divides to +inf — never sampled anyway; negative weights have no
-    sampling meaning). Arithmetic is two sequential IEEE divisions on
-    exactly-representable inputs (60-bit hash, power-of-two domain,
-    integer weight), so the sample hash-verifies cross-engine. Plan
-    shape: map + global ordered LIMIT — TakeOrderedAndProject
-    (per-partition top-k, one tiny merge), never a full sort."""
+    sampling meaning). A hash of exactly 0 gives priority 0.0 — still
+    deterministic via the id tie-break. Cross-engine parity rests on
+    two facts, both already load-bearing elsewhere in the repo: the
+    60-bit hash→DOUBLE cast rounds identically in Spark and DuckDB
+    (IEEE round-to-nearest — the KMV estimator's convention; 60 bits
+    EXCEED the 53-bit mantissa, so this is rounding parity, not exact
+    representability), and the two sequential divisions are single IEEE
+    ops applied in the same order in both engines. Plan shape: map +
+    global ordered LIMIT — TakeOrderedAndProject (per-partition top-k,
+    one tiny merge), never a full sort."""
     from gdutils_spark.operators.dedup import _md5_int64
 
     if k < 1:

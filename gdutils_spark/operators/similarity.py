@@ -1702,6 +1702,9 @@ def load_ivfpq_index(
     m: int,
     n_codes: int,
     residual: bool = False,
+    n_centroids: int | None = None,
+    coarse_refine_iters: int | None = None,
+    pq_refine_iters: int | None = None,
 ) -> DataFrame:
     """Read back a staged :func:`ivfpq_index` and VALIDATE its geometry
     sidecar against the search call's declared ``m`` / ``n_codes`` /
@@ -1712,7 +1715,16 @@ def load_ivfpq_index(
     staged by an older build without the sidecar loads with a clear
     error telling the caller to restage. Returns the staged code
     relation, ready to pass to ``knn_ivf_pq(index=...)`` (whose own
-    LIMIT-probes then re-check the built-bigger direction for free)."""
+    LIMIT-probes then re-check the built-bigger direction for free).
+
+    ``n_centroids`` / ``coarse_refine_iters`` / ``pq_refine_iters``:
+    pass the search call's values to ALSO validate the quantizer
+    TRAINING STATE — a search that re-derives its probe centroids with
+    a different cell count or refinement budget than the build mis-maps
+    queries to cells just as silently as a code-geometry mismatch. The
+    checks are skipped when a knob is None (caller opted out) or when
+    the sidecar recorded ``-1`` for a refine count (the build was handed
+    pre-trained matrices, provenance unknown)."""
     from pyspark.errors import AnalysisException
 
     codes = spark.read.parquet(stage_path)
@@ -1738,6 +1750,24 @@ def load_ivfpq_index(
             f"residual={got['residual']}) does not match the search's "
             f"(m={m}, n_codes={n_codes}, residual={residual}) — the ADC "
             "table would silently mis-rank; rebuild or fix the call"
+        )
+    mismatches = []
+    if n_centroids is not None and got["n_centroids"] != n_centroids:
+        mismatches.append(
+            f"n_centroids: built {got['n_centroids']}, search {n_centroids}"
+        )
+    for name, want in (
+        ("coarse_refine_iters", coarse_refine_iters),
+        ("pq_refine_iters", pq_refine_iters),
+    ):
+        if want is not None and got[name] != -1 and got[name] != want:
+            mismatches.append(f"{name}: built {got[name]}, search {want}")
+    if mismatches:
+        raise ValueError(
+            "load_ivfpq_index: staged index training state does not "
+            f"match the search's ({'; '.join(mismatches)}) — the probe "
+            "quantizer would mis-map queries to cells; rebuild or fix "
+            "the call"
         )
     return codes
 
@@ -1871,7 +1901,8 @@ def knn_ivf_pq(
         # silently mis-ranks. Training-state and residual-flag
         # mismatches are equally invisible to the relation. For staged
         # indexes use load_ivfpq_index, which validates the persisted
-        # geometry sidecar and closes all three; for an in-memory
+        # geometry sidecar (m/n_codes/residual always; n_centroids and
+        # refine budgets when the caller passes them); for an in-memory
         # prebuilt relation they remain the caller's contract.
         too_big = (
             codes.where(

@@ -3915,7 +3915,10 @@ binned AS (
                                       - CAST({HIST_LO} AS DOUBLE))),
                              CAST(0 AS DOUBLE)),
                     CAST({HIST_NBINS - 1} AS DOUBLE)) AS INT) AS bin
-  FROM vals
+  -- NaN skipped like NULL (the hist_registers rule); the EXACT
+  -- percentile below intentionally keeps vals unfiltered — it mirrors
+  -- the Spark side's raw aggregate, not the sketch's input
+  FROM vals WHERE NOT isnan(v)
 ),
 ra AS (SELECT bin, COUNT(*) AS cnt FROM binned WHERE event_id % 2 = 0 GROUP BY bin),
 rb AS (SELECT bin, COUNT(*) AS cnt FROM binned WHERE event_id % 2 = 1 GROUP BY bin),
@@ -4107,7 +4110,9 @@ binned AS (
                                       - CAST({HIST_LO} AS DOUBLE))),
                              CAST(0 AS DOUBLE)),
                     CAST({HIST_NBINS - 1} AS DOUBLE)) AS INT) AS bin
-  FROM vals
+  -- NaN skipped like NULL (the hist_registers rule); exact keeps vals
+  -- unfiltered to mirror the Spark side's raw grouped aggregate
+  FROM vals WHERE NOT isnan(v)
 ),
 reg AS (SELECT grp, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
 cum AS (
@@ -5495,9 +5500,15 @@ ests AS (
   {arm(GBK_QS[1])}
 ),
 exact AS (
-  SELECT grp, quantile_cont(v, {GBK_QS[0]}) AS e0,
-         quantile_cont(v, {GBK_QS[1]}) AS e1
-  FROM vals GROUP BY grp
+  -- deliberately NOT vals: the Spark side's exact aggregate filters
+  -- only value/event_type, so a NULL-event_id row (excluded from the
+  -- sample by the key rule) still counts toward the exact percentile —
+  -- the same convention as the global twin (_bottomk_quantiles_sql)
+  SELECT event_type AS grp,
+         quantile_cont(CAST(value AS DOUBLE), {GBK_QS[0]}) AS e0,
+         quantile_cont(CAST(value AS DOUBLE), {GBK_QS[1]}) AS e1
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
 )
 SELECT e.grp AS event_type, q, est,
        CASE WHEN q = CAST({GBK_QS[0]} AS DOUBLE) THEN e0 ELSE e1 END AS exact_q,

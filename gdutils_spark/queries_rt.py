@@ -1379,7 +1379,9 @@ def _stream_hist_sql() -> str:
 
     return f"""
 WITH vals AS (
-  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+  -- NaN skipped like NULL (the hist_registers rule)
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
 )
 SELECT CAST(least(greatest(floor((v - CAST({HIST_LO} AS DOUBLE))
                                  * CAST({HIST_NBINS} AS DOUBLE)

@@ -518,3 +518,18 @@ def test_pagerank_ordered_fold_escape_hatch_certified_at_bench_scale(spark):
             v for v, _p in sorted(pr.items(), key=lambda t: (-t[1], t[0]))
         ][:50]
         assert top(exact) == top(fast)
+
+
+def test_pagerank_rejects_duplicate_seed_rows(spark):
+    """A duplicated start_ranks node row would double-count that node's
+    contributions every iteration — rejected under validate=True, the
+    caller's contract under validate=False."""
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    dup = spark.createDataFrame(
+        [(1, 0.5), (1, 0.5), (2, 0.5)], "node long, pr double"
+    )
+    with pytest.raises(ValueError, match="start_ranks"):
+        pagerank(df, n_iters=1, start_ranks=dup)
+    clean = spark.createDataFrame([(1, 0.5), (2, 0.5)], "node long, pr double")
+    got = {r.node: r.pr for r in pagerank(df, n_iters=0, start_ranks=clean).collect()}
+    assert got == {1: 0.5, 2: 0.5}

@@ -735,3 +735,36 @@ def test_ivfpq_staged_index_sidecar_validates_geometry(spark, tmp_path):
     built.write.mode("overwrite").parquet(str(tmp_path / "old"))
     with pytest.raises(ValueError, match="sidecar"):
         load_ivfpq_index(spark, str(tmp_path / "old"), m=4, n_codes=4)
+
+
+def test_ivfpq_sidecar_validates_training_state(spark, tmp_path):
+    """The sidecar's optional training-state checks: n_centroids and
+    refine budgets mismatch when passed; -1 (pre-trained matrices,
+    unknown provenance) skips the refine check."""
+    import pytest
+
+    from gdutils_spark.operators.similarity import (
+        ivfpq_index,
+        load_ivfpq_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "tidx")
+    ivfpq_index(
+        vecs, n_centroids=4, m=4, n_codes=4, stage_path=path,
+        coarse_refine_iters=1,
+    )
+    # matching training state loads; omitted knobs skip the check
+    load_ivfpq_index(
+        spark, path, m=4, n_codes=4, n_centroids=4, coarse_refine_iters=1
+    )
+    load_ivfpq_index(spark, path, m=4, n_codes=4)
+    with pytest.raises(ValueError, match="n_centroids"):
+        load_ivfpq_index(spark, path, m=4, n_codes=4, n_centroids=16)
+    with pytest.raises(ValueError, match="coarse_refine_iters"):
+        load_ivfpq_index(
+            spark, path, m=4, n_codes=4, coarse_refine_iters=0
+        )
