@@ -47,6 +47,13 @@ def _md5_int64(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+# the hash's domain size as a double, for [0, 1) normalizations — ONE
+# definition (KMV estimator, priority sampling, and their SQL twins all
+# divide by this; the power-of-two literal is exactly representable and
+# the BIGINT→DOUBLE cast of the hash rounds identically cross-engine)
+MD5_INT64_DOMAIN = float(1 << 60)
+
+
 MINHASH_PRIME = 2147483647  # 2^31-1; keeps a_k*h + b_k < 2^63
 
 

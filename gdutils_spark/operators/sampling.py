@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gdutils_spark.operators.dedup import MD5_INT64_DOMAIN
+
 SAMPLE_BUCKETS = 10_000
 
 
@@ -61,7 +63,7 @@ def stratified_sample(
     return df.where(bucket < threshold)
 
 
-PRIORITY_DOMAIN = float(1 << 60)  # _md5_int64 is uniform over [0, 2^60)
+PRIORITY_DOMAIN = MD5_INT64_DOMAIN  # one shared hash-domain constant
 
 
 def priority_sample(
@@ -84,10 +86,16 @@ def priority_sample(
     bottom-k's, the :func:`~gdutils_spark.operators.sketches
     .bottomk_sample` lemma with weighted keys.
 
-    Returns ``(id, weight, priority)`` for the kept rows. Rows with
-    NULL ids or NULL/non-positive weights are SKIPPED (a zero weight
-    divides to +inf — never sampled anyway; negative weights have no
-    sampling meaning). A hash of exactly 0 gives priority 0.0 — still
+    Returns ``(id, weight, priority)`` for the kept rows — ``weight``
+    passes through with its ORIGINAL column type (consumers keep their
+    schema), while the priority divides by its DOUBLE cast, so integer
+    token counts and fractional quality scores in (0, 1) both weight
+    correctly (no silent integer truncation). Rows with NULL ids or
+    NULL/NaN/non-positive weights are SKIPPED (a zero weight divides to
+    +inf — never sampled anyway; negative weights have no sampling
+    meaning; NaN compares false to everything in Spark but would sort
+    ABOVE everything in an oracle's clamp — the hist_registers NaN
+    rule). A hash of exactly 0 gives priority 0.0 — still
     deterministic via the id tie-break. Cross-engine parity rests on
     two facts, both already load-bearing elsewhere in the repo: the
     60-bit hash→DOUBLE cast rounds identically in Spark and DuckDB
@@ -104,13 +112,18 @@ def priority_sample(
     u = _md5_int64(F.col(id_col).cast("string")).cast("double") / F.lit(
         PRIORITY_DOMAIN
     )
-    w = F.col(weight_col).cast("long")
+    w = F.col(weight_col).cast("double")
     return (
-        df.where(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+        df.where(
+            F.col(id_col).isNotNull()
+            & w.isNotNull()
+            & ~F.isnan(w)
+            & (w > 0)
+        )
         .select(
             F.col(id_col).alias("id"),
-            w.alias("weight"),
-            (u / w.cast("double")).alias("priority"),
+            F.col(weight_col).alias("weight"),
+            (u / w).alias("priority"),
         )
         .orderBy("priority", "id")
         .limit(k)

@@ -1552,6 +1552,8 @@ def ivfpq_index(
     residual: bool = False,
     _coarse: tuple[np.ndarray, np.ndarray] | None = None,
     _codebook: np.ndarray | None = None,
+    _built_coarse_iters: int | None = None,
+    _built_pq_iters: int | None = None,
 ) -> DataFrame:
     """Build the IVF-PQ index relation ``(neighbor_id, centroid,
     subspace, code)`` — the persistable artifact a 100 TB deployment
@@ -1674,18 +1676,31 @@ def ivfpq_index(
         # n_codes than a later search declares) is UNDETECTABLE from the
         # code values themselves (codes 0..n_built−1 all pass a
         # `code >= n_codes` probe), so the build's geometry is persisted
-        # next to the index and load_ivfpq_index validates it on read —
-        # the refine-iteration counts ride along (-1 = trained matrices
-        # were passed in, provenance unknown to this call)
+        # next to the index and load_ivfpq_index validates it on read.
+        # n_centroids/n_codes record the ACTUAL matrices' row counts
+        # (len(cids), C rows), not the params — with _coarse/_codebook
+        # passed the params may be unused and would record a lie. The
+        # refine-iteration counts ride along: knn_ivf_pq's staging path
+        # (which always hands over _coarse/_codebook it trained itself)
+        # forwards its real budgets via _built_*; -1 = the matrices
+        # arrived pre-trained with provenance unknown to any caller.
+        if _built_coarse_iters is not None:
+            rec_coarse = _built_coarse_iters
+        else:
+            rec_coarse = -1 if _coarse is not None else coarse_refine_iters
+        if _built_pq_iters is not None:
+            rec_pq = _built_pq_iters
+        else:
+            rec_pq = -1 if _codebook is not None else pq_refine_iters
         meta = spark.createDataFrame(
             [
                 (
                     m,
-                    n_codes,
-                    n_centroids,
+                    int(C.shape[0]),
+                    int(len(cids)),
                     bool(residual),
-                    -1 if _coarse is not None else coarse_refine_iters,
-                    -1 if _codebook is not None else pq_refine_iters,
+                    rec_coarse,
+                    rec_pq,
                 )
             ],
             "m int, n_codes int, n_centroids int, residual boolean, "
@@ -1853,6 +1868,11 @@ def knn_ivf_pq(
     # (trained probe ranking, an inline index build, or residual ADC —
     # residual search ALWAYS needs the centroid matrix) — the
     # prebuilt-seed-index raw path runs NO extra corpus job
+    # provenance for the staging sidecar: when WE train the matrices the
+    # refine budgets are known; matrices handed in by the caller have
+    # unknown training history (recorded as -1, skipping that check)
+    user_coarse = coarse is not None
+    user_codebook = codebook is not None
     trained_coarse = coarse_refine_iters > 0 or coarse is not None
     if coarse is None and (trained_coarse or index is None or residual):
         if coarse_refine_iters > 0:
@@ -1883,6 +1903,8 @@ def knn_ivf_pq(
         else ivfpq_index(
             vectors, id_col, vec_col, n_centroids, m, n_codes, stage_path,
             residual=residual, _coarse=coarse, _codebook=C,
+            _built_coarse_iters=(-1 if user_coarse else coarse_refine_iters),
+            _built_pq_iters=(-1 if user_codebook else pq_refine_iters),
         )
     )
     if index is not None:

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gdutils_spark.operators.dedup import MD5_INT64_DOMAIN
+
 DEFAULT_P = 8  # 2^8 = 256 registers ≈ 6.5% standard error
 
 
@@ -764,7 +766,7 @@ def bottomk_quantiles(sample: DataFrame, qs: "list[float]") -> DataFrame:
 
 
 KMV_K = 256
-_KMV_DOMAIN = float(1 << 60)  # _md5_int64 is uniform over [0, 2^60)
+_KMV_DOMAIN = MD5_INT64_DOMAIN  # _md5_int64 is uniform over [0, 2^60)
 
 
 def kmv_sketch(df: DataFrame, value_col: str, k: int = KMV_K) -> DataFrame:

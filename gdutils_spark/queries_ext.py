@@ -5675,8 +5675,10 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.operators.text import tokens as _tokens
 
     d = load_table(spark, sf_dir, "documents")
+    # cast to long here: the operator passes the weight through with its
+    # original type, and the oracle emits BIGINT
     weighted = d.select(
-        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
     return priority_sample(weighted, "doc_id", "n_tokens", WS_K).select(
         F.col("id").alias("doc_id"),

@@ -1274,3 +1274,19 @@ def test_priority_sample_model_merge_and_validation(spark):
     assert [r.id for r in kept] == [1]
     with pytest.raises(ValueError, match="k="):
         priority_sample(df, "id", "w", 0)
+
+
+def test_priority_sample_fractional_weights(spark):
+    """Fractional weights in (0, 1) — the quality-score use case — must
+    weight correctly, not truncate to zero (regression: an integer cast
+    used to empty the sample); NaN weights are skipped."""
+    from gdutils_spark.operators.sampling import priority_sample
+
+    rows = [(i, 0.9 if i % 10 == 0 else 0.01) for i in range(200)]
+    rows += [(999, float("nan"))]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = priority_sample(df, "id", "w", 30).collect()
+    assert len(got) == 30
+    assert all(r.id != 999 for r in got)
+    heavy = sum(1 for r in got if r.weight == 0.9)
+    assert heavy > 15  # 10% of rows carry 90x the weight

@@ -768,3 +768,34 @@ def test_ivfpq_sidecar_validates_training_state(spark, tmp_path):
         load_ivfpq_index(
             spark, path, m=4, n_codes=4, coarse_refine_iters=0
         )
+
+
+def test_knn_ivf_pq_staging_records_true_refine_budgets(spark, tmp_path):
+    """knn_ivf_pq's one-shot staging path trains its own matrices, so
+    the sidecar must record the REAL refine budgets (not the -1 unknown
+    sentinel) — a later load with a different budget must fail."""
+    import pytest
+
+    from gdutils_spark.operators.similarity import (
+        knn_ivf_pq,
+        load_ivfpq_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.where("vec_id < 2")
+    path = str(tmp_path / "sidx")
+    knn_ivf_pq(
+        vecs, q, k=2, n_centroids=4, m=4, n_codes=4,
+        stage_path=path, coarse_refine_iters=1,
+    ).collect()
+    meta = spark.read.parquet(path + "_meta").collect()[0]
+    assert meta["coarse_refine_iters"] == 1 and meta["pq_refine_iters"] == 0
+    assert meta["n_centroids"] == 4 and meta["n_codes"] == 4
+    load_ivfpq_index(
+        spark, path, m=4, n_codes=4, coarse_refine_iters=1, pq_refine_iters=0
+    )
+    with pytest.raises(ValueError, match="coarse_refine_iters"):
+        load_ivfpq_index(spark, path, m=4, n_codes=4, coarse_refine_iters=2)
