@@ -60,16 +60,19 @@ def apply_cdc(
     idempotent and collapse instead of raising.
 
     ``validate=False`` skips BOTH eager probes (the op-domain check and,
-    without ``seq_col``, the dropDuplicates + duplicate-key check) — the
-    trusted-feed escape hatch, same convention as ``pagerank``'s
-    ``ordered_fold=False``: each probe is an extra Spark job over the
-    change batch, pure overhead for a production merge loop whose feed
-    already guarantees clean ops and key-unique batches (a CDC connector
-    with exactly-once delivery). The caller then OWNS the contract: a
-    bad op or a no-seq duplicate silently corrupts the merge exactly as
-    documented above — including at-least-once RETRIES, which the
-    skipped dropDuplicates no longer collapses. Keep the default for
-    anything hand-built or third-party.
+    without ``seq_col``, the duplicate-key check) — the trusted-feed
+    escape hatch, same convention as ``pagerank``'s ``ordered_fold=
+    False``: each probe is an extra Spark JOB over the change batch,
+    pure overhead for a production merge loop whose feed already
+    guarantees clean ops and key-unique batches (a CDC connector with
+    exactly-once delivery). The LAZY no-seq dropDuplicates retry-
+    collapse is kept either way: it is plan work (one batch-sized
+    exchange), not a probe job, and dropping it would let an
+    at-least-once redelivery write a key twice — strictly more safety
+    loss than the perf motivation covers. The caller then OWNS the
+    probe contracts: a bad op or a CONFLICTING no-seq duplicate
+    silently corrupts the merge exactly as documented above. Keep the
+    default for anything hand-built or third-party.
     """
     keys = list(keys)
     if validate:
@@ -86,31 +89,32 @@ def apply_cdc(
                 f"{bad[0][op_col]!r}; ops must be 'I', 'U' or 'D'"
             )
     latest = changes
-    if seq_col is None and validate:
+    if seq_col is None:
         # no-seq contract: at most ONE DISTINCT change row per key —
         # with several conflicting changes for a key, every non-delete
         # would survive the upsert filter and silently break the
         # snapshot's key uniqueness. Fully identical duplicate rows
         # (an at-least-once feed retrying the same change) are
         # idempotent, so they collapse rather than raise — a retried
-        # delete must not crash a streaming merge. Probe is
-        # LIMIT-bounded over the (small) batch, like the op-domain
-        # check above.
+        # delete must not crash a streaming merge. The collapse is lazy
+        # and always on; only the conflicting-duplicate PROBE (an eager
+        # LIMIT-bounded job, like the op-domain check) is validate-gated.
         latest = changes.dropDuplicates()
-        dup = (
-            latest.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                "apply_cdc: change batch has multiple distinct rows for "
-                f"key {tuple(dup[0][k] for k in keys)!r} but seq_col is "
-                "None; pass seq_col so the latest change per key can be "
-                "chosen"
+        if validate:
+            dup = (
+                latest.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .limit(1)
+                .collect()
             )
+            if dup:
+                raise ValueError(
+                    "apply_cdc: change batch has multiple distinct rows "
+                    f"for key {tuple(dup[0][k] for k in keys)!r} but "
+                    "seq_col is None; pass seq_col so the latest change "
+                    "per key can be chosen"
+                )
     if seq_col is not None:
         w = Window.partitionBy(*keys).orderBy(
             F.col(seq_col).desc(), F.col(op_col).desc()

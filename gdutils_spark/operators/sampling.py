@@ -63,9 +63,6 @@ def stratified_sample(
     return df.where(bucket < threshold)
 
 
-PRIORITY_DOMAIN = MD5_INT64_DOMAIN  # one shared hash-domain constant
-
-
 def priority_sample(
     df: DataFrame,
     id_col: str,
@@ -110,7 +107,7 @@ def priority_sample(
     if k < 1:
         raise ValueError(f"priority_sample: k={k} must be >= 1")
     u = _md5_int64(F.col(id_col).cast("string")).cast("double") / F.lit(
-        PRIORITY_DOMAIN
+        MD5_INT64_DOMAIN
     )
     w = F.col(weight_col).cast("double")
     return (

@@ -328,6 +328,32 @@ def cms_estimate(
     _guard_probe_columns(
         probes, {"_h", "_rc", "row", "col", "cnt", "cms_est"}, "cms_estimate"
     )
+    # fail-fast geometry probe (the hist_quantiles convention): a
+    # register built with a LARGER width/depth than declared here puts
+    # cells where no probe position can reach them — the (row, col)
+    # join misses, COALESCE fills 0, and MIN UNDER-estimates, silently
+    # breaking the sketch's never-undercount guarantee (and with it
+    # cms_heavy_hitters' no-false-negatives cut). LIMIT-bounded over
+    # the sketch-sized register table. The converse (built SMALLER)
+    # still over-estimates — safe — and stays the caller's contract.
+    bad_cell = (
+        registers.where(
+            (F.col("row") < 0)
+            | (F.col("row") >= depth)
+            | (F.col("col") < 0)
+            | (F.col("col") >= width)
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad_cell:
+        raise ValueError(
+            f"cms_estimate: register cell (row={bad_cell[0]['row']}, "
+            f"col={bad_cell[0]['col']}) outside depth={depth} x "
+            f"width={width} — the register table was not built with "
+            "this geometry (or mixed-geometry sketches were merged); "
+            "probing it would silently UNDER-estimate"
+        )
     h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("_h")
     cols = _affine_positions(F.col("_h"), depth, width)
     cells = probes.select("*", h).select(
@@ -766,7 +792,6 @@ def bottomk_quantiles(sample: DataFrame, qs: "list[float]") -> DataFrame:
 
 
 KMV_K = 256
-_KMV_DOMAIN = MD5_INT64_DOMAIN  # _md5_int64 is uniform over [0, 2^60)
 
 
 def kmv_sketch(df: DataFrame, value_col: str, k: int = KMV_K) -> DataFrame:
@@ -820,7 +845,7 @@ def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     return (
         sketch.agg(
             F.count(F.lit(1)).alias("n_hashes"),
-            (F.max("hk").cast("double") / F.lit(_KMV_DOMAIN)).alias(
+            (F.max("hk").cast("double") / F.lit(MD5_INT64_DOMAIN)).alias(
                 "kth_frac"
             ),
         )

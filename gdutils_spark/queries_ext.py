@@ -3400,22 +3400,65 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql(weighted: bool = False) -> str:
+def _pr_iteration_ctes(
+    i: int,
+    prev: str,
+    out: str,
+    ed: str = "ed",
+    deg: str = "deg",
+    nodes: str = "nodes",
+    nn: str = "nn",
+    weighted: bool = False,
+) -> list[str]:
+    """The ONE power-iteration CTE triple (contributions / ordered fold /
+    rank update) shared by every PageRank oracle — the bit-exact fold
+    convention (``list_sum(list(c ORDER BY src))``, repr-inlined
+    teleport/damping casts) must not drift between the plain, weighted
+    and incremental replays (the ``_adjacent_pairs`` one-kernel rule)."""
     teleport = 1.0 - PR_DAMPING
     tele = f"CAST('{teleport!r}' AS DOUBLE)"
     damp = f"CAST('{PR_DAMPING!r}' AS DOUBLE)"
+    c_expr = (
+        f"p.pr * CAST({ed}.w AS DOUBLE) / CAST({deg}.deg AS DOUBLE)"
+        if weighted
+        else f"p.pr / CAST({deg}.deg AS DOUBLE)"
+    )
+    return [
+        f"""c{i} AS (
+  SELECT {ed}.dst AS node, {ed}.src AS src, {c_expr} AS c
+  FROM {ed} JOIN {prev} p ON p.node = {ed}.src
+  JOIN {deg} ON {deg}.src = {ed}.src)""",
+        f"""s{i} AS (
+  SELECT node, list_sum(list(c ORDER BY src)) AS s FROM c{i} GROUP BY node)""",
+        f"""{out} AS (
+  SELECT nd.node,
+         {tele} / CAST({nn}.n AS DOUBLE)
+         + {damp} * COALESCE(s, CAST(0.0 AS DOUBLE)) AS pr
+  FROM {nodes} nd LEFT JOIN s{i} USING (node), {nn})""",
+    ]
+
+
+def _pr_top_sql(final_cte: str) -> str:
+    """The shared fully-tie-broken top-50 wrapper."""
+    return f"""
+SELECT node AS part, pr FROM (
+  SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+  FROM {final_cte}
+) WHERE rn <= {PR_TOP}
+"""
+
+
+def _pagerank_sql(weighted: bool = False) -> str:
     if weighted:
         ed_cte = """ed AS (SELECT a.p AS src, b.p AS dst,
        CAST(COUNT(*) AS BIGINT) AS w
        FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
        GROUP BY a.p, b.p)"""
         deg_cte = "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM ed GROUP BY 1)"
-        c_expr = "p.pr * CAST(ed.w AS DOUBLE) / CAST(deg.deg AS DOUBLE)"
     else:
         ed_cte = """ed AS (SELECT DISTINCT a.p AS src, b.p AS dst
        FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p)"""
         deg_cte = "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1)"
-        c_expr = "p.pr / CAST(deg.deg AS DOUBLE)"
     ctes = [
         "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
         ed_cte,
@@ -3426,31 +3469,11 @@ def _pagerank_sql(weighted: bool = False) -> str:
         FROM nodes, nn)""",
     ]
     for i in range(1, PR_ITERS + 1):
-        prev = f"pr{i - 1}"
-        ctes.append(
-            f"""c{i} AS (
-  SELECT ed.dst AS node, ed.src AS src, {c_expr} AS c
-  FROM ed JOIN {prev} p ON p.node = ed.src JOIN deg ON deg.src = ed.src)"""
-        )
-        ctes.append(
-            f"""s{i} AS (
-  SELECT node, list_sum(list(c ORDER BY src)) AS s FROM c{i} GROUP BY node)"""
-        )
-        ctes.append(
-            f"""pr{i} AS (
-  SELECT nd.node,
-         {tele} / CAST(nn.n AS DOUBLE)
-         + {damp} * COALESCE(s, CAST(0.0 AS DOUBLE)) AS pr
-  FROM nodes nd LEFT JOIN s{i} USING (node), nn)"""
+        ctes += _pr_iteration_ctes(
+            i, f"pr{i - 1}", f"pr{i}", weighted=weighted
         )
     body = ",\n".join(ctes)
-    return f"""
-WITH {body}
-SELECT node AS part, pr FROM (
-  SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
-  FROM pr{PR_ITERS}
-) WHERE rn <= {PR_TOP}
-"""
+    return f"WITH {body}" + _pr_top_sql(f"pr{PR_ITERS}")
 
 
 def part_copurchase_pagerank_weighted(
@@ -5593,32 +5616,11 @@ def part_copurchase_pagerank_incremental(
 
 
 def _pagerank_incr_sql() -> str:
-    teleport = 1.0 - PR_DAMPING
-    tele = f"CAST('{teleport!r}' AS DOUBLE)"
-    damp = f"CAST('{PR_DAMPING!r}' AS DOUBLE)"
-
     def wtable(name: str, pred: str) -> str:
         return f"""{name} AS MATERIALIZED (
   SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
   FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
   WHERE {pred} GROUP BY a.p, b.p)"""
-
-    def iteration(i: int, prev: str, out: str, ed: str, deg: str,
-                  nodes: str, nn: str) -> list[str]:
-        return [
-            f"""c{i} AS (
-  SELECT {ed}.dst AS node, {ed}.src AS src,
-         p.pr * CAST({ed}.w AS DOUBLE) / CAST({deg}.deg AS DOUBLE) AS c
-  FROM {ed} JOIN {prev} p ON p.node = {ed}.src
-  JOIN {deg} ON {deg}.src = {ed}.src)""",
-            f"""s{i} AS (
-  SELECT node, list_sum(list(c ORDER BY src)) AS s FROM c{i} GROUP BY node)""",
-            f"""{out} AS (
-  SELECT nd.node,
-         {tele} / CAST({nn}.n AS DOUBLE)
-         + {damp} * COALESCE(s, CAST(0.0 AS DOUBLE)) AS pr
-  FROM {nodes} nd LEFT JOIN s{i} USING (node), {nn})""",
-        ]
 
     ctes = [
         "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
@@ -5630,8 +5632,9 @@ def _pagerank_incr_sql() -> str:
         FROM nodesb, nnb)""",
     ]
     for i in range(1, PR_INCR_ITERS + 1):
-        ctes += iteration(
-            i, f"prb{i - 1}", f"prb{i}", "edb", "degb", "nodesb", "nnb"
+        ctes += _pr_iteration_ctes(
+            i, f"prb{i - 1}", f"prb{i}",
+            ed="edb", deg="degb", nodes="nodesb", nn="nnb", weighted=True,
         )
     ctes += [
         # merged weights computed directly from the full corpus — equal
@@ -5646,17 +5649,12 @@ def _pagerank_incr_sql() -> str:
   SELECT nd.node, COALESCE(p.pr, CAST(1.0 AS DOUBLE) / CAST(nnm.n AS DOUBLE)) AS pr
   FROM nodesm nd LEFT JOIN prb{PR_INCR_ITERS} p USING (node), nnm)""",
     ]
-    ctes += iteration(
-        PR_INCR_ITERS + 1, "seed", "prm", "edm", "degm", "nodesm", "nnm"
+    ctes += _pr_iteration_ctes(
+        PR_INCR_ITERS + 1, "seed", "prm",
+        ed="edm", deg="degm", nodes="nodesm", nn="nnm", weighted=True,
     )
     body = ",\n".join(ctes)
-    return f"""
-WITH {body}
-SELECT node AS part, pr FROM (
-  SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
-  FROM prm
-) WHERE rn <= {PR_TOP}
-"""
+    return f"WITH {body}" + _pr_top_sql("prm")
 
 
 WS_K = 64

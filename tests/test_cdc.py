@@ -288,3 +288,19 @@ def test_apply_cdc_validate_false_caller_owns_contract(spark):
         apply_cdc(snap, dirty, ["id"])
     # trusted path: no probe, both conflicting rows land (documented)
     assert apply_cdc(snap, dirty, ["id"], validate=False).count() == 2
+
+
+def test_apply_cdc_validate_false_still_collapses_retries(spark):
+    """The lazy retry-collapse is NOT part of the escape hatch: identical
+    duplicate rows (at-least-once redelivery) collapse even with
+    validate=False — only the eager probes are skipped."""
+    snap = spark.createDataFrame([(1, "a")], "id long, v string")
+    retried = spark.createDataFrame(
+        [(1, "a2", "U"), (1, "a2", "U"), (2, "b", "I"), (2, "b", "I")],
+        "id long, v string, op string",
+    )
+    got = {
+        r.id: r.v
+        for r in apply_cdc(snap, retried, ["id"], validate=False).collect()
+    }
+    assert got == {1: "a2", 2: "b"}

@@ -1234,10 +1234,8 @@ def test_priority_sample_model_merge_and_validation(spark):
     import pytest
 
     from gdutils_spark.operators.dedup import _md5_int64
-    from gdutils_spark.operators.sampling import (
-        PRIORITY_DOMAIN,
-        priority_sample,
-    )
+    from gdutils_spark.operators.dedup import MD5_INT64_DOMAIN
+    from gdutils_spark.operators.sampling import priority_sample
     from pyspark.sql import functions as F
 
     rows = [(i, 100 if i % 10 == 0 else 1) for i in range(500)]
@@ -1251,7 +1249,7 @@ def test_priority_sample_model_merge_and_validation(spark):
         ).collect()
     }
     model = sorted(
-        ((hashed[i] / PRIORITY_DOMAIN) / float(w), i, w) for i, w in rows
+        ((hashed[i] / MD5_INT64_DOMAIN) / float(w), i, w) for i, w in rows
     )[:k]
     want = sorted((i, w, p) for p, i, w in model)
     assert sorted((r.id, r.weight, r.priority) for r in got.collect()) == want

@@ -663,3 +663,19 @@ def test_hist_quantiles_rejects_mismatched_geometry(spark):
     bad = spark.createDataFrame([(0, 5), (700, 3)], "bin int, cnt long")
     with pytest.raises(ValueError, match="outside"):
         hist_quantiles(bad, [0.5], 0.0, 1.0, n_bins=512)
+
+
+def test_cms_estimate_rejects_mismatched_geometry(spark):
+    """Registers built bigger than the declared depth x width would make
+    the probe join miss cells and UNDER-estimate (breaking the
+    never-undercount guarantee) — fail fast instead."""
+    import pytest
+
+    from gdutils_spark.operators.sketches import cms_estimate
+
+    big = spark.createDataFrame(
+        [(0, 5, 3), (5, 2000, 7)], "row int, col int, cnt long"
+    )
+    probes = spark.createDataFrame([("x",)], "tok string")
+    with pytest.raises(ValueError, match="geometry"):
+        cms_estimate(big, probes, "tok")  # default depth=4, width covers neither
