@@ -68,6 +68,7 @@ def priority_sample(
     id_col: str,
     weight_col: str,
     k: int,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic WEIGHTED sample without replacement of size ``k``
     (priority sampling — Duffield, Lund & Thorup 2007, JACM
@@ -101,7 +102,17 @@ def priority_sample(
     representability), and the two sequential divisions are single IEEE
     ops applied in the same order in both engines. Plan shape: map +
     global ordered LIMIT — TakeOrderedAndProject (per-partition top-k,
-    one tiny merge), never a full sort."""
+    one tiny merge), never a full sort.
+
+    ``group_col``: a PER-GROUP weighted sample ``(grp, id, weight,
+    priority)`` — k smallest priorities within each group, the
+    per-stratum quota the mixture builders want ("k docs per language,
+    length-weighted") where :func:`stratified_sample` keeps a RATE, not
+    a count. Rows with a NULL group are skipped like NULL ids. Plan
+    shape: one shuffle on the group key + a per-group rank cut — the
+    grouped ``bottomk_sample`` convention."""
+    from pyspark.sql import Window
+
     from gdutils_spark.operators.dedup import _md5_int64
 
     if k < 1:
@@ -110,20 +121,26 @@ def priority_sample(
         MD5_INT64_DOMAIN
     )
     w = F.col(weight_col).cast("double")
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & w.isNotNull()
+        & ~F.isnan(w)
+        & (w > 0)
+    )
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(weight_col).alias("weight"),
+        (u / w).alias("priority"),
+    ]
+    if group_col is None:
+        return base.select(*cols).orderBy("priority", "id").limit(k)
+    win = Window.partitionBy("grp").orderBy("priority", "id")
     return (
-        df.where(
-            F.col(id_col).isNotNull()
-            & w.isNotNull()
-            & ~F.isnan(w)
-            & (w > 0)
-        )
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(weight_col).alias("weight"),
-            (u / w).alias("priority"),
-        )
-        .orderBy("priority", "id")
-        .limit(k)
+        base.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), *cols)
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

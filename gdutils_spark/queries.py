@@ -1979,9 +1979,13 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # q10_returned_revenue, q12_ship_lateness, q18_large_orders,
     # q19_disjunctive_revenue,
     # user_funnel_windowed, user_summaries, users_click_no_purchase,
-    # yearly_counts — they must head the r9 window with any r9-new
-    # queries (r9 should likewise cap new entries so the backlog clears
-    # in one more round).
+    # yearly_counts — PLUS the 2 late round-8 additions that have never
+    # had a driver row (doc_incremental_dup_clusters — incremental CC
+    # via star-contraction of last night's labels — and
+    # doc_weighted_sample_by_lang — per-group priority-sampling quota;
+    # both locally drive-sim green, the r6->r7 late-addition protocol).
+    # 37 + 2 = 39 slots, so r9 may add at most 11 new queries and the
+    # backlog clears in one more round.
     "doc_cms_heavy_hitters",
     "event_type_bottomk_quantiles",
     "part_copurchase_pagerank_incremental",

@@ -640,6 +640,26 @@ SELECT node AS doc, MIN(comp) AS component FROM walk GROUP BY node
 """
 
 
+def _dup_clusters_incr_sql() -> str:
+    # the full-corpus clustering restricted to the even-doc universe:
+    # per-document signatures make "pairs over the even universe" equal
+    # to "full pairs filtered to even x even", so the recursive walk over
+    # that filtered pair set IS the ground truth the incremental
+    # star-contraction must reproduce
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_minhash_lsh_sql()}) WHERE d1 % 2 = 0 AND d2 % 2 = 0
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc, MIN(comp) AS component FROM walk GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -5657,6 +5677,93 @@ def _pagerank_incr_sql() -> str:
     return f"WITH {body}" + _pr_top_sql("prm")
 
 
+def doc_incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup clustering — completing the nightly-ingest
+    chain that ``doc_incremental_dedup`` starts: last night's clusters
+    (connected components of the corpus' verified LSH pairs) merge with
+    tonight's pairs (batch-internal + batch-vs-corpus from
+    ``minhash_lsh_pairs_between``) WITHOUT rescanning last night's edge
+    list — yesterday's labeling re-enters as node-sized star edges
+    (``connected_components_incremental``). Because a MinHash signature
+    depends only on a document's own shingles, the pair decomposition is
+    exact (within-corpus ∪ within-batch ∪ between == full-corpus pairs),
+    so the oracle computes the FULL-corpus clustering directly — the
+    merge's losslessness is itself the hash-checked claim, the
+    ``hll_merge``/``cms_merge`` convention.
+
+    The universe is the even-doc half of the corpus (signatures are
+    per-document, so this equals filtering the full pair set to
+    even×even — encoded exactly that way in the oracle): the query
+    simulates BOTH nights (base clustering + delta merge), and the
+    full corpus would pay the whole LSH machinery three times in one
+    bench entry."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    kw = dict(num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T)
+    base_pairs = dd.minhash_lsh_pairs(corpus, **kw)
+    seed = dd.connected_components(base_pairs, src="d1", dst="d2")
+    delta = (
+        dd.minhash_lsh_pairs_between(new, corpus, **kw)
+        .select(F.col("new_id").alias("d1"), F.col("corpus_id").alias("d2"))
+        .unionByName(dd.minhash_lsh_pairs(new, **kw).select("d1", "d2"))
+    )
+    labels = dd.connected_components_incremental(
+        delta, seed, src="d1", dst="d2"
+    )
+    return labels.select(
+        F.col("node").alias("doc"), F.col("comp").alias("component")
+    )
+
+
+WSG_K = 16
+
+
+def doc_weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP weighted sampling: k token-count-weighted documents per
+    language (``priority_sample(group_col=)``) — the per-stratum QUOTA
+    the mixture builders want where ``stratified_sample`` keeps a rate:
+    low-resource languages still yield their k docs, long documents win
+    within each language. Same no-RNG priorities, hash-verified."""
+    from gdutils_spark.operators.sampling import priority_sample
+    from gdutils_spark.operators.text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    s = priority_sample(weighted, "doc_id", "n_tokens", WSG_K, group_col="lang")
+    return s.select(
+        F.col("grp").alias("lang"),
+        F.col("id").alias("doc_id"),
+        F.col("weight").alias("n_tokens"),
+        "priority",
+    )
+
+
+def _weighted_sample_by_lang_sql() -> str:
+    h = _h64("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+p AS (
+  SELECT lang, doc_id, n_tokens,
+         (CAST({h} AS DOUBLE) / CAST({1 << 60} AS DOUBLE))
+           / CAST(n_tokens AS DOUBLE) AS priority
+  FROM w WHERE doc_id IS NOT NULL AND n_tokens > 0 AND lang IS NOT NULL
+)
+SELECT lang, doc_id, n_tokens, priority FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+  FROM p
+) WHERE rn <= {WSG_K}
+"""
+
+
 WS_K = 64
 
 
@@ -5802,9 +5909,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_domain_mix_plan": doc_domain_mix_plan,
     "doc_domain_mix_sample": doc_domain_mix_sample,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_weighted_sample_by_lang": doc_weighted_sample_by_lang,
     "doc_bm25_search": doc_bm25_search,
     "doc_hybrid_search": doc_hybrid_search,
     "doc_incremental_dedup": doc_incremental_dedup,
+    "doc_incremental_dup_clusters": doc_incremental_dup_clusters,
     "doc_segment_dedup": doc_segment_dedup,
     "doc_substring_dedup": doc_substring_dedup,
     "doc_incremental_substring_dedup": doc_incremental_substring_dedup,
@@ -5912,9 +6021,11 @@ EXT_ORACLE: dict[str, str] = {
     "doc_domain_mix_plan": _MIX_PLAN_SQL,
     "doc_domain_mix_sample": _MIX_SAMPLE_SQL,
     "doc_weighted_sample": _weighted_sample_sql(),
+    "doc_weighted_sample_by_lang": _weighted_sample_by_lang_sql(),
     "doc_bm25_search": _bm25_sql(),
     "doc_hybrid_search": _hybrid_sql(),
     "doc_incremental_dedup": _incremental_dedup_sql(),
+    "doc_incremental_dup_clusters": _dup_clusters_incr_sql(),
     "doc_segment_dedup": _SEGMENT_DEDUP_SQL,
     "doc_substring_dedup": _SUBSTRING_DEDUP_SQL,
     "doc_incremental_substring_dedup": _INCR_SUBSTRING_SQL,

@@ -353,3 +353,58 @@ def test_cosine_tf_pairs_shingle_k1_skips_blank_docs(spark):
     }
     assert (0, 1) not in got
     assert (2, 3) in got
+
+
+def test_connected_components_incremental_matches_full_rerun(spark):
+    """The star-contraction claim: CC(delta ∪ star(CC(base))) ==
+    CC(base ∪ delta) exactly — including deltas that MERGE two old
+    components and deltas introducing brand-new nodes."""
+    import random
+
+    from gdutils_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    rng = random.Random(83)
+    for trial in range(3):
+        base = list({
+            (rng.randrange(40), rng.randrange(40)) for _ in range(35)
+        })
+        delta = list({
+            (rng.randrange(60), rng.randrange(60)) for _ in range(15)
+        })
+        base = [(a, b) for a, b in base if a != b] or [(0, 1)]
+        delta = [(a, b) for a, b in delta if a != b] or [(0, 41)]
+        bdf = spark.createDataFrame(base, "d1 long, d2 long")
+        ddf = spark.createDataFrame(delta, "d1 long, d2 long")
+        full = spark.createDataFrame(base + delta, "d1 long, d2 long")
+        seed = connected_components(bdf)
+        inc = {
+            r.node: r.comp
+            for r in connected_components_incremental(ddf, seed).collect()
+        }
+        want = {
+            r.node: r.comp for r in connected_components(full).collect()
+        }
+        assert inc == want, (trial, inc, want)
+
+
+def test_connected_components_incremental_merges_components(spark):
+    """A single delta edge bridging two old components collapses them to
+    the global minimum label."""
+    from gdutils_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12)], "d1 long, d2 long"
+    )
+    seed = connected_components(base)
+    bridge = spark.createDataFrame([(3, 10)], "d1 long, d2 long")
+    got = {
+        r.node: r.comp
+        for r in connected_components_incremental(bridge, seed).collect()
+    }
+    assert got == {n: 1 for n in (1, 2, 3, 10, 11, 12)}

@@ -1288,3 +1288,39 @@ def test_priority_sample_fractional_weights(spark):
     assert all(r.id != 999 for r in got)
     heavy = sum(1 for r in got if r.weight == 0.9)
     assert heavy > 15  # 10% of rows carry 90x the weight
+
+
+def test_priority_sample_grouped_quota_and_model(spark):
+    """group_col=: k smallest priorities WITHIN each group (per-stratum
+    quota), matching the python model; NULL groups skipped."""
+    from gdutils_spark.operators.dedup import MD5_INT64_DOMAIN, _md5_int64
+    from gdutils_spark.operators.sampling import priority_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, 1 + i % 7, "g%d" % (i % 3)) for i in range(120)]
+    rows.append((999, 5, None))
+    df = spark.createDataFrame(rows, "id long, w long, g string")
+    k = 8
+    got = sorted(
+        (r.grp, r.id, r.weight, r.priority)
+        for r in priority_sample(df, "id", "w", k, group_col="g").collect()
+    )
+    hashed = {
+        r.id: r.hk
+        for r in df.select(
+            "id", _md5_int64(F.col("id").cast("string")).alias("hk")
+        ).collect()
+    }
+    by_g = {}
+    for i, w, g in rows:
+        if g is None:
+            continue
+        p = (hashed[i] / MD5_INT64_DOMAIN) / float(w)
+        by_g.setdefault(g, []).append((p, i, w))
+    want = sorted(
+        (g, i, w, p)
+        for g, lst in by_g.items()
+        for p, i, w in sorted(lst)[:k]
+    )
+    assert got == want
+    assert all(r[1] != 999 for r in got)
