@@ -742,7 +742,6 @@ def connected_components(
     # (e.g. the incremental-clustering query runs two) would pin one
     # leaked cache entry per call otherwise
     base.unpersist()
-    base.unpersist()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -111,8 +111,6 @@ def priority_sample(
     a count. Rows with a NULL group are skipped like NULL ids. Plan
     shape: one shuffle on the group key + a per-group rank cut — the
     grouped ``bottomk_sample`` convention."""
-    from pyspark.sql import Window
-
     from gdutils_spark.operators.dedup import _md5_int64
 
     if k < 1:

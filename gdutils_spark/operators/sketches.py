@@ -328,6 +328,13 @@ def cms_estimate(
     _guard_probe_columns(
         probes, {"_h", "_rc", "row", "col", "cnt", "cms_est"}, "cms_estimate"
     )
+    # the geometry probe below is a SEPARATE action from the estimate's
+    # broadcast join, and shuffle reuse does not span actions — without
+    # a pin, the probe would run the whole register-build lineage once
+    # and the join would run it AGAIN (doubling the dominant aggregate
+    # for every uncached caller); the table is broadcast-sized, so the
+    # lazy checkpoint costs one tiny materialization
+    registers = registers.localCheckpoint(eager=False)
     # fail-fast geometry probe (the hist_quantiles convention): a
     # register built with a LARGER width/depth than declared here puts
     # cells where no probe position can reach them — the (row, col)

@@ -624,12 +624,21 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc"), F.col("comp").alias("component"))
 
 
-def _dup_clusters_sql() -> str:
+def _dup_clusters_sql(pair_filter: str | None = None) -> str:
     # Recursive min-label walk: enumerate (node, reachable-label) pairs and
     # take MIN per node — exact for the small verified-pair graphs the
-    # LSH stage emits.
+    # LSH stage emits. ONE copy of the walk (the _adjacent_pairs
+    # one-kernel rule): ``pair_filter`` restricts the pair set — the
+    # incremental-clustering oracle passes the even-universe predicate,
+    # which equals computing pairs over the even universe because
+    # signatures are per-document.
+    pairs = (
+        f"SELECT * FROM ({_minhash_lsh_sql()}) WHERE {pair_filter}"
+        if pair_filter
+        else _minhash_lsh_sql()
+    )
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+WITH RECURSIVE pairs AS ({pairs}),
 edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
 walk(node, comp) AS (
   SELECT DISTINCT a, a FROM edges
@@ -641,23 +650,7 @@ SELECT node AS doc, MIN(comp) AS component FROM walk GROUP BY node
 
 
 def _dup_clusters_incr_sql() -> str:
-    # the full-corpus clustering restricted to the even-doc universe:
-    # per-document signatures make "pairs over the even universe" equal
-    # to "full pairs filtered to even x even", so the recursive walk over
-    # that filtered pair set IS the ground truth the incremental
-    # star-contraction must reproduce
-    return f"""
-WITH RECURSIVE pairs AS (
-  SELECT * FROM ({_minhash_lsh_sql()}) WHERE d1 % 2 = 0 AND d2 % 2 = 0
-),
-edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
-walk(node, comp) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
-)
-SELECT node AS doc, MIN(comp) AS component FROM walk GROUP BY node
-"""
+    return _dup_clusters_sql(pair_filter="d1 % 2 = 0 AND d2 % 2 = 0")
 
 
 # ---------------------------------------------------------------------------
