@@ -1324,3 +1324,38 @@ def test_priority_sample_grouped_quota_and_model(spark):
     )
     assert got == want
     assert all(r[1] != 999 for r in got)
+
+
+def test_priority_sample_plan_shapes(spark):
+    """Global: TakeOrderedAndProject (per-partition top-k, one tiny
+    merge — never a full sort). Grouped: ONE exchange (the group-key
+    shuffle feeding the rank cut)."""
+    from gdutils_spark.operators.sampling import priority_sample
+    from gdutils_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 3, "g%d" % (i % 2)) for i in range(50)],
+        "id long, w long, g string",
+    )
+    from gdutils_spark.plans import n_exchanges
+
+    plan = formatted_plan(priority_sample(df, "id", "w", 5))
+    assert "TakeOrderedAndProject" in plan
+    g = priority_sample(df, "id", "w", 5, group_col="g")
+    assert n_exchanges(g) <= 1, formatted_plan(g)
+
+
+def test_bottomk_grouped_plan_single_shuffle(spark):
+    """The grouped bottom-k sample is one group-key shuffle + a rank
+    cut — no extra exchanges."""
+    from gdutils_spark.operators.sketches import bottomk_sample
+    from gdutils_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, float(i), "g%d" % (i % 2)) for i in range(50)],
+        "id long, v double, g string",
+    )
+    from gdutils_spark.plans import n_exchanges
+
+    s = bottomk_sample(df, "id", "v", 5, group_col="g")
+    assert n_exchanges(s) <= 1, formatted_plan(s)
