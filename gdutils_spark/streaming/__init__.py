@@ -67,8 +67,19 @@ def stream_entity_summaries(
 
     ``applyInPandasWithState`` keeps one tiny state row per entity
     (bounded by live-entity cardinality, not event volume); a processing
-    -time timeout flushes entities that stop reporting. Emits the updated
-    summary on every trigger an entity received events.
+    -time timeout FLUSHES entities that stop reporting — the final
+    summary is emitted once more and the state evicted, so the quiet
+    entity's data is never silently dropped. An entity that resumes
+    after eviction starts a NEW epoch (fresh ``start_time``, ``n_events``
+    from zero); consumers that want lifetime totals must aggregate
+    emissions per ``(entity, start_time)`` epoch — ``max_by(n_events)``
+    alone would keep a stale pre-eviction row as the "latest". Emits the
+    updated summary on every trigger an entity received events.
+
+    Rows with a NULL timestamp are DROPPED, the ``scd2_history`` rule —
+    the batch analogue's ``F.min``/``F.max`` skip NULLs, and pandas'
+    int64 view of NaT is the int64-min sentinel, which would poison the
+    running min and overflow the emitted timestamp.
 
     ``timeout_ms=None`` disables the timeout (``NoTimeout``). Required
     for ``Trigger.AvailableNow`` drains: a pending processing-time
@@ -104,27 +115,46 @@ def stream_entity_summaries(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        def summary(start_us, end_us, n):
+            return pd.DataFrame(
+                {
+                    "entity": [str(key[0])],
+                    "start_time": [pd.Timestamp(start_us, unit="us")],
+                    "end_time": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
         if timeout_ms is not None and state.hasTimedOut:
+            # final flush: emit the summary the entity accumulated, THEN
+            # evict — removing silently would drop the quiet entity's
+            # data on the floor
+            start_us, end_us, n = state.get
             state.remove()
+            yield summary(start_us, end_us, n)
             return
         start_us, end_us, n = state.get if state.exists else (None, None, 0)
         for pdf in pdfs:
-            ts = pd.to_datetime(pdf[time_col]).astype("int64") // 1000
+            # NULL timestamps: pandas' int64 view of NaT is the int64-min
+            # sentinel — it would poison min() and overflow pd.Timestamp;
+            # drop such rows (the scd2_history rule, and what the batch
+            # F.min/F.max analogue does)
+            ts_ser = pd.to_datetime(pdf[time_col])
+            ts_ser = ts_ser[ts_ser.notna()]
+            if not len(ts_ser):
+                continue
+            ts = ts_ser.astype("int64") // 1000
             lo, hi = int(ts.min()), int(ts.max())
             start_us = lo if start_us is None else min(start_us, lo)
             end_us = hi if end_us is None else max(end_us, hi)
-            n += len(pdf)
+            n += len(ts_ser)
+        if start_us is None:
+            # only NULL-timestamp rows ever seen — nothing to summarize
+            return
         state.update((start_us, end_us, n))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
-        yield pd.DataFrame(
-            {
-                "entity": [str(key[0])],
-                "start_time": [pd.Timestamp(start_us, unit="us")],
-                "end_time": [pd.Timestamp(end_us, unit="us")],
-                "n_events": [n],
-            }
-        )
+        yield summary(start_us, end_us, n)
 
     return stream.groupBy(entity_col).applyInPandasWithState(
         update,
@@ -184,13 +214,26 @@ def stream_enrich(
     catalog joins J1/J5 (``/root/reference/gdutils/__init__.py:107-114``):
     each arriving observation picks up its deployment/catalog attributes.
 
-    The static side is re-resolved every micro-batch (so a catalog
-    refresh lands without restarting the query) and is catalog-sized by
-    construction, so Spark broadcasts it — no state store, no shuffle of
-    the stream side."""
-    return stream.join(
+    The static side is catalog-sized by construction, so Spark
+    broadcasts it — no state store, no shuffle of the stream side. The
+    join EXPRESSION is re-planned per micro-batch, but for a plain
+    file-based catalog the FILE LISTING is frozen when the DataFrame is
+    created: files appended to the path later never appear, and
+    overwriting the path in place fails the next micro-batch on deleted
+    files — a live-refreshing catalog needs a table format (Delta/
+    Iceberg) or a query restart; don't rely on in-place file swaps.
+
+    When the two key columns share a name, the catalog's copy is
+    dropped from the output (the ``stream_stream_join`` convention) —
+    otherwise the first downstream ``F.col(key)`` hits
+    AMBIGUOUS_REFERENCE, and under ``how='left'`` the surviving
+    right-side copy would be NULL for unmatched rows."""
+    joined = stream.join(
         F.broadcast(catalog), stream[stream_key] == catalog[catalog_key], how
     )
+    if stream_key == catalog_key:
+        joined = joined.drop(catalog[catalog_key])
+    return joined
 
 
 def stream_to_partitioned_parquet(
@@ -199,26 +242,34 @@ def stream_to_partitioned_parquet(
     checkpoint: str,
     time_col: str = "ts",
     partition_col: str = "date",
+    available_now: bool = True,
 ):
-    """Continuous ingestion into the hive-partitioned staging layout
+    """Ingestion into the hive-partitioned staging layout
     (``sources.staging.stage_partitioned``): each micro-batch appends to
     ``path`` partitioned by event date, so batch queries over the staged
     table get partition pruning on time predicates — the reference's
     cron-poll-then-save loop (``/root/reference/scripts/dac/
-    search_datasets.py:89-92``) as one always-on query.
+    search_datasets.py:89-92``) as one query.
+
+    ``available_now=True`` (default) DRAINS what exists and stops — the
+    catch-up / backfill / test shape; pass ``False`` for the always-on
+    continuous ingest (the query then runs until stopped; with the
+    default a file arriving after start() would silently never be
+    staged). Same knob convention as ``stream_apply_cdc``.
 
     Returns the started ``StreamingQuery`` (caller owns stop/await).
     Append is idempotent per micro-batch via the checkpoint's batch-id
     tracking; exactly-once within one query lifetime."""
     with_date = stream.withColumn(partition_col, F.to_date(F.col(time_col)))
-    return (
+    writer = (
         with_date.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .partitionBy(partition_col)
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_media_features(stream: DataFrame) -> DataFrame:
@@ -372,13 +423,63 @@ def snapshot_base_version(sess, snapshot_dir: str, before: int) -> int | None:
         name = st.getPath().getName()
         if not name.startswith("v="):
             continue
-        v = int(name.split("=", 1)[1])
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            # a stray sibling (manual backup "v=3.bak", a "v=latest"
+            # symlink) must not kill every subsequent micro-batch —
+            # the marker/before guards below show this listing is
+            # meant to tolerate unexpected directory contents
+            continue
         if v >= before:  # replay: rebuild from the predecessor
             continue
         if not fs.exists(Path(f"{snapshot_dir}/{name}/_SUCCESS")):
             continue  # uncommitted partial write — never a base
         best = v if best is None or v > best else best
     return best
+
+
+def _version_committed(sess, snapshot_dir: str, v: int) -> bool:
+    """True iff ``snapshot_dir/v=<v>`` exists with its ``_SUCCESS``
+    marker — i.e. the version's parquet commit is durable."""
+    jvm = sess._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    marker = Path(f"{snapshot_dir}/v={v}/_SUCCESS")
+    fs = marker.getFileSystem(sess._jsc.hadoopConfiguration())
+    return bool(fs.exists(marker))
+
+
+def _resolve_base(sess, snapshot_dir: str, batch_id: int, initial, empty):
+    """Shared base-resolution for the versioned-snapshot writers, with
+    the two silent-history-loss holes closed:
+
+    * A missing PREDECESSOR for ``batch_id > 0`` (vacuumed too
+      aggressively, or the snapshot dir wiped) means rebuilding from
+      ``initial`` would silently discard every change batches
+      ``0..batch_id-1`` applied — raise instead. Retention rule this
+      implies: a version must survive until the NEXT checkpoint commit
+      is durable; vacuum everything older freely.
+    * A FRESH checkpoint (``batch_id == 0``) over a snapshot dir that
+      already has committed versions means the batch-id lineage was
+      reset (checkpoint dir recreated) — overwriting ``v=0`` in place
+      would orphan the existing history under new ids; raise and make
+      the operator choose a new snapshot dir (or restore the
+      checkpoint).
+    """
+    v = snapshot_base_version(sess, snapshot_dir, batch_id)
+    if v is not None:
+        return sess.read.parquet(f"{snapshot_dir}/v={v}")
+    newest = snapshot_base_version(sess, snapshot_dir, before=1 << 62)
+    if batch_id > 0 or newest is not None:
+        raise RuntimeError(
+            f"versioned snapshot {snapshot_dir}: no committed base "
+            f"version before batch {batch_id} (newest committed: "
+            f"{newest}) — the predecessor was vacuumed before the "
+            "checkpoint commit became durable, or the checkpoint dir "
+            "was recreated over existing history; rebuilding from the "
+            "initial state would silently discard applied batches"
+        )
+    return initial if initial is not None else empty
 
 
 def stream_apply_cdc(
@@ -399,36 +500,47 @@ def stream_apply_cdc(
     the commit id). Readers pick the highest version for a consistent
     view; old versions are time travel until vacuumed.
 
-    Idempotent per micro-batch: a replayed batch id re-derives its
-    version from the PREDECESSOR — the base lookup ignores versions at
-    or past the replayed id (reading v=N while overwriting v=N would
-    throw, and a crash between the parquet commit and the checkpoint
-    commit would otherwise loop forever) — and only COMMITTED versions
-    count as a base (``_SUCCESS`` marker present), so a half-written
-    directory from a mid-write crash is never read back as the
-    snapshot. Version listing goes through the Hadoop FileSystem API so
-    any HDFS-compatible store works. Each version is a full
-    copy-on-write snapshot — at 100 TB you'd partition the snapshot and
-    rewrite only touched partitions; the merge itself already only
-    shuffles on the key. Readers should likewise pick the highest
-    ``_SUCCESS``-marked version.
+    Idempotent per micro-batch: a replayed batch whose version is
+    ALREADY committed (``_SUCCESS`` present — the crash landed between
+    the parquet commit and the checkpoint commit) is skipped outright,
+    so a committed version is IMMUTABLE and concurrent readers following
+    the highest-committed-version rule never see their directory
+    deleted under them; a replayed batch whose version is uncommitted
+    re-derives it from the PREDECESSOR (the base lookup ignores
+    versions at or past the replayed id, and only ``_SUCCESS``-marked
+    versions count as a base, so a half-written directory is never read
+    back). RETENTION RULE for vacuuming: a version must survive until
+    the NEXT checkpoint commit is durable — vacuum anything older
+    freely; vacuuming the immediate predecessor of an in-flight batch
+    (or recreating the checkpoint dir over existing history) raises
+    instead of silently rebuilding from ``initial`` and discarding
+    every applied batch. Version listing goes through the Hadoop
+    FileSystem API so any HDFS-compatible store works. Each version is
+    a full copy-on-write snapshot — at 100 TB you'd partition the
+    snapshot and rewrite only touched partitions; the merge itself
+    already only shuffles on the key.
 
     Returns the started ``StreamingQuery`` (caller owns stop/await).
     """
     from gdutils_spark.operators.cdc import apply_cdc
 
-    spark = changes.sparkSession
     payload = [c for c in changes.columns if c not in (op_col, seq_col)]
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        v = snapshot_base_version(sess, snapshot_dir, batch_id)
-        if v is not None:
-            current = sess.read.parquet(f"{snapshot_dir}/v={v}")
-        elif initial is not None:
-            current = initial
-        else:
-            current = batch.select(*payload).limit(0)
+        if _version_committed(sess, snapshot_dir, batch_id):
+            # crash landed between this version's parquet commit and the
+            # checkpoint commit: the merge is a deterministic function of
+            # (predecessor, batch rows), so the durable output is already
+            # correct — skipping the rewrite keeps _SUCCESS ⇒ immutable
+            # for concurrent readers (an in-place overwrite would delete
+            # a directory a reader following the documented
+            # highest-committed-version rule may be scanning)
+            return
+        current = _resolve_base(
+            sess, snapshot_dir, batch_id, initial,
+            batch.select(*payload).limit(0),
+        )
         merged = apply_cdc(current, batch, keys, op_col=op_col, seq_col=seq_col)
         merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
 
@@ -478,11 +590,25 @@ def stream_merge_sketch(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        if _version_committed(sess, snapshot_dir, batch_id):
+            # deterministic build/merge (the documented replay contract)
+            # means the already-committed output is correct — skip, so
+            # _SUCCESS ⇒ immutable holds for concurrent readers
+            return
         cur = build(batch)
         v = snapshot_base_version(sess, snapshot_dir, batch_id)
         if v is not None:
             prev = sess.read.parquet(f"{snapshot_dir}/v={v}")
             cur = merge(prev, cur)
+        elif batch_id > 0 or snapshot_base_version(
+            sess, snapshot_dir, before=1 << 62
+        ) is not None:
+            raise RuntimeError(
+                f"versioned snapshot {snapshot_dir}: no committed base "
+                f"before batch {batch_id} — predecessor vacuumed too "
+                "early or checkpoint recreated over existing history; "
+                "a fresh fold would silently discard merged sketches"
+            )
         cur.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

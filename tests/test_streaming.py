@@ -686,3 +686,118 @@ def test_stream_merge_sketch_generalizes_to_hll(spark, tmp_path):
         for r in hll_registers(df, "v", "grp_src").collect()
     }
     assert got == want
+
+
+def test_stream_entity_summaries_drops_null_timestamps(spark):
+    """NULL event timestamps are dropped like the batch F.min/F.max
+    analogue (pandas' int64 view of NaT is the int64-min sentinel — it
+    used to poison the running min and overflow the emitted timestamp);
+    an entity with ONLY null timestamps emits nothing."""
+    import os
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="stream_null_src_")
+    chk = tempfile.mkdtemp(prefix="stream_null_chk_")
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", None),
+        ("a", "2024-01-03 00:00:00"),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    summ = stream_entity_summaries(
+        stream, entity_col="user_id", time_col="ts", timeout_ms=None
+    )
+    q = (
+        summ.writeStream.format("memory")
+        .queryName("null_ts_summaries")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["entity"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM null_ts_summaries").collect()
+    }
+    assert got == {"a": 2}  # null row dropped; all-null entity b absent
+
+
+def test_versioned_snapshot_protocol_guards(spark, tmp_path):
+    """The versioned-snapshot hardening: stray v=* entries are skipped,
+    a committed version is immutable under replay (skip, not overwrite),
+    a vacuumed predecessor raises instead of silently rebuilding from
+    the initial state, and a recreated checkpoint over existing history
+    raises."""
+    import os
+
+    import pytest
+
+    from gdutils_spark.streaming import (
+        _resolve_base,
+        _version_committed,
+        snapshot_base_version,
+    )
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        f"{snap}/v=0"
+    )
+    spark.createDataFrame([(2, "b")], "id long, v string").write.parquet(
+        f"{snap}/v=1"
+    )
+    # stray entries must be skipped, not crash the listing
+    os.makedirs(f"{snap}/v=latest", exist_ok=True)
+    os.makedirs(f"{snap}/v=1.bak", exist_ok=True)
+    assert snapshot_base_version(spark, snap, before=1 << 62) == 1
+    assert snapshot_base_version(spark, snap, before=1) == 0
+    assert _version_committed(spark, snap, 1)
+    assert not _version_committed(spark, snap, 7)
+    # normal replay base
+    empty = spark.createDataFrame([], "id long, v string")
+    base = _resolve_base(spark, snap, 2, None, empty)
+    assert base.count() == 1
+    # vacuumed predecessor: batch 5 with only v=0/v=1 present is fine
+    # (highest committed < 5 is the base) — but a WIPED dir for a
+    # non-zero batch raises
+    import shutil
+
+    gone = str(tmp_path / "gone")
+    with pytest.raises(RuntimeError, match="versioned snapshot"):
+        _resolve_base(spark, gone, 3, None, empty)
+    # recreated checkpoint (batch 0) over existing history raises
+    with pytest.raises(RuntimeError, match="versioned snapshot"):
+        _resolve_base(spark, snap, 0, None, empty)
+    # fresh start: batch 0, no history -> initial/empty
+    assert _resolve_base(spark, gone, 0, None, empty).count() == 0
+
+
+def test_stream_enrich_same_named_key_drops_duplicate(spark, stream_dirs):
+    """Same-named join keys: the catalog's copy is dropped, so the
+    output has ONE unambiguous key column."""
+    from gdutils_spark.streaming import stream_enrich
+
+    src, chk, events = stream_dirs
+    catalog = events.select("user_id").distinct().withColumn(
+        "segment", F.pmod(F.col("user_id"), F.lit(3))
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream_enrich(stream, catalog, "user_id", "user_id")
+    assert enriched.columns.count("user_id") == 1
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_same_key")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(user_id) AS nk FROM enrich_same_key"
+    ).collect()[0]
+    assert out["n"] == events.count() and out["nk"] == out["n"]
