@@ -267,11 +267,17 @@ def test_apply_cdc_validate_false_skips_probes_same_result(spark):
     checked = sorted(
         (r.id, r.v) for r in apply_cdc(snap, changes, ["id"]).collect()
     )
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    trusted = apply_cdc(snap, changes, ["id"], validate=False)
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after == before, "validate=False must not run eager probe jobs"
+    # count a DEDICATED job group — the default group picks up unrelated
+    # session activity (flaky under the shared test session)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("cdc-validate-off", "cdc-validate-off")
+    try:
+        trusted = apply_cdc(snap, changes, ["id"], validate=False)
+    finally:
+        sc.setJobGroup(None, None)
+    ran = len(tracker.getJobIdsForGroup("cdc-validate-off") or [])
+    assert ran == 0, "validate=False must not run eager probe jobs"
     assert sorted((r.id, r.v) for r in trusted.collect()) == checked
 
 

@@ -413,17 +413,25 @@ def test_pagerank_weighted_validate_false_same_ranks_no_probe_jobs(spark):
     edge_list = [(1, 2, 3), (2, 1, 1), (2, 3, 2), (3, 1, 5), (1, 3, 1), (3, 2, 2)]
     df = spark.createDataFrame(edge_list, "src long, dst long, w long")
     tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
 
-    def construction_jobs(**kw):
+    def construction_jobs(group, **kw):
         # AQE runs the shuffle-map stages of each lazy localCheckpoint
         # at construction time, so the counter is nonzero either way —
-        # the PROBE jobs are the delta between the two paths
-        before = len(tracker.getJobIdsForGroup(None) or [])
-        pr = pagerank(df, weight="w", **kw)
-        return pr, len(tracker.getJobIdsForGroup(None) or []) - before
+        # the PROBE jobs are the delta between the two paths. Count a
+        # DEDICATED job group: the default group picks up unrelated
+        # session activity (flaky under the shared test session).
+        sc.setJobGroup(group, group)
+        try:
+            pr = pagerank(df, weight="w", **kw)
+        finally:
+            sc.setJobGroup(None, None)
+        return pr, len(tracker.getJobIdsForGroup(group) or [])
 
-    checked_df, jobs_checked = construction_jobs()
-    trusted_df, jobs_trusted = construction_jobs(validate=False)
+    checked_df, jobs_checked = construction_jobs("pr-validate-on")
+    trusted_df, jobs_trusted = construction_jobs(
+        "pr-validate-off", validate=False
+    )
     assert jobs_trusted < jobs_checked, (
         "validate=False must skip the eager probe jobs "
         f"(ran {jobs_trusted}, validating path ran {jobs_checked})"
