@@ -140,17 +140,34 @@ def advanced_search_url(
 
 
 def _constraint(f: Filter) -> str | None:
-    """Filter → ERDDAP constraint suffix, or None if not expressible."""
+    """Filter → ERDDAP constraint suffix, or None if not expressible.
+
+    Value serialization follows the tabledap grammar: String-variable
+    values must be DOUBLE-QUOTED (a bare ``station=ru29`` is an HTTP 400
+    on a real server); times are ISO-8601 with an explicit ``Z`` —
+    ERDDAP interprets bare timestamps as UTC, and Spark hands this
+    function naive session-local datetimes, so the session MUST be
+    UTC-pinned (``session.py`` does) for pushdown to be correct; a
+    non-UTC session would silently shift every pushed time bound.
+    Booleans (and anything else without a tabledap literal form) are NOT
+    pushed — declining keeps them as Spark-side residual filters instead
+    of a constraint the server rejects (or, worse, a file-transport
+    string compare that silently matches nothing)."""
     op = _OPS.get(type(f))
     if op is None or len(f.attribute) != 1:
         return None
     v = f.value
+    if isinstance(v, bool):
+        return None  # bool is an int subclass — must check first
     if isinstance(v, str):
-        value = v
+        value = f'"{v}"'
     elif hasattr(v, "isoformat"):
-        value = v.isoformat()
-    else:
+        iso = v.isoformat()
+        value = iso if iso.endswith(("Z", "+00:00")) else iso + "Z"
+    elif isinstance(v, (int, float)):
         value = repr(v)
+    else:
+        return None  # Decimal/bytes/... have no tabledap literal form
     return f"{f.attribute[0]}{op}{value}"
 
 
@@ -158,6 +175,7 @@ def _constraint(f: Filter) -> str | None:
 class _Window(InputPartition):
     lo: str | None
     hi: str | None
+    last: bool = False
 
 
 class ErddapReader(DataSourceReader):
@@ -197,9 +215,15 @@ class ErddapReader(DataSourceReader):
 
     def partitions(self):
         if self._partition_col and len(self._bounds) >= 2:
+            n = len(self._bounds) - 1
+            # windows are half-open [lo, hi) EXCEPT the last, which is
+            # closed [lo, hi] — with the natural bounds = [extent_min,
+            # extent_max], a half-open final window would silently drop
+            # every row sitting exactly on the dataset's max bound (no
+            # residual filter exists for Spark to re-apply)
             return [
-                _Window(self._bounds[i], self._bounds[i + 1])
-                for i in range(len(self._bounds) - 1)
+                _Window(self._bounds[i], self._bounds[i + 1], i == n - 1)
+                for i in range(n)
             ]
         return [_Window(None, None)]
 
@@ -210,7 +234,8 @@ class ErddapReader(DataSourceReader):
         cons = list(self._constraints)
         if partition is not None and partition.lo is not None:
             cons.append(f"{self._partition_col}>={partition.lo}")
-            cons.append(f"{self._partition_col}<{partition.hi}")
+            hi_op = "<=" if partition.last else "<"
+            cons.append(f"{self._partition_col}{hi_op}{partition.hi}")
         parts = [cols] + [urllib.parse.quote(c, safe="=<>!") for c in cons]
         if self._distinct:
             parts.append("distinct()")
@@ -229,12 +254,31 @@ class ErddapReader(DataSourceReader):
             # live ERDDAP: the server evaluates the constraint suffix;
             # units row dropped like the reference's skiprows=[1]
             pdf = pd.read_csv(url, skiprows=[1])
+        integral = {"long", "integer", "short", "byte"}
         for f in self._schema.fields:
-            if f.dataType.typeName() == "timestamp" and f.name in pdf.columns:
+            if f.name not in pdf.columns:
+                continue
+            if f.dataType.typeName() == "timestamp":
                 # ERDDAP times are UTC; Spark's row converter needs tz-aware
                 pdf[f.name] = pd.to_datetime(pdf[f.name], utc=True)
+            elif (
+                f.dataType.typeName() in integral
+                and pd.api.types.is_float_dtype(pdf[f.name])
+            ):
+                # a gap in an integer column makes pandas read it as
+                # float64 — round-trip through the nullable Int64 dtype
+                # so non-null cells stay INTEGERS (Spark's LongType
+                # converter rejects 3.0) and gaps stay missing
+                pdf[f.name] = pdf[f.name].astype("Int64")
         cols = [f.name for f in self._schema.fields]
-        for row in pdf[cols].itertuples(index=False, name=None):
+        # sanitize missing values to None AFTER widening to object:
+        # NaN/NaT aborts the Arrow conversion for non-float types, and a
+        # missing string cell would otherwise be emitted as the literal
+        # 'nan' instead of NULL; the object widening must come FIRST or
+        # float64 columns coerce the None straight back to NaN
+        out = pdf[cols].astype(object)
+        out = out.where(pd.notna(out), None)
+        for row in out.itertuples(index=False, name=None):
             yield row
 
 
@@ -310,7 +354,12 @@ def _eval_functional(pdf, m: _re.Match):
 def _file_transport(url: str, schema: StructType):
     """Offline stand-in for the ERDDAP server: reads
     ``{dir}/{dataset_id}.csv`` and evaluates the constraint query string
-    exactly as tabledap would (comparisons + distinct())."""
+    as tabledap would (comparisons + distinct() over the PROJECTED
+    result, double-quoted string literals stripped). Fixture CSVs are
+    header + data rows — deliberately WITHOUT the units row a live
+    response carries (the live branch's ``skiprows=[1]`` has no
+    counterpart here; a verbatim server response would need its units
+    row removed before use as a fixture)."""
     import pandas as pd
 
     parsed = urllib.parse.urlparse(url)
@@ -322,9 +371,13 @@ def _file_transport(url: str, schema: StructType):
     pdf = pd.read_csv(f"{base_dir}/{dataset_csv}")
     parts = [urllib.parse.unquote(p) for p in query.split("&")]
     cols = parts[0].split(",")
+    want_distinct = False
     for c in parts[1:]:
         if c == "distinct()":
-            pdf = pdf.drop_duplicates()
+            # evaluated AFTER projection, below — tabledap applies
+            # distinct() to the projected result, so rows differing only
+            # in unrequested columns must collapse
+            want_distinct = True
             continue
         for op in (">=", "<=", "!=", ">", "<", "="):
             if op in c:
@@ -346,12 +399,22 @@ def _file_transport(url: str, schema: StructType):
                         series != value
                     ]
                     break
+                if len(value) >= 2 and value[0] == '"' and value[-1] == '"':
+                    # the tabledap String-literal form the pushdown now
+                    # emits; compare on the unquoted value
+                    value = value[1:-1]
                 if _is_time_series(series):
+                    # parse the BOUND first: a bound the server would
+                    # accept but we can't parse (or a malformed one)
+                    # must not leave the series half-rebound to
+                    # datetime64 and then raise on a str comparison
                     try:
-                        series = pd.to_datetime(series, utc=True)
-                        value = pd.to_datetime(value, utc=True)
+                        bound = pd.to_datetime(value, utc=True)
                     except (ValueError, TypeError):
                         pass
+                    else:
+                        series = pd.to_datetime(series, utc=True)
+                        value = bound
                 elif pd.api.types.is_numeric_dtype(series):
                     # only coerce the bound for numeric columns: a
                     # digit-like bound against a string column must stay
@@ -369,7 +432,10 @@ def _file_transport(url: str, schema: StructType):
                     series != value
                 ]
                 break
-    return pdf[cols]
+    out = pdf[cols]
+    if want_distinct:
+        out = out.drop_duplicates()
+    return out
 
 
 class ErddapSearchReader(DataSourceReader):
@@ -388,19 +454,38 @@ class ErddapSearchReader(DataSourceReader):
             if options.get(kw) is not None
         }
 
-    def request_url(self) -> str:
+    def request_url(self, page: int | None = None) -> str:
         return advanced_search_url(
-            self._server, self._params, self._items_per_page, self._page
+            self._server,
+            self._params,
+            self._items_per_page,
+            self._page if page is None else page,
         )
 
     def read(self, partition):
         import pandas as pd
 
-        url = self.request_url()
         if self._server.startswith("file://"):
-            pdf = _search_file_transport(url)
+            # the file transport evaluates the whole fixture in one go
+            # (it has no page semantics — paging it would loop forever)
+            pdf = _search_file_transport(self.request_url())
         else:
-            pdf = pd.read_csv(url)
+            # paginate: a catalog larger than itemsPerPage would
+            # otherwise be silently TRUNCATED to the first page — keep
+            # requesting until a short page arrives
+            frames = []
+            page = self._page
+            while True:
+                chunk = pd.read_csv(self.request_url(page))
+                frames.append(chunk)
+                if len(chunk) < self._items_per_page:
+                    break
+                page += 1
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                if len(frames) > 1
+                else frames[0]
+            )
         pdf = pdf.rename(
             columns={c: c.replace(" ", "_").lower() for c in pdf.columns}
         )
@@ -408,8 +493,13 @@ class ErddapSearchReader(DataSourceReader):
         for c in cols:
             if c not in pdf.columns:
                 pdf[c] = None
+        # widen to object BEFORE the None replacement: on a float64
+        # column (e.g. an all-empty catalog field read as all-NaN)
+        # where(...) keeps the dtype and coerces None straight back to
+        # NaN, which Spark then stringifies as the literal 'nan'
+        pdf = pdf[cols].astype(object)
         pdf = pdf.where(pd.notna(pdf), None)
-        for row in pdf[cols].astype(object).itertuples(index=False, name=None):
+        for row in pdf.itertuples(index=False, name=None):
             yield row
 
 

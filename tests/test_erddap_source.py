@@ -314,3 +314,138 @@ def test_transport_digit_like_string_column_compares_as_string(tmp_path):
     base = f"file://{tmp_path}/tabledap/unit_s.csv"
     got = _file_transport(f"{base}?station,val&station>=00200", None)
     assert list(got["station"]) == ["00456", "A99"]
+
+
+def test_partition_last_window_is_closed():
+    """The final window is [lo, hi] — with bounds = [extent_min,
+    extent_max], a half-open last window would silently drop rows on
+    the dataset's max bound (no residual filter to re-apply)."""
+    r = _reader(
+        server="https://x/erddap",
+        dataset_id="unit_191",
+        partition_col="time",
+        partition_bounds="2024-01-01,2024-02-01,2024-03-01",
+    )
+    parts = r.partitions()
+    assert "time<2024-02-01" in r.request_url(parts[0])
+    assert "time<=2024-03-01" in r.request_url(parts[1])
+
+
+def test_transport_boundary_row_not_dropped(spark, tmp_path):
+    """End-to-end: the row sitting exactly on the final partition bound
+    is scanned."""
+    register(spark)
+    (tmp_path / "unit_b.csv").write_text(
+        "time,latitude,longitude,profile_id\n"
+        "2024-01-01T00:00:00,38.0,-73.0,0\n"
+        "2024-02-01T00:00:00,38.1,-73.1,1\n"
+        "2024-03-01T00:00:00,38.2,-73.2,2\n"
+    )
+    df = (
+        spark.read.format("erddap")
+        .schema(SCHEMA)
+        .option("server", f"file://{tmp_path}")
+        .option("dataset_id", "unit_b")
+        .option("partition_col", "time")
+        .option("partition_bounds", "2024-01-01,2024-02-01,2024-03-01")
+        .load()
+    )
+    assert sorted(r["profile_id"] for r in df.collect()) == [0, 1, 2]
+
+
+def test_reader_missing_values_become_null(spark, tmp_path):
+    """Gaps in integer/string columns land as NULL, not an Arrow crash
+    or the literal string 'nan' (pandas reads a gappy long column as
+    float64+NaN)."""
+    register(spark)
+    (tmp_path / "unit_n.csv").write_text(
+        "time,station,profile_id\n"
+        "2024-01-01T00:00:00,ru29,1\n"
+        "2024-01-02T00:00:00,,\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("time", T.TimestampType()),
+            T.StructField("station", T.StringType()),
+            T.StructField("profile_id", T.LongType()),
+        ]
+    )
+    rows = {
+        r["profile_id"]: r["station"]
+        for r in (
+            spark.read.format("erddap")
+            .schema(schema)
+            .option("server", f"file://{tmp_path}")
+            .option("dataset_id", "unit_n")
+            .load()
+            .collect()
+        )
+    }
+    assert rows == {1: "ru29", None: None}
+
+
+def test_pushed_string_filters_are_quoted_and_bools_declined(spark, tmp_path):
+    """String constraint values carry the tabledap double quotes (a bare
+    value is HTTP 400 on a live server); the file transport strips them,
+    so the pushed filter matches. Boolean filters are NOT pushed (no
+    tabledap literal form) — they stay Spark-side residuals."""
+    from pyspark.sql.datasource import EqualTo
+
+    r = _reader(server="https://x/erddap", dataset_id="unit_x")
+    residual = list(r.pushFilters([EqualTo(("station",), "ru29"),
+                                   EqualTo(("flag",), True)]))
+    assert 'station=%22ru29%22' in r.request_url() or 'station="ru29"' in (
+        r.request_url().replace("%22", '"')
+    )
+    assert len(residual) == 1  # the boolean came back as a residual
+    # end-to-end through the transport
+    register(spark)
+    (tmp_path / "unit_s.csv").write_text(
+        "time,station,profile_id\n"
+        "2024-01-01T00:00:00,ru29,1\n"
+        "2024-01-02T00:00:00,ru30,2\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("time", T.TimestampType()),
+            T.StructField("station", T.StringType()),
+            T.StructField("profile_id", T.LongType()),
+        ]
+    )
+    got = (
+        spark.read.format("erddap")
+        .schema(schema)
+        .option("server", f"file://{tmp_path}")
+        .option("dataset_id", "unit_s")
+        .load()
+        .where(F.col("station") == "ru29")
+        .collect()
+    )
+    assert [r["profile_id"] for r in got] == [1]
+
+
+def test_transport_distinct_applies_to_projection(spark, tmp_path):
+    """tabledap applies distinct() to the PROJECTED result — rows
+    differing only in unrequested columns must collapse."""
+    register(spark)
+    (tmp_path / "unit_d.csv").write_text(
+        "time,latitude,longitude,profile_id\n"
+        "2024-01-01T00:00:00,38.0,-73.0,1\n"
+        "2024-01-01T00:00:00,38.0,-73.5,2\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("time", T.TimestampType()),
+            T.StructField("latitude", T.DoubleType()),
+        ]
+    )
+    got = (
+        spark.read.format("erddap")
+        .schema(schema)
+        .option("server", f"file://{tmp_path}")
+        .option("dataset_id", "unit_d")
+        .option("distinct", "true")
+        .load()
+        .collect()
+    )
+    assert len(got) == 1  # server semantics: distinct over (time, lat)
