@@ -1953,89 +1953,60 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 8 window (exactly 50), honoring VERDICT r7's cap-new-at-~15
-    # directive: (a) the 4 NEW round-8 queries (CMS heavy-hitters
-    # frequent-items report, per-group bottom-k quantiles, incremental
-    # co-purchase PageRank maintenance — additive weight-table merge +
-    # warm-restart iteration — and deterministic weighted priority
-    # sampling); (b) ALL 33 entries whose latest green row is r4 — the
-    # pre-declared round-8 rotation priority carried verbatim from the
-    # r7 ledger (static rt_* client/sink surfaces + the r4 doc/emb/mm
-    # entries, re-verified locally every session by
-    # tests/test_queries_oracle.py); (c) 13 of the 50 entries whose
-    # latest green row is r5, chosen to lead with the fragile streaming
-    # + format-roundtrip surfaces (rt_jsonl_shards ... event_type_pivot
-    # below). After this round no entry's freshest green row predates
-    # r5, and the remaining 37 r5-latest entries are the ROUND-9
-    # ROTATION PRIORITY: calendar_ym_orders, calendar_ymd_events,
-    # daily_event_stats, daily_revenue_7d_ma, doc_containment_pairs,
-    # doc_dedup_recall, doc_dup_clusters, doc_exact_dups, doc_hll_tokens,
-    # doc_hybrid_search, doc_lang_id, doc_leakage_safe_split,
-    # doc_minhash_estimate, doc_minhash_lsh_pairs, doc_ngram_dup_pairs,
-    # doc_quality_filter, doc_rolling_fp, doc_segment_dedup, doc_simhash,
-    # doc_simhash_near_pairs, doc_temperature_mix, doc_text_stats,
-    # doc_token_counts, doc_token_rarity, emb_ivf_cluster_quality,
-    # emb_ivf_recall_curve, emb_knn_pq, emb_pq_codes, mm_pcm_stats,
-    # q10_returned_revenue, q12_ship_lateness, q18_large_orders,
-    # q19_disjunctive_revenue,
-    # user_funnel_windowed, user_summaries, users_click_no_purchase,
-    # yearly_counts — PLUS the 2 late round-8 additions that have never
-    # had a driver row (doc_incremental_dup_clusters — incremental CC
-    # via star-contraction of last night's labels — and
+    # round 9 window: clears the rotation backlog for good, per VERDICT
+    # r8 task #1. Composition: (a) the NEW round-9 queries (prepended as
+    # they land, capped at 11 so everything below still fits in the
+    # 50-entry window); (b) the 2 late round-8 additions that have never
+    # had a driver row (doc_incremental_dup_clusters — incremental CC via
+    # star-contraction of last night's labels — and
     # doc_weighted_sample_by_lang — per-group priority-sampling quota;
-    # both locally drive-sim green, the r6->r7 late-addition protocol).
-    # 37 + 2 = 39 slots, so r9 may add at most 11 new queries and the
-    # backlog clears in one more round.
-    "doc_cms_heavy_hitters",
-    "event_type_bottomk_quantiles",
-    "part_copurchase_pagerank_incremental",
-    "doc_weighted_sample",
-    "rt_plot_urls",
-    "rt_kml_coords",
-    "rt_info_card",
-    "rt_canned_filters",
-    "rt_csv_sink_roundtrip",
-    "rt_geo_track_points",
-    "rt_client_api_merge",
-    "rt_client_api_merge_right",
-    "rt_csv_batch_daily",
-    "rt_client_datasets",
-    "rt_json_records_typed",
-    "rt_stream_daily_counts",
-    "rt_dataset_profiles",
-    "rt_dataset_timeseries",
-    "rt_stream_dedup",
-    "doc_shard_stats",
-    "emb_semantic_dedup",
-    "doc_source_overlap",
-    "doc_dedup_keep_best",
-    "doc_domain_mix_plan",
-    "doc_domain_mix_sample",
-    "doc_bm25_search",
-    "doc_incremental_dedup",
-    "doc_repetition_signals",
-    "doc_source_stats",
-    "mm_pixel_stats",
-    "emb_quantize",
-    "emb_knn_ivf_refined",
-    "mm_thumbnails",
-    "doc_tfidf_terms",
-    "doc_chunks",
-    "doc_length_histogram",
-    "doc_vocab_stats",
-    "rt_jsonl_shards",
-    "rt_orc_roundtrip",
-    "rt_search_catalog",
-    "rt_stream_active_users",
-    "rt_stream_enrich",
-    "rt_stream_media",
-    "rt_stream_sessions",
-    "rt_stream_stateful",
-    "geo_user_tracks",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "event_type_pivot",
+    # both locally drive-sim green twice over); (c) ALL 37 entries whose
+    # latest green row is r5 — the pre-declared round-9 rotation priority
+    # carried verbatim from the r8 ledger. After this round no entry's
+    # freshest green row predates r6 and steady-state rotation
+    # (ceil(189+new / 50) ~= 4 rounds) begins with zero backlog. The
+    # NEXT-ROUND (r10) rotation priority is then simply the 50 entries
+    # whose latest green row is r6 (see CORRECTNESS_r06.json), plus any
+    # r10 additions.
+    "doc_incremental_dup_clusters",
+    "doc_weighted_sample_by_lang",
+    "calendar_ym_orders",
+    "calendar_ymd_events",
+    "daily_event_stats",
+    "daily_revenue_7d_ma",
+    "doc_containment_pairs",
+    "doc_dedup_recall",
+    "doc_dup_clusters",
+    "doc_exact_dups",
+    "doc_hll_tokens",
+    "doc_hybrid_search",
+    "doc_lang_id",
+    "doc_leakage_safe_split",
+    "doc_minhash_estimate",
+    "doc_minhash_lsh_pairs",
+    "doc_ngram_dup_pairs",
+    "doc_quality_filter",
+    "doc_rolling_fp",
+    "doc_segment_dedup",
+    "doc_simhash",
+    "doc_simhash_near_pairs",
+    "doc_temperature_mix",
+    "doc_text_stats",
+    "doc_token_counts",
+    "doc_token_rarity",
+    "emb_ivf_cluster_quality",
+    "emb_ivf_recall_curve",
+    "emb_knn_pq",
+    "emb_pq_codes",
+    "mm_pcm_stats",
+    "q10_returned_revenue",
+    "q12_ship_lateness",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "user_funnel_windowed",
+    "user_summaries",
+    "users_click_no_purchase",
+    "yearly_counts",
 )
 
 
