@@ -375,7 +375,9 @@ def cmd_freq_sketch(args) -> int:
     probes = exact.orderBy(
         SF.col("exact_freq").desc(), args.value_col
     ).limit(args.top)
-    out = cms_estimate(reg, probes, args.value_col)
+    # registers built two lines up with the same default geometry —
+    # clean by construction, skip the eager geometry-probe action
+    out = cms_estimate(reg, probes, args.value_col, validate=False)
     _emit(_render(out, args.response), args.output)
     return 0
 
@@ -412,7 +414,11 @@ def cmd_heavy_hitters(args) -> int:
     if threshold is None:
         total = df.count()
         threshold = max(1, int(total * args.phi))
-    out = cms_heavy_hitters(reg, exact, args.value_col, threshold)
+    # registers built in-session with the same default geometry —
+    # clean by construction, skip the eager geometry-probe action
+    out = cms_heavy_hitters(
+        reg, exact, args.value_col, threshold, validate=False
+    )
     _emit(_render(out, args.response), args.output)
     return 0
 
@@ -496,7 +502,11 @@ def cmd_quantiles(args) -> int:
     spark = _get_spark()
     df = _load(spark, args.input)
     reg = hist_registers(df, args.value_col, args.lo, args.hi, args.bins)
-    out = hist_quantiles(reg, args.q, args.lo, args.hi, args.bins)
+    # registers built one line up with the same (lo, hi, bins) — clean
+    # by construction, skip the eager geometry-probe action
+    out = hist_quantiles(
+        reg, args.q, args.lo, args.hi, args.bins, validate=False
+    )
     _emit(_render(out, args.response), args.output)
     return 0
 

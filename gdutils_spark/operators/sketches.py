@@ -313,6 +313,7 @@ def cms_estimate(
     value_col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    validate: bool = True,
 ) -> DataFrame:
     """Point-frequency estimates for each probe value: MIN over the
     ``depth`` counters the value hashes to. Adds ``cms_est`` to the
@@ -321,46 +322,56 @@ def cms_estimate(
     ``cms_est=0`` — the builder skips NULLs, so zero occurrences is the
     consistent (and deliberate) answer. The register table is
     aggregate-sized — broadcast — so probing is a map + one probe-keyed
-    aggregate."""
+    aggregate.
+
+    ``validate=False`` skips the eager geometry probe (one extra Spark
+    action per call) for callers whose registers are clean by
+    construction — same-session :func:`cms_registers` output with the
+    same ``depth``/``width`` — mirroring the :func:`~gdutils_spark.
+    operators.cdc.apply_cdc` convention. Keep the default for staged or
+    merged register tables: a geometry mismatch silently UNDER-estimates."""
     from gdutils_spark.operators.dedup import _md5_int64
 
     keep = list(probes.columns)
     _guard_probe_columns(
         probes, {"_h", "_rc", "row", "col", "cnt", "cms_est"}, "cms_estimate"
     )
-    # the geometry probe below is a SEPARATE action from the estimate's
-    # broadcast join, and shuffle reuse does not span actions — without
-    # a pin, the probe would run the whole register-build lineage once
-    # and the join would run it AGAIN (doubling the dominant aggregate
-    # for every uncached caller); the table is broadcast-sized, so the
-    # lazy checkpoint costs one tiny materialization
-    registers = registers.localCheckpoint(eager=False)
-    # fail-fast geometry probe (the hist_quantiles convention): a
-    # register built with a LARGER width/depth than declared here puts
-    # cells where no probe position can reach them — the (row, col)
-    # join misses, COALESCE fills 0, and MIN UNDER-estimates, silently
-    # breaking the sketch's never-undercount guarantee (and with it
-    # cms_heavy_hitters' no-false-negatives cut). LIMIT-bounded over
-    # the sketch-sized register table. The converse (built SMALLER)
-    # still over-estimates — safe — and stays the caller's contract.
-    bad_cell = (
-        registers.where(
-            (F.col("row") < 0)
-            | (F.col("row") >= depth)
-            | (F.col("col") < 0)
-            | (F.col("col") >= width)
+    if validate:
+        # the geometry probe below is a SEPARATE action from the
+        # estimate's broadcast join, and shuffle reuse does not span
+        # actions — without a pin, the probe would run the whole
+        # register-build lineage once and the join would run it AGAIN
+        # (doubling the dominant aggregate for every uncached caller);
+        # the table is broadcast-sized, so the lazy checkpoint costs one
+        # tiny materialization. validate=False is single-action — no pin.
+        registers = registers.localCheckpoint(eager=False)
+        # fail-fast geometry probe (the hist_quantiles convention): a
+        # register built with a LARGER width/depth than declared here
+        # puts cells where no probe position can reach them — the
+        # (row, col) join misses, COALESCE fills 0, and MIN
+        # UNDER-estimates, silently breaking the sketch's
+        # never-undercount guarantee (and with it cms_heavy_hitters'
+        # no-false-negatives cut). LIMIT-bounded over the sketch-sized
+        # register table. The converse (built SMALLER) still
+        # over-estimates — safe — and stays the caller's contract.
+        bad_cell = (
+            registers.where(
+                (F.col("row") < 0)
+                | (F.col("row") >= depth)
+                | (F.col("col") < 0)
+                | (F.col("col") >= width)
+            )
+            .limit(1)
+            .collect()
         )
-        .limit(1)
-        .collect()
-    )
-    if bad_cell:
-        raise ValueError(
-            f"cms_estimate: register cell (row={bad_cell[0]['row']}, "
-            f"col={bad_cell[0]['col']}) outside depth={depth} x "
-            f"width={width} — the register table was not built with "
-            "this geometry (or mixed-geometry sketches were merged); "
-            "probing it would silently UNDER-estimate"
-        )
+        if bad_cell:
+            raise ValueError(
+                f"cms_estimate: register cell (row={bad_cell[0]['row']}, "
+                f"col={bad_cell[0]['col']}) outside depth={depth} x "
+                f"width={width} — the register table was not built with "
+                "this geometry (or mixed-geometry sketches were merged); "
+                "probing it would silently UNDER-estimate"
+            )
     h = (_md5_int64(F.col(value_col).cast("string")) % CMS_PRIME).alias("_h")
     cols = _affine_positions(F.col("_h"), depth, width)
     cells = probes.select("*", h).select(
@@ -393,6 +404,7 @@ def cms_heavy_hitters(
     threshold: int,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    validate: bool = True,
 ) -> DataFrame:
     """Frequent-items (heavy hitters) report from a CMS register table:
     the candidate values whose estimated frequency reaches ``threshold``
@@ -419,7 +431,9 @@ def cms_heavy_hitters(
             f"cms_heavy_hitters: threshold={threshold} must be >= 1 "
             "(a zero threshold keeps every candidate — not a cut)"
         )
-    est = cms_estimate(registers, candidates, value_col, depth, width)
+    est = cms_estimate(
+        registers, candidates, value_col, depth, width, validate=validate
+    )
     return est.where(F.col("cms_est") >= threshold)
 
 
@@ -612,6 +626,7 @@ def hist_quantiles(
     lo: float,
     hi: float,
     n_bins: int = HIST_BINS,
+    validate: bool = True,
 ) -> DataFrame:
     """Quantile estimates from a histogram register table: for each
     ``q`` the continuous rank ``t = q·(N−1)`` (the ``quantile_cont``
@@ -641,20 +656,24 @@ def hist_quantiles(
     # the build's; LIMIT-bounded over the (sketch-sized) register table.
     # The converse gap remains the caller's contract: registers built
     # with FEWER bins all land inside the declared range undetected —
-    # keep (lo, hi, n_bins) with the staged sketch.
-    bad_bin = (
-        registers.where(
-            (F.col("bin") < 0) | (F.col("bin") >= n_bins)
+    # keep (lo, hi, n_bins) with the staged sketch. validate=False skips
+    # the probe (one eager action) for clean-by-construction callers —
+    # same-session hist_registers output with the same n_bins (the
+    # apply_cdc / cms_estimate convention).
+    if validate:
+        bad_bin = (
+            registers.where(
+                (F.col("bin") < 0) | (F.col("bin") >= n_bins)
+            )
+            .limit(1)
+            .collect()
         )
-        .limit(1)
-        .collect()
-    )
-    if bad_bin:
-        raise ValueError(
-            f"hist_quantiles: register bin {bad_bin[0]['bin']} outside "
-            f"[0, {n_bins}) — the register table was not built with "
-            "this n_bins (or mixed-geometry registers were merged)"
-        )
+        if bad_bin:
+            raise ValueError(
+                f"hist_quantiles: register bin {bad_bin[0]['bin']} outside "
+                f"[0, {n_bins}) — the register table was not built with "
+                "this n_bins (or mixed-geometry registers were merged)"
+            )
     spark = registers.sparkSession
     # a grouped register table (grp column) yields per-group estimates
     grouped = "grp" in registers.columns

@@ -679,3 +679,86 @@ def test_cms_estimate_rejects_mismatched_geometry(spark):
     probes = spark.createDataFrame([("x",)], "tok string")
     with pytest.raises(ValueError, match="geometry"):
         cms_estimate(big, probes, "tok")  # default depth=4, width covers neither
+
+
+def test_cms_estimate_validate_false_skips_probe_same_result(spark):
+    """The trusted-caller escape hatch (the apply_cdc convention): on a
+    clean register table validate=False returns identical estimates with
+    ZERO eager jobs at call time (the geometry probe is a collect() —
+    if it ran, the dedicated job-group counter moves)."""
+    from gdutils_spark.operators.sketches import cms_estimate, cms_registers
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",)], "tok string"
+    )
+    reg = cms_registers(df, "tok").localCheckpoint()
+    probes = spark.createDataFrame([("a",), ("c",), ("zzz",)], "tok string")
+    checked = {
+        r.tok: r.cms_est for r in cms_estimate(reg, probes, "tok").collect()
+    }
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("cms-validate-off", "cms-validate-off")
+    try:
+        trusted = cms_estimate(reg, probes, "tok", validate=False)
+    finally:
+        sc.setJobGroup(None, None)
+    ran = len(tracker.getJobIdsForGroup("cms-validate-off") or [])
+    assert ran == 0, "validate=False must not run the eager geometry probe"
+    assert {r.tok: r.cms_est for r in trusted.collect()} == checked
+    assert checked["a"] >= 2 and checked["c"] >= 3 and checked["zzz"] >= 0
+
+
+def test_cms_estimate_validate_false_caller_owns_geometry(spark):
+    """validate=False does NOT raise on registers validate=True rejects —
+    the documented trade: the caller owns the build geometry."""
+    from gdutils_spark.operators.sketches import cms_estimate
+
+    big = spark.createDataFrame(
+        [(0, 5, 3), (5, 2000, 7)], "row int, col int, cnt long"
+    )
+    probes = spark.createDataFrame([("x",)], "tok string")
+    # trusted path: no probe action, the (documented) under-estimate risk
+    # is the caller's — the call itself must not raise
+    assert cms_estimate(big, probes, "tok", validate=False).count() == 1
+
+
+def test_hist_quantiles_validate_false_skips_probe_same_result(spark):
+    """hist_quantiles' validate=False twin: identical estimates, zero
+    eager jobs at call time."""
+    from gdutils_spark.operators.sketches import hist_quantiles, hist_registers
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    reg = hist_registers(df, "v", 0.0, 100.0, 10).localCheckpoint()
+    checked = {
+        r.q: r.est
+        for r in hist_quantiles(reg, [0.25, 0.5], 0.0, 100.0, 10).collect()
+    }
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("hist-validate-off", "hist-validate-off")
+    try:
+        trusted = hist_quantiles(
+            reg, [0.25, 0.5], 0.0, 100.0, 10, validate=False
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    ran = len(tracker.getJobIdsForGroup("hist-validate-off") or [])
+    assert ran == 0, "validate=False must not run the eager geometry probe"
+    assert {r.q: r.est for r in trusted.collect()} == checked
+
+
+def test_cms_heavy_hitters_validate_flag_threads_through(spark):
+    """cms_heavy_hitters forwards validate= to the underlying estimate:
+    the bad-geometry register table raises by default, passes trusted."""
+    import pytest
+
+    from gdutils_spark.operators.sketches import cms_heavy_hitters
+
+    big = spark.createDataFrame(
+        [(0, 5, 3), (5, 2000, 7)], "row int, col int, cnt long"
+    )
+    cands = spark.createDataFrame([("x",)], "tok string")
+    with pytest.raises(ValueError, match="geometry"):
+        cms_heavy_hitters(big, cands, "tok", threshold=1)
+    cms_heavy_hitters(big, cands, "tok", threshold=1, validate=False).count()
