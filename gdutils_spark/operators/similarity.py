@@ -1539,6 +1539,83 @@ def _residual_codebook(
     return seed_resid
 
 
+def _encode_codes(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cids: np.ndarray,
+    CC: np.ndarray,
+    C: np.ndarray,
+    m: int,
+    residual: bool,
+) -> DataFrame:
+    """The fused assign+encode Arrow pass shared by :func:`ivfpq_index`
+    (initial build) and :func:`ivfpq_append` (nightly delta): one
+    ``mapInPandas`` over the vectors with BOTH codebooks broadcast,
+    yielding the ``(neighbor_id, centroid, subspace, code)`` relation.
+    The numpy kernels are verbatim :func:`_assign_to` (cosine argmax,
+    clamp, lowest-id tie via ascending cids) and :func:`pq_encode`
+    (dim-sequential distances, lowest-code argmin), so the same vector
+    encodes bit-identically whether it arrives in the initial build or
+    a later delta — the property that makes append == rebuild."""
+    spark = vectors.sparkSession
+    D = C.shape[1]
+    if D % m != 0:
+        raise ValueError(f"dimension {D} not divisible by m={m}")
+    sub = D // m
+    id_type_idx = vectors.schema[id_col].dataType.simpleString()
+    bc_idx = spark.sparkContext.broadcast((cids, CC, C))
+
+    def index(batches):
+        cids_b, CCb, Cb = bc_idx.value
+
+        def norms(X):
+            acc = X[:, 0] * X[:, 0]
+            for j in range(1, X.shape[1]):
+                acc = acc + X[:, j] * X[:, j]
+            return np.sqrt(acc)
+
+        nc = norms(CCb)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            acc = A[:, [0]] * CCb[:, 0][None, :]
+            for j in range(1, A.shape[1]):
+                acc = acc + A[:, [j]] * CCb[:, j][None, :]
+            scores = np.clip(acc / (norms(A)[:, None] * nc[None, :]), -1.0, 1.0)
+            best = scores.argmax(axis=1)
+            cell = cids_b[best]
+            # residual encoding: quantize x − centroid(x), not x (same
+            # subtract as _residual_of, so seeds/encodes agree exactly)
+            E = A - CCb[best] if residual else A
+            codes = np.empty((len(A), m), dtype=np.int32)
+            for s in range(m):
+                lo = s * sub
+                diff = E[:, [lo]] - Cb[:, lo][None, :]
+                d2 = diff * diff
+                for i in range(lo + 1, lo + sub):
+                    diff = E[:, [i]] - Cb[:, i][None, :]
+                    d2 = d2 + diff * diff
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "centroid": cell, "codes": list(codes)}
+            )
+
+    return (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(
+            index,
+            f"_id {id_type_idx}, centroid {id_type_idx}, codes array<int>",
+        )
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            "centroid",
+            F.posexplode("codes").alias("subspace", "code"),
+        )
+    )
+
+
 def ivfpq_index(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -1615,61 +1692,7 @@ def ivfpq_index(
         )
     else:
         _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
-    D = C.shape[1]
-    if D % m != 0:
-        raise ValueError(f"dimension {D} not divisible by m={m}")
-    sub = D // m
-    id_type_idx = vectors.schema[id_col].dataType.simpleString()
-    bc_idx = spark.sparkContext.broadcast((cids, CC, C))
-
-    def index(batches):
-        cids_b, CCb, Cb = bc_idx.value
-
-        def norms(X):
-            acc = X[:, 0] * X[:, 0]
-            for j in range(1, X.shape[1]):
-                acc = acc + X[:, j] * X[:, j]
-            return np.sqrt(acc)
-
-        nc = norms(CCb)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            acc = A[:, [0]] * CCb[:, 0][None, :]
-            for j in range(1, A.shape[1]):
-                acc = acc + A[:, [j]] * CCb[:, j][None, :]
-            scores = np.clip(acc / (norms(A)[:, None] * nc[None, :]), -1.0, 1.0)
-            best = scores.argmax(axis=1)
-            cell = cids_b[best]
-            # residual encoding: quantize x − centroid(x), not x (same
-            # subtract as _residual_of, so seeds/encodes agree exactly)
-            E = A - CCb[best] if residual else A
-            codes = np.empty((len(A), m), dtype=np.int32)
-            for s in range(m):
-                lo = s * sub
-                diff = E[:, [lo]] - Cb[:, lo][None, :]
-                d2 = diff * diff
-                for i in range(lo + 1, lo + sub):
-                    diff = E[:, [i]] - Cb[:, i][None, :]
-                    d2 = d2 + diff * diff
-                codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {"_id": pdf["_id"], "centroid": cell, "codes": list(codes)}
-            )
-
-    codes = (
-        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .mapInPandas(
-            index,
-            f"_id {id_type_idx}, centroid {id_type_idx}, codes array<int>",
-        )
-        .select(
-            F.col("_id").alias("neighbor_id"),
-            "centroid",
-            F.posexplode("codes").alias("subspace", "code"),
-        )
-    )
+    codes = _encode_codes(vectors, id_col, vec_col, cids, CC, C, m, residual)
     if stage_path is not None:
         codes.write.mode("overwrite").parquet(stage_path)
         # geometry sidecar: the built-SMALLER case (an index with fewer
@@ -1707,6 +1730,27 @@ def ivfpq_index(
             "coarse_refine_iters int, pq_refine_iters int",
         )
         meta.write.mode("overwrite").parquet(stage_path + "_meta")
+        # quantizer sidecar: the FROZEN matrices themselves (coarse
+        # centroids + PQ codebook), persisted next to the codes — the
+        # artifact that makes the staged index self-contained: a later
+        # session can append a delta batch (ivfpq_append) or rank probes
+        # (knn_ivf_pq via load_ivfpq_index(with_quantizer=True)) against
+        # EXACTLY the matrices this build encoded with, instead of
+        # re-deriving them from the (possibly grown) corpus. Tiny:
+        # (n_centroids + n_codes) rows of D doubles.
+        id_type_q = vectors.schema[id_col].dataType.simpleString()
+        quant = spark.createDataFrame(
+            [
+                ("coarse", i, _pykey(cids[i]), [float(x) for x in CC[i]])
+                for i in range(len(cids))
+            ]
+            + [
+                ("pq", i, None, [float(x) for x in C[i]])
+                for i in range(C.shape[0])
+            ],
+            f"part string, ord int, qid {id_type_q}, vec array<double>",
+        )
+        quant.write.mode("overwrite").parquet(stage_path + "_quantizer")
         codes = spark.read.parquet(stage_path)
     return codes
 
@@ -1720,7 +1764,8 @@ def load_ivfpq_index(
     n_centroids: int | None = None,
     coarse_refine_iters: int | None = None,
     pq_refine_iters: int | None = None,
-) -> DataFrame:
+    with_quantizer: bool = False,
+):
     """Read back a staged :func:`ivfpq_index` and VALIDATE its geometry
     sidecar against the search call's declared ``m`` / ``n_codes`` /
     ``residual`` — closing the gap the in-relation probe in
@@ -1739,7 +1784,16 @@ def load_ivfpq_index(
     queries to cells just as silently as a code-geometry mismatch. The
     checks are skipped when a knob is None (caller opted out) or when
     the sidecar recorded ``-1`` for a refine count (the build was handed
-    pre-trained matrices, provenance unknown)."""
+    pre-trained matrices, provenance unknown).
+
+    ``with_quantizer=True`` additionally loads the quantizer sidecar —
+    the FROZEN (coarse ids, coarse matrix) and PQ codebook the build
+    encoded with — and returns ``(codes, (cids, CC), C)`` ready to pass
+    straight to ``knn_ivf_pq(index=codes, coarse=(cids, CC),
+    codebook=C)``: the search then probes against exactly the build's
+    centroids instead of re-deriving seeds from the corpus (which, after
+    an :func:`ivfpq_append`, would no longer be the same corpus the
+    index was built from)."""
     from pyspark.errors import AnalysisException
 
     codes = spark.read.parquet(stage_path)
@@ -1784,7 +1838,114 @@ def load_ivfpq_index(
             "quantizer would mis-map queries to cells; rebuild or fix "
             "the call"
         )
+    if with_quantizer:
+        cids, CC, C = _load_quantizer(spark, stage_path)
+        return codes, (cids, CC), C
     return codes
+
+
+def _load_quantizer(spark, stage_path: str):
+    """Read the quantizer sidecar staged by :func:`ivfpq_index` back
+    into the driver-side ``(cids, CC, C)`` matrices (sidecar-sized —
+    n_centroids + n_codes rows). Rows come back in the build's ``ord``
+    so the matrices are bit-identical to what the build broadcast."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(stage_path + "_quantizer")
+            .orderBy("part", "ord")
+            .collect()
+        )
+    except AnalysisException as exc:
+        raise ValueError(
+            f"load_ivfpq_index: no quantizer sidecar at "
+            f"{stage_path}_quantizer — the index predates quantizer "
+            "staging; rebuild it with ivfpq_index(stage_path=...) to "
+            "append deltas or search with the frozen matrices"
+        ) from exc
+    coarse = [r for r in rows if r["part"] == "coarse"]
+    pq = [r for r in rows if r["part"] == "pq"]
+    cids = np.array([r["qid"] for r in coarse])
+    CC = np.array([r["vec"] for r in coarse], dtype=np.float64)
+    C = np.array([r["vec"] for r in pq], dtype=np.float64)
+    return cids, CC, C
+
+
+def ivfpq_append(
+    spark,
+    stage_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    validate: bool = True,
+) -> DataFrame:
+    """Append a delta batch to a STAGED :func:`ivfpq_index` without
+    touching the already-indexed corpus — the nightly-ingest surface
+    for the ANN pillar (dedup, graph and sketches each have one:
+    ``minhash_lsh_pairs_between``, ``pagerank(start_ranks=)`` /
+    ``connected_components_incremental``, ``*_merge``).
+
+    The delta is assigned + PQ-encoded against the FROZEN quantizer
+    from the stage's sidecar (the exact matrices the original build
+    broadcast — :func:`_encode_codes` is the same fused Arrow pass), so
+    appended codes are bit-identical to what a full rebuild over the
+    grown corpus with the same matrices would produce: append ==
+    rebuild, differential-tested. Cost is |delta| encode + one parquet
+    append; the existing code files are never rewritten or re-read. At
+    100 TB this is the normal operating mode — the quantizer is trained
+    once, the corpus grows nightly.
+
+    ``validate=True`` (default) runs one LIMIT-bounded probe asserting
+    no new id is already indexed — a duplicate id would carry TWO code
+    sets and rank twice in every search (the ``pagerank`` dup-seed
+    convention); ``validate=False`` skips the probe for feeds that are
+    disjoint by construction. The id column's TYPE is always checked
+    (driver-side, free): a mismatch would corrupt the staged schema.
+
+    Returns the full appended code relation (a fresh scan of
+    ``stage_path``). Quantizer training state is whatever the build
+    staged — appending never retrains; when cell balance degrades after
+    heavy growth, rebuild (that is the IVF trade, not a code path)."""
+    codes = spark.read.parquet(stage_path)
+    cids, CC, C = _load_quantizer(spark, stage_path)
+    meta = spark.read.parquet(stage_path + "_meta").collect()[0]
+    new_id_type = new_vectors.schema[id_col].dataType
+    staged_id_type = codes.schema["neighbor_id"].dataType
+    if new_id_type != staged_id_type:
+        raise ValueError(
+            f"ivfpq_append: {id_col} type {new_id_type.simpleString()} "
+            "does not match the staged index's id type "
+            f"{staged_id_type.simpleString()} — appending would corrupt "
+            "the staged schema"
+        )
+    if validate:
+        # one id-keyed semi join (subspace-0 rows only, so the probe
+        # scans |corpus| not |corpus|·m rows) + LIMIT(1); skippable
+        dup = (
+            new_vectors.select(F.col(id_col).alias("neighbor_id"))
+            .join(
+                codes.where(F.col("subspace") == 0).select("neighbor_id"),
+                "neighbor_id",
+                "left_semi",
+            )
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivfpq_append: id {dup[0]['neighbor_id']} is already "
+                "indexed — appending it again would carry two code sets "
+                "and rank the vector twice in every search; dedup the "
+                "feed (or pass validate=False for feeds disjoint by "
+                "construction)"
+            )
+    delta = _encode_codes(
+        new_vectors, id_col, vec_col, cids, CC, C,
+        int(meta["m"]), bool(meta["residual"]),
+    )
+    delta.write.mode("append").parquet(stage_path)
+    return spark.read.parquet(stage_path)
 
 
 def knn_ivf_pq(

@@ -1968,6 +1968,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # NEXT-ROUND (r10) rotation priority is then simply the 50 entries
     # whose latest green row is r6 (see CORRECTNESS_r06.json), plus any
     # r10 additions.
+    "emb_knn_ivfpq_appended",
     "doc_incremental_dup_clusters",
     "doc_weighted_sample_by_lang",
     "calendar_ym_orders",

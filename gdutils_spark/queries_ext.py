@@ -1308,6 +1308,50 @@ def emb_knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_SPLIT = 250  # base corpus = vec_id < SPLIT; the nightly delta appends
+
+
+def emb_knn_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN nightly-ingest chain, end to end: stage an IVF-PQ index over
+    the BASE corpus (vec_id < {split}), ``ivfpq_append`` the delta batch
+    against the FROZEN quantizer from the stage's sidecar (|delta|
+    encode + one parquet append — the indexed corpus is never re-read),
+    then search the appended index with the sidecar's matrices
+    (``load_ivfpq_index(with_quantizer=True)``). Because the seed
+    centroids/codebook are the lowest-id vectors and those live in the
+    base, the result must equal a from-scratch search over the grown
+    corpus — so the ORACLE is the full-corpus IVF-PQ SQL replay: any
+    dropped/mis-encoded delta vector or drifted quantizer breaks the
+    hash. At 100 TB this is the ANN family's normal operating mode
+    (train once, grow nightly); append == rebuild is differential-
+    tested bit-for-bit in tests/test_similarity.py."""
+    import os
+    import shutil
+    import tempfile
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    base = vectors.where(F.col("vec_id") < IVFPQ_SPLIT)
+    delta = vectors.where(F.col("vec_id") >= IVFPQ_SPLIT)
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    stage = os.path.join(tempfile.gettempdir(), "gdutils_ivfpq_appended")
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(stage + "_meta", ignore_errors=True)
+    shutil.rmtree(stage + "_quantizer", ignore_errors=True)
+    sim.ivfpq_index(
+        base, n_centroids=IVF_CENTROIDS, m=PQ_M, n_codes=PQ_K,
+        stage_path=stage,
+    )
+    sim.ivfpq_append(spark, stage, delta)
+    codes, coarse, codebook = sim.load_ivfpq_index(
+        spark, stage, m=PQ_M, n_codes=PQ_K, with_quantizer=True
+    )
+    return sim.knn_ivf_pq(
+        vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS,
+        n_probe=IVFPQ_PROBE, m=PQ_M, n_codes=PQ_K,
+        index=codes, coarse=coarse, codebook=codebook,
+    )
+
+
 def emb_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-vs-RESIDUAL encoding ablation at a fixed probe/bit budget:
     recall@k of the trained-coarse IVF-PQ search with raw seed
@@ -3912,8 +3956,11 @@ def event_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_id") % 2 == 1), "value", HIST_LO, HIST_HI,
         HIST_NBINS,
     )
+    # both half-register tables are built in-session with the same
+    # (lo, hi, n_bins) — clean by construction, skip the geometry probe
     ests = hist_quantiles(
-        hist_merge(ra, rb), list(HIST_QS), HIST_LO, HIST_HI, HIST_NBINS
+        hist_merge(ra, rb), list(HIST_QS), HIST_LO, HIST_HI, HIST_NBINS,
+        validate=False,
     )
     exact = e.agg(
         *[
@@ -4114,7 +4161,11 @@ def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = hist_registers(
         e, "value", HIST_LO, HIST_HI, HIST_NBINS, group_col="event_type"
     )
-    ests = hist_quantiles(reg, list(GHIST_QS), HIST_LO, HIST_HI, HIST_NBINS)
+    # registers built in-session with the same (lo, hi, n_bins) —
+    # clean by construction, skip the geometry-probe action
+    ests = hist_quantiles(
+        reg, list(GHIST_QS), HIST_LO, HIST_HI, HIST_NBINS, validate=False
+    )
     exact = e.groupBy(F.col("event_type").alias("grp")).agg(
         *[
             F.percentile(F.col("value"), F.lit(q)).alias(f"_e{int(q * 100)}")
@@ -4381,7 +4432,9 @@ def doc_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = cms_registers(toks, "token")
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_freq"))
     probes = exact.orderBy(F.col("exact_freq").desc(), "token").limit(CMS_PROBES)
-    est = cms_estimate(reg, probes, "token")
+    # registers built in-session with the default geometry — clean by
+    # construction, so skip the eager geometry-probe action
+    est = cms_estimate(reg, probes, "token", validate=False)
     return est.select(
         "token",
         "exact_freq",
@@ -5389,7 +5442,11 @@ def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = cms_registers(pairs.where(F.col("doc") % 2 == 0), "pair")
     rb = cms_registers(pairs.where(F.col("doc") % 2 == 1), "pair")
     exact = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("exact_freq"))
-    hh = cms_heavy_hitters(cms_merge(ra, rb), exact, "pair", threshold)
+    # both half-sketches are built in-session with the same default
+    # geometry — clean by construction, skip the geometry-probe action
+    hh = cms_heavy_hitters(
+        cms_merge(ra, rb), exact, "pair", threshold, validate=False
+    )
     return hh.select(
         "pair",
         "exact_freq",
@@ -5847,6 +5904,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_ivfpq": emb_knn_ivfpq,
     "emb_knn_ivfpq_trained": emb_knn_ivfpq_trained,
     "emb_knn_ivfpq_residual": emb_knn_ivfpq_residual,
+    "emb_knn_ivfpq_appended": emb_knn_ivfpq_appended,
     "emb_ivfpq_residual_recall": emb_ivfpq_residual_recall,
     "emb_pq_recall": emb_pq_recall,
     "events_hll_users_incremental": events_hll_users_incremental,
@@ -5960,6 +6018,11 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_ivfpq": _knn_ivfpq_sql(),
     "emb_knn_ivfpq_trained": _knn_ivfpq_trained_sql(),
     "emb_knn_ivfpq_residual": _ivfpq_arm_sql(True),
+    # the appended-index search must equal the from-scratch full-corpus
+    # replay (seeds are the lowest-id vectors, which live in the base) —
+    # the SAME SQL as emb_knn_ivfpq, but driven through the staged ->
+    # append -> load-with-quantizer chain on the Spark side
+    "emb_knn_ivfpq_appended": _knn_ivfpq_sql(),
     "emb_ivfpq_residual_recall": _ivfpq_residual_recall_sql(),
     "emb_pq_recall": _pq_recall_sql(),
     "events_hll_users_incremental": _hll_merge_sql(),

@@ -799,3 +799,141 @@ def test_knn_ivf_pq_staging_records_true_refine_budgets(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="coarse_refine_iters"):
         load_ivfpq_index(spark, path, m=4, n_codes=4, coarse_refine_iters=2)
+
+
+def test_ivfpq_append_equals_rebuild(embeddings, tmp_path):
+    """The nightly-ingest differential claim: appending a delta batch
+    to a staged index (frozen quantizer from the sidecar) yields
+    EXACTLY the code relation a full rebuild over the grown corpus
+    with the same matrices produces — append == rebuild, bit for bit,
+    both raw and residual arms."""
+    from pyspark.sql import functions as F
+
+    base = embeddings.where(F.col("vec_id") < 250)
+    delta = embeddings.where(F.col("vec_id") >= 250)
+    for residual, name in ((False, "raw"), (True, "res")):
+        path = str(tmp_path / f"appidx_{residual}")
+        sim.ivfpq_index(
+            base, n_centroids=8, m=4, n_codes=8, stage_path=path,
+            residual=residual,
+        )
+        appended = sim.ivfpq_append(
+            embeddings.sparkSession, path, delta
+        )
+        # rebuild over the grown corpus with the SAME frozen matrices
+        cids, CC, C = sim._load_quantizer(embeddings.sparkSession, path)
+        rebuilt = sim.ivfpq_index(
+            embeddings, n_centroids=8, m=4, n_codes=8,
+            residual=residual, _coarse=(cids, CC), _codebook=C,
+        )
+        key = lambda r: (r.neighbor_id, r.subspace)
+        got = sorted(appended.collect(), key=key)
+        want = sorted(rebuilt.collect(), key=key)
+        assert got == want, f"{name}: append != rebuild"
+        assert appended.count() == embeddings.count() * 4  # m rows per vec
+
+
+def test_ivfpq_append_search_equals_rebuilt_search(embeddings, tmp_path):
+    """End-to-end: searching the appended index with the frozen
+    quantizer (load_ivfpq_index(with_quantizer=True)) returns the same
+    top-k as searching a from-scratch index over the grown corpus —
+    the seeds derive from the lowest ids, which live in the base."""
+    from pyspark.sql import functions as F
+
+    spark = embeddings.sparkSession
+    base = embeddings.where(F.col("vec_id") < 250)
+    delta = embeddings.where(F.col("vec_id") >= 250)
+    queries = embeddings.where(F.col("vec_id") < 5)
+    kw = dict(k=3, n_centroids=8, n_probe=3, m=4, n_codes=8)
+    path = str(tmp_path / "sidx")
+    sim.ivfpq_index(base, n_centroids=8, m=4, n_codes=8, stage_path=path)
+    sim.ivfpq_append(spark, path, delta)
+    codes, coarse, codebook = sim.load_ivfpq_index(
+        spark, path, m=4, n_codes=8, with_quantizer=True
+    )
+    got = sorted(
+        sim.knn_ivf_pq(
+            embeddings, queries, index=codes, coarse=coarse,
+            codebook=codebook, **kw
+        ).collect()
+    )
+    want = sorted(sim.knn_ivf_pq(embeddings, queries, **kw).collect())
+    assert got == want
+
+
+def test_ivfpq_append_rejects_duplicate_ids(embeddings, tmp_path):
+    """A re-appended id would carry two code sets and rank twice in
+    every search — the default probe fails fast; validate=False is the
+    disjoint-by-construction escape hatch (caller owns the contract)."""
+    from pyspark.sql import functions as F
+
+    spark = embeddings.sparkSession
+    base = embeddings.where(F.col("vec_id") < 250)
+    path = str(tmp_path / "dupidx")
+    sim.ivfpq_index(base, n_centroids=8, m=4, n_codes=8, stage_path=path)
+    overlap = embeddings.where(F.col("vec_id").between(240, 260))
+    with pytest.raises(ValueError, match="already indexed"):
+        sim.ivfpq_append(spark, path, overlap)
+    # trusted path: no probe, the duplicate lands (documented trade)
+    out = sim.ivfpq_append(spark, path, overlap, validate=False)
+    assert out.where("neighbor_id = 245").count() == 8  # 2 code sets x m
+
+
+def test_ivfpq_append_rejects_id_type_mismatch(embeddings, tmp_path):
+    """An id-type mismatch would corrupt the staged parquet schema —
+    checked driver-side before any job runs, not validate-gated."""
+    from pyspark.sql import functions as F
+
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "tidx")
+    sim.ivfpq_index(
+        embeddings.where(F.col("vec_id") < 250),
+        n_centroids=8, m=4, n_codes=8, stage_path=path,
+    )
+    bad = embeddings.where(F.col("vec_id") >= 250).withColumn(
+        "vec_id", F.col("vec_id").cast("string")
+    )
+    with pytest.raises(ValueError, match="id type"):
+        sim.ivfpq_append(spark, path, bad, validate=False)
+
+
+def test_ivfpq_append_missing_quantizer_sidecar_raises(embeddings, tmp_path):
+    """An index staged before quantizer staging (codes + meta only)
+    cannot be appended to — the frozen matrices are gone; the error
+    says to restage rather than silently re-deriving drifted seeds."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = embeddings.sparkSession
+    path = str(tmp_path / "oldidx")
+    sim.ivfpq_index(
+        embeddings.where(F.col("vec_id") < 250),
+        n_centroids=8, m=4, n_codes=8, stage_path=path,
+    )
+    shutil.rmtree(path + "_quantizer")
+    with pytest.raises(ValueError, match="quantizer sidecar"):
+        sim.ivfpq_append(
+            spark, path, embeddings.where(F.col("vec_id") >= 250)
+        )
+
+
+def test_load_ivfpq_index_with_quantizer_roundtrip(embeddings, tmp_path):
+    """The quantizer sidecar round-trips the exact matrices the build
+    broadcast: coarse ids/vectors and codebook rows, in build order."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    spark = embeddings.sparkSession
+    base = embeddings.where(F.col("vec_id") < 250)
+    path = str(tmp_path / "qidx")
+    sim.ivfpq_index(base, n_centroids=8, m=4, n_codes=8, stage_path=path)
+    _codes, (cids, CC), C = sim.load_ivfpq_index(
+        spark, path, m=4, n_codes=8, with_quantizer=True
+    )
+    want_cids, want_CC = sim._seed_centroids(base, "vec_id", "embedding", 8)
+    _ids2, want_C = sim._seed_centroids(base, "vec_id", "embedding", 8)
+    assert cids.tolist() == want_cids.tolist()
+    assert np.array_equal(CC, want_CC)
+    assert np.array_equal(C, want_C)
