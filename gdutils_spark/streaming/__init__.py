@@ -449,6 +449,104 @@ def _version_committed(sess, snapshot_dir: str, v: int) -> bool:
     return bool(fs.exists(marker))
 
 
+def _read_small_text(sess, path: str) -> str | None:
+    """Contents of a tiny text file via the Hadoop FileSystem API (any
+    HDFS-compatible store), or None if absent/unreadable."""
+    try:
+        jvm = sess._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = Path(path)
+        fs = p.getFileSystem(sess._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            return str(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
+def _checkpoint_query_id(sess, checkpoint: str) -> str | None:
+    """The streaming query's PERSISTENT id from the checkpoint's
+    ``metadata`` file — written by the engine at first start and stable
+    across restarts of the SAME checkpoint, but regenerated when the
+    checkpoint dir is deleted/recreated. That makes it exactly the
+    lineage identity the versioned-snapshot protocol needs: same id ⇒
+    this run's batch ids continue the history that produced the
+    snapshot; new id ⇒ batch ids restarted from 0 over old history."""
+    import json
+
+    text = _read_small_text(sess, f"{checkpoint}/metadata")
+    if text is None:
+        return None
+    try:
+        return json.loads(text).get("id")
+    except Exception:
+        return None
+
+
+_IDENTITY_MARKER = "_checkpoint_id"
+
+
+def _guard_checkpoint_identity(sess, snapshot_dir: str, checkpoint: str):
+    """Close the silent-drop hole the committed-version replay skip
+    opens: with a RECREATED checkpoint (batch ids restart at 0) over a
+    snapshot dir holding old history, ``_version_committed(batch_id)``
+    is True for every replayed-looking id, so each new batch's changes
+    would be dropped without error until ids pass the old history. The
+    skip is only safe when the committed version was produced by THIS
+    checkpoint lineage — so the first batch of a fresh snapshot persists
+    the checkpoint's query id as ``<snapshot_dir>/_checkpoint_id``, and
+    every run verifies it before trusting any committed version.
+
+    Raises when the marker mismatches (checkpoint recreated, or two
+    queries aimed at one snapshot dir) or is missing over existing
+    history (unprovable lineage — pre-identity snapshot or wiped
+    marker); a mismatching/missing marker over an EMPTY history is
+    adopted silently (nothing to protect). No-op when the engine's
+    checkpoint metadata is unreadable (degrades to the pre-identity
+    protocol rather than failing healthy pipelines)."""
+    identity = _checkpoint_query_id(sess, checkpoint)
+    if identity is None:
+        return
+    marker = _read_small_text(sess, f"{snapshot_dir}/{_IDENTITY_MARKER}")
+    if marker == identity:
+        return
+    newest = snapshot_base_version(sess, snapshot_dir, before=1 << 62)
+    if newest is not None:
+        reason = (
+            f"identity marker {marker!r} does not match this "
+            f"checkpoint's query id {identity!r} — the checkpoint was "
+            "recreated over existing history (batch ids restarted), or "
+            "two queries share one snapshot dir"
+            if marker is not None
+            else "no identity marker next to existing committed history "
+            "— the snapshot predates identity staging or the marker was "
+            "wiped, so replay skips cannot be trusted"
+        )
+        raise RuntimeError(
+            f"versioned snapshot {snapshot_dir}: {reason}; the "
+            "committed-version replay skip would silently DROP new "
+            "batches whose ids collide with old versions. Point the "
+            "query at a fresh snapshot dir (or restore the original "
+            f"checkpoint; to adopt the history deliberately, write "
+            f"{snapshot_dir}/{_IDENTITY_MARKER} containing {identity!r})"
+        )
+    jvm = sess._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    p = Path(f"{snapshot_dir}/{_IDENTITY_MARKER}")
+    fs = p.getFileSystem(sess._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(identity, "utf-8"))
+    finally:
+        out.close()
+
+
 def _resolve_base(sess, snapshot_dir: str, batch_id: int, initial, empty):
     """Shared base-resolution for the versioned-snapshot writers, with
     the two silent-history-loss holes closed:
@@ -514,8 +612,15 @@ def stream_apply_cdc(
     freely; vacuuming the immediate predecessor of an in-flight batch
     (or recreating the checkpoint dir over existing history) raises
     instead of silently rebuilding from ``initial`` and discarding
-    every applied batch. Version listing goes through the Hadoop
-    FileSystem API so any HDFS-compatible store works. Each version is
+    every applied batch. The committed-version skip is additionally
+    gated on a checkpoint-identity marker
+    (``<snapshot_dir>/_checkpoint_id``, the engine's persistent query
+    id): a recreated checkpoint restarts batch ids at 0, which would
+    otherwise make every new batch look like a replay of old history
+    and be dropped WITHOUT error — the marker mismatch raises on the
+    first batch instead (:func:`_guard_checkpoint_identity`). Version
+    listing goes through the Hadoop FileSystem API so any
+    HDFS-compatible store works. Each version is
     a full copy-on-write snapshot — at 100 TB you'd partition the
     snapshot and rewrite only touched partitions; the merge itself
     already only shuffles on the key.
@@ -525,9 +630,18 @@ def stream_apply_cdc(
     from gdutils_spark.operators.cdc import apply_cdc
 
     payload = [c for c in changes.columns if c not in (op_col, seq_col)]
+    identity_ok = []  # per-run memo: the lineage can't change mid-run
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        if not identity_ok:
+            # BEFORE the committed-version skip: with a recreated
+            # checkpoint (batch ids restarted over old history) the skip
+            # below would silently drop every new batch whose id
+            # collides with an old version — the identity marker proves
+            # the committed versions belong to THIS checkpoint lineage
+            _guard_checkpoint_identity(sess, snapshot_dir, checkpoint)
+            identity_ok.append(True)
         if _version_committed(sess, snapshot_dir, batch_id):
             # crash landed between this version's parquet commit and the
             # checkpoint commit: the merge is a deterministic function of
@@ -588,8 +702,15 @@ def stream_merge_sketch(
     Returns the started ``StreamingQuery`` (caller owns stop/await).
     """
 
+    identity_ok = []  # per-run memo: the lineage can't change mid-run
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        if not identity_ok:
+            # before the skip — see stream_apply_cdc: a recreated
+            # checkpoint over old history must raise, not silently drop
+            _guard_checkpoint_identity(sess, snapshot_dir, checkpoint)
+            identity_ok.append(True)
         if _version_committed(sess, snapshot_dir, batch_id):
             # deterministic build/merge (the documented replay contract)
             # means the already-committed output is correct — skip, so

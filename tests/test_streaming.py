@@ -801,3 +801,117 @@ def test_stream_enrich_same_named_key_drops_duplicate(spark, stream_dirs):
         "SELECT COUNT(*) AS n, COUNT(user_id) AS nk FROM enrich_same_key"
     ).collect()[0]
     assert out["n"] == events.count() and out["nk"] == out["n"]
+
+
+def test_checkpoint_identity_guard_unit(spark, tmp_path):
+    """_guard_checkpoint_identity state machine: fresh snapshot adopts
+    the id; matching marker passes; mismatching marker over history
+    raises; mismatching marker over EMPTY history re-adopts (stale
+    marker from an aborted run protects nothing); marker missing over
+    existing history raises (unprovable lineage)."""
+    import json
+    import os
+
+    import pytest
+
+    from gdutils_spark.streaming import (
+        _IDENTITY_MARKER,
+        _guard_checkpoint_identity,
+    )
+
+    chk = str(tmp_path / "chk")
+    os.makedirs(chk)
+    with open(chk + "/metadata", "w") as f:
+        json.dump({"id": "run-A"}, f)
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    # fresh snapshot: adopt
+    _guard_checkpoint_identity(spark, snap, chk)
+    with open(f"{snap}/{_IDENTITY_MARKER}") as f:
+        assert f.read() == "run-A"
+    # same identity: pass
+    _guard_checkpoint_identity(spark, snap, chk)
+    # stale marker, EMPTY history: re-adopt silently
+    with open(f"{snap}/{_IDENTITY_MARKER}", "w") as f:
+        f.write("run-OLD")
+    _guard_checkpoint_identity(spark, snap, chk)
+    with open(f"{snap}/{_IDENTITY_MARKER}") as f:
+        assert f.read() == "run-A"
+    # commit a version, then recreate the checkpoint (new id): raise
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        f"{snap}/v=0"
+    )
+    with open(chk + "/metadata", "w") as f:
+        json.dump({"id": "run-B"}, f)
+    with pytest.raises(RuntimeError, match="recreated over existing"):
+        _guard_checkpoint_identity(spark, snap, chk)
+    # marker missing over existing history: unprovable lineage, raise
+    os.remove(f"{snap}/{_IDENTITY_MARKER}")
+    with pytest.raises(RuntimeError, match="no identity marker"):
+        _guard_checkpoint_identity(spark, snap, chk)
+    # unreadable checkpoint metadata: degrade to the old protocol
+    _guard_checkpoint_identity(spark, snap, str(tmp_path / "nochk"))
+
+
+def test_stream_apply_cdc_recreated_checkpoint_fails_not_drops(
+    spark, sf_smoke, tmp_path
+):
+    """The ADVICE r8 hole, end to end: after a successful run, wiping
+    the CHECKPOINT (not the snapshot) and streaming NEW changes must
+    FAIL the query — before the identity marker, batch 0's changes were
+    silently swallowed by the committed-version skip (v=0 existed from
+    the old lineage) and the snapshot stayed stale with no error."""
+    import shutil
+
+    import pytest
+
+    from gdutils_spark.streaming import stream_apply_cdc
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src, chk, snap = (str(tmp_path / d) for d in ("src", "chk", "snap"))
+    b1 = o.where(F.col("o_orderkey") % 10 == 0).withColumn("op", F.lit("D"))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = stream_apply_cdc(stream, snap, chk, keys=["o_orderkey"], initial=o)
+    assert q.awaitTermination(120)
+    # operator error: recreate the checkpoint, keep the snapshot
+    shutil.rmtree(chk)
+    b2 = o.where(F.col("o_orderkey") % 10 == 1).withColumn("op", F.lit("D"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(b1.schema).parquet(src)
+    q2 = stream_apply_cdc(stream2, snap, chk, keys=["o_orderkey"], initial=o)
+    with pytest.raises(Exception, match="versioned snapshot"):
+        q2.awaitTermination(120)
+
+
+def test_stream_apply_cdc_same_checkpoint_restart_appends(
+    spark, sf_smoke, tmp_path
+):
+    """The healthy restart path still works under the identity guard: a
+    SECOND run over the same checkpoint (same query id) picks up new
+    files and appends the next version."""
+    import glob
+
+    from gdutils_spark.streaming import stream_apply_cdc
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src, chk, snap = (str(tmp_path / d) for d in ("src", "chk", "snap"))
+    b1 = o.where(F.col("o_orderkey") % 10 == 0).withColumn("op", F.lit("D"))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = stream_apply_cdc(stream, snap, chk, keys=["o_orderkey"], initial=o)
+    assert q.awaitTermination(120)
+    b2 = o.where(F.col("o_orderkey") % 10 == 1).withColumn("op", F.lit("D"))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(b1.schema).parquet(src)
+    q2 = stream_apply_cdc(stream2, snap, chk, keys=["o_orderkey"], initial=o)
+    assert q2.awaitTermination(120)
+    versions = sorted(glob.glob(snap + "/v=*"))
+    assert len(versions) == 2
+    final = spark.read.parquet(versions[-1])
+    assert final.where("o_orderkey % 10 = 1").count() == 0
+    assert final.where("o_orderkey % 10 = 0").count() == 0
