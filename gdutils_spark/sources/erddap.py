@@ -162,8 +162,21 @@ def _constraint(f: Filter) -> str | None:
     if isinstance(v, str):
         value = f'"{v}"'
     elif hasattr(v, "isoformat"):
-        iso = v.isoformat()
-        value = iso if iso.endswith(("Z", "+00:00")) else iso + "Z"
+        # tz-AWARE values normalize to UTC before the Z suffix — naively
+        # appending Z to e.g. '...T00:00:00+05:00' is a malformed
+        # constraint AND a wrong instant; genuinely naive values are the
+        # UTC-pinned-session contract documented above
+        tzinfo = getattr(v, "tzinfo", None)
+        if tzinfo is not None:
+            from datetime import timezone
+
+            iso = v.astimezone(timezone.utc).isoformat()
+        else:
+            iso = v.isoformat()
+        value = (
+            iso[: -len("+00:00")] + "Z" if iso.endswith("+00:00")
+            else iso if iso.endswith("Z") else iso + "Z"
+        )
     elif isinstance(v, (int, float)):
         value = repr(v)
     else:
@@ -472,11 +485,23 @@ class ErddapSearchReader(DataSourceReader):
         else:
             # paginate: a catalog larger than itemsPerPage would
             # otherwise be silently TRUNCATED to the first page — keep
-            # requesting until a short page arrives
+            # requesting until a short page arrives. The short-page
+            # break is the NORMAL exit; when the catalog is an exact
+            # multiple of itemsPerPage the loop asks for one page past
+            # the end, which a live ERDDAP answers with an HTTP 404
+            # error document — treat that follow-up failure as the
+            # empty page it means instead of failing the whole read
+            # (a FIRST-page error still raises: that's a real problem,
+            # not exhausted pagination)
             frames = []
             page = self._page
             while True:
-                chunk = pd.read_csv(self.request_url(page))
+                try:
+                    chunk = pd.read_csv(self.request_url(page))
+                except Exception:
+                    if page == self._page:
+                        raise
+                    break
                 frames.append(chunk)
                 if len(chunk) < self._items_per_page:
                     break

@@ -449,3 +449,73 @@ def test_transport_distinct_applies_to_projection(spark, tmp_path):
         .collect()
     )
     assert len(got) == 1  # server semantics: distinct over (time, lat)
+
+
+def test_constraint_tz_aware_normalizes_to_utc():
+    """A tz-aware non-UTC timestamp must serialize as the UTC instant
+    with ONE Z suffix — naively appending Z to '...+05:00' is both a
+    malformed tabledap literal and a wrong time bound."""
+    from gdutils_spark.sources.erddap import _constraint
+
+    tz5 = dt.timezone(dt.timedelta(hours=5))
+    got = _constraint(
+        GreaterThanOrEqual(("time",), dt.datetime(2024, 1, 1, 5, 0, tzinfo=tz5))
+    )
+    assert got == "time>=2024-01-01T00:00:00Z"
+    # explicit-UTC aware value: same path, no double suffix
+    got = _constraint(
+        GreaterThanOrEqual(
+            ("time",), dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        )
+    )
+    assert got == "time>=2024-01-01T00:00:00Z"
+    # naive value keeps the UTC-pinned-session contract
+    got = _constraint(GreaterThanOrEqual(("time",), dt.datetime(2024, 1, 1)))
+    assert got == "time>=2024-01-01T00:00:00Z"
+
+
+def test_search_pagination_exact_multiple_tolerates_past_end(monkeypatch):
+    """A catalog row count that is an exact multiple of items_per_page
+    makes the paginator request one page past the end; a live server
+    answers that with an HTTP error document — it must be treated as
+    the empty page it means, not fail the whole read. A FIRST-page
+    error still raises."""
+    import pandas as pd
+
+    from gdutils_spark.sources.erddap import ErddapSearchReader
+
+    search_schema = T.StructType([T.StructField("dataset_id", T.StringType())])
+    from pyspark.sql.datasource import CaseInsensitiveDict
+
+    r = ErddapSearchReader(
+        search_schema,
+        CaseInsensitiveDict(
+            {"server": "https://x/erddap", "items_per_page": "2"}
+        ),
+    )
+    pages = {
+        1: pd.DataFrame({"Dataset ID": ["a", "b"]}),
+        2: pd.DataFrame({"Dataset ID": ["c", "d"]}),  # exact multiple...
+    }
+
+    def fake_read_csv(url):
+        import urllib.parse
+
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
+        page = int(q["page"][0])
+        if page not in pages:  # ...so page 3 is a server error document
+            raise ValueError("HTTP 404: Resource not found")
+        return pages[page]
+
+    monkeypatch.setattr(pd, "read_csv", fake_read_csv)
+    got = [row[0] for row in r.read(None)]
+    assert got == ["a", "b", "c", "d"]
+    # first-page failure is a real error, not exhausted pagination
+    r_empty = ErddapSearchReader(
+        search_schema,
+        CaseInsensitiveDict(
+            {"server": "https://x/erddap", "items_per_page": "2", "page": "9"}
+        ),
+    )
+    with pytest.raises(ValueError, match="404"):
+        list(r_empty.read(None))
