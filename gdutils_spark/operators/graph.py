@@ -423,6 +423,8 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     n_iters: int = 3,
+    start_labels: DataFrame | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, Phys. Rev. E 76) — ``(node, label)`` after ``n_iters``
@@ -446,6 +448,20 @@ def label_propagation(
     discipline). Fixed iterations rather than convergence detection:
     synchronous LPA can two-cycle on bipartite structure, and a bounded
     chain is what both a 100 TB budget and an oracle replay want.
+
+    ``start_labels``: optional ``(node, label)`` seed — the
+    INCREMENTAL-maintenance path (the :func:`pagerank`
+    ``start_ranks=`` convention): after a delta-batch of edges merges
+    into the graph, seed from last night's converged labels and run 1–2
+    rounds instead of the full budget — settled communities re-adopt
+    their label immediately, so the propagation work concentrates where
+    the delta touched. Seeding is a left join FROM the current node set:
+    genuinely new nodes seed with their own id, seed rows for departed
+    nodes are ignored, and the node-sized join is the whole incremental
+    cost. Duplicate seed node rows are rejected under ``validate=True``
+    (they would double-count that node's vote in every neighbor tally);
+    ``validate=False`` skips the eager probe for labelings that are
+    unique by construction (this function's own output is).
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -456,12 +472,31 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    lab = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=False)
-    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    if start_labels is None:
+        lab = nodes.select("node", F.col("node").alias("label"))
+    else:
+        seed = start_labels.select("node", F.col("label").alias("_seed"))
+        if validate:
+            dup = (
+                seed.groupBy("node")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"label_propagation: start_labels has duplicate rows "
+                    f"for node {dup[0]['node']} — each duplicate would "
+                    "double-count that node's vote in every neighbor "
+                    "tally; dedup the seed (or pass validate=False for "
+                    "labelings unique by construction)"
+                )
+        lab = nodes.join(seed, "node", "left").select(
+            "node", F.coalesce(F.col("_seed"), F.col("node")).alias("label")
+        )
+    lab = lab.localCheckpoint(eager=False)
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("label")
     )

@@ -1969,6 +1969,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # whose latest green row is r6 (see CORRECTNESS_r06.json), plus any
     # r10 additions.
     "emb_knn_ivfpq_appended",
+    "part_copurchase_communities_incremental",
     "doc_incremental_dup_clusters",
     "doc_weighted_sample_by_lang",
     "calendar_ym_orders",

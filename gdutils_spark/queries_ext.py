@@ -5727,6 +5727,109 @@ def _pagerank_incr_sql() -> str:
     return f"WITH {body}" + _pr_top_sql("prm")
 
 
+LPA_INCR_ITERS = 2  # yesterday's budget; the restart adds ONE catch-up round
+
+
+def part_copurchase_communities_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL community maintenance — the fourth graph surface to
+    get a nightly-ingest form (PageRank warm-starts, CC
+    star-contracts, sketches merge): the co-purchase DISTINCT edge set
+    decomposes losslessly over an orderkey split (distinct-of-union ==
+    union-of-distincts), so tonight's delta edges union into
+    yesterday's set and label propagation RESEEDS from yesterday's
+    converged labels (``start_labels=``) for ONE catch-up round instead
+    of the full budget — settled communities re-adopt their label
+    immediately, so the work concentrates where the delta touched. New
+    nodes seed with their own id via the node-sized left join. The
+    oracle replays the whole fixed chain (base rounds + union + seeded
+    round) as CTEs; all-integer labels/counts, no float surface."""
+    from gdutils_spark.operators.graph import label_propagation
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    # ONE batch-tagged self-join builds both halves' edge sets (the
+    # part_copurchase_pagerank_incremental convention); pinned — it
+    # feeds the base rounds and the merged round
+    a, b = li.alias("a"), li.alias("b")
+    tagged = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")),
+        )
+        .select(
+            F.col("a.p").alias("src"),
+            F.col("b.p").alias("dst"),
+            (F.col("a.o") % PR_INCR_MOD == 0).alias("is_delta"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    eb = tagged.where(~F.col("is_delta")).select("src", "dst")
+    em = tagged.select("src", "dst").distinct()
+    base_lab = label_propagation(eb, n_iters=LPA_INCR_ITERS)
+    # validate=False: the seed is this operator's own output (unique
+    # node rows by construction)
+    lab = label_propagation(
+        em, n_iters=1, start_labels=base_lab, validate=False
+    )
+    return lab.select(
+        F.col("node").alias("part"), F.col("label").alias("community")
+    )
+
+
+def _lpa_incr_iteration_ctes(i: int, ed: str, prev: str, new: str) -> list:
+    """One synchronous LPA round as CTEs — the EXACT operator mirror
+    including the no-in-neighbor carry-forward left join (the Spark
+    side always applies it; on the both-directions co-purchase graph it
+    is a no-op, but the oracle should not rely on that)."""
+    return [
+        f"""a{i} AS (
+  SELECT ed.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {ed} ed JOIN {prev} l ON l.node = ed.src GROUP BY 1, 2)""",
+        f"""b{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM a{i}) WHERE rn = 1)""",
+        f"""{new} AS MATERIALIZED (
+  SELECT l.node, COALESCE(b.label, l.label) AS label
+  FROM {prev} l LEFT JOIN b{i} b USING (node))""",
+    ]
+
+
+def _lpa_incr_sql() -> str:
+    ctes = [
+        "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        f"""tag AS MATERIALIZED (
+  SELECT DISTINCT a.p AS src, b.p AS dst, a.o % {PR_INCR_MOD} = 0 AS is_delta
+  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p)""",
+        "edb AS MATERIALIZED (SELECT DISTINCT src, dst FROM tag WHERE NOT is_delta)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edb)",
+    ]
+    for i in range(1, LPA_INCR_ITERS + 1):
+        ctes += _lpa_incr_iteration_ctes(i, "edb", f"l{i - 1}", f"l{i}")
+    ctes += [
+        "edm AS MATERIALIZED (SELECT DISTINCT src, dst FROM tag)",
+        "nodesm AS (SELECT DISTINCT src AS node FROM edm)",
+        f"""seed AS MATERIALIZED (
+  SELECT nd.node, COALESCE(p.label, nd.node) AS label
+  FROM nodesm nd LEFT JOIN l{LPA_INCR_ITERS} p USING (node))""",
+    ]
+    ctes += _lpa_incr_iteration_ctes(
+        LPA_INCR_ITERS + 1, "edm", "seed", "lm"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node AS part, label AS community FROM lm
+"""
+
+
 def doc_incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup clustering — completing the nightly-ingest
     chain that ``doc_incremental_dedup`` starts: last night's clusters
@@ -5921,6 +6024,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_cosine_pairs": doc_cosine_pairs,
     "part_copurchase_pagerank_weighted": part_copurchase_pagerank_weighted,
     "part_copurchase_pagerank_incremental": part_copurchase_pagerank_incremental,
+    "part_copurchase_communities_incremental": part_copurchase_communities_incremental,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -6039,6 +6143,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_cosine_pairs": _COSINE_PAIRS_SQL,
     "part_copurchase_pagerank_weighted": _pagerank_sql(weighted=True),
     "part_copurchase_pagerank_incremental": _pagerank_incr_sql(),
+    "part_copurchase_communities_incremental": _lpa_incr_sql(),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),

@@ -541,3 +541,79 @@ def test_pagerank_rejects_duplicate_seed_rows(spark):
     clean = spark.createDataFrame([(1, 0.5), (2, 0.5)], "node long, pr double")
     got = {r.node: r.pr for r in pagerank(df, n_iters=0, start_ranks=clean).collect()}
     assert got == {1: 0.5, 2: 0.5}
+
+
+def test_label_propagation_start_labels_equals_continued_chain(spark):
+    """Warm-start correctness: seeding round k+1 from the round-k label
+    vector must equal running k+1 rounds from scratch — synchronous LPA
+    is a deterministic function of (edges, label vector), so the chain
+    composes. This is the property the incremental nightly path relies
+    on when the delta is empty."""
+    import random
+
+    from gdutils_spark.operators.graph import label_propagation
+
+    rng = random.Random(13)
+    edge_list = sorted({(rng.randrange(14), rng.randrange(14)) for _ in range(60)})
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edge_list += [(b, a) for a, b in edge_list]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    lab2 = label_propagation(df, n_iters=2)
+    seeded = {
+        r.node: r.label
+        for r in label_propagation(
+            df, n_iters=1, start_labels=lab2
+        ).collect()
+    }
+    scratch = {
+        r.node: r.label for r in label_propagation(df, n_iters=3).collect()
+    }
+    assert seeded == scratch
+
+
+def test_label_propagation_start_labels_new_and_departed_nodes(spark):
+    """Seed semantics mirror pagerank(start_ranks=): nodes absent from
+    the seed start with their own id; seed rows for nodes no longer in
+    the graph are ignored (a departed node cannot resurrect)."""
+    from gdutils_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2), (2, 3)], "src long, dst long"
+    )
+    # seed labels 1,2 into community 9; node 3 is NEW (absent); node 99
+    # departed (present in the seed, absent from the graph)
+    seed = spark.createDataFrame(
+        [(1, 9), (2, 9), (99, 7)], "node long, label long"
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(
+            edges, n_iters=0, start_labels=seed
+        ).collect()
+    }
+    assert got == {1: 9, 2: 9, 3: 3}  # no node 99 row
+    # one round: 3's only in-neighbor is 2 (label 9) -> adopts 9
+    got1 = {
+        r.node: r.label
+        for r in label_propagation(
+            edges, n_iters=1, start_labels=seed
+        ).collect()
+    }
+    assert got1[3] == 9
+
+
+def test_label_propagation_duplicate_seed_rows_rejected(spark):
+    """Duplicate seed node rows would double-count that node's vote in
+    every tally — reject under validate (default), pass when trusted."""
+    from gdutils_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    dup = spark.createDataFrame(
+        [(1, 5), (1, 6), (2, 5)], "node long, label long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        label_propagation(edges, n_iters=1, start_labels=dup)
+    # trusted path: no probe (caller owns uniqueness) — must not raise
+    label_propagation(
+        edges, n_iters=1, start_labels=dup, validate=False
+    ).collect()
