@@ -348,6 +348,141 @@ def triangle_count(
     )
 
 
+def triangle_count_incremental(
+    base_counts: DataFrame,
+    base_edges: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Maintain :func:`triangle_count` under a nightly edge delta
+    WITHOUT re-running the O(m^{3/2}) wedge enumeration over the
+    merged graph — the graph family's fourth incremental surface.
+
+    Every triangle of the merged graph either (a) uses only old edges —
+    already counted in ``base_counts`` (the prior :func:`triangle_count`
+    output; only its ``node``/``n_triangles`` columns are consumed —
+    degrees are recomputed because the delta changes them), or (b)
+    contains at least one NEW edge — enumerated here exactly once by
+    anchoring the degree-ordered wedge generation on the new edges:
+    wedges whose FIRST edge is new (× any second edge), wedges whose
+    first edge is old and second is new, and old-old wedges closed by a
+    new edge (the closer's orientation already implies the wedge's
+    rank order, so the three cases are disjoint and complete). The sum
+    is exact — differential-tested equal to a full re-run.
+
+    Cost shape: one LINEAR pass over the merged edge list (canonical
+    dedup + degree + orientation — unavoidable, the delta changes both
+    degrees and orientations), then wedge work proportional to
+    |delta|·√m instead of m^{3/2}. Delta edges already present in the
+    corpus are dropped by an anti-join (re-sending an edge is a no-op),
+    so the operator is idempotent over at-least-once feeds.
+    """
+    canon = lambda df: (
+        df.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    eb = canon(base_edges).localCheckpoint(eager=False)
+    dn = canon(delta_edges).join(eb, ["u", "v"], "left_anti")
+    e = (
+        eb.withColumn("nw", F.lit(False))
+        .unionByName(dn.withColumn("nw", F.lit(True)))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("u"), F.col("degree").alias("du")),
+        "u",
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")),
+        "v",
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        F.col("nw"),
+    ).localCheckpoint(eager=False)
+    new_o = oriented.where(F.col("nw"))
+    old_o = oriented.where(~F.col("nw"))
+    rank_lt = lambda l, r: (F.col(f"{l}.db") < F.col(f"{r}.db")) | (
+        (F.col(f"{l}.db") == F.col(f"{r}.db"))
+        & (F.col(f"{l}.b") < F.col(f"{r}.b"))
+    )
+    wedge = lambda left, right: left.alias("o1").join(
+        right.alias("o2"),
+        (F.col("o1.a") == F.col("o2.a")) & rank_lt("o1", "o2"),
+    ).select(
+        F.col("o1.a").alias("c"),
+        F.col("o1.b").alias("x"),
+        F.col("o2.b").alias("y"),
+    )
+    # (1) first wedge edge new; (2) first old, second new — together:
+    # every wedge with >=1 new edge, each exactly once; closed by ANY
+    # merged edge
+    w_new = wedge(new_o, oriented).unionByName(wedge(old_o, new_o))
+    closers = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri_w = w_new.join(closers, ["x", "y"], "left_semi")
+    # (3) both wedge edges old, closer NEW: anchor on the new closer
+    # (x -> y); its orientation implies rank(x) < rank(y), so this is
+    # the same unique oriented triangle the full algorithm generates
+    tri_c = (
+        new_o.alias("cl")
+        .join(old_o.alias("e1"), F.col("e1.b") == F.col("cl.a"))
+        .join(
+            old_o.alias("e2"),
+            (F.col("e2.a") == F.col("e1.a"))
+            & (F.col("e2.b") == F.col("cl.b")),
+        )
+        .select(
+            F.col("e1.a").alias("c"),
+            F.col("cl.a").alias("x"),
+            F.col("cl.b").alias("y"),
+        )
+    )
+    inc = (
+        tri_w.unionByName(tri_c)
+        .select(F.explode(F.array("c", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_inc"))
+    )
+    base = base_counts.select(
+        "node", F.col("n_triangles").alias("_base")
+    )
+    n_tri = F.coalesce(F.col("_base"), F.lit(0).cast("long")) + F.coalesce(
+        F.col("_inc"), F.lit(0).cast("long")
+    )
+    return (
+        deg.join(base, "node", "left")
+        .join(inc, "node", "left")
+        .select(
+            "node",
+            "degree",
+            n_tri.alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.lit(2) * n_tri).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -1970,6 +1970,7 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # r10 additions.
     "emb_knn_ivfpq_appended",
     "part_copurchase_communities_incremental",
+    "part_copurchase_triangles_incremental",
     "doc_incremental_dup_clusters",
     "doc_weighted_sample_by_lang",
     "calendar_ym_orders",

@@ -4850,9 +4850,14 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _triangles_sql() -> str:
+def _triangles_sql(li_pred: str = "TRUE") -> str:
+    """Full triangle-report replay (degree-ordered orientation), shared
+    by the batch query and the incremental one (whose oracle IS the
+    full-corpus replay — incremental == rebuild is the pinned claim);
+    ``li_pred`` restricts the lineitem universe."""
     return f"""
-WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE {li_pred}),
 eu AS (SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
        FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
 deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
@@ -5730,6 +5735,58 @@ def _pagerank_incr_sql() -> str:
 LPA_INCR_ITERS = 2  # yesterday's budget; the restart adds ONE catch-up round
 
 
+def part_copurchase_triangles_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL exact triangle maintenance — no graph surface left
+    batch-only: base counts stay valid for all-old triangles, and only
+    triangles containing a NEW edge are enumerated, by anchoring the
+    degree-ordered wedge generation on the delta
+    (:func:`~gdutils_spark.operators.graph.triangle_count_incremental`:
+    |delta|-anchored wedge joins + one linear re-orientation pass,
+    never the O(m^{3/2}) enumeration). The oracle computes the FULL
+    merged-graph report directly — incremental == rebuild is the
+    hash-checked claim (the differential twin is bit-exact in
+    tests/test_graph.py). Universe: even part keys (the
+    doc_incremental_dup_clusters convention — this entry simulates
+    BOTH nights, so it pays base + incremental in one bench row);
+    delta = orders with orderkey ≡ 0 (mod ``PR_INCR_MOD``). Top
+    ``TRI_TOP`` parts, fully tie-broken."""
+    from gdutils_spark.operators.graph import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 2 == 0
+    ).select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    a, b = li.alias("a"), li.alias("b")
+    tagged = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(
+            F.col("a.p").alias("src"),
+            F.col("b.p").alias("dst"),
+            (F.col("a.o") % PR_INCR_MOD == 0).alias("is_delta"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    eb = tagged.where(~F.col("is_delta")).select("src", "dst")
+    dl = tagged.where(F.col("is_delta")).select("src", "dst")
+    base = triangle_count(eb)
+    tri = triangle_count_incremental(base, eb, dl)
+    return (
+        tri.orderBy(F.col("n_triangles").desc(), F.col("node"))
+        .limit(TRI_TOP)
+        .select(F.col("node").alias("part"), "degree", "n_triangles", "lcc")
+    )
+
+
 def part_copurchase_communities_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6025,6 +6082,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_copurchase_pagerank_weighted": part_copurchase_pagerank_weighted,
     "part_copurchase_pagerank_incremental": part_copurchase_pagerank_incremental,
     "part_copurchase_communities_incremental": part_copurchase_communities_incremental,
+    "part_copurchase_triangles_incremental": part_copurchase_triangles_incremental,
     "customer_rfm_scores": customer_rfm_scores,
     "event_type_daily_zscore": event_type_daily_zscore,
     "doc_cms_token_freq": doc_cms_token_freq,
@@ -6144,6 +6202,7 @@ EXT_ORACLE: dict[str, str] = {
     "part_copurchase_pagerank_weighted": _pagerank_sql(weighted=True),
     "part_copurchase_pagerank_incremental": _pagerank_incr_sql(),
     "part_copurchase_communities_incremental": _lpa_incr_sql(),
+    "part_copurchase_triangles_incremental": _triangles_sql("p % 2 = 0"),
     "customer_rfm_scores": _RFM_SQL,
     "event_type_daily_zscore": _ZSCORE_SQL,
     "doc_cms_token_freq": _cms_sql(),

@@ -617,3 +617,62 @@ def test_label_propagation_duplicate_seed_rows_rejected(spark):
     label_propagation(
         edges, n_iters=1, start_labels=dup, validate=False
     ).collect()
+
+
+def test_triangle_count_incremental_equals_full_rerun(spark):
+    """The exact-delta claim: base counts + triangles containing >=1
+    new edge == a full re-run over the merged graph, bit for bit
+    (integer counts, one shared IEEE division for lcc) — including new
+    nodes, changed degrees/orientations, and delta edges that duplicate
+    corpus edges (idempotent no-ops)."""
+    import random
+
+    from gdutils_spark.operators.graph import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    rng = random.Random(17)
+    all_edges = sorted({
+        (rng.randrange(30), rng.randrange(30)) for _ in range(150)
+    })
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    base_list = [e for e in all_edges if (e[0] + e[1]) % 5 != 0]
+    delta_list = [e for e in all_edges if (e[0] + e[1]) % 5 == 0]
+    # at-least-once feed: the delta re-sends some corpus edges (and a
+    # reversed duplicate) — the anti-join must no-op them
+    delta_list += base_list[:5] + [(b, a) for a, b in base_list[5:8]]
+    base = spark.createDataFrame(base_list, "src long, dst long")
+    delta = spark.createDataFrame(delta_list, "src long, dst long")
+    merged = spark.createDataFrame(all_edges, "src long, dst long")
+    want = sorted(triangle_count(merged).collect())
+    got = sorted(
+        triangle_count_incremental(
+            triangle_count(base), base, delta
+        ).collect()
+    )
+    assert got == want
+    # sanity: the delta genuinely created triangles (the test is live)
+    base_total = sum(r.n_triangles for r in triangle_count(base).collect())
+    assert sum(r.n_triangles for r in want) > base_total > 0
+
+
+def test_triangle_count_incremental_empty_delta_is_identity(spark):
+    """An empty delta must reproduce the base report exactly (degrees
+    and lcc included) — the no-op nightly run."""
+    from gdutils_spark.operators.graph import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    want = sorted(triangle_count(edges).collect())
+    got = sorted(
+        triangle_count_incremental(
+            triangle_count(edges), edges, empty
+        ).collect()
+    )
+    assert got == want
