@@ -142,7 +142,10 @@ def _make_wav_parser():
         while i + 8 <= len(p):
             cid = p[i : i + 4]
             size = int.from_bytes(p[i + 4 : i + 8], "little")
-            if cid == b"fmt " and i + 24 <= len(p):
+            # a declared fmt size < 16 means the PCM fields below would
+            # read the NEXT chunk's bytes as rate/channels — garbage
+            # metadata from a malformed file; require the full PCM fmt
+            if cid == b"fmt " and size >= 16 and i + 24 <= len(p):
                 channels = int.from_bytes(p[i + 10 : i + 12], "little")
                 rate = int.from_bytes(p[i + 12 : i + 16], "little")
                 byte_rate = int.from_bytes(p[i + 16 : i + 20], "little")
@@ -336,13 +339,24 @@ def _make_png_codec():
     import zlib
 
     _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+    # decompressed-pixel budget per blob: IHDR dims are UNTRUSTED input,
+    # and zlib expands ~1000:1 — a 1 MB "image" claiming 30000x30000
+    # RGBA would otherwise decompress ~3.6 GB inside the executor (a
+    # classic decompression-bomb DoS against the whole ingest job).
+    # 64 MiB covers any plot/thumbnail-sized PNG by orders of magnitude;
+    # genuinely larger rasters belong in a tiled format, not this codec.
+    _MAX_PIXEL_BYTES = 1 << 26
 
     def decode_png(p: bytes | None):
         """→ (width, height, channels, bytearray row-major pixels) or
         None for anything that isn't a supported 8-bit PNG — including
         structurally corrupt streams (declared chunk lengths past the
         payload end must yield None, never an exception: one bad blob
-        must not fail the whole job)."""
+        must not fail the whole job) and decompression bombs: a declared
+        pixel buffer beyond the 64 MiB budget yields None, and the IDAT
+        inflate is CAPPED at what the declared dims need — an overlong
+        stream is truncated there (decoders tolerate trailing data)
+        instead of materializing."""
         p = p or b""
         if len(p) < 33 or p[:8] != b"\x89PNG\r\n\x1a\n":
             return None
@@ -364,6 +378,8 @@ def _make_png_codec():
                 if depth != 8 or interlace != 0 or color not in _CHANNELS:
                     return None
                 channels = _CHANNELS[color]
+                if h * (w * channels + 1) > _MAX_PIXEL_BYTES:
+                    return None  # bomb guard: untrusted dims, bounded RAM
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -371,12 +387,17 @@ def _make_png_codec():
             i += 12 + length  # length + type + data + crc
         if not (w and h and channels and idat):
             return None
+        stride = w * channels
+        need = h * (stride + 1)
+        # bounded decompression: cap output at the bytes the declared
+        # dims need (+1 to detect overlong streams); an IDAT that would
+        # expand further never allocates past the budget
+        d = zlib.decompressobj()
         try:
-            raw = zlib.decompress(bytes(idat))
+            raw = d.decompress(bytes(idat), need + 1)
         except zlib.error:
             return None
-        stride = w * channels
-        if len(raw) < h * (stride + 1):
+        if len(raw) < need:
             return None
         out = bytearray(h * stride)
         prev = bytearray(stride)

@@ -355,3 +355,57 @@ def test_audio_pcm_stats_spark(spark):
     assert r1.rms == math.sqrt(2250000 / 3)
     r2 = got[2]
     assert r2.n_samples is None and r2.rms is None
+
+
+def test_png_decode_bomb_guard_bounds_memory():
+    """Decompression-bomb hardening: (a) an IHDR declaring a pixel
+    buffer past the 64 MiB budget is rejected before any inflate; (b) an
+    IDAT expanding far past what sane declared dims need is truncated at
+    the cap (tolerated like trailing data), never materialized."""
+    import struct
+    import zlib
+
+    from gdutils_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    # (a) 30000x30000 RGBA claims ~3.6 GB of pixels from a 100-byte blob
+    ihdr_bomb = struct.pack(">IIBBBBB", 30000, 30000, 8, 6, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr_bomb)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(bomb) is None
+    # (b) legit 2x2 grayscale dims, but the IDAT inflates to 1 MB of
+    # trailing garbage — decode succeeds from the capped prefix
+    good_rows = b"\x00\x01\x02" + b"\x00\x03\x04"
+    overlong = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(good_rows + b"\xff" * (1 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(overlong)
+    assert got is not None
+    w, h, ch, px = got
+    assert (w, h, ch) == (2, 2, 1)
+    assert bytes(px) == b"\x01\x02\x03\x04"
+
+
+def test_parse_wav_meta_undersized_fmt_chunk_is_garbage_guarded():
+    """A malformed fmt chunk whose declared size < 16 must not read the
+    next chunk's bytes as rate/channels — all-None metadata, not
+    plausible-looking garbage."""
+    from gdutils_spark.operators.multimodal import parse_wav_meta
+
+    # RIFF/WAVE with fmt size 4 followed by a data chunk whose header
+    # bytes would otherwise be misread as channels/rate
+    fmt_small = b"fmt " + (4).to_bytes(4, "little") + b"\x01\x00\x02\x00"
+    data = b"data" + (8).to_bytes(4, "little") + b"\x00" * 8
+    body = b"WAVE" + fmt_small + data
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert parse_wav_meta(wav) == (None, None, None)
