@@ -223,8 +223,12 @@ class GdacClient:
         """summary_columns schema (/root/reference/gdutils/__init__.py:489-501)."""
         prof = self._require_search()
         base = entity_summaries(prof, "dataset_id", "time")
+        # min, not first: first() without an ordering is whatever row a
+        # partition serves up — nondeterministic across runs/cluster
+        # layouts when a dataset carries mixed wmo values (and min skips
+        # NULLs, so a stray null row can't mask the real id either)
         wmo = (
-            prof.groupBy("dataset_id").agg(F.first("wmo_id").alias("wmo_id"))
+            prof.groupBy("dataset_id").agg(F.min("wmo_id").alias("wmo_id"))
             if "wmo_id" in prof.columns
             else None
         )

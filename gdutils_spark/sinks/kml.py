@@ -33,6 +33,8 @@ _PLACEMARK = """    <Placemark>
 def tracks_to_kml(tracks: list[tuple[str, str]], name: str = "glider tracks") -> str:
     """Render (dataset_id, geojson string) pairs — the output of
     :func:`gdutils_spark.sinks.geojson.track_geojson` — into one KML doc."""
+    from xml.sax.saxutils import escape
+
     placemarks = []
     for dataset_id, geojson_str in tracks:
         doc = json.loads(geojson_str)
@@ -45,5 +47,12 @@ def tracks_to_kml(tracks: list[tuple[str, str]], name: str = "glider tracks") ->
             [],
         )
         coords = "\n".join(f"          {lon},{lat},0" for lon, lat in line)
-        placemarks.append(_PLACEMARK.format(dataset_id=dataset_id, coords=coords))
-    return _KML_DOC.format(name=name, placemarks="\n".join(placemarks))
+        # ids/names are data, the document is XML: an '&' or '<' in a
+        # dataset id (or the doc name) must render as an entity, not
+        # break every downstream KML parser
+        placemarks.append(
+            _PLACEMARK.format(dataset_id=escape(str(dataset_id)), coords=coords)
+        )
+    return _KML_DOC.format(
+        name=escape(str(name)), placemarks="\n".join(placemarks)
+    )

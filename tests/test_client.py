@@ -166,3 +166,32 @@ def test_dataset_info_card(client):
 
     with _pytest.raises(KeyError):
         client.dataset_info_card("nope")
+
+
+def test_kml_escapes_xml_special_characters():
+    """A dataset id or document name containing XML specials must render
+    as entities — raw '&'/'<' breaks every downstream KML parser."""
+    import json
+
+    from gdutils_spark.sinks.kml import tracks_to_kml
+
+    gj = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "geometry": {
+                        "type": "LineString",
+                        "coordinates": [[-73.0, 38.0], [-73.1, 38.1]],
+                    }
+                }
+            ],
+        }
+    )
+    kml = tracks_to_kml([("r&d <glider>", gj)], name='A & B "tracks"')
+    assert "r&amp;d &lt;glider&gt;" in kml
+    assert "A &amp; B" in kml
+    assert "r&d" not in kml
+    import xml.dom.minidom
+
+    xml.dom.minidom.parseString(kml)  # well-formed
