@@ -460,9 +460,122 @@ def cmd_pagerank(args) -> int:
         ordered_fold=not args.plain_sum,
         weight=args.weight_col,
         validate=not args.no_validate,
+        start_ranks=(
+            _load(spark, args.start_ranks) if args.start_ranks else None
+        ),
     )
     if args.top:
         out = out.orderBy(SF.col("pr").desc(), "node").limit(args.top)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_communities(args) -> int:
+    from gdutils_spark.operators.graph import label_propagation
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    seed = _load(spark, args.seed_labels) if args.seed_labels else None
+    out = label_propagation(
+        df,
+        src=args.src_col,
+        dst=args.dst_col,
+        n_iters=args.iters,
+        start_labels=seed,
+        validate=not args.no_validate,
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_triangles_incremental(args) -> int:
+    from gdutils_spark.operators.graph import triangle_count_incremental
+
+    spark = _get_spark()
+    base_edges = _load(spark, args.input)
+    out = triangle_count_incremental(
+        _load(spark, args.base_counts),
+        base_edges,
+        _load(spark, args.delta),
+        src=args.src_col,
+        dst=args.dst_col,
+    )
+    if args.top:
+        out = out.orderBy(
+            F.col("n_triangles").desc(), F.col("node")
+        ).limit(args.top)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_ivfpq_build(args) -> int:
+    from gdutils_spark.operators.similarity import ivfpq_index
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    codes = ivfpq_index(
+        df,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        n_centroids=args.centroids,
+        m=args.m,
+        n_codes=args.codes,
+        stage_path=args.stage,
+        coarse_refine_iters=args.coarse_iters,
+        pq_refine_iters=args.pq_iters,
+        residual=args.residual,
+    )
+    # staging already wrote the index + sidecars; render a tiny summary
+    out = codes.groupBy("centroid").count().orderBy("centroid")
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_ivfpq_append(args) -> int:
+    from gdutils_spark.operators.similarity import ivfpq_append
+
+    spark = _get_spark()
+    delta = _load(spark, args.input)
+    codes = ivfpq_append(
+        spark,
+        args.stage,
+        delta,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        validate=not args.no_validate,
+    )
+    out = codes.groupBy("centroid").count().orderBy("centroid")
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_knn(args) -> int:
+    from gdutils_spark.operators import similarity as sim
+
+    spark = _get_spark()
+    vectors = _load(spark, args.input)
+    queries = _load(spark, args.queries)
+    kw = dict(id_col=args.id_col, vec_col=args.vec_col, k=args.k)
+    if args.method == "brute":
+        out = sim.knn_bruteforce(vectors, queries, **kw)
+    elif args.method == "ivf":
+        out = sim.knn_ivf(
+            vectors, queries, n_centroids=args.centroids,
+            n_probe=args.probe, **kw
+        )
+    else:  # ivfpq — optionally against a staged index + frozen quantizer
+        extra = {}
+        if args.stage:
+            codes, coarse, codebook = sim.load_ivfpq_index(
+                spark, args.stage, m=args.m, n_codes=args.codes,
+                residual=args.residual, with_quantizer=True,
+            )
+            extra = dict(index=codes, coarse=coarse, codebook=codebook)
+        out = sim.knn_ivf_pq(
+            vectors, queries, n_centroids=args.centroids,
+            n_probe=args.probe, m=args.m, n_codes=args.codes,
+            residual=args.residual, **kw, **extra,
+        )
     _emit(_render(out, args.response), args.output)
     return 0
 
@@ -934,6 +1047,72 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-validate", action="store_true",
                     help="skip the eager weight probes (trusted, "
                     "pre-aggregated weights)")
+    sp.add_argument("--start-ranks",
+                    help="warm-start rank table (node, pr) — the "
+                    "incremental nightly path; run 1-2 catch-up iters")
+
+    sp = add_pipeline("communities", cmd_communities)
+    sp.add_argument("--src-col", default="src")
+    sp.add_argument("--dst-col", default="dst")
+    sp.add_argument("--iters", type=int, default=3)
+    sp.add_argument("--seed-labels",
+                    help="warm-start label table (node, label) — the "
+                    "incremental nightly path; run 1 catch-up round")
+    sp.add_argument("--no-validate", action="store_true",
+                    help="skip the duplicate-seed probe (labelings "
+                    "unique by construction)")
+
+    sp = add_pipeline("triangles-incremental", cmd_triangles_incremental)
+    sp.add_argument("--base-counts", required=True,
+                    help="prior triangles output (node, n_triangles)")
+    sp.add_argument("--delta", required=True,
+                    help="tonight's new edge batch")
+    sp.add_argument("--src-col", default="src")
+    sp.add_argument("--dst-col", default="dst")
+    sp.add_argument("--top", type=int, default=0)
+
+    sp = add_pipeline("ivfpq-build", cmd_ivfpq_build)
+    sp.add_argument("--stage", required=True,
+                    help="parquet path for the staged index (+ geometry "
+                    "and quantizer sidecars)")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--centroids", type=int, default=16)
+    sp.add_argument("--m", type=int, default=4)
+    sp.add_argument("--codes", type=int, default=8)
+    sp.add_argument("--coarse-iters", type=int, default=0,
+                    help="Lloyd rounds for the coarse quantizer")
+    sp.add_argument("--pq-iters", type=int, default=0,
+                    help="Lloyd rounds for the PQ codebooks")
+    sp.add_argument("--residual", action="store_true",
+                    help="encode x - centroid(x) (the Faiss default)")
+
+    sp = add_pipeline("ivfpq-append", cmd_ivfpq_append)
+    sp.add_argument("--stage", required=True,
+                    help="staged index to append into (frozen quantizer "
+                    "from its sidecar)")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--no-validate", action="store_true",
+                    help="skip the duplicate-id probe (disjoint-by-"
+                    "construction feed)")
+
+    sp = add_pipeline("knn", cmd_knn)
+    sp.add_argument("--queries", required=True,
+                    help="query-vector table (top-k-request-sized)")
+    sp.add_argument("--method", default="brute",
+                    choices=["brute", "ivf", "ivfpq"])
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--centroids", type=int, default=16)
+    sp.add_argument("--probe", type=int, default=4)
+    sp.add_argument("--m", type=int, default=4)
+    sp.add_argument("--codes", type=int, default=8)
+    sp.add_argument("--residual", action="store_true")
+    sp.add_argument("--stage",
+                    help="search a staged ivfpq-build index (with its "
+                    "frozen quantizer) instead of encoding inline")
 
     sp = add_pipeline("bloom-screen", cmd_bloom_screen)
     sp.add_argument("--history", required=True,

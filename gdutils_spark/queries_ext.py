@@ -5801,14 +5801,17 @@ def part_copurchase_communities_incremental(
     immediately, so the work concentrates where the delta touched. New
     nodes seed with their own id via the node-sized left join. The
     oracle replays the whole fixed chain (base rounds + union + seeded
-    round) as CTEs; all-integer labels/counts, no float surface."""
+    round) as CTEs; all-integer labels/counts, no float surface.
+    Universe: even part keys (the triangles-incremental / dup-clusters
+    convention — this entry simulates BOTH nights, so it pays base LPA
+    + the seeded round in one bench row)."""
     from gdutils_spark.operators.graph import label_propagation
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 2 == 0
+    ).select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     # ONE batch-tagged self-join builds both halves' edge sets (the
     # part_copurchase_pagerank_incremental convention); pinned — it
     # feeds the base rounds and the merged round
@@ -5861,7 +5864,8 @@ def _lpa_incr_iteration_ctes(i: int, ed: str, prev: str, new: str) -> list:
 
 def _lpa_incr_sql() -> str:
     ctes = [
-        "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem "
+        "WHERE l_partkey % 2 = 0)",
         f"""tag AS MATERIALIZED (
   SELECT DISTINCT a.p AS src, b.p AS dst, a.o % {PR_INCR_MOD} = 0 AS is_delta
   FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p)""",

@@ -389,3 +389,101 @@ def test_cli_cdc_apply_no_validate(spark, tmp_path, capsys):
     ]) == 0
     recs = {r["id"]: r["v"] for r in json.loads(capsys.readouterr().out)}
     assert recs == {1: "a", 2: "b2", 3: "c"}
+
+
+@pytest.fixture(scope="module")
+def graph_path(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_graph")
+    edges = [(a, b) for a in range(6) for b in range(6) if a != b]
+    edges += [(10, 11), (11, 10), (5, 10), (10, 5)]
+    p = str(d / "edges")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def emb_path(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_emb")
+    from gdutils_spark.sources.tables import load_table
+
+    p = str(d / "emb")
+    load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "vec_id < 120"
+    ).write.parquet(p)
+    return p
+
+
+def test_cli_communities_seeded(graph_path, tmp_path, capsys, spark):
+    # base run writes a label table; the seeded catch-up round consumes it
+    assert main(["communities", "--input", graph_path, "--iters", "2",
+                 "-f", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    seed = str(tmp_path / "labels")
+    spark.createDataFrame(
+        [(r["node"], r["label"]) for r in rows], "node long, label long"
+    ).write.parquet(seed)
+    assert main(["communities", "--input", graph_path, "--iters", "1",
+                 "--seed-labels", seed, "--no-validate", "-f", "json"]) == 0
+    seeded = {r["node"]: r["label"] for r in json.loads(capsys.readouterr().out)}
+    assert main(["communities", "--input", graph_path, "--iters", "3",
+                 "-f", "json"]) == 0
+    scratch = {r["node"]: r["label"] for r in json.loads(capsys.readouterr().out)}
+    assert seeded == scratch  # chain composition via the CLI
+
+
+def test_cli_triangles_incremental(graph_path, tmp_path, capsys, spark):
+    base = str(tmp_path / "base_edges")
+    delta = str(tmp_path / "delta_edges")
+    full = spark.read.parquet(graph_path)
+    full.where("src + dst < 9").write.parquet(base)
+    full.where("src + dst >= 9").write.parquet(delta)
+    assert main(["triangles", "--input", base, "-f", "json"]) == 0
+    counts = str(tmp_path / "base_counts")
+    rows = json.loads(capsys.readouterr().out)
+    spark.createDataFrame(
+        [(r["node"], r["n_triangles"]) for r in rows],
+        "node long, n_triangles long",
+    ).write.parquet(counts)
+    assert main(["triangles-incremental", "--input", base,
+                 "--base-counts", counts, "--delta", delta,
+                 "-f", "json"]) == 0
+    got = {r["node"]: r["n_triangles"]
+           for r in json.loads(capsys.readouterr().out)}
+    assert main(["triangles", "--input", graph_path, "-f", "json"]) == 0
+    want = {r["node"]: r["n_triangles"]
+            for r in json.loads(capsys.readouterr().out)}
+    assert got == want
+
+
+def test_cli_ivfpq_build_append_knn(emb_path, tmp_path, capsys, spark):
+    stage = str(tmp_path / "idx")
+    base = str(tmp_path / "base_vecs")
+    delta = str(tmp_path / "delta_vecs")
+    queries = str(tmp_path / "queries")
+    vecs = spark.read.parquet(emb_path)
+    vecs.where("vec_id < 80").write.parquet(base)
+    vecs.where("vec_id >= 80").write.parquet(delta)
+    vecs.where("vec_id < 3").write.parquet(queries)
+    assert main(["ivfpq-build", "--input", base, "--stage", stage,
+                 "--centroids", "8", "-f", "json"]) == 0
+    cells = json.loads(capsys.readouterr().out)
+    assert sum(c["count"] for c in cells) == 80 * 4  # m rows per vector
+    assert main(["ivfpq-append", "--input", delta, "--stage", stage,
+                 "-f", "json"]) == 0
+    cells = json.loads(capsys.readouterr().out)
+    assert sum(c["count"] for c in cells) == 120 * 4
+    # staged search == inline search over the grown corpus
+    assert main(["knn", "--input", emb_path, "--queries", queries,
+                 "--method", "ivfpq", "--centroids", "8",
+                 "--stage", stage, "-f", "json"]) == 0
+    staged = json.loads(capsys.readouterr().out)
+    assert main(["knn", "--input", emb_path, "--queries", queries,
+                 "--method", "ivfpq", "--centroids", "8",
+                 "-f", "json"]) == 0
+    inline = json.loads(capsys.readouterr().out)
+    key = lambda r: (r["query_id"], r["neighbor_id"])
+    assert sorted(staged, key=key) == sorted(inline, key=key)
+    # brute-force arm smoke
+    assert main(["knn", "--input", emb_path, "--queries", queries,
+                 "--method", "brute", "--k", "3", "-f", "json"]) == 0
+    assert len(json.loads(capsys.readouterr().out)) == 9
