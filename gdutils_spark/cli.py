@@ -552,6 +552,13 @@ def cmd_ivfpq_append(args) -> int:
 def cmd_knn(args) -> int:
     from gdutils_spark.operators import similarity as sim
 
+    if args.stage and args.method != "ivfpq":
+        # silently brute-forcing when the operator asked for a staged
+        # index would return different neighbors with no warning
+        raise SystemExit(
+            "knn: --stage is an ivfpq-build index — pass --method ivfpq "
+            f"(got --method {args.method})"
+        )
     spark = _get_spark()
     vectors = _load(spark, args.input)
     queries = _load(spark, args.queries)

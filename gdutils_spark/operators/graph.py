@@ -244,6 +244,86 @@ def pagerank(
     return pr
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected canonical edge set: (least, greatest) pairs, self-loops
+    dropped, deduped — shared by the batch and incremental triangle
+    counters so the canonicalization can never drift between them."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _degree_oriented(e: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """(degree table, degree-ordered oriented edges) from a canonical
+    edge relation ``(u, v[, extras...])`` — every edge points from the
+    smaller ``(degree, id)`` endpoint to the larger (the Suri &
+    Vassilvitskii orientation); extra columns ride through. ONE source
+    of truth for the parity-critical orientation/tie-break logic, shared
+    by :func:`triangle_count` and :func:`triangle_count_incremental`
+    (a drift between their copies would silently break the pinned
+    incremental == rebuild claim). Both outputs localCheckpoint-pinned
+    (multi-consumer, no-subtree-reuse discipline)."""
+    extras = [c for c in e.columns if c not in ("u", "v")]
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("u"), F.col("degree").alias("du")),
+        "u",
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")),
+        "v",
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        *extras,
+    ).localCheckpoint(eager=False)
+    return deg, oriented
+
+
+def _rank_lt(l: str, r: str):
+    """Wedge rank order between two oriented-edge aliases: compare their
+    b-endpoints by the SAME (degree, id) order the orientation uses —
+    so the closing edge (x, y), if present, is oriented exactly x→y."""
+    return (F.col(f"{l}.db") < F.col(f"{r}.db")) | (
+        (F.col(f"{l}.db") == F.col(f"{r}.db"))
+        & (F.col(f"{l}.b") < F.col(f"{r}.b"))
+    )
+
+
+def _lcc_report(deg: DataFrame, ntri: DataFrame) -> DataFrame:
+    """Final per-node report from a degree table and a ``(node,
+    n_triangles)`` relation: missing nodes count 0 triangles,
+    ``lcc = 2·T / (d·(d−1))`` as one IEEE division (0.0 when d < 2)."""
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    return deg.join(ntri, "node", "left").select(
+        "node",
+        "degree",
+        n_tri.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * n_tri).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -274,50 +354,13 @@ def triangle_count(
     of every triangle once. All-integer arithmetic + one final IEEE
     division per node — fully oracle-replayable.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=False)
-    )
-    ed = e.join(
-        deg.select(F.col("node").alias("u"), F.col("degree").alias("du")),
-        "u",
-    ).join(
-        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")),
-        "v",
-    )
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint(eager=False)
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg, oriented = _degree_oriented(e)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedges from shared center a, out-neighbors rank-ordered so the
     # closing edge (x, y), if present, is oriented exactly x -> y
     wedges = o1.join(
-        o2,
-        (F.col("o1.a") == F.col("o2.a"))
-        & (
-            (F.col("o1.db") < F.col("o2.db"))
-            | (
-                (F.col("o1.db") == F.col("o2.db"))
-                & (F.col("o1.b") < F.col("o2.b"))
-            )
-        ),
+        o2, (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2")
     ).select(
         F.col("o1.a").alias("c"),
         F.col("o1.b").alias("x"),
@@ -333,19 +376,7 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
-    return deg.join(cnt, "node", "left").select(
-        "node",
-        "degree",
-        n_tri.alias("n_triangles"),
-        F.when(
-            F.col("degree") >= 2,
-            (F.lit(2) * n_tri).cast("double")
-            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("lcc"),
-    )
+    return _lcc_report(deg, cnt)
 
 
 def triangle_count_incremental(
@@ -378,53 +409,21 @@ def triangle_count_incremental(
     corpus are dropped by an anti-join (re-sending an edge is a no-op),
     so the operator is idempotent over at-least-once feeds.
     """
-    canon = lambda df: (
-        df.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    eb = _canonical_edges(base_edges, src, dst).localCheckpoint(eager=False)
+    dn = _canonical_edges(delta_edges, src, dst).join(
+        eb, ["u", "v"], "left_anti"
     )
-    eb = canon(base_edges).localCheckpoint(eager=False)
-    dn = canon(delta_edges).join(eb, ["u", "v"], "left_anti")
     e = (
         eb.withColumn("nw", F.lit(False))
         .unionByName(dn.withColumn("nw", F.lit(True)))
         .localCheckpoint(eager=False)
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=False)
-    )
-    ed = e.join(
-        deg.select(F.col("node").alias("u"), F.col("degree").alias("du")),
-        "u",
-    ).join(
-        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")),
-        "v",
-    )
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-        F.col("nw"),
-    ).localCheckpoint(eager=False)
+    deg, oriented = _degree_oriented(e)
     new_o = oriented.where(F.col("nw"))
     old_o = oriented.where(~F.col("nw"))
-    rank_lt = lambda l, r: (F.col(f"{l}.db") < F.col(f"{r}.db")) | (
-        (F.col(f"{l}.db") == F.col(f"{r}.db"))
-        & (F.col(f"{l}.b") < F.col(f"{r}.b"))
-    )
     wedge = lambda left, right: left.alias("o1").join(
         right.alias("o2"),
-        (F.col("o1.a") == F.col("o2.a")) & rank_lt("o1", "o2"),
+        (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2"),
     ).select(
         F.col("o1.a").alias("c"),
         F.col("o1.b").alias("x"),
@@ -459,28 +458,18 @@ def triangle_count_incremental(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("_inc"))
     )
-    base = base_counts.select(
-        "node", F.col("n_triangles").alias("_base")
-    )
-    n_tri = F.coalesce(F.col("_base"), F.lit(0).cast("long")) + F.coalesce(
-        F.col("_inc"), F.lit(0).cast("long")
-    )
-    return (
-        deg.join(base, "node", "left")
-        .join(inc, "node", "left")
+    base = base_counts.select("node", F.col("n_triangles").alias("_base"))
+    combined = (
+        base.join(inc, "node", "full")
         .select(
             "node",
-            "degree",
-            n_tri.alias("n_triangles"),
-            F.when(
-                F.col("degree") >= 2,
-                (F.lit(2) * n_tri).cast("double")
-                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("lcc"),
+            (
+                F.coalesce(F.col("_base"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("_inc"), F.lit(0).cast("long"))
+            ).alias("n_triangles"),
         )
     )
+    return _lcc_report(deg, combined)
 
 
 def k_core(
@@ -613,6 +602,11 @@ def label_propagation(
     else:
         seed = start_labels.select("node", F.col("label").alias("_seed"))
         if validate:
+            # the dup probe below is a SEPARATE action from the seeding
+            # join, and shuffle reuse does not span actions — without a
+            # pin a non-trivial seed lineage (last night's labels behind
+            # a join) would compute twice (the cms_estimate convention)
+            seed = seed.localCheckpoint(eager=False)
             dup = (
                 seed.groupBy("node")
                 .agg(F.count(F.lit(1)).alias("c"))

@@ -1920,24 +1920,30 @@ def ivfpq_append(
             "the staged schema"
         )
     if validate:
-        # one id-keyed semi join (subspace-0 rows only, so the probe
-        # scans |corpus| not |corpus|·m rows) + LIMIT(1); skippable
+        # ONE id-keyed aggregate over delta ids ∪ staged ids (subspace-0
+        # rows only, so the staged side scans |corpus| not |corpus|·m):
+        # any id appearing twice — already indexed, repeated WITHIN the
+        # delta batch, or a pre-corrupted index — would carry multiple
+        # code sets and rank that vector more than once in every
+        # search. LIMIT-bounded, skippable.
         dup = (
             new_vectors.select(F.col(id_col).alias("neighbor_id"))
-            .join(
-                codes.where(F.col("subspace") == 0).select("neighbor_id"),
-                "neighbor_id",
-                "left_semi",
+            .unionByName(
+                codes.where(F.col("subspace") == 0).select("neighbor_id")
             )
+            .groupBy("neighbor_id")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
             .limit(1)
             .collect()
         )
         if dup:
             raise ValueError(
                 f"ivfpq_append: id {dup[0]['neighbor_id']} is already "
-                "indexed — appending it again would carry two code sets "
-                "and rank the vector twice in every search; dedup the "
-                "feed (or pass validate=False for feeds disjoint by "
+                "indexed or repeated in the delta batch — appending it "
+                "would carry multiple code sets and rank the vector "
+                "more than once in every search; dedup the feed (or "
+                "pass validate=False for feeds disjoint and unique by "
                 "construction)"
             )
     delta = _encode_codes(

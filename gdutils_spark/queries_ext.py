@@ -1333,7 +1333,14 @@ def emb_knn_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = vectors.where(F.col("vec_id") < IVFPQ_SPLIT)
     delta = vectors.where(F.col("vec_id") >= IVFPQ_SPLIT)
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
-    stage = os.path.join(tempfile.gettempdir(), "gdutils_ivfpq_appended")
+    # deterministic per-PROCESS scratch, wiped at call start (the
+    # queries_rt._work_dir convention): same-process repeats (driver
+    # rounds, bench min-of-3) reuse one name, while a concurrent
+    # bench/pytest/drive process gets its own — without the pid a
+    # second process could rmtree this one's staged parquet mid-query
+    stage = os.path.join(
+        tempfile.gettempdir(), f"gdutils_ivfpq_appended_{os.getpid()}"
+    )
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(stage + "_meta", ignore_errors=True)
     shutil.rmtree(stage + "_quantizer", ignore_errors=True)

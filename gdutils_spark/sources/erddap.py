@@ -489,19 +489,22 @@ class ErddapSearchReader(DataSourceReader):
             # break is the NORMAL exit; when the catalog is an exact
             # multiple of itemsPerPage the loop asks for one page past
             # the end, which a live ERDDAP answers with an HTTP 404
-            # error document — treat that follow-up failure as the
-            # empty page it means instead of failing the whole read
-            # (a FIRST-page error still raises: that's a real problem,
-            # not exhausted pagination)
+            # error document — treat THAT (and only that) follow-up
+            # failure as the empty page it means. Anything else on a
+            # follow-up page (503, connection reset, parse error) is a
+            # real failure: swallowing it would silently TRUNCATE the
+            # catalog, which is worse than failing the read.
+            import urllib.error
+
             frames = []
             page = self._page
             while True:
                 try:
                     chunk = pd.read_csv(self.request_url(page))
-                except Exception:
-                    if page == self._page:
-                        raise
-                    break
+                except urllib.error.HTTPError as exc:
+                    if page != self._page and exc.code == 404:
+                        break  # exhausted pagination, not an error
+                    raise
                 frames.append(chunk)
                 if len(chunk) < self._items_per_page:
                     break

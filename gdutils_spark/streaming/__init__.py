@@ -514,6 +514,10 @@ def _guard_checkpoint_identity(sess, snapshot_dir: str, checkpoint: str):
     if identity is None:
         return
     marker = _read_small_text(sess, f"{snapshot_dir}/{_IDENTITY_MARKER}")
+    if marker is not None:
+        # tolerate a trailing newline from a hand-written marker (the
+        # adoption recipe below says `echo` — its default adds one)
+        marker = marker.strip()
     if marker == identity:
         return
     newest = snapshot_base_version(sess, snapshot_dir, before=1 << 62)
@@ -533,8 +537,8 @@ def _guard_checkpoint_identity(sess, snapshot_dir: str, checkpoint: str):
             "committed-version replay skip would silently DROP new "
             "batches whose ids collide with old versions. Point the "
             "query at a fresh snapshot dir (or restore the original "
-            f"checkpoint; to adopt the history deliberately, write "
-            f"{snapshot_dir}/{_IDENTITY_MARKER} containing {identity!r})"
+            "checkpoint; to adopt the history deliberately, run: "
+            f"echo {identity} > {snapshot_dir}/{_IDENTITY_MARKER})"
         )
     jvm = sess._jvm
     Path = jvm.org.apache.hadoop.fs.Path

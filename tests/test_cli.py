@@ -487,3 +487,13 @@ def test_cli_ivfpq_build_append_knn(emb_path, tmp_path, capsys, spark):
     assert main(["knn", "--input", emb_path, "--queries", queries,
                  "--method", "brute", "--k", "3", "-f", "json"]) == 0
     assert len(json.loads(capsys.readouterr().out)) == 9
+
+
+def test_cli_knn_stage_requires_ivfpq(emb_path, tmp_path, spark):
+    """--stage with a non-ivfpq method must fail fast — silently
+    brute-forcing would return different neighbors with no warning."""
+    q = str(tmp_path / "q")
+    spark.read.parquet(emb_path).where("vec_id < 2").write.parquet(q)
+    with pytest.raises(SystemExit, match="ivfpq"):
+        main(["knn", "--input", emb_path, "--queries", q,
+              "--method", "brute", "--stage", str(tmp_path / "idx")])

@@ -498,13 +498,15 @@ def test_search_pagination_exact_multiple_tolerates_past_end(monkeypatch):
         2: pd.DataFrame({"Dataset ID": ["c", "d"]}),  # exact multiple...
     }
 
+    import urllib.error
+
     def fake_read_csv(url):
         import urllib.parse
 
         q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
         page = int(q["page"][0])
-        if page not in pages:  # ...so page 3 is a server error document
-            raise ValueError("HTTP 404: Resource not found")
+        if page not in pages:  # ...so page 3 is a server 404 document
+            raise urllib.error.HTTPError(url, 404, "Not Found", None, None)
         return pages[page]
 
     monkeypatch.setattr(pd, "read_csv", fake_read_csv)
@@ -517,5 +519,19 @@ def test_search_pagination_exact_multiple_tolerates_past_end(monkeypatch):
             {"server": "https://x/erddap", "items_per_page": "2", "page": "9"}
         ),
     )
-    with pytest.raises(ValueError, match="404"):
+    with pytest.raises(urllib.error.HTTPError):
         list(r_empty.read(None))
+    # a TRANSIENT follow-up failure (503) must raise, not silently
+    # truncate the catalog to the pages fetched so far
+    def flaky_read_csv(url):
+        import urllib.parse
+
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(url).query)
+        page = int(q["page"][0])
+        if page == 2:
+            raise urllib.error.HTTPError(url, 503, "Unavailable", None, None)
+        return pages[page]
+
+    monkeypatch.setattr(pd, "read_csv", flaky_read_csv)
+    with pytest.raises(urllib.error.HTTPError):
+        list(r.read(None))

@@ -874,6 +874,11 @@ def test_ivfpq_append_rejects_duplicate_ids(embeddings, tmp_path):
     overlap = embeddings.where(F.col("vec_id").between(240, 260))
     with pytest.raises(ValueError, match="already indexed"):
         sim.ivfpq_append(spark, path, overlap)
+    # an id repeated WITHIN the delta batch (fresh ids, at-least-once
+    # feed) is the same two-code-sets corruption — also rejected
+    fresh = embeddings.where(F.col("vec_id").between(300, 310))
+    with pytest.raises(ValueError, match="repeated in the delta"):
+        sim.ivfpq_append(spark, path, fresh.unionByName(fresh))
     # trusted path: no probe, the duplicate lands (documented trade)
     out = sim.ivfpq_append(spark, path, overlap, validate=False)
     assert out.where("neighbor_id = 245").count() == 8  # 2 code sets x m

@@ -829,7 +829,11 @@ def test_checkpoint_identity_guard_unit(spark, tmp_path):
     _guard_checkpoint_identity(spark, snap, chk)
     with open(f"{snap}/{_IDENTITY_MARKER}") as f:
         assert f.read() == "run-A"
-    # same identity: pass
+    # same identity: pass — including a hand-written marker with the
+    # trailing newline `echo` adds (the error message's adoption recipe)
+    _guard_checkpoint_identity(spark, snap, chk)
+    with open(f"{snap}/{_IDENTITY_MARKER}", "w") as f:
+        f.write("run-A\n")
     _guard_checkpoint_identity(spark, snap, chk)
     # stale marker, EMPTY history: re-adopt silently
     with open(f"{snap}/{_IDENTITY_MARKER}", "w") as f:
