@@ -137,6 +137,71 @@ def knn_bruteforce(
     )
 
 
+def knn_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    filter_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dims: int | None = None,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """ATTRIBUTE-FILTERED exact kNN: top-k cosine neighbors per query
+    among corpus rows sharing the query's ``filter_col`` value — the
+    "nearest documents in the same language / same domain / same
+    license" search every curation pipeline runs (production vector
+    stores call this filtered or faceted ANN). Returns
+    ``(query_id, neighbor_id, score)``, self-matches excluded, ties
+    broken on neighbor id.
+
+    The filter is applied INSIDE the candidate generation, not on the
+    result: the :func:`knn_bruteforce` cross join becomes an EQUI-JOIN
+    on ``filter_col``, so Catalyst plans a broadcast hash join keyed on
+    the attribute and each corpus row is scored only against the
+    queries that can accept it — with Q queries over L distinct
+    attribute values, that is ~Q/L scorings per row instead of Q. A
+    post-filter on the unfiltered top-k would instead silently return
+    FEWER than k (or zero) matching neighbors. NULL attributes match
+    nothing on either side (equi-join semantics — a NULL-labeled row
+    can't be "the same language" as anything)."""
+    from pyspark.sql import Window
+
+    _guard_query_rows(queries, id_col, max_query_rows, "knn_filtered")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(filter_col).alias("_fq"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col), dims).alias("q_norm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col).alias("_fv"),
+        F.col(vec_col).alias("v_vec"),
+        norm(F.col(vec_col), dims).alias("v_norm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("_fv") == F.col("_fq"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("v_vec"), dims)
+                / (F.col("q_norm") * F.col("v_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def knn_hard_negatives(
     vectors: DataFrame,
     queries: DataFrame,

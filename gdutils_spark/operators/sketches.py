@@ -712,6 +712,105 @@ def hist_quantiles(
     )
 
 
+def hist_drift_report(
+    a: DataFrame,
+    b: DataFrame,
+    n_bins: int = HIST_BINS,
+    validate: bool = True,
+) -> DataFrame:
+    """Distribution-DRIFT report between two histogram register tables
+    (same :func:`hist_registers` geometry — e.g. yesterday's feed vs
+    today's): one row ``(n_a, n_b, n_bins_used, chi2, tv_distance)``
+    where ``chi2`` is the two-sample chi-square statistic over the
+    binned counts and ``tv_distance`` the total-variation distance
+    ``0.5·Σ|a_i/N_a − b_i/N_b|`` — the nightly data-quality gate a
+    training pipeline runs before letting a new batch in (a schema
+    didn't change, but did the DISTRIBUTION?). Compare ``chi2`` to a
+    χ² quantile at ``n_bins_used − 1`` degrees of freedom, or trend
+    ``tv_distance`` directly (0 = identical, 1 = disjoint).
+
+    Works at sketch cost by construction: the inputs are the mergeable
+    register tables (built map-side, merged nightly), so the report
+    never rescans either corpus — it is a bin-sized full-outer join +
+    one ascending-bin ordered fold. Determinism contract: the chi-square
+    numerator ``a_i·N_b − b_i·N_a`` is exact BIGINT arithmetic (wraps
+    past ~9.2e18 under Spark's non-ANSI mode — at that corpus scale,
+    downsample the registers), each per-bin term is a fixed IEEE
+    expression, and both sums fold in ascending bin order
+    (``list_sum(list(t ORDER BY bin))`` replays them bit-for-bit).
+    Empty cohorts report NULL statistics rather than NaN/Infinity.
+
+    ``validate=True`` runs the family's LIMIT-bounded geometry probe on
+    both tables (a register outside ``[0, n_bins)`` proves a geometry
+    mismatch — comparing histograms built with different bins is
+    meaningless); ``validate=False`` for same-session registers."""
+    if validate:
+        for name, regs in (("a", a), ("b", b)):
+            bad = (
+                regs.where((F.col("bin") < 0) | (F.col("bin") >= n_bins))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"hist_drift_report: register bin {bad[0]['bin']} in "
+                    f"table {name} outside [0, {n_bins}) — the tables "
+                    "were not built with this geometry; comparing "
+                    "mismatched histograms is meaningless"
+                )
+    j = (
+        a.select("bin", F.col("cnt").alias("_ca"))
+        .join(b.select("bin", F.col("cnt").alias("_cb")), "bin", "full")
+        .select(
+            "bin",
+            F.coalesce(F.col("_ca"), F.lit(0).cast("long")).alias("ca"),
+            F.coalesce(F.col("_cb"), F.lit(0).cast("long")).alias("cb"),
+        )
+        .where(F.col("ca") + F.col("cb") > 0)
+        .localCheckpoint(eager=False)  # feeds totals AND terms (no reuse)
+    )
+    totals = j.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    d = F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+    t_chi = (d.cast("double") * d.cast("double")) / (
+        F.col("ca") + F.col("cb")
+    ).cast("double")
+    # per-term division guards: with an EMPTY cohort the total is 0 and
+    # a bare division would raise under ANSI mode before the final
+    # NULL-stats guard ever ran (CASE WHEN short-circuits, so the
+    # division is only evaluated on the taken branch)
+    ratio = lambda c, n: F.when(
+        F.col(n) > 0, F.col(c).cast("double") / F.col(n).cast("double")
+    ).otherwise(F.lit(0.0))
+    t_tv = F.abs(ratio("ca", "n_a") - ratio("cb", "n_b"))
+    terms = j.crossJoin(F.broadcast(totals)).select(
+        "bin", "n_a", "n_b", "n_bins_used",
+        t_chi.alias("_tc"), t_tv.alias("_tt"),
+    )
+    fold = lambda field: F.aggregate(
+        F.array_sort(F.collect_list(F.struct("bin", F.col(field).alias("t")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["t"],
+    )
+    wide = terms.groupBy("n_a", "n_b", "n_bins_used").agg(
+        fold("_tc").alias("_chi_raw"), fold("_tt").alias("_tv_raw")
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return wide.select(
+        "n_a",
+        "n_b",
+        "n_bins_used",
+        F.when(
+            ok,
+            F.col("_chi_raw")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ).alias("chi2"),
+        F.when(ok, F.lit(0.5) * F.col("_tv_raw")).alias("tv_distance"),
+    )
+
+
 BOTTOMK_K = 512
 
 

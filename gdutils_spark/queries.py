@@ -1969,6 +1969,8 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # whose latest green row is r6 (see CORRECTNESS_r06.json), plus any
     # r10 additions.
     "emb_knn_ivfpq_appended",
+    "emb_knn_same_label",
+    "event_value_drift",
     "part_copurchase_communities_incremental",
     "part_copurchase_triangles_incremental",
     "doc_incremental_dup_clusters",

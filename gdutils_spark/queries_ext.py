@@ -681,6 +681,40 @@ SELECT query_id, neighbor_id, score FROM (
 """
 
 
+def emb_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTE-FILTERED exact kNN driver-verified — the "nearest
+    documents in the same language / domain / license" search every
+    curation pipeline runs (filtered ANN): top-k cosine neighbors per
+    query among corpus rows sharing the query's ``label``. The filter
+    lives INSIDE candidate generation (the cross join becomes a
+    broadcast equi-join keyed on the attribute — each corpus row is
+    scored only against queries that can accept it, ~Q/L scorings per
+    row), not a post-filter that silently returns fewer than k. Scores
+    replay via the proven ``list_cosine_similarity`` parity."""
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = vectors.where(F.col("vec_id") < N_QUERIES)
+    return sim.knn_filtered(vectors, queries, "label", k=KNN_K)
+
+
+_KNN_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), v AS (
+  SELECT vec_id AS neighbor_id, label AS vl, CAST(embedding AS DOUBLE[]) AS ve
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qe, ve) AS score
+  FROM q JOIN v ON v.vl = q.ql
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM s
+) WHERE rn <= {KNN_K}
+"""
+
+
 N_HARD_NEG = 5
 
 
@@ -3932,6 +3966,93 @@ HIST_LO = 0.0
 HIST_HI = 500.0
 HIST_NBINS = 500
 HIST_QS = (0.5, 0.9, 0.99)
+DRIFT_MOD = 3  # cohort A = events with event_id ≡ 0 (mod 3), B = the rest
+
+
+def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-DRIFT gate driver-verified: two-sample chi-square +
+    total-variation distance between two cohorts' value distributions,
+    computed ENTIRELY from mergeable histogram register tables
+    (:func:`hist_drift_report`) — the nightly "schema didn't change,
+    but did the distribution?" check a training pipeline runs before
+    admitting a new batch, at sketch cost (bin-sized join + one
+    ascending-bin ordered fold; neither cohort rescanned past its
+    register build). Exact BIGINT chi-square numerators, per-bin IEEE
+    terms, ordered folds — the whole report hash-verifies."""
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report,
+        hist_registers,
+    )
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    ca = hist_registers(
+        e.where(F.col("event_id") % DRIFT_MOD == 0), "value",
+        HIST_LO, HIST_HI, HIST_NBINS,
+    )
+    cb = hist_registers(
+        e.where(F.col("event_id") % DRIFT_MOD != 0), "value",
+        HIST_LO, HIST_HI, HIST_NBINS,
+    )
+    # registers built in-session with the same geometry — trusted
+    return hist_drift_report(ca, cb, HIST_NBINS, validate=False)
+
+
+def _drift_sql() -> str:
+    bin_expr = f"""CAST(least(greatest(floor((v - CAST({HIST_LO} AS DOUBLE))
+                                   * CAST({HIST_NBINS} AS DOUBLE)
+                                   / (CAST({HIST_HI} AS DOUBLE)
+                                      - CAST({HIST_LO} AS DOUBLE))),
+                             CAST(0 AS DOUBLE)),
+                    CAST({HIST_NBINS - 1} AS DOUBLE)) AS INT)"""
+    return f"""
+WITH vals AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT event_id, {bin_expr} AS bin
+  FROM vals WHERE NOT isnan(v)
+),
+ra AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ca FROM binned
+       WHERE event_id % {DRIFT_MOD} = 0 GROUP BY bin),
+rb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cb FROM binned
+       WHERE event_id % {DRIFT_MOD} <> 0 GROUP BY bin),
+j AS (
+  SELECT COALESCE(ra.bin, rb.bin) AS bin,
+         COALESCE(ca, CAST(0 AS BIGINT)) AS ca,
+         COALESCE(cb, CAST(0 AS BIGINT)) AS cb
+  FROM ra FULL OUTER JOIN rb ON ra.bin = rb.bin
+  WHERE COALESCE(ca, CAST(0 AS BIGINT)) + COALESCE(cb, CAST(0 AS BIGINT)) > 0
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_bins_used
+  FROM j
+),
+terms AS (
+  SELECT bin, n_a, n_b, n_bins_used,
+         CAST(ca * n_b - cb * n_a AS DOUBLE)
+           * CAST(ca * n_b - cb * n_a AS DOUBLE)
+           / CAST(ca + cb AS DOUBLE) AS tc,
+         abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS tt
+  FROM j, tot
+),
+folded AS (
+  SELECT n_a, n_b, n_bins_used,
+         list_sum(list(tc ORDER BY bin)) AS chi_raw,
+         list_sum(list(tt ORDER BY bin)) AS tv_raw
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT n_a, n_b, n_bins_used,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN chi_raw / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS chi2,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(0.5 AS DOUBLE) * tv_raw END AS tv_distance
+FROM folded
+"""
 
 
 def event_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6063,6 +6184,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_pack_batches": doc_pack_batches,
     "emb_knn_bruteforce": emb_knn_bruteforce,
+    "emb_knn_same_label": emb_knn_same_label,
+    "event_value_drift": event_value_drift,
     "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_lsh_near_dup_pairs": emb_lsh_near_dup_pairs,
@@ -6179,6 +6302,8 @@ EXT_ORACLE: dict[str, str] = {
     "doc_stratified_sample": _stratified_sample_sql(),
     "doc_pack_batches": _pack_batches_sql(),
     "emb_knn_bruteforce": _KNN_SQL,
+    "emb_knn_same_label": _KNN_FILTERED_SQL,
+    "event_value_drift": _drift_sql(),
     "emb_hard_negatives": _HARD_NEG_SQL,
     "emb_near_dup_pairs": _NEAR_DUP_SQL,
     "emb_lsh_near_dup_pairs": _lsh_near_dup_sql(),

@@ -942,3 +942,41 @@ def test_load_ivfpq_index_with_quantizer_roundtrip(embeddings, tmp_path):
     assert cids.tolist() == want_cids.tolist()
     assert np.array_equal(CC, want_CC)
     assert np.array_equal(C, want_C)
+
+
+def test_knn_filtered_matches_per_label_bruteforce(embeddings):
+    """Filtered kNN == brute-force kNN run within each label subset:
+    the equi-join candidate generation must not change scores or
+    ranking, only restrict the candidate pool."""
+    from pyspark.sql import functions as F
+
+    queries = embeddings.where(F.col("vec_id") < 6)
+    got = sorted(
+        sim.knn_filtered(embeddings, queries, "label", k=3).collect()
+    )
+    want = []
+    for lab in [r.label for r in queries.select("label").distinct().collect()]:
+        sub = embeddings.where(F.col("label") == lab)
+        want += sim.knn_bruteforce(
+            sub, queries.where(F.col("label") == lab), k=3
+        ).collect()
+    assert got == sorted(want)
+    # and every returned neighbor genuinely shares the query's label
+    lab_of = {r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()}
+    for r in got:
+        assert lab_of[r.query_id] == lab_of[r.neighbor_id]
+
+
+def test_knn_filtered_null_attribute_matches_nothing(spark):
+    """NULL labels match nothing on either side (equi-join semantics) —
+    a NULL-labeled query returns no rows rather than scanning the
+    whole corpus."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0], "en"), (2, [0.9, 0.1], "en"),
+         (3, [0.0, 1.0], None), (4, [0.1, 0.9], None)],
+        "vec_id long, embedding array<double>, lang string",
+    )
+    out = sim.knn_filtered(
+        vecs, vecs.where("vec_id IN (1, 3)"), "lang", k=5
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == {(1, 2)}

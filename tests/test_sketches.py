@@ -762,3 +762,95 @@ def test_cms_heavy_hitters_validate_flag_threads_through(spark):
     with pytest.raises(ValueError, match="geometry"):
         cms_heavy_hitters(big, cands, "tok", threshold=1)
     cms_heavy_hitters(big, cands, "tok", threshold=1, validate=False).count()
+
+
+def test_hist_drift_report_identical_and_disjoint(spark):
+    """The two fixed points: identical cohorts score chi2 == 0 and
+    tv == 0; fully disjoint distributions score tv == 1."""
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report,
+        hist_registers,
+    )
+
+    lows = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    highs = spark.createDataFrame([(50.0 + i % 10,) for i in range(80)], "v double")
+    ra = hist_registers(lows, "v", 0.0, 100.0, 20)
+    same = hist_drift_report(ra, ra, 20).collect()[0]
+    assert same.n_a == 100 and same.n_b == 100
+    assert same.chi2 == 0.0 and same.tv_distance == 0.0
+    rb = hist_registers(highs, "v", 0.0, 100.0, 20)
+    disjoint = hist_drift_report(ra, rb, 20).collect()[0]
+    assert disjoint.n_b == 80
+    assert disjoint.tv_distance == 1.0
+    assert disjoint.chi2 > 0.0
+
+
+def test_hist_drift_report_matches_python_model(spark):
+    """Differential vs a pure-Python two-sample chi-square /
+    total-variation model over the same binned counts."""
+    import random
+
+    import pytest
+
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report,
+        hist_registers,
+    )
+
+    rng = random.Random(23)
+    a_vals = [rng.gauss(40, 10) for _ in range(400)]
+    b_vals = [rng.gauss(55, 15) for _ in range(300)]
+    da = spark.createDataFrame([(v,) for v in a_vals], "v double")
+    db = spark.createDataFrame([(v,) for v in b_vals], "v double")
+    got = hist_drift_report(
+        hist_registers(da, "v", 0.0, 100.0, 25),
+        hist_registers(db, "v", 0.0, 100.0, 25),
+        25,
+    ).collect()[0]
+
+    def binof(v):
+        return int(min(max((v - 0.0) * 25 / 100.0, 0), 24))
+
+    ca, cb = {}, {}
+    for v in a_vals:
+        ca[binof(v)] = ca.get(binof(v), 0) + 1
+    for v in b_vals:
+        cb[binof(v)] = cb.get(binof(v), 0) + 1
+    na, nb = len(a_vals), len(b_vals)
+    bins = sorted(set(ca) | set(cb))
+    chi = sum(
+        (ca.get(i, 0) * nb - cb.get(i, 0) * na) ** 2
+        / (ca.get(i, 0) + cb.get(i, 0))
+        for i in bins
+    ) / (na * nb)
+    tv = 0.5 * sum(
+        abs(ca.get(i, 0) / na - cb.get(i, 0) / nb) for i in bins
+    )
+    assert got.n_a == na and got.n_b == nb
+    assert got.n_bins_used == len(bins)
+    assert got.chi2 == pytest.approx(chi, rel=1e-12)
+    assert got.tv_distance == pytest.approx(tv, rel=1e-12)
+
+
+def test_hist_drift_report_geometry_and_empty(spark):
+    """Mismatched geometry raises (comparing different binnings is
+    meaningless); an empty cohort reports NULL statistics, not
+    NaN/Infinity."""
+    import pytest as _pytest
+
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report,
+        hist_registers,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    ra = hist_registers(df, "v", 0.0, 50.0, 10)
+    big = spark.createDataFrame([(700, 3)], "bin int, cnt long")
+    with _pytest.raises(ValueError, match="geometry"):
+        hist_drift_report(ra, big, 10)
+    empty = spark.createDataFrame([], "v double")
+    row = hist_drift_report(
+        ra, hist_registers(empty, "v", 0.0, 50.0, 10), 10
+    ).collect()[0]
+    assert row.n_b == 0
+    assert row.chi2 is None and row.tv_distance is None
