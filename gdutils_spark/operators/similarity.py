@@ -100,32 +100,62 @@ def knn_bruteforce(
     scoring is a map over the corpus scan; top-k is one shuffle on
     query_id. Ties break on neighbor id for determinism.
     """
+    return _knn_topk(
+        vectors, queries, id_col, vec_col, k, dims, max_query_rows,
+        "knn_bruteforce",
+    )
+
+
+def _knn_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: int | None,
+    max_query_rows: int,
+    fn: str,
+    filter_col: str | None = None,
+) -> DataFrame:
+    """Shared exact-kNN kernel for :func:`knn_bruteforce` (cross join)
+    and :func:`knn_filtered` (attribute equi-join) — ONE copy of the
+    norm hoist, cosine expression and tie-broken top-k window, so a
+    scoring or tie-break fix can never drift between them. The only
+    varying piece is candidate generation: with ``filter_col`` the
+    broadcast join is KEYED on the attribute (each corpus row scored
+    only against queries that can accept it); without it, every
+    (query, corpus) pair is scored."""
     from pyspark.sql import Window
 
-    _guard_query_rows(queries, id_col, max_query_rows, "knn_bruteforce")
+    _guard_query_rows(queries, id_col, max_query_rows, fn)
+    fq = [F.col(filter_col).alias("_fq")] if filter_col else []
+    fv = [F.col(filter_col).alias("_fv")] if filter_col else []
     # hoist each side's norm out of the pair computation: computed once
     # per row at scan time, not once per (query, neighbor) pair
     q = queries.select(
         F.col(id_col).alias("query_id"),
+        *fq,
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col), dims).alias("q_norm"),
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
+        *fv,
         F.col(vec_col).alias("v_vec"),
         norm(F.col(vec_col), dims).alias("v_norm"),
     )
-    scored = (
-        v.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot(F.col("q_vec"), F.col("v_vec"), dims)
-                / (F.col("q_norm") * F.col("v_norm"))
-            ).alias("score"),
-        )
+    joined = (
+        v.join(F.broadcast(q), F.col("_fv") == F.col("_fq"))
+        if filter_col
+        else v.crossJoin(F.broadcast(q))
+    )
+    scored = joined.where(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("q_vec"), F.col("v_vec"), dims)
+            / (F.col("q_norm") * F.col("v_norm"))
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -165,40 +195,9 @@ def knn_filtered(
     FEWER than k (or zero) matching neighbors. NULL attributes match
     nothing on either side (equi-join semantics — a NULL-labeled row
     can't be "the same language" as anything)."""
-    from pyspark.sql import Window
-
-    _guard_query_rows(queries, id_col, max_query_rows, "knn_filtered")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(filter_col).alias("_fq"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col), dims).alias("q_norm"),
-    )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(filter_col).alias("_fv"),
-        F.col(vec_col).alias("v_vec"),
-        norm(F.col(vec_col), dims).alias("v_norm"),
-    )
-    scored = (
-        v.join(F.broadcast(q), F.col("_fv") == F.col("_fq"))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot(F.col("q_vec"), F.col("v_vec"), dims)
-                / (F.col("q_norm") * F.col("v_norm"))
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
+    return _knn_topk(
+        vectors, queries, id_col, vec_col, k, dims, max_query_rows,
+        "knn_filtered", filter_col=filter_col,
     )
 
 

@@ -661,19 +661,7 @@ def hist_quantiles(
     # same-session hist_registers output with the same n_bins (the
     # apply_cdc / cms_estimate convention).
     if validate:
-        bad_bin = (
-            registers.where(
-                (F.col("bin") < 0) | (F.col("bin") >= n_bins)
-            )
-            .limit(1)
-            .collect()
-        )
-        if bad_bin:
-            raise ValueError(
-                f"hist_quantiles: register bin {bad_bin[0]['bin']} outside "
-                f"[0, {n_bins}) — the register table was not built with "
-                "this n_bins (or mixed-geometry registers were merged)"
-            )
+        _probe_bin_geometry(registers, n_bins, "hist_quantiles")
     spark = registers.sparkSession
     # a grouped register table (grp column) yields per-group estimates
     grouped = "grp" in registers.columns
@@ -712,6 +700,24 @@ def hist_quantiles(
     )
 
 
+def _probe_bin_geometry(regs: DataFrame, n_bins: int, fn: str) -> None:
+    """The histogram family's shared fail-fast geometry probe: a
+    register bin outside ``[0, n_bins)`` proves the table was not built
+    with the declared geometry (or mixed-geometry tables were merged).
+    LIMIT-bounded; every caller gates it behind its ``validate`` flag."""
+    bad = (
+        regs.where((F.col("bin") < 0) | (F.col("bin") >= n_bins))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"{fn}: register bin {bad[0]['bin']} outside [0, {n_bins}) — "
+            "the register table was not built with this n_bins (or "
+            "mixed-geometry registers were merged)"
+        )
+
+
 def hist_drift_report(
     a: DataFrame,
     b: DataFrame,
@@ -743,24 +749,37 @@ def hist_drift_report(
     ``validate=True`` runs the family's LIMIT-bounded geometry probe on
     both tables (a register outside ``[0, n_bins)`` proves a geometry
     mismatch — comparing histograms built with different bins is
-    meaningless); ``validate=False`` for same-session registers."""
-    if validate:
-        for name, regs in (("a", a), ("b", b)):
-            bad = (
-                regs.where((F.col("bin") < 0) | (F.col("bin") >= n_bins))
-                .limit(1)
-                .collect()
+    meaningless); ``validate=False`` for same-session registers.
+    GROUPED register tables (a ``grp`` column) are rejected — a
+    bin-only join over them would cross-multiply groups into garbage
+    counts; run per-group drift by filtering one group per call (or
+    ``hist_merge`` the groups deliberately). Duplicate bins from an
+    unioned-but-unmerged table are pre-aggregated (the
+    :func:`hist_merge` sum), so a ``unionByName`` of part-sketches
+    reads as the merged sketch it means."""
+    for name, regs in (("a", a), ("b", b)):
+        if "grp" in regs.columns:
+            raise ValueError(
+                f"hist_drift_report: register table {name} is GROUPED "
+                "(grp column) — a bin-only comparison over it would "
+                "cross-multiply groups into meaningless counts; filter "
+                "one group per call (or hist_merge the groups first)"
             )
-            if bad:
-                raise ValueError(
-                    f"hist_drift_report: register bin {bad[0]['bin']} in "
-                    f"table {name} outside [0, {n_bins}) — the tables "
-                    "were not built with this geometry; comparing "
-                    "mismatched histograms is meaningless"
-                )
+    if validate:
+        # pin BEFORE probing: the probe is a separate action and shuffle
+        # reuse does not span actions (the cms_estimate convention) —
+        # without the pin each register-build lineage would run twice
+        a = a.localCheckpoint(eager=False)
+        b = b.localCheckpoint(eager=False)
+        _probe_bin_geometry(a, n_bins, "hist_drift_report (table a)")
+        _probe_bin_geometry(b, n_bins, "hist_drift_report (table b)")
+    # bin-level pre-aggregate == hist_merge semantics: tolerates a
+    # unioned-but-unmerged register table (duplicate bins) on either
+    # side; a no-op single pass for already-merged inputs
+    asum = a.groupBy("bin").agg(F.sum("cnt").alias("_ca"))
+    bsum = b.groupBy("bin").agg(F.sum("cnt").alias("_cb"))
     j = (
-        a.select("bin", F.col("cnt").alias("_ca"))
-        .join(b.select("bin", F.col("cnt").alias("_cb")), "bin", "full")
+        asum.join(bsum, "bin", "full")
         .select(
             "bin",
             F.coalesce(F.col("_ca"), F.lit(0).cast("long")).alias("ca"),
@@ -769,8 +788,13 @@ def hist_drift_report(
         .where(F.col("ca") + F.col("cb") > 0)
         .localCheckpoint(eager=False)  # feeds totals AND terms (no reuse)
     )
+    # global aggregates (no groupBy) so the report is ALWAYS exactly one
+    # row — both-cohorts-empty yields (0, 0, 0, NULL, NULL), not zero
+    # rows that would IndexError the nightly gate on the night both
+    # feeds die (exactly when it matters)
     totals = j.agg(
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+        F.coalesce(F.sum("ca"), F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce(F.sum("cb"), F.lit(0).cast("long")).alias("n_b"),
         F.count(F.lit(1)).alias("n_bins_used"),
     )
     d = F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
@@ -785,18 +809,18 @@ def hist_drift_report(
         F.col(n) > 0, F.col(c).cast("double") / F.col(n).cast("double")
     ).otherwise(F.lit(0.0))
     t_tv = F.abs(ratio("ca", "n_a") - ratio("cb", "n_b"))
+    totals = totals.localCheckpoint(eager=False)  # feeds terms AND wide
     terms = j.crossJoin(F.broadcast(totals)).select(
-        "bin", "n_a", "n_b", "n_bins_used",
-        t_chi.alias("_tc"), t_tv.alias("_tt"),
+        "bin", t_chi.alias("_tc"), t_tv.alias("_tt")
     )
     fold = lambda field: F.aggregate(
         F.array_sort(F.collect_list(F.struct("bin", F.col(field).alias("t")))),
         F.lit(0.0),
         lambda acc, s: acc + s["t"],
     )
-    wide = terms.groupBy("n_a", "n_b", "n_bins_used").agg(
+    wide = terms.agg(
         fold("_tc").alias("_chi_raw"), fold("_tt").alias("_tv_raw")
-    )
+    ).crossJoin(F.broadcast(totals))
     ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return wide.select(
         "n_a",

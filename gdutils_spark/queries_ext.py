@@ -3987,14 +3987,15 @@ def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     e = load_table(spark, sf_dir, "events")
-    ca = hist_registers(
-        e.where(F.col("event_id") % DRIFT_MOD == 0), "value",
-        HIST_LO, HIST_HI, HIST_NBINS,
-    )
-    cb = hist_registers(
-        e.where(F.col("event_id") % DRIFT_MOD != 0), "value",
-        HIST_LO, HIST_HI, HIST_NBINS,
-    )
+    # ONE corpus scan builds BOTH cohorts' registers (grouped build +
+    # register-sized filters), instead of one filtered scan per cohort;
+    # pinned — it feeds both filters (no subtree reuse)
+    regs = hist_registers(
+        e.withColumn("_is_a", F.col("event_id") % DRIFT_MOD == 0),
+        "value", HIST_LO, HIST_HI, HIST_NBINS, group_col="_is_a",
+    ).localCheckpoint(eager=False)
+    ca = regs.where(F.col("grp")).select("bin", "cnt")
+    cb = regs.where(~F.col("grp")).select("bin", "cnt")
     # registers built in-session with the same geometry — trusted
     return hist_drift_report(ca, cb, HIST_NBINS, validate=False)
 
@@ -4027,31 +4028,35 @@ j AS (
   WHERE COALESCE(ca, CAST(0 AS BIGINT)) + COALESCE(cb, CAST(0 AS BIGINT)) > 0
 ),
 tot AS (
-  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+  SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b,
          CAST(COUNT(*) AS BIGINT) AS n_bins_used
   FROM j
 ),
 terms AS (
-  SELECT bin, n_a, n_b, n_bins_used,
+  SELECT bin,
          CAST(ca * n_b - cb * n_a AS DOUBLE)
            * CAST(ca * n_b - cb * n_a AS DOUBLE)
            / CAST(ca + cb AS DOUBLE) AS tc,
-         abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
-             - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS tt
+         abs(CASE WHEN n_a > 0 THEN CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END
+             - CASE WHEN n_b > 0 THEN CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END) AS tt
   FROM j, tot
 ),
+-- GLOBAL aggregate (no GROUP BY) mirrors the Spark side: the report is
+-- ALWAYS exactly one row, even when both cohorts are empty
 folded AS (
-  SELECT n_a, n_b, n_bins_used,
-         list_sum(list(tc ORDER BY bin)) AS chi_raw,
+  SELECT list_sum(list(tc ORDER BY bin)) AS chi_raw,
          list_sum(list(tt ORDER BY bin)) AS tv_raw
-  FROM terms GROUP BY 1, 2, 3
+  FROM terms
 )
 SELECT n_a, n_b, n_bins_used,
        CASE WHEN n_a > 0 AND n_b > 0
             THEN chi_raw / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS chi2,
        CASE WHEN n_a > 0 AND n_b > 0
             THEN CAST(0.5 AS DOUBLE) * tv_raw END AS tv_distance
-FROM folded
+FROM folded, tot
 """
 
 

@@ -854,3 +854,54 @@ def test_hist_drift_report_geometry_and_empty(spark):
     ).collect()[0]
     assert row.n_b == 0
     assert row.chi2 is None and row.tv_distance is None
+
+
+def test_hist_drift_report_grouped_and_duplicate_bins(spark):
+    """Grouped register tables are REJECTED (a bin-only join would
+    cross-multiply groups into garbage counts); duplicate bins from an
+    unioned-but-unmerged table pre-aggregate to hist_merge semantics."""
+    import pytest
+
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report,
+        hist_merge,
+        hist_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 10), i % 2) for i in range(80)], "v double, g int"
+    )
+    grouped = hist_registers(df, "v", 0.0, 10.0, 10, group_col="g")
+    flat = hist_registers(df, "v", 0.0, 10.0, 10)
+    with pytest.raises(ValueError, match="GROUPED"):
+        hist_drift_report(grouped, flat, 10)
+    with pytest.raises(ValueError, match="GROUPED"):
+        hist_drift_report(flat, grouped, 10)
+    # unmerged union of two half-sketches == the merged sketch
+    half_a = hist_registers(df.where("g = 0"), "v", 0.0, 10.0, 10)
+    half_b = hist_registers(df.where("g = 1"), "v", 0.0, 10.0, 10)
+    unmerged = half_a.unionByName(half_b)
+    got = hist_drift_report(unmerged, flat, 10).collect()[0]
+    want = hist_drift_report(
+        hist_merge(half_a, half_b), flat, 10
+    ).collect()[0]
+    assert got == want
+    assert got.n_a == 80 and got.chi2 == 0.0
+
+
+def test_hist_drift_report_both_empty_single_row(spark):
+    """Both cohorts empty must still yield EXACTLY one (0, 0, 0, NULL,
+    NULL) row — a nightly gate doing collect()[0] must not IndexError
+    on the night both feeds die."""
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report,
+        hist_registers,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    ra = hist_registers(empty, "v", 0.0, 10.0, 10)
+    rows = hist_drift_report(ra, ra, 10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_a, r.n_b, r.n_bins_used) == (0, 0, 0)
+    assert r.chi2 is None and r.tv_distance is None
