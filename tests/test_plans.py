@@ -491,3 +491,43 @@ def test_kmv_sketch_is_takeordered_not_full_sort(spark, sf_correct):
     assert not uses_python(plan)
     assert "TakeOrderedAndProject" in plan
     assert n_nodes(plan, "Sort") == 0
+
+
+def test_knn_same_label_is_attribute_keyed_broadcast_join(spark, sf_correct):
+    """Filtered kNN's scale property: the filter lives in candidate
+    generation — a broadcast hash join KEYED on the attribute (each
+    corpus row scored only against queries that can accept it), never a
+    cross join of the whole corpus against every query."""
+    plan = formatted_plan(QUERIES["emb_knn_same_label"](spark, sf_correct))
+    assert has_broadcast_join(plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert not uses_python(plan)
+
+
+def test_event_value_drift_single_corpus_scan(spark, sf_correct):
+    """The drift gate reads the events corpus ONCE (grouped register
+    build), then works on bin-sized relations — a per-cohort filtered
+    scan would double the only corpus-sized cost. (localCheckpoint
+    truncates lineage, so assert on the pre-pin grouped build.)"""
+    from gdutils_spark.operators.sketches import hist_registers
+    from gdutils_spark.queries_ext import (
+        DRIFT_MOD,
+        HIST_HI,
+        HIST_LO,
+        HIST_NBINS,
+    )
+
+    e = load_table(spark, sf_correct, "events")
+    regs = hist_registers(
+        e.withColumn("_is_a", F.col("event_id") % DRIFT_MOD == 0),
+        "value", HIST_LO, HIST_HI, HIST_NBINS, group_col="_is_a",
+    )
+    plan = formatted_plan(regs)
+    # formatted mode prints each node twice (tree line + detail block),
+    # so ONE parquet scan == exactly 2 occurrences
+    assert plan.count("Scan parquet") == 2
+    assert not uses_python(plan)
+    # and the post-pin report is bin-sized: no parquet scan at all
+    report = QUERIES["event_value_drift"](spark, sf_correct)
+    assert "Scan parquet" not in formatted_plan(report)
