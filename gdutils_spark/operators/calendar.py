@@ -49,7 +49,11 @@ _VARIANTS = {
 
 def _with_parts(df: DataFrame, time_col: str) -> DataFrame:
     t = F.col(time_col)
-    return df.withColumns(
+    # NULL timestamps are dropped, matching the reference: pandas
+    # groupby(dropna=True, the default) silently drops NaT-keyed rows
+    # (/root/reference/gdutils/__init__.py:160-169), whereas a Spark
+    # groupBy would emit a (NULL, NULL, NULL)-keyed calendar row
+    return df.where(t.isNotNull()).withColumns(
         {
             "year": F.year(t),
             "month": F.month(t),
