@@ -42,6 +42,15 @@ def read_erddap_csv(
     With an explicit schema, malformed rows (the units row) produce NULLs in
     typed columns (PERMISSIVE mode); we drop rows whose ``time_column`` is
     NULL, which removes the units row in the same distributed pass.
+
+    WITHOUT a schema, note that the units row participates in type
+    inference, so every column with a units string infers as STRING —
+    pass a schema for typed reads (the reference's ``skiprows=[1]`` has
+    no single-pass Spark equivalent). The units-row drop still works on
+    the inferred path: a string-typed ``time_column`` is filtered by
+    ``try_to_timestamp`` (the units literal, e.g. ``UTC``, fails the
+    parse) instead of the IS NOT NULL test that a string column would
+    trivially pass.
     """
     reader = spark.read.option("header", "true")
     if schema is not None:
@@ -50,7 +59,10 @@ def read_erddap_csv(
         df = reader.option("inferSchema", "true").csv(path)
     df = normalize_columns(df)
     if drop_units_row and time_column in df.columns:
-        df = df.where(F.col(time_column).isNotNull())
+        if isinstance(df.schema[time_column].dataType, T.StringType):
+            df = df.where(F.try_to_timestamp(F.col(time_column)).isNotNull())
+        else:
+            df = df.where(F.col(time_column).isNotNull())
     return df
 
 

@@ -108,3 +108,23 @@ def test_rest_json_coercions(spark):
     assert b["start_date"] is None  # coerce failure → NULL
     assert a["num_profiles"] == 0 and b["num_profiles"] == 12  # null → 0
     assert a["orphaned"] is False and b["orphaned"] is True
+
+
+def test_erddap_csv_inferred_schema_still_drops_units_row(spark, tmp_path):
+    """Without an explicit schema the units row pollutes type inference
+    (time infers as STRING, 'UTC' is a valid string) — the IS NOT NULL
+    drop silently kept the units row. The string-typed path must filter
+    via try_to_timestamp instead."""
+    from gdutils_spark.sources.csv import read_erddap_csv
+
+    p = tmp_path / "unit.csv"
+    p.write_text(
+        "time,temperature\n"
+        "UTC,degree_C\n"
+        "2024-01-01T00:00:00Z,3.5\n"
+        "2024-01-02T00:00:00Z,4.5\n"
+    )
+    df = read_erddap_csv(spark, str(p))  # no schema -> inference
+    rows = df.collect()
+    assert len(rows) == 2  # units row gone even on the inferred path
+    assert all(r.time.startswith("2024") for r in rows)
