@@ -835,6 +835,91 @@ def hist_drift_report(
     )
 
 
+def hist_drift_report_by_group(
+    a: DataFrame,
+    b: DataFrame,
+    n_bins: int = HIST_BINS,
+    validate: bool = True,
+) -> DataFrame:
+    """Per-GROUP distribution drift between two GROUPED histogram
+    register tables (``hist_registers(group_col=...)`` output — ``(grp,
+    bin, cnt)``): one row per group present in either cohort, with the
+    same ``(n_a, n_b, n_bins_used, chi2, tv_distance)`` statistics as
+    :func:`hist_drift_report` computed WITHIN each group — "which
+    segment's distribution moved?", the per-source/per-language nightly
+    gate (a global drift score can hide one domain shifting while
+    another compensates). Groups present in only one cohort report
+    against an empty counterpart (tv → 1); all joins, folds and
+    normalizations are per-group twins of the global report's, so the
+    whole relation hash-verifies. Bin-sized × groups work throughout;
+    duplicate (grp, bin) rows pre-aggregate with ``hist_merge``
+    semantics."""
+    for name, regs in (("a", a), ("b", b)):
+        if "grp" not in regs.columns:
+            raise ValueError(
+                f"hist_drift_report_by_group: register table {name} has "
+                "no grp column — build it with "
+                "hist_registers(group_col=...), or use hist_drift_report "
+                "for ungrouped tables"
+            )
+    if validate:
+        a = a.localCheckpoint(eager=False)
+        b = b.localCheckpoint(eager=False)
+        _probe_bin_geometry(a, n_bins, "hist_drift_report_by_group (table a)")
+        _probe_bin_geometry(b, n_bins, "hist_drift_report_by_group (table b)")
+    asum = a.groupBy("grp", "bin").agg(F.sum("cnt").alias("_ca"))
+    bsum = b.groupBy("grp", "bin").agg(F.sum("cnt").alias("_cb"))
+    j = (
+        asum.join(bsum, ["grp", "bin"], "full")
+        .select(
+            "grp",
+            "bin",
+            F.coalesce(F.col("_ca"), F.lit(0).cast("long")).alias("ca"),
+            F.coalesce(F.col("_cb"), F.lit(0).cast("long")).alias("cb"),
+        )
+        .where(F.col("ca") + F.col("cb") > 0)
+        .localCheckpoint(eager=False)  # feeds totals AND terms
+    )
+    totals = j.groupBy("grp").agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    d = F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+    t_chi = (d.cast("double") * d.cast("double")) / (
+        F.col("ca") + F.col("cb")
+    ).cast("double")
+    ratio = lambda c, n: F.when(
+        F.col(n) > 0, F.col(c).cast("double") / F.col(n).cast("double")
+    ).otherwise(F.lit(0.0))
+    t_tv = F.abs(ratio("ca", "n_a") - ratio("cb", "n_b"))
+    terms = j.join(F.broadcast(totals), "grp").select(
+        "grp", "bin", "n_a", "n_b", "n_bins_used",
+        t_chi.alias("_tc"), t_tv.alias("_tt"),
+    )
+    fold = lambda field: F.aggregate(
+        F.array_sort(F.collect_list(F.struct("bin", F.col(field).alias("t")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["t"],
+    )
+    wide = terms.groupBy("grp", "n_a", "n_b", "n_bins_used").agg(
+        fold("_tc").alias("_chi_raw"), fold("_tt").alias("_tv_raw")
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return wide.select(
+        "grp",
+        "n_a",
+        "n_b",
+        "n_bins_used",
+        F.when(
+            ok,
+            F.col("_chi_raw")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ).alias("chi2"),
+        F.when(ok, F.lit(0.5) * F.col("_tv_raw")).alias("tv_distance"),
+    )
+
+
 BOTTOMK_K = 512
 
 

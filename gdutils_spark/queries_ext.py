@@ -4000,6 +4000,105 @@ def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_drift_report(ca, cb, HIST_NBINS, validate=False)
 
 
+def event_type_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP distribution drift driver-verified: which event type's
+    value distribution moved between the two cohorts — the
+    per-segment/per-source nightly gate a global drift score can't see
+    (one domain shifting while another compensates). ONE corpus scan
+    builds every (event_type × cohort) register cell (struct group
+    key), then :func:`hist_drift_report_by_group` computes each type's
+    chi-square + total-variation from bin-sized relations. Exact BIGINT
+    numerators, per-group ascending-bin ordered folds — every group row
+    hash-verifies."""
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report_by_group,
+        hist_registers,
+    )
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    regs = hist_registers(
+        e.withColumn(
+            "_ck",
+            F.struct(
+                F.col("event_type").alias("et"),
+                (F.col("event_id") % DRIFT_MOD == 0).alias("isa"),
+            ),
+        ),
+        "value", HIST_LO, HIST_HI, HIST_NBINS, group_col="_ck",
+    ).localCheckpoint(eager=False)  # feeds both cohort filters
+    ca = regs.where(F.col("grp.isa")).select(
+        F.col("grp.et").alias("grp"), "bin", "cnt"
+    )
+    cb = regs.where(~F.col("grp.isa")).select(
+        F.col("grp.et").alias("grp"), "bin", "cnt"
+    )
+    out = hist_drift_report_by_group(ca, cb, HIST_NBINS, validate=False)
+    return out.select(
+        F.col("grp").alias("event_type"),
+        "n_a", "n_b", "n_bins_used", "chi2", "tv_distance",
+    )
+
+
+def _drift_by_group_sql() -> str:
+    bin_expr = f"""CAST(least(greatest(floor((v - CAST({HIST_LO} AS DOUBLE))
+                                   * CAST({HIST_NBINS} AS DOUBLE)
+                                   / (CAST({HIST_HI} AS DOUBLE)
+                                      - CAST({HIST_LO} AS DOUBLE))),
+                             CAST(0 AS DOUBLE)),
+                    CAST({HIST_NBINS - 1} AS DOUBLE)) AS INT)"""
+    return f"""
+WITH vals AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT event_id, event_type, {bin_expr} AS bin
+  FROM vals WHERE NOT isnan(v)
+),
+ra AS (SELECT event_type AS grp, bin, CAST(COUNT(*) AS BIGINT) AS ca
+       FROM binned WHERE event_id % {DRIFT_MOD} = 0 GROUP BY 1, 2),
+rb AS (SELECT event_type AS grp, bin, CAST(COUNT(*) AS BIGINT) AS cb
+       FROM binned WHERE event_id % {DRIFT_MOD} <> 0 GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(ra.grp, rb.grp) AS grp, COALESCE(ra.bin, rb.bin) AS bin,
+         COALESCE(ca, CAST(0 AS BIGINT)) AS ca,
+         COALESCE(cb, CAST(0 AS BIGINT)) AS cb
+  FROM ra FULL OUTER JOIN rb ON ra.grp = rb.grp AND ra.bin = rb.bin
+  WHERE COALESCE(ca, CAST(0 AS BIGINT)) + COALESCE(cb, CAST(0 AS BIGINT)) > 0
+),
+tot AS (
+  SELECT grp, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_bins_used
+  FROM j GROUP BY grp
+),
+terms AS (
+  SELECT j.grp, bin, n_a, n_b, n_bins_used,
+         CAST(ca * n_b - cb * n_a AS DOUBLE)
+           * CAST(ca * n_b - cb * n_a AS DOUBLE)
+           / CAST(ca + cb AS DOUBLE) AS tc,
+         abs(CASE WHEN n_a > 0 THEN CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END
+             - CASE WHEN n_b > 0 THEN CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END) AS tt
+  FROM j JOIN tot ON j.grp = tot.grp
+),
+folded AS (
+  SELECT grp, n_a, n_b, n_bins_used,
+         list_sum(list(tc ORDER BY bin)) AS chi_raw,
+         list_sum(list(tt ORDER BY bin)) AS tv_raw
+  FROM terms GROUP BY 1, 2, 3, 4
+)
+SELECT grp AS event_type, n_a, n_b, n_bins_used,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN chi_raw / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS chi2,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(0.5 AS DOUBLE) * tv_raw END AS tv_distance
+FROM folded
+"""
+
+
 def _drift_sql() -> str:
     bin_expr = f"""CAST(least(greatest(floor((v - CAST({HIST_LO} AS DOUBLE))
                                    * CAST({HIST_NBINS} AS DOUBLE)
@@ -6191,6 +6290,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_bruteforce": emb_knn_bruteforce,
     "emb_knn_same_label": emb_knn_same_label,
     "event_value_drift": event_value_drift,
+    "event_type_value_drift": event_type_value_drift,
     "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_lsh_near_dup_pairs": emb_lsh_near_dup_pairs,
@@ -6309,6 +6409,7 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_bruteforce": _KNN_SQL,
     "emb_knn_same_label": _KNN_FILTERED_SQL,
     "event_value_drift": _drift_sql(),
+    "event_type_value_drift": _drift_by_group_sql(),
     "emb_hard_negatives": _HARD_NEG_SQL,
     "emb_near_dup_pairs": _NEAR_DUP_SQL,
     "emb_lsh_near_dup_pairs": _lsh_near_dup_sql(),

@@ -905,3 +905,70 @@ def test_hist_drift_report_both_empty_single_row(spark):
     r = rows[0]
     assert (r.n_a, r.n_b, r.n_bins_used) == (0, 0, 0)
     assert r.chi2 is None and r.tv_distance is None
+
+
+def test_hist_drift_report_by_group_matches_global_per_group(spark):
+    """The grouped report must equal running the GLOBAL report on each
+    group's registers separately — and reject ungrouped inputs."""
+    import pytest
+
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report,
+        hist_drift_report_by_group,
+        hist_registers,
+    )
+
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        ("x" if i % 2 == 0 else "y", rng.gauss(40 + 20 * (i % 2), 10), i % 3)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, c int")
+    ra = hist_registers(df.where("c = 0"), "v", 0.0, 100.0, 20, group_col="g")
+    rb = hist_registers(df.where("c <> 0"), "v", 0.0, 100.0, 20, group_col="g")
+    got = {
+        r.grp: (r.n_a, r.n_b, r.n_bins_used, r.chi2, r.tv_distance)
+        for r in hist_drift_report_by_group(ra, rb, 20).collect()
+    }
+    assert set(got) == {"x", "y"}
+    for g in ("x", "y"):
+        want = hist_drift_report(
+            hist_registers(
+                df.where(f"c = 0 AND g = '{g}'"), "v", 0.0, 100.0, 20
+            ),
+            hist_registers(
+                df.where(f"c <> 0 AND g = '{g}'"), "v", 0.0, 100.0, 20
+            ),
+            20,
+        ).collect()[0]
+        assert got[g] == (
+            want.n_a, want.n_b, want.n_bins_used, want.chi2,
+            want.tv_distance,
+        ), g
+    flat = hist_registers(df, "v", 0.0, 100.0, 20)
+    with pytest.raises(ValueError, match="no grp column"):
+        hist_drift_report_by_group(flat, ra, 20)
+
+
+def test_hist_drift_report_by_group_one_sided_group(spark):
+    """A group present in only one cohort reports against an empty
+    counterpart: tv == 1, chi2/tv NULL only when ITS OWN side is the
+    empty one (n_a or n_b == 0 -> NULL stats for that group)."""
+    from gdutils_spark.operators.sketches import (
+        hist_drift_report_by_group,
+        hist_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("only_a", float(i % 5), 0) for i in range(40)]
+        + [("both", float(i % 5), i % 2) for i in range(40)],
+        "g string, v double, c int",
+    )
+    ra = hist_registers(df.where("c = 0"), "v", 0.0, 10.0, 10, group_col="g")
+    rb = hist_registers(df.where("c = 1"), "v", 0.0, 10.0, 10, group_col="g")
+    got = {r.grp: r for r in hist_drift_report_by_group(ra, rb, 10).collect()}
+    assert got["only_a"].n_b == 0
+    assert got["only_a"].chi2 is None and got["only_a"].tv_distance is None
+    assert got["both"].chi2 == 0.0 and got["both"].tv_distance == 0.0
