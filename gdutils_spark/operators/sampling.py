@@ -142,6 +142,22 @@ def priority_sample(
     )
 
 
+def priority_sample_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Merge two :func:`priority_sample` outputs into the size-``k``
+    sample of their union — the bottom-k-by-priority lemma (Duffield et
+    al. §3): the k smallest priorities of A ∪ B are among the union of
+    each side's k smallest, so per-shard (or per-night) samples combine
+    WITHOUT revisiting either corpus. Associative and deterministic
+    (priorities are md5-derived, ties break on id), which makes it a
+    valid ``merge`` for :func:`~gdutils_spark.streaming
+    .stream_merge_sketch` — a weighted reservoir over a stream at
+    sample-sized state. Inputs are sample-sized, so the union + ordered
+    LIMIT is a TakeOrderedAndProject over ≤ 2k rows."""
+    if k < 1:
+        raise ValueError(f"priority_sample_merge: k={k} must be >= 1")
+    return a.unionByName(b).orderBy("priority", "id").limit(k)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1954,32 +1954,35 @@ ORACLE: dict[str, str] = {
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
     # round 9 window (exactly 50): clears the rotation backlog for good,
-    # per VERDICT r8 task #1. Composition: (a) the 6 NEW round-9 queries
+    # per VERDICT r8 task #1. Composition: (a) the 7 NEW round-9 queries
     # (IVF-PQ delta-append search, attribute-filtered kNN,
     # histogram-sketch drift gate — global AND per-group, incremental
-    # LPA communities, incremental triangle counts — under the ≤11 cap;
-    # the per-group drift landed late, displacing the calendar_slice_ym
-    # filler, which stays r6-green and rolls into r10); (b) the 2
+    # LPA communities, incremental triangle counts, and a streaming
+    # weighted reservoir via the priority-sample merge lemma — under the
+    # ≤11 cap; the last two landed late, each displacing one r6 filler
+    # (calendar_slice_ym, calendar_md_orders — both r6-green, rolling
+    # into r10)); (b) the 2
     # late round-8 additions that have never had a driver row
     # (doc_incremental_dup_clusters, doc_weighted_sample_by_lang — both
     # locally drive-sim green twice over); (c) ALL 37 entries whose
     # latest green row is r5 — the pre-declared round-9 rotation
-    # priority carried verbatim from the r8 ledger; (d) 5 r6-stale
-    # fillers for the remaining slots, leading with the four whose code
+    # priority carried verbatim from the r8 ledger; (d) 4 r6-stale
+    # fillers for the remaining slots — the four whose code
     # paths this round TOUCHED (doc_cms_token_freq — the new sketch
     # validate hatch; emb_knn_ivfpq — the _encode_codes refactor;
     # mm_audio_features / mm_image_features — the WAV fmt-size guard and
     # codec hardening) then the r6 alphabetical head. After this round
     # no entry's freshest green row predates r6 and steady-state
-    # rotation (ceil(195/50) ~= 4 rounds) begins with zero backlog. The
-    # NEXT-ROUND (r10) rotation priority is the remaining 45 entries
+    # rotation (ceil(196/50) ~= 4 rounds) begins with zero backlog. The
+    # NEXT-ROUND (r10) rotation priority is the remaining 46 entries
     # whose latest green row is r6 (CORRECTNESS_r06.json keys minus the
-    # 5 fillers below — calendar_slice_ym rolled back into r10), plus
-    # any r10 additions.
+    # 4 fillers below — calendar_slice_ym and calendar_md_orders rolled
+    # back into r10), plus any r10 additions.
     "emb_knn_ivfpq_appended",
     "emb_knn_same_label",
     "event_value_drift",
     "event_type_value_drift",
+    "rt_stream_weighted_sample",
     "part_copurchase_communities_incremental",
     "part_copurchase_triangles_incremental",
     "doc_incremental_dup_clusters",
@@ -2025,7 +2028,6 @@ _DRIVER_FIRST: tuple[str, ...] = (
     "emb_knn_ivfpq",
     "mm_audio_features",
     "mm_image_features",
-    "calendar_md_orders",
 )
 
 

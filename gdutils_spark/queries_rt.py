@@ -1394,6 +1394,62 @@ FROM vals GROUP BY 1
 """
 
 
+def rt_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WEIGHTED RESERVOIR driver-verified: the document
+    stream drains one parquet file per micro-batch, each batch
+    priority-samples its own k docs (md5-frac(id)/weight priorities)
+    and ``stream_merge_sketch`` merges onto the last committed sample
+    via the bottom-k-by-priority lemma — weighted sampling WITHOUT
+    replacement over an unbounded stream at k-row state, no RNG. The
+    oracle computes the whole-corpus priority sample directly, so a
+    dropped batch, a replay double-merge, or a merge that violates the
+    lemma changes the hashed sample."""
+    from gdutils_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_merge,
+    )
+    from gdutils_spark.operators.text import tokens as _tokens
+    from gdutils_spark.queries_ext import WS_K
+    from gdutils_spark.streaming import latest_sketch, stream_merge_sketch
+
+    _pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tmp = _work_dir("stream_wsample")
+    src, chk, snap = (os.path.join(tmp, p) for p in ("src", "chk", "snap"))
+    d.repartition(4).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_merge_sketch(
+        stream,
+        build=lambda b: priority_sample(b, "doc_id", "n_tokens", WS_K),
+        merge=lambda p, c: priority_sample_merge(p, c, WS_K),
+        snapshot_dir=snap,
+        checkpoint=chk,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "rt_stream_weighted_sample: streaming query did not finish"
+        )
+    return latest_sketch(spark, snap).select(
+        F.col("id").alias("doc_id"),
+        F.col("weight").alias("n_tokens"),
+        "priority",
+    )
+
+
+def _stream_wsample_sql() -> str:
+    from gdutils_spark.queries_ext import _weighted_sample_sql
+
+    return _weighted_sample_sql()
+
+
 def rt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join driver-verified end-to-end: the
     click and purchase slices of the event stream join on user within a
@@ -1673,6 +1729,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_stream_stream_left_join": rt_stream_stream_left_join,
     "rt_stream_stream_full_join": rt_stream_stream_full_join,
     "rt_stream_quantile_sketch": rt_stream_quantile_sketch,
+    "rt_stream_weighted_sample": rt_stream_weighted_sample,
     "rt_stream_media": rt_stream_media,
     "rt_jsonl_shards": rt_jsonl_shards,
     "rt_orc_roundtrip": rt_orc_roundtrip,
@@ -1703,6 +1760,11 @@ RT_ORACLE: dict[str, str] = {
     "rt_stream_stream_left_join": _RT_STREAM_SS_LEFT_JOIN_SQL,
     "rt_stream_stream_full_join": _RT_STREAM_SS_FULL_JOIN_SQL,
     "rt_stream_quantile_sketch": _stream_hist_sql(),
+    # the streamed weighted reservoir must equal the whole-corpus
+    # priority sample — the merge-losslessness claim, same SQL as
+    # doc_weighted_sample (deferred import: queries_ext also imports
+    # from this module at function level)
+    "rt_stream_weighted_sample": _stream_wsample_sql(),
     "rt_stream_media": _RT_STREAM_MEDIA_SQL,
     "rt_jsonl_shards": _RT_JSONL_SHARDS_SQL,
     "rt_orc_roundtrip": _RT_ORC_SQL,

@@ -1359,3 +1359,36 @@ def test_bottomk_grouped_plan_single_shuffle(spark):
 
     s = bottomk_sample(df, "id", "v", 5, group_col="g")
     assert n_exchanges(s) <= 1, formatted_plan(s)
+
+
+def test_priority_sample_merge_lemma(spark, sf_smoke):
+    """The bottom-k-by-priority lemma the streaming reservoir relies
+    on: merging per-shard k-samples equals the whole-corpus k-sample,
+    for ANY split of the corpus — and the merge is associative."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_merge,
+    )
+    from gdutils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    k = 16
+    whole = sorted(priority_sample(docs, "doc_id", "w", k).collect())
+    parts = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    samples = [priority_sample(p, "doc_id", "w", k) for p in parts]
+    merged_lr = priority_sample_merge(
+        priority_sample_merge(samples[0], samples[1], k), samples[2], k
+    )
+    merged_rl = priority_sample_merge(
+        samples[0], priority_sample_merge(samples[1], samples[2], k), k
+    )
+    assert sorted(merged_lr.collect()) == whole
+    assert sorted(merged_rl.collect()) == whole
+    import pytest
+
+    with pytest.raises(ValueError, match="k="):
+        priority_sample_merge(samples[0], samples[1], 0)
