@@ -58,6 +58,9 @@ HEADLINERS = [
     ("orders_cdc_upsert", "MERGE INTO: latest-change window, anti join + union — one key shuffle of the snapshot"),
     ("user_event_type_scd2", "SCD2 history: lag change-points + lead interval close share ONE (key, ts) sort"),
     ("event_type_daily_zscore", "volume anomalies: daily agg + types-sized stats broadcast back, exact-integer z-scores"),
+    ("emb_knn_same_label", "filtered kNN: attribute-KEYED broadcast hash join (never a cross join), window top-k"),
+    ("event_value_drift", "drift gate: ONE grouped register scan, bin-sized full-outer join, ordered folds"),
+    ("part_copurchase_triangles_incremental", "incremental triangles: delta-anchored wedge joins over the shared oriented table, linear re-orientation"),
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
