@@ -152,10 +152,20 @@ def priority_sample_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     valid ``merge`` for :func:`~gdutils_spark.streaming
     .stream_merge_sketch` — a weighted reservoir over a stream at
     sample-sized state. Inputs are sample-sized, so the union + ordered
-    LIMIT is a TakeOrderedAndProject over ≤ 2k rows."""
+    LIMIT is a TakeOrderedAndProject over ≤ 2k rows.
+
+    Idempotent under population overlap: samples drawn from
+    NON-disjoint populations (or a sample merged with itself) repeat
+    ids, and because priority is a pure function of (id, weight) the
+    repeats are bit-identical rows — ``distinct()`` collapses them
+    before the cut so a duplicate can never occupy two of the k slots.
+    The same id sampled under DIFFERENT weights is two distinct
+    (id, weight, priority) rows and both legitimately compete (the
+    lemma requires weight stability per id; reweighted re-draws are a
+    new population)."""
     if k < 1:
         raise ValueError(f"priority_sample_merge: k={k} must be >= 1")
-    return a.unionByName(b).orderBy("priority", "id").limit(k)
+    return a.unionByName(b).distinct().orderBy("priority", "id").limit(k)
 
 
 def pack_sequences(

@@ -848,10 +848,14 @@ def hist_drift_report_by_group(
     :func:`hist_drift_report` computed WITHIN each group — "which
     segment's distribution moved?", the per-source/per-language nightly
     gate (a global drift score can hide one domain shifting while
-    another compensates). Groups present in only one cohort report
-    against an empty counterpart (tv → 1); all joins, folds and
-    normalizations are per-group twins of the global report's, so the
-    whole relation hash-verifies. Bin-sized × groups work throughout;
+    another compensates). Groups present in only one cohort report NULL
+    ``chi2``/``tv_distance`` (the ``n_a > 0 AND n_b > 0`` guard —
+    matching :func:`hist_drift_report` on an empty cohort: a one-sided
+    comparison has no defined two-sample statistic); their ``n_a``/
+    ``n_b`` row still appears so the gate can flag the appearance or
+    disappearance itself. All joins, folds and normalizations are
+    per-group twins of the global report's, so the whole relation
+    hash-verifies. Bin-sized × groups work throughout;
     duplicate (grp, bin) rows pre-aggregate with ``hist_merge``
     semantics."""
     for name, regs in (("a", a), ("b", b)):

@@ -1953,81 +1953,68 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 9 window (exactly 50): clears the rotation backlog for good,
-    # per VERDICT r8 task #1. Composition: (a) the 7 NEW round-9 queries
-    # (IVF-PQ delta-append search, attribute-filtered kNN,
-    # histogram-sketch drift gate — global AND per-group, incremental
-    # LPA communities, incremental triangle counts, and a streaming
-    # weighted reservoir via the priority-sample merge lemma — under the
-    # ≤11 cap; the last two landed late, each displacing one r6 filler
-    # (calendar_slice_ym, calendar_md_orders — both r6-green, rolling
-    # into r10)); (b) the 2
-    # late round-8 additions that have never had a driver row
-    # (doc_incremental_dup_clusters, doc_weighted_sample_by_lang — both
-    # locally drive-sim green twice over); (c) ALL 37 entries whose
-    # latest green row is r5 — the pre-declared round-9 rotation
-    # priority carried verbatim from the r8 ledger; (d) 4 r6-stale
-    # fillers for the remaining slots — the four whose code
-    # paths this round TOUCHED (doc_cms_token_freq — the new sketch
-    # validate hatch; emb_knn_ivfpq — the _encode_codes refactor;
-    # mm_audio_features / mm_image_features — the WAV fmt-size guard and
-    # codec hardening) then the r6 alphabetical head. After this round
-    # no entry's freshest green row predates r6 and steady-state
-    # rotation (ceil(196/50) ~= 4 rounds) begins with zero backlog. The
-    # NEXT-ROUND (r10) rotation priority is the remaining 46 entries
-    # whose latest green row is r6 (CORRECTNESS_r06.json keys minus the
-    # 4 fillers below — calendar_slice_ym and calendar_md_orders rolled
-    # back into r10), plus any r10 additions.
-    "emb_knn_ivfpq_appended",
-    "emb_knn_same_label",
-    "event_value_drift",
-    "event_type_value_drift",
-    "rt_stream_weighted_sample",
-    "part_copurchase_communities_incremental",
-    "part_copurchase_triangles_incremental",
-    "doc_incremental_dup_clusters",
-    "doc_weighted_sample_by_lang",
-    "calendar_ym_orders",
-    "calendar_ymd_events",
-    "daily_event_stats",
-    "daily_revenue_7d_ma",
-    "doc_containment_pairs",
-    "doc_dedup_recall",
-    "doc_dup_clusters",
-    "doc_exact_dups",
-    "doc_hll_tokens",
-    "doc_hybrid_search",
-    "doc_lang_id",
-    "doc_leakage_safe_split",
-    "doc_minhash_estimate",
-    "doc_minhash_lsh_pairs",
-    "doc_ngram_dup_pairs",
-    "doc_quality_filter",
-    "doc_rolling_fp",
-    "doc_segment_dedup",
-    "doc_simhash",
-    "doc_simhash_near_pairs",
-    "doc_temperature_mix",
-    "doc_text_stats",
-    "doc_token_counts",
-    "doc_token_rarity",
-    "emb_ivf_cluster_quality",
-    "emb_ivf_recall_curve",
-    "emb_knn_pq",
-    "emb_pq_codes",
-    "mm_pcm_stats",
-    "q10_returned_revenue",
-    "q12_ship_lateness",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "user_funnel_windowed",
-    "user_summaries",
-    "users_click_no_purchase",
-    "yearly_counts",
-    "doc_cms_token_freq",
-    "emb_knn_ivfpq",
-    "mm_audio_features",
-    "mm_image_features",
+    # round 10 window (exactly 50): the pre-declared r10 rotation — ALL
+    # 46 entries whose latest green row is r6 (CORRECTNESS_r06.json keys
+    # minus the 4 r9 fillers doc_cms_token_freq / emb_knn_ivfpq /
+    # mm_audio_features / mm_image_features), per VERDICT r9 task #1.
+    # After this round every registry entry has a green row from r7 or
+    # later (max staleness 3 rounds) and steady-state rotation holds
+    # with zero backlog. New queries this round are CAPPED AT 4 so the
+    # full stale set fits in the 50-slot window (VERDICT task #2's ~10
+    # cap is binding only when the backlog is smaller). NEW r10 entries
+    # lead the tuple. The NEXT-ROUND (r11) rotation priority is the 50
+    # r7-driven entries (CORRECTNESS_r07.json keys), plus any r11
+    # additions.
+    "mm_video_frames",
+    "mm_video_scene_cuts",
+    "doc_sample_merged",
+    "event_minute_spikes",
+    "calendar_md_orders",
+    "calendar_slice_ym",
+    "calendar_ym_active_customers",
+    "calendar_ymd_events_dense",
+    "customer_order_ranks",
+    "customer_orphan_flag",
+    "customer_orphans",
+    "customer_rfm_scores",
+    "distinct_user_event_types",
+    "doc_benchmark_contamination",
+    "doc_near_dup_drop",
+    "doc_pack_batches",
+    "doc_pii_scrub",
+    "doc_stratified_sample",
+    "doc_top_tokens",
+    "emb_ivf_assign",
+    "emb_knn_bruteforce",
+    "emb_knn_ivf",
+    "emb_knn_lsh",
+    "emb_lsh_buckets",
+    "emb_lsh_near_dup_pairs",
+    "emb_near_dup_pairs",
+    "emb_pq_codes_refined",
+    "emb_pq_recall",
+    "event_props_stats",
+    "event_sessions",
+    "event_type_daily_zscore",
+    "event_value_buckets",
+    "event_value_quantiles",
+    "events_hll_users_incremental",
+    "lineitem_shipped_90d",
+    "order_last_event_asof",
+    "orders_above_cust_avg",
+    "orders_cdc_upsert",
+    "part_name_filter",
+    "q13_order_distribution",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "rollup_order_totals",
+    "suppliers_with_shipments_semi",
+    "tagged_event_union",
+    "top_order_per_customer",
+    "user_day_spine",
+    "user_event_gaps",
+    "user_event_type_scd2",
+    "user_first_week_events",
 )
 
 

@@ -47,10 +47,12 @@ def read_erddap_csv(
     inference, so every column with a units string infers as STRING —
     pass a schema for typed reads (the reference's ``skiprows=[1]`` has
     no single-pass Spark equivalent). The units-row drop still works on
-    the inferred path: a string-typed ``time_column`` is filtered by
-    ``try_to_timestamp`` (the units literal, e.g. ``UTC``, fails the
-    parse) instead of the IS NOT NULL test that a string column would
-    trivially pass.
+    the inferred path: a string-typed ``time_column`` is kept when it
+    parses as a timestamp OR as a number (ERDDAP serves time as numeric
+    seconds-since-epoch when requested that way), so only rows whose
+    time cell is neither — the units literal, e.g. ``UTC`` or
+    ``seconds since 1970-01-01T00:00:00Z`` — are dropped, instead of
+    the IS NOT NULL test that a string column would trivially pass.
     """
     reader = spark.read.option("header", "true")
     if schema is not None:
@@ -60,7 +62,10 @@ def read_erddap_csv(
     df = normalize_columns(df)
     if drop_units_row and time_column in df.columns:
         if isinstance(df.schema[time_column].dataType, T.StringType):
-            df = df.where(F.try_to_timestamp(F.col(time_column)).isNotNull())
+            df = df.where(
+                F.try_to_timestamp(F.col(time_column)).isNotNull()
+                | F.col(time_column).try_cast("double").isNotNull()
+            )
         else:
             df = df.where(F.col(time_column).isNotNull())
     return df

@@ -1392,3 +1392,9 @@ def test_priority_sample_merge_lemma(spark, sf_smoke):
 
     with pytest.raises(ValueError, match="k="):
         priority_sample_merge(samples[0], samples[1], 0)
+
+    # Idempotence under population overlap: the same sample twice (the
+    # degenerate full overlap) merges to itself — a duplicated id must
+    # not occupy two of the k slots and displace a legitimate row.
+    self_merged = priority_sample_merge(samples[0], samples[0], k)
+    assert sorted(self_merged.collect()) == sorted(samples[0].collect())

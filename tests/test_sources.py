@@ -128,3 +128,26 @@ def test_erddap_csv_inferred_schema_still_drops_units_row(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 2  # units row gone even on the inferred path
     assert all(r.time.startswith("2024") for r in rows)
+
+
+def test_erddap_csv_inferred_epoch_time_rows_survive(spark, tmp_path):
+    """ERDDAP serves time as numeric seconds-since-epoch when requested
+    that way (&time>=...&.units=seconds). On the inferred path those
+    data rows are strings that FAIL try_to_timestamp — the units-row
+    filter must not eat them. Numeric-parse acceptance keeps them; the
+    units literal ('seconds since 1970-...') still fails both parses."""
+    from gdutils_spark.sources.csv import read_erddap_csv
+
+    p = tmp_path / "epoch.csv"
+    p.write_text(
+        "time,temperature\n"
+        "seconds since 1970-01-01T00:00:00Z,degree_C\n"
+        "1704067200.5,3.5\n"
+        "1704153600,4.5\n"
+    )
+    df = read_erddap_csv(spark, str(p))
+    rows = sorted(df.collect())
+    assert len(rows) == 2
+    # inference keeps columns as STRING (units row pollutes it — the
+    # documented no-schema caveat); presence, not type, is under test
+    assert [r.temperature for r in rows] == ["3.5", "4.5"]
