@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Image and audio *header* decoding is real and pure-Python — PNG IHDR,
-JPEG SOFn marker scan, GIF screen descriptor, BMP info header, WAV RIFF
-chunk walk — no imaging libraries required. Pixel/sample decoding (which
-genuinely needs PIL/ffmpeg, absent in this container) stays gated behind
-``NotImplementedError`` in :func:`sample_frames`'s real path.
+Image, audio AND video *container* decoding is real and pure-Python —
+PNG IHDR (+ full pixel codec), JPEG SOFn marker scan, GIF screen
+descriptor, BMP info header, WAV RIFF chunk walk, AVI RIFF walk
+(header + movi frame chunks, so MJPEG frame extraction is a container
+walk) — no media libraries required. Only inter-frame video codecs
+(mp4/webm/h264), which genuinely need pyav/ffmpeg (absent in this
+container), stay gated behind ``NotImplementedError`` in
+:func:`sample_frames`'s real path.
 
 Scale design:
 
@@ -592,30 +595,299 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     return df.where(F.col("kind") == "image").mapInPandas(op, PIXEL_STATS_SCHEMA)
 
 
-def sample_frames(
-    df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 4, use_stub: bool = True
-) -> DataFrame:
-    """Video frame sampling: one row per sampled frame (1→N mapInPandas).
+VIDEO_FEATURES_SCHEMA = (
+    "media_id long, format string, detected string, width int, height int, "
+    "fps double, n_frames int, n_bytes long"
+)
 
-    Frame *extraction* genuinely requires a video codec (pyav/ffmpeg,
-    absent here), so the real path raises; the stub slices the payload
-    deterministically so the 1→N row-explosion plumbing is exercised.
-    Output explodes rows, so downstream repartitions by media_id if
-    per-video locality matters."""
+FRAME_INDEX_SCHEMA = "media_id long, frame_idx int, offset long, n_bytes int"
+
+#: cap on a declared RIFF chunk size — same decompression-bomb stance as
+#: the PNG codec: a hostile header must not make the walker index
+#: gigabytes it never scans (sizes beyond the payload are clamped anyway,
+#: this bounds the per-chunk slice).
+_AVI_MAX_CHUNK = 1 << 26  # 64 MiB
+
+
+def _make_avi_parser():
+    """Factory for the pure-Python AVI RIFF walker (closure-shipped).
+
+    AVI is a RIFF container (the public msdn AVI RIFF spec): a ``hdrl``
+    LIST holding the ``avih`` main header (frame period in µs, declared
+    frame count, dimensions) and a ``movi`` LIST whose ``##dc``/``##db``
+    sub-chunks ARE the frames. For MJPEG AVIs every ``##dc`` chunk is a
+    complete JPEG, so walking the container IS frame extraction — no
+    video codec involved. Inter-frame codecs (mp4/webm/h264) genuinely
+    need pyav/ffmpeg and stay gated."""
+
+    max_chunk = _AVI_MAX_CHUNK
+
+    def parse_avi(payload: bytes | None):
+        """``(usec_per_frame, declared_frames, width, height,
+        [(frame_offset, frame_size), ...])`` from an AVI RIFF container;
+        ``None`` if the payload is not RIFF/AVI. Truncated declared
+        sizes clamp to the actual payload; ``rec `` grouping LISTs
+        inside ``movi`` are walked transparently (one level — their
+        only legal nesting)."""
+        p = payload or b""
+        if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+            return None
+        usec = width = height = declared = None
+        frames: list[tuple[int, int]] = []
+
+        def is_frame(cid: bytes) -> bool:
+            return cid[2:4] in (b"dc", b"db") and cid[:2].isdigit()
+
+        def walk_movi(base: int, body: bytes) -> None:
+            j = 4  # skip the 'movi'/'rec ' list type
+            while j + 8 <= len(body):
+                scid = body[j : j + 4]
+                ssz = min(
+                    int.from_bytes(body[j + 4 : j + 8], "little"), max_chunk
+                )
+                ssz = min(ssz, len(body) - j - 8)
+                if scid == b"LIST" and body[j + 8 : j + 12] == b"rec ":
+                    walk_movi(base + j + 8, body[j + 8 : j + 8 + ssz])
+                elif is_frame(scid):
+                    frames.append((base + j + 8, ssz))
+                j += 8 + ssz + (ssz & 1)
+
+        end = min(len(p), 8 + int.from_bytes(p[4:8], "little"))
+        i = 12
+        while i + 8 <= end:
+            cid = p[i : i + 4]
+            size = min(int.from_bytes(p[i + 4 : i + 8], "little"), max_chunk)
+            size = min(size, len(p) - i - 8)
+            if cid == b"LIST" and size >= 4:
+                ltype = p[i + 8 : i + 12]
+                body = p[i + 8 : i + 8 + size]
+                if ltype == b"hdrl":
+                    j = 4
+                    while j + 8 <= len(body):
+                        scid = body[j : j + 4]
+                        ssz = int.from_bytes(body[j + 4 : j + 8], "little")
+                        if scid == b"avih" and ssz >= 40 and j + 48 <= len(body):
+                            h = body[j + 8 : j + 8 + ssz]
+                            usec = int.from_bytes(h[0:4], "little")
+                            declared = int.from_bytes(h[16:20], "little")
+                            width = int.from_bytes(h[32:36], "little")
+                            height = int.from_bytes(h[36:40], "little")
+                        j += 8 + ssz + (ssz & 1)
+                elif ltype == b"movi":
+                    walk_movi(i + 8, body)
+            i += 8 + size + (size & 1)
+        return usec, declared, width, height, frames
+
+    return parse_avi
+
+
+parse_avi = _make_avi_parser()
+
+
+def _make_avi_builder():
+    """Factory for the AVI muxer (closure-shipped like the parsers, so
+    registry fixtures can synthesize containers on executors without a
+    ``gdutils_spark`` import there)."""
+    import struct
+
+    def build_avi(
+        frames: list,
+        width: int,
+        height: int,
+        usec_per_frame: int = 40000,
+        fourcc: bytes = b"00dc",
+    ) -> bytes:
+        """Encode frame payloads as a minimal valid AVI RIFF container
+        (RIFF/AVI → LIST hdrl(avih + LIST strl(strh+strf)) → LIST movi)
+        — the write-side twin of :func:`parse_avi`, used by the registry
+        fixtures and as a container muxer for already-encoded frames
+        (e.g. JPEGs → MJPEG AVI). Word-aligned chunks per the RIFF rule;
+        total size is exactly ``224 + Σ(8 + len(frame) + len(frame)%2)``
+        (12 RIFF + 200 hdrl + 12 movi header), which the registry
+        oracles predict arithmetically."""
+
+        def chunk(cid: bytes, data: bytes) -> bytes:
+            return (
+                cid + struct.pack("<I", len(data)) + data
+                + (b"\x00" * (len(data) & 1))
+            )
+
+        def lst(ltype: bytes, data: bytes) -> bytes:
+            return chunk(b"LIST", ltype + data)
+
+        avih = struct.pack(
+            "<14I",
+            usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0,
+            width, height, 0, 0, 0, 0,
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"MJPG", 0, 0, 0, 0, 1,
+            1_000_000 // max(usec_per_frame, 1),
+            0, len(frames), 0, 0xFFFFFFFF, 0, 0, 0, width, height,
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 24, 0, width * height * 3, 0, 0, 0, 0,
+        )
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        movi = lst(b"movi", b"".join(chunk(fourcc, f) for f in frames))
+        return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    return build_avi
+
+
+build_avi = _make_avi_builder()
+
+
+def decode_video_features(df: DataFrame) -> DataFrame:
+    """Video metadata extraction over ``mapInPandas`` — the video twin
+    of :func:`decode_image_features`/:func:`decode_audio_features`:
+    real ``avih`` header parse (dimensions, fps = 1e6/µs-per-frame, one
+    IEEE division) plus a ``movi`` walk so ``n_frames`` is the COUNTED
+    frame-chunk number, not the header's claim (corrupt headers can't
+    lie about it). Non-AVI payloads keep their row with NULL fields —
+    the same unrecognized-container convention as the image parser."""
+
+    parse = _make_avi_parser()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub:
-                raise NotImplementedError("real frame sampling requires pyav/ffmpeg")
+            out = {k: [] for k in (
+                "media_id", "format", "detected", "width", "height",
+                "fps", "n_frames", "n_bytes",
+            )}
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                meta = parse(payload)
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                if meta is None:
+                    out["detected"].append(None)
+                    for k in ("width", "height", "fps", "n_frames"):
+                        out[k].append(None)
+                else:
+                    usec, _declared, w, h, frames = meta
+                    out["detected"].append("avi")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["fps"].append(
+                        1_000_000 / usec if usec else None
+                    )
+                    out["n_frames"].append(len(frames))
+                out["n_bytes"].append(len(payload or b""))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "format": out["format"],
+                    "detected": out["detected"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "fps": pd.array(out["fps"], dtype="Float64"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                    "n_bytes": pd.array(out["n_bytes"], dtype="Int64"),
+                }
+            )
+
+    return df.where(F.col("kind") == "video").mapInPandas(
+        op, VIDEO_FEATURES_SCHEMA
+    )
+
+
+def video_frame_index(df: DataFrame) -> DataFrame:
+    """Per-frame container index (``media_id, frame_idx, offset,
+    n_bytes``) from the ``movi`` walk alone — no payload copy, no
+    decode: the cheap scan that drives Catalyst-side per-frame
+    analytics (scene-cut detection on frame-size deltas, bitrate
+    profiles, sampling plans) without ever shipping pixel bytes
+    through Python again. Non-AVI payloads contribute no rows."""
+
+    parse = _make_avi_parser()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "offset": [], "n_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = parse(payload)
+                if meta is None:
+                    continue
+                for i, (off, sz) in enumerate(meta[4]):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["offset"].append(off)
+                    out["n_bytes"].append(sz)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="Int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "offset": pd.array(out["offset"], dtype="Int64"),
+                    "n_bytes": pd.array(out["n_bytes"], dtype="Int32"),
+                }
+            )
+
+    return df.where(F.col("kind") == "video").mapInPandas(op, FRAME_INDEX_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 4,
+    use_stub: bool = True,
+    stride: int = 1,
+) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (1→N mapInPandas).
+
+    The REAL path (``use_stub=False``) walks the AVI RIFF container:
+    ``movi``'s ``##dc``/``##db`` chunks are the frames, so extraction is
+    a container walk — for MJPEG AVIs each emitted ``frame_payload`` is
+    a complete standalone JPEG. ``stride``/``max_frames`` pick every
+    stride-th frame up to the cap; ``frame_idx`` is the SOURCE frame
+    index, so downstream can map back to timestamps via fps. Non-AVI
+    video containers (mp4/webm: inter-frame codecs) raise
+    ``NotImplementedError`` — that part genuinely requires pyav/ffmpeg.
+
+    The stub path slices the payload blind (kept for plumbing tests and
+    for corpora of already-flattened byte streams). Output explodes
+    rows, so downstream repartitions by media_id if per-video locality
+    matters."""
+
+    parse = _make_avi_parser()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame_payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = payload or b""
-                for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                if use_stub:
+                    for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame_payload"].append(
+                            p[i * every_n_bytes : (i + 1) * every_n_bytes]
+                        )
+                    continue
+                meta = parse(p)
+                if meta is None:
+                    raise NotImplementedError(
+                        "real frame sampling: payload for media_id="
+                        f"{mid} is not an AVI RIFF container — mp4/webm "
+                        "inter-frame codecs require pyav/ffmpeg"
+                    )
+                frames = meta[4]
+                taken = 0
+                for i in range(0, len(frames), max(stride, 1)):
+                    if taken >= max_frames:
+                        break
+                    off, sz = frames[i]
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
-                    out["frame_payload"].append(
-                        p[i * every_n_bytes : (i + 1) * every_n_bytes]
-                    )
+                    out["frame_payload"].append(p[off : off + sz])
+                    taken += 1
             yield pd.DataFrame(out)
 
     return df.where(F.col("kind") == "video").mapInPandas(op, FRAME_SCHEMA)

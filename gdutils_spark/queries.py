@@ -1965,10 +1965,10 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # lead the tuple. The NEXT-ROUND (r11) rotation priority is the 50
     # r7-driven entries (CORRECTNESS_r07.json keys), plus any r11
     # additions.
+    "mm_video_features",
     "mm_video_frames",
     "mm_video_scene_cuts",
     "doc_sample_merged",
-    "event_minute_spikes",
     "calendar_md_orders",
     "calendar_slice_ym",
     "calendar_ym_active_customers",

@@ -2128,6 +2128,187 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
+AVI_STRIDE = 2
+AVI_MAX_FRAMES = 3
+AVI_CUT_MIN_DELTA = 32
+
+
+def _synth_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → valid AVI RIFF containers (hdrl: avih main header
+    with doc_id-derived dims and frame period; movi: one ``00dc`` chunk
+    per frame whose payload is a doc_id/frame-derived ASCII string, with
+    a +64-byte "scene change" spike every third frame). Built on
+    executors with the closure-shipped muxer — the video twin of
+    :func:`_synth_pixel_pngs`. Every header field and frame byte is
+    arithmetically predictable, so the oracles pin the parser's chunk
+    offsets, endianness and word-alignment handling."""
+    from gdutils_spark.operators.multimodal import _make_avi_builder
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    build = _make_avi_builder()  # nested fn → cloudpickle ships by value
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 4
+                usec = (40000, 50000, 20000, 25000)[did % 4]
+                frames = [
+                    (
+                        f"{did}:{i}:"
+                        + "x" * (1 + (did + 3 * i) % 7)
+                        + "X" * (64 if (did + i) % 3 == 0 else 0)
+                    ).encode("ascii")
+                    for i in range(n)
+                ]
+                payloads.append(
+                    build(frames, 32 + did % 64, 24 + did % 48, usec)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "format": "avi",
+                    "kind": "video",
+                }
+            )
+
+    return d.mapInPandas(
+        synth, "media_id long, payload binary, format string, kind string"
+    )
+
+
+def mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata decode end-to-end with the REAL avih parse + movi
+    frame count over the :func:`_synth_avi_media` fixture — the video
+    member of the decode-features family (image/audio/video). The
+    oracle predicts dims, fps (1e6/µs, exact doubles by fixture choice)
+    and the TOTAL container byte size arithmetically, so a wrong header
+    offset, a misread little-endian field, or a word-alignment slip in
+    the muxer/parser pair hash-fails."""
+    from gdutils_spark.operators.multimodal import decode_video_features
+
+    return decode_video_features(_synth_avi_media(spark, sf_dir))
+
+
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame SAMPLING through the real container path (VERDICT r9
+    task 7): every ``AVI_STRIDE``-th movi frame chunk up to
+    ``AVI_MAX_FRAMES``, extracted by the RIFF walk — no codec, which is
+    genuine for MJPEG-style AVIs where each chunk is a standalone
+    image. Emits the decoded frame text + byte length; the oracle
+    rebuilds both from the fixture formula, so a wrong chunk offset,
+    a stride/cap bug, or padding mishandling (odd-length frames ARE in
+    the fixture) hash-fails."""
+    from gdutils_spark.operators.multimodal import sample_frames
+
+    fr = sample_frames(
+        _synth_avi_media(spark, sf_dir),
+        use_stub=False,
+        stride=AVI_STRIDE,
+        max_frames=AVI_MAX_FRAMES,
+    )
+    return fr.select(
+        "media_id",
+        "frame_idx",
+        F.decode("frame_payload", "UTF-8").alias("frame_text"),
+        F.length("frame_payload").alias("n_bytes"),
+    )
+
+
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection on frame-SIZE deltas: the container index
+    walk (:func:`video_frame_index` — offsets/sizes only, no payload
+    copy) feeds a Catalyst lag window; a cut is an adjacent-frame size
+    jump ≥ ``AVI_CUT_MIN_DELTA`` (encoded frames change size sharply at
+    scene boundaries — the classic cheap cut heuristic). Python touches
+    only the container walk; the analytics stay JVM-side."""
+    from pyspark.sql.window import Window
+
+    from gdutils_spark.operators.multimodal import video_frame_index
+
+    idx = video_frame_index(_synth_avi_media(spark, sf_dir))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    return (
+        idx.withColumn("prev_bytes", F.lag("n_bytes").over(w))
+        .where(
+            F.col("prev_bytes").isNotNull()
+            & (
+                F.abs(F.col("n_bytes") - F.col("prev_bytes"))
+                >= AVI_CUT_MIN_DELTA
+            )
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            "prev_bytes",
+            F.col("n_bytes").alias("cur_bytes"),
+        )
+    )
+
+
+# shared arithmetic reconstruction of the AVI fixture's frame texts
+_AVI_FRAMES_CTE = """
+WITH d AS (
+  SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS n_frames FROM documents
+),
+f AS (
+  SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames)) AS INT) AS i
+  FROM d
+),
+t AS (
+  SELECT doc_id, n_frames, i,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':'
+           || repeat('x', CAST(1 + (doc_id + 3 * i) % 7 AS INT))
+           || repeat('X', CASE WHEN (doc_id + i) % 3 = 0 THEN 64 ELSE 0 END)
+           AS txt
+  FROM f
+)
+"""
+
+_MM_VIDEO_FEATURES_SQL = f"""
+{_AVI_FRAMES_CTE},
+sz AS (
+  SELECT doc_id, n_frames,
+         SUM(8 + length(txt) + length(txt) % 2) AS movi_payload
+  FROM t GROUP BY 1, 2
+)
+SELECT doc_id AS media_id,
+       'avi' AS format,
+       'avi' AS detected,
+       CAST(32 + doc_id % 64 AS INT) AS width,
+       CAST(24 + doc_id % 48 AS INT) AS height,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 25 WHEN 1 THEN 20
+                            WHEN 2 THEN 50 ELSE 40 END AS DOUBLE) AS fps,
+       n_frames,
+       CAST(224 + movi_payload AS BIGINT) AS n_bytes
+FROM sz
+"""
+
+_MM_VIDEO_FRAMES_SQL = f"""
+{_AVI_FRAMES_CTE}
+SELECT doc_id AS media_id, i AS frame_idx, txt AS frame_text,
+       CAST(length(txt) AS INT) AS n_bytes
+FROM t WHERE i % {AVI_STRIDE} = 0
+"""
+
+_MM_VIDEO_SCENE_CUTS_SQL = f"""
+{_AVI_FRAMES_CTE},
+lagd AS (
+  SELECT doc_id, i, CAST(length(txt) AS INT) AS nb,
+         LAG(CAST(length(txt) AS INT))
+           OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM t
+)
+SELECT doc_id AS media_id, i AS frame_idx, prev AS prev_bytes,
+       nb AS cur_bytes
+FROM lagd WHERE prev IS NOT NULL AND abs(nb - prev) >= {AVI_CUT_MIN_DELTA}
+"""
+
+
 def _wav_media(d: DataFrame) -> DataFrame:
     """Documents → syntactically valid PCM WAV containers (RIFF/WAVE +
     fmt chunk with doc_id-derived sample rate and channel count, the
@@ -6254,6 +6435,62 @@ SELECT doc_id, n_tokens, priority FROM p ORDER BY priority, doc_id LIMIT {WS_K}
 """
 
 
+DSM_K = 32
+
+
+def doc_sample_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-sample MERGE over OVERLAPPING populations, driver-
+    verified: two k-samples drawn from corpus slices that share a third
+    of the documents (doc_id%3 != 0 and != 1 — both contain the %3==2
+    docs) merge into exactly the whole-corpus k-sample. This is the
+    bottom-k lemma PLUS the idempotence guarantee: a doc sampled by
+    both sides is a bit-identical row (priorities are pure functions of
+    id/weight) that must collapse to one slot — without the distinct a
+    duplicate occupies two of the k slots and the merged sample
+    diverges from the whole-corpus oracle."""
+    from gdutils_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_merge,
+    )
+    from gdutils_spark.operators.text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    a = priority_sample(
+        weighted.where(F.col("doc_id") % 3 != 0), "doc_id", "n_tokens", DSM_K
+    )
+    b = priority_sample(
+        weighted.where(F.col("doc_id") % 3 != 1), "doc_id", "n_tokens", DSM_K
+    )
+    return priority_sample_merge(a, b, DSM_K).select(
+        F.col("id").alias("doc_id"),
+        F.col("weight").alias("n_tokens"),
+        "priority",
+    )
+
+
+def _sample_merged_sql() -> str:
+    # the lemma makes the merged sample EQUAL the whole-corpus bottom-k
+    # (both slice populations union to the full corpus), so the oracle
+    # is the whole-corpus priority sample — any dedup or cut defect in
+    # the merge shows up as a displaced row
+    h = _h64("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         (CAST({h} AS DOUBLE) / CAST({1 << 60} AS DOUBLE))
+           / CAST(n_tokens AS DOUBLE) AS priority
+  FROM w WHERE doc_id IS NOT NULL AND n_tokens > 0
+)
+SELECT doc_id, n_tokens, priority FROM p ORDER BY priority, doc_id LIMIT {DSM_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6346,6 +6583,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_lsh": emb_knn_lsh,
     "emb_knn_lsh_multiprobe": emb_knn_lsh_multiprobe,
     "mm_image_features": mm_image_features,
+    "mm_video_features": mm_video_features,
+    "mm_video_frames": mm_video_frames,
+    "mm_video_scene_cuts": mm_video_scene_cuts,
     "mm_thumbnails": mm_thumbnails,
     "mm_pixel_stats": mm_pixel_stats,
     "mm_audio_features": mm_audio_features,
@@ -6361,6 +6601,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_domain_mix_plan": doc_domain_mix_plan,
     "doc_domain_mix_sample": doc_domain_mix_sample,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_sample_merged": doc_sample_merged,
     "doc_weighted_sample_by_lang": doc_weighted_sample_by_lang,
     "doc_bm25_search": doc_bm25_search,
     "doc_hybrid_search": doc_hybrid_search,
@@ -6469,6 +6710,9 @@ EXT_ORACLE: dict[str, str] = {
     "emb_knn_lsh": _knn_lsh_sql(),
     "emb_knn_lsh_multiprobe": _knn_lsh_multiprobe_sql(),
     "mm_image_features": _MM_IMAGE_SQL,
+    "mm_video_features": _MM_VIDEO_FEATURES_SQL,
+    "mm_video_frames": _MM_VIDEO_FRAMES_SQL,
+    "mm_video_scene_cuts": _MM_VIDEO_SCENE_CUTS_SQL,
     "mm_thumbnails": _MM_THUMBNAILS_SQL,
     "mm_pixel_stats": _MM_PIXEL_STATS_SQL,
     "mm_audio_features": _MM_AUDIO_SQL,
@@ -6483,6 +6727,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_domain_mix_plan": _MIX_PLAN_SQL,
     "doc_domain_mix_sample": _MIX_SAMPLE_SQL,
     "doc_weighted_sample": _weighted_sample_sql(),
+    "doc_sample_merged": _sample_merged_sql(),
     "doc_weighted_sample_by_lang": _weighted_sample_by_lang_sql(),
     "doc_bm25_search": _bm25_sql(),
     "doc_hybrid_search": _hybrid_sql(),

@@ -15,11 +15,15 @@ from pyspark.sql import functions as F
 
 from gdutils_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    build_avi,
     decode_audio_features,
     decode_image_features,
+    decode_video_features,
+    parse_avi,
     parse_image_dims,
     parse_wav_meta,
     sample_frames,
+    video_frame_index,
 )
 
 
@@ -409,3 +413,95 @@ def test_parse_wav_meta_undersized_fmt_chunk_is_garbage_guarded():
     body = b"WAVE" + fmt_small + data
     wav = b"RIFF" + len(body).to_bytes(4, "little") + body
     assert parse_wav_meta(wav) == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# AVI container: real video path (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_avi_roundtrip():
+    frames = [b"first", b"second!", b"x" * 64, b"odd"]
+    avi = build_avi(frames, width=320, height=240, usec_per_frame=40000)
+    usec, declared, w, h, idx = parse_avi(avi)
+    assert (usec, declared, w, h) == (40000, 4, 320, 240)
+    assert [avi[o : o + s] for o, s in idx] == frames
+    # total size formula the oracles rely on: 224 + sum(8 + sz + pad)
+    assert len(avi) == 224 + sum(8 + len(f) + (len(f) & 1) for f in frames)
+
+
+def test_parse_avi_rejects_and_clamps():
+    assert parse_avi(None) is None
+    assert parse_avi(b"") is None
+    assert parse_avi(b"RIFF\x00\x00\x00\x00WAVE") is None  # RIFF, not AVI
+    avi = build_avi([b"abc"], 16, 16)
+    # truncation clamps instead of crashing; hostile declared sizes too
+    assert parse_avi(avi[:40]) is not None
+    hostile = bytearray(avi)
+    hostile[4:8] = (0xFFFFFFFF).to_bytes(4, "little")  # RIFF size lies
+    meta = parse_avi(bytes(hostile))
+    assert meta is not None and [m[1] for m in meta[4]] == [3]
+
+
+def test_parse_avi_rec_grouping():
+    """Frames inside a 'rec ' grouping LIST (legal AVI interleaving) are
+    walked transparently and their offsets stay payload-absolute."""
+    import struct
+
+    def chunk(cid, data):
+        return cid + struct.pack("<I", len(data)) + data + b"\x00" * (len(data) & 1)
+
+    plain = build_avi([b"one"], 16, 16)
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", b"grouped"))
+    movi_at = plain.find(b"movi")
+    # splice the rec LIST after the existing frame, fixing up sizes
+    movi_hdr = movi_at - 8
+    old_movi_sz = int.from_bytes(plain[movi_at - 4 : movi_at], "little")
+    new = bytearray(plain[: movi_hdr + 8 + old_movi_sz]) + rec
+    new[movi_at - 4 : movi_at] = (old_movi_sz + len(rec)).to_bytes(4, "little")
+    new[4:8] = (len(new) - 8).to_bytes(4, "little")
+    meta = parse_avi(bytes(new))
+    got = [bytes(new)[o : o + s] for o, s in meta[4]]
+    assert got == [b"one", b"grouped"]
+
+
+def test_video_features_and_frame_index(spark):
+    frames_a = [b"alpha", b"beta-beta", b"g" * 40]
+    frames_b = [b"only"]
+    rows = [
+        (1, build_avi(frames_a, 100, 50, usec_per_frame=20000), "avi", "video"),
+        (2, build_avi(frames_b, 64, 48, usec_per_frame=40000), "avi", "video"),
+        (3, bytes(64), "mp4", "video"),          # not parseable: NULL row
+        (4, make_png(8, 8), "png", "image"),     # wrong kind: filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in decode_video_features(media).collect()}
+    assert set(feats) == {1, 2, 3}
+    assert (feats[1]["width"], feats[1]["height"]) == (100, 50)
+    assert feats[1]["fps"] == 50.0 and feats[1]["n_frames"] == 3
+    assert feats[2]["fps"] == 25.0 and feats[2]["n_frames"] == 1
+    assert feats[3]["detected"] is None and feats[3]["width"] is None
+    assert feats[3]["n_bytes"] == 64
+
+    idx = video_frame_index(media).collect()
+    by_media = {}
+    for r in idx:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {1, 2}  # non-AVI contributes no rows
+    sizes = [r["n_bytes"] for r in sorted(by_media[1], key=lambda r: r["frame_idx"])]
+    assert sizes == [5, 9, 40]
+
+
+def test_sample_frames_real_path_stride_and_cap(spark):
+    frames = [f"frame-{i}".encode() for i in range(7)]
+    media = spark.createDataFrame(
+        [(9, build_avi(frames, 32, 32), "avi", "video")], MEDIA_SCHEMA
+    )
+    got = sorted(
+        sample_frames(media, use_stub=False, stride=2, max_frames=3).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in got] == [0, 2, 4]  # cap binds before idx 6
+    assert [bytes(r["frame_payload"]) for r in got] == [
+        b"frame-0", b"frame-2", b"frame-4",
+    ]
