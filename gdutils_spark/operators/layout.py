@@ -33,9 +33,14 @@ def _cell(col: Column, lo: float, hi: float, bits: int) -> Column:
     same way: Spark's floor(NaN) casts to 0L (the range MINIMUM) while
     an oracle's clamp sends NaN to the top cell, so a NaN measurement
     must route to the dedicated null file, not silently cluster with
-    either extreme (the ``hist_registers`` NaN rule)."""
+    either extreme (the ``hist_registers`` NaN rule). The cast is
+    ``try_cast`` and the NULL guard tests the CASTED value: a malformed
+    string measurement must yield a NULL key in EVERY session — plain
+    cast raises mid-job under ANSI (Spark 4 default) and silently
+    NULLs under non-ANSI, where guarding the original column would let
+    the NULL double slip through greatest(NULL, 0) = 0 into cell 0."""
     n = 1 << bits
-    x = col.cast("double")
+    x = col.try_cast("double")
     raw = F.floor(
         (x - F.lit(float(lo)))
         * F.lit(float(n))
@@ -45,7 +50,7 @@ def _cell(col: Column, lo: float, hi: float, bits: int) -> Column:
         F.greatest(raw, F.lit(0).cast("long")), F.lit(n - 1).cast("long")
     )
     return F.when(
-        col.isNull() | F.isnan(x), F.lit(None).cast("long")
+        x.isNull() | F.isnan(x), F.lit(None).cast("long")
     ).otherwise(clamped)
 
 
@@ -103,20 +108,22 @@ def zorder_key_sql(
     NULL/NaN→NULL rule — both need an explicit CASE in DuckDB, whose
     greatest/least IGNORE a NULL argument (a NULL input would otherwise
     clamp to cell 0) and clamp NaN — which sorts above every value —
-    into the TOP cell."""
+    into the TOP cell. TRY_CAST mirrors Spark's non-ANSI cast so a
+    non-castable input is NULL-keyed on both sides (DuckDB's plain CAST
+    would raise instead)."""
     d = len(specs)
     n = 1 << bits
     terms = []
     for i, (col, lo, hi) in enumerate(specs):
         cell = (
-            f"CAST(least(greatest(floor((CAST({col} AS DOUBLE) "
+            f"CAST(least(greatest(floor((TRY_CAST({col} AS DOUBLE) "
             f"- CAST({lo} AS DOUBLE)) * CAST({n} AS DOUBLE) "
             f"/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))), "
             f"CAST(0 AS DOUBLE)), CAST({n - 1} AS DOUBLE)) AS BIGINT)"
         )
         cell = (
-            f"(CASE WHEN {col} IS NULL "
-            f"OR isnan(CAST({col} AS DOUBLE)) THEN NULL "
+            f"(CASE WHEN TRY_CAST({col} AS DOUBLE) IS NULL "
+            f"OR isnan(TRY_CAST({col} AS DOUBLE)) THEN NULL "
             f"ELSE {cell} END)"
         )
         for b in range(bits):

@@ -38,15 +38,22 @@ def tracks_to_kml(tracks: list[tuple[str, str]], name: str = "glider tracks") ->
     placemarks = []
     for dataset_id, geojson_str in tracks:
         doc = json.loads(geojson_str)
+        # `or {}` — GeoJSON allows "geometry": null on a Feature, which
+        # .get("geometry", {}) passes through as None
         line = next(
             (
                 f["geometry"]["coordinates"]
                 for f in doc.get("features", [])
-                if f.get("geometry", {}).get("type") == "LineString"
+                if (f.get("geometry") or {}).get("type") == "LineString"
             ),
             [],
         )
-        coords = "\n".join(f"          {lon},{lat},0" for lon, lat in line)
+        # positions may carry an optional third (altitude) element per
+        # the GeoJSON spec — preserve it, default 0 when absent
+        coords = "\n".join(
+            f"          {c[0]},{c[1]},{c[2] if len(c) > 2 else 0}"
+            for c in line
+        )
         # ids/names are data, the document is XML: an '&' or '<' in a
         # dataset id (or the doc name) must render as an entity, not
         # break every downstream KML parser

@@ -110,3 +110,45 @@ def test_zorder_nan_dim_yields_null_key(spark):
     ).collect()
     assert got[0].z is not None
     assert got[1].z is None and got[2].z is None
+
+
+def test_zorder_uncastable_input_yields_null_key(spark):
+    """A malformed STRING measurement (non-ANSI CAST → NULL double) must
+    NULL the key like a real NULL — guarding only the original column
+    would let greatest(NULL, 0) alias it into cell 0 (latent-hunt r10)."""
+    from gdutils_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [("1.5", "2.5"), ("garbage", "2.5"), ("1.5", None)],
+        "x string, y string",
+    )
+    got = df.select(
+        zorder_key([("x", 0.0, 4.0), ("y", 0.0, 4.0)], bits=2).alias("z")
+    ).collect()
+    assert got[0].z is not None
+    assert got[1].z is None and got[2].z is None
+
+
+def test_zorder_sql_twin_try_cast_matches(spark):
+    """The DuckDB twin NULL-keys uncastable inputs the same way (TRY_CAST
+    both in the guard and the cell) and agrees bit-for-bit on numerics."""
+    import duckdb
+
+    from gdutils_spark.operators.layout import zorder_key, zorder_key_sql
+
+    rows = [("1.5", "2.5"), ("garbage", "2.5"), ("3.9", "0.1")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    specs = [("x", 0.0, 4.0), ("y", 0.0, 4.0)]
+    got = [
+        r.z for r in df.select(zorder_key(specs, bits=3).alias("z")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x VARCHAR, y VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {zorder_key_sql(specs, bits=3)} FROM t"
+        ).fetchall()
+    ]
+    assert got == want

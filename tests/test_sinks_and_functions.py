@@ -77,6 +77,36 @@ def test_kml_render(spark):
     assert "-74.998,36.123,0" in kml
 
 
+def test_kml_null_geometry_and_altitude_coords():
+    """GeoJSON allows "geometry": null on a Feature, and positions may
+    carry an optional third (altitude) element — neither may crash the
+    renderer, and the altitude must survive (latent-hunt r10)."""
+    import json
+
+    from gdutils_spark.sinks.kml import tracks_to_kml
+
+    doc = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature", "geometry": None, "properties": {}},
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "LineString",
+                        "coordinates": [[-70.5, 40.25, 12.5], [-70.6, 40.3]],
+                    },
+                    "properties": {},
+                },
+            ],
+        }
+    )
+    kml = tracks_to_kml([("unit&1", doc)])
+    assert "-70.5,40.25,12.5" in kml
+    assert "-70.6,40.3,0" in kml
+    assert "unit&amp;1" in kml
+
+
 def test_canned_filters(spark):
     df = status_df(spark)
     assert {
