@@ -569,7 +569,15 @@ def label_propagation(
     the label vector + one (node, label)-keyed count + one node-keyed
     argmax — all shuffles on graph keys, no driver-side state; each
     label vector is ``localCheckpoint``-pinned (no-subtree-reuse
-    discipline). Fixed iterations rather than convergence detection:
+    discipline). The argmax is ``min(struct(-cnt, label))`` — a
+    PARTIAL-AGGREGABLE fold, not a row_number window: a celebrity node
+    whose neighbors carry d distinct labels would force a single-task
+    sort of d rows under a window (measured: the per-node tally equals
+    the hub degree on an adversarial fixture, tools/skew_probe.py
+    --graph), while the fold combines map-side and ships each mapper's
+    one candidate per node — identical tie-break (count desc, then
+    smallest label; cnt is negated rather than the unbounded label).
+    Fixed iterations rather than convergence detection:
     synchronous LPA can two-cycle on bipartite structure, and a bounded
     chain is what both a 100 TB budget and an oracle replay want.
 
@@ -589,7 +597,6 @@ def label_propagation(
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
-    from pyspark.sql import Window
 
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -626,9 +633,6 @@ def label_propagation(
             "node", F.coalesce(F.col("_seed"), F.col("node")).alias("label")
         )
     lab = lab.localCheckpoint(eager=False)
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label")
-    )
     for _ in range(n_iters):
         nbr = e.join(lab.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "label"
@@ -637,9 +641,15 @@ def label_propagation(
             F.count(F.lit(1)).alias("cnt")
         )
         best = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("label").alias("_new"))
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("_nc"), F.col("label")
+                    )
+                ).alias("_b")
+            )
+            .select("node", F.col("_b.label").alias("_new"))
         )
         lab = (
             lab.join(best, "node", "left")

@@ -17,6 +17,13 @@ owns ~50% of all rows), then compares the plain shuffle join against
 
 Run from the repo root: ``python tools/skew_probe.py``. Prints the
 markdown rows cited in SCALE.md.
+
+``python tools/skew_probe.py --graph`` runs the GRAPH skew probe
+instead (VERDICT r9 task 5): an adversarial hub — one node with ~10⁵
+edges injected into the sf0.1 co-purchase graph — driven through
+``label_propagation`` and ``triangle_count(_incremental)``, reporting
+wall times with/without the hub and the hub-induced per-key row
+maxima (the quantities that decide whether salting is needed).
 """
 
 from __future__ import annotations
@@ -30,6 +37,107 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PARTITIONS = 32
 SALTS = 16
+HUB_DEGREE = 100_000
+
+
+def graph_main() -> None:
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.graph import (
+        label_propagation,
+        triangle_count,
+        triangle_count_incremental,
+    )
+    from gdutils_spark.queries_ext import _copurchase_edges
+    from gdutils_spark.session import get_spark
+
+    spark = get_spark("graph-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = _copurchase_edges(spark, SF_DIR, both_directions=True).select(
+        "src", "dst"
+    )
+    base = base.localCheckpoint()  # pin: reused by every variant below
+    n_base = base.count()
+    hub_id = -1  # disjoint from part ids
+    spokes = spark.range(HUB_DEGREE).select(
+        (F.col("id") + 10_000_000).alias("peer")
+    )
+    hub = spokes.select(
+        F.lit(hub_id).alias("src"), F.col("peer").alias("dst")
+    ).unionByName(
+        spokes.select(F.col("peer").alias("src"), F.lit(hub_id).alias("dst"))
+    )
+    hubbed = base.unionByName(hub).localCheckpoint()
+    n_hub = hubbed.count()
+    print(
+        f"fixture: {n_base} directed co-purchase edges (sf_dir={SF_DIR}) "
+        f"+ hub of degree {HUB_DEGREE} -> {n_hub}"
+    )
+
+    def timed(thunk, runs=3):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lpa_base = timed(lambda: label_propagation(base, n_iters=3).count())
+    t_lpa_hub = timed(lambda: label_propagation(hubbed, n_iters=3).count())
+    # the skew quantity: the biggest per-node distinct-label tally the
+    # argmax must reduce in round 1 (== hub degree: every spoke still
+    # carries its self-label)
+    lab0 = hubbed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    nbr = hubbed.join(lab0.withColumnRenamed("node", "src"), "src").select(
+        F.col("dst").alias("node"), "label"
+    )
+    mx = (
+        nbr.groupBy("node", "label")
+        .count()
+        .groupBy("node")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    print()
+    print("| label_propagation (3 rounds) | warm best-of-3 |")
+    print("|---|---|")
+    print(f"| co-purchase base | {t_lpa_base:.2f} s |")
+    print(f"| base + degree-{HUB_DEGREE} hub | {t_lpa_hub:.2f} s |")
+    print(f"| max distinct labels one argmax reduces (round 1) | {mx} |")
+
+    t_tri_base = timed(lambda: triangle_count(base).count())
+    t_tri_hub = timed(lambda: triangle_count(hubbed).count())
+    # nightly delta: 1000 new edges ALL touching the hub (worst case for
+    # delta-anchored wedges: every wedge anchors at the hot node)
+    delta = spark.range(1000).select(
+        F.lit(hub_id).alias("src"), (F.col("id") + 20_000_000).alias("dst")
+    )
+    counts_hub = triangle_count(hubbed).localCheckpoint()
+    counts_hub.count()
+    t_inc = timed(
+        lambda: triangle_count_incremental(counts_hub, hubbed, delta).count()
+    )
+    print()
+    print("| triangles | warm best-of-3 |")
+    print("|---|---|")
+    print(f"| full, co-purchase base | {t_tri_base:.2f} s |")
+    print(f"| full, base + hub | {t_tri_hub:.2f} s |")
+    print(f"| incremental, 1000-edge delta ALL touching the hub | {t_inc:.2f} s |")
+    # orientation bound check: the hub's oriented out-list stays small
+    from gdutils_spark.operators.graph import _canonical_edges, _degree_oriented
+
+    e = _canonical_edges(hubbed, "src", "dst")
+    _deg, oriented = _degree_oriented(e)
+    out_max = (
+        oriented.groupBy("a").count().agg(F.max("count")).first()[0]
+    )
+    hub_out = oriented.where(F.col("a") == hub_id).count()
+    print(f"| max oriented out-list (√m bound) | {out_max} |")
+    print(f"| hub's own oriented out-list | {hub_out} |")
 
 
 def main() -> None:
@@ -112,4 +220,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--graph" in sys.argv:
+        graph_main()
+    else:
+        main()
