@@ -36,6 +36,41 @@ from gdutils_spark.sources.csv import read_dataset_csv_batch
 from gdutils_spark.sources.rest import read_json_records
 from gdutils_spark.sources.tables import load_table
 
+# Shuffle-partition count for the STREAMING registry queries. Stateful
+# micro-batch operators create and commit one state-store instance per
+# shuffle partition per operator per micro-batch — pure fixed overhead
+# when the state is key-bounded and tiny (these pipelines hold at most a
+# few hundred keys). Measured at sf0.1 (tools/streaming_overhead_probe.py,
+# SCALE.md r10 audit): the stream-stream join is 0.34 s of real work
+# inside ~4.9 s wall at 32 partitions, and 1.6 s at 4 — ~3.2 s is
+# state-store instance churn. At 100 TB this constant is the knob you
+# SIZE TO STATE VOLUME (state bytes / healthy-store size), not a magic
+# number; the result set is partition-invariant (probe-asserted).
+_STREAM_STATE_PARTITIONS = 8
+
+
+def _state_sized_shuffle(fn):
+    """Run a streaming registry query with shuffle partitions sized to
+    its tiny state (see ``_STREAM_STATE_PARTITIONS``), restoring the
+    session conf afterwards. The returned DataFrame is always a batch
+    read-back of the sink directory — a narrow file scan that neither
+    shuffles nor cares about the restored conf."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS)
+        )
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return wrapped
+
+
 def _work_dir(name: str) -> str:
     """Deterministic per-query scratch dir, wiped at call START so
     repeated invocations (driver rounds, bench min-of-3) never
@@ -666,6 +701,7 @@ def _pin_utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+@_state_sized_shuffle
 def rt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming P14 driver-verified: events are written to a file
     stream TWICE (every row duplicated across micro-batch files), run
@@ -708,6 +744,7 @@ SELECT event_id, user_id, ts, value FROM events WHERE user_id < 30
 """
 
 
+@_state_sized_shuffle
 def rt_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A1 driver-verified, including the WATERMARK CLOSE RULE:
     a watermarked 1-day tumbling count in append mode emits exactly the
@@ -759,6 +796,7 @@ HAVING day_end <= m.mx - INTERVAL 1 DAY
 """
 
 
+@_state_sized_shuffle
 def rt_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization driver-verified end-to-end:
     ``session_window`` (30-min gap) in append mode through a parquet
@@ -832,6 +870,7 @@ WHERE session_end <= m.mx - INTERVAL 1 DAY
 """
 
 
+@_state_sized_shuffle
 def rt_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator driver-verified end-to-end:
     ``stream_entity_summaries`` (``applyInPandasWithState`` — one state
@@ -906,6 +945,7 @@ FROM events WHERE user_id < 25 GROUP BY user_id
 """
 
 
+@_state_sized_shuffle
 def rt_stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-actives streaming (A4) driver-verified: chained
     stateful operators — watermarked dropDuplicates on (user, day
@@ -1060,6 +1100,7 @@ GROUP BY l_returnflag
 """
 
 
+@_state_sized_shuffle
 def rt_stream_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Featurize-while-ingesting driver-verified end-to-end: the PNG
     media fixture streams through ``stream_media_features`` (the SAME
@@ -1105,6 +1146,7 @@ FROM documents WHERE doc_id < 200
 """
 
 
+@_state_sized_shuffle
 def rt_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment driver-verified end-to-end:
     events stream through ``stream_enrich`` against the (static)
@@ -1335,6 +1377,7 @@ WHERE contains(lower(concat_ws(' ', title, summary, institution)), 'coastal')
 """
 
 
+@_state_sized_shuffle
 def rt_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SKETCH MAINTENANCE driver-verified: the event stream is
     drained one parquet file per micro-batch (``maxFilesPerTrigger=1``,
@@ -1394,6 +1437,7 @@ FROM vals GROUP BY 1
 """
 
 
+@_state_sized_shuffle
 def rt_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming WEIGHTED RESERVOIR driver-verified: the document
     stream drains one parquet file per micro-batch, each batch
@@ -1450,6 +1494,7 @@ def _stream_wsample_sql() -> str:
     return _weighted_sample_sql()
 
 
+@_state_sized_shuffle
 def rt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join driver-verified end-to-end: the
     click and purchase slices of the event stream join on user within a
@@ -1502,6 +1547,7 @@ def rt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+@_state_sized_shuffle
 def rt_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER stream-stream interval join driver-verified
     end-to-end: the attribution report that also keeps clicks that never
@@ -1563,6 +1609,7 @@ def rt_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+@_state_sized_shuffle
 def rt_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-OUTER stream-stream interval join driver-verified
     end-to-end — the complete attribution audit: matches, clicks that

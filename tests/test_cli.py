@@ -497,3 +497,38 @@ def test_cli_knn_stage_requires_ivfpq(emb_path, tmp_path, spark):
     with pytest.raises(SystemExit, match="ivfpq"):
         main(["knn", "--input", emb_path, "--queries", q,
               "--method", "brute", "--stage", str(tmp_path / "idx")])
+
+
+def test_cli_get_dataset_profiles(table_paths, capsys):
+    assert main([
+        "get-dataset-profiles", *_base(table_paths),
+        "unit_191-20231201T0000", "-f", "csv",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "time" in out.splitlines()[0]
+    assert out.count("\n") >= 2  # header + at least one profile row
+
+
+def test_cli_plot_map_url(capsys):
+    assert main([
+        "plot-map", "unit_191-20231201T0000",
+        "--server", "https://example.org/erddap",
+    ]) == 0
+    url = capsys.readouterr().out.strip()
+    assert url.startswith("https://example.org/erddap")
+    assert "unit_191-20231201T0000" in url
+    assert ".largePng" in url
+    assert "longitude,latitude,time" in url  # time-coded track map
+
+
+def test_cli_plot_variable_url(capsys):
+    assert main([
+        "plot-variable", "unit_191-20231201T0000", "temperature",
+        "--server", "https://example.org/erddap", "--hours", "6",
+    ]) == 0
+    url = capsys.readouterr().out.strip()
+    assert url.startswith("https://example.org/erddap")
+    # last-N-hours as a FUNCTIONAL constraint the server evaluates
+    assert "max(time)-6hours" in url.replace("%28", "(").replace(
+        "%29", ")"
+    ).replace("%2D", "-")
