@@ -64,11 +64,21 @@ def orphans(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     return left.join(right, key, "left_anti")
 
 
-def with_orphan_flag(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
-    """Left join + boolean ``orphaned`` flag (probe-side null ⇒ orphan)."""
+def with_orphan_flag(
+    left: DataFrame, right: DataFrame, key: str, broadcast_probe: bool | None = None
+) -> DataFrame:
+    """Left join + boolean ``orphaned`` flag (probe-side null ⇒ orphan).
+
+    ``broadcast_probe`` defaults to None — let Catalyst/AQE pick from the
+    probe's runtime size (same scale rationale as :func:`interval_join`:
+    a distinct-key probe over an entity-keyed right side is entity-sized,
+    and force-broadcasting it melts the driver at 1e9 keys). Pass True
+    only for genuinely catalog-sized right tables."""
     probe = right.select(key).distinct().withColumn("__hit", F.lit(True))
+    if broadcast_probe:
+        probe = F.broadcast(probe)
     return (
-        left.join(F.broadcast(probe), key, "left")
+        left.join(probe, key, "left")
         .withColumn("orphaned", F.col("__hit").isNull())
         .drop("__hit")
     )

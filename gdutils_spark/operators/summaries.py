@@ -146,6 +146,7 @@ def mad_outlier_summary(
     value_col: str,
     group_col: str,
     threshold: float = 3.5,
+    broadcast_stats: bool | None = None,
 ) -> DataFrame:
     """Per-group ROBUST outlier summary via the modified z-score
     (Iglewicz & Hoaglin 1993, "How to Detect and Handle Outliers"):
@@ -161,11 +162,13 @@ def mad_outlier_summary(
     parity), the 0.6745/threshold constants are inlined literals, and
     the flag arithmetic is two IEEE multiplies on identical doubles —
     counts hash-verify cross-engine. Plan shape: two grouped percentile
-    aggregates (median, then MAD of the residuals) with the group-sized
-    median table broadcast back between them, then one counting pass —
-    three shuffles of (grp, value)-shaped data, no window, no
-    driver-side state, group cardinality never materialized on the
-    driver."""
+    aggregates (median, then MAD of the residuals) joined back between
+    them, then one counting pass. ``broadcast_stats`` defaults to None —
+    the median/MAD tables are GROUP-cardinality-sized, so the join
+    strategy is left to Catalyst/AQE runtime stats (broadcast means a
+    driver collect: fine for per-type groups, fatal for per-user groups
+    at 1e9 entities). Pass True to pin the broadcast for known-small
+    group keys, saving the two shuffles."""
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("v"),
@@ -173,13 +176,17 @@ def mad_outlier_summary(
     med = base.groupBy("grp").agg(
         F.percentile(F.col("v"), F.lit(0.5)).alias("med")
     )
-    resid = base.join(F.broadcast(med), "grp").select(
+    if broadcast_stats:
+        med = F.broadcast(med)
+    resid = base.join(med, "grp").select(
         "grp", "v", "med", F.abs(F.col("v") - F.col("med")).alias("r")
     )
     mad = resid.groupBy("grp").agg(
         F.percentile(F.col("r"), F.lit(0.5)).alias("mad")
     )
-    flagged = resid.join(F.broadcast(mad), "grp").select(
+    if broadcast_stats:
+        mad = F.broadcast(mad)
+    flagged = resid.join(mad, "grp").select(
         "grp",
         "med",
         "mad",

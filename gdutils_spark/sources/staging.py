@@ -89,7 +89,18 @@ def salted_join(
     The salt derives from ``xxhash64`` of the whole fact row (column
     list), so it is deterministic across retries — no RNG, no
     monotonically_increasing_id instability.
+
+    Only fact-preserving join types are accepted (inner / left /
+    left_semi / left_anti): the dim side exists ×S, so any join that
+    emits unmatched DIM rows (right/full) would surface each one S
+    times — a silent row-multiplication bug, rejected loudly instead.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            f"x{salts} (the dim side is exploded); use inner/left/"
+            "left_semi/left_anti, or swap the sides"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(salts))
     f = facts.withColumn("__salt", salt.cast("int"))
     d = dims.withColumn(

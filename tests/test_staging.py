@@ -108,3 +108,26 @@ def test_salted_join_spreads_hot_key(spark, sf_smoke):
         .count()
     )
     assert n_salts > 1
+
+
+def test_salted_join_rejects_dim_preserving_joins(spark, sf_smoke):
+    """right/full would emit unmatched dim rows once per salt copy."""
+    import pytest
+
+    events = load_table(spark, sf_smoke, "events")
+    dims = events.select("user_id").distinct()
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="duplicate unmatched dim rows"):
+            salted_join(events, dims, "user_id", salts=4, how=how)
+
+
+def test_salted_join_left_keeps_unmatched_facts_once(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    dims = (
+        events.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.lit("even"))
+    )
+    got = salted_join(events, dims, "user_id", salts=8, how="left")
+    assert got.count() == events.count()
