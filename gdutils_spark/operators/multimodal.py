@@ -891,3 +891,139 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.where(F.col("kind") == "video").mapInPandas(op, FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = (
+    "media_id long, width int, height int, b0 int, b1 int, b2 int, b3 int"
+)
+
+
+def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the classic
+    near-duplicate fingerprint: point-sample a ``(grid+1) x grid``
+    luminance lattice from the decoded pixels and emit one bit per
+    horizontally adjacent sample pair (``lum(x+1, y) > lum(x, y)``) —
+    ``grid*grid`` bits total, robust to re-encoding and mild resizes
+    because only local brightness GRADIENTS survive into the hash.
+
+    Determinism contract (what lets a SQL oracle predict the hash for
+    synthesized images): sample positions are exact integer lattice
+    arithmetic ``sx = x*w // (grid+1)``, ``sy = y*h // grid`` (the
+    thumbnail_images convention — no float resampling kernels), and
+    luminance is the integer mean over channels (``sum // ch``). Bits
+    pack COLUMN-major (``k = x*grid + y``) into ``grid*grid/16``
+    16-bit bands (b0..b3 for the default grid): a localized image edit
+    perturbs adjacent sample COLUMNS, so column-major packing confines
+    the flipped bits to neighboring bands and keeps the others exact —
+    which is precisely what the banded near-dup join needs. Undecodable
+    payloads keep their row with null dims/bands (countable corrupt
+    blobs); payloads never leave executors."""
+    if grid < 2 or (grid * grid) % 16 != 0:
+        raise ValueError(f"image_dhash: grid={grid} must be >=2 with grid*grid % 16 == 0")
+    n_bands = (grid * grid) // 16
+    if n_bands != 4:
+        raise ValueError("image_dhash: only grid=8 (4 bands) is wired to DHASH_SCHEMA")
+    codec = _make_png_codec
+    g = grid
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode, _ = codec()
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "b0", "b1", "b2", "b3")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                dec = decode(payload)
+                if dec is None:
+                    for k in ("width", "height", "b0", "b1", "b2", "b3"):
+                        out[k].append(None)
+                    continue
+                w, h, ch, px = dec
+                stride = w * ch
+                lum = [
+                    [
+                        sum(
+                            px[(y * h // g) * stride + (x * w // (g + 1)) * ch + c]
+                            for c in range(ch)
+                        )
+                        // ch
+                        for y in range(g)
+                    ]
+                    for x in range(g + 1)
+                ]
+                bands = [0, 0, 0, 0]
+                for x in range(g):
+                    for y in range(g):
+                        if lum[x + 1][y] > lum[x][y]:
+                            k = x * g + y
+                            bands[k // 16] |= 1 << (k % 16)
+                out["width"].append(w)
+                out["height"].append(h)
+                for i in range(4):
+                    out[f"b{i}"].append(bands[i])
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "b0": pd.array(out["b0"], dtype="Int32"),
+                    "b1": pd.array(out["b1"], dtype="Int32"),
+                    "b2": pd.array(out["b2"], dtype="Int32"),
+                    "b3": pd.array(out["b3"], dtype="Int32"),
+                }
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(op, DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 16) -> DataFrame:
+    """Near-duplicate image pairs from :func:`image_dhash` output —
+    banded Hamming LSH, the exact-for-Hamming analogue of the MinHash
+    band trick: two hashes within ``max_hamming`` of each other over 64
+    bits CAN still disagree in every 16-bit band, so candidates are
+    pairs sharing AT LEAST ONE exact band (probabilistic recall, like
+    every banded LSH in this engine — with <=16 flipped bits confined
+    to <=2 adjacent bands by the column-major packing, locality-edited
+    images are always recalled), then the exact popcount filter keeps
+    pairs at ``hamming <= max_hamming``. Output: ``(media_id_a,
+    media_id_b, hamming)``, each unordered pair once (``a < b``).
+
+    Plan shape: melt to (band_idx, band_val) — 4 rows per image — ONE
+    shuffle on the band key, within-bucket self-pairing, distinct, then
+    the xor/bit_count verify runs as a Catalyst post-filter on the
+    candidate rows. Degenerate bands (e.g. all-zero hashes from flat
+    images) create hot buckets exactly like empty-shingle MinHash
+    bands: pre-filter flat images upstream, or salt the dominant band
+    value — the quadratic blow-up is in the DATA, not the plan."""
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("band_val"))
+        for i in range(4)
+    ])
+    melted = (
+        hashes.where(F.col("b0").isNotNull())
+        .select("media_id", "b0", "b1", "b2", "b3", F.explode(bands).alias("bd"))
+        .select("media_id", "b0", "b1", "b2", "b3", "bd.band_idx", "bd.band_val")
+    )
+    a = melted.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("media_id").alias("media_id_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = melted.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("media_id").alias("media_id_b"),
+        *[F.col(f"b{i}").alias(f"b{i}_") for i in range(4)],
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .drop("band_idx", "band_val")
+        .dropDuplicates(["media_id_a", "media_id_b"])
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}_"))) for i in range(4)
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("media_id_a", "media_id_b", "hamming")
+    )

@@ -1,0 +1,134 @@
+"""Time-series regularization: resample irregular observations onto a
+fixed step grid with linear interpolation.
+
+Beyond-reference operator in the reference's own domain — glider/GTS
+feeds are irregular in time (``/root/reference/gdutils/osmc/__init__.py``
+fetches raw fixes; ``/root/reference/gdutils/__init__.py:770-805`` raw
+sensor series), and every downstream consumer (gridded products, model
+assimilation, feature windows for training) wants a regular grid. The
+pandas idiom is ``resample().interpolate()`` per entity; here it is one
+relational plan.
+
+Spark-first shape (the as-of union trick, shared with
+``operators/joins.asof_join``): observations and grid points UNION into
+one relation, ONE shuffle on the entity key, and within each partition a
+time-ordered window carries the previous/next observation to every grid
+point — no range join, no per-entity loop, no pair blow-up. All
+arithmetic is integer epoch-micros plus one double division, so results
+are bit-identical across engines (IEEE ops in a pinned order).
+
+At 100 TB the window per entity is the only dense structure: state is a
+single carried struct, and partitions hold one entity's obs+grid rows.
+A single hot entity with billions of observations would bottleneck its
+one window partition — for that shape, pre-chunk time into ranges that
+overlap by one observation on each side and window per (entity, chunk),
+same as any ordered-scan skew fix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_interpolate(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Per-entity regular grid at ``step_seconds`` with linear
+    interpolation: one output row per grid instant between each entity's
+    first and last observation (grid aligned to the epoch, so instants
+    are comparable ACROSS entities), value linearly interpolated between
+    the surrounding observations — exact passthrough when a grid instant
+    coincides with an observation.
+
+    Determinism contract: duplicate-timestamp observations collapse to
+    their ``max`` (order-insensitive) before interpolation; the interp
+    itself is ``v0 + (v1-v0) * ((t-t0)/(t1-t0))`` with the time deltas
+    computed as exact integer micros, then ONE double division and one
+    fused multiply-add-free multiply+add — the same expression order in
+    any IEEE engine reproduces the bits, so the whole relation
+    hash-verifies against a SQL oracle.
+
+    Output: ``(entity_col, ts, v_interp)``.
+    """
+    if step_seconds < 1:
+        raise ValueError(f"resample_interpolate: step_seconds={step_seconds} must be >= 1")
+    step_us = int(step_seconds) * 1_000_000
+    obs = (
+        df.select(
+            F.col(entity_col).alias("__e"),
+            F.unix_micros(F.col(ts_col)).alias("__t"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .where(F.col("__e").isNotNull() & F.col("__t").isNotNull() & F.col("__v").isNotNull())
+        .groupBy("__e", "__t")
+        .agg(F.max("__v").alias("__v"))
+    )
+    # ceil/floor-to-step via exact long modulo (never a double division:
+    # epoch micros near 2^51 would round at the double mantissa edge)
+    x0 = F.min("__t") + F.lit(step_us - 1)
+    x1 = F.max("__t")
+    bounds = obs.groupBy("__e").agg(
+        (x0 - x0 % F.lit(step_us)).alias("__g0"),
+        (x1 - x1 % F.lit(step_us)).alias("__g1"),
+    )
+    grid = bounds.where(F.col("__g0") <= F.col("__g1")).select(
+        "__e",
+        F.explode(F.sequence("__g0", "__g1", F.lit(step_us))).alias("__t"),
+    )
+    u = obs.select(
+        "__e", "__t", F.lit(0).alias("__side"), F.col("__t").alias("__ot"), "__v"
+    ).unionByName(
+        grid.select(
+            "__e",
+            "__t",
+            F.lit(1).alias("__side"),
+            F.lit(None).cast("long").alias("__ot"),
+            F.lit(None).cast("double").alias("__v"),
+        )
+    )
+    # obs sort BEFORE the co-timed grid row (side 0 < 1): the backward
+    # carry then includes it (exact passthrough) and the forward carry,
+    # which starts at the grid row itself, does not.
+    w_back = (
+        Window.partitionBy("__e")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__e")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "__e",
+        "__t",
+        "__side",
+        F.last("__ot", ignorenulls=True).over(w_back).alias("__t0"),
+        F.last("__v", ignorenulls=True).over(w_back).alias("__v0"),
+        F.first("__ot", ignorenulls=True).over(w_fwd).alias("__t1"),
+        F.first("__v", ignorenulls=True).over(w_fwd).alias("__v1"),
+    )
+    interp = F.when(F.col("__t") == F.col("__t0"), F.col("__v0")).otherwise(
+        F.col("__v0")
+        + (F.col("__v1") - F.col("__v0"))
+        * (
+            (F.col("__t") - F.col("__t0")).cast("double")
+            / (F.col("__t1") - F.col("__t0")).cast("double")
+        )
+    )
+    # a grid instant co-timed with the LAST observation has no forward
+    # neighbor but needs none — exact passthrough keeps it
+    return carried.where(
+        (F.col("__side") == 1)
+        & F.col("__t0").isNotNull()
+        & (F.col("__t1").isNotNull() | (F.col("__t0") == F.col("__t")))
+    ).select(
+        F.col("__e").alias(entity_col),
+        F.timestamp_micros(F.col("__t")).alias("ts"),
+        interp.alias("v_interp"),
+    )

@@ -6492,8 +6492,231 @@ SELECT doc_id, n_tokens, priority FROM p ORDER BY priority, doc_id LIMIT {DSM_K}
 
 
 # ---------------------------------------------------------------------------
+# Referential-integrity audit (r10)
+# ---------------------------------------------------------------------------
+
+#: (fk_name, child_table, child_key, parent_table, parent_key) over the
+#: testdata TPC-H-ish FK graph.
+_FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the full testdata FK graph —
+    the "can I trust the joins" load gate (one row per FK edge with
+    orphan counts/rates; ``operators/summaries.fk_audit``)."""
+    from gdutils_spark.operators.summaries import fk_audit
+
+    tabs: dict[str, DataFrame] = {}
+
+    def t(name: str) -> DataFrame:
+        if name not in tabs:
+            tabs[name] = load_table(spark, sf_dir, name)
+        return tabs[name]
+
+    return fk_audit(
+        [(n, t(c), ck, t(p), pk) for n, c, ck, p, pk in _FK_EDGES]
+    )
+
+
+def _fk_audit_sql() -> str:
+    parts = []
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        parts.append(f"""
+  SELECT '{name}' AS fk_name,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+         CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM {child} c
+  LEFT JOIN (SELECT DISTINCT {pkey} AS __pk FROM {parent}) p ON c.{ckey} = p.__pk""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+SELECT fk_name, n_rows, n_null_keys, n_orphans,
+       CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_rate
+FROM (
+{union}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + linear interpolation (r10)
+# ---------------------------------------------------------------------------
+
+INTERP_STEP_S = 21600  # 6-hour grid: ~120 instants over the 30-day fixture
+
+
+def user_value_grid_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour regular grid over the events value series with
+    linear interpolation (``operators/timeseries.resample_interpolate``)
+    — the pandas ``resample().interpolate()`` idiom as one relational
+    plan: union obs+grid, one entity shuffle, ordered carry windows."""
+    from gdutils_spark.operators.timeseries import resample_interpolate
+
+    e = load_table(spark, sf_dir, "events")
+    return resample_interpolate(e, "user_id", "ts", "value", INTERP_STEP_S)
+
+
+def _grid_interp_sql() -> str:
+    step = INTERP_STEP_S * 1_000_000
+    return f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS t_us, MAX(value) AS v
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id, epoch_us(ts)
+), bounds AS (
+  SELECT user_id,
+         (MIN(t_us) + {step - 1}) - ((MIN(t_us) + {step - 1}) % {step}) AS g0,
+         MAX(t_us) - (MAX(t_us) % {step}) AS g1
+  FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(g0, g1, {step})) AS t_us
+  FROM bounds WHERE g0 <= g1
+), u AS (
+  SELECT user_id, t_us, 0 AS side, t_us AS ot, v FROM obs
+  UNION ALL
+  SELECT user_id, t_us, 1 AS side, NULL AS ot, NULL AS v FROM grid
+), c AS (
+  SELECT user_id, t_us, side,
+    last_value(ot IGNORE NULLS) OVER w AS t0,
+    last_value(v IGNORE NULLS) OVER w AS v0,
+    first_value(ot IGNORE NULLS) OVER w2 AS t1,
+    first_value(v IGNORE NULLS) OVER w2 AS v1
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY t_us, side
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, make_timestamp(t_us) AS ts,
+  CASE WHEN t_us = t0 THEN v0
+       ELSE v0 + (v1 - v0) * (CAST(t_us - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+  END AS v_interp
+FROM c
+WHERE side = 1 AND t0 IS NOT NULL AND (t1 IS NOT NULL OR t0 = t_us)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (r10)
+# ---------------------------------------------------------------------------
+
+MIND_N = 500       # fixture subset: bounded, sf-independent pair count
+MIND_HAM = 16      # Hamming radius over the 64-bit dHash
+
+
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs end-to-end through REAL codecs:
+    documents doc_id < 500 become 9x8 grayscale PNGs (pixel
+    ``((x*31 + y*17)*(doc_id%50 + 3) + 128·[x = doc_id%9]) % 256`` —
+    50 gradient clusters with one perturbed column per image), encoded
+    with the stdlib PNG writer, decoded + dHashed by ``image_dhash``,
+    then paired by ``dhash_near_dup_pairs`` (16-bit-band Hamming LSH +
+    exact popcount <= 16). The oracle predicts every hash bit
+    arithmetically from doc_id, so a broken decode, sample-lattice,
+    bit-packing or banding step hash-mismatches immediately."""
+    from gdutils_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < MIND_N)
+    )
+
+    def synth(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(t, data):
+            crc = zlib.crc32(t + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + t + data + struct.pack(">I", crc)
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 9, 8
+                raw = bytearray()
+                for y in range(h):
+                    raw.append(0)  # filter-0 scanlines
+                    raw += bytes(
+                        ((x * 31 + y * 17) * (did % 50 + 3)
+                         + (128 if x == did % 9 else 0)) % 256
+                        for x in range(w)
+                    )
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "format": "png",
+                    "kind": "image",
+                }
+            )
+
+    media = d.mapInPandas(
+        synth, "media_id long, payload binary, format string, kind string"
+    )
+    return dhash_near_dup_pairs(image_dhash(media), MIND_HAM)
+
+
+def _image_near_dup_sql() -> str:
+    def px(x_expr: str, y: int) -> str:
+        return (
+            f"((({x_expr})*31 + {y * 17}) * ((media_id % 50) + 3) + "
+            f"CASE WHEN ({x_expr}) = (media_id % 9) THEN 128 ELSE 0 END) % 256"
+        )
+
+    band_exprs = []
+    for i in range(4):
+        terms = []
+        for k in range(16 * i, 16 * (i + 1)):
+            x, y = k // 8, k % 8
+            terms.append(
+                f"CASE WHEN ({px(str(x + 1), y)}) > ({px(str(x), y)}) "
+                f"THEN {1 << (k % 16)} ELSE 0 END"
+            )
+        band_exprs.append(f"CAST({' + '.join(terms)} AS INT) AS b{i}")
+    bands = ",\n         ".join(band_exprs)
+    ham = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(4))
+    return f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         {bands}
+  FROM documents WHERE doc_id < {MIND_N}
+)
+SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       CAST({ham} AS INT) AS hamming
+FROM h a JOIN h b
+  ON a.media_id < b.media_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE ({ham}) <= {MIND_HAM}
+"""
+
+
+# ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fk_integrity_audit": fk_integrity_audit,
+    "user_value_grid_interp": user_value_grid_interp,
+    "mm_image_near_dup": mm_image_near_dup,
     "emb_knn_recall": emb_knn_recall,
     "user_cohort_retention": user_cohort_retention,
     "user_funnel": user_funnel,
@@ -6617,6 +6840,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "fk_integrity_audit": _fk_audit_sql(),
+    "user_value_grid_interp": _grid_interp_sql(),
+    "mm_image_near_dup": _image_near_dup_sql(),
     "emb_knn_recall": _knn_recall_sql(),
     "user_cohort_retention": _COHORT_SQL,
     "user_funnel": _funnel_sql(),

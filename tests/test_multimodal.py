@@ -505,3 +505,70 @@ def test_sample_frames_real_path_stride_and_cap(spark):
     assert [bytes(r["frame_payload"]) for r in got] == [
         b"frame-0", b"frame-2", b"frame-4",
     ]
+
+
+def test_image_dhash_known_bits(spark):
+    """A 9x8 gradient PNG (identity sample lattice) must produce the
+    arithmetically predicted bands; an undecodable payload keeps its
+    row with null bands."""
+    from gdutils_spark.operators.multimodal import encode_png, image_dhash
+
+    w, h = 9, 8
+    px = bytearray(((x * 31 + y * 17) * 3) % 256 for y in range(h) for x in range(w))
+    good = encode_png(w, h, 1, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(good), "png", "image"), (2, bytearray(b"nope"), "png", "image")],
+        "media_id long, payload binary, format string, kind string",
+    )
+    rows = {r["media_id"]: r for r in image_dhash(df).collect()}
+    bands = [0, 0, 0, 0]
+    for k in range(64):
+        x, y = k // 8, k % 8
+        p0 = ((x * 31 + y * 17) * 3) % 256
+        p1 = (((x + 1) * 31 + y * 17) * 3) % 256
+        if p1 > p0:
+            bands[k // 16] |= 1 << (k % 16)
+    got = [rows[1][f"b{i}"] for i in range(4)]
+    assert got == bands
+    assert rows[1]["width"] == 9 and rows[1]["height"] == 8
+    assert all(rows[2][f"b{i}"] is None for i in range(4))
+
+
+def test_image_dhash_grid_validation(spark):
+    import pytest as _pytest
+
+    from gdutils_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [], "media_id long, payload binary, format string, kind string"
+    )
+    with _pytest.raises(ValueError, match="grid"):
+        image_dhash(df, grid=5)
+
+
+def test_dhash_near_dup_pairs_banding_and_hamming(spark):
+    """Identical hashes pair at hamming 0; a 1-bit flip pairs at 1; a
+    hash differing in EVERY band is never a candidate even when its
+    true hamming is under the threshold."""
+    from gdutils_spark.operators.multimodal import dhash_near_dup_pairs
+
+    rows = [
+        (1, 9, 8, 0x1111, 0x2222, 0x3333, 0x4444),
+        (2, 9, 8, 0x1111, 0x2222, 0x3333, 0x4444),      # identical → d=0
+        (3, 9, 8, 0x1110, 0x2222, 0x3333, 0x4444),      # 1 bit off b0
+        (4, 9, 8, 0x1112, 0x2223, 0x3332, 0x4445),      # off in EVERY band
+        (5, 9, 8, None, None, None, None),               # undecodable: skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, width int, height int, b0 int, b1 int, b2 int, b3 int"
+    )
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(df, max_hamming=16).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 1
+    # 4 shares no exact band with anyone → not a candidate despite d=4
+    assert not any(4 in p for p in got)
+    assert not any(5 in p for p in got)

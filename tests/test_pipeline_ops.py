@@ -1398,3 +1398,35 @@ def test_priority_sample_merge_lemma(spark, sf_smoke):
     # not occupy two of the k slots and displace a legitimate row.
     self_merged = priority_sample_merge(samples[0], samples[0], k)
     assert sorted(self_merged.collect()) == sorted(samples[0].collect())
+
+
+def test_fk_audit_counts_orphans_and_nulls(spark):
+    from gdutils_spark.operators.summaries import fk_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = {r["fk_name"]: r for r in fk_audit(
+        [("child.fk->parent", child, "fk", parent, "pk")]
+    ).collect()}
+    r = out["child.fk->parent"]
+    assert r["n_rows"] == 4
+    assert r["n_null_keys"] == 1       # NULL key is not an orphan
+    assert r["n_orphans"] == 1         # fk=99 has no parent
+    assert r["orphan_rate"] == 0.25
+
+
+def test_fk_audit_multiple_edges_and_validation(spark):
+    import pytest as _pytest
+
+    from gdutils_spark.operators.summaries import fk_audit
+
+    a = spark.createDataFrame([(1,)], "k long")
+    out = fk_audit(
+        [("a->a", a, "k", a, "k"), ("a->a2", a, "k", a, "k")]
+    ).collect()
+    assert sorted(r["fk_name"] for r in out) == ["a->a", "a->a2"]
+    assert all(r["n_orphans"] == 0 for r in out)
+    with _pytest.raises(ValueError, match="fk_audit"):
+        fk_audit([])
