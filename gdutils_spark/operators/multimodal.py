@@ -975,7 +975,9 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
     return df.where(F.col("kind") == "image").mapInPandas(op, DHASH_SCHEMA)
 
 
-def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 16) -> DataFrame:
+def dhash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 16, stage_path: str | None = None
+) -> DataFrame:
     """Near-duplicate image pairs from :func:`image_dhash` output —
     banded Hamming LSH, the exact-for-Hamming analogue of the MinHash
     band trick: two hashes within ``max_hamming`` of each other over 64
@@ -993,7 +995,14 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 16) -> DataFrame:
     candidate rows. Degenerate bands (e.g. all-zero hashes from flat
     images) create hot buckets exactly like empty-shingle MinHash
     bands: pre-filter flat images upstream, or salt the dominant band
-    value — the quadratic blow-up is in the DATA, not the plan."""
+    value — the quadratic blow-up is in the DATA, not the plan.
+
+    The melted hash table feeds both self-join sides; without reuse the
+    PNG decode upstream would run twice. ``stage_path=None`` (default)
+    memory-caches it for the call (4 small rows per image), and the
+    result is local-checkpointed so the cache can drop before returning;
+    at 100 TB pass ``stage_path`` to stage the hashes as parquet once —
+    same convention as ``similarity.lsh_near_dup_pairs``."""
     bands = F.array(*[
         F.struct(F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("band_val"))
         for i in range(4)
@@ -1003,6 +1012,11 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 16) -> DataFrame:
         .select("media_id", "b0", "b1", "b2", "b3", F.explode(bands).alias("bd"))
         .select("media_id", "b0", "b1", "b2", "b3", "bd.band_idx", "bd.band_val")
     )
+    if stage_path is not None:
+        melted.write.mode("overwrite").parquet(stage_path)
+        melted = hashes.sparkSession.read.parquet(stage_path)
+    else:
+        melted = melted.persist()
     a = melted.select(
         F.col("band_idx"), F.col("band_val"),
         F.col("media_id").alias("media_id_a"),
@@ -1022,8 +1036,14 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 16) -> DataFrame:
     hamming = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}_"))) for i in range(4)
     ).cast("int")
-    return (
+    out = (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("media_id_a", "media_id_b", "hamming")
     )
+    if stage_path is None:
+        # materialize past the cache (pair ids + one int — tiny), then
+        # drop it so repeated calls don't accumulate storage memory
+        out = out.localCheckpoint(eager=True)
+        melted.unpersist()
+    return out
