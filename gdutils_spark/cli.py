@@ -697,6 +697,47 @@ def cmd_outliers(args) -> int:
     return 0
 
 
+def cmd_fk_audit(args) -> int:
+    from gdutils_spark.operators.summaries import fk_audit
+
+    spark = _get_spark()
+    child = _load(spark, args.input)
+    parent = _load(spark, args.parent)
+    name = args.name or f"{args.child_key}->{args.parent_key}"
+    out = fk_audit([(name, child, args.child_key, parent, args.parent_key)])
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_resample(args) -> int:
+    from gdutils_spark.operators.timeseries import resample_interpolate
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = resample_interpolate(
+        df, args.entity_col, args.time_col, args.value_col, args.step_seconds
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_image_dups(args) -> int:
+    from gdutils_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    spark = _get_spark()
+    media = _load(spark, args.input)
+    out = dhash_near_dup_pairs(
+        image_dhash(media),
+        max_hamming=args.max_hamming,
+        stage_path=args.stage_path,
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_cdc_apply(args) -> int:
     from gdutils_spark.operators.cdc import apply_cdc
 
@@ -1176,6 +1217,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--group-col", default="event_type")
     sp.add_argument("--threshold", type=float, default=3.5,
                     help="modified z-score cut (Iglewicz-Hoaglin 3.5)")
+
+    sp = add_pipeline("fk-audit", cmd_fk_audit)
+    sp.add_argument("--parent", required=True, help="parent table path")
+    sp.add_argument("--child-key", required=True)
+    sp.add_argument("--parent-key", required=True)
+    sp.add_argument("--name", help="fk_name label (default child_key->parent_key)")
+
+    sp = add_pipeline("resample", cmd_resample)
+    sp.add_argument("--entity-col", default="user_id")
+    sp.add_argument("--time-col", default="ts")
+    sp.add_argument("--value-col", default="value")
+    sp.add_argument("--step-seconds", type=int, default=3600)
+
+    sp = add_pipeline("image-dups", cmd_image_dups)
+    sp.add_argument("--max-hamming", type=int, default=16)
+    sp.add_argument("--stage-path",
+                    help="stage the hash table as parquet here (corpus scale) "
+                    "instead of memory-caching it")
 
     sp = add_pipeline("cdc-apply", cmd_cdc_apply)
     sp.add_argument("--changes", required=True,

@@ -1033,17 +1033,19 @@ def dhash_near_dup_pairs(
         .drop("band_idx", "band_val")
         .dropDuplicates(["media_id_a", "media_id_b"])
     )
+    if stage_path is None:
+        # materialize the candidate pairs past the cache (ids + 8 small
+        # ints — collision-bounded), then drop the cache so repeated
+        # calls don't accumulate storage; the popcount verify below
+        # stays a lazy codegen filter over the checkpoint (the
+        # lsh_near_dup_pairs convention)
+        cand = cand.localCheckpoint(eager=True)
+        melted.unpersist()
     hamming = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}_"))) for i in range(4)
     ).cast("int")
-    out = (
+    return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("media_id_a", "media_id_b", "hamming")
     )
-    if stage_path is None:
-        # materialize past the cache (pair ids + one int — tiny), then
-        # drop it so repeated calls don't accumulate storage memory
-        out = out.localCheckpoint(eager=True)
-        melted.unpersist()
-    return out

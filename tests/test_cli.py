@@ -532,3 +532,49 @@ def test_cli_plot_variable_url(capsys):
     assert "max(time)-6hours" in url.replace("%28", "(").replace(
         "%29", ")"
     ).replace("%2D", "-")
+
+
+def test_cli_fk_audit(tmp_path, capsys, spark):
+    child = str(tmp_path / "child")
+    parent = str(tmp_path / "parent")
+    spark.createDataFrame([(1, 10), (2, 99)], "id long, fk long").write.parquet(child)
+    spark.createDataFrame([(10,)], "pk long").write.parquet(parent)
+    assert main([
+        "fk-audit", "--input", child, "--parent", parent,
+        "--child-key", "fk", "--parent-key", "pk", "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["fk_name"] == "fk->pk"
+    assert rows[0]["n_orphans"] == 1 and rows[0]["n_rows"] == 2
+
+
+def test_cli_resample(tmp_path, capsys, spark):
+    from datetime import datetime
+
+    path = str(tmp_path / "series")
+    spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0, 0, 0), 0.0),
+         ("a", datetime(2024, 1, 1, 1, 0, 0), 2.0)],
+        "user_id string, ts timestamp, value double",
+    ).write.parquet(path)
+    assert main([
+        "resample", "--input", path, "--step-seconds", "1800", "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    got = {r["ts"]: r["v_interp"] for r in rows}
+    assert len(got) == 3 and any(v == 1.0 for v in got.values())
+
+
+def test_cli_image_dups(tmp_path, capsys, spark):
+    from gdutils_spark.operators.multimodal import encode_png
+
+    path = str(tmp_path / "media")
+    px = bytes(((x * 31 + y * 17) * 3) % 256 for y in range(8) for x in range(9))
+    p = bytearray(encode_png(9, 8, 1, bytearray(px)))
+    spark.createDataFrame(
+        [(1, p, "png", "image"), (2, p, "png", "image")],
+        "media_id long, payload binary, format string, kind string",
+    ).write.parquet(path)
+    assert main(["image-dups", "--input", path, "-f", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows == [{"media_id_a": 1, "media_id_b": 2, "hamming": 0}]
