@@ -94,6 +94,17 @@ def resample_interpolate(
     # obs sort BEFORE the co-timed grid row (side 0 < 1): the backward
     # carry then includes it (exact passthrough) and the forward carry,
     # which starts at the grid row itself, does not.
+    #
+    # BOTH carries run as [unboundedPreceding, currentRow] frames — the
+    # forward one over the REVERSED (t desc, side desc) order, which
+    # selects exactly the original [currentRow, unboundedFollowing] row
+    # set (same-t obs still excluded: side 0 sorts after side 1 under
+    # desc). This is a measured scale requirement, not style: Spark's
+    # running-frame processor is incremental (O(n) per entity), while
+    # an [currentRow, unboundedFollowing] frame re-evaluates its
+    # aggregate from scratch at every row — O(n²), and a 500k-obs hub
+    # entity pins one core for minutes (tools/resample_skew_probe.py).
+    # Same partitioning either way: one exchange, two in-partition sorts.
     w_back = (
         Window.partitionBy("__e")
         .orderBy("__t", "__side")
@@ -101,8 +112,8 @@ def resample_interpolate(
     )
     w_fwd = (
         Window.partitionBy("__e")
-        .orderBy("__t", "__side")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         "__e",
@@ -110,8 +121,8 @@ def resample_interpolate(
         "__side",
         F.last("__ot", ignorenulls=True).over(w_back).alias("__t0"),
         F.last("__v", ignorenulls=True).over(w_back).alias("__v0"),
-        F.first("__ot", ignorenulls=True).over(w_fwd).alias("__t1"),
-        F.first("__v", ignorenulls=True).over(w_fwd).alias("__v1"),
+        F.last("__ot", ignorenulls=True).over(w_fwd).alias("__t1"),
+        F.last("__v", ignorenulls=True).over(w_fwd).alias("__v1"),
     )
     interp = F.when(F.col("__t") == F.col("__t0"), F.col("__v0")).otherwise(
         F.col("__v0")
