@@ -61,7 +61,7 @@ HEADLINERS = [
     ("emb_knn_same_label", "filtered kNN: attribute-KEYED broadcast hash join (never a cross join), window top-k"),
     ("event_value_drift", "drift gate: ONE grouped register scan, bin-sized full-outer join, ordered folds"),
     ("part_copurchase_triangles_incremental", "incremental triangles: delta-anchored wedge joins over the shared oriented table, linear re-orientation"),
-    ("user_value_grid_interp", "resample+interpolate: obs+grid union, ONE entity-key Window hosts both carries, no join"),
+    ("user_value_grid_interp", "resample+interpolate: obs+grid union, one entity-key exchange, two incremental running-frame Windows (no O(n^2) following-frame), no join"),
     ("fk_integrity_audit", "FK audit: key-projected child scans, AQE-planned distinct-parent joins, 7 independent branches"),
     ("mm_image_near_dup", "dHash near-dup: decode-once cached hash table, (band, value) equi-join candidates, popcount post-filter"),
 ]
