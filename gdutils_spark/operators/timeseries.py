@@ -143,3 +143,91 @@ def resample_interpolate(
         F.timestamp_micros(F.col("__t")).alias("ts"),
         interp.alias("v_interp"),
     )
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int,
+    horizon_seconds: int,
+) -> DataFrame:
+    """Rolling-origin backtest manifest — the time-series analogue of
+    k-fold CV (Tashman 2000, "Out-of-sample tests of forecasting
+    accuracy"): ``n_folds`` adjacent test windows of ``horizon_seconds``
+    ending at the corpus max timestamp, each trained on everything at or
+    before its window's start. Output one row per fold:
+    ``(fold, train_end, test_end, n_train, n_test)`` — the split
+    manifest a training pipeline materializes BEFORE shuffling any data,
+    so leakage checks and fold sizing are a metadata query, not a pass
+    per fold.
+
+    Fold k (1-based) tests on ``(t1 - (n-k+1)·h, t1 - (n-k)·h]`` and
+    trains on ``ts <= t1 - (n-k+1)·h``; windows are disjoint and
+    adjacent, so EVERY row belongs to at most one test window and the
+    whole manifest derives from ONE conditional histogram: each row maps
+    to an integer bucket (exact micros arithmetic), one
+    map-side-combinable groupBy counts the buckets (<= n+1 groups), and
+    the per-fold train counts are a prefix sum over the fold spine —
+    the corpus is scanned once and never duplicated per fold. The 1-row
+    bounds aggregate broadcasts back onto the scan (never a driver
+    collect)."""
+    if n_folds < 1:
+        raise ValueError(f"rolling_origin_folds: n_folds={n_folds} must be >= 1")
+    if horizon_seconds < 1:
+        raise ValueError(
+            f"rolling_origin_folds: horizon_seconds={horizon_seconds} must be >= 1"
+        )
+    h_us = int(horizon_seconds) * 1_000_000
+    base = df.select(F.unix_micros(F.col(ts_col)).alias("__t")).where(
+        F.col("__t").isNotNull()
+    )
+    bounds = base.agg(F.max("__t").alias("__t1"))
+    # bucket b (0-based) covers (t1-(n-b)h, t1-(n-b-1)h]; pre-window -> -1.
+    # ceil(rel/h)-1 in pure integer arithmetic (long div — no doubles).
+    bucket = F.when(F.col("__rel") <= 0, F.lit(-1)).otherwise(
+        F.expr(f"(__rel + {h_us - 1}) div {h_us}") - 1
+    ).cast("int")
+    hist = (
+        base.join(F.broadcast(bounds))
+        .withColumn(
+            "__rel",
+            F.col("__t") - (F.col("__t1") - F.lit(int(n_folds)) * F.lit(h_us)),
+        )
+        .select(bucket.alias("__b"), "__t1")
+        .groupBy("__b", "__t1")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    spine = (
+        df.sparkSession.range(1, n_folds + 1)
+        .select(F.col("id").cast("int").alias("fold"))
+        .join(F.broadcast(bounds))
+    )
+    # n_test_k = hist[b = k-1]; n_train_k = all buckets b <= k-2 (incl. -1)
+    joined = spine.join(
+        F.broadcast(hist.drop("__t1")), spine["fold"] - 1 == hist["__b"], "left"
+    ).select(
+        "fold",
+        "__t1",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_test"),
+    )
+    w_cum = Window.orderBy("fold").rowsBetween(Window.unboundedPreceding, -1)
+    pre = hist.where(F.col("__b") == -1).agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("__pre")
+    )
+    return (
+        joined.join(F.broadcast(pre))
+        .select(
+            "fold",
+            F.timestamp_micros(
+                F.col("__t1") - (F.lit(n_folds) - F.col("fold") + 1) * F.lit(h_us)
+            ).alias("train_end"),
+            F.timestamp_micros(
+                F.col("__t1") - (F.lit(n_folds) - F.col("fold")) * F.lit(h_us)
+            ).alias("test_end"),
+            (
+                F.col("__pre")
+                + F.coalesce(F.sum("n_test").over(w_cum), F.lit(0))
+            ).alias("n_train"),
+            "n_test",
+        )
+    )

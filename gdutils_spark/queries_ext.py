@@ -6605,6 +6605,57 @@ WHERE side = 1 AND t0 IS NOT NULL AND (t1 IS NOT NULL OR t0 = t_us)
 
 
 # ---------------------------------------------------------------------------
+# Rolling-origin backtest folds (r10)
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+CV_HORIZON_S = 3 * 86400  # 3-day test windows over the 30-day fixture
+
+
+def events_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest manifest over events.ts: 5 adjacent 3-day
+    test windows ending at the corpus max, per-fold train/test counts
+    from ONE bucket histogram (``timeseries.rolling_origin_folds``)."""
+    from gdutils_spark.operators.timeseries import rolling_origin_folds
+
+    e = load_table(spark, sf_dir, "events")
+    return rolling_origin_folds(e, "ts", CV_FOLDS, CV_HORIZON_S)
+
+
+def _cv_folds_sql() -> str:
+    n = CV_FOLDS
+    h = CV_HORIZON_S * 1_000_000
+    return f"""
+WITH b AS (
+  SELECT MAX(epoch_us(ts)) AS t1 FROM events WHERE ts IS NOT NULL
+), base AS (
+  SELECT epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL
+), hist AS (
+  SELECT CASE WHEN t - (t1 - {n} * {h}) <= 0 THEN -1
+              ELSE CAST((t - (t1 - {n} * {h}) + {h - 1}) // {h} AS INT) - 1
+         END AS bk,
+         COUNT(*) AS nn
+  FROM base, b GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(1, {n})) AS INT) AS fold
+), j AS (
+  SELECT s.fold, COALESCE(hh.nn, 0) AS n_test
+  FROM spine s LEFT JOIN hist hh ON hh.bk = s.fold - 1
+), pre AS (
+  SELECT COALESCE(SUM(nn), 0) AS pre_n FROM hist WHERE bk = -1
+)
+SELECT j.fold AS fold,
+       make_timestamp(t1 - ({n} - j.fold + 1) * {h}) AS train_end,
+       make_timestamp(t1 - ({n} - j.fold) * {h}) AS test_end,
+       CAST(pre_n + COALESCE(SUM(n_test) OVER (ORDER BY j.fold
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS n_train,
+       CAST(n_test AS BIGINT) AS n_test
+FROM j, b, pre
+"""
+
+
+# ---------------------------------------------------------------------------
 # Image perceptual-hash near-dup (r10)
 # ---------------------------------------------------------------------------
 
@@ -6717,6 +6768,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_integrity_audit": fk_integrity_audit,
     "user_value_grid_interp": user_value_grid_interp,
     "mm_image_near_dup": mm_image_near_dup,
+    "events_cv_folds": events_cv_folds,
     "emb_knn_recall": emb_knn_recall,
     "user_cohort_retention": user_cohort_retention,
     "user_funnel": user_funnel,
@@ -6843,6 +6895,7 @@ EXT_ORACLE: dict[str, str] = {
     "fk_integrity_audit": _fk_audit_sql(),
     "user_value_grid_interp": _grid_interp_sql(),
     "mm_image_near_dup": _image_near_dup_sql(),
+    "events_cv_folds": _cv_folds_sql(),
     "emb_knn_recall": _knn_recall_sql(),
     "user_cohort_retention": _COHORT_SQL,
     "user_funnel": _funnel_sql(),
