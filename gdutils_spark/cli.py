@@ -738,6 +738,18 @@ def cmd_image_dups(args) -> int:
     return 0
 
 
+def cmd_cv_folds(args) -> int:
+    from gdutils_spark.operators.timeseries import rolling_origin_folds
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = rolling_origin_folds(
+        df, args.time_col, args.n_folds, args.horizon_seconds
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_cdc_apply(args) -> int:
     from gdutils_spark.operators.cdc import apply_cdc
 
@@ -1235,6 +1247,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stage-path",
                     help="stage the hash table as parquet here (corpus scale) "
                     "instead of memory-caching it")
+
+    sp = add_pipeline("cv-folds", cmd_cv_folds)
+    sp.add_argument("--time-col", default="ts")
+    sp.add_argument("--n-folds", type=int, default=5)
+    sp.add_argument("--horizon-seconds", type=int, default=86400)
 
     sp = add_pipeline("cdc-apply", cmd_cdc_apply)
     sp.add_argument("--changes", required=True,

@@ -578,3 +578,20 @@ def test_cli_image_dups(tmp_path, capsys, spark):
     assert main(["image-dups", "--input", path, "-f", "json"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert rows == [{"media_id_a": 1, "media_id_b": 2, "hamming": 0}]
+
+
+def test_cli_cv_folds(tmp_path, capsys, spark):
+    from datetime import datetime
+
+    path = str(tmp_path / "cvseries")
+    spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, hh, 0, 0), 1.0) for hh in range(10)],
+        "user_id string, ts timestamp, value double",
+    ).write.parquet(path)
+    assert main([
+        "cv-folds", "--input", path, "--n-folds", "3",
+        "--horizon-seconds", "7200", "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    got = {r["fold"]: (r["n_train"], r["n_test"]) for r in rows}
+    assert got == {1: (4, 2), 2: (6, 2), 3: (8, 2)}

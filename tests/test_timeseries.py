@@ -99,3 +99,38 @@ def test_plan_has_single_entity_window_shuffle(spark):
     # one Window over the union (forward+backward carry share the spec's
     # partitioning) — no join, no cartesian
     assert "Join" not in plan
+
+
+def test_rolling_origin_folds_counts(spark):
+    from gdutils_spark.operators.timeseries import rolling_origin_folds
+
+    # 10 obs at hours 0..9; 3 folds of 2h ending at t1=9h:
+    # fold windows (3,5], (5,7], (7,9]; train = ts <= window start
+    rows = [("a", datetime(2024, 1, 1, hh, 0, 0), 1.0) for hh in range(10)]
+    out = {r["fold"]: r for r in rolling_origin_folds(
+        _df(spark, rows), "ts", 3, 7200
+    ).collect()}
+    assert len(out) == 3
+    assert out[1]["n_train"] == 4 and out[1]["n_test"] == 2   # train 0-3h, test 4,5h
+    assert out[2]["n_train"] == 6 and out[2]["n_test"] == 2   # test 6,7h
+    assert out[3]["n_train"] == 8 and out[3]["n_test"] == 2   # test 8,9h
+    assert out[3]["test_end"] == datetime(2024, 1, 1, 9, 0, 0)
+    assert out[1]["train_end"] == datetime(2024, 1, 1, 3, 0, 0)
+
+
+def test_rolling_origin_folds_empty_windows_and_validation(spark):
+    from gdutils_spark.operators.timeseries import rolling_origin_folds
+
+    # all data older than every test window: n_test = 0 everywhere,
+    # n_train = full corpus
+    rows = [("a", datetime(2023, 1, 1, 0, 0, 0), 1.0),
+            ("a", datetime(2024, 1, 1, 0, 0, 0), 1.0)]
+    out = rolling_origin_folds(_df(spark, rows), "ts", 2, 60).collect()
+    got = {r["fold"]: (r["n_train"], r["n_test"]) for r in out}
+    # t1 itself falls in the LAST window (exclusive-start, inclusive-end)
+    assert got[2] == (1, 1)
+    assert got[1] == (1, 0)
+    with pytest.raises(ValueError, match="n_folds"):
+        rolling_origin_folds(_df(spark, rows), "ts", 0, 60)
+    with pytest.raises(ValueError, match="horizon"):
+        rolling_origin_folds(_df(spark, rows), "ts", 2, 0)
