@@ -231,3 +231,66 @@ def rolling_origin_folds(
             "n_test",
         )
     )
+
+
+def entity_gap_report(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_threshold_seconds: int,
+) -> DataFrame:
+    """Per-entity reporting-gap summary — ``(entity, n_obs, span_s,
+    n_gaps, max_gap_s, coverage_frac)`` where a gap is a
+    consecutive-observation delta exceeding ``gap_threshold_seconds``
+    and ``coverage_frac`` is the share of the entity's span NOT lost to
+    such gaps. The quantitative twin of the reference's deployment-days
+    calendar (``/root/reference/gdutils/__init__.py:587-589`` answers
+    "was the glider out?"; this answers "was it REPORTING, and how much
+    did we lose?") — the feed-health gate a 100 TB ingest runs per
+    platform per night.
+
+    Plan shape: ONE shuffle on the entity key serves a single lag
+    window, then a map-side-combinable per-entity aggregate — gaps are
+    exact integer micros, the only double is the final coverage
+    division, so the relation hash-verifies cross-engine.
+    Single-observation entities report a 0 span with coverage 1.0 (a
+    span of nothing is fully covered; the n_obs column is the signal
+    there). Duplicate timestamps contribute 0-length deltas and never
+    count as gaps."""
+    if gap_threshold_seconds < 1:
+        raise ValueError(
+            f"entity_gap_report: gap_threshold_seconds={gap_threshold_seconds} must be >= 1"
+        )
+    thr_us = int(gap_threshold_seconds) * 1_000_000
+    base = df.select(
+        F.col(entity_col).alias("__e"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+    ).where(F.col("__e").isNotNull() & F.col("__t").isNotNull())
+    w = Window.partitionBy("__e").orderBy("__t")
+    lagged = base.select(
+        "__e",
+        "__t",
+        (F.col("__t") - F.lag("__t").over(w)).alias("__d"),
+    )
+    agg = lagged.groupBy("__e").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.max("__t") - F.min("__t")).alias("__span_us"),
+        F.sum((F.col("__d") > thr_us).cast("long")).alias("n_gaps"),
+        F.coalesce(F.max("__d"), F.lit(0)).alias("__max_gap_us"),
+        F.coalesce(
+            F.sum(F.when(F.col("__d") > thr_us, F.col("__d"))), F.lit(0)
+        ).alias("__lost_us"),
+    )
+    return agg.select(
+        F.col("__e").alias(entity_col),
+        "n_obs",
+        (F.col("__span_us") / F.lit(1_000_000)).cast("double").alias("span_s"),
+        F.coalesce(F.col("n_gaps"), F.lit(0)).alias("n_gaps"),
+        (F.col("__max_gap_us") / F.lit(1_000_000)).cast("double").alias("max_gap_s"),
+        F.when(F.col("__span_us") == 0, F.lit(1.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.col("__lost_us").cast("double") / F.col("__span_us").cast("double")
+        )
+        .alias("coverage_frac"),
+    )

@@ -6605,6 +6605,53 @@ WHERE side = 1 AND t0 IS NOT NULL AND (t1 IS NOT NULL OR t0 = t_us)
 
 
 # ---------------------------------------------------------------------------
+# Per-entity reporting-gap report (r10)
+# ---------------------------------------------------------------------------
+
+GAP_THR_S = 43200  # 12 h: ~mean user cadence is ~10 h on the 30-day fixture
+
+
+def user_event_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feed-health summary over events.ts: gap counts, max gap
+    and coverage fraction at a 12 h threshold
+    (``timeseries.entity_gap_report``)."""
+    from gdutils_spark.operators.timeseries import entity_gap_report
+
+    e = load_table(spark, sf_dir, "events")
+    return entity_gap_report(e, "user_id", "ts", GAP_THR_S)
+
+
+def _gap_report_sql() -> str:
+    thr = GAP_THR_S * 1_000_000
+    return f"""
+WITH base AS (
+  SELECT user_id AS e, epoch_us(ts) AS t
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), lagged AS (
+  SELECT e, t, t - lag(t) OVER (PARTITION BY e ORDER BY t) AS d FROM base
+), agg AS (
+  SELECT e,
+         COUNT(*) AS n_obs,
+         MAX(t) - MIN(t) AS span_us,
+         CAST(COALESCE(SUM(CASE WHEN d > {thr} THEN 1 END), 0) AS BIGINT) AS n_gaps,
+         COALESCE(MAX(d), 0) AS max_gap_us,
+         COALESCE(SUM(CASE WHEN d > {thr} THEN d END), 0) AS lost_us
+  FROM lagged GROUP BY e
+)
+SELECT e AS user_id,
+       n_obs,
+       CAST(span_us / 1000000 AS DOUBLE) AS span_s,
+       n_gaps,
+       CAST(max_gap_us / 1000000 AS DOUBLE) AS max_gap_s,
+       CASE WHEN span_us = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE)
+                 - CAST(lost_us AS DOUBLE) / CAST(span_us AS DOUBLE)
+       END AS coverage_frac
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rolling-origin backtest folds (r10)
 # ---------------------------------------------------------------------------
 
@@ -6769,6 +6816,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_grid_interp": user_value_grid_interp,
     "mm_image_near_dup": mm_image_near_dup,
     "events_cv_folds": events_cv_folds,
+    "user_event_gap_report": user_event_gap_report,
     "emb_knn_recall": emb_knn_recall,
     "user_cohort_retention": user_cohort_retention,
     "user_funnel": user_funnel,
@@ -6896,6 +6944,7 @@ EXT_ORACLE: dict[str, str] = {
     "user_value_grid_interp": _grid_interp_sql(),
     "mm_image_near_dup": _image_near_dup_sql(),
     "events_cv_folds": _cv_folds_sql(),
+    "user_event_gap_report": _gap_report_sql(),
     "emb_knn_recall": _knn_recall_sql(),
     "user_cohort_retention": _COHORT_SQL,
     "user_funnel": _funnel_sql(),

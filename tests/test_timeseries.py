@@ -134,3 +134,41 @@ def test_rolling_origin_folds_empty_windows_and_validation(spark):
         rolling_origin_folds(_df(spark, rows), "ts", 0, 60)
     with pytest.raises(ValueError, match="horizon"):
         rolling_origin_folds(_df(spark, rows), "ts", 2, 0)
+
+
+def test_entity_gap_report_counts_and_coverage(spark):
+    from gdutils_spark.operators.timeseries import entity_gap_report
+
+    # a: obs at 0h, 1h, 5h -> one 4h gap at threshold 2h;
+    #    span 5h, lost 4h, coverage 1 - 4/5
+    # b: single obs -> span 0, coverage 1.0
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 0), 0.0),
+        ("a", datetime(2024, 1, 1, 1, 0, 0), 0.0),
+        ("a", datetime(2024, 1, 1, 5, 0, 0), 0.0),
+        ("b", datetime(2024, 1, 1, 0, 0, 0), 0.0),
+    ]
+    out = {r["e"]: r for r in entity_gap_report(
+        _df(spark, rows), "e", "ts", 7200
+    ).collect()}
+    a = out["a"]
+    assert a["n_obs"] == 3 and a["n_gaps"] == 1
+    assert a["span_s"] == 5 * 3600.0 and a["max_gap_s"] == 4 * 3600.0
+    assert a["coverage_frac"] == pytest.approx(1 - 4 / 5)
+    b = out["b"]
+    assert b["n_obs"] == 1 and b["n_gaps"] == 0
+    assert b["span_s"] == 0.0 and b["coverage_frac"] == 1.0
+
+
+def test_entity_gap_report_duplicate_ts_not_gaps(spark):
+    from gdutils_spark.operators.timeseries import entity_gap_report
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 0), 0.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 0), 0.0),
+        ("a", datetime(2024, 1, 1, 3, 0, 0), 0.0),
+    ]
+    out = entity_gap_report(_df(spark, rows), "e", "ts", 3600).collect()[0]
+    assert out["n_gaps"] == 1 and out["n_obs"] == 3
+    with pytest.raises(ValueError, match="gap_threshold"):
+        entity_gap_report(_df(spark, rows), "e", "ts", 0)
