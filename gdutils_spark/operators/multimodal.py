@@ -976,7 +976,10 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
 
 
 def dhash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 16, stage_path: str | None = None
+    hashes: DataFrame,
+    max_hamming: int = 16,
+    stage_path: str | None = None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from :func:`image_dhash` output —
     banded Hamming LSH, the exact-for-Hamming analogue of the MinHash
@@ -994,11 +997,18 @@ def dhash_near_dup_pairs(
     the xor/bit_count verify runs as a Catalyst post-filter on the
     candidate rows. Degenerate bands (e.g. all-zero hashes from flat
     images) create hot buckets exactly like empty-shingle MinHash
-    bands: pre-filter flat images upstream, or salt the dominant band
-    value — the quadratic blow-up is in the DATA, not the plan.
+    bands — the quadratic blow-up is in the DATA, not the plan.
+    ``max_band_freq`` is the skew guard (the ``max_shingle_freq``
+    convention from ``dedup.minhash_lsh_pairs``): band VALUES occurring
+    in more than that many images are excluded from CANDIDATE
+    generation — f images sharing a flat-region band otherwise put f²
+    candidate rows in one bucket. Emitted hammings stay exact; only
+    recall changes, and only for pairs whose EVERY shared band is hot
+    (images similar solely through flat regions stop colliding).
 
-    The melted hash table feeds both self-join sides; without reuse the
-    PNG decode upstream would run twice. ``stage_path=None`` (default)
+    The melted hash table feeds both self-join sides (plus the band
+    frequency census when the guard is on); without reuse the PNG
+    decode upstream would run twice. ``stage_path=None`` (default)
     memory-caches it for the call (4 small rows per image), and the
     result is local-checkpointed so the cache can drop before returning;
     at 100 TB pass ``stage_path`` to stage the hashes as parquet once —
@@ -1017,6 +1027,15 @@ def dhash_near_dup_pairs(
         melted = hashes.sparkSession.read.parquet(stage_path)
     else:
         melted = melted.persist()
+    cached = melted  # unpersist handle (the guard reassigns `melted`)
+    if max_band_freq is not None:
+        cold_bands = (
+            melted.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .where(F.col("__f") <= F.lit(int(max_band_freq)))
+            .select("band_idx", "band_val")
+        )
+        melted = melted.join(cold_bands, ["band_idx", "band_val"], "left_semi")
     a = melted.select(
         F.col("band_idx"), F.col("band_val"),
         F.col("media_id").alias("media_id_a"),
@@ -1040,7 +1059,7 @@ def dhash_near_dup_pairs(
         # stays a lazy codegen filter over the checkpoint (the
         # lsh_near_dup_pairs convention)
         cand = cand.localCheckpoint(eager=True)
-        melted.unpersist()
+        cached.unpersist()
     hamming = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}_"))) for i in range(4)
     ).cast("int")

@@ -572,3 +572,29 @@ def test_dhash_near_dup_pairs_banding_and_hamming(spark):
     # 4 shares no exact band with anyone → not a candidate despite d=4
     assert not any(4 in p for p in got)
     assert not any(5 in p for p in got)
+
+
+def test_dhash_near_dup_pairs_hot_band_guard(spark):
+    """With max_band_freq, a band value shared by many images stops
+    generating candidates; pairs still matching via a cold band keep
+    their EXACT hamming."""
+    from gdutils_spark.operators.multimodal import dhash_near_dup_pairs
+
+    # 1 and 2: share hot band b0 (=0) AND cold band b1 -> survive via b1
+    # 3 and 4: share ONLY the hot band b0 -> dropped under the guard
+    rows = [
+        (1, 9, 8, 0x0, 0x7777, 0x1111, 0x2222),
+        (2, 9, 8, 0x0, 0x7777, 0x1112, 0x2223),
+        (3, 9, 8, 0x0, 0x5551, 0x3331, 0x4441),
+        (4, 9, 8, 0x0, 0x5552, 0x3332, 0x4442),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, width int, height int, b0 int, b1 int, b2 int, b3 int"
+    )
+    unguarded = {(r["media_id_a"], r["media_id_b"])
+                 for r in dhash_near_dup_pairs(df, max_hamming=16).collect()}
+    assert (1, 2) in unguarded and (3, 4) in unguarded
+    guarded = {(r["media_id_a"], r["media_id_b"]): r["hamming"]
+               for r in dhash_near_dup_pairs(df, max_hamming=16,
+                                             max_band_freq=3).collect()}
+    assert (1, 2) in guarded and (3, 4) not in guarded
