@@ -294,3 +294,156 @@ def entity_gap_report(
         )
         .alias("coverage_frac"),
     )
+
+
+def gap_registers(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_threshold_seconds: int,
+) -> DataFrame:
+    """MERGEABLE per-entity gap-register table — the sketch form of
+    :func:`entity_gap_report`: one row per entity summarizing ONE
+    time-contiguous chunk of its observations, ``(entity, c_min_us,
+    c_max_us, n_obs, n_gaps, max_gap_us, lost_us, overlapped)``.
+
+    Gap statistics are ASSOCIATIVE over time-disjoint chunks: merging
+    chunk A=[a0,a1] and B=[b0,b1] with a1 <= b0 adds exactly one
+    boundary delta (b0 - a1) to A's and B's internal stats. That makes
+    this the ``build`` half of a
+    :func:`~gdutils_spark.streaming.stream_merge_sketch` pair (the
+    hll_merge/cms_merge convention): per-night (or per-micro-batch)
+    registers fold into the corpus report WITHOUT revisiting history,
+    at one-row-per-entity state. ``overlapped`` is always false here;
+    :func:`gap_merge` sets it when chunks interleave (see there)."""
+    if gap_threshold_seconds < 1:
+        raise ValueError(
+            f"gap_registers: gap_threshold_seconds={gap_threshold_seconds} must be >= 1"
+        )
+    thr_us = int(gap_threshold_seconds) * 1_000_000
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+    ).where(F.col("entity").isNotNull() & F.col("__t").isNotNull())
+    w = Window.partitionBy("entity").orderBy("__t")
+    lagged = base.select(
+        "entity", "__t", (F.col("__t") - F.lag("__t").over(w)).alias("__d")
+    )
+    return lagged.groupBy("entity").agg(
+        F.min("__t").alias("c_min_us"),
+        F.max("__t").alias("c_max_us"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.coalesce(
+            F.sum((F.col("__d") > thr_us).cast("long")), F.lit(0)
+        ).alias("n_gaps"),
+        F.coalesce(F.max("__d"), F.lit(0)).alias("max_gap_us"),
+        F.coalesce(
+            F.sum(F.when(F.col("__d") > thr_us, F.col("__d"))), F.lit(0)
+        ).alias("lost_us"),
+        F.lit(False).alias("overlapped"),
+    )
+
+
+def gap_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two :func:`gap_registers` tables — a plain UNION of chunk
+    rows, which is what makes the merge trivially associative,
+    commutative and order-invariant: a chunk's gap statistics are final
+    the moment it is built, and the boundary deltas BETWEEN chunks are
+    deliberately NOT resolved here, because whether two chunks are
+    adjacent is unknowable until every chunk has arrived (an eagerly
+    folded boundary between batch 3 and batch 1 becomes a fake gap the
+    moment batch 2 lands in between — caught by
+    tests/test_timeseries.py::test_gap_merge_lemma_matches_whole_corpus).
+    Boundary resolution happens once, at presentation, in
+    :func:`gap_report_from_registers`, where the full chunk set sorts
+    into its global order.
+
+    State size: one row per (entity, chunk) — a chunk per micro-batch
+    or nightly slice that touched the entity, compacted only at read
+    time. Deterministic under replay (union of deterministic builds),
+    satisfying the ``stream_merge_sketch`` replay contract."""
+    return a.unionByName(b)
+
+
+def gap_report_from_registers(
+    regs: DataFrame, gap_threshold_seconds: int
+) -> DataFrame:
+    """Resolve a register table into :func:`entity_gap_report`'s exact
+    schema plus a sticky ``overlapped`` flag: per entity the chunks sort
+    by ``c_min_us`` and fold left-to-right with a Catalyst ``aggregate``
+    (the pinned-order collect_list + array_sort convention) — each
+    boundary contributes one delta (next chunk's min minus the running
+    max), judged against the threshold exactly like an in-chunk delta.
+
+    Contract: chunks must be time-DISJOINT per entity (true for
+    time-partitioned feeds — each file/micro-batch covers its own time
+    slice; a shared boundary instant is fine, the delta is 0). On such
+    registers the result is bit-identical to the batch
+    :func:`entity_gap_report` over the combined observations (the merge
+    lemma, asserted in tests and by the streaming oracle query). If
+    chunks INTERLEAVE, boundary deltas are no longer exact — totals stay
+    conservative (negative deltas contribute nothing) and the
+    ``overlapped`` flag raises so the inexactness is VISIBLE, never
+    silent."""
+    if gap_threshold_seconds < 1:
+        raise ValueError(
+            f"gap_report_from_registers: gap_threshold_seconds="
+            f"{gap_threshold_seconds} must be >= 1"
+        )
+    thr_us = int(gap_threshold_seconds) * 1_000_000
+    chunks = regs.groupBy("entity").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "c_min_us", "c_max_us", "n_obs", "n_gaps",
+                    "max_gap_us", "lost_us", "overlapped",
+                )
+            )
+        ).alias("__cs")
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("c_min_us"),
+        F.lit(None).cast("long").alias("c_max_us"),
+        F.lit(0).cast("long").alias("n_obs"),
+        F.lit(0).cast("long").alias("n_gaps"),
+        F.lit(0).cast("long").alias("max_gap_us"),
+        F.lit(0).cast("long").alias("lost_us"),
+        F.lit(False).alias("overlapped"),
+    )
+
+    def fold(acc, c):
+        first = acc["c_max_us"].isNull()
+        d = c["c_min_us"] - acc["c_max_us"]  # null on first
+        gap = ~first & (d > thr_us)
+        overlap = ~first & (d < 0)
+        return F.struct(
+            F.when(first, c["c_min_us"]).otherwise(acc["c_min_us"]).alias("c_min_us"),
+            F.greatest(F.coalesce(acc["c_max_us"], c["c_max_us"]), c["c_max_us"]).alias("c_max_us"),
+            (acc["n_obs"] + c["n_obs"]).alias("n_obs"),
+            (acc["n_gaps"] + c["n_gaps"] + gap.cast("long")).alias("n_gaps"),
+            F.greatest(
+                acc["max_gap_us"],
+                c["max_gap_us"],
+                F.coalesce(F.when(~first & (d > 0), d), F.lit(0)),
+            ).alias("max_gap_us"),
+            (acc["lost_us"] + c["lost_us"] + F.coalesce(F.when(gap, d), F.lit(0))).alias("lost_us"),
+            (acc["overlapped"] | c["overlapped"] | overlap).alias("overlapped"),
+        )
+
+    folded = chunks.select(
+        "entity", F.aggregate("__cs", acc0, fold).alias("__r")
+    ).select("entity", "__r.*")
+    span = F.col("c_max_us") - F.col("c_min_us")
+    return folded.select(
+        "entity",
+        "n_obs",
+        (span / F.lit(1_000_000)).cast("double").alias("span_s"),
+        "n_gaps",
+        (F.col("max_gap_us") / F.lit(1_000_000)).cast("double").alias("max_gap_s"),
+        F.when(span == 0, F.lit(1.0))
+        .otherwise(
+            F.lit(1.0) - F.col("lost_us").cast("double") / span.cast("double")
+        )
+        .alias("coverage_frac"),
+        "overlapped",
+    )

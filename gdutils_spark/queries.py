@@ -1962,14 +1962,14 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # with zero backlog. New queries this round are CAPPED AT 4 so the
     # full stale set fits in the 50-slot window (VERDICT task #2's ~10
     # cap is binding only when the backlog is smaller). NEW r10 entries
-    # lead the tuple. The NEXT-ROUND (r11) rotation priority is: the 5
+    # lead the tuple. The NEXT-ROUND (r11) rotation priority is: the 6
     # late-r10 additions (fk_integrity_audit, user_value_grid_interp,
-    # mm_image_near_dup, events_cv_folds, user_event_gap_report —
-    # deliberately placed AFTER the window so the full 46-entry stale
-    # set could be re-driven this round; all are locally
-    # oracle-verified via tools/drive_contract.py), then the 50
-    # r7-driven entries (CORRECTNESS_r07.json keys); the 5 oldest of
-    # those spill to r12.
+    # mm_image_near_dup, events_cv_folds, user_event_gap_report,
+    # rt_stream_gap_report — deliberately placed AFTER the window so
+    # the full 46-entry stale set could be re-driven this round; all
+    # are locally oracle-verified via tools/drive_contract.py), then
+    # the 50 r7-driven entries (CORRECTNESS_r07.json keys); the 6
+    # oldest of those spill to r12.
     "mm_video_features",
     "mm_video_frames",
     "mm_video_scene_cuts",

@@ -1748,6 +1748,88 @@ FROM c JOIN p ON p.user_id = c.user_id
 """
 
 
+@_state_sized_shuffle
+def rt_stream_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FEED-HEALTH maintenance driver-verified: the event
+    stream drains one TIME-SLICED parquet file per micro-batch (four
+    week-slices, ``maxFilesPerTrigger=1`` — file processing order is
+    whatever the source picks, which is exactly what the union-of-chunks
+    register design must tolerate), each batch builds its per-entity
+    gap registers and ``stream_merge_sketch`` merges them under the
+    versioned-snapshot protocol. The returned relation resolves the
+    final registers into the gap report; the oracle computes the
+    whole-corpus report directly, so a dropped batch, a replay
+    double-merge, or an eager (order-sensitive) boundary fold changes
+    the hashed counters."""
+    from gdutils_spark.operators.timeseries import (
+        gap_merge,
+        gap_registers,
+        gap_report_from_registers,
+    )
+    from gdutils_spark.queries_ext import GAP_THR_S
+    from gdutils_spark.streaming import latest_sketch, stream_merge_sketch
+
+    _pin_utc(spark)
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = _work_dir("stream_gaps")
+    src, chk, snap = (os.path.join(tmp, d) for d in ("src", "chk", "snap"))
+    # four time-disjoint slices -> four files -> four micro-batches in
+    # source-chosen order; per entity every chunk is a clean time slice
+    for k in range(4):
+        e.where(F.floor((F.dayofmonth("ts") - 1) / 8) == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_merge_sketch(
+        stream,
+        build=lambda b: gap_registers(b, "user_id", "ts", GAP_THR_S),
+        merge=gap_merge,
+        snapshot_dir=snap,
+        checkpoint=chk,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rt_stream_gap_report: streaming query did not finish")
+    return gap_report_from_registers(latest_sketch(spark, snap), GAP_THR_S)
+
+
+def _stream_gap_sql() -> str:
+    from gdutils_spark.queries_ext import GAP_THR_S
+
+    thr = GAP_THR_S * 1_000_000
+    return f"""
+WITH base AS (
+  SELECT user_id AS e, epoch_us(ts) AS t
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), lagged AS (
+  SELECT e, t, t - lag(t) OVER (PARTITION BY e ORDER BY t) AS d FROM base
+), agg AS (
+  SELECT e,
+         COUNT(*) AS n_obs,
+         MAX(t) - MIN(t) AS span_us,
+         CAST(COALESCE(SUM(CASE WHEN d > {thr} THEN 1 END), 0) AS BIGINT) AS n_gaps,
+         COALESCE(MAX(d), 0) AS max_gap_us,
+         COALESCE(SUM(CASE WHEN d > {thr} THEN d END), 0) AS lost_us
+  FROM lagged GROUP BY e
+)
+SELECT e AS entity,
+       n_obs,
+       CAST(span_us / 1000000 AS DOUBLE) AS span_s,
+       n_gaps,
+       CAST(max_gap_us / 1000000 AS DOUBLE) AS max_gap_s,
+       CASE WHEN span_us = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE)
+                 - CAST(lost_us AS DOUBLE) / CAST(span_us AS DOUBLE)
+       END AS coverage_frac,
+       FALSE AS overlapped
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1781,6 +1863,7 @@ RT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rt_jsonl_shards": rt_jsonl_shards,
     "rt_orc_roundtrip": rt_orc_roundtrip,
     "rt_stream_active_users": rt_stream_active_users,
+    "rt_stream_gap_report": rt_stream_gap_report,
 }
 
 RT_ORACLE: dict[str, str] = {
@@ -1816,4 +1899,7 @@ RT_ORACLE: dict[str, str] = {
     "rt_jsonl_shards": _RT_JSONL_SHARDS_SQL,
     "rt_orc_roundtrip": _RT_ORC_SQL,
     "rt_stream_active_users": _RT_STREAM_ACTIVE_SQL,
+    # the streamed chunk registers must resolve to the whole-corpus gap
+    # report — the union-of-chunks merge lemma end-to-end
+    "rt_stream_gap_report": _stream_gap_sql(),
 }

@@ -172,3 +172,74 @@ def test_entity_gap_report_duplicate_ts_not_gaps(spark):
     assert out["n_gaps"] == 1 and out["n_obs"] == 3
     with pytest.raises(ValueError, match="gap_threshold"):
         entity_gap_report(_df(spark, rows), "e", "ts", 0)
+
+
+def test_gap_merge_lemma_matches_whole_corpus(spark, sf_correct):
+    """Registers built on arbitrary TIME-DISJOINT slices and merged (in
+    either order) must reproduce the whole-corpus gap report exactly."""
+    from gdutils_spark.operators.timeseries import (
+        entity_gap_report,
+        gap_merge,
+        gap_registers,
+        gap_report_from_registers,
+    )
+    from gdutils_spark.sources.tables import load_table
+
+    thr = 43200
+    e = load_table(spark, sf_correct, "events").where(F.col("user_id") < 30)
+    cut1, cut2 = "2024-01-10", "2024-01-20"
+    s1 = e.where(F.col("ts") < cut1)
+    s2 = e.where((F.col("ts") >= cut1) & (F.col("ts") < cut2))
+    s3 = e.where(F.col("ts") >= cut2)
+    r1, r2, r3 = (gap_registers(s, "user_id", "ts", thr) for s in (s1, s2, s3))
+    # out-of-order merge: (s3 + s1) + s2 — the union defers boundary
+    # resolution, so non-adjacent merge order cannot fabricate gaps
+    merged = gap_merge(gap_merge(r3, r1), r2)
+    got = gap_report_from_registers(merged, thr)
+    want = entity_gap_report(e, "user_id", "ts", thr).withColumnRenamed(
+        "user_id", "entity"
+    )
+    g = {r["entity"]: r for r in got.collect()}
+    w = {r["entity"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for k in w:
+        for c in ("n_obs", "span_s", "n_gaps", "max_gap_s", "coverage_frac"):
+            assert g[k][c] == w[k][c], (k, c, g[k][c], w[k][c])
+    assert not any(r["overlapped"] for r in got.collect())
+
+
+def test_gap_merge_flags_overlap(spark):
+    from gdutils_spark.operators.timeseries import gap_merge, gap_registers
+
+    a = _df(spark, [("a", datetime(2024, 1, 1, 0, 0, 0), 0.0),
+                    ("a", datetime(2024, 1, 1, 4, 0, 0), 0.0)])
+    b = _df(spark, [("a", datetime(2024, 1, 1, 2, 0, 0), 0.0)])  # interleaves
+    from gdutils_spark.operators.timeseries import gap_report_from_registers
+
+    ra = gap_registers(a, "e", "ts", 3600)
+    rb = gap_registers(b, "e", "ts", 3600)
+    out = gap_report_from_registers(gap_merge(ra, rb), 3600).collect()[0]
+    assert out["overlapped"] is True
+    assert out["n_obs"] == 3
+
+
+def test_gap_merge_self_identity_on_disjoint_boundary(spark):
+    """A shared boundary instant is a 0 delta — never a gap, never an
+    overlap."""
+    from gdutils_spark.operators.timeseries import gap_merge, gap_registers
+
+    a = _df(spark, [("a", datetime(2024, 1, 1, 0, 0, 0), 0.0),
+                    ("a", datetime(2024, 1, 1, 1, 0, 0), 0.0)])
+    b = _df(spark, [("a", datetime(2024, 1, 1, 1, 0, 0), 0.0),
+                    ("a", datetime(2024, 1, 1, 2, 0, 0), 0.0)])
+    from gdutils_spark.operators.timeseries import gap_report_from_registers
+
+    out = gap_report_from_registers(
+        gap_merge(
+            gap_registers(a, "e", "ts", 1800), gap_registers(b, "e", "ts", 1800)
+        ),
+        1800,
+    ).collect()[0]
+    assert out["overlapped"] is False
+    assert out["n_gaps"] == 2  # the two 1h in-chunk deltas; boundary 0 is not
+    assert out["n_obs"] == 4
