@@ -243,3 +243,17 @@ def test_gap_merge_self_identity_on_disjoint_boundary(spark):
     assert out["overlapped"] is False
     assert out["n_gaps"] == 2  # the two 1h in-chunk deltas; boundary 0 is not
     assert out["n_obs"] == 4
+
+
+def test_resample_windows_are_incremental_running_frames(spark):
+    """Regression guard for the measured O(n²) hazard: every window
+    frame in the physical plan must be a running
+    [unboundedPreceding, currentRow] frame — Spark's incremental
+    processor — never [currentRow, unboundedFollowing], which
+    re-evaluates per row (tools/resample_skew_probe.py)."""
+    rows = [("a", datetime(2024, 1, 1, 0, 0, 0), 0.0)]
+    plan = resample_interpolate(
+        _df(spark, rows), "e", "ts", "v", 3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "unboundedfollowing" not in plan.lower()
+    assert plan.lower().count("specifiedwindowframe") >= 2  # both carries windowed
