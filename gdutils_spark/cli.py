@@ -733,6 +733,7 @@ def cmd_image_dups(args) -> int:
         image_dhash(media),
         max_hamming=args.max_hamming,
         stage_path=args.stage_path,
+        max_band_freq=args.max_band_freq,
     )
     _emit(_render(out, args.response), args.output)
     return 0
@@ -1244,6 +1245,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add_pipeline("image-dups", cmd_image_dups)
     sp.add_argument("--max-hamming", type=int, default=16)
+    sp.add_argument("--max-band-freq", type=int, default=None,
+                    help="skew guard: drop band values shared by more "
+                    "than this many images from candidate generation")
     sp.add_argument("--stage-path",
                     help="stage the hash table as parquet here (corpus scale) "
                     "instead of memory-caching it")

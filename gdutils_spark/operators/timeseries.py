@@ -1,5 +1,6 @@
-"""Time-series regularization: resample irregular observations onto a
-fixed step grid with linear interpolation.
+"""Time-series operators: grid resampling with linear interpolation,
+rolling-origin backtest folds, and per-entity feed-health gap reports
+(batch + mergeable-register streaming form).
 
 Beyond-reference operator in the reference's own domain — glider/GTS
 feeds are irregular in time (``/root/reference/gdutils/osmc/__init__.py``
