@@ -531,3 +531,34 @@ def test_event_value_drift_single_corpus_scan(spark, sf_correct):
     # and the post-pin report is bin-sized: no parquet scan at all
     report = QUERIES["event_value_drift"](spark, sf_correct)
     assert "Scan parquet" not in formatted_plan(report)
+
+
+def test_fk_audit_scans_are_key_pruned(spark, sf_correct):
+    """Every child scan in the FK audit reads ONLY its key column — a
+    scan dragging payload columns would multiply the dominant cost at
+    corpus scale (three of the seven edges scan lineitem)."""
+    plan = formatted_plan(QUERIES["fk_integrity_audit"](spark, sf_correct))
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c for c in m.group(1).split(",") if c]
+        assert len(cols) == 1, f"unpruned audit scan: {m.group(1)}"
+    assert not uses_python(plan)
+
+
+def test_dhash_pairs_decode_once(spark):
+    """Both self-join sides of the banded candidate join must read the
+    SAME cached hash table — without the persist, the mapInPandas PNG
+    decode upstream would execute once per side."""
+    from gdutils_spark.operators.multimodal import dhash_near_dup_pairs
+
+    hashes = spark.createDataFrame(
+        [(1, 9, 8, 1, 2, 3, 4), (2, 9, 8, 1, 2, 3, 5)],
+        "media_id long, width int, height int, b0 int, b1 int, b2 int, b3 int",
+    )
+    out = dhash_near_dup_pairs(hashes, max_hamming=16)
+    # the candidate join ran eagerly at the checkpoint; the returned plan
+    # is the lazy popcount verify over it — no Python, no re-decode
+    plan = formatted_plan(out)
+    assert "Scan ExistingRDD" in plan
+    assert not uses_python(plan)
