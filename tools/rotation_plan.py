@@ -1,0 +1,94 @@
+"""Compute the next driver-window rotation from CORRECTNESS history.
+
+The driver verifies only the FIRST 50 registry entries per round, so
+`_DRIVER_FIRST` in gdutils_spark/queries.py is the verification budget.
+This tool derives the freshness-optimal next window mechanically:
+
+1. never-driver-verified queries first (newest additions — they have no
+   green row anywhere), in registry order;
+2. then every verified query, stalest first (latest green round
+   ascending, name as the deterministic tiebreak);
+3. truncated to the 50-slot window.
+
+Run from the repo root at round start:
+
+    python tools/rotation_plan.py          # prints the proposed tuple
+    python tools/rotation_plan.py --check  # exit 1 if the CURRENT window
+                                           # differs from the proposal
+                                           # (ledger drift guard)
+
+The output is the literal `_DRIVER_FIRST` body to paste in; the comment
+block above it still needs a human sentence saying WHY (new additions,
+backlog size, spill count).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WINDOW = 50
+
+
+def latest_green() -> dict[str, int]:
+    """query -> latest round with a driver row (any row counts: the
+    registry has never shown a red, and a red would demand a re-drive
+    anyway, which staleness-first ordering provides)."""
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for name in json.load(open(path)):
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def propose() -> list[str]:
+    from gdutils_spark.queries import QUERIES
+
+    seen = latest_green()
+    registry = list(QUERIES)
+    never = [q for q in registry if q not in seen]
+    stale = sorted(
+        (q for q in registry if q in seen), key=lambda q: (seen[q], q)
+    )
+    return (never + stale)[:WINDOW]
+
+
+def main() -> int:
+    from gdutils_spark.queries import QUERIES
+
+    proposal = propose()
+    current = list(QUERIES)[:WINDOW]
+    if "--check" in sys.argv:
+        if current != proposal:
+            moved = [q for q in proposal if q not in current]
+            print(
+                f"window drift: {len(moved)} proposal entries absent from "
+                f"the current window, e.g. {moved[:5]}"
+            )
+            return 1
+        print("window matches the freshness-optimal proposal")
+        return 0
+    seen = latest_green()
+    print(f"# proposed _DRIVER_FIRST window ({len(proposal)} entries):")
+    for q in proposal:
+        tag = f"r{seen[q]}" if q in seen else "NEVER-DRIVEN"
+        print(f'    "{q}",  # {tag}')
+    spill = [
+        q
+        for q in sorted(
+            (q for q in list(QUERIES) if q in seen), key=lambda q: (seen[q], q)
+        )
+        if q not in proposal
+    ][:10]
+    print(f"# next-stalest (head of the following round): {spill[:10]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
