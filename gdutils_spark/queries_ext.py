@@ -3663,7 +3663,6 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side state); the oracle replays the whole chain as iteration
     CTEs like the Lloyd trainings, so every rank double is bit-exact.
     Returns the top 50 parts by rank, fully tie-broken."""
-    from pyspark.sql import Window
 
     from gdutils_spark.operators.graph import pagerank
     from gdutils_spark.queries import _utc
@@ -3671,10 +3670,13 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     edges = _copurchase_edges(spark, sf_dir, both_directions=True)
     pr = pagerank(edges, damping=PR_DAMPING, n_iters=PR_ITERS)
-    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    # top-k via orderBy+limit: TakeOrderedAndProject (per-partition
+    # top-k + one tiny merge) — identical rows to the former global
+    # row_number window (the (pr desc, node) order is total), but the
+    # node-sized rank table never funnels through one partition
     return (
-        pr.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= PR_TOP)
+        pr.orderBy(F.col("pr").desc(), F.col("node"))
+        .limit(PR_TOP)
         .select(F.col("node").alias("part"), "pr")
     )
 
@@ -3766,7 +3768,6 @@ def part_copurchase_pagerank_weighted(
     contributions ``pr·w/W`` (integer weights, one multiply + one
     divide per edge, ordered-fold sums) — every rank double bit-exact
     against the weighted iteration-CTE oracle. Top 50, tie-broken."""
-    from pyspark.sql import Window
 
     from gdutils_spark.operators.graph import pagerank
     from gdutils_spark.queries import _utc
@@ -3786,10 +3787,13 @@ def part_copurchase_pagerank_weighted(
         wedges, damping=PR_DAMPING, n_iters=PR_ITERS, weight="w",
         validate=False,
     )
-    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    # top-k via orderBy+limit: TakeOrderedAndProject (per-partition
+    # top-k + one tiny merge) — identical rows to the former global
+    # row_number window (the (pr desc, node) order is total), but the
+    # node-sized rank table never funnels through one partition
     return (
-        pr.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= PR_TOP)
+        pr.orderBy(F.col("pr").desc(), F.col("node"))
+        .limit(PR_TOP)
         .select(F.col("node").alias("part"), "pr")
     )
 
@@ -6050,8 +6054,6 @@ def part_copurchase_pagerank_incremental(
     The oracle replays the whole fixed chain (base iterations + merge +
     restart iteration) as CTEs, so every rank double is bit-exact.
     Top 50 parts, fully tie-broken."""
-    from pyspark.sql import Window
-
     from gdutils_spark.operators.graph import pagerank
     from gdutils_spark.queries import _utc
 
@@ -6095,10 +6097,13 @@ def part_copurchase_pagerank_incremental(
         merged, damping=PR_DAMPING, n_iters=1, weight="w",
         validate=False, start_ranks=base_pr,
     )
-    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    # top-k via orderBy+limit: TakeOrderedAndProject (per-partition
+    # top-k + one tiny merge) — identical rows to the former global
+    # row_number window (the (pr desc, node) order is total), but the
+    # node-sized rank table never funnels through one partition
     return (
-        pr.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= PR_TOP)
+        pr.orderBy(F.col("pr").desc(), F.col("node"))
+        .limit(PR_TOP)
         .select(F.col("node").alias("part"), "pr")
     )
 
