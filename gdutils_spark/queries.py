@@ -1953,73 +1953,69 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 10 window (exactly 50): the pre-declared r10 rotation — ALL
-    # 46 entries whose latest green row is r6 (CORRECTNESS_r06.json keys
-    # minus the 4 r9 fillers doc_cms_token_freq / emb_knn_ivfpq /
-    # mm_audio_features / mm_image_features), per VERDICT r9 task #1.
-    # After this round every registry entry has a green row from r7 or
-    # later (max staleness 3 rounds) and steady-state rotation holds
-    # with zero backlog. New queries this round are CAPPED AT 4 so the
-    # full stale set fits in the 50-slot window (VERDICT task #2's ~10
-    # cap is binding only when the backlog is smaller). NEW r10 entries
-    # lead the tuple. The NEXT-ROUND (r11) rotation priority is: the 6
-    # late-r10 additions (fk_integrity_audit, user_value_grid_interp,
-    # mm_image_near_dup, events_cv_folds, user_event_gap_report,
-    # rt_stream_gap_report — deliberately placed AFTER the window so
-    # the full 46-entry stale set could be re-driven this round; all
-    # are locally oracle-verified via tools/drive_contract.py), then
-    # the 50 r7-driven entries (CORRECTNESS_r07.json keys); the 6
-    # oldest of those spill to r12.
-    "mm_video_features",
-    "mm_video_frames",
-    "mm_video_scene_cuts",
-    "doc_sample_merged",
-    "calendar_md_orders",
-    "calendar_slice_ym",
-    "calendar_ym_active_customers",
-    "calendar_ymd_events_dense",
-    "customer_order_ranks",
-    "customer_orphan_flag",
-    "customer_orphans",
-    "customer_rfm_scores",
-    "distinct_user_event_types",
-    "doc_benchmark_contamination",
-    "doc_near_dup_drop",
-    "doc_pack_batches",
-    "doc_pii_scrub",
-    "doc_stratified_sample",
-    "doc_top_tokens",
-    "emb_ivf_assign",
-    "emb_knn_bruteforce",
-    "emb_knn_ivf",
-    "emb_knn_lsh",
-    "emb_lsh_buckets",
-    "emb_lsh_near_dup_pairs",
-    "emb_near_dup_pairs",
-    "emb_pq_codes_refined",
-    "emb_pq_recall",
-    "event_props_stats",
-    "event_sessions",
-    "event_type_daily_zscore",
-    "event_value_buckets",
-    "event_value_quantiles",
-    "events_hll_users_incremental",
-    "lineitem_shipped_90d",
-    "order_last_event_asof",
-    "orders_above_cust_avg",
-    "orders_cdc_upsert",
-    "part_name_filter",
-    "q13_order_distribution",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "rollup_order_totals",
-    "suppliers_with_shipments_semi",
-    "tagged_event_union",
-    "top_order_per_customer",
-    "user_day_spine",
-    "user_event_gaps",
-    "user_event_type_scd2",
-    "user_first_week_events",
+    # round 11 window (exactly 50), per VERDICT r10 tasks #1/#3 and
+    # tools/rotation_plan.py: the 6 late-r10 additions lead (the only
+    # registry entries with no driver CORRECTNESS row ever — judge-
+    # verified green in r10 via tools/drive_contract.py, now getting
+    # their artifact-of-record rows), followed by the 44 stalest
+    # r7-driven entries (CORRECTNESS_r07.json keys, name-ordered).
+    # The remaining 6 r7 rows spill to r12 and lead that window:
+    # rt_stream_stream_full_join, rt_stream_stream_join,
+    # rt_stream_stream_left_join, user_cohort_retention,
+    # user_event_transitions, user_funnel. New r11 queries are capped
+    # at ~4 and placed AFTER the window (same late-placement trade as
+    # r10; they get driver rows in r12 and are locally driven through
+    # tools/drive_contract.py meanwhile).
+    "fk_integrity_audit",
+    "user_value_grid_interp",
+    "mm_image_near_dup",
+    "events_cv_folds",
+    "user_event_gap_report",
+    "rt_stream_gap_report",
+    "doc_bigram_lm",
+    "doc_bigram_oov",
+    "doc_bloom_screen",
+    "doc_bpe_encode",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
+    "doc_cosine_pairs",
+    "doc_dup_cluster_stats",
+    "doc_incremental_substring_dedup",
+    "doc_substring_dedup",
+    "emb_hard_negatives",
+    "emb_ivfpq_residual_recall",
+    "emb_knn_ivfpq_residual",
+    "emb_knn_ivfpq_trained",
+    "emb_knn_lsh_multiprobe",
+    "emb_knn_recall",
+    "event_type_quantile_sketch",
+    "event_value_bottomk_quantiles",
+    "event_value_outliers",
+    "event_value_quantile_sketch",
+    "events_profile",
+    "events_zorder_layout",
+    "lineitem_hll_order_overlap",
+    "lineitem_kmv_part_overlap",
+    "nation_supplier_hhi",
+    "part_basket_rules",
+    "part_copurchase_communities",
+    "part_copurchase_kcore",
+    "part_copurchase_pagerank",
+    "part_copurchase_pagerank_weighted",
+    "part_copurchase_triangles",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_suppliers",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_surplus_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_high_balance",
+    "q2_min_balance_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "rt_stream_quantile_sketch",
 )
 
 
