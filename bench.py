@@ -22,10 +22,42 @@ from gdutils_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Host-mode anchors (VERDICT r10 task #4): the bench host oscillates
+# ~2x between speed modes, and a min-of-3 inside one slow window still
+# records a slow-mode number that reads as a regression next round.
+# The artifact therefore carries its own normalization: three FIXED,
+# long-stable, pure-relational anchor queries are re-timed (min-of-3)
+# at the START and END of the run, and `host_mode_factor` = median of
+# best-observed/reference. Cross-round comparison divides by it
+# (tools/bench_compare.py). Reference values are the r10 idle-host
+# fast-mode run (bench_r10_full.json) at sf0.1 — refresh them only if
+# an anchor's CODE changes, never for host reasons. At other SFs the
+# factor absorbs the data-size difference too, which is fine: the
+# normalization in bench_compare divides two artifacts' factors, so
+# any same-SF pair still cancels to a pure host-mode ratio.
+ANCHOR_REF: dict[str, float] = {
+    "q1_pricing_summary": 0.784,
+    "q3_top_orders": 0.4354,
+    "daily_event_stats": 0.3358,
+}
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
     return float(m.group(1)) if m else -1.0
+
+
+def _time_anchors(spark, runs: int = 3) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in sorted(ANCHOR_REF):
+        fn = QUERIES[name]
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    return out
 
 
 def main() -> None:
@@ -67,6 +99,7 @@ def main() -> None:
     # overhead (query start/stop, checkpoint IO), which min-of-N cannot
     # amortize and which triples bench time for no signal.
     STREAMING = {"rt_stream_dedup", "rt_stream_daily_counts"}
+    anchors_start = _time_anchors(spark)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in sorted(QUERIES):
@@ -80,6 +113,14 @@ def main() -> None:
                 cold[name] = round(elapsed, 4)
             best = min(best, elapsed)
         timings[name] = round(best, 4)
+
+    anchors_end = _time_anchors(spark)
+    # best observed per anchor across the two sessions / reference,
+    # median over anchors: robust to one anchor hitting a stray GC
+    ratios = sorted(
+        min(anchors_start[a], anchors_end[a]) / ANCHOR_REF[a] for a in ANCHOR_REF
+    )
+    host_mode_factor = round(ratios[len(ratios) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     # Full per-query artifact: the driver's BENCH_r{N}.json keeps only a
@@ -99,6 +140,10 @@ def main() -> None:
                 "cold": cold,
                 "agg": f"min_of_{RUNS}",
                 "cold_total": round(sum(cold.values()), 4),
+                "anchors_start": anchors_start,
+                "anchors_end": anchors_end,
+                "anchor_ref": ANCHOR_REF,
+                "host_mode_factor": host_mode_factor,
                 "metric": "total_query_wall_seconds",
                 "unit": "sec",
                 "sf": _sf_from_dir(SF_DIR),
@@ -119,6 +164,9 @@ def main() -> None:
                 "queries": timings,
                 "agg": f"min_of_{RUNS}",
                 "cold_total": round(sum(cold.values()), 4),
+                "anchors_start": anchors_start,
+                "anchors_end": anchors_end,
+                "host_mode_factor": host_mode_factor,
                 "metric": "total_query_wall_seconds",
                 "unit": "sec",
                 "sf": _sf_from_dir(SF_DIR),

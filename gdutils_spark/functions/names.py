@@ -16,6 +16,16 @@ def normalize_name(name: str) -> str:
 
 
 def normalize_columns(df: DataFrame) -> DataFrame:
-    """Lower-snake-case all column names (no-op columns are left alone)."""
+    """Lower-snake-case all column names (no-op columns are left alone).
+
+    Raises when two input columns normalize to the SAME name ("My Col"
+    next to "my_col"): Spark happily carries duplicate column names and
+    only fails later with AMBIGUOUS_REFERENCE at some distant select —
+    the guard turns that into an immediate, attributable error."""
+    normalized = [normalize_name(c) for c in df.columns]
+    dupes = {n for n in normalized if normalized.count(n) > 1}
+    if dupes:
+        clashes = {n: [c for c in df.columns if normalize_name(c) == n] for n in dupes}
+        raise ValueError(f"normalize_columns: name collisions after normalization: {clashes}")
     renames = {c: normalize_name(c) for c in df.columns if c != normalize_name(c)}
     return df.withColumnsRenamed(renames) if renames else df

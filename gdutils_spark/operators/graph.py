@@ -472,6 +472,83 @@ def triangle_count_incremental(
     return _lcc_report(deg, combined)
 
 
+def edge_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-edge neighborhood Jaccard (edge embeddedness / tie strength,
+    the link-prediction score of Liben-Nowell & Kleinberg 2003 applied
+    to EXISTING edges): for each undirected edge ``(u, v)``,
+    ``|N(u) ∩ N(v)| / |N(u) ∪ N(v) \\ {u, v}|`` — common neighbors are
+    exactly the triangles through the edge, and the union is
+    ``du + dv - 2 - common``. High-degree edges with near-zero overlap
+    are bridges between unrelated contexts; high-Jaccard edges are
+    embedded community ties — the per-EDGE twin of
+    :func:`triangle_count`'s per-node lcc.
+
+    Output: ``(u, v, du, dv, n_common, jaccard)`` with ``u < v``,
+    ``jaccard = 0.0`` when the union is empty (two degree-1 endpoints).
+
+    Plan shape: the SAME degree-ordered wedge enumeration as
+    :func:`triangle_count` (O(m^{3/2}) bound, skew-immune), but each
+    closed triangle ``(c, x, y)`` is exploded to its THREE edges in
+    canonical (least, greatest) form and counted per edge — one extra
+    edge-keyed aggregate over the triangle set, then one join back to
+    the canonical edge list so zero-triangle edges report 0. All-integer
+    arithmetic + one final IEEE division per edge."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg, oriented = _degree_oriented(e)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2")
+    ).select(
+        F.col("o1.a").alias("c"),
+        F.col("o1.b").alias("x"),
+        F.col("o2.b").alias("y"),
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col(l), F.col(r)).alias("u"),
+                        F.greatest(F.col(l), F.col(r)).alias("v"),
+                    )
+                    for l, r in (("c", "x"), ("c", "y"), ("x", "y"))
+                ]
+            )
+        ).alias("ed")
+    ).select("ed.u", "ed.v")
+    common = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    n_common = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+    union_sz = F.col("du") + F.col("dv") - F.lit(2) - n_common
+    return (
+        e.join(common, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "du",
+            "dv",
+            n_common.alias("n_common"),
+            F.when(union_sz > 0, n_common.cast("double") / union_sz.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,

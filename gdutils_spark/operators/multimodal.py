@@ -979,7 +979,7 @@ def dhash_near_dup_pairs(
     hashes: DataFrame,
     max_hamming: int = 16,
     stage_path: str | None = None,
-    max_band_freq: int | None = None,
+    max_band_freq: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate image pairs from :func:`image_dhash` output —
     banded Hamming LSH, the exact-for-Hamming analogue of the MinHash
@@ -1005,6 +1005,15 @@ def dhash_near_dup_pairs(
     candidate rows in one bucket. Emitted hammings stay exact; only
     recall changes, and only for pairs whose EVERY shared band is hot
     (images similar solely through flat regions stop colliding).
+    The default (1024) is MEASURED, not stylistic
+    (tools/dhash_hot_band_probe.py: 2k identical flat images in a 5k
+    corpus → all-zero bands at freq >2000; guard off = 7.0 s / 2.64M
+    output pairs, 2M of them the one flat cluster's f² self-pairs;
+    guard 1024 = 2.8 s / 126k pairs — and the flat cluster's pairs are
+    exact duplicates, which belong to hash-groupBy exact dedup, not a
+    pairwise near-dup report). Above 1024 one band value alone emits
+    >0.5M candidate rows into a single bucket. Pass ``None`` to
+    disable when a corpus legitimately clusters through flat regions.
 
     The melted hash table feeds both self-join sides (plus the band
     frequency census when the guard is on); without reuse the PNG

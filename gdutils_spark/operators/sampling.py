@@ -181,6 +181,10 @@ def pack_sequences(
     taken in id order and ``batch_idx = (cumulative_tokens - 1) div
     budget`` — integer-exact, reproducible anywhere.
     """
+    if budget < 1:
+        raise ValueError(f"pack_sequences: budget={budget} must be >= 1")
+    if shards < 1:
+        raise ValueError(f"pack_sequences: shards={shards} must be >= 1")
     shard = (_hash_bucket(F.col(id_col), "shard:") % shards).alias("shard")
     w = (
         Window.partitionBy("shard")
@@ -291,6 +295,8 @@ def domain_mix_rates(
     ``per.agg(...)`` + join-back duplicates the aggregate subtree and
     scans the corpus twice. Rows never shuffle.
     """
+    if not budget_frac > 0.0:
+        raise ValueError(f"domain_mix_rates: budget_frac={budget_frac} must be > 0")
     per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(weight_col)).alias("total_weight"),
@@ -404,6 +410,10 @@ def temperature_mix_rates(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
+    if not budget_frac > 0.0:
+        raise ValueError(
+            f"temperature_mix_rates: budget_frac={budget_frac} must be > 0"
+        )
     per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(weight_col)).alias("total_weight"),

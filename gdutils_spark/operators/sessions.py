@@ -39,8 +39,17 @@ def sessionize(
     """Assign ``session_idx`` (1-based per entity, in time order) to every
     row. A new session starts when the gap from the previous event of the
     same entity exceeds ``gap_minutes`` (strictly), or at the entity's
-    first event."""
+    first event.
+
+    Rows with a NULL entity or NULL timestamp are DROPPED (the
+    entity_gap_report convention): a NULL timestamp sorts first and its
+    NULL lag-delta would otherwise mark BOTH itself and the first real
+    event as session starts, inflating every later session_idx for that
+    entity."""
+    if gap_minutes < 1:
+        raise ValueError(f"sessionize: gap_minutes={gap_minutes} must be >= 1")
     gap_us = gap_minutes * 60 * 1_000_000
+    df = df.where(F.col(entity_col).isNotNull() & F.col(time_col).isNotNull())
     w = Window.partitionBy(entity_col).orderBy(time_col)
     t_us = F.unix_micros(F.col(time_col))
     prev_us = F.lag(t_us).over(w)

@@ -242,19 +242,29 @@ def fk_audit(
             joined.agg(
                 F.lit(name).alias("fk_name"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("__ck").isNull().cast("long")).alias("n_null_keys"),
-                F.sum(
-                    (F.col("__ck").isNotNull() & F.col("__hit").isNull()).cast("long")
+                # coalesce: SUM over zero rows is NULL — an EMPTY child
+                # table must audit as clean (0/0/0, rate 0.0), not as
+                # indeterminate NULLs that slip through a `rate > x` gate
+                F.coalesce(
+                    F.sum(F.col("__ck").isNull().cast("long")), F.lit(0)
+                ).alias("n_null_keys"),
+                F.coalesce(
+                    F.sum(
+                        (F.col("__ck").isNotNull() & F.col("__hit").isNull()).cast("long")
+                    ),
+                    F.lit(0),
                 ).alias("n_orphans"),
             ).select(
                 "fk_name",
                 "n_rows",
                 "n_null_keys",
                 "n_orphans",
-                (
+                F.when(F.col("n_rows") == 0, F.lit(0.0))
+                .otherwise(
                     F.col("n_orphans").cast("double")
                     / F.col("n_rows").cast("double")
-                ).alias("orphan_rate"),
+                )
+                .alias("orphan_rate"),
             )
         )
     result = outs[0]

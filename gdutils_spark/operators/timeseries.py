@@ -70,12 +70,16 @@ def resample_interpolate(
         .agg(F.max("__v").alias("__v"))
     )
     # ceil/floor-to-step via exact long modulo (never a double division:
-    # epoch micros near 2^51 would round at the double mantissa edge)
+    # epoch micros near 2^51 would round at the double mantissa edge).
+    # pmod, not %: Spark's % keeps the dividend's sign, so `x - x % step`
+    # rounds toward zero for pre-1970 timestamps (negative epoch micros)
+    # and the grid would misalign or skip instants; pmod is always
+    # non-negative, giving true floor alignment on the full epoch line.
     x0 = F.min("__t") + F.lit(step_us - 1)
     x1 = F.max("__t")
     bounds = obs.groupBy("__e").agg(
-        (x0 - x0 % F.lit(step_us)).alias("__g0"),
-        (x1 - x1 % F.lit(step_us)).alias("__g1"),
+        (x0 - F.pmod(x0, F.lit(step_us))).alias("__g0"),
+        (x1 - F.pmod(x1, F.lit(step_us))).alias("__g1"),
     )
     grid = bounds.where(F.col("__g0") <= F.col("__g1")).select(
         "__e",

@@ -6577,9 +6577,12 @@ WITH obs AS (
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
   GROUP BY user_id, epoch_us(ts)
 ), bounds AS (
+  -- ((x % s) + s) % s is pmod: sign-safe floor alignment matching the
+  -- engine's F.pmod (plain % misaligns pre-1970 negative epoch micros)
   SELECT user_id,
-         (MIN(t_us) + {step - 1}) - ((MIN(t_us) + {step - 1}) % {step}) AS g0,
-         MAX(t_us) - (MAX(t_us) % {step}) AS g1
+         (MIN(t_us) + {step - 1})
+           - ((((MIN(t_us) + {step - 1}) % {step}) + {step}) % {step}) AS g0,
+         MAX(t_us) - (((MAX(t_us) % {step}) + {step}) % {step}) AS g1
   FROM obs GROUP BY user_id
 ), grid AS (
   SELECT user_id, unnest(generate_series(g0, g1, {step})) AS t_us

@@ -1774,11 +1774,23 @@ def rt_stream_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _work_dir("stream_gaps")
     src, chk, snap = (os.path.join(tmp, d) for d in ("src", "chk", "snap"))
     # four time-disjoint slices -> four files -> four micro-batches in
-    # source-chosen order; per entity every chunk is a clean time slice
+    # source-chosen order; per entity every chunk is a clean time slice.
+    # Sliced on EQUAL EPOCH-MICROS RANGES from min/max(ts) — never on
+    # calendar fields like day-of-month, which interleave chunks (and
+    # silently raise `overlapped`) the moment the fixture crosses a
+    # month boundary. The 1-row bounds broadcast back onto the scan.
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("__t0"),
+        F.max(F.unix_micros("ts")).alias("__t1"),
+    )
+    sliced = e.join(F.broadcast(bounds)).withColumn(
+        "__k",
+        F.expr("((unix_micros(ts) - __t0) * 4) div (__t1 - __t0 + 1)").cast("int"),
+    )
     for k in range(4):
-        e.where(F.floor((F.dayofmonth("ts") - 1) / 8) == k).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        sliced.where(F.col("__k") == k).select("user_id", "ts").coalesce(
+            1
+        ).write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")

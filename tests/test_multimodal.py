@@ -598,3 +598,15 @@ def test_dhash_near_dup_pairs_hot_band_guard(spark):
                for r in dhash_near_dup_pairs(df, max_hamming=16,
                                              max_band_freq=3).collect()}
     assert (1, 2) in guarded and (3, 4) not in guarded
+
+
+def test_dhash_hot_band_guard_is_on_by_default(spark):
+    """The guard default is the MEASURED 1024 from
+    tools/dhash_hot_band_probe.py (a flat-image corpus otherwise puts
+    f² candidate rows in the all-zero-band bucket); None disables it."""
+    import inspect
+
+    from gdutils_spark.operators.multimodal import dhash_near_dup_pairs
+
+    sig = inspect.signature(dhash_near_dup_pairs)
+    assert sig.parameters["max_band_freq"].default == 1024

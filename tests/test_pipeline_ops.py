@@ -67,6 +67,25 @@ def test_sessionize_gap_semantics(session_events):
     assert by_val == {1.0: 1, 2.0: 1, 3.0: 2, 4.0: 2}  # 30:00 exactly → same
 
 
+def test_sessionize_drops_null_rows_and_validates_gap(spark, session_events):
+    # a NULL ts sorts first: its lag-delta is NULL, so it AND the first
+    # real event would both read as session starts, shifting every
+    # session_idx for the entity — null entity/ts rows are dropped
+    import datetime as _dt
+
+    rows = session_events.collect() + [
+        (1, None, 99.0),
+        (None, _dt.datetime(2024, 1, 1), 98.0),
+    ]
+    df = spark.createDataFrame(rows, session_events.schema)
+    out = sessionize(df, "user_id", "ts", 30)
+    vals = {r["value"]: r["session_idx"] for r in out.collect() if r["user_id"] == 1}
+    assert vals == {1.0: 1, 2.0: 1, 3.0: 2, 4.0: 2}  # unchanged numbering
+    assert out.where(out.user_id.isNull() | out.ts.isNull()).count() == 0
+    with pytest.raises(ValueError, match="gap_minutes"):
+        sessionize(df, "user_id", "ts", 0)
+
+
 def test_session_stats(session_events):
     stats = {
         (r["user_id"], r["session_idx"]): r
@@ -121,6 +140,29 @@ def test_pack_sequences_contiguous_budget(spark):
     by_batch = sorted(stats, key=lambda r: r["batch_idx"])
     for a, b in zip(by_batch, by_batch[1:]):
         assert a["last_id"] < b["first_id"]
+
+
+def test_pack_sequences_validates_budget_and_shards(spark):
+    docs = spark.createDataFrame([(1, "en", 10)], DOCS)
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, "doc_id", "n_tokens", budget=0)
+    with pytest.raises(ValueError, match="shards"):
+        pack_sequences(docs, "doc_id", "n_tokens", budget=10, shards=0)
+
+
+def test_mix_rates_validate_budget_frac(spark):
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.sampling import (
+        domain_mix_rates,
+        temperature_mix_rates,
+    )
+
+    df = spark.createDataFrame([("a", 10)], "source string, n_chars long")
+    with pytest.raises(ValueError, match="budget_frac"):
+        domain_mix_rates(df, "source", "n_chars", F.lit(1.0), budget_frac=0.0)
+    with pytest.raises(ValueError, match="budget_frac"):
+        temperature_mix_rates(df, "source", "n_chars", budget_frac=-0.5)
 
 
 def test_pack_sequences_oversized_doc(spark):
@@ -1415,6 +1457,21 @@ def test_fk_audit_counts_orphans_and_nulls(spark):
     assert r["n_null_keys"] == 1       # NULL key is not an orphan
     assert r["n_orphans"] == 1         # fk=99 has no parent
     assert r["orphan_rate"] == 0.25
+
+
+def test_fk_audit_empty_child_reads_clean_not_null(spark):
+    from gdutils_spark.operators.summaries import fk_audit
+
+    child = spark.createDataFrame([], "id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    r = fk_audit([("empty->parent", child, "fk", parent, "pk")]).collect()[0]
+    # sums over zero rows are NULL in SQL — the audit must report a
+    # fully-empty edge as CLEAN zeros, not indeterminate NULLs that a
+    # `rate > x` gate would silently pass
+    assert r["n_rows"] == 0
+    assert r["n_null_keys"] == 0
+    assert r["n_orphans"] == 0
+    assert r["orphan_rate"] == 0.0
 
 
 def test_fk_audit_multiple_edges_and_validation(spark):

@@ -134,3 +134,13 @@ def test_tabular_sinks(spark):
     assert csv.splitlines()[0] == "id,s"
     html = to_html_table(df)
     assert "<table" in html
+
+
+def test_normalize_columns_raises_on_collision(spark):
+    from gdutils_spark.functions.names import normalize_columns
+
+    df = spark.createDataFrame([(1, 2)], ["My Col", "my_col"])
+    with pytest.raises(ValueError, match="collision"):
+        normalize_columns(df)
+    ok = normalize_columns(spark.createDataFrame([(1, 2)], ["My Col", "Other"]))
+    assert ok.columns == ["my_col", "other"]

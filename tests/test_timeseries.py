@@ -44,6 +44,29 @@ def test_grid_is_epoch_aligned_not_obs_aligned(spark):
     assert got[datetime(2024, 1, 1, 1, 0, 0)] == pytest.approx(0.5)
 
 
+def test_pre_epoch_grid_stays_epoch_aligned(spark):
+    # negative epoch micros: Spark's % keeps the dividend's sign, so the
+    # old `x - x % step` alignment rounded toward zero and produced
+    # grid instants OFF the epoch lattice pre-1970; pmod keeps true
+    # floor semantics on the whole epoch line
+    rows = [
+        ("a", datetime(1969, 12, 31, 22, 30, 0), 0.0),
+        ("a", datetime(1970, 1, 1, 1, 30, 0), 6.0),
+    ]
+    out = resample_interpolate(_df(spark, rows), "e", "ts", "v", 3600).collect()
+    ts = sorted(r["ts"] for r in out)
+    assert ts == [
+        datetime(1969, 12, 31, 23, 0, 0),
+        datetime(1970, 1, 1, 0, 0, 0),
+        datetime(1970, 1, 1, 1, 0, 0),
+    ]
+    got = {r["ts"]: r["v_interp"] for r in out}
+    # span is 3h from -1.5h to +1.5h, value 0..6 → 2.0 per hour
+    assert got[datetime(1969, 12, 31, 23, 0, 0)] == pytest.approx(1.0)
+    assert got[datetime(1970, 1, 1, 0, 0, 0)] == pytest.approx(3.0)
+    assert got[datetime(1970, 1, 1, 1, 0, 0)] == pytest.approx(5.0)
+
+
 def test_duplicate_timestamps_collapse_to_max(spark):
     rows = [
         ("a", datetime(2024, 1, 1, 0, 0, 0), 1.0),

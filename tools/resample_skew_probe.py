@@ -63,7 +63,10 @@ def timed(df) -> tuple[float, int]:
 
 
 for label, hot in (("balanced", False), ("hot-hub", True)):
-    # warm once, then best-of-2
+    # one DISCARDED warm-up, then best-of-2 timed runs (rows from the
+    # same runs that produced the timings)
     out = resample_interpolate(fixture(hot), "user_id", "ts", "value", STEP_S)
-    best, rows = min(timed(out)[0] for _ in range(2)), timed(out)[1]
+    timed(out)  # warm-up: JIT, shuffle files, code cache
+    runs = [timed(out) for _ in range(2)]
+    best, rows = min(runs)[0], runs[0][1]
     print(f"{label}: best {best:.2f}s, {rows} grid rows")
