@@ -271,3 +271,81 @@ def fk_audit(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def winsorized_summary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """Per-group winsorized-mean report — ``(group, n, p_lo, p_hi,
+    n_below, n_above, winsorized_mean)`` where values below the
+    ``lower`` quantile are clamped UP to it and values above ``upper``
+    are clamped DOWN before averaging (Tukey/Dixon winsorization): the
+    robust mean a metrics pipeline wants when a handful of fat-finger
+    values would otherwise drag a plain average, while (unlike
+    trimming) every observation still counts.
+
+    Cross-engine determinism: the quantiles come from ``percentile``
+    (== DuckDB ``quantile_cont`` — the parity precedent from
+    mad_outlier_summary); in-range values sum through
+    ``decimal(18, decimal_scale)`` (order-insensitive exact — assumes
+    the feed carries at most that many decimals, the queries.py
+    convention), and the clamped tails contribute ``n_below·p_lo`` and
+    ``n_above·p_hi`` — so the mean assembles from THREE exact terms in
+    one pinned order: ``((sum_mid + below) + above) / n``. No
+    fold-order-sensitive double sum anywhere.
+
+    Plan shape: one group-keyed percentile aggregate (group-cardinality
+    rows, broadcast back onto the scan), then one map-side-combinable
+    conditional aggregate — two pruned passes over the fact table, the
+    minimal movement for an exact (non-sketch) winsorization. NULL/NaN
+    values and NULL groups are dropped."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"winsorized_summary: need 0 <= lower < upper <= 1, got {lower}, {upper}"
+        )
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
+    ).where(
+        F.col("__g").isNotNull() & F.col("__v").isNotNull() & ~F.isnan(F.col("__v"))
+    )
+    pct = base.groupBy("__g").agg(
+        F.percentile("__v", F.lit(float(lower))).alias("p_lo"),
+        F.percentile("__v", F.lit(float(upper))).alias("p_hi"),
+    )
+    dec = f"decimal(18,{int(decimal_scale)})"
+    joined = base.join(F.broadcast(pct), "__g")
+    agg = joined.groupBy("__g", "p_lo", "p_hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__v") < F.col("p_lo")).cast("long")).alias("n_below"),
+        F.sum((F.col("__v") > F.col("p_hi")).cast("long")).alias("n_above"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("__v") >= F.col("p_lo")) & (F.col("__v") <= F.col("p_hi")),
+                    F.col("__v").cast(dec),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("__sum_mid"),
+    )
+    mean = (
+        (
+            F.col("__sum_mid")
+            + F.col("n_below").cast("double") * F.col("p_lo")
+        )
+        + F.col("n_above").cast("double") * F.col("p_hi")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "p_lo",
+        "p_hi",
+        "n_below",
+        "n_above",
+        mean.alias("winsorized_mean"),
+    )

@@ -6818,6 +6818,258 @@ WHERE ({ham}) <= {MIND_HAM}
 
 
 # ---------------------------------------------------------------------------
+# Round-11 additions (capped at 4 per VERDICT r10 task #3; placed AFTER
+# the 50-slot driver window like the late-r10 set — they get driver rows
+# in r12 and are locally driven through tools/drive_contract.py now):
+# entity-resolution fuzzy join, snapshot diff/reconciliation, per-edge
+# neighborhood Jaccard (tie strength), winsorized robust means.
+# ---------------------------------------------------------------------------
+
+FUZZY_THRESHOLD = 0.3   # Customer#X vs Supplier#X share 1 of 3 tokens
+FUZZY_MAX_TOKEN_FREQ = 50  # "customer"/"supplier" are corpus-wide → blocked
+
+
+def customer_supplier_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution across tables (``operators/linkage
+    .fuzzy_blocked_join``): customer and supplier display names match
+    when their token-set Jaccard >= 0.3 — the shared serial-number
+    token carries the match while the corpus-wide "customer"/
+    "supplier" tokens are blocked from candidate generation by the
+    ``max_token_freq`` guard (scores stay exact: verification recounts
+    over FULL token sets)."""
+    from gdutils_spark.operators.linkage import fuzzy_blocked_join
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return fuzzy_blocked_join(
+        c,
+        s,
+        "c_custkey",
+        "c_name",
+        "s_suppkey",
+        "s_name",
+        threshold=FUZZY_THRESHOLD,
+        max_token_freq=FUZZY_MAX_TOKEN_FREQ,
+    ).select(
+        F.col("a_id").alias("custkey"),
+        F.col("b_id").alias("suppkey"),
+        "n_common",
+        "na",
+        "nb",
+        "jaccard",
+    )
+
+
+def _fuzzy_match_sql() -> str:
+    return f"""
+WITH ta AS (
+  SELECT DISTINCT c_custkey AS a_id, t AS token FROM (
+    SELECT c_custkey,
+           unnest(regexp_split_to_array(lower(c_name), '[^a-z0-9]+')) AS t
+    FROM customer WHERE c_custkey IS NOT NULL)
+  WHERE t <> ''
+), tb AS (
+  SELECT DISTINCT s_suppkey AS b_id, t AS token FROM (
+    SELECT s_suppkey,
+           unnest(regexp_split_to_array(lower(s_name), '[^a-z0-9]+')) AS t
+    FROM supplier WHERE s_suppkey IS NOT NULL)
+  WHERE t <> ''
+), sa AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS na FROM ta GROUP BY a_id),
+sb AS (SELECT b_id, CAST(COUNT(*) AS BIGINT) AS nb FROM tb GROUP BY b_id),
+hot AS (
+  SELECT token FROM (
+    SELECT token, MAX(f) AS f FROM (
+      SELECT token, COUNT(*) AS f FROM ta GROUP BY token
+      UNION ALL
+      SELECT token, COUNT(*) AS f FROM tb GROUP BY token) GROUP BY token)
+  WHERE f > {FUZZY_MAX_TOKEN_FREQ}
+), ca AS (SELECT * FROM ta WHERE token NOT IN (SELECT token FROM hot)),
+cb AS (SELECT * FROM tb WHERE token NOT IN (SELECT token FROM hot)),
+cands AS (SELECT DISTINCT a_id, b_id FROM ca JOIN cb USING (token)),
+com AS (
+  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cands c
+  JOIN ta ON ta.a_id = c.a_id
+  JOIN tb ON tb.b_id = c.b_id AND tb.token = ta.token
+  GROUP BY c.a_id, c.b_id
+)
+SELECT com.a_id AS custkey, com.b_id AS suppkey, n_common, na, nb,
+       CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+FROM com JOIN sa ON sa.a_id = com.a_id JOIN sb ON sb.b_id = com.b_id
+WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE)
+      >= {FUZZY_THRESHOLD}
+"""
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (``operators/cdc.snapshot_diff``): two
+    deterministic versions of the orders table — "old" misses keys
+    ``%10 == 3`` (read as added), "new" misses ``%10 == 7`` (removed)
+    and perturbs o_totalprice on ``%10 == 0`` / o_orderstatus on
+    ``%10 == 5`` (changed, with the differing-column list) — one full
+    outer key join recovers the exact change batch."""
+    from gdutils_spark.operators.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.where(F.col("o_orderkey") % 10 != 3)
+    new = o.where(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * F.lit(2.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 10 == 5, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 10 <> 3
+), n AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * CAST(2.0 AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 10 = 5 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 7
+), j AS (
+  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+         o.o_totalprice AS op, n.o_totalprice AS np,
+         o.o_orderstatus AS os, n.o_orderstatus AS ns
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+), c AS (
+  SELECT COALESCE(nk, ok) AS o_orderkey,
+         CASE WHEN ok IS NULL THEN 'added'
+              WHEN nk IS NULL THEN 'removed'
+              WHEN (os IS DISTINCT FROM ns) OR (op IS DISTINCT FROM np)
+                   THEN 'changed' END AS change,
+         concat_ws(',',
+           CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+           CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END
+         ) AS diffs
+  FROM j
+)
+SELECT o_orderkey, change,
+       CASE WHEN change = 'changed' THEN diffs ELSE '' END AS changed_cols
+FROM c WHERE change IS NOT NULL
+"""
+
+EDGE_JAC_TOP = 100
+
+
+def part_copurchase_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge tie strength over the part co-purchase graph
+    (``operators/graph.edge_jaccard``): neighborhood Jaccard via the
+    degree-ordered triangle enumeration (common neighbors == triangles
+    through the edge), top ``EDGE_JAC_TOP`` by (jaccard desc, u, v) —
+    a deterministic TakeOrderedAndProject cut."""
+    from gdutils_spark.operators.graph import edge_jaccard
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    edges = _copurchase_edges(spark, sf_dir, both_directions=False)
+    return (
+        edge_jaccard(edges)
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(EDGE_JAC_TOP)
+    )
+
+
+def _edge_jaccard_sql() -> str:
+    return f"""
+WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+eu AS (SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+       FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        (SELECT u AS node FROM eu UNION ALL SELECT v AS node FROM eu)
+        GROUP BY node),
+ed AS (SELECT eu.u, eu.v, du.degree AS du, dv.degree AS dv
+       FROM eu JOIN deg du ON eu.u = du.node JOIN deg dv ON eu.v = dv.node),
+o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+      FROM ed),
+w AS (SELECT o1.a AS c, o1.b AS x, o2.b AS y
+      FROM o o1 JOIN o o2 ON o1.a = o2.a
+       AND (o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b))),
+t AS (SELECT c, x, y FROM w
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.y)),
+te AS (SELECT least(c, x) AS u, greatest(c, x) AS v FROM t
+       UNION ALL SELECT least(c, y), greatest(c, y) FROM t
+       UNION ALL SELECT least(x, y), greatest(x, y) FROM t),
+com AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common FROM te GROUP BY u, v),
+fin AS (
+  SELECT ed.u, ed.v, ed.du, ed.dv,
+         COALESCE(com.n_common, CAST(0 AS BIGINT)) AS n_common
+  FROM ed LEFT JOIN com ON ed.u = com.u AND ed.v = com.v
+)
+SELECT u, v, du, dv, n_common,
+       CASE WHEN du + dv - 2 - n_common > 0
+            THEN CAST(n_common AS DOUBLE)
+                 / CAST(du + dv - 2 - n_common AS DOUBLE)
+            ELSE CAST('0.0' AS DOUBLE) END AS jaccard
+FROM fin
+ORDER BY jaccard DESC, u, v
+LIMIT {EDGE_JAC_TOP}
+"""
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean at the 5/95 percentiles
+    (``operators/summaries.winsorized_summary``): tails clamp to the
+    quantiles before averaging — the robust mean that still counts
+    every observation. The mean assembles from three exact terms in a
+    pinned IEEE order (decimal-routed mid-sum + n_below·p_lo +
+    n_above·p_hi), so the relation hash-verifies cross-engine."""
+    from gdutils_spark.operators.summaries import winsorized_summary
+
+    e = load_table(spark, sf_dir, "events")
+    return winsorized_summary(e, "event_type", "value", WINSOR_LO, WINSOR_HI)
+
+
+def _winsorized_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), pct AS (
+  SELECT g, quantile_cont(v, {WINSOR_LO}) AS p_lo,
+         quantile_cont(v, {WINSOR_HI}) AS p_hi
+  FROM base GROUP BY g
+), agg AS (
+  SELECT b.g, p_lo, p_hi,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN v < p_lo THEN 1 END), 0) AS BIGINT)
+           AS n_below,
+         CAST(COALESCE(SUM(CASE WHEN v > p_hi THEN 1 END), 0) AS BIGINT)
+           AS n_above,
+         COALESCE(CAST(SUM(CASE WHEN v >= p_lo AND v <= p_hi
+                           THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE),
+                  CAST(0.0 AS DOUBLE)) AS sum_mid
+  FROM base b JOIN pct ON pct.g = b.g
+  GROUP BY b.g, p_lo, p_hi
+)
+SELECT g AS event_type, n, p_lo, p_hi, n_below, n_above,
+       ((sum_mid + CAST(n_below AS DOUBLE) * p_lo)
+        + CAST(n_above AS DOUBLE) * p_hi) / CAST(n AS DOUBLE)
+         AS winsorized_mean
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_integrity_audit": fk_integrity_audit,
@@ -6945,6 +7197,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_hll_tokens": doc_hll_tokens,
     "doc_leakage_safe_split": doc_leakage_safe_split,
     "doc_temperature_mix": doc_temperature_mix,
+    "customer_supplier_name_match": customer_supplier_name_match,
+    "orders_snapshot_diff": orders_snapshot_diff,
+    "part_copurchase_edge_jaccard": part_copurchase_edge_jaccard,
+    "event_value_winsorized": event_value_winsorized,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -7077,4 +7333,8 @@ EXT_ORACLE: dict[str, str] = {
     "doc_leakage_safe_split": _leakage_split_sql(),
     "doc_temperature_mix": _TEMP_MIX_SQL,
     "geo_user_tracks": _geo_tracks_sql(),
+    "customer_supplier_name_match": _fuzzy_match_sql(),
+    "orders_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "part_copurchase_edge_jaccard": _edge_jaccard_sql(),
+    "event_value_winsorized": _winsorized_sql(),
 }

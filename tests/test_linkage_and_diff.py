@@ -1,0 +1,131 @@
+"""Round-11 operators: fuzzy_blocked_join, snapshot_diff, edge_jaccard,
+winsorized_summary — semantics pinned on tiny fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdutils_spark.operators.cdc import snapshot_diff
+from gdutils_spark.operators.graph import edge_jaccard
+from gdutils_spark.operators.linkage import fuzzy_blocked_join
+from gdutils_spark.operators.summaries import winsorized_summary
+
+
+def test_fuzzy_join_scores_and_threshold(spark):
+    a = spark.createDataFrame(
+        [(1, "R/V Blue Heron"), (2, "Atlantis"), (3, "noname")],
+        "id long, name string",
+    )
+    b = spark.createDataFrame(
+        [(10, "BLUE HERON (R/V)"), (11, "RV Atlantis II")],
+        "id long, name string",
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r
+        for r in fuzzy_blocked_join(
+            a, b, "id", "name", "id", "name", threshold=0.4, max_token_freq=None
+        ).collect()
+    }
+    # {r, v, blue, heron} == {blue, heron, r, v} → jaccard 1.0
+    assert out[(1, 10)]["jaccard"] == 1.0
+    assert out[(1, 10)]["n_common"] == 4
+    # {atlantis} vs {rv, atlantis, ii} → 1/3 < 0.4 → filtered
+    assert (2, 11) not in out
+    with pytest.raises(ValueError, match="threshold"):
+        fuzzy_blocked_join(a, b, "id", "name", "id", "name", threshold=0.0)
+
+
+def test_fuzzy_join_hot_token_guard_keeps_scores_exact(spark):
+    # every row shares the hot token "inc"; pairs also sharing a cold
+    # token survive with the EXACT jaccard (hot token still counted in
+    # verification); the pair sharing ONLY "inc" is never considered
+    a = spark.createDataFrame(
+        [(1, "acme inc"), (2, "zeta inc")], "id long, name string"
+    )
+    b = spark.createDataFrame(
+        [(10, "acme inc"), (11, "omega inc")], "id long, name string"
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r
+        for r in fuzzy_blocked_join(
+            a, b, "id", "name", "id", "name", threshold=0.1, max_token_freq=1
+        ).collect()
+    }
+    assert out[(1, 10)]["jaccard"] == 1.0  # exact: includes the hot token
+    assert (2, 11) not in out  # only-hot overlap → no candidate
+    assert (2, 10) not in out and (1, 11) not in out
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "X"), (4, 40.0, "D")],
+        "k long, price double, status string",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert 1 not in out  # unchanged keys are omitted
+    assert out[2]["change"] == "changed"
+    assert out[2]["changed_cols"] == "price,status"  # sorted, comma-joined
+    assert out[3]["change"] == "removed" and out[3]["changed_cols"] == ""
+    assert out[4]["change"] == "added" and out[4]["changed_cols"] == ""
+
+
+def test_snapshot_diff_null_safe_and_validation(spark):
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None)], "k long, v string")
+    # NULL == NULL under eqNullSafe → unchanged → empty diff
+    assert snapshot_diff(old, new, ["k"]).count() == 0
+    with pytest.raises(ValueError, match="key column"):
+        snapshot_diff(old, new, [])
+    with pytest.raises(ValueError, match="missing"):
+        snapshot_diff(old, new, ["k"], ["nope"])
+
+
+def test_edge_jaccard_triangle_plus_bridge(spark):
+    # triangle 1-2-3 plus a pendant bridge 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = {(r["u"], r["v"]): r for r in edge_jaccard(edges).collect()}
+    # edge (1,2): common {3}, union {1,2,3}\{1,2} ∪ ... = d1+d2-2-1 = 1
+    assert out[(1, 2)]["n_common"] == 1 and out[(1, 2)]["jaccard"] == 1.0
+    # edge (1,3): d=2, d=3 → union = 2+3-2-1 = 2 → 0.5
+    assert out[(1, 3)]["jaccard"] == 0.5
+    # bridge (3,4): no common neighbors → 0.0, present in output
+    assert out[(3, 4)]["n_common"] == 0 and out[(3, 4)]["jaccard"] == 0.0
+    # degree-1 pair: union empty → defined 0.0
+    iso = edge_jaccard(
+        spark.createDataFrame([(7, 8)], "src long, dst long")
+    ).collect()[0]
+    assert iso["jaccard"] == 0.0
+
+
+def test_winsorized_summary_clamps_tails(spark):
+    # 20 values 1..19 plus one 1000 outlier; p05/p95 clamp both tails
+    rows = [("t", float(v)) for v in list(range(1, 20)) + [1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = winsorized_summary(df, "g", "v", 0.05, 0.95).collect()[0]
+    assert r["n"] == 20
+    assert r["n_below"] == 1 and r["n_above"] == 1
+    # exact replay of the pinned three-term assembly
+    import numpy as np
+
+    vals = np.array([v for _, v in rows])
+    p_lo, p_hi = np.quantile(vals, 0.05), np.quantile(vals, 0.95)
+    assert r["p_lo"] == pytest.approx(p_lo) and r["p_hi"] == pytest.approx(p_hi)
+    expect = (vals.clip(p_lo, p_hi)).mean()
+    assert r["winsorized_mean"] == pytest.approx(expect)
+    with pytest.raises(ValueError, match="lower"):
+        winsorized_summary(df, "g", "v", 0.9, 0.1)
+
+
+def test_winsorized_summary_drops_null_nan(spark):
+    rows = [("t", 1.0), ("t", 2.0), ("t", None), (None, 3.0),
+            ("t", float("nan"))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = winsorized_summary(df, "g", "v").collect()
+    assert len(r) == 1 and r[0]["n"] == 2
