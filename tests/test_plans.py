@@ -562,3 +562,48 @@ def test_dhash_pairs_decode_once(spark):
     plan = formatted_plan(out)
     assert "Scan ExistingRDD" in plan
     assert not uses_python(plan)
+
+
+def test_fuzzy_join_plans_no_cartesian(spark, sf_correct):
+    """The blocked fuzzy join must candidate-generate via the token
+    equi-join — a CartesianProduct / BroadcastNestedLoopJoin means the
+    blocking collapsed and the plan is the A x B blow-up."""
+    plan = formatted_plan(
+        QUERIES["customer_supplier_name_match"](spark, sf_correct)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not uses_python(plan)
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark, sf_correct):
+    """snapshot_diff's whole data movement is ONE full-outer key join
+    plus a projection — a second join or window would double the
+    movement at 100 TB."""
+    plan = formatted_plan(QUERIES["orders_snapshot_diff"](spark, sf_correct))
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin FullOuter", "ShuffledHashJoin FullOuter")
+    )
+    assert n_joins == 1, plan
+    assert "Window" not in plan
+    assert not uses_python(plan)
+
+
+def test_edge_jaccard_no_cartesian_and_no_python(spark, sf_correct):
+    plan = formatted_plan(
+        QUERIES["part_copurchase_edge_jaccard"](spark, sf_correct)
+    )
+    assert "CartesianProduct" not in plan
+    assert not uses_python(plan)
+    # final cut is TakeOrderedAndProject, never a global window sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorized_broadcasts_percentiles(spark, sf_correct):
+    """The group-percentile table is group-cardinality-sized and must
+    broadcast back onto the fact scan — a shuffle join would move the
+    corpus twice."""
+    df = QUERIES["event_value_winsorized"](spark, sf_correct)
+    assert has_broadcast_join(df)
+    assert not uses_python(formatted_plan(df))
