@@ -733,7 +733,7 @@ def cmd_image_dups(args) -> int:
         image_dhash(media),
         max_hamming=args.max_hamming,
         stage_path=args.stage_path,
-        max_band_freq=args.max_band_freq,
+        max_band_freq=args.max_band_freq or None,
     )
     _emit(_render(out, args.response), args.output)
     return 0
@@ -746,6 +746,61 @@ def cmd_cv_folds(args) -> int:
     df = _load(spark, args.input)
     out = rolling_origin_folds(
         df, args.time_col, args.n_folds, args.horizon_seconds
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_fuzzy_match(args) -> int:
+    from gdutils_spark.operators.linkage import fuzzy_blocked_join
+
+    spark = _get_spark()
+    a = _load(spark, args.input)
+    b = _load(spark, args.other)
+    out = fuzzy_blocked_join(
+        a,
+        b,
+        args.id_col,
+        args.text_col,
+        args.other_id_col or args.id_col,
+        args.other_text_col or args.text_col,
+        threshold=args.threshold,
+        max_token_freq=args.max_token_freq or None,
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_snapshot_diff(args) -> int:
+    from gdutils_spark.operators.cdc import snapshot_diff
+
+    spark = _get_spark()
+    old = _load(spark, args.input)
+    new = _load(spark, args.new)
+    out = snapshot_diff(old, new, args.key, args.compare or None)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_edge_jaccard(args) -> int:
+    from gdutils_spark.operators.graph import edge_jaccard
+
+    spark = _get_spark()
+    edges = _load(spark, args.input)
+    out = edge_jaccard(edges, src=args.src_col, dst=args.dst_col)
+    if args.top:
+        out = out.orderBy(F.col("jaccard").desc(), "u", "v").limit(args.top)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_winsorize(args) -> int:
+    from gdutils_spark.operators.summaries import winsorized_summary
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = winsorized_summary(
+        df, args.group_col, args.value_col, args.lower, args.upper
     )
     _emit(_render(out, args.response), args.output)
     return 0
@@ -1245,9 +1300,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add_pipeline("image-dups", cmd_image_dups)
     sp.add_argument("--max-hamming", type=int, default=16)
-    sp.add_argument("--max-band-freq", type=int, default=None,
+    # default 1024 mirrors the operator's measured default (SCALE.md r11
+    # dHash probe); 0 disables the guard (flat-image-clustered corpora)
+    sp.add_argument("--max-band-freq", type=int, default=1024,
                     help="skew guard: drop band values shared by more "
-                    "than this many images from candidate generation")
+                    "than this many images from candidate generation; "
+                    "0 disables")
     sp.add_argument("--stage-path",
                     help="stage the hash table as parquet here (corpus scale) "
                     "instead of memory-caching it")
@@ -1256,6 +1314,38 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--time-col", default="ts")
     sp.add_argument("--n-folds", type=int, default=5)
     sp.add_argument("--horizon-seconds", type=int, default=86400)
+
+    sp = add_pipeline("fuzzy-match", cmd_fuzzy_match)
+    sp.add_argument("--other", required=True, help="second table path")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--other-id-col", help="defaults to --id-col")
+    sp.add_argument("--other-text-col", help="defaults to --text-col")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--max-token-freq", type=int, default=1000,
+                    help="blocking skew guard: tokens on more rows than "
+                    "this never generate candidates (scores stay exact); "
+                    "0 disables")
+
+    sp = add_pipeline("snapshot-diff", cmd_snapshot_diff)
+    sp.add_argument("--new", required=True, help="new snapshot table path")
+    sp.add_argument("--key", action="append", required=True,
+                    help="key column (repeatable)")
+    sp.add_argument("--compare", action="append",
+                    help="compared column (repeatable; default: all "
+                    "shared non-key columns)")
+
+    sp = add_pipeline("edge-jaccard", cmd_edge_jaccard)
+    sp.add_argument("--src-col", default="src")
+    sp.add_argument("--dst-col", default="dst")
+    sp.add_argument("--top", type=int, default=0,
+                    help="keep only the strongest N edges (0 = all)")
+
+    sp = add_pipeline("winsorize", cmd_winsorize)
+    sp.add_argument("--group-col", default="event_type")
+    sp.add_argument("--value-col", default="value")
+    sp.add_argument("--lower", type=float, default=0.05)
+    sp.add_argument("--upper", type=float, default=0.95)
 
     sp = add_pipeline("cdc-apply", cmd_cdc_apply)
     sp.add_argument("--changes", required=True,

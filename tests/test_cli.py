@@ -595,3 +595,62 @@ def test_cli_cv_folds(tmp_path, capsys, spark):
     rows = json.loads(capsys.readouterr().out)
     got = {r["fold"]: (r["n_train"], r["n_test"]) for r in rows}
     assert got == {1: (4, 2), 2: (6, 2), 3: (8, 2)}
+
+
+def test_cli_fuzzy_match(tmp_path, capsys, spark):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.createDataFrame(
+        [(1, "R/V Blue Heron")], "doc_id long, text string"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(10, "BLUE HERON (R/V)")], "doc_id long, text string"
+    ).write.parquet(b)
+    assert main([
+        "fuzzy-match", "--input", a, "--other", b,
+        "--threshold", "0.5", "--max-token-freq", "0", "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["a_id"] == 1 and rows[0]["b_id"] == 10
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_cli_snapshot_diff(tmp_path, capsys, spark):
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(old)
+    spark.createDataFrame([(1, "a"), (2, "B")], "k long, v string").write.parquet(new)
+    assert main([
+        "snapshot-diff", "--input", old, "--new", new, "--key", "k",
+        "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows == [{"k": 2, "change": "changed", "changed_cols": "v"}]
+
+
+def test_cli_edge_jaccard(tmp_path, capsys, spark):
+    path = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    ).write.parquet(path)
+    assert main([
+        "edge-jaccard", "--input", path, "--top", "1", "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_cli_winsorize(tmp_path, capsys, spark):
+    path = str(tmp_path / "vals")
+    spark.createDataFrame(
+        [("t", float(v)) for v in range(1, 21)], "event_type string, value double"
+    ).write.parquet(path)
+    assert main([
+        "winsorize", "--input", path, "--lower", "0.1", "--upper", "0.9",
+        "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    # p10 of 1..20 is 2.9 (quantile_cont): values 1,2 clamp up; p90 is
+    # 18.1: values 19,20 clamp down
+    assert rows[0]["n"] == 20
+    assert rows[0]["n_below"] == 2 and rows[0]["n_above"] == 2
