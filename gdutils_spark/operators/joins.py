@@ -123,7 +123,14 @@ def asof_join(
     from pyspark.sql import Window
 
     payload = [right_ts, *right_cols]
-    r = right.select(
+    # a NULL-ts right row would sort FIRST in the window and its payload
+    # carry forward to every left row that precedes any real right row —
+    # a phantom "earliest" match; a NULL-key right row would pair with
+    # NULL-key left rows through the partition. Neither can be
+    # "at-or-before" anything: drop them (left rows always survive).
+    r = right.where(
+        F.col(right_on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(right_on).alias("__asof_key"),
         F.col(right_ts).cast("timestamp").alias("__asof_ts"),
         F.lit(0).alias("__asof_side"),

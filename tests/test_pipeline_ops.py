@@ -206,6 +206,32 @@ def test_asof_join_semantics(spark):
     assert n_exchanges(out) == 1
 
 
+def test_asof_join_null_right_rows_never_match(spark):
+    """A NULL-ts right row sorts first in the carry window — without the
+    filter its payload becomes a phantom 'earliest' match for left rows
+    that precede every real right row; NULL-key rows must not pair
+    through the NULL partition either."""
+    from gdutils_spark.operators.joins import asof_join
+
+    ts = dt.datetime
+    left = spark.createDataFrame(
+        [(1, ts(2019, 12, 1), "early"), (None, ts(2020, 1, 1), "nullkey")],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (None, ts(2019, 1, 1), 77.0)],
+        "k long, t timestamp, v double",
+    )
+    got = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(
+            left, right, left_on="k", right_on="k",
+            left_ts="t", right_ts="t", right_cols=["v"],
+        ).collect()
+    }
+    assert got == {"early": None, "nullkey": None}
+
+
 # --- Hot-shingle skew guard -------------------------------------------------
 
 
