@@ -676,3 +676,31 @@ def test_triangle_count_incremental_empty_delta_is_identity(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_edge_jaccard_consistent_with_triangle_count(spark):
+    """Internal consistency across the two wedge consumers: every
+    triangle lies on exactly 3 edges, so Σ_edges n_common == 3·T, and
+    Σ_nodes n_triangles == 3·T too (each triangle has 3 vertices)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.graph import edge_jaccard, triangle_count
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    ej = edge_jaccard(df)
+    tc = triangle_count(df)
+    s_edges = ej.agg(F.sum("n_common")).collect()[0][0]
+    s_nodes = tc.agg(F.sum("n_triangles")).collect()[0][0]
+    assert s_edges == s_nodes  # both equal 3 * total triangles
+    assert s_edges % 3 == 0
+    # edge relation covers exactly the canonical edge set
+    n_canon = df.selectExpr(
+        "least(src, dst) AS u", "greatest(src, dst) AS v"
+    ).where("u <> v").distinct().count()
+    assert ej.count() == n_canon
