@@ -64,6 +64,10 @@ HEADLINERS = [
     ("user_value_grid_interp", "resample+interpolate: obs+grid union, one entity-key exchange, two incremental running-frame Windows (no O(n^2) following-frame), no join"),
     ("fk_integrity_audit", "FK audit: key-projected child scans, AQE-planned distinct-parent joins, 7 independent branches"),
     ("mm_image_near_dup", "dHash near-dup: decode-once cached hash table, (band, value) equi-join candidates, popcount post-filter"),
+    ("customer_supplier_name_match", "fuzzy entity join: token-keyed equi-join candidates (no cross join), exact full-set recount verify"),
+    ("orders_snapshot_diff", "snapshot diff: ONE full-outer key join + pure projection, no window"),
+    ("part_copurchase_edge_jaccard", "per-edge Jaccard: degree-ordered wedges, 3-edge explode, broadcast degree joins, TakeOrderedAndProject cut"),
+    ("event_value_winsorized", "winsorized means: group-percentile table broadcast back onto the fact scan, one combinable aggregate"),
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
