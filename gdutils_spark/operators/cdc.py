@@ -232,9 +232,15 @@ def snapshot_diff(
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
         F.lit(True).alias("__in_new"),
     )
+    # PLAIN key equality, not eqNullSafe: (a) it matches the SQL oracle's
+    # `ON o.k = n.k` exactly, (b) null-safe join keys break the bucketed
+    # shuffle-free path (HashPartitioning only satisfies plain equi-keys
+    # — plan-pinned in test_staging.py), and (c) a NULL key has no row
+    # identity — such rows surface VISIBLY as one 'removed' (old side)
+    # plus one 'added' (new side) instead of being silently paired.
     cond = None
     for k in key_cols:
-        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
     diffs = [

@@ -131,3 +131,42 @@ def test_salted_join_left_keeps_unmatched_facts_once(spark, sf_smoke):
     )
     got = salted_join(events, dims, "user_id", salts=8, how="left")
     assert got.count() == events.count()
+
+
+def test_snapshot_diff_on_bucketed_snapshots_is_shuffle_free(
+    spark, sf_smoke, tmp_path_factory
+):
+    """snapshot_diff's docstring claims bucketed snapshots make the full
+    outer join shuffle-free — pin it: two versions staged with the same
+    bucket spec diff with ZERO Exchange nodes."""
+    from gdutils_spark.operators.cdc import snapshot_diff
+
+    d = tmp_path_factory.mktemp("snapdiff")
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    stage_bucketed(orders, "snap_old_b", "o_orderkey", buckets=4,
+                   path=str(d / "old"))
+    stage_bucketed(
+        orders.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0,
+                   F.col("o_totalprice") * 2).otherwise(F.col("o_totalprice")),
+        ),
+        "snap_new_b", "o_orderkey", buckets=4, path=str(d / "new"),
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        diff = snapshot_diff(
+            read_staged(spark, "snap_old_b"),
+            read_staged(spark, "snap_new_b"),
+            ["o_orderkey"],
+        )
+        plan = formatted_plan(diff)
+        assert "FullOuter" in plan
+        assert n_exchanges(plan) == 0, "bucketed snapshot diff must not shuffle"
+        assert diff.count() > 0  # the %5 perturbation produced changed rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS snap_old_b")
+        spark.sql("DROP TABLE IF EXISTS snap_new_b")
