@@ -1953,69 +1953,71 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 11 window (exactly 50), per VERDICT r10 tasks #1/#3 and
-    # tools/rotation_plan.py: the 6 late-r10 additions lead (the only
-    # registry entries with no driver CORRECTNESS row ever — judge-
-    # verified green in r10 via tools/drive_contract.py, now getting
-    # their artifact-of-record rows), followed by the 44 stalest
-    # r7-driven entries (CORRECTNESS_r07.json keys, name-ordered).
-    # The remaining 6 r7 rows spill to r12 and lead that window:
-    # rt_stream_stream_full_join, rt_stream_stream_join,
-    # rt_stream_stream_left_join, user_cohort_retention,
-    # user_event_transitions, user_funnel. New r11 queries are capped
-    # at ~4 and placed AFTER the window (same late-placement trade as
-    # r10; they get driver rows in r12 and are locally driven through
-    # tools/drive_contract.py meanwhile).
-    "fk_integrity_audit",
-    "user_value_grid_interp",
-    "mm_image_near_dup",
-    "events_cv_folds",
-    "user_event_gap_report",
-    "rt_stream_gap_report",
-    "doc_bigram_lm",
-    "doc_bigram_oov",
-    "doc_bloom_screen",
-    "doc_bpe_encode",
-    "doc_bpe_merges",
-    "doc_bpe_token_stats",
-    "doc_cosine_pairs",
-    "doc_dup_cluster_stats",
-    "doc_incremental_substring_dedup",
-    "doc_substring_dedup",
-    "emb_hard_negatives",
-    "emb_ivfpq_residual_recall",
-    "emb_knn_ivfpq_residual",
-    "emb_knn_ivfpq_trained",
-    "emb_knn_lsh_multiprobe",
-    "emb_knn_recall",
-    "event_type_quantile_sketch",
-    "event_value_bottomk_quantiles",
-    "event_value_outliers",
-    "event_value_quantile_sketch",
-    "events_profile",
-    "events_zorder_layout",
-    "lineitem_hll_order_overlap",
-    "lineitem_kmv_part_overlap",
-    "nation_supplier_hhi",
-    "part_basket_rules",
-    "part_copurchase_communities",
-    "part_copurchase_kcore",
-    "part_copurchase_pagerank",
-    "part_copurchase_pagerank_weighted",
-    "part_copurchase_triangles",
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q15_top_suppliers",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_surplus_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_high_balance",
-    "q2_min_balance_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "rt_stream_quantile_sketch",
+    # round 12 window (exactly 50), per VERDICT r11 tasks #1/#3/#8 and
+    # tools/rotation_plan.py: the 4 late-r11 additions lead (judge-
+    # verified green in r11 via tools/drive_contract.py, now getting
+    # their artifact-of-record rows), then the 6 r7-stale spills (4
+    # rounds stale), then 40 of the 50 r8-stale rows — with the 7
+    # rt_stream_* r8 rows pulled to the FRONT of the r8 cohort per
+    # VERDICT r11 task #8 (state-partition sizing and checkpoint-
+    # identity guards are the most restart-sensitive code), remainder
+    # name-ordered. The 10 r8 rows that spill to r13:
+    # rt_dataset_profiles, rt_dataset_timeseries, rt_geo_track_points,
+    # rt_info_card, rt_json_records_typed, rt_jsonl_shards,
+    # rt_kml_coords, rt_orc_roundtrip, rt_plot_urls, rt_search_catalog.
+    # New r12 queries are capped at ~4 and placed AFTER the window
+    # (same late-placement trade as r10/r11; they are locally driven
+    # through tools/drive_contract.py meanwhile).
+    "customer_supplier_name_match",
+    "orders_snapshot_diff",
+    "part_copurchase_edge_jaccard",
+    "event_value_winsorized",
+    "rt_stream_stream_full_join",
+    "rt_stream_stream_join",
+    "rt_stream_stream_left_join",
+    "user_cohort_retention",
+    "user_event_transitions",
+    "user_funnel",
+    "rt_stream_active_users",
+    "rt_stream_daily_counts",
+    "rt_stream_dedup",
+    "rt_stream_enrich",
+    "rt_stream_media",
+    "rt_stream_sessions",
+    "rt_stream_stateful",
+    "doc_bm25_search",
+    "doc_chunks",
+    "doc_cms_heavy_hitters",
+    "doc_dedup_keep_best",
+    "doc_domain_mix_plan",
+    "doc_domain_mix_sample",
+    "doc_incremental_dedup",
+    "doc_length_histogram",
+    "doc_repetition_signals",
+    "doc_shard_stats",
+    "doc_source_overlap",
+    "doc_source_stats",
+    "doc_tfidf_terms",
+    "doc_vocab_stats",
+    "doc_weighted_sample",
+    "emb_knn_ivf_refined",
+    "emb_quantize",
+    "emb_semantic_dedup",
+    "event_type_bottomk_quantiles",
+    "event_type_pivot",
+    "geo_user_tracks",
+    "mm_pixel_stats",
+    "mm_thumbnails",
+    "part_copurchase_pagerank_incremental",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "rt_canned_filters",
+    "rt_client_api_merge",
+    "rt_client_api_merge_right",
+    "rt_client_datasets",
+    "rt_csv_batch_daily",
+    "rt_csv_sink_roundtrip",
 )
 
 

@@ -7,7 +7,11 @@ This tool derives the freshness-optimal next window mechanically:
 1. never-driver-verified queries first (newest additions — they have no
    green row anywhere), in registry order;
 2. then every verified query, stalest first (latest green round
-   ascending, name as the deterministic tiebreak);
+   ascending; within a cohort the ``rt_stream_*`` rows come first —
+   VERDICT r11 task #8: state-partition sizing and checkpoint-identity
+   guards are the most restart-sensitive code in the repo, so the
+   streaming family must never be the part that spills — then name as
+   the deterministic tiebreak);
 3. truncated to the 50-slot window.
 
 Run from the repo root at round start:
@@ -54,7 +58,8 @@ def propose() -> list[str]:
     registry = list(QUERIES)
     never = [q for q in registry if q not in seen]
     stale = sorted(
-        (q for q in registry if q in seen), key=lambda q: (seen[q], q)
+        (q for q in registry if q in seen),
+        key=lambda q: (seen[q], not q.startswith("rt_stream_"), q),
     )
     return (never + stale)[:WINDOW]
 
@@ -82,7 +87,8 @@ def main() -> int:
     spill = [
         q
         for q in sorted(
-            (q for q in list(QUERIES) if q in seen), key=lambda q: (seen[q], q)
+            (q for q in list(QUERIES) if q in seen),
+            key=lambda q: (seen[q], not q.startswith("rt_stream_"), q),
         )
         if q not in proposal
     ][:10]
