@@ -51,6 +51,7 @@ def fuzzy_blocked_join(
     b_text: str,
     threshold: float = 0.5,
     max_token_freq: int | None = 1000,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Entity-resolution join: ``(a_id, b_id, n_common, na, nb, jaccard)``
     for every cross-table pair whose DISTINCT-token-set Jaccard meets
@@ -69,13 +70,30 @@ def fuzzy_blocked_join(
 
     Plan shape: two token explodes, ONE token-keyed equi-join for
     candidates, one pair-keyed count + two broadcast-sized size joins.
-    Token tables are memory-cached for the call (they feed candidate
-    generation, the census, and verification); at corpus scale stage
-    them upstream like the dedup operators' ``stage_path``."""
+
+    The token tables feed THREE consumers (candidate generation, the
+    hot-token census, and verification), so recomputing them would
+    triple the explode cost. Default: memory-cache for the call —
+    right for dimension-scale entity tables, but the caches outlive
+    the call (the returned plan references them), so repeated
+    invocations accumulate executor storage; at corpus scale (or for
+    repeated calls) pass ``stage_path`` — the dedup operators'
+    convention (cf. ``dedup.minhash_lsh_pairs(stage_path=)``): each
+    token table is written to parquet ONCE under ``stage_path`` and
+    all three consumers re-read the columnar file, so executor memory
+    holds nothing corpus-sized and no cache lingers after the call."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"fuzzy_blocked_join: threshold={threshold} must be in (0, 1]")
-    ta = _token_table(a, a_id, a_text, "a").cache()
-    tb = _token_table(b, b_id, b_text, "b").cache()
+    ta = _token_table(a, a_id, a_text, "a")
+    tb = _token_table(b, b_id, b_text, "b")
+    if stage_path is not None:
+        spark = a.sparkSession
+        pa_, pb_ = f"{stage_path}/tokens_a", f"{stage_path}/tokens_b"
+        ta.write.mode("overwrite").parquet(pa_)
+        tb.write.mode("overwrite").parquet(pb_)
+        ta, tb = spark.read.parquet(pa_), spark.read.parquet(pb_)
+    else:
+        ta, tb = ta.cache(), tb.cache()
     sa = ta.groupBy("a_id").agg(F.count(F.lit(1)).alias("na"))
     sb = tb.groupBy("b_id").agg(F.count(F.lit(1)).alias("nb"))
     ca, cb = ta, tb

@@ -57,6 +57,37 @@ def test_fuzzy_join_hot_token_guard_keeps_scores_exact(spark):
     assert (2, 10) not in out and (1, 11) not in out
 
 
+def test_fuzzy_join_stage_path_identical_pairs(spark, tmp_path):
+    # stage_path= (VERDICT r11 task 2) must produce byte-identical pairs
+    # to the default cached path — the only difference is WHERE the token
+    # tables live (parquet vs executor memory)
+    a = spark.createDataFrame(
+        [(1, "R/V Blue Heron"), (2, "Atlantis"), (3, "acme inc co")],
+        "id long, name string",
+    )
+    b = spark.createDataFrame(
+        [(10, "BLUE HERON (R/V)"), (11, "RV Atlantis II"), (12, "acme co inc")],
+        "id long, name string",
+    )
+    kw = dict(threshold=0.3, max_token_freq=2)
+    cached = sorted(
+        map(tuple, fuzzy_blocked_join(a, b, "id", "name", "id", "name", **kw).collect())
+    )
+    staged = sorted(
+        map(
+            tuple,
+            fuzzy_blocked_join(
+                a, b, "id", "name", "id", "name",
+                stage_path=str(tmp_path / "fuzzy_stage"), **kw
+            ).collect(),
+        )
+    )
+    assert cached == staged and len(staged) >= 2
+    # the staged token tables are on disk, re-readable columnar files
+    assert (tmp_path / "fuzzy_stage" / "tokens_a").exists()
+    assert (tmp_path / "fuzzy_stage" / "tokens_b").exists()
+
+
 def test_snapshot_diff_classification(spark):
     old = spark.createDataFrame(
         [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C")],
