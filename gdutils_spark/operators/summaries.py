@@ -318,6 +318,27 @@ def winsorized_summary(
         F.percentile("__v", F.lit(float(upper))).alias("p_hi"),
     )
     dec = f"decimal(18,{int(decimal_scale)})"
+    # Non-ANSI Spark turns a decimal-overflow cast into NULL, which
+    # would silently DROP a mid-range value >= 10^(18-scale) from
+    # __sum_mid while n still counts it (the DuckDB oracle errors on
+    # the same cast). Guard the cast: raise_error in codegen instead of
+    # a silent NULL, matching the oracle's behavior. The clamped tails
+    # never go through decimal (they contribute n·p_lo / n·p_hi as
+    # doubles), so only the mid-range cast needs the bound.
+    bound = float(10 ** (18 - int(decimal_scale)))
+    guarded_cast = F.when(
+        F.abs(F.col("__v")) < F.lit(bound), F.col("__v").cast(dec)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"winsorized_summary: |value| >= {bound:g} overflows {dec}; "
+                    "widen decimal_scale precision headroom, got "
+                ),
+                F.col("__v").cast("string"),
+            )
+        ).cast(dec)
+    )
     joined = base.join(F.broadcast(pct), "__g")
     agg = joined.groupBy("__g", "p_lo", "p_hi").agg(
         F.count(F.lit(1)).alias("n"),
@@ -327,7 +348,7 @@ def winsorized_summary(
             F.sum(
                 F.when(
                     (F.col("__v") >= F.col("p_lo")) & (F.col("__v") <= F.col("p_hi")),
-                    F.col("__v").cast(dec),
+                    guarded_cast,
                 )
             ).cast("double"),
             F.lit(0.0),
