@@ -1779,6 +1779,10 @@ def rt_stream_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calendar fields like day-of-month, which interleave chunks (and
     # silently raise `overlapped`) the moment the fixture crosses a
     # month boundary. The 1-row bounds broadcast back onto the scan.
+    # NULL ts would slice to __k = NULL -> a FIFTH __HIVE_DEFAULT_PARTITION__
+    # file and micro-batch, contradicting the four-slice contract below
+    # (gap_registers drops NULL ts anyway, so filtering here is lossless)
+    e = e.where(F.col("ts").isNotNull())
     bounds = e.agg(
         F.min(F.unix_micros("ts")).alias("__t0"),
         F.max(F.unix_micros("ts")).alias("__t1"),
@@ -1805,7 +1809,8 @@ def rt_stream_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         files = [
             f for f in os.listdir(os.path.join(staged, d)) if f.endswith(".parquet")
         ]
-        assert len(files) == 1, f"slice {k}: expected 1 file, got {files}"
+        if len(files) != 1:  # not assert: must survive python -O
+            raise RuntimeError(f"slice {k}: expected exactly 1 file, got {files}")
         os.rename(
             os.path.join(staged, d, files[0]), os.path.join(src, f"slice_{k}.parquet")
         )
