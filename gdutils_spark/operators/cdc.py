@@ -222,6 +222,15 @@ def snapshot_diff(
     ]
     if missing:
         raise ValueError(f"snapshot_diff: columns missing from a snapshot: {missing}")
+    reserved = {"change", "changed_cols"} & set(key_cols)
+    if reserved:
+        # a key named like an output column would emit a duplicate-name
+        # schema that only fails at a distant downstream select (the
+        # normalize_columns hazard class, r11 hunt)
+        raise ValueError(
+            f"snapshot_diff: key columns {sorted(reserved)} collide with "
+            "the output's change/changed_cols columns — rename them first"
+        )
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],

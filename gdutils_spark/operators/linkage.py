@@ -84,6 +84,13 @@ def fuzzy_blocked_join(
     holds nothing corpus-sized and no cache lingers after the call."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"fuzzy_blocked_join: threshold={threshold} must be in (0, 1]")
+    if max_token_freq is not None and max_token_freq < 1:
+        # 0 would mark EVERY token hot -> zero candidates -> silently
+        # empty result (the pack_sequences budget=0 hazard class)
+        raise ValueError(
+            f"fuzzy_blocked_join: max_token_freq={max_token_freq} must be >= 1 "
+            "(or None to disable the hot-token guard)"
+        )
     ta = _token_table(a, a_id, a_text, "a")
     tb = _token_table(b, b_id, b_text, "b")
     if stage_path is not None:

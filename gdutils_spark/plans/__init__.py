@@ -106,9 +106,27 @@ def uses_python(df_or_plan: DataFrame | str) -> bool:
     plan = (
         df_or_plan if isinstance(df_or_plan, str) else formatted_plan(df_or_plan)
     )
+    # r12 latent-hunt fix: the marker list missed four Python-eval node
+    # types (probe-confirmed on this Spark): ArrowAggregatePython
+    # (pandas UDAF; AggregateInPandas pre-4.x), ArrowWindowPython
+    # (pandas UDF over a window; WindowInPandas pre-4.x), MapInArrow,
+    # and FlatMapCoGroupsInPandas — a plan using any of them passed
+    # assert_no_python. "FlatMapGroupsInPandas" also prefix-matches
+    # the WithState variant.
     return any(
         marker in plan
-        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "MapInArrow",
+            "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "ArrowAggregatePython",
+            "AggregateInPandas",
+            "ArrowWindowPython",
+            "WindowInPandas",
+        )
     )
 
 

@@ -27,7 +27,12 @@ def calendar_to_pandas(calendar_df: DataFrame):
     distributed plan produced the tiny matrix; pandas only re-labels it.
     """
     pdf = calendar_df.toPandas()
-    keys = [c for c in ("year", "month") if c in pdf.columns and not pdf[c].empty]
+    # key detection by SCHEMA, not contents: the old `not pdf[c].empty`
+    # clause dropped every key exactly when the frame had zero rows,
+    # so an empty calendar crashed set_index([]) with an opaque pandas
+    # error (r12 latent-hunt). An empty calendar now returns an empty
+    # matrix with the right index/column labels.
+    keys = [c for c in ("year", "month") if c in pdf.columns]
     value_cols = [c for c in pdf.columns if c.startswith("c") and c[1:].isdigit()]
     pdf = pdf.set_index(keys)[value_cols]
     pdf.columns = [int(c[1:]) for c in value_cols]

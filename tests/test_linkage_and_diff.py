@@ -34,6 +34,8 @@ def test_fuzzy_join_scores_and_threshold(spark):
     assert (2, 11) not in out
     with pytest.raises(ValueError, match="threshold"):
         fuzzy_blocked_join(a, b, "id", "name", "id", "name", threshold=0.0)
+    with pytest.raises(ValueError, match="max_token_freq"):
+        fuzzy_blocked_join(a, b, "id", "name", "id", "name", max_token_freq=0)
 
 
 def test_fuzzy_join_hot_token_guard_keeps_scores_exact(spark):
@@ -116,6 +118,12 @@ def test_snapshot_diff_null_safe_and_validation(spark):
         snapshot_diff(old, new, ["k"], ["nope"])
 
 
+def test_snapshot_diff_reserved_key_name_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "change long, v string")
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(df, df, ["change"])
+
+
 def test_edge_jaccard_triangle_plus_bridge(spark):
     # triangle 1-2-3 plus a pendant bridge 3-4
     edges = spark.createDataFrame(
@@ -160,3 +168,42 @@ def test_winsorized_summary_drops_null_nan(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = winsorized_summary(df, "g", "v").collect()
     assert len(r) == 1 and r[0]["n"] == 2
+
+
+def test_winsorized_summary_degenerate_groups(spark):
+    # r12 latent-hunt edge cases (VERDICT r11 task 5): single-value
+    # group, all-equal (flat) group, and a group where interpolated
+    # quantiles leave NO mid-range value (sum_mid is an empty SUM ->
+    # NULL -> must coalesce to 0.0, not poison the mean)
+    df = spark.createDataFrame(
+        [("one", 7.0)]
+        + [("flat", 5.0)] * 4
+        + [("nomid", 1.0), ("nomid", 2.0)],
+        "g string, v double",
+    )
+    out = {
+        r["g"]: r
+        for r in winsorized_summary(df, "g", "v", 0.3, 0.6).collect()
+    }
+    # single value: p_lo == p_hi == v, nothing clamped, mean == v
+    assert out["one"]["winsorized_mean"] == 7.0
+    assert out["one"]["n_below"] == 0 and out["one"]["n_above"] == 0
+    # flat group: everything is "mid", mean is the constant
+    assert out["flat"]["winsorized_mean"] == 5.0
+    # [1, 2] with p_lo=1.3, p_hi=1.6: BOTH values are tails, zero mid
+    import numpy as np
+
+    p_lo, p_hi = np.quantile([1.0, 2.0], 0.3), np.quantile([1.0, 2.0], 0.6)
+    assert out["nomid"]["p_lo"] == pytest.approx(p_lo)
+    assert out["nomid"]["n_below"] == 1 and out["nomid"]["n_above"] == 1
+    assert out["nomid"]["winsorized_mean"] == pytest.approx((p_lo + p_hi) / 2)
+
+
+def test_winsorized_summary_overflow_raises(spark):
+    # non-ANSI Spark nulls a decimal-overflow cast; the guard must turn
+    # the silent mid-value drop into a loud error (ADVICE r11)
+    df = spark.createDataFrame(
+        [("t", 1e17), ("t", 2.0), ("t", 3.0)], "g string, v double"
+    )
+    with pytest.raises(Exception, match="overflows"):
+        winsorized_summary(df, "g", "v", 0.0, 1.0).collect()

@@ -98,6 +98,16 @@ def test_calendar_to_pandas_shape(spark, obs):
     assert pdf.loc[(2024, 1)].sum() == 31
 
 
+def test_calendar_to_pandas_empty_calendar(spark):
+    # r12 latent-hunt regression: zero-row calendars crashed set_index
+    # because key detection looked at contents instead of schema
+    empty = spark.createDataFrame([], "year int, month int, c01 bigint, c02 bigint")
+    pdf = calendar_to_pandas(empty)
+    assert pdf.shape == (0, 2)
+    assert list(pdf.index.names) == ["year", "month"]
+    assert pdf.columns.name == "month"
+
+
 # -- ErddapPlotter ----------------------------------------------------------
 
 

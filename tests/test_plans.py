@@ -69,6 +69,39 @@ def test_no_python_in_relational_queries(spark, sf_correct):
         assert not uses_python(df), f"{name} fell out of the JVM into Python"
 
 
+def test_uses_python_detects_every_eval_node_type(spark):
+    # r12 latent-hunt regression: ArrowAggregatePython / ArrowWindowPython
+    # / MapInArrow / FlatMapCoGroupsInPandas previously escaped the guard
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+
+    # no type hints: this file's `from __future__ import annotations`
+    # stringifies them and pyspark's hint resolver chokes
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def pmean(v):  # pragma: no cover - plan-only
+        return float(v.mean())
+
+    cases = {
+        "pandas_udaf": df.groupBy("g").agg(pmean("id").alias("m")),
+        "pandas_window": df.withColumn(
+            "m", pmean("id").over(Window.partitionBy("g"))
+        ),
+        "map_in_arrow": df.mapInArrow(lambda it: it, "id long, g long"),
+        "cogroup": df.groupBy("g")
+        .cogroup(df.groupBy("g"))
+        .applyInPandas(lambda a, b: a, "id long, g long"),
+    }
+    for label, d in cases.items():
+        assert uses_python(d), f"{label} plan not flagged as Python"
+    assert not uses_python(df.groupBy("g").count())
+
+
 def test_chunking_has_no_shuffle(spark, sf_correct):
     """Chunking is a scan-shaped stage: tokenize + window starts +
     slices all map-side, zero Exchange — the property that makes it free
