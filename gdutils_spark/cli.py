@@ -771,6 +771,37 @@ def cmd_fuzzy_match(args) -> int:
     return 0
 
 
+def cmd_edit_match(args) -> int:
+    from gdutils_spark.operators.linkage import edit_blocked_join
+
+    spark = _get_spark()
+    a = _load(spark, args.input)
+    b = _load(spark, args.other)
+    out = edit_blocked_join(
+        a,
+        b,
+        args.id_col,
+        args.text_col,
+        args.other_id_col or args.id_col,
+        args.other_text_col or args.text_col,
+        max_dist=args.max_dist,
+        q=args.q,
+        max_gram_freq=args.max_gram_freq or None,
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_trend(args) -> int:
+    from gdutils_spark.operators.summaries import group_trend
+
+    spark = _get_spark()
+    df = _load(spark, args.input)
+    out = group_trend(df, args.group_col, args.x_col, args.y_col)
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_snapshot_diff(args) -> int:
     from gdutils_spark.operators.cdc import snapshot_diff
 
@@ -1326,6 +1357,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="blocking skew guard: tokens on more rows than "
                     "this never generate candidates (scores stay exact); "
                     "0 disables")
+
+    sp = add_pipeline("edit-match", cmd_edit_match)
+    sp.add_argument("--other", required=True, help="second table path")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--other-id-col", help="defaults to --id-col")
+    sp.add_argument("--other-text-col", help="defaults to --text-col")
+    sp.add_argument("--max-dist", type=int, default=2,
+                    help="max Levenshtein distance")
+    sp.add_argument("--q", type=int, default=4, help="blocking gram size")
+    sp.add_argument("--max-gram-freq", type=int, default=0,
+                    help="optional hot-gram guard (disables the count "
+                    "filter; 0 = guaranteed-recall default)")
+
+    sp = add_pipeline("trend", cmd_trend)
+    sp.add_argument("--group-col", default="event_type")
+    sp.add_argument("--x-col", default="day_idx")
+    sp.add_argument("--y-col", default="value")
 
     sp = add_pipeline("snapshot-diff", cmd_snapshot_diff)
     sp.add_argument("--new", required=True, help="new snapshot table path")

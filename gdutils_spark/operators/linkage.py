@@ -132,3 +132,163 @@ def fuzzy_blocked_join(
         .select("a_id", "b_id", "n_common", "na", "nb", jac.alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(float(threshold)))
     )
+
+
+def _qgram_table(
+    df: DataFrame, id_col: str, text_col: str, side: str, q: int, short_len: int,
+    k: int, expand_short: bool,
+) -> DataFrame:
+    """Positional blocking grams per id — ``({side}_id, {side}_text,
+    gram, pos)`` for every q-gram of the lower-cased text (1-based
+    positions; strings shorter than ``q`` have none). Strings shorter
+    than ``short_len`` ADDITIONALLY emit length-bucket rows at pos 0
+    (``expand_short`` sides emit buckets for every length in
+    ``[len-k, len+k]`` so every short pair inside the length band
+    meets in a bucket REGARDLESS of which side is shorter; the other
+    side emits its own length only) — the guaranteed-recall path the
+    q-gram count bound can't cover."""
+    base = df.select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.lower(F.col(text_col)).alias(f"{side}_text"),
+    ).where(F.col(f"{side}_id").isNotNull() & F.col(f"{side}_text").isNotNull())
+    ln = F.length(F.col(f"{side}_text"))
+    grams = base.where(ln >= q).select(
+        f"{side}_id",
+        f"{side}_text",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), ln - F.lit(q - 1)),
+                lambda i: F.struct(
+                    F.substring(F.col(f"{side}_text"), i, q).alias("gram"),
+                    i.alias("pos"),
+                ),
+            )
+        ).alias("g"),
+    ).select(f"{side}_id", f"{side}_text", "g.gram", "g.pos")
+    short = base.where(ln < F.lit(short_len))
+    if expand_short:
+        buckets = short.select(
+            f"{side}_id",
+            f"{side}_text",
+            F.explode(
+                F.transform(
+                    # BOTH directions: the partner may be shorter
+                    F.sequence(F.greatest(ln - F.lit(k), F.lit(0)), ln + F.lit(k)),
+                    lambda l: F.concat(F.lit("\x02len="), l.cast("string")),
+                )
+            ).alias("gram"),
+            F.lit(0).alias("pos"),
+        )
+    else:
+        buckets = short.select(
+            f"{side}_id",
+            f"{side}_text",
+            F.concat(F.lit("\x02len="), ln.cast("string")).alias("gram"),
+            F.lit(0).alias("pos"),
+        )
+    return grams.unionByName(buckets)
+
+
+def edit_blocked_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str,
+    a_text: str,
+    b_id: str,
+    b_text: str,
+    max_dist: int = 2,
+    q: int = 4,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Edit-distance join: ``(a_id, b_id, dist)`` for every cross-table
+    pair whose lower-cased texts are within Levenshtein distance
+    ``max_dist`` — the typo-tolerant twin of :func:`fuzzy_blocked_join`
+    (token-set Jaccard catches word reorderings; edit distance catches
+    character-level corruption: OCR noise, transliteration drift,
+    fat-fingered ids, near-dup text prefixes).
+
+    Spark-first shape (positional q-gram blocking with the MergeCount
+    filter, Gravano et al. 2001, "Approximate string joins in a
+    database (almost) for free"): explode each side to its positional
+    q-grams, ONE gram-keyed equi-join restricted to ``|pos_a - pos_b|
+    <= max_dist`` (an edit shifts surviving grams by at most one
+    position each), a length-band filter (``|len_a - len_b| <=
+    max_dist``), then the COUNT filter — a true pair within distance k
+    keeps at least ``max(len_a, len_b) - q + 1 - k*q`` gram occurrences
+    intact, so pairs below that bound are pruned BEFORE verification
+    (on natural text this is the step that matters: common grams like
+    "the " block at the same position only, and the count bound cuts
+    candidate pairs by ~10^4x on the documents fixture). Survivors are
+    verified with the EXACT JVM ``levenshtein`` — every emitted dist is
+    exact, and recall is exact too: pairs where ``max(len) >=
+    q*(max_dist+1)`` are guaranteed >= 1 surviving positional gram, and
+    SHORTER strings also meet in explicit length buckets (side a emits
+    buckets for a window of lengths, side b for its own length — every
+    short pair inside the band meets exactly once, pos-0 rows bypass
+    the count bound).
+
+    ``max_gram_freq`` (default None = guaranteed recall): when set,
+    grams on more rows than the cap are excluded from candidate
+    generation AND the count filter is disabled (dropped grams would
+    break its bound) — the fuzzy_blocked_join caveat applies (a pair
+    sharing only hot grams is missed). On natural-language corpora
+    prefer the default: the positional+count filters already handle
+    common grams.
+
+    Plan shape: two gram explodes, one (gram)-keyed equi-join with the
+    position band as a residual, one pair-keyed count, one Catalyst
+    ``levenshtein`` filter — all JVM-side, no Python, never a cross
+    join."""
+    if max_dist < 1:
+        raise ValueError(f"edit_blocked_join: max_dist={max_dist} must be >= 1")
+    if q < 2:
+        raise ValueError(f"edit_blocked_join: q={q} must be >= 2")
+    if max_gram_freq is not None and max_gram_freq < 1:
+        raise ValueError(
+            f"edit_blocked_join: max_gram_freq={max_gram_freq} must be >= 1 "
+            "(or None for guaranteed-recall blocking)"
+        )
+    short_len = q * (max_dist + 1)
+    ga = _qgram_table(a, a_id, a_text, "a", q, short_len, int(max_dist), expand_short=True)
+    gb = _qgram_table(b, b_id, b_text, "b", q, short_len, int(max_dist), expand_short=False)
+    use_count_filter = max_gram_freq is None
+    if max_gram_freq is not None:
+        hot = (
+            ga.groupBy("gram").agg(F.count(F.lit(1)).alias("__f"))
+            .unionByName(gb.groupBy("gram").agg(F.count(F.lit(1)).alias("__f")))
+            .groupBy("gram")
+            .agg(F.max("__f").alias("__f"))
+            .where(F.col("__f") > F.lit(int(max_gram_freq)))
+            .select("gram")
+        )
+        ga = ga.join(hot, "gram", "left_anti")
+        gb = gb.join(hot, "gram", "left_anti")
+    k = int(max_dist)
+    joined = (
+        ga.alias("ga")
+        .join(gb.alias("gb"), "gram")
+        .where(
+            (F.abs(F.col("ga.pos") - F.col("gb.pos")) <= F.lit(k))
+            & (F.abs(F.length("a_text") - F.length("b_text")) <= F.lit(k))
+        )
+    )
+    cands = joined.groupBy("a_id", "b_id", "a_text", "b_text").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max(F.col("ga.pos") + F.col("gb.pos")).alias("__maxpos"),
+    )
+    if use_count_filter:
+        # pos 0 rows are length-bucket meetings (short strings): exempt
+        # from the gram-count bound, which assumes q-gram coverage
+        bound = (
+            F.greatest(F.length("a_text"), F.length("b_text"))
+            - F.lit(q - 1)
+            - F.lit(k * q)
+        )
+        cands = cands.where(
+            (F.col("__maxpos") == 0) | (F.col("__cnt") >= bound)
+        )
+    return cands.select(
+        "a_id",
+        "b_id",
+        F.levenshtein("a_text", "b_text").alias("dist"),
+    ).where(F.col("dist") <= F.lit(k))

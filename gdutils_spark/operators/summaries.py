@@ -370,3 +370,101 @@ def winsorized_summary(
         "n_above",
         mean.alias("winsorized_mean"),
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line — ``(group, n, slope,
+    intercept)`` for ``y ~ slope*x + intercept`` — the trend detector a
+    metrics pipeline runs over (entity, day-index, daily-total) rows:
+    which event types are growing, which feeds are decaying, is a
+    quality score drifting. The closed form needs only five sums, so
+    the whole fit is ONE map-side-combinable aggregate — no window, no
+    iteration, no second pass; at 100 TB it moves group-cardinality
+    rows once.
+
+    Cross-engine determinism (the winsorized_summary discipline,
+    pushed further): x must be integral (day index, epoch day — cast
+    to long) and y is scaled to INTEGER units of ``10^-decimal_scale``
+    (cents for the default 2) through an exact decimal cast, so ALL
+    five sums (n, Sx, Syc, Sxyc, Sxx) are plain longs — no decimal
+    widening rules to reconcile between engines — and the only float
+    ops are the final assembly in ONE pinned IEEE order::
+
+        den       = n*Sxx - Sx*Sx                       (exact long)
+        slope     = (dbl(n*Sxyc - Sx*Syc) / dbl(den)) / 10^scale
+        intercept = (dbl(Syc)/10^scale - slope*dbl(Sx)) / dbl(n)
+
+    Magnitude bound (documented, winsorized-style guarded): per-group
+    ``|y|·10^scale`` must fit ``decimal(18,0)`` after scaling (raises
+    via the decimal cast guard) and ``n·max|x·y·10^scale|`` must fit
+    int64 — with day-index x (~2·10^4) and scale 2 that allows group
+    sums beyond 10^12 y-units, orders of magnitude past any daily-
+    rollup fixture; for bigger magnitudes lower ``decimal_scale``.
+
+    Groups where every x is identical have ``den = 0`` (a vertical
+    line): slope and intercept are NULL, n still reported. NULL/NaN x
+    or y rows and NULL groups are dropped."""
+    scale_f = float(10 ** int(decimal_scale))
+    dec = f"decimal(18,{int(decimal_scale)})"
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("double").alias("__yd"),
+    ).where(
+        F.col("__g").isNotNull()
+        & F.col("__x").isNotNull()
+        & F.col("__yd").isNotNull()
+        & ~F.isnan(F.col("__yd"))
+    )
+    # exact integer y-units: double -> decimal(18,scale) (HALF_UP, the
+    # engine-wide quantize convention) -> shift scale -> long. A value
+    # overflowing the decimal nulls under non-ANSI Spark -> guard like
+    # winsorized_summary: raise loudly instead of silently dropping.
+    bound = float(10 ** (18 - int(decimal_scale)))
+    yc = F.when(
+        F.abs(F.col("__yd")) < F.lit(bound),
+        (F.col("__yd").cast(dec) * F.lit(int(scale_f))).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"group_trend: |y| >= {bound:g} overflows {dec}; lower "
+                    "decimal_scale, got "
+                ),
+                F.col("__yd").cast("string"),
+            )
+        ).cast("long")
+    )
+    xl = F.col("__x")
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("__sx"),
+        F.sum(yc).alias("__syc"),
+        F.sum(xl * yc).alias("__sxyc"),
+        F.sum(xl * xl).alias("__sxx"),
+    )
+    den = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = F.col("n") * F.col("__sxyc") - F.col("__sx") * F.col("__syc")
+    slope = F.when(
+        den != 0,
+        (num.cast("double") / den.cast("double")) / F.lit(scale_f),
+    )
+    intercept = (
+        F.col("__syc").cast("double") / F.lit(scale_f)
+        - F.col("slope") * F.col("__sx").cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        agg.withColumn("slope", slope)
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            "slope",
+            F.when(F.col("slope").isNotNull(), intercept).alias("intercept"),
+        )
+    )

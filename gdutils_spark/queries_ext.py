@@ -7069,6 +7069,139 @@ FROM agg
 """
 
 
+EDIT_PREFIX_LEN = 32
+EDIT_MAX_DIST = 2
+EDIT_Q = 4
+
+
+def doc_prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs (``operators/linkage
+    .edit_blocked_join``): document pairs whose first-32-char lowered
+    prefixes are within Levenshtein distance 2 — the typo/OCR-noise
+    twin of the MinHash family (shingle Jaccard misses single-char
+    corruption on short spans; edit distance nails it). Positional
+    q-gram blocking + Gravano count filter: never a cross join, and on
+    this corpus the count bound prunes candidates ~10^4x before the
+    exact verify."""
+    from gdutils_spark.operators.linkage import edit_blocked_join
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, EDIT_PREFIX_LEN)).alias("prefix")
+    )
+    return (
+        edit_blocked_join(
+            d, d, "doc_id", "prefix", "doc_id", "prefix",
+            max_dist=EDIT_MAX_DIST, q=EDIT_Q,
+        )
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("a_doc"),
+            F.col("b_id").alias("b_doc"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+def _edit_pairs_sql() -> str:
+    # the oracle is the NAIVE quadratic form (exact by construction);
+    # the Spark side must reproduce it through blocking + count filter
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(substr(text, 1, {EDIT_PREFIX_LEN})) AS p
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+)
+SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+       CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE abs(length(a.p) - length(b.p)) <= {EDIT_MAX_DIST}
+  AND levenshtein(a.p, b.p) <= {EDIT_MAX_DIST}
+"""
+
+
+def event_type_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of DAILY total value over the day index
+    (``operators/summaries.group_trend``): which event types are
+    growing/decaying, as one slope per type. Daily totals route through
+    decimal; the regression sums are exact scaled-integer longs and the
+    slope/intercept assemble in one pinned IEEE order, so the relation
+    hash-verifies cross-engine."""
+    from gdutils_spark.operators.summaries import group_trend
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+    )
+    daily = e.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("day_idx")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("daily_value")
+    )
+    return group_trend(daily, "event_type", "day_idx", "daily_value")
+
+
+def _value_trend_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type AS g,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(CAST(CAST(y AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS syc,
+         CAST(SUM(x * CAST(CAST(y AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS sxyc,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY g
+)
+SELECT g AS event_type, n,
+  CASE WHEN n*sxx - sx*sx <> 0 THEN
+    (CAST(n*sxyc - sx*syc AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) / 100.0
+  END AS slope,
+  CASE WHEN n*sxx - sx*sx <> 0 THEN
+    (CAST(syc AS DOUBLE) / 100.0
+     - ((CAST(n*sxyc - sx*syc AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        / 100.0) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+  END AS intercept
+FROM s
+"""
+
+
+def order_totals_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE report over (priority, status): every subtotal combination
+    in ONE pass — physical plan is a single Expand (4x the scan) into
+    one aggregate, the Spark-native replacement for four separate
+    GROUP BYs (and the CUBE twin of ``rollup_order_totals``).
+    ``gid`` disambiguates a grouped-out dimension from a genuine NULL
+    value (grouping_id bit per column, Spark == DuckDB bit order)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def _cube_sql() -> str:
+    return """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7198,6 +7331,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_leakage_safe_split": doc_leakage_safe_split,
     "doc_temperature_mix": doc_temperature_mix,
     "customer_supplier_name_match": customer_supplier_name_match,
+    "doc_prefix_edit_pairs": doc_prefix_edit_pairs,
+    "event_type_value_trend": event_type_value_trend,
+    "order_totals_cube": order_totals_cube,
     "orders_snapshot_diff": orders_snapshot_diff,
     "part_copurchase_edge_jaccard": part_copurchase_edge_jaccard,
     "event_value_winsorized": event_value_winsorized,
@@ -7334,6 +7470,9 @@ EXT_ORACLE: dict[str, str] = {
     "doc_temperature_mix": _TEMP_MIX_SQL,
     "geo_user_tracks": _geo_tracks_sql(),
     "customer_supplier_name_match": _fuzzy_match_sql(),
+    "doc_prefix_edit_pairs": _edit_pairs_sql(),
+    "event_type_value_trend": _value_trend_sql(),
+    "order_totals_cube": _cube_sql(),
     "orders_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "part_copurchase_edge_jaccard": _edge_jaccard_sql(),
     "event_value_winsorized": _winsorized_sql(),

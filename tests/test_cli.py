@@ -654,3 +654,32 @@ def test_cli_winsorize(tmp_path, capsys, spark):
     # 18.1: values 19,20 clamp down
     assert rows[0]["n"] == 20
     assert rows[0]["n_below"] == 2 and rows[0]["n_above"] == 2
+
+
+def test_cli_edit_match(tmp_path, capsys, spark):
+    pa = str(tmp_path / "ea")
+    pb = str(tmp_path / "eb")
+    spark.createDataFrame(
+        [(1, "glider mission alpha")], "doc_id long, text string"
+    ).write.parquet(pa)
+    spark.createDataFrame(
+        [(10, "glider mission alphaX"), (11, "unrelated entirely")],
+        "doc_id long, text string",
+    ).write.parquet(pb)
+    assert main([
+        "edit-match", "--input", pa, "--other", pb, "--max-dist", "1",
+        "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1 and rows[0]["b_id"] == 10 and rows[0]["dist"] == 1
+
+
+def test_cli_trend(tmp_path, capsys, spark):
+    path = str(tmp_path / "trend")
+    spark.createDataFrame(
+        [("t", x, 3.0 * x + 2.0) for x in range(5)],
+        "event_type string, day_idx int, value double",
+    ).write.parquet(path)
+    assert main(["trend", "--input", path, "-f", "json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["slope"] == 3.0 and rows[0]["intercept"] == 2.0

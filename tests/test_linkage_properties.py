@@ -166,3 +166,71 @@ def test_edge_jaccard_matches_neighbor_set_model(spark, edges):
         expect_j = len(common) / len(union) if union else 0.0
         assert got[(u, v)][0] == len(common)
         assert abs(got[(u, v)][1] - expect_j) < 1e-12
+
+
+# -- round-12 operators -------------------------------------------------------
+
+def _lev(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    a_strs=st.lists(st.text(alphabet="abcd", max_size=16), min_size=1, max_size=20),
+    b_strs=st.lists(st.text(alphabet="abcd", max_size=16), min_size=1, max_size=20),
+    k=st.integers(1, 3),
+)
+@slow
+def test_edit_blocked_join_matches_brute_force(spark, a_strs, b_strs, k):
+    from gdutils_spark.operators.linkage import edit_blocked_join
+
+    a = spark.createDataFrame(list(enumerate(a_strs)), "id long, t string")
+    b = spark.createDataFrame(list(enumerate(b_strs)), "id long, t string")
+    out = sorted(
+        map(tuple, edit_blocked_join(a, b, "id", "t", "id", "t", max_dist=k).collect())
+    )
+    expect = sorted(
+        (i, j, _lev(x, y))
+        for i, x in enumerate(a_strs)
+        for j, y in enumerate(b_strs)
+        if _lev(x, y) <= k
+    )
+    assert out == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 40),
+            st.floats(-1e4, 1e4, allow_nan=False).map(lambda v: round(v, 2)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@slow
+def test_group_trend_matches_numpy_polyfit(spark, rows):
+    import numpy as np
+    import pytest as _pt
+
+    from gdutils_spark.operators.summaries import group_trend
+
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = {r["g"]: r for r in group_trend(df, "g", "x", "y").collect()}
+    for g in {r[0] for r in rows}:
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        r = out[g]
+        assert r["n"] == len(xs)
+        if len(set(xs)) < 2:
+            assert r["slope"] is None and r["intercept"] is None
+        else:
+            slope, intercept = np.polyfit(xs, ys, 1)
+            assert r["slope"] == _pt.approx(slope, rel=1e-6, abs=1e-9)
+            assert r["intercept"] == _pt.approx(intercept, rel=1e-6, abs=1e-9)

@@ -640,3 +640,34 @@ def test_winsorized_broadcasts_percentiles(spark, sf_correct):
     df = QUERIES["event_value_winsorized"](spark, sf_correct)
     assert has_broadcast_join(df)
     assert not uses_python(formatted_plan(df))
+
+
+def test_edit_pairs_no_cartesian_count_filter_no_python(spark, sf_correct):
+    """doc_prefix_edit_pairs must candidate-generate via the positional
+    gram equi-join — a CartesianProduct means the blocking collapsed
+    into the A x B blow-up the operator exists to avoid."""
+    plan = formatted_plan(QUERIES["doc_prefix_edit_pairs"](spark, sf_correct))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not uses_python(plan)
+    # exact verify stays JVM-side
+    assert "levenshtein" in plan
+
+
+def test_value_trend_is_two_aggregates_no_window(spark, sf_correct):
+    """event_type_value_trend = daily rollup + ONE fit aggregate: no
+    window, no join, no iteration — the whole regression is two keyed
+    aggregates."""
+    plan = formatted_plan(QUERIES["event_type_value_trend"](spark, sf_correct))
+    assert "Window" not in plan
+    assert plan.count("SortMergeJoin") == 0 and plan.count("ShuffledHashJoin") == 0
+    assert not uses_python(plan)
+
+
+def test_cube_is_one_expand_one_aggregate(spark, sf_correct):
+    """order_totals_cube: a single Expand feeding one aggregate — four
+    separate GROUP BYs would scan the fact table four times."""
+    df = QUERIES["order_totals_cube"](spark, sf_correct)
+    plan = formatted_plan(df)
+    assert n_nodes(plan, "Expand") == 1, plan
+    assert not uses_python(plan)
