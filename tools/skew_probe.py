@@ -140,6 +140,88 @@ def graph_main() -> None:
     print(f"| hub's own oriented out-list | {hub_out} |")
 
 
+def edge_jaccard_main() -> None:
+    """VERDICT r11 task 7: does edge_jaccard inherit triangle_count's
+    hub immunity? The 3-edge explode multiplies the triangle set by 3
+    and the per-edge aggregate keys on canonical (u, v) — report wall
+    times with/without a degree-10^5 hub, the explode volume, and the
+    hottest per-edge key (the aggregate is map-combinable, so the
+    hazard is volume + one-key concentration, not a straggler task)."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.graph import (
+        _canonical_edges,
+        _degree_oriented,
+        _rank_lt,
+        edge_jaccard,
+        triangle_count,
+    )
+    from gdutils_spark.queries_ext import _copurchase_edges
+    from gdutils_spark.session import get_spark
+
+    spark = get_spark("edge-jaccard-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = _copurchase_edges(spark, SF_DIR, both_directions=True).select(
+        "src", "dst"
+    ).localCheckpoint()
+    n_base = base.count()
+    hub_id = -1
+    spokes = spark.range(HUB_DEGREE).select((F.col("id") + 10_000_000).alias("peer"))
+    hub = spokes.select(
+        F.lit(hub_id).alias("src"), F.col("peer").alias("dst")
+    ).unionByName(
+        spokes.select(F.col("peer").alias("src"), F.lit(hub_id).alias("dst"))
+    )
+    hubbed = base.unionByName(hub).localCheckpoint()
+    hubbed.count()
+    print(f"fixture: {n_base} directed edges + degree-{HUB_DEGREE} hub")
+
+    def timed(thunk, runs=3):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_tri_base = timed(lambda: triangle_count(base).count())
+    t_ej_base = timed(lambda: edge_jaccard(base).count())
+    t_tri_hub = timed(lambda: triangle_count(hubbed).count())
+    t_ej_hub = timed(lambda: edge_jaccard(hubbed).count())
+
+    # skew quantities on the hubbed graph: triangle volume (the explode
+    # input), 3x explode output, and the hottest per-edge key
+    e = _canonical_edges(hubbed, "src", "dst")
+    _deg, oriented = _degree_oriented(e)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(o2, (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2")).select(
+        F.col("o1.a").alias("c"), F.col("o1.b").alias("x"), F.col("o2.b").alias("y")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    n_tri = tri.count()
+    hot = (
+        edge_jaccard(hubbed)
+        .agg(F.max("n_common").alias("mx"), F.sum("n_common").alias("total"))
+        .first()
+    )
+    print()
+    print("| edge_jaccard hub probe | warm best-of-3 |")
+    print("|---|---|")
+    print(f"| triangle_count, base | {t_tri_base:.2f} s |")
+    print(f"| edge_jaccard, base | {t_ej_base:.2f} s |")
+    print(f"| triangle_count, base + hub | {t_tri_hub:.2f} s |")
+    print(f"| edge_jaccard, base + hub | {t_ej_hub:.2f} s |")
+    print(f"| triangles (explode input), hubbed | {n_tri} |")
+    print(f"| 3-edge explode rows | {3 * n_tri} |")
+    print(f"| hottest per-edge key (max n_common) | {hot['mx']} |")
+    print(f"| sum n_common (== 3x triangles) | {hot['total']} |")
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -222,5 +304,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--graph" in sys.argv:
         graph_main()
+    elif "--edge-jaccard" in sys.argv:
+        edge_jaccard_main()
     else:
         main()
