@@ -138,7 +138,7 @@ def _qgram_table(
     df: DataFrame, id_col: str, text_col: str, side: str, q: int, short_len: int,
     k: int, expand_short: bool,
 ) -> DataFrame:
-    """Positional blocking grams per id — ``({side}_id, {side}_text,
+    """Positional blocking grams per id — ``({side}_id, {side}_len,
     gram, pos)`` for every q-gram of the lower-cased text (1-based
     positions; strings shorter than ``q`` have none). Strings shorter
     than ``short_len`` ADDITIONALLY emit length-bucket rows at pos 0
@@ -152,9 +152,11 @@ def _qgram_table(
         F.lower(F.col(text_col)).alias(f"{side}_text"),
     ).where(F.col(f"{side}_id").isNotNull() & F.col(f"{side}_text").isNotNull())
     ln = F.length(F.col(f"{side}_text"))
+    # only (id, len, gram, pos) rides through the blocking join/shuffle —
+    # never the text itself (texts join back onto the candidate set only)
     grams = base.where(ln >= q).select(
         f"{side}_id",
-        f"{side}_text",
+        ln.alias(f"{side}_len"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), ln - F.lit(q - 1)),
@@ -164,12 +166,12 @@ def _qgram_table(
                 ),
             )
         ).alias("g"),
-    ).select(f"{side}_id", f"{side}_text", "g.gram", "g.pos")
+    ).select(f"{side}_id", f"{side}_len", "g.gram", "g.pos")
     short = base.where(ln < F.lit(short_len))
     if expand_short:
         buckets = short.select(
             f"{side}_id",
-            f"{side}_text",
+            ln.alias(f"{side}_len"),
             F.explode(
                 F.transform(
                     # BOTH directions: the partner may be shorter
@@ -182,7 +184,7 @@ def _qgram_table(
     else:
         buckets = short.select(
             f"{side}_id",
-            f"{side}_text",
+            ln.alias(f"{side}_len"),
             F.concat(F.lit("\x02len="), ln.cast("string")).alias("gram"),
             F.lit(0).alias("pos"),
         )
@@ -269,26 +271,41 @@ def edit_blocked_join(
         .join(gb.alias("gb"), "gram")
         .where(
             (F.abs(F.col("ga.pos") - F.col("gb.pos")) <= F.lit(k))
-            & (F.abs(F.length("a_text") - F.length("b_text")) <= F.lit(k))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= F.lit(k))
         )
     )
-    cands = joined.groupBy("a_id", "b_id", "a_text", "b_text").agg(
+    cands = joined.groupBy("a_id", "b_id", "a_len", "b_len").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.max(F.col("ga.pos") + F.col("gb.pos")).alias("__maxpos"),
     )
     if use_count_filter:
         # pos 0 rows are length-bucket meetings (short strings): exempt
         # from the gram-count bound, which assumes q-gram coverage
-        bound = (
-            F.greatest(F.length("a_text"), F.length("b_text"))
-            - F.lit(q - 1)
-            - F.lit(k * q)
-        )
+        bound = F.greatest("a_len", "b_len") - F.lit(q - 1) - F.lit(k * q)
         cands = cands.where(
             (F.col("__maxpos") == 0) | (F.col("__cnt") >= bound)
         )
-    return cands.select(
+    # texts join back onto the CANDIDATE set only (the dedup-operator
+    # verification convention): the blocking join and pair aggregate
+    # shuffled nothing wider than (id, len, gram, pos)
+    ta = a.select(
+        F.col(a_id).alias("a_id"), F.lower(F.col(a_text)).alias("a_text")
+    ).where(F.col("a_id").isNotNull() & F.col("a_text").isNotNull())
+    tb = b.select(
+        F.col(b_id).alias("b_id"), F.lower(F.col(b_text)).alias("b_text")
+    ).where(F.col("b_id").isNotNull() & F.col("b_text").isNotNull())
+    verif = cands.join(ta, "a_id").join(tb, "b_id")
+    # PUSHDOWN BARRIER (measured, sf0.1 documents fixture): a bare
+    # levenshtein(...) <= k predicate over join-key/text columns gets
+    # pushed below the pair aggregate by Catalyst, and the exact verify
+    # then runs on every pre-aggregate join row (15.3M) instead of the
+    # count-filtered candidates (5.6k) — 872 s vs ~25 s. Wrapping the
+    # distance in a condition on the AGGREGATE output (__cnt >= 0 is
+    # always true) makes the expression depend on the aggregation, so
+    # the filter stays above it. test_plans.py pins the shape.
+    dist = F.when(F.col("__cnt") >= 0, F.levenshtein("a_text", "b_text"))
+    return verif.select(
         "a_id",
         "b_id",
-        F.levenshtein("a_text", "b_text").alias("dist"),
+        dist.alias("dist"),
     ).where(F.col("dist") <= F.lit(k))

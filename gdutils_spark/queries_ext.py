@@ -7071,7 +7071,7 @@ FROM agg
 
 EDIT_PREFIX_LEN = 32
 EDIT_MAX_DIST = 2
-EDIT_Q = 4
+EDIT_Q = 6  # probe-measured at sf0.1: q=6 halves the positional-join volume vs q=4 (8.7 s vs 13.4 s warm), same 256 pairs; recall guarantee needs max(len) >= q*(k+1) = 18 <= the 32-char prefix
 
 
 def doc_prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
