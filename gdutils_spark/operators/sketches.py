@@ -964,8 +964,13 @@ def bottomk_sample(
 
     from gdutils_spark.operators.dedup import _md5_int64
 
+    # NaN is not NULL: an unfiltered NaN row would ride into the sample
+    # and poison every percentile downstream (hist_registers' policy,
+    # r12 latent-hunt)
     base = df.where(
-        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+        F.col(key_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
     )
     hk = _md5_int64(F.col(key_col).cast("string")).alias("hk")
     val = F.col(value_col).cast("double").alias("val")

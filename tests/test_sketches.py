@@ -972,3 +972,19 @@ def test_hist_drift_report_by_group_one_sided_group(spark):
     assert got["only_a"].n_b == 0
     assert got["only_a"].chi2 is None and got["only_a"].tv_distance is None
     assert got["both"].chi2 == 0.0 and got["both"].tv_distance == 0.0
+
+
+def test_bottomk_sample_drops_nan_values(spark):
+    # r12 latent-hunt regression: NaN is not NULL — an unfiltered NaN
+    # would enter the sample and poison percentile downstream
+    from gdutils_spark.operators.sketches import bottomk_quantiles, bottomk_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, float("nan")), (4, 3.0)],
+        "id long, v double",
+    )
+    s = bottomk_sample(df, "id", "v", 10)
+    vals = [r.val for r in s.collect()]
+    assert sorted(vals) == [1.0, 2.0, 3.0]
+    q = {r.q: r.est for r in bottomk_quantiles(s, [0.5]).collect()}
+    assert q[0.5] == 2.0
