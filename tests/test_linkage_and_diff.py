@@ -88,6 +88,15 @@ def test_fuzzy_join_stage_path_identical_pairs(spark, tmp_path):
     # the staged token tables are on disk, re-readable columnar files
     assert (tmp_path / "fuzzy_stage" / "tokens_a").exists()
     assert (tmp_path / "fuzzy_stage" / "tokens_b").exists()
+    # and NOTHING lingers in executor storage after a staged call —
+    # the ADVICE-r11 cache-accumulation fix (the default path caches,
+    # which repeated bench invocations would accumulate)
+    spark.catalog.clearCache()
+    fuzzy_blocked_join(
+        a, b, "id", "name", "id", "name",
+        stage_path=str(tmp_path / "fuzzy_stage2"), **kw
+    ).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_snapshot_diff_classification(spark):
