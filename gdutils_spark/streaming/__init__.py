@@ -309,8 +309,14 @@ def stream_active_entities(
             .groupBy(w)
             .agg(F.approx_count_distinct(entity_col).alias("active_entities"))
         )
+    # NULL entities must not count (r12 latent-hunt): dropDuplicates
+    # keeps ONE row for the NULL entity, which the count would include —
+    # while the approx path's approx_count_distinct and the batch
+    # analogue's count_distinct both skip NULLs. Filter so the two
+    # paths (and the oracle) agree on NULL-carrying streams.
     dedup = (
-        stream.withWatermark(time_col, watermark)
+        stream.where(F.col(entity_col).isNotNull())
+        .withWatermark(time_col, watermark)
         .select(F.col(entity_col).alias("_e"), F.col(time_col), w)
         .dropDuplicates(["_e", "window"])
     )

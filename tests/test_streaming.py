@@ -919,3 +919,37 @@ def test_stream_apply_cdc_same_checkpoint_restart_appends(
     final = spark.read.parquet(versions[-1])
     assert final.where("o_orderkey % 10 = 1").count() == 0
     assert final.where("o_orderkey % 10 = 0").count() == 0
+
+
+def test_stream_active_entities_exact_skips_null_entity(spark, tmp_path):
+    # r12 latent-hunt regression: the exact path's dropDuplicates kept
+    # one row for the NULL entity and counted it — diverging from the
+    # approx path (approx_count_distinct skips NULLs) and the batch
+    # count_distinct semantics
+    import datetime as dt
+
+    from gdutils_spark.streaming import stream_active_entities
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    rows = [
+        (dt.datetime(2024, 1, 1, 10), "u1"),
+        (dt.datetime(2024, 1, 1, 11), "u1"),
+        (dt.datetime(2024, 1, 1, 12), "u2"),
+        (dt.datetime(2024, 1, 1, 13), None),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id string")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_active_entities(stream, exact=True)
+        .writeStream.format("memory")
+        .queryName("active_exact_null")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM active_exact_null").collect()
+    assert len(got) == 1 and got[0]["active_entities"] == 2
