@@ -216,3 +216,30 @@ def test_winsorized_summary_overflow_raises(spark):
     )
     with pytest.raises(Exception, match="overflows"):
         winsorized_summary(df, "g", "v", 0.0, 1.0).collect()
+
+
+def test_edit_join_hot_gram_guard_scores_stay_exact(spark):
+    # guard mode drops hot grams from candidate generation (and the
+    # count filter, whose bound they'd break) — surviving pairs must
+    # still verify with the EXACT distance, and pairs sharing only hot
+    # grams are missed (the documented trade)
+    from gdutils_spark.operators.linkage import edit_blocked_join
+
+    a = spark.createDataFrame(
+        [(1, "prefix-alpha"), (2, "prefix-beta")], "id long, t string"
+    )
+    b = spark.createDataFrame(
+        [(10, "prefix-alphaX"), (11, "prefix-gamma")], "id long, t string"
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in edit_blocked_join(
+            a, b, "id", "t", "id", "t", max_dist=2, q=4, max_gram_freq=1
+        ).collect()
+    }
+    # "alph" grams are unique per side -> (1, 10) survives, exact dist 1
+    assert out.get((1, 10)) == 1
+    # no false positives ever: every emitted dist <= 2 by exact verify
+    assert all(d <= 2 for d in out.values())
+    with pytest.raises(ValueError, match="max_gram_freq"):
+        edit_blocked_join(a, b, "id", "t", "id", "t", max_gram_freq=0)
