@@ -201,6 +201,7 @@ def edit_blocked_join(
     max_dist: int = 2,
     q: int = 4,
     max_gram_freq: int | None = None,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Edit-distance join: ``(a_id, b_id, dist)`` for every cross-table
     pair whose lower-cased texts are within Levenshtein distance
@@ -240,7 +241,12 @@ def edit_blocked_join(
     Plan shape: two gram explodes, one (gram)-keyed equi-join with the
     position band as a residual, one pair-keyed count, one Catalyst
     ``levenshtein`` filter — all JVM-side, no Python, never a cross
-    join."""
+    join. In the default (guard-off) mode each gram table has ONE
+    consumer, so nothing is cached or staged; when ``max_gram_freq``
+    is set, the hot-gram census is a SECOND consumer and the explode
+    would recompute — pass ``stage_path`` (the fuzzy_blocked_join /
+    dedup convention) to write each gram table to parquet once and
+    re-read it for both consumers."""
     if max_dist < 1:
         raise ValueError(f"edit_blocked_join: max_dist={max_dist} must be >= 1")
     if q < 2:
@@ -253,6 +259,12 @@ def edit_blocked_join(
     short_len = q * (max_dist + 1)
     ga = _qgram_table(a, a_id, a_text, "a", q, short_len, int(max_dist), expand_short=True)
     gb = _qgram_table(b, b_id, b_text, "b", q, short_len, int(max_dist), expand_short=False)
+    if stage_path is not None:
+        spark = a.sparkSession
+        pa_, pb_ = f"{stage_path}/grams_a", f"{stage_path}/grams_b"
+        ga.write.mode("overwrite").parquet(pa_)
+        gb.write.mode("overwrite").parquet(pb_)
+        ga, gb = spark.read.parquet(pa_), spark.read.parquet(pb_)
     use_count_filter = max_gram_freq is None
     if max_gram_freq is not None:
         hot = (

@@ -243,3 +243,29 @@ def test_edit_join_hot_gram_guard_scores_stay_exact(spark):
     assert all(d <= 2 for d in out.values())
     with pytest.raises(ValueError, match="max_gram_freq"):
         edit_blocked_join(a, b, "id", "t", "id", "t", max_gram_freq=0)
+
+
+def test_edit_join_stage_path_identical_pairs(spark, tmp_path):
+    from gdutils_spark.operators.linkage import edit_blocked_join
+
+    a = spark.createDataFrame(
+        [(1, "prefix-alpha"), (2, "prefix-beta")], "id long, t string"
+    )
+    b = spark.createDataFrame(
+        [(10, "prefix-alphaX"), (11, "prefix-gamma")], "id long, t string"
+    )
+    kw = dict(max_dist=2, q=4, max_gram_freq=3)
+    plain = sorted(
+        map(tuple, edit_blocked_join(a, b, "id", "t", "id", "t", **kw).collect())
+    )
+    staged = sorted(
+        map(
+            tuple,
+            edit_blocked_join(
+                a, b, "id", "t", "id", "t",
+                stage_path=str(tmp_path / "edit_stage"), **kw
+            ).collect(),
+        )
+    )
+    assert plain == staged and len(staged) >= 1
+    assert (tmp_path / "edit_stage" / "grams_a").exists()
