@@ -278,9 +278,39 @@ def edit_blocked_join(
         ga = ga.join(hot, "gram", "left_anti")
         gb = gb.join(hot, "gram", "left_anti")
     k = int(max_dist)
+    # the POSITION BUCKET is part of the equi-key, not only a residual:
+    # joining on gram alone makes every occurrence of a common gram meet
+    # every other regardless of position (sum f_g^2 probe pairs — 88M on
+    # the sf0.1 documents fixture, max key multiplicity 1039), with the
+    # |dpos| <= k band discarding most matches AFTER they materialize.
+    # Quantizing pos into width-(k+1) buckets and joining on (gram, bkt)
+    # — the probe side emits the <= 2 buckets its [pos-k, pos+k] window
+    # can span — cuts probe pairs ~4.3x (20.6M, max multiplicity 201)
+    # and at corpus scale turns each hot gram key into many (gram, bkt)
+    # keys. Each (pos_a, pos_b) occurrence pair still meets at most ONCE
+    # (the two probe buckets are distinct), so the count filter's
+    # per-pair tally is unchanged.
+    w = k + 1
+    ga_b = ga.withColumn("bkt", F.floor(F.col("pos") / F.lit(w)))
+    # the probe window [pos-k, pos+k] spans UP TO THREE width-(k+1)
+    # buckets (e.g. k=2, pos=4: [2, 6] covers buckets 0, 1, 2) — emit
+    # the full floor range, not just the two endpoints: a two-endpoint
+    # emission silently drops occurrence matches whose build-side
+    # bucket is the MIDDLE one, and the count filter then undercounts
+    # and kills true pairs (caught by the extended brute-force
+    # differential; the sf0.1 fixture passed only on bound slack)
+    gb_b = gb.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("pos") - F.lit(k)) / F.lit(w)),
+                F.floor((F.col("pos") + F.lit(k)) / F.lit(w)),
+            )
+        ),
+    )
     joined = (
-        ga.alias("ga")
-        .join(gb.alias("gb"), "gram")
+        ga_b.alias("ga")
+        .join(gb_b.alias("gb"), ["gram", "bkt"])
         .where(
             (F.abs(F.col("ga.pos") - F.col("gb.pos")) <= F.lit(k))
             & (F.abs(F.col("a_len") - F.col("b_len")) <= F.lit(k))

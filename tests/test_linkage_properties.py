@@ -234,3 +234,39 @@ def test_group_trend_matches_numpy_polyfit(spark, rows):
             slope, intercept = np.polyfit(xs, ys, 1)
             assert r["slope"] == _pt.approx(slope, rel=1e-6, abs=1e-9)
             assert r["intercept"] == _pt.approx(intercept, rel=1e-6, abs=1e-9)
+
+
+def test_edit_blocked_join_long_strings_brute_force(spark):
+    """Deterministic extended differential (caught the r12 bucket-range
+    bug that the light hypothesis sweep missed: the probe window spans
+    up to THREE pos-buckets, and a two-endpoint emission undercounted
+    the count filter's tally, killing true pairs on longer strings
+    where the count bound is tight)."""
+    import random
+
+    from gdutils_spark.operators.linkage import edit_blocked_join
+
+    for seed in (0, 4):
+        random.seed(seed)
+        alpha = "abcdefgh "
+        A = ["".join(random.choice(alpha) for _ in range(random.randint(0, 40)))
+             for _ in range(25)]
+        B = [
+            s if random.random() < 0.4
+            else (s[: max(0, len(s) - 3)]
+                  + "".join(random.choice(alpha) for _ in range(3)))
+            for s in A
+        ]
+        a = spark.createDataFrame(list(enumerate(A)), "id long, t string")
+        b = spark.createDataFrame(list(enumerate(B)), "id long, t string")
+        for k in (2, 3):
+            out = sorted(
+                map(tuple, edit_blocked_join(a, b, "id", "t", "id", "t", max_dist=k).collect())
+            )
+            exp = sorted(
+                (i, j, _lev(x.lower(), y.lower()))
+                for i, x in enumerate(A)
+                for j, y in enumerate(B)
+                if _lev(x.lower(), y.lower()) <= k
+            )
+            assert out == exp, f"seed={seed} k={k}"
