@@ -1953,71 +1953,72 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 12 window (exactly 50), per VERDICT r11 tasks #1/#3/#8 and
-    # tools/rotation_plan.py: the 4 late-r11 additions lead (judge-
-    # verified green in r11 via tools/drive_contract.py, now getting
-    # their artifact-of-record rows), then the 6 r7-stale spills (4
-    # rounds stale), then 40 of the 50 r8-stale rows — with the 7
-    # rt_stream_* r8 rows pulled to the FRONT of the r8 cohort per
-    # VERDICT r11 task #8 (state-partition sizing and checkpoint-
-    # identity guards are the most restart-sensitive code), remainder
-    # name-ordered. The 10 r8 rows that spill to r13:
-    # rt_dataset_profiles, rt_dataset_timeseries, rt_geo_track_points,
-    # rt_info_card, rt_json_records_typed, rt_jsonl_shards,
-    # rt_kml_coords, rt_orc_roundtrip, rt_plot_urls, rt_search_catalog.
-    # New r12 queries are capped at ~4 and placed AFTER the window
-    # (same late-placement trade as r10/r11; they are locally driven
+    # round 13 window (exactly 50), per VERDICT r12 tasks #1/#5 and
+    # tools/rotation_plan.py: the 3 never-driven r12 additions lead
+    # (judge-verified green in r12 via tools/drive_contract.py, now
+    # getting their artifact-of-record rows), then the 10 r8-stale
+    # spills (4 rounds stale), then 37 of the 50 r9-stale rows (name-
+    # ordered, streaming row first as its cohort's only stream query).
+    # The 13 r9 rows that spill to r14: mm_audio_features,
+    # mm_image_features, mm_pcm_stats,
+    # part_copurchase_communities_incremental,
+    # part_copurchase_triangles_incremental, q10_returned_revenue,
+    # q12_ship_lateness, q18_large_orders, q19_disjunctive_revenue,
+    # user_funnel_windowed, user_summaries, users_click_no_purchase,
+    # yearly_counts (tools/rotation_plan.py next-stalest).
+    # New r13 queries are capped at ~4 and placed AFTER the window
+    # (same late-placement trade as r10-r12; they are locally driven
     # through tools/drive_contract.py meanwhile).
-    "customer_supplier_name_match",
-    "orders_snapshot_diff",
-    "part_copurchase_edge_jaccard",
-    "event_value_winsorized",
-    "rt_stream_stream_full_join",
-    "rt_stream_stream_join",
-    "rt_stream_stream_left_join",
-    "user_cohort_retention",
-    "user_event_transitions",
-    "user_funnel",
-    "rt_stream_active_users",
-    "rt_stream_daily_counts",
-    "rt_stream_dedup",
-    "rt_stream_enrich",
-    "rt_stream_media",
-    "rt_stream_sessions",
-    "rt_stream_stateful",
-    "doc_bm25_search",
-    "doc_chunks",
-    "doc_cms_heavy_hitters",
-    "doc_dedup_keep_best",
-    "doc_domain_mix_plan",
-    "doc_domain_mix_sample",
-    "doc_incremental_dedup",
-    "doc_length_histogram",
-    "doc_repetition_signals",
-    "doc_shard_stats",
-    "doc_source_overlap",
-    "doc_source_stats",
-    "doc_tfidf_terms",
-    "doc_vocab_stats",
-    "doc_weighted_sample",
-    "emb_knn_ivf_refined",
-    "emb_quantize",
-    "emb_semantic_dedup",
-    "event_type_bottomk_quantiles",
-    "event_type_pivot",
-    "geo_user_tracks",
-    "mm_pixel_stats",
-    "mm_thumbnails",
-    "part_copurchase_pagerank_incremental",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "rt_canned_filters",
-    "rt_client_api_merge",
-    "rt_client_api_merge_right",
-    "rt_client_datasets",
-    "rt_csv_batch_daily",
-    "rt_csv_sink_roundtrip",
+    "doc_prefix_edit_pairs",  # NEVER-DRIVEN
+    "event_type_value_trend",  # NEVER-DRIVEN
+    "order_totals_cube",  # NEVER-DRIVEN
+    "rt_dataset_profiles",  # r8
+    "rt_dataset_timeseries",  # r8
+    "rt_geo_track_points",  # r8
+    "rt_info_card",  # r8
+    "rt_json_records_typed",  # r8
+    "rt_jsonl_shards",  # r8
+    "rt_kml_coords",  # r8
+    "rt_orc_roundtrip",  # r8
+    "rt_plot_urls",  # r8
+    "rt_search_catalog",  # r8
+    "rt_stream_weighted_sample",  # r9
+    "calendar_ym_orders",  # r9
+    "calendar_ymd_events",  # r9
+    "daily_event_stats",  # r9
+    "daily_revenue_7d_ma",  # r9
+    "doc_cms_token_freq",  # r9
+    "doc_containment_pairs",  # r9
+    "doc_dedup_recall",  # r9
+    "doc_dup_clusters",  # r9
+    "doc_exact_dups",  # r9
+    "doc_hll_tokens",  # r9
+    "doc_hybrid_search",  # r9
+    "doc_incremental_dup_clusters",  # r9
+    "doc_lang_id",  # r9
+    "doc_leakage_safe_split",  # r9
+    "doc_minhash_estimate",  # r9
+    "doc_minhash_lsh_pairs",  # r9
+    "doc_ngram_dup_pairs",  # r9
+    "doc_quality_filter",  # r9
+    "doc_rolling_fp",  # r9
+    "doc_segment_dedup",  # r9
+    "doc_simhash",  # r9
+    "doc_simhash_near_pairs",  # r9
+    "doc_temperature_mix",  # r9
+    "doc_text_stats",  # r9
+    "doc_token_counts",  # r9
+    "doc_token_rarity",  # r9
+    "doc_weighted_sample_by_lang",  # r9
+    "emb_ivf_cluster_quality",  # r9
+    "emb_ivf_recall_curve",  # r9
+    "emb_knn_ivfpq",  # r9
+    "emb_knn_ivfpq_appended",  # r9
+    "emb_knn_pq",  # r9
+    "emb_knn_same_label",  # r9
+    "emb_pq_codes",  # r9
+    "event_type_value_drift",  # r9
+    "event_value_drift",  # r9
 )
 
 
