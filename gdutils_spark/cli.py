@@ -766,29 +766,47 @@ def cmd_fuzzy_match(args) -> int:
         args.other_text_col or args.text_col,
         threshold=args.threshold,
         max_token_freq=args.max_token_freq or None,
+        stage_path=args.stage_path,
     )
     _emit(_render(out, args.response), args.output)
     return 0
 
 
 def cmd_edit_match(args) -> int:
+    import shutil
+    import tempfile
+
     from gdutils_spark.operators.linkage import edit_blocked_join
 
     spark = _get_spark()
     a = _load(spark, args.input)
     b = _load(spark, args.other)
-    out = edit_blocked_join(
-        a,
-        b,
-        args.id_col,
-        args.text_col,
-        args.other_id_col or args.id_col,
-        args.other_text_col or args.text_col,
-        max_dist=args.max_dist,
-        q=args.q,
-        max_gram_freq=args.max_gram_freq or None,
-    )
-    _emit(_render(out, args.response), args.output)
+    # with the hot-gram guard on, the census is a second consumer of
+    # each gram table and an unstaged explode recomputes — exactly the
+    # recompute the operator docstring tells callers to stage away, so
+    # stage to a throwaway tempdir when the user didn't give a path
+    # (safe: _emit materializes the result before cleanup)
+    stage, tmp = args.stage_path, None
+    if stage is None and args.max_gram_freq:
+        tmp = tempfile.mkdtemp(prefix="gdutils_edit_stage_")
+        stage = tmp
+    try:
+        out = edit_blocked_join(
+            a,
+            b,
+            args.id_col,
+            args.text_col,
+            args.other_id_col or args.id_col,
+            args.other_text_col or args.text_col,
+            max_dist=args.max_dist,
+            q=args.q,
+            max_gram_freq=args.max_gram_freq or None,
+            stage_path=stage,
+        )
+        _emit(_render(out, args.response), args.output)
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
     return 0
 
 
@@ -1357,6 +1375,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="blocking skew guard: tokens on more rows than "
                     "this never generate candidates (scores stay exact); "
                     "0 disables")
+    sp.add_argument("--stage-path",
+                    help="stage the token tables as parquet here (corpus "
+                    "scale) instead of memory-caching them")
 
     sp = add_pipeline("edit-match", cmd_edit_match)
     sp.add_argument("--other", required=True, help="second table path")
@@ -1370,6 +1391,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-gram-freq", type=int, default=0,
                     help="optional hot-gram guard (disables the count "
                     "filter; 0 = guaranteed-recall default)")
+    sp.add_argument("--stage-path",
+                    help="stage the gram tables as parquet here; when "
+                    "--max-gram-freq is set and this is omitted, a "
+                    "throwaway tempdir is staged automatically (the "
+                    "census double-consumes each gram table)")
 
     sp = add_pipeline("trend", cmd_trend)
     sp.add_argument("--group-col", default="event_type")

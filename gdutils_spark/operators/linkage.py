@@ -81,7 +81,17 @@ def fuzzy_blocked_join(
     convention (cf. ``dedup.minhash_lsh_pairs(stage_path=)``): each
     token table is written to parquet ONCE under ``stage_path`` and
     all three consumers re-read the columnar file, so executor memory
-    holds nothing corpus-sized and no cache lingers after the call."""
+    holds nothing corpus-sized and no cache lingers after the call.
+
+    ONE LIVE PLAN PER stage_path: staging writes eagerly with
+    ``mode("overwrite")`` while the returned DataFrame reads those
+    files lazily — a second call reusing the same ``stage_path``
+    clobbers files a still-unmaterialized earlier result depends on
+    (``fuzzy_blocked_join`` and ``edit_blocked_join`` may share one
+    path only because they stage under distinct ``tokens_*`` /
+    ``grams_*`` subdirectories). Materialize (write/collect) or
+    discard the previous result before reusing a path, or pass a
+    per-call unique path."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"fuzzy_blocked_join: threshold={threshold} must be in (0, 1]")
     if max_token_freq is not None and max_token_freq < 1:
@@ -234,9 +244,14 @@ def edit_blocked_join(
     grams on more rows than the cap are excluded from candidate
     generation AND the count filter is disabled (dropped grams would
     break its bound) — the fuzzy_blocked_join caveat applies (a pair
-    sharing only hot grams is missed). On natural-language corpora
-    prefer the default: the positional+count filters already handle
-    common grams.
+    sharing only hot grams is missed). Length-bucket rows (pos 0, the
+    short-string recall path) are EXEMPT from the census and the
+    anti-join: many same-length short strings would otherwise make a
+    bucket "hot" and silently lose guaranteed short-pair recall, and
+    keeping them is safe because the count filter is off in guard mode
+    (extra bucket candidates only feed the exact verify). On
+    natural-language corpora prefer the default: the positional+count
+    filters already handle common grams.
 
     Plan shape: two gram explodes, one (gram)-keyed equi-join with the
     position band as a residual, one pair-keyed count, one Catalyst
@@ -246,7 +261,11 @@ def edit_blocked_join(
     is set, the hot-gram census is a SECOND consumer and the explode
     would recompute — pass ``stage_path`` (the fuzzy_blocked_join /
     dedup convention) to write each gram table to parquet once and
-    re-read it for both consumers."""
+    re-read it for both consumers. ONE LIVE PLAN PER stage_path: see
+    :func:`fuzzy_blocked_join` — eager overwrite + lazy read-back
+    means reusing a path clobbers an unmaterialized earlier result
+    (sharing a path with the fuzzy join is safe only because the
+    subdirectories differ)."""
     if max_dist < 1:
         raise ValueError(f"edit_blocked_join: max_dist={max_dist} must be >= 1")
     if q < 2:
@@ -267,16 +286,44 @@ def edit_blocked_join(
         ga, gb = spark.read.parquet(pa_), spark.read.parquet(pb_)
     use_count_filter = max_gram_freq is None
     if max_gram_freq is not None:
+        # length-bucket rows (pos == 0, the guaranteed-recall path for
+        # short strings) are EXEMPT from the hot census AND the
+        # anti-join: many same-length short strings make a bucket row
+        # count "hot", and dropping it would silently remove guaranteed
+        # recall for short pairs — a sharper loss than the documented
+        # hot-GRAM caveat. Safe to keep them: the count filter is
+        # already disabled in guard mode, so extra bucket candidates
+        # only feed the exact verify (and bucket keys are already
+        # length-sharded). Exemption is positional, not by sentinel
+        # prefix, so adversarial text containing \\x02 can't collide.
+        real = F.col("pos") > 0
         hot = (
-            ga.groupBy("gram").agg(F.count(F.lit(1)).alias("__f"))
-            .unionByName(gb.groupBy("gram").agg(F.count(F.lit(1)).alias("__f")))
+            ga.where(real).groupBy("gram").agg(F.count(F.lit(1)).alias("__f"))
+            .unionByName(
+                gb.where(real).groupBy("gram").agg(F.count(F.lit(1)).alias("__f"))
+            )
             .groupBy("gram")
             .agg(F.max("__f").alias("__f"))
             .where(F.col("__f") > F.lit(int(max_gram_freq)))
             .select("gram")
         )
-        ga = ga.join(hot, "gram", "left_anti")
-        gb = gb.join(hot, "gram", "left_anti")
+
+        def _exempt_anti(t: DataFrame) -> DataFrame:
+            # NULL join keys never match in an equi-join, so masking the
+            # key for pos==0 rows keeps them through the left_anti
+            # without a second scan of the gram table (aliases because
+            # hot shares lineage with the gram tables — a self-join)
+            masked = t.withColumn(
+                "__aj", F.when(F.col("pos") > 0, F.col("gram"))
+            ).alias("__t")
+            return masked.join(
+                hot.alias("__h"),
+                F.col("__t.__aj") == F.col("__h.gram"),
+                "left_anti",
+            ).drop("__aj")
+
+        ga = _exempt_anti(ga)
+        gb = _exempt_anti(gb)
     k = int(max_dist)
     # the POSITION BUCKET is part of the equi-key, not only a residual:
     # joining on gram alone makes every occurrence of a common gram meet
@@ -349,5 +396,312 @@ def edit_blocked_join(
     return verif.select(
         "a_id",
         "b_id",
+        dist.alias("dist"),
+    ).where(F.col("dist") <= F.lit(k))
+
+
+def corpus_token_table(
+    corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The corpus-side artifact for :func:`fuzzy_blocked_join_between` —
+    ``(b_id, token)`` distinct rows, the exact table the full join
+    builds internally. A nightly pipeline writes this ONCE
+    (``corpus_token_table(...).write.parquet(path)``) and every batch
+    run probes the parquet via ``corpus_tokens_path=`` instead of
+    re-exploding and re-deduplicating the whole catalog per ingest."""
+    return _token_table(corpus, id_col, text_col, "b")
+
+
+def fuzzy_blocked_join_between(
+    batch: DataFrame | None,
+    corpus: DataFrame | None,
+    batch_id: str,
+    batch_text: str,
+    corpus_id: str | None = None,
+    corpus_text: str | None = None,
+    threshold: float = 0.5,
+    max_token_freq: int | None = 1000,
+    corpus_tokens_path: str | None = None,
+    spark=None,
+) -> DataFrame:
+    """INCREMENTAL entity resolution — the nightly-ingest pattern for
+    :func:`fuzzy_blocked_join` (the ``dedup.minhash_lsh_pairs_between``
+    / ``text.remove_repeated_substrings_between`` convention): match a
+    new ``batch`` of entities against a large resolved ``corpus``
+    without ever shuffling the corpus. Returns ``(batch_id, corpus_id,
+    n_common, n_batch, n_corpus, jaccard)`` — exactly the rows the full
+    join would emit for the same two inputs (differential-tested), with
+    scores exact (verification recounts over FULL token sets).
+
+    Plan shape at 100 TB: the batch token table is ingest-sized and
+    BROADCASTS everywhere; corpus-side work is two map-side passes over
+    the (ideally staged) token table — a broadcast semi-join by batch
+    token values for candidate generation and a broadcast semi-join by
+    candidate ids for verification. The hot-token census runs over the
+    batch-token-restricted corpus rows only (tokens absent from the
+    batch can never generate candidates, and restriction is by token
+    VALUE so surviving tokens keep their full corpus frequency — census
+    verdicts for relevant tokens are identical to the full join's).
+    The only shuffles are candidate-bounded aggregates. Pass
+    ``corpus_tokens_path`` (a staged :func:`corpus_token_table`
+    parquet) so the corpus is never re-exploded; ``corpus`` may then be
+    ``None`` (pass ``spark=`` for the read).
+
+    Batch-internal duplicates are the self-join problem — run
+    :func:`fuzzy_blocked_join` on the batch alone for those."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"fuzzy_blocked_join_between: threshold={threshold} must be in (0, 1]"
+        )
+    if max_token_freq is not None and max_token_freq < 1:
+        raise ValueError(
+            f"fuzzy_blocked_join_between: max_token_freq={max_token_freq} "
+            "must be >= 1 (or None to disable the hot-token guard)"
+        )
+    if corpus_tokens_path is not None:
+        ss = spark or (batch.sparkSession if batch is not None else None)
+        if ss is None:
+            raise ValueError(
+                "fuzzy_blocked_join_between: pass spark= with corpus_tokens_path"
+            )
+        tb = ss.read.parquet(corpus_tokens_path)
+    else:
+        if corpus is None:
+            raise ValueError(
+                "fuzzy_blocked_join_between: pass corpus or corpus_tokens_path"
+            )
+        tb = _token_table(
+            corpus, corpus_id or batch_id, corpus_text or batch_text, "b"
+        )
+    # batch-sized: cached for its three consumers (token-value probe,
+    # census, verification) — ingest-scale, never corpus-scale
+    ta = _token_table(batch, batch_id, batch_text, "a").cache()
+    bt = ta.select("token").distinct()
+    # map-side: staged corpus scan filtered by the broadcast batch
+    # token set; all corpus rows of surviving token VALUES are kept,
+    # so per-token corpus frequencies below are exact
+    tb_rel = tb.join(F.broadcast(bt), "token", "left_semi")
+    ca, cb = ta, tb_rel
+    if max_token_freq is not None:
+        hot = (
+            ta.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
+            .unionByName(
+                tb_rel.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
+            )
+            .groupBy("token")
+            .agg(F.max("__f").alias("__f"))
+            .where(F.col("__f") > F.lit(int(max_token_freq)))
+            .select("token")
+        )
+        ca = ta.join(hot, "token", "left_anti")
+        cb = tb_rel.join(hot, "token", "left_anti")
+    cands = (
+        cb.join(F.broadcast(ca), "token").select("a_id", "b_id").distinct()
+    )
+    # exact verification over FULL token sets: corpus tokens
+    # semi-filtered to candidate ids (map-side, broadcast), batch
+    # tokens broadcast — the minhash_lsh_pairs_between shape
+    cand_b = cands.select("b_id").distinct()
+    cs = tb.join(F.broadcast(cand_b), "b_id", "left_semi")
+    sa = ta.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_batch"))
+    sb = cs.groupBy("b_id").agg(F.count(F.lit(1)).alias("n_corpus"))
+    common = (
+        cands.join(cs, "b_id")
+        .join(F.broadcast(ta), ["a_id", "token"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_batch") + F.col("n_corpus") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(F.broadcast(sa), "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.col("a_id").alias("batch_id"),
+            F.col("b_id").alias("corpus_id"),
+            "n_common",
+            "n_batch",
+            "n_corpus",
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+def corpus_gram_table(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    q: int = 4,
+    max_dist: int = 2,
+) -> DataFrame:
+    """The corpus-side artifact for :func:`edit_blocked_join_between` —
+    ``(b_id, b_len, gram, pos)`` positional q-grams plus own-length
+    bucket rows, the exact table the full join builds for its b side.
+    Stage it with the LARGEST ``max_dist`` you will query (``q`` must
+    match exactly): a bigger staged ``max_dist`` only widens the
+    short-string bucket threshold, which adds candidate pairs that the
+    exact verify then filters identically — final output is invariant
+    (differential-tested)."""
+    if q < 2:
+        raise ValueError(f"corpus_gram_table: q={q} must be >= 2")
+    if max_dist < 1:
+        raise ValueError(f"corpus_gram_table: max_dist={max_dist} must be >= 1")
+    return _qgram_table(
+        corpus, id_col, text_col, "b", q, q * (max_dist + 1), int(max_dist),
+        expand_short=False,
+    )
+
+
+def edit_blocked_join_between(
+    batch: DataFrame,
+    corpus: DataFrame | None,
+    batch_id: str,
+    batch_text: str,
+    corpus_id: str | None = None,
+    corpus_text: str | None = None,
+    max_dist: int = 2,
+    q: int = 4,
+    max_gram_freq: int | None = None,
+    corpus_grams_path: str | None = None,
+) -> DataFrame:
+    """INCREMENTAL edit-distance join — the nightly-ingest pattern for
+    :func:`edit_blocked_join`: ``(batch_id, corpus_id, dist)`` for
+    every batch-vs-corpus pair within Levenshtein ``max_dist``, exactly
+    the pairs the full join emits for the same inputs (differential-
+    tested; the full join's recall guarantee makes any candidate
+    SUPERSET verify to the identical final set, which is why a staged
+    gram table built with a larger ``max_dist`` stays valid).
+
+    Plan shape at 100 TB: batch grams (ingest-sized, cached) BROADCAST
+    into the (gram, pos-bucket) candidate join; the corpus gram table —
+    staged parquet via ``corpus_grams_path``, never re-exploded — is
+    consumed map-side: a broadcast semi-join by batch gram values, then
+    the bucket-range explode (bucket arithmetic is computed from
+    ``pos`` at query time, so one staged artifact serves any
+    ``max_dist`` up to its build value). Corpus TEXTS are scanned once,
+    column-pruned and semi-filtered to candidate ids, for the exact
+    verify. The only shuffles are the candidate pair aggregate and the
+    verify joins — all candidate-bounded. ``corpus`` is still required
+    for the text scan (pass the table, not the gram artifact).
+
+    ``max_gram_freq`` semantics match the full join (census restricted
+    to batch-gram values — identical verdicts for every gram that can
+    generate candidates; pos-0 length-bucket rows exempt)."""
+    if max_dist < 1:
+        raise ValueError(
+            f"edit_blocked_join_between: max_dist={max_dist} must be >= 1"
+        )
+    if q < 2:
+        raise ValueError(f"edit_blocked_join_between: q={q} must be >= 2")
+    if max_gram_freq is not None and max_gram_freq < 1:
+        raise ValueError(
+            f"edit_blocked_join_between: max_gram_freq={max_gram_freq} must "
+            "be >= 1 (or None for guaranteed-recall blocking)"
+        )
+    if corpus is None:
+        raise ValueError(
+            "edit_blocked_join_between: corpus is required (texts feed the "
+            "exact verify even when grams are staged)"
+        )
+    k = int(max_dist)
+    short_len = q * (k + 1)
+    cid = corpus_id or batch_id
+    ctext = corpus_text or batch_text
+    if corpus_grams_path is not None:
+        gb = corpus.sparkSession.read.parquet(corpus_grams_path)
+    else:
+        gb = _qgram_table(
+            corpus, cid, ctext, "b", q, short_len, k, expand_short=False
+        )
+    ga = _qgram_table(
+        batch, batch_id, batch_text, "a", q, short_len, k, expand_short=True
+    ).cache()
+    bg = ga.select("gram").distinct()
+    gb_rel = gb.join(F.broadcast(bg), "gram", "left_semi")
+    use_count_filter = max_gram_freq is None
+    if max_gram_freq is not None:
+        # same exemption as the full join: pos-0 length-bucket rows
+        # (the short-string recall path) never enter the census or the
+        # anti-join; restriction to batch gram values keeps full corpus
+        # frequencies for every gram that can generate candidates
+        real = F.col("pos") > 0
+        hot = (
+            ga.where(real).groupBy("gram").agg(F.count(F.lit(1)).alias("__f"))
+            .unionByName(
+                gb_rel.where(real)
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("__f"))
+            )
+            .groupBy("gram")
+            .agg(F.max("__f").alias("__f"))
+            .where(F.col("__f") > F.lit(int(max_gram_freq)))
+            .select("gram")
+        )
+
+        def _exempt_anti(t: DataFrame) -> DataFrame:
+            masked = t.withColumn(
+                "__aj", F.when(F.col("pos") > 0, F.col("gram"))
+            ).alias("__t")
+            return masked.join(
+                hot.alias("__h"),
+                F.col("__t.__aj") == F.col("__h.gram"),
+                "left_anti",
+            ).drop("__aj")
+
+        ga = _exempt_anti(ga)
+        gb_rel = _exempt_anti(gb_rel)
+    w = k + 1
+    # identical bucket roles to the full join (batch = build side with
+    # one floor bucket, corpus = probe side exploding the full floor
+    # range of its [pos-k, pos+k] window) so the candidate set — and
+    # therefore the count-filter tally — matches the full join exactly
+    ga_b = ga.withColumn("bkt", F.floor(F.col("pos") / F.lit(w)))
+    gb_b = gb_rel.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("pos") - F.lit(k)) / F.lit(w)),
+                F.floor((F.col("pos") + F.lit(k)) / F.lit(w)),
+            )
+        ),
+    )
+    joined = (
+        gb_b.alias("gb")
+        .join(F.broadcast(ga_b.alias("ga")), ["gram", "bkt"])
+        .where(
+            (F.abs(F.col("ga.pos") - F.col("gb.pos")) <= F.lit(k))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= F.lit(k))
+        )
+    )
+    cands = joined.groupBy("a_id", "b_id", "a_len", "b_len").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max(F.col("ga.pos") + F.col("gb.pos")).alias("__maxpos"),
+    )
+    if use_count_filter:
+        bound = F.greatest("a_len", "b_len") - F.lit(q - 1) - F.lit(k * q)
+        cands = cands.where(
+            (F.col("__maxpos") == 0) | (F.col("__cnt") >= bound)
+        )
+    ta = batch.select(
+        F.col(batch_id).alias("a_id"),
+        F.lower(F.col(batch_text)).alias("a_text"),
+    ).where(F.col("a_id").isNotNull() & F.col("a_text").isNotNull())
+    cand_b = cands.select("b_id").distinct()
+    tb = (
+        corpus.select(
+            F.col(cid).alias("b_id"), F.lower(F.col(ctext)).alias("b_text")
+        )
+        .where(F.col("b_id").isNotNull() & F.col("b_text").isNotNull())
+        .join(F.broadcast(cand_b), "b_id", "left_semi")
+    )
+    verif = cands.join(F.broadcast(ta), "a_id").join(tb, "b_id")
+    # same pushdown barrier as the full join (test_plans.py pins it):
+    # the exact verify must stay ABOVE the pair aggregate
+    dist = F.when(F.col("__cnt") >= 0, F.levenshtein("a_text", "b_text"))
+    return verif.select(
+        F.col("a_id").alias("batch_id"),
+        F.col("b_id").alias("corpus_id"),
         dist.alias("dist"),
     ).where(F.col("dist") <= F.lit(k))

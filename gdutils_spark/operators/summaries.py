@@ -400,12 +400,21 @@ def group_trend(
         slope     = (dbl(n*Sxyc - Sx*Syc) / dbl(den)) / 10^scale
         intercept = (dbl(Syc)/10^scale - slope*dbl(Sx)) / dbl(n)
 
-    Magnitude bound (documented, winsorized-style guarded): per-group
+    Magnitude bound (winsorized-style GUARDED, both ends): per-row,
     ``|y|·10^scale`` must fit ``decimal(18,0)`` after scaling (raises
-    via the decimal cast guard) and ``n·max|x·y·10^scale|`` must fit
-    int64 — with day-index x (~2·10^4) and scale 2 that allows group
-    sums beyond 10^12 y-units, orders of magnitude past any daily-
-    rollup fixture; for bigger magnitudes lower ``decimal_scale``.
+    via the decimal cast guard). Per-GROUP, every long sum and the
+    determinant are proved exact or the query raises: the aggregate
+    also carries ``max|x|`` and ``max|yc|`` (count and max never wrap,
+    so they are trustworthy even when a sum would not be), and by
+    Cauchy–Schwarz ``0 <= den = n*Sxx - Sx^2 <= n^2*max|x|^2`` while
+    ``|num| <= 2*n^2*max|x|*max|yc|`` — so the guard requires
+    ``n^2*max|x|^2`` and ``2*n^2*max|x|*max|yc|`` under 4·10^18
+    (margin below 2^63 for the double-side check) and raises
+    otherwise, instead of letting non-ANSI int64 wraparound emit a
+    confidently wrong slope. With day-index x (~2·10^4) and scale 2
+    that allows ~10^5-row groups of million-unit y values; for bigger
+    magnitudes lower ``decimal_scale`` or pre-shift x (slope is
+    shift-invariant in x up to the intercept).
 
     Groups where every x is identical have ``den = 0`` (a vertical
     line): slope and intercept are NULL, n still reported. NULL/NaN x
@@ -448,10 +457,42 @@ def group_trend(
         F.sum(yc).alias("__syc"),
         F.sum(xl * yc).alias("__sxyc"),
         F.sum(xl * xl).alias("__sxx"),
+        F.max(F.abs(xl)).alias("__mx"),
+        F.max(F.abs(yc)).alias("__my"),
     )
     den = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     num = F.col("n") * F.col("__sxyc") - F.col("__sx") * F.col("__syc")
+    # per-group exactness proof (see docstring): n and max never wrap,
+    # so n^2*max|x|^2 / 2*n^2*max|x|*max|yc| bound every long sum, den
+    # and num; past 4e18 the wraparound risk is real -> raise, never
+    # emit a silently wrong slope. References only aggregate outputs,
+    # so Catalyst cannot sink it below the HashAggregate.
+    nd = F.col("n").cast("double")
+    mxd = F.col("__mx").cast("double")
+    myd = F.col("__my").cast("double")
+    exact_ok = (nd * nd * mxd * mxd <= F.lit(4.0e18)) & (
+        F.lit(2.0) * nd * nd * mxd * myd <= F.lit(4.0e18)
+    )
     slope = F.when(
+        ~exact_ok,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "group_trend: per-group magnitude bound exceeded "
+                    "(n^2*max|x|^2 or 2*n^2*max|x|*max|y*scale| > 4e18); "
+                    "int64 sums could wrap — lower decimal_scale or "
+                    "pre-shift x. group="
+                ),
+                F.col("__g").cast("string"),
+                F.lit(" n="),
+                F.col("n").cast("string"),
+                F.lit(" max|x|="),
+                F.col("__mx").cast("string"),
+                F.lit(" max|y_scaled|="),
+                F.col("__my").cast("string"),
+            )
+        ).cast("double"),
+    ).when(
         den != 0,
         (num.cast("double") / den.cast("double")) / F.lit(scale_f),
     )

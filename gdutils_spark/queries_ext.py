@@ -7118,6 +7118,133 @@ WHERE abs(length(a.p) - length(b.p)) <= {EDIT_MAX_DIST}
 """
 
 
+BETWEEN_BATCH_MOD = 10  # every 10th customer is "tonight's ingest"
+EDIT_BETWEEN_MOD = 23  # every 23rd document is the edit-join batch
+
+
+def customer_supplier_match_between(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL entity resolution (``operators/linkage
+    .fuzzy_blocked_join_between``): a nightly batch of customers
+    (``c_custkey % BETWEEN_BATCH_MOD == 0``) probes the full supplier
+    catalog — batch tokens broadcast, corpus consumed map-side, exactly
+    the rows the full join would emit (differential-tested in
+    tests/test_linkage_and_diff.py)."""
+    from gdutils_spark.operators.linkage import fuzzy_blocked_join_between
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % BETWEEN_BATCH_MOD == 0)
+        .select("c_custkey", "c_name")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return fuzzy_blocked_join_between(
+        c,
+        s,
+        "c_custkey",
+        "c_name",
+        "s_suppkey",
+        "s_name",
+        threshold=FUZZY_THRESHOLD,
+        max_token_freq=FUZZY_MAX_TOKEN_FREQ,
+    ).select(
+        F.col("batch_id").alias("custkey"),
+        F.col("corpus_id").alias("suppkey"),
+        "n_common",
+        "n_batch",
+        "n_corpus",
+        "jaccard",
+    )
+
+
+def _fuzzy_between_sql() -> str:
+    # between == full join over (batch, corpus) — the oracle is the
+    # full-join SQL with the batch filter applied to the customer side
+    return f"""
+WITH ta AS (
+  SELECT DISTINCT c_custkey AS a_id, t AS token FROM (
+    SELECT c_custkey,
+           unnest(regexp_split_to_array(lower(c_name), '[^a-z0-9]+')) AS t
+    FROM customer
+    WHERE c_custkey IS NOT NULL AND c_custkey % {BETWEEN_BATCH_MOD} = 0)
+  WHERE t <> ''
+), tb AS (
+  SELECT DISTINCT s_suppkey AS b_id, t AS token FROM (
+    SELECT s_suppkey,
+           unnest(regexp_split_to_array(lower(s_name), '[^a-z0-9]+')) AS t
+    FROM supplier WHERE s_suppkey IS NOT NULL)
+  WHERE t <> ''
+), sa AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_batch FROM ta GROUP BY a_id),
+sb AS (SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_corpus FROM tb GROUP BY b_id),
+hot AS (
+  SELECT token FROM (
+    SELECT token, MAX(f) AS f FROM (
+      SELECT token, COUNT(*) AS f FROM ta GROUP BY token
+      UNION ALL
+      SELECT token, COUNT(*) AS f FROM tb GROUP BY token) GROUP BY token)
+  WHERE f > {FUZZY_MAX_TOKEN_FREQ}
+), ca AS (SELECT * FROM ta WHERE token NOT IN (SELECT token FROM hot)),
+cb AS (SELECT * FROM tb WHERE token NOT IN (SELECT token FROM hot)),
+cands AS (SELECT DISTINCT a_id, b_id FROM ca JOIN cb USING (token)),
+com AS (
+  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cands c
+  JOIN ta ON ta.a_id = c.a_id
+  JOIN tb ON tb.b_id = c.b_id AND tb.token = ta.token
+  GROUP BY c.a_id, c.b_id
+)
+SELECT com.a_id AS custkey, com.b_id AS suppkey, n_common, n_batch, n_corpus,
+       CAST(n_common AS DOUBLE) / CAST(n_batch + n_corpus - n_common AS DOUBLE)
+         AS jaccard
+FROM com JOIN sa ON sa.a_id = com.a_id JOIN sb ON sb.b_id = com.b_id
+WHERE CAST(n_common AS DOUBLE) / CAST(n_batch + n_corpus - n_common AS DOUBLE)
+      >= {FUZZY_THRESHOLD}
+"""
+
+
+def doc_prefix_edit_pairs_between(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL edit-distance join (``operators/linkage
+    .edit_blocked_join_between``): a document batch (``doc_id %
+    EDIT_BETWEEN_MOD == 0``) probes the rest of the corpus for
+    first-32-char prefixes within Levenshtein distance 2 — batch grams
+    broadcast into the (gram, pos-bucket) candidate join, corpus grams
+    consumed map-side, texts scanned once for the exact verify."""
+    from gdutils_spark.operators.linkage import edit_blocked_join_between
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, EDIT_PREFIX_LEN)).alias("prefix"),
+    )
+    batch = d.where(F.col("doc_id") % EDIT_BETWEEN_MOD == 0)
+    corpus = d.where(F.col("doc_id") % EDIT_BETWEEN_MOD != 0)
+    return edit_blocked_join_between(
+        batch, corpus, "doc_id", "prefix", "doc_id", "prefix",
+        max_dist=EDIT_MAX_DIST, q=EDIT_Q,
+    ).select(
+        F.col("batch_id").alias("batch_doc"),
+        F.col("corpus_id").alias("corpus_doc"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def _edit_between_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(substr(text, 1, {EDIT_PREFIX_LEN})) AS p
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+)
+SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+       CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+FROM d a JOIN d b
+  ON a.doc_id % {EDIT_BETWEEN_MOD} = 0 AND b.doc_id % {EDIT_BETWEEN_MOD} <> 0
+WHERE abs(length(a.p) - length(b.p)) <= {EDIT_MAX_DIST}
+  AND levenshtein(a.p, b.p) <= {EDIT_MAX_DIST}
+"""
+
+
 def event_type_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS trend of DAILY total value over the day index
     (``operators/summaries.group_trend``): which event types are
@@ -7332,6 +7459,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_temperature_mix": doc_temperature_mix,
     "customer_supplier_name_match": customer_supplier_name_match,
     "doc_prefix_edit_pairs": doc_prefix_edit_pairs,
+    "customer_supplier_match_between": customer_supplier_match_between,
+    "doc_prefix_edit_pairs_between": doc_prefix_edit_pairs_between,
     "event_type_value_trend": event_type_value_trend,
     "order_totals_cube": order_totals_cube,
     "orders_snapshot_diff": orders_snapshot_diff,
@@ -7471,6 +7600,8 @@ EXT_ORACLE: dict[str, str] = {
     "geo_user_tracks": _geo_tracks_sql(),
     "customer_supplier_name_match": _fuzzy_match_sql(),
     "doc_prefix_edit_pairs": _edit_pairs_sql(),
+    "customer_supplier_match_between": _fuzzy_between_sql(),
+    "doc_prefix_edit_pairs_between": _edit_between_sql(),
     "event_type_value_trend": _value_trend_sql(),
     "order_totals_cube": _cube_sql(),
     "orders_snapshot_diff": _SNAPSHOT_DIFF_SQL,

@@ -674,6 +674,41 @@ def test_cli_edit_match(tmp_path, capsys, spark):
     assert len(rows) == 1 and rows[0]["b_id"] == 10 and rows[0]["dist"] == 1
 
 
+def test_cli_edit_match_guard_autostages(tmp_path, capsys, spark, monkeypatch):
+    """r12 ADVICE: --max-gram-freq enables the census (a second gram-
+    table consumer); without --stage-path the CLI must auto-stage to a
+    tempdir (and clean it up) rather than recompute both explodes."""
+    import tempfile
+
+    pa = str(tmp_path / "ga")
+    pb = str(tmp_path / "gb")
+    spark.createDataFrame(
+        [(1, "glider mission alpha")], "doc_id long, text string"
+    ).write.parquet(pa)
+    spark.createDataFrame(
+        [(10, "glider mission alphaX")], "doc_id long, text string"
+    ).write.parquet(pb)
+    staged_dirs = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy_mkdtemp(*a, **kw):
+        d = real_mkdtemp(*a, **kw)
+        staged_dirs.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy_mkdtemp)
+    assert main([
+        "edit-match", "--input", pa, "--other", pb, "--max-dist", "1",
+        "--max-gram-freq", "50", "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1 and rows[0]["b_id"] == 10 and rows[0]["dist"] == 1
+    auto = [d for d in staged_dirs if "gdutils_edit_stage_" in d]
+    assert len(auto) == 1
+    import os as _os
+    assert not _os.path.exists(auto[0]), "tempdir must be cleaned up"
+
+
 def test_cli_trend(tmp_path, capsys, spark):
     path = str(tmp_path / "trend")
     spark.createDataFrame(

@@ -245,6 +245,33 @@ def test_edit_join_hot_gram_guard_scores_stay_exact(spark):
         edit_blocked_join(a, b, "id", "t", "id", "t", max_gram_freq=0)
 
 
+def test_edit_join_guard_mode_keeps_short_string_recall(spark):
+    """r12 ADVICE: many same-length SHORT strings used to make their
+    length-bucket row "hot", and the guard-mode anti-join then removed
+    the guaranteed-recall path entirely — identical 5-char pairs
+    vanished. Bucket rows (pos 0) are now exempt from the census and
+    the anti-join."""
+    from gdutils_spark.operators.linkage import edit_blocked_join
+
+    # 30 distinct length-5 strings: every \x02len=5-ish bucket row
+    # count (30) far exceeds the cap, but bucket rows are exempt
+    strs = [f"ab{i:03d}" for i in range(30)]
+    a = spark.createDataFrame(list(enumerate(strs)), "id long, t string")
+    b = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(strs)], "id long, t string"
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in edit_blocked_join(
+            a, b, "id", "t", "id", "t", max_dist=1, q=4, max_gram_freq=2
+        ).collect()
+    }
+    # every identical pair must survive at dist 0
+    for i in range(30):
+        assert out.get((i, 100 + i)) == 0, f"lost short identical pair {i}"
+    assert all(d <= 1 for d in out.values())
+
+
 def test_edit_join_stage_path_identical_pairs(spark, tmp_path):
     from gdutils_spark.operators.linkage import edit_blocked_join
 
@@ -269,3 +296,156 @@ def test_edit_join_stage_path_identical_pairs(spark, tmp_path):
     )
     assert plain == staged and len(staged) >= 1
     assert (tmp_path / "edit_stage" / "grams_a").exists()
+
+
+def test_fuzzy_between_matches_full_join(spark, tmp_path):
+    """fuzzy_blocked_join_between(batch, corpus) must emit exactly the
+    full join's rows for the same inputs — computed-corpus, staged-
+    corpus (corpus_tokens_path, corpus=None), and guard-on variants."""
+    import random
+
+    from gdutils_spark.operators.linkage import (
+        corpus_token_table,
+        fuzzy_blocked_join,
+        fuzzy_blocked_join_between,
+    )
+
+    random.seed(7)
+    words = ["heron", "blue", "rv", "vessel", "glider", "unit", "alpha",
+             "beta", "x9", "dock", "inc"]
+    corpus_rows = [
+        (i, " ".join(random.sample(words, random.randint(1, 4))))
+        for i in range(60)
+    ]
+    batch_rows = [
+        (100 + i, " ".join(random.sample(words, random.randint(1, 4))))
+        for i in range(12)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "id long, name string")
+    batch = spark.createDataFrame(batch_rows, "id long, name string")
+    for freq in (None, 8):
+        full = sorted(
+            map(
+                tuple,
+                fuzzy_blocked_join(
+                    batch, corpus, "id", "name", "id", "name",
+                    threshold=0.4, max_token_freq=freq,
+                ).collect(),
+            )
+        )
+        betw = sorted(
+            map(
+                tuple,
+                fuzzy_blocked_join_between(
+                    batch, corpus, "id", "name", "id", "name",
+                    threshold=0.4, max_token_freq=freq,
+                ).collect(),
+            )
+        )
+        assert betw == full and len(full) >= 1, f"freq={freq}"
+    # staged corpus artifact: corpus never touched at query time
+    path = str(tmp_path / "corpus_tokens")
+    corpus_token_table(corpus, "id", "name").write.parquet(path)
+    staged = sorted(
+        map(
+            tuple,
+            fuzzy_blocked_join_between(
+                batch, None, "id", "name",
+                threshold=0.4, max_token_freq=8,
+                corpus_tokens_path=path, spark=spark,
+            ).collect(),
+        )
+    )
+    full8 = sorted(
+        map(
+            tuple,
+            fuzzy_blocked_join(
+                batch, corpus, "id", "name", "id", "name",
+                threshold=0.4, max_token_freq=8,
+            ).collect(),
+        )
+    )
+    assert staged == full8
+
+
+def test_edit_between_matches_full_join(spark, tmp_path):
+    """edit_blocked_join_between == edit_blocked_join for the same
+    inputs, across: computed grams, staged grams (same k), staged grams
+    built with a LARGER max_dist (wider bucket threshold -> candidate
+    superset -> identical verified output), and guard mode."""
+    import random
+
+    from gdutils_spark.operators.linkage import (
+        corpus_gram_table,
+        edit_blocked_join,
+        edit_blocked_join_between,
+    )
+
+    random.seed(11)
+    alpha = "abcdef "
+    corpus_strs = [
+        "".join(random.choice(alpha) for _ in range(random.randint(0, 24)))
+        for _ in range(50)
+    ]
+    # batch: mutated copies + fresh strings (short ones exercise buckets)
+    batch_strs = [
+        (s[: max(0, len(s) - 2)] + "zz") if random.random() < 0.5 else s
+        for s in random.sample(corpus_strs, 10)
+    ] + ["ab", "", "abcd"]
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_strs)), "id long, t string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(batch_strs)], "id long, t string"
+    )
+    kw = dict(max_dist=2, q=3)
+    full = sorted(
+        map(
+            tuple,
+            edit_blocked_join(batch, corpus, "id", "t", "id", "t", **kw).collect(),
+        )
+    )
+    assert len(full) >= 3  # the fixture must actually exercise matching
+    betw = sorted(
+        map(
+            tuple,
+            edit_blocked_join_between(
+                batch, corpus, "id", "t", "id", "t", **kw
+            ).collect(),
+        )
+    )
+    assert betw == full
+    # staged at the SAME k and at a LARGER k
+    for stage_k in (2, 4):
+        path = str(tmp_path / f"grams_k{stage_k}")
+        corpus_gram_table(corpus, "id", "t", q=3, max_dist=stage_k).write.parquet(
+            path
+        )
+        staged = sorted(
+            map(
+                tuple,
+                edit_blocked_join_between(
+                    batch, corpus, "id", "t", "id", "t",
+                    corpus_grams_path=path, **kw,
+                ).collect(),
+            )
+        )
+        assert staged == full, f"stage_k={stage_k}"
+    # guard mode: between == full under the same cap (count filter off,
+    # bucket rows exempt on both)
+    kwg = dict(max_dist=1, q=3, max_gram_freq=4)
+    fullg = sorted(
+        map(
+            tuple,
+            edit_blocked_join(batch, corpus, "id", "t", "id", "t", **kwg).collect(),
+        )
+    )
+    betwg = sorted(
+        map(
+            tuple,
+            edit_blocked_join_between(
+                batch, corpus, "id", "t", "id", "t", **kwg
+            ).collect(),
+        )
+    )
+    assert betwg == fullg

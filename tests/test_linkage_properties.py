@@ -236,6 +236,46 @@ def test_group_trend_matches_numpy_polyfit(spark, rows):
             assert r["intercept"] == _pt.approx(intercept, rel=1e-6, abs=1e-9)
 
 
+def test_group_trend_overflow_raises_not_wraps(spark):
+    """r12 ADVICE (medium): the y decimal cast was guarded but the long
+    sums (Sxx, Sxyc) and the determinant n*Sxx - Sx^2 could wrap int64
+    silently under non-ANSI Spark for large |x| or large groups. The
+    per-group guard (n^2*max|x|^2 / 2*n^2*max|x|*max|yc|) must raise
+    instead of emitting a confidently wrong slope."""
+    import pytest as _pt
+
+    from gdutils_spark.operators.summaries import group_trend
+
+    # n=3, max|x|=4e9 -> n^2*mx^2 = 1.44e20 >> 4e18: Sxx=4.8e19 would
+    # itself wrap int64 (9.2e18). Under ANSI Spark the x*x multiply
+    # raises ARITHMETIC_OVERFLOW during aggregation (also loud — fine);
+    # under non-ANSI the sums wrap silently and ONLY the guard saves
+    # the result, so either message is the required loud failure.
+    bad = [("g", 4_000_000_000 + i, float(i)) for i in range(3)]
+    df = spark.createDataFrame(bad, "g string, x long, y double")
+    with _pt.raises(
+        Exception, match="magnitude bound exceeded|ARITHMETIC_OVERFLOW"
+    ):
+        group_trend(df, "g", "x", "y").collect()
+    # non-ANSI path: the guard itself must fire.
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with _pt.raises(Exception, match="magnitude bound exceeded"):
+            group_trend(df, "g", "x", "y").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+    # a healthy group alongside still computes (guard is per-group in
+    # expression form, but raise_error aborts the job — so healthy-only
+    # input must be unaffected).
+    ok = [("h", i, 2.0 * i + 1.0) for i in range(5)]
+    out = group_trend(
+        spark.createDataFrame(ok, "g string, x long, y double"), "g", "x", "y"
+    ).collect()
+    assert out[0]["slope"] == _pt.approx(2.0) and out[0]["intercept"] == _pt.approx(1.0)
+
+
 def test_edit_blocked_join_long_strings_brute_force(spark):
     """Deterministic extended differential (caught the r12 bucket-range
     bug that the light hypothesis sweep missed: the probe window spans
