@@ -810,6 +810,70 @@ def cmd_edit_match(args) -> int:
     return 0
 
 
+def cmd_fuzzy_match_between(args) -> int:
+    from gdutils_spark.operators.linkage import fuzzy_blocked_join_between
+
+    spark = _get_spark()
+    batch = _load(spark, args.input)
+    corpus = _load(spark, args.corpus) if args.corpus else None
+    out = fuzzy_blocked_join_between(
+        batch,
+        corpus,
+        args.id_col,
+        args.text_col,
+        args.corpus_id_col or args.id_col,
+        args.corpus_text_col or args.text_col,
+        threshold=args.threshold,
+        max_token_freq=args.max_token_freq or None,
+        corpus_tokens_path=args.corpus_tokens_path,
+        spark=spark,
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_edit_match_between(args) -> int:
+    from gdutils_spark.operators.linkage import edit_blocked_join_between
+
+    spark = _get_spark()
+    batch = _load(spark, args.input)
+    corpus = _load(spark, args.corpus)
+    out = edit_blocked_join_between(
+        batch,
+        corpus,
+        args.id_col,
+        args.text_col,
+        args.corpus_id_col or args.id_col,
+        args.corpus_text_col or args.text_col,
+        max_dist=args.max_dist,
+        q=args.q,
+        max_gram_freq=args.max_gram_freq or None,
+        corpus_grams_path=args.corpus_grams_path,
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
+def cmd_stage_linkage(args) -> int:
+    """Build the staged corpus artifact the *-between commands probe."""
+    from gdutils_spark.operators.linkage import (
+        corpus_gram_table,
+        corpus_token_table,
+    )
+
+    spark = _get_spark()
+    corpus = _load(spark, args.input)
+    if args.kind == "tokens":
+        t = corpus_token_table(corpus, args.id_col, args.text_col)
+    else:
+        t = corpus_gram_table(
+            corpus, args.id_col, args.text_col, q=args.q, max_dist=args.max_dist
+        )
+    t.write.mode("overwrite").parquet(args.path)
+    _emit(f"staged {args.kind} -> {args.path}", args.output)
+    return 0
+
+
 def cmd_trend(args) -> int:
     from gdutils_spark.operators.summaries import group_trend
 
@@ -1396,6 +1460,42 @@ def build_parser() -> argparse.ArgumentParser:
                     "--max-gram-freq is set and this is omitted, a "
                     "throwaway tempdir is staged automatically (the "
                     "census double-consumes each gram table)")
+
+    sp = add_pipeline("fuzzy-match-between", cmd_fuzzy_match_between)
+    sp.add_argument("--corpus", help="corpus table path (omit when "
+                    "--corpus-tokens-path is staged)")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--corpus-id-col", help="defaults to --id-col")
+    sp.add_argument("--corpus-text-col", help="defaults to --text-col")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--max-token-freq", type=int, default=1000)
+    sp.add_argument("--corpus-tokens-path",
+                    help="staged corpus_token_table parquet (see "
+                    "stage-linkage); the corpus is then never re-exploded")
+
+    sp = add_pipeline("edit-match-between", cmd_edit_match_between)
+    sp.add_argument("--corpus", required=True, help="corpus table path "
+                    "(texts feed the exact verify even with staged grams)")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--corpus-id-col", help="defaults to --id-col")
+    sp.add_argument("--corpus-text-col", help="defaults to --text-col")
+    sp.add_argument("--max-dist", type=int, default=2)
+    sp.add_argument("--q", type=int, default=4)
+    sp.add_argument("--max-gram-freq", type=int, default=0)
+    sp.add_argument("--corpus-grams-path",
+                    help="staged corpus_gram_table parquet (see "
+                    "stage-linkage); stage with the largest max-dist "
+                    "you will query")
+
+    sp = add_pipeline("stage-linkage", cmd_stage_linkage)
+    sp.add_argument("--kind", required=True, choices=["tokens", "grams"])
+    sp.add_argument("--path", required=True, help="output parquet path")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--q", type=int, default=4)
+    sp.add_argument("--max-dist", type=int, default=2)
 
     sp = add_pipeline("trend", cmd_trend)
     sp.add_argument("--group-col", default="event_type")

@@ -73,10 +73,29 @@ def _count_in(toks: Column, vocab: tuple[str, ...]) -> Column:
 
 
 def text_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document token/char/punctuation/stopword statistics + a quality
-    score. One projection over the scan — no shuffle."""
+    score. One projection over the scan — no shuffle. ``keep_cols`` are
+    carried through unchanged, so a quality GATE composes as a plain
+    filter on this projection instead of a corpus-vs-corpus join back
+    onto the source (the doc_corpus_pipeline composition relies on it:
+    one consumer of the upstream stage, not two). Names colliding with
+    the stats columns raise (rename before the call — a silent
+    duplicate column would poison every downstream reference)."""
+    _stat_names = {
+        id_col, "n_chars", "n_tokens", "avg_token_len", "n_punct",
+        "punct_ratio", "n_stopwords", "stopword_ratio", "quality_score",
+    }
+    bad = [c for c in keep_cols if c in _stat_names]
+    if bad:
+        raise ValueError(
+            f"text_stats: keep_cols {bad} collide with stats output "
+            "columns; rename them before the call"
+        )
     t = F.col(text_col)
     toks = tokens(t)
     n_chars = F.length(t)
@@ -111,6 +130,7 @@ def text_stats(
         n_stop.alias("n_stopwords"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality_score"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

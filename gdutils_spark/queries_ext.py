@@ -7245,6 +7245,132 @@ WHERE abs(length(a.p) - length(b.p)) <= {EDIT_MAX_DIST}
 """
 
 
+def doc_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation (VERDICT r12 task 7): the existing
+    tiers composed into ONE query — exact dedup (fingerprint survivor)
+    → MinHash-LSH near-dup drop (pairs → connected components → anti
+    join of the loser set) → C4-style quality filter → domain-mix
+    sampling → hash-shard manifest, returning per-shard ``(shard,
+    n_docs, total_chars, manifest_hash)`` where ``manifest_hash`` is
+    md5 over the id-sorted member list — so a single changed survivor
+    anywhere upstream flips a hash. Each stage is individually
+    oracle-green; the composition catches cross-operator contract
+    drift (id/column conventions, NULL policy) that per-operator
+    oracles structurally cannot.
+
+    Plan shape at 100 TB: the corpus is scanned for the fingerprint
+    aggregate, the shingle explode, and the stats projection; the
+    near-dup loser set and the rates table BROADCAST into their
+    joins; the exact-dedup keeper semi-join and the final manifest
+    aggregate are the only corpus-wide shuffles (tests/test_plans.py
+    pins scan count and the broadcast joins)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    # stage 1: exact dedup — the fp aggregate emits one keeper id per
+    # normalized-text fingerprint; keepers are id-only (narrow) for the
+    # semi join back onto the corpus
+    keepers = dd.exact_duplicates(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s1 = docs.join(keepers, "doc_id", "left_semi")
+    # stage 2: near-dup drop over the exact-survivors (the
+    # doc_near_dup_drop shape: losers are tiny -> broadcast anti)
+    pairs = dd.minhash_lsh_pairs(
+        s1, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T
+    )
+    cc = dd.connected_components(pairs, src="d1", dst="d2")
+    losers = cc.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    s2 = s1.join(F.broadcast(losers), "doc_id", "left_anti")
+    # stage 3: quality filter — text_stats is a pure projection, so the
+    # gate is an inline filter on it (keep_cols threads the mix/manifest
+    # columns through), NOT a corpus-vs-corpus semi join: s2 keeps ONE
+    # consumer and the plan one fewer re-derivation of the whole chain.
+    # The table's n_chars (the mix weight) is renamed around the stats
+    # column of the same name (text_stats raises on collisions).
+    s3 = (
+        tx.text_stats(
+            s2.withColumnRenamed("n_chars", "__w"),
+            keep_cols=("source", "__w"),
+        )
+        .where(
+            (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+            & (F.col("quality_score") > QUALITY_MIN_SCORE)
+        )
+        .select("doc_id", "source", F.col("__w").alias("n_chars"))
+    )
+    # stage 4: domain mix — rates are strata-sized and broadcast
+    rates = sp.domain_mix_rates(
+        s3,
+        strata_col="source",
+        weight_col="n_chars",
+        target_weight=_mix_target_weight(),
+        budget_frac=MIX_BUDGET_FRAC,
+    )
+    s4 = sp.domain_mix_sample(s3, "source", "doc_id", rates)
+    # stage 5: shard manifest — md5 over the id-sorted member list
+    sharded = sp.shard_assign(s4, "doc_id", N_SHARDS)
+    ids_sorted = F.transform(
+        F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(F.concat_ws(",", ids_sorted)).alias("manifest_hash"),
+    )
+
+
+def _corpus_pipeline_sql() -> str:
+    # each stage's SQL is the per-operator oracle with its input CTE
+    # rebound (FROM documents -> FROM s1/s2/s3) — the composition IS
+    # the per-stage oracles chained
+    pairs_sql = _minhash_lsh_sql().replace("FROM documents", "FROM s1")
+    stats_sql = _TEXT_STATS_SQL.replace("FROM documents", "FROM s2")
+    mix_sql = _MIX_PER_SQL.replace("FROM documents", "FROM s3")
+    shard = f"CAST({_h64('CAST(doc_id AS VARCHAR)')} % {N_SHARDS} AS INT)"
+    bucket = f"({_h64('CAST(doc_id AS VARCHAR)')} % {sp.SAMPLE_BUCKETS})"
+    return f"""
+WITH RECURSIVE
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+  GROUP BY fp
+),
+s1 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+pairs AS ({pairs_sql}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+s2 AS (SELECT * FROM s1
+       WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)),
+stats AS ({stats_sql}),
+s3 AS (SELECT s2.* FROM s2 JOIN stats USING (doc_id)
+       WHERE stats.n_tokens >= {QUALITY_MIN_TOKENS}
+         AND stats.quality_score > {QUALITY_MIN_SCORE}),
+{mix_sql.strip()},
+rates AS (
+  SELECT stratum,
+         CAST(floor({_MIX_RATE_SQL} * 10000.0 + 0.5) AS BIGINT) AS thr
+  FROM per, tot
+),
+s4 AS (SELECT s3.* FROM s3 JOIN rates ON source = stratum
+       WHERE {bucket} < thr)
+SELECT {shard} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS manifest_hash
+FROM s4 GROUP BY 1
+"""
+
+
 def event_type_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS trend of DAILY total value over the day index
     (``operators/summaries.group_trend``): which event types are
@@ -7461,6 +7587,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_prefix_edit_pairs": doc_prefix_edit_pairs,
     "customer_supplier_match_between": customer_supplier_match_between,
     "doc_prefix_edit_pairs_between": doc_prefix_edit_pairs_between,
+    "doc_corpus_pipeline": doc_corpus_pipeline,
     "event_type_value_trend": event_type_value_trend,
     "order_totals_cube": order_totals_cube,
     "orders_snapshot_diff": orders_snapshot_diff,
@@ -7602,6 +7729,7 @@ EXT_ORACLE: dict[str, str] = {
     "doc_prefix_edit_pairs": _edit_pairs_sql(),
     "customer_supplier_match_between": _fuzzy_between_sql(),
     "doc_prefix_edit_pairs_between": _edit_between_sql(),
+    "doc_corpus_pipeline": _corpus_pipeline_sql(),
     "event_type_value_trend": _value_trend_sql(),
     "order_totals_cube": _cube_sql(),
     "orders_snapshot_diff": _SNAPSHOT_DIFF_SQL,

@@ -718,3 +718,38 @@ def test_cli_trend(tmp_path, capsys, spark):
     assert main(["trend", "--input", path, "-f", "json"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert rows[0]["slope"] == 3.0 and rows[0]["intercept"] == 2.0
+
+
+def test_cli_match_between_staged_roundtrip(tmp_path, capsys, spark):
+    """stage-linkage builds the corpus artifact; fuzzy-match-between
+    probes it with corpus omitted; edit-match-between probes staged
+    grams (corpus still required for the verify texts)."""
+    pb_ = str(tmp_path / "mb_batch")
+    pc_ = str(tmp_path / "mb_corpus")
+    spark.createDataFrame(
+        [(1, "glider mission alpha")], "doc_id long, text string"
+    ).write.parquet(pb_)
+    spark.createDataFrame(
+        [(10, "glider mission alphaX"), (11, "unrelated entirely")],
+        "doc_id long, text string",
+    ).write.parquet(pc_)
+    toks = str(tmp_path / "staged_tokens")
+    grams = str(tmp_path / "staged_grams")
+    assert main(["stage-linkage", "--input", pc_, "--kind", "tokens",
+                 "--path", toks]) == 0
+    capsys.readouterr()
+    assert main(["stage-linkage", "--input", pc_, "--kind", "grams",
+                 "--path", grams, "--q", "4", "--max-dist", "2"]) == 0
+    capsys.readouterr()
+    assert main([
+        "fuzzy-match-between", "--input", pb_, "--threshold", "0.5",
+        "--max-token-freq", "0", "--corpus-tokens-path", toks, "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1 and rows[0]["corpus_id"] == 10
+    assert main([
+        "edit-match-between", "--input", pb_, "--corpus", pc_,
+        "--max-dist", "1", "--corpus-grams-path", grams, "-f", "json",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1 and rows[0]["corpus_id"] == 10 and rows[0]["dist"] == 1

@@ -1513,3 +1513,21 @@ def test_fk_audit_multiple_edges_and_validation(spark):
     assert all(r["n_orphans"] == 0 for r in out)
     with _pytest.raises(ValueError, match="fk_audit"):
         fk_audit([])
+
+
+def test_text_stats_keep_cols_passthrough_and_collision(spark):
+    from gdutils_spark.operators.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox", "web", 19)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = text_stats(
+        df.withColumnRenamed("n_chars", "w"), keep_cols=("source", "w")
+    ).collect()[0]
+    assert out["source"] == "web" and out["w"] == 19
+    assert out["n_tokens"] == 4  # stats unchanged by keep_cols
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collide"):
+        text_stats(df, keep_cols=("n_chars",))

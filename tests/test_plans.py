@@ -678,3 +678,26 @@ def test_cube_is_one_expand_one_aggregate(spark, sf_correct):
     plan = formatted_plan(df)
     assert n_nodes(plan, "Expand") == 1, plan
     assert not uses_python(plan)
+
+
+def test_corpus_pipeline_scan_contract(spark, sf_correct):
+    """VERDICT r12 task 7: the end-to-end composition must not re-scan
+    the corpus beyond its documented contract — 4 pruned scans ((a) the
+    exact-dedup fingerprint census, (b) the near-dup shingle input, (c)
+    the loser-set chain, (d) the main output chain; the quality gate is
+    an INLINE filter on the text_stats projection, not a corpus-vs-
+    corpus join, and the loser/rate sides broadcast), zero sort-merge
+    joins, no Python."""
+    import re
+
+    df = QUERIES["doc_corpus_pipeline"](spark, sf_correct)
+    assert not uses_python(df)
+    plan = formatted_plan(df)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) <= 4, f"corpus re-scanned: {len(schemas)} scans"
+    # every scan is column-pruned: nothing reads more than the pipeline
+    # columns (doc_id/text/source/n_chars)
+    for s in schemas:
+        assert "lang" not in s
+    assert "SortMergeJoin" not in plan
+    assert has_broadcast_join(plan)
