@@ -171,6 +171,16 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
+    # VERDICT r12 task 8: assert the written artifact re-parses — the
+    # driver's BENCH_r{N}.json wrapper keeps only a truncated stdout
+    # tail ("parsed": null), so bench_r*_full.json IS the record of
+    # round performance and a corrupt write must fail the run loudly,
+    # not surface as a mis-read next round.
+    with open(full_out) as f:
+        reread = json.load(f)
+    assert reread["value"] == total and len(reread["queries"]) == len(timings), (
+        f"bench artifact round-trip failed: {full_out}"
+    )
     # Key order matters: the driver's wrapper stores only the LAST ~2 KB
     # of stdout ("tail"), which front-truncates a long line (observed in
     # BENCH_r03.json: "parsed": null, tail starts mid-queries). Putting

@@ -69,6 +69,11 @@ def stage_partitioned(
     corpus.
     """
     cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    if not cols:
+        # partitionBy() with no columns writes a flat unpartitioned
+        # layout — every "partition-pruned" query would silently scan
+        # the full corpus, the exact failure this helper exists to stop
+        raise ValueError("stage_partitioned: partition_cols must be non-empty")
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
 
 
@@ -101,6 +106,10 @@ def salted_join(
             f"x{salts} (the dim side is exploded); use inner/left/"
             "left_semi/left_anti, or swap the sides"
         )
+    if salts < 1:
+        # explode(array()) drops every dim row: inner/semi go silently
+        # EMPTY and anti keeps every fact row — all confidently wrong
+        raise ValueError(f"salted_join: salts={salts} must be >= 1")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(salts))
     f = facts.withColumn("__salt", salt.cast("int"))
     d = dims.withColumn(

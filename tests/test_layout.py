@@ -152,3 +152,33 @@ def test_zorder_sql_twin_try_cast_matches(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_zorder_infinity_and_saturating_floor_match_oracle(spark):
+    """r13 latent hunt (VERDICT task 3, layout bit edges): ±inf and
+    far-out-of-range finite values must CLAMP to the extreme cells on
+    both engines — Spark's floor saturates at Long.MAX (never raises,
+    even under ANSI) and the clamp then lands the top cell, matching
+    DuckDB's double-space clamp. Pinned so a future floor/cast
+    reordering can't reintroduce an ANSI-raise or an engine split."""
+    import duckdb
+
+    from gdutils_spark.operators.layout import zorder_key, zorder_key_sql
+
+    df = spark.range(1).select(
+        F.lit(float("inf")).alias("pinf"),
+        F.lit(float("-inf")).alias("ninf"),
+        F.lit(1e30).alias("big"),
+        F.lit(-1e30).alias("small"),
+    )
+    got = {}
+    for c in ("pinf", "ninf", "big", "small"):
+        got[c] = df.select(
+            zorder_key([(c, 0.0, 1.0)], bits=8).alias("z")
+        ).collect()[0]["z"]
+    assert got == {"pinf": 255, "ninf": 0, "big": 255, "small": 0}
+    sql = zorder_key_sql([("x", 0.0, 1.0)], bits=8)
+    for val, want in [("CAST('inf' AS DOUBLE)", 255), ("CAST('-inf' AS DOUBLE)", 0),
+                      ("1e30", 255), ("-1e30", 0)]:
+        r = duckdb.sql(f"SELECT {sql} AS z FROM (SELECT {val} AS x)").fetchone()[0]
+        assert r == want

@@ -170,3 +170,20 @@ def test_snapshot_diff_on_bucketed_snapshots_is_shuffle_free(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS snap_old_b")
         spark.sql("DROP TABLE IF EXISTS snap_new_b")
+
+
+def test_salted_join_and_stage_partitioned_validate_degenerate_args(spark, tmp_path):
+    """r13 latent hunt: salts=0 used to explode the dim to NOTHING
+    (inner/semi silently empty, anti keeps every fact row); an empty
+    partition_cols list used to write a flat layout that every
+    'partition-pruned' query would full-scan."""
+    import pytest as _pt
+
+    from gdutils_spark.sources.staging import salted_join, stage_partitioned
+
+    f = spark.createDataFrame([(1, "a")], "k long, v string")
+    d = spark.createDataFrame([(1, "x")], "k long, w string")
+    with _pt.raises(ValueError, match="salts"):
+        salted_join(f, d, "k", salts=0)
+    with _pt.raises(ValueError, match="non-empty"):
+        stage_partitioned(f, str(tmp_path / "flat"), [])
