@@ -337,8 +337,13 @@ def domain_mix_rates(
     x = F.col("_x")
     share = x["_tw"].cast("double") / F.col("_W").cast("double")
     budget = F.col("_corpus").cast("double") * F.lit(float(budget_frac))
-    rate = F.least(
-        F.lit(1.0), share * budget / x["total_weight"].cast("double")
+    # zero/NULL-weight stratum: rate is UNDEFINED (NULL -> the sampler
+    # keeps nothing), never an ANSI DIVIDE_BY_ZERO that kills the job
+    # (r13 null-fixture hunt; the when() guard also covers NULL since
+    # NULL > 0 is NULL). Oracle twin: the CASE in _MIX_RATE_SQL.
+    rate = F.when(
+        x["total_weight"].cast("double") > 0,
+        F.least(F.lit(1.0), share * budget / x["total_weight"].cast("double")),
     )
     return packed.select(F.explode("_a").alias("_x"), "_corpus", "_W").select(
         x["stratum"].alias("stratum"),
@@ -442,12 +447,17 @@ def temperature_mix_rates(
         ).alias("_S"),
     )
     x = F.col("_x")
-    share = x["_r"] / F.col("_S")
-    rate = F.least(
-        F.lit(1.0),
-        share
-        * (F.col("_corpus").cast("double") * F.lit(float(budget_frac)))
-        / x["total_weight"].cast("double"),
+    # the zero/NULL-weight-stratum guard of domain_mix_rates: share and
+    # rate are NULL (undefined), not a DIVIDE_BY_ZERO
+    share = F.when(F.col("_S") > 0, x["_r"] / F.col("_S"))
+    rate = F.when(
+        x["total_weight"].cast("double") > 0,
+        F.least(
+            F.lit(1.0),
+            share
+            * (F.col("_corpus").cast("double") * F.lit(float(budget_frac)))
+            / x["total_weight"].cast("double"),
+        ),
     )
     return packed.select(
         F.explode("_a").alias("_x"), "_corpus", "_S"

@@ -80,6 +80,22 @@ def cosine(a: Column, b: Column, dims: int | None = DEFAULT_DIMS) -> Column:
     return dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
 
 
+def _well_formed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Entry filter applied by EVERY public similarity operator (r13
+    null-fixture hunt): rows with a NULL id, a NULL vector, or any
+    NULL/NaN element are excluded up front — one malformed vector
+    otherwise crashes np.stack mid-job ("all input arrays must have the
+    same shape"), poisons cosine/PQ math with NaN, and DuckDB's
+    list_cosine_similarity refuses NULL outright, so the oracles pin
+    the identical contract (their e-CTEs carry the same WHERE)."""
+    v = F.col(vec_col)
+    return df.where(
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
+        & ~F.exists(v, lambda x: x.isNull() | F.isnan(x))
+    )
+
+
 def knn_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -100,6 +116,8 @@ def knn_bruteforce(
     scoring is a map over the corpus scan; top-k is one shuffle on
     query_id. Ties break on neighbor id for determinism.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
+    queries = _well_formed(queries, id_col, vec_col)
     return _knn_topk(
         vectors, queries, id_col, vec_col, k, dims, max_query_rows,
         "knn_bruteforce",
@@ -195,6 +213,8 @@ def knn_filtered(
     FEWER than k (or zero) matching neighbors. NULL attributes match
     nothing on either side (equi-join semantics — a NULL-labeled row
     can't be "the same language" as anything)."""
+    vectors = _well_formed(vectors, id_col, vec_col)
+    queries = _well_formed(queries, id_col, vec_col)
     return _knn_topk(
         vectors, queries, id_col, vec_col, k, dims, max_query_rows,
         "knn_filtered", filter_col=filter_col,
@@ -222,6 +242,8 @@ def knn_hard_negatives(
     corpus-scan scoring, ONE query-keyed top-(k+n) shuffle): mining
     negatives costs exactly one brute-force pass, and at scale the same
     IVF/PQ candidate generators substitute for the exact ranking."""
+    vectors = _well_formed(vectors, id_col, vec_col)
+    queries = _well_formed(queries, id_col, vec_col)
     from pyspark.sql import Window
 
     _guard_query_rows(queries, id_col, max_query_rows, "knn_hard_negatives")
@@ -291,6 +313,7 @@ def embedding_near_dup_pairs(
     accident. For anything larger use :func:`lsh_near_dup_pairs`, the
     bucketed scale path that never materializes the corpus anywhere.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     spark = vectors.sparkSession
     base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     # cheap pruned + LIMIT-bounded probe BEFORE the driver collect, so an
@@ -306,6 +329,12 @@ def embedding_near_dup_pairs(
             f"max_broadcast_rows explicitly if you really mean it."
         )
     pdf_all = base.toPandas()
+    if pdf_all.empty:
+        # no vectors -> no pairs: a well-formed empty relation, not an
+        # np.stack crash (r13 empty-fixture hunt)
+        return vectors.sparkSession.createDataFrame(
+            [], "d1 long, d2 long, score double"
+        )
     ids_all = pdf_all["_id"].to_numpy()
     M = np.stack(pdf_all["_v"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((ids_all, M))
@@ -360,6 +389,7 @@ def quantize_embeddings(
     in codegen) — no shuffle, no Python; at 100 TB this is
     scan-bandwidth-bound and composes with the LSH/IVF bucketing stages.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     v = F.col(vec_col)
     vmin = F.array_min(v).cast("double")
     vmax = F.array_max(v).cast("double")
@@ -408,6 +438,7 @@ def lsh_buckets(
     Bucketing is a map; the later candidate join shuffles on bucket —
     never all-pairs.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     from pyspark.sql.functions import pandas_udf
 
     S = np.array(
@@ -485,6 +516,7 @@ def banded_lsh_buckets(
     map-side explode, bands rows per vector, ready for a bucket
     equi-join.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     from pyspark.sql.functions import pandas_udf
 
     n_planes = bands * rows_per_band
@@ -544,6 +576,7 @@ def lsh_near_dup_pairs(
     the staged files, so executor storage memory holds nothing and the
     Arrow projection still runs exactly once.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     banded = banded_lsh_buckets(vectors, id_col, vec_col, bands, rows_per_band, dims)
     if stage_path is not None:
         banded.write.mode("overwrite").parquet(stage_path)
@@ -665,6 +698,16 @@ def _seed_centroids(
         .limit(n_centroids)
         .toPandas()
     )
+    if cent.empty:
+        # r13 empty-fixture hunt: an empty corpus used to surface as an
+        # opaque numpy "need at least one array to stack" fifteen frames
+        # deep. An index cannot be seeded from nothing — fail loudly and
+        # name the fix (the pack_sequences budget=0 hazard convention).
+        raise ValueError(
+            "similarity: empty corpus — cannot seed centroids/codebook; "
+            "guard empty-corpus runs upstream (an upstream filter "
+            "removed every vector)"
+        )
     return cent["_id"].to_numpy(), np.stack(cent["_v"].to_numpy()).astype(np.float64)
 
 
@@ -778,6 +821,7 @@ def ivf_refine_centroids(
     extreme member counts swap the fold for a plain ``sum`` (semantically
     identical, gives up bit-reproducibility across engines).
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     cids, C = _seed_centroids(vectors, id_col, vec_col, n_centroids)
     for _ in range(n_iters):
         # with_vector: the assignment map carries the embedding through,
@@ -837,6 +881,7 @@ def ivf_assign(
     scan-speed, and the resulting ``centroid`` column is the
     partition/cluster key that makes probed search touch 1/C of the data.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     if refine_iters > 0:
         cids, C = ivf_refine_centroids(
             vectors, id_col, vec_col, n_centroids, refine_iters
@@ -865,6 +910,7 @@ def ivf_cluster_quality(
     the report is reproducible cross-engine. Aggregate state is
     cell-count-sized.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     assign = ivf_assign(vectors, id_col, vec_col, n_centroids, refine_iters)
     folded = assign.groupBy("centroid").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -907,6 +953,8 @@ def knn_ivf(
     (:func:`ivf_refine_centroids`) before clustering — tighter clusters
     raise recall at the same probe budget.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
+    queries = _well_formed(queries, id_col, vec_col)
     from pyspark.sql import Window
 
     _guard_query_rows(queries, id_col, max_query_rows, "knn_ivf")
@@ -988,6 +1036,8 @@ def knn_ivf_sweep(
     per-arm corpus re-scan, no cache: sweeping 3 budgets costs one
     :func:`knn_ivf` plus a candidate-sized explode.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
+    queries = _well_formed(queries, id_col, vec_col)
     from pyspark.sql import Window
 
     if not probes:
@@ -1090,6 +1140,8 @@ def knn_lsh(
     no (query, neighbor) pair is scored twice). Multi-probe recall is a
     SUPERSET guarantee: the candidate set contains the single-probe
     candidates, so recall@k can only improve or tie (test-pinned)."""
+    vectors = _well_formed(vectors, id_col, vec_col)
+    queries = _well_formed(queries, id_col, vec_col)
     from pyspark.sql import Window
 
     _guard_query_rows(queries, id_col, max_query_rows, "knn_lsh")
@@ -1171,6 +1223,7 @@ def semantic_dedup(
     at web scale); a hot cluster is visible in the assignment histogram
     (``groupBy(centroid).count()``) before the join runs.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     if refine_iters > 0:
         cids, C = ivf_refine_centroids(
             vectors, id_col, vec_col, n_centroids, refine_iters
@@ -1272,6 +1325,7 @@ def pq_encode(
     Plan shape: one Arrow-batched map with the (k × D) codebook
     broadcast — scan-speed at any corpus size; no shuffle.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     spark = vectors.sparkSession
     if refine_iters > 0:
         C = pq_refine_codebooks(vectors, id_col, vec_col, m, k, refine_iters)
@@ -1345,6 +1399,8 @@ def knn_pq(
     for top-k. At 100 TB the scan cost is the CODE columns, the float
     corpus is never re-read once codes are staged.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
+    queries = _well_formed(queries, id_col, vec_col)
     from pyspark.sql import Window
 
     _guard_query_rows(queries, id_col, max_query_rows, "knn_pq")
@@ -1362,6 +1418,12 @@ def knn_pq(
         .orderBy("_qid")
         .toPandas()
     )
+    if qpdf.empty:
+        # no queries -> no neighbors (well-formed empty, r13 hunt)
+        _idt = vectors.schema[id_col].dataType.simpleString()
+        return vectors.sparkSession.createDataFrame(
+            [], f"query_id {_idt}, neighbor_id {_idt}, approx_d2 double"
+        )
     qids = qpdf["_qid"].to_numpy()
     Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
     # per-query ADC tables, sequential-dim accumulation (encoder parity)
@@ -1453,6 +1515,7 @@ def pq_refine_codebooks(
     a sampled ``vectors`` relation for that — the refinement is
     per-subspace, so the sample just needs subspace coverage.
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     spark = vectors.sparkSession
     if seeds is not None:
         # caller-supplied seed matrix (e.g. residual-space seeds from
@@ -1735,6 +1798,7 @@ def ivfpq_index(
     caller (``knn_ivf_pq`` trains once and shares them with its probe
     ranking and ADC tables — retraining here would double the cost).
     """
+    vectors = _well_formed(vectors, id_col, vec_col)
     spark = vectors.sparkSession
     if _coarse is not None:
         cids, CC = _coarse
@@ -1971,6 +2035,7 @@ def ivfpq_append(
     ``stage_path``). Quantizer training state is whatever the build
     staged — appending never retrains; when cell balance degrades after
     heavy growth, rebuild (that is the IVF trade, not a code path)."""
+    new_vectors = _well_formed(new_vectors, id_col, vec_col)
     codes = spark.read.parquet(stage_path)
     cids, CC, C = _load_quantizer(spark, stage_path)
     meta = spark.read.parquet(stage_path + "_meta").collect()[0]
@@ -2080,6 +2145,7 @@ def knn_ivf_pq(
     when multiple searches share it). ``index`` and ``stage_path`` are
     mutually exclusive.
     """
+    queries = _well_formed(queries, id_col, vec_col)
     from pyspark.sql import Window
 
     _guard_query_rows(queries, id_col, max_query_rows, "knn_ivf_pq")

@@ -1168,9 +1168,13 @@ def kmv_overlap_report(
         .crossJoin(exact_b)
         .crossJoin(exact_i)
     )
-    jac = F.col("n_shared").cast("double") / F.col(
-        "n_union_sketch"
-    ).cast("double")
+    # try_divide: BOTH inputs empty -> empty union sketch -> 0/0 must be
+    # an undefined (NULL) jaccard, not an ANSI DIVIDE_BY_ZERO mid-job
+    # (r13 empty-fixture hunt; the DuckDB oracle's double division gives
+    # NaN, which the driver-compare treats as the same undefined)
+    jac = F.try_divide(
+        F.col("n_shared").cast("double"), F.col("n_union_sketch").cast("double")
+    )
     return row.select(
         "n_a_exact",
         "n_b_exact",

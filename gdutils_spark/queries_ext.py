@@ -392,6 +392,7 @@ WITH e AS (
          list_min(CAST(embedding AS DOUBLE[])) AS vmin,
          list_max(CAST(embedding AS DOUBLE[])) AS vmax
   FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
 )
 SELECT vec_id, vmin, vmax, CAST(t.i - 1 AS INT) AS dim,
        CASE WHEN vmax = vmin THEN 0
@@ -667,9 +668,9 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id < {N_QUERIES}
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND vec_id < {N_QUERIES}
 ), v AS (
-  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
 ), s AS (
   SELECT query_id, neighbor_id, list_cosine_similarity(qe, ve) AS score
   FROM q, v WHERE neighbor_id <> query_id
@@ -699,10 +700,10 @@ def emb_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_FILTERED_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id < {N_QUERIES}
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND vec_id < {N_QUERIES}
 ), v AS (
   SELECT vec_id AS neighbor_id, label AS vl, CAST(embedding AS DOUBLE[]) AS ve
-  FROM embeddings
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
 ), s AS (
   SELECT query_id, neighbor_id, list_cosine_similarity(qe, ve) AS score
   FROM q JOIN v ON v.vl = q.ql
@@ -734,9 +735,9 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HARD_NEG_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id < {N_QUERIES}
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND vec_id < {N_QUERIES}
 ), v AS (
-  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
 ), s AS (
   SELECT query_id, neighbor_id, list_cosine_similarity(qe, ve) AS score
   FROM q, v WHERE neighbor_id <> query_id
@@ -757,7 +758,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_DUP_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)
 SELECT a.vec_id AS d1, b.vec_id AS d2, list_cosine_similarity(a.v, b.v) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_T}
@@ -793,14 +794,14 @@ def _banded_buckets_sql() -> str:
                 f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
             )
         selects.append(
-            f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bucket FROM embeddings"
+            f"SELECT vec_id, {b} AS band, {' + '.join(terms)} AS bucket FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0"
         )
     return " UNION ALL ".join(selects)
 
 
 def _lsh_near_dup_sql() -> str:
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 bb AS ({_banded_buckets_sql()}),
 cand AS (
   SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -827,7 +828,7 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ASSIGN_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
 scored AS (
   SELECT e.vec_id, cent.cid, list_cosine_similarity(e.v, cent.cv) AS s,
@@ -848,7 +849,7 @@ def emb_ivf_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_QUALITY_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
 scored AS (
   SELECT e.vec_id, cent.cid, list_cosine_similarity(e.v, cent.cv) AS s,
@@ -884,7 +885,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_codes_sql() -> str:
     sub = EMB_DIMS // PQ_M
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 cb AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx, v AS cv
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K})
@@ -926,7 +927,7 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_pq_sql() -> str:
     sub = EMB_DIMS // PQ_M
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 cb AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_idx, v AS cv
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PQ_K})
@@ -1036,7 +1037,7 @@ def _pq_codes_refined_sql() -> str:
     sub = EMB_DIMS // PQ_M
     n = PQ_REFINE_ITERS
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 {_pq_refined_cb_ctes(n)},
 d AS (
   SELECT e.vec_id, t.s AS subspace, cb.code_idx,
@@ -1083,7 +1084,7 @@ def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_ivfpq_sql() -> str:
     sub = EMB_DIMS // PQ_M
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
 assign AS (
   SELECT vec_id, cid AS centroid FROM (
@@ -1161,7 +1162,7 @@ def _knn_ivfpq_trained_sql() -> str:
     nc = IVF_REFINE_ITERS
     npq = PQ_REFINE_ITERS
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 {_ivf_refined_cent_ctes(nc)},
 {_pq_refined_cb_ctes(npq)},
 assign AS (
@@ -1224,7 +1225,7 @@ def _ivfpq_arm_sql(residual: bool) -> str:
     nc = IVF_REFINE_ITERS
     ix = f"[CAST(t.s*{sub} + i + 1 AS INT)]"
     head = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 {_ivf_refined_cent_ctes(nc)},
 assign AS (
   SELECT vec_id, cid AS centroid FROM (
@@ -1457,7 +1458,7 @@ def _knn_ivf_sql(n_probe: int) -> str:
     """Seed-centroid IVF probed kNN as SQL, parameterized on the probe
     count (shared by the fixed-probe oracle and the recall-curve sweep)."""
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
 assign AS (
   SELECT vec_id, cid AS centroid FROM (
@@ -1622,7 +1623,7 @@ def _ivf_refined_cent_ctes(n_iters: int) -> str:
 def _knn_ivf_refined_sql() -> str:
     n = IVF_REFINE_ITERS
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 {_ivf_refined_cent_ctes(n)},
 assign AS (
   SELECT vec_id, cid AS centroid FROM (
@@ -1668,7 +1669,7 @@ def _lsh_buckets_sql() -> str:
             f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
             f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
         )
-    return f"SELECT vec_id, {' + '.join(terms)} AS bucket FROM embeddings"
+    return f"SELECT vec_id, {' + '.join(terms)} AS bucket FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0"
 
 
 def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,7 +1685,7 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_lsh_sql() -> str:
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 b AS ({_lsh_buckets_sql()}),
 q AS (
   SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
@@ -1720,7 +1721,7 @@ def emb_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_lsh_multiprobe_sql() -> str:
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 b AS ({_lsh_buckets_sql()}),
 q0 AS (
   SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
@@ -2638,7 +2639,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMANTIC_DEDUP_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
 scored AS (
   SELECT e.vec_id, e.v, cent.cid,
@@ -2761,18 +2762,23 @@ tot AS (
   FROM per
 )
 SELECT stratum, n_docs, total_weight,
-       sqrt(CAST(total_weight AS DOUBLE)) / S AS temp_share,
-       LEAST(CAST(1 AS DOUBLE),
-             sqrt(CAST(total_weight AS DOUBLE)) / S
-               * (CAST(corpus AS DOUBLE) * CAST({TEMP_MIX_BUDGET!r} AS DOUBLE))
-               / CAST(total_weight AS DOUBLE)) AS rate,
-       LEAST(CAST(1 AS DOUBLE),
-             sqrt(CAST(total_weight AS DOUBLE)) / S
-               * (CAST(corpus AS DOUBLE) * CAST({TEMP_MIX_BUDGET!r} AS DOUBLE))
-               / CAST(total_weight AS DOUBLE))
-         * CAST(total_weight AS DOUBLE) AS expected_weight
+       CASE WHEN S > 0 THEN sqrt(CAST(total_weight AS DOUBLE)) / S END
+         AS temp_share,
+       CASE WHEN total_weight > 0 AND S > 0 THEN
+         LEAST(CAST(1 AS DOUBLE),
+               sqrt(CAST(total_weight AS DOUBLE)) / S
+                 * (CAST(corpus AS DOUBLE) * CAST({TEMP_MIX_BUDGET!r} AS DOUBLE))
+                 / CAST(total_weight AS DOUBLE)) END AS rate,
+       CASE WHEN total_weight > 0 AND S > 0 THEN
+         LEAST(CAST(1 AS DOUBLE),
+               sqrt(CAST(total_weight AS DOUBLE)) / S
+                 * (CAST(corpus AS DOUBLE) * CAST({TEMP_MIX_BUDGET!r} AS DOUBLE))
+                 / CAST(total_weight AS DOUBLE))
+           * CAST(total_weight AS DOUBLE) END AS expected_weight
 FROM per, tot
 """
+# CASE guards: zero/NULL-weight stratum -> NULL share/rate on both
+# engines (operator twin: temperature_mix_rates' when() guards)
 
 
 SPLIT_HOLDOUT_FRAC = 0.1
@@ -2817,14 +2823,17 @@ MIX_BUDGET_FRAC = 0.5
 def _mix_target_weight():
     # even-numbered sources get double target weight — a stand-in for a
     # curated per-domain priority table (which would broadcast the same
-    # way at scale)
+    # way at scale). try_cast: a source name without a numeric suffix
+    # must get the default weight, not crash the whole mix job under
+    # ANSI (r13 null-fixture hunt: source 'webz' raised
+    # CAST_INVALID_INPUT mid-aggregate)
     return F.when(
-        F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0, F.lit(2)
+        F.substring(F.col("source"), 4, 10).try_cast("int") % 2 == 0, F.lit(2)
     ).otherwise(F.lit(1))
 
 
 _MIX_TW_SQL = (
-    "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 2 ELSE 1 END"
+    "CASE WHEN TRY_CAST(substring(source, 4) AS INT) % 2 = 0 THEN 2 ELSE 1 END"
 )
 
 _MIX_PER_SQL = f"""
@@ -2842,9 +2851,13 @@ tot AS (
 """
 
 _MIX_RATE_SQL = (
+    # CASE: zero/NULL-weight stratum has an UNDEFINED (NULL) rate on
+    # both engines (the operator's when() guard) — bare division would
+    # give inf/nan in DuckDB and DIVIDE_BY_ZERO in ANSI Spark
+    "(CASE WHEN total_weight > 0 THEN "
     "LEAST(1.0, CAST(_tw AS DOUBLE) / CAST(_w AS DOUBLE)"
     f" * (CAST(_corpus AS DOUBLE) * {MIX_BUDGET_FRAC})"
-    " / CAST(total_weight AS DOUBLE))"
+    " / CAST(total_weight AS DOUBLE)) END)"
 )
 
 
@@ -3045,10 +3058,10 @@ tr AS (SELECT doc_id,
               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_a
        FROM bm),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-      WHERE vec_id = {HYBRID_QUERY_VEC}),
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND vec_id = {HYBRID_QUERY_VEC}),
 vs AS (SELECT vec_id AS doc_id,
               list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS vscore
-       FROM embeddings, q WHERE vec_id <> {HYBRID_QUERY_VEC}),
+       FROM embeddings, q WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND vec_id <> {HYBRID_QUERY_VEC}),
 vr AS (SELECT doc_id,
               CAST(ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS INT) AS rank_b
        FROM vs ORDER BY vscore DESC, doc_id LIMIT {BM25_TOP_K})
@@ -4905,7 +4918,7 @@ def _pq_adc_search_sql(extra_ctes: str, cb_name: str) -> str:
     reuses the already-green _knn_pq_sql)."""
     sub = EMB_DIMS // PQ_M
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 {extra_ctes},
 d AS (
   SELECT e.vec_id, t.s AS subspace, cb.code_idx,
@@ -6537,14 +6550,20 @@ def _fk_audit_sql() -> str:
         parts.append(f"""
   SELECT '{name}' AS fk_name,
          COUNT(*) AS n_rows,
-         CAST(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
-         CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         COALESCE(CAST(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_null_keys,
+         COALESCE(CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_orphans
   FROM {child} c
   LEFT JOIN (SELECT DISTINCT {pkey} AS __pk FROM {parent}) p ON c.{ckey} = p.__pk""")
     union = "\n  UNION ALL\n".join(parts)
+    # COALESCE / CASE: an EMPTY child table audits as clean (0/0/0,
+    # rate 0.0) on BOTH engines — the operator's documented semantics
+    # (summaries.py fk_integrity_audit); bare SUM over zero rows is
+    # NULL and 0/0 is NaN (r13 empty-fixture hunt)
     return f"""
 SELECT fk_name, n_rows, n_null_keys, n_orphans,
-       CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_rate
+       CASE WHEN n_rows = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE)
+       END AS orphan_rate
 FROM (
 {union}
 )
@@ -7452,7 +7471,11 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
+HAVING COUNT(*) > 0
 """
+# HAVING: the rollup_order_totals empty-input pin (see queries.py
+# _ROLLUP_SQL) — only populated grouping sets are reported; no-op on
+# non-empty input.
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,14 @@ def rt_csv_batch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "event_type",
     ).collect()
+    if not rows:
+        # r13 empty-fixture hunt: no rows -> no CSV files -> the glob
+        # read raises PATH_NOT_FOUND; an empty ingest is an empty report
+        return spark.createDataFrame(
+            [],
+            "dataset_id string, n long, sum_value double, "
+            "t_min timestamp, t_max timestamp, n_types long",
+        )
     tmp = _work_dir("csv_batch")
     by_user: dict[int, list] = {}
     for r in rows:
@@ -237,6 +245,15 @@ def rt_json_records_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for r in rec.collect()
     ]
+    if not records:
+        # empty API response: spark.read.json of [] infers no columns
+        # and every downstream reference is UNRESOLVED — an empty typed
+        # relation is the defined result (r13 empty-fixture hunt)
+        return spark.createDataFrame(
+            [],
+            "cust_key long, active boolean, created_ms timestamp, "
+            "status_time timestamp, visit_count long, orphaned boolean",
+        )
     tmp = _work_dir("json")
     path = os.path.join(tmp, "api_response.json")
     with open(path, "w") as f:
@@ -282,7 +299,17 @@ def _glider_fixture(spark: SparkSession, sf_dir: str):
     ``min_by`` semantics are deterministic; coordinates derive from
     value/event_id arithmetic both engines compute identically in IEEE
     double."""
-    e = load_table(spark, sf_dir, "events")
+    # null-strict (r13 null-fixture hunt): a NULL user/event/value row
+    # must not become a deployment — and must not split the engines
+    # (DuckDB concat SKIPS NULL args while Spark concat nulls the whole
+    # string, so an unfiltered NULL user yields a phantom 'sg-...'
+    # dataset on one side only). Oracle twin: _FIX_PROF_SQL's WHERE.
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+    )
     prof = e.select(
         F.concat(
             F.lit("sg"),
@@ -315,6 +342,8 @@ _FIX_PROF_SQL = f"""
          (value % 10.0) + 30.0 AS latitude,
          CAST((event_id % 20) - 70 AS DOUBLE) AS longitude
   FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
 """
 
 _FIX_SUMM_SQL = """
@@ -529,7 +558,13 @@ def rt_info_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     the card come back as (attribute, value) rows so the driver can hash
     them; the transpose itself is the driver-side presentation step."""
     client = _searched_client(spark, sf_dir)
-    card = client.dataset_info_card("sg000-20240101T0000")
+    try:
+        card = client.dataset_info_card("sg000-20240101T0000")
+    except KeyError:
+        # empty source table -> the fixture deployment doesn't exist;
+        # an empty card is the defined result (r13 empty-fixture hunt;
+        # the oracle's WHERE value IS NOT NULL mirrors it)
+        return spark.createDataFrame([], "attribute string, value double")
     col = card.iloc[:, 0]
     rows = [(a, float(col.loc[a])) for a in _CARD_ATTRS]
     return spark.createDataFrame(rows, "attribute string, value double")
@@ -545,6 +580,7 @@ s AS (
          CAST(COUNT(*) AS DOUBLE) AS num_profiles,
          CAST(CEIL((epoch(MAX(time)) - epoch(MIN(time))) / 86400.0) AS DOUBLE) AS days
   FROM prof WHERE dataset_id = 'sg000-20240101T0000'
+  HAVING COUNT(*) > 0
 )
 SELECT 'deployment_lat' AS attribute, CAST(deployment_lat AS DOUBLE) AS value FROM s
 UNION ALL SELECT 'deployment_lon', CAST(deployment_lon AS DOUBLE) FROM s
@@ -1020,6 +1056,14 @@ def rt_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = shard_assign(d, n_shards=8).select(
         "doc_id", "text", "lang", "n_chars", "shard"
     )
+    if sharded.limit(1).count() == 0:
+        # empty corpus -> partitionBy writes no shard dirs -> the read-
+        # back can't infer the partition column (r13 empty-fixture hunt)
+        return spark.createDataFrame(
+            [],
+            "shard int, n_docs long, char_mass long, "
+            "read_back_chars long, n_langs long",
+        )
     tmp = _work_dir("jsonl_shards")
     out = os.path.join(tmp, "corpus")
     sharded.write.partitionBy("shard").mode("overwrite").json(out)
@@ -1783,6 +1827,13 @@ def rt_stream_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file and micro-batch, contradicting the four-slice contract below
     # (gap_registers drops NULL ts anyway, so filtering here is lossless)
     e = e.where(F.col("ts").isNotNull())
+    if e.limit(1).count() == 0:
+        # empty stream -> no micro-batches -> no committed snapshot to
+        # resolve; the defined result is the batch path's empty report
+        # (identical schema), r13 empty-fixture hunt
+        return gap_report_from_registers(
+            gap_registers(e, "user_id", "ts", GAP_THR_S), GAP_THR_S
+        )
     bounds = e.agg(
         F.min(F.unix_micros("ts")).alias("__t0"),
         F.max(F.unix_micros("ts")).alias("__t1"),

@@ -980,3 +980,35 @@ def test_knn_filtered_null_attribute_matches_nothing(spark):
         vecs, vecs.where("vec_id IN (1, 3)"), "lang", k=5
     ).collect()
     assert {(r.query_id, r.neighbor_id) for r in out} == {(1, 2)}
+
+
+def test_empty_corpus_contract_raises_clearly_or_returns_empty(spark):
+    """r13 empty-fixture hunt: an empty embeddings table used to
+    surface as numpy's opaque 'need at least one array to stack' from
+    fifteen frames deep. Contract now: index-TRAINING paths raise a
+    clear named error (an index cannot be seeded from nothing — the
+    pack_sequences budget=0 convention); pair/query paths return a
+    well-formed EMPTY relation."""
+    import pytest as _pt
+
+    from gdutils_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    full = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pt.raises(ValueError, match="empty corpus"):
+        sim.knn_ivf(empty, full, k=2, n_centroids=2).collect()
+    with _pt.raises(ValueError, match="empty corpus"):
+        sim.knn_pq(empty, full, k=2, m=2, n_codes=2).collect()
+    # pair path: empty in, empty (but schema-correct) out
+    out = sim.embedding_near_dup_pairs(empty, threshold=0.5)
+    assert out.count() == 0 and out.columns == ["d1", "d2", "score"]
+    # query path: no queries -> no neighbors
+    out = sim.knn_pq(full, empty.select("vec_id", "embedding"),
+                     k=2, m=2, n_codes=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "approx_d2"]
