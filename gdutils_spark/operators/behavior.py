@@ -36,6 +36,11 @@ def cohort_retention(
     per user, not events. The final (cohort, offset) aggregate and the
     cohort-size window run on cohort-count-sized data.
     """
+    # null-strict (r13 null-fixture hunt): a NULL user or NULL ts can't
+    # cohort — and half-strict behavior is engine-divergent (Spark's
+    # collect_set silently drops the NULL week while a SQL replay's
+    # join keeps it as a NULL offset row)
+    df = df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
     week = F.date_trunc("week", F.col(ts_col)).cast("date")
     user_weeks = df.select(
         F.col(user_col).alias("user_id"), week.alias("week")

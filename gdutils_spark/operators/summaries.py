@@ -169,10 +169,14 @@ def mad_outlier_summary(
     driver collect: fine for per-type groups, fatal for per-user groups
     at 1e9 entities). Pass True to pin the broadcast for known-small
     group keys, saving the two shuffles."""
+    # NaN dropped alongside NULL (r13 null-fixture hunt): the engines
+    # ORDER NaN differently inside exact percentile (Spark sorts it
+    # largest, DuckDB quantile_cont ignores it), so one NaN measure
+    # would silently skew med/MAD on one engine only
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("v"),
-    ).where(F.col("v").isNotNull())
+    ).where(F.col("v").isNotNull() & ~F.isnan(F.col("v")))
     med = base.groupBy("grp").agg(
         F.percentile(F.col("v"), F.lit(0.5)).alias("med")
     )

@@ -69,13 +69,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2))) * (1 + CAST(CASE WHEN isnan(l_tax) THEN NULL ELSE l_tax END AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -107,7 +107,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -151,7 +151,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_SQL = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -180,8 +180,8 @@ def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAILY_SQL = """
 SELECT CAST(ts AS DATE) AS date,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        COUNT(*) AS n_events
 FROM events
 GROUP BY 1
@@ -213,7 +213,7 @@ SELECT user_id,
        MAX(ts) AS end_ts,
        ARG_MIN(value, ts) AS first_value,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        CAST(CEIL(DATE_DIFF('second', MIN(ts), MAX(ts)) / 86400.0) AS BIGINT) AS days
 FROM events
 GROUP BY user_id
@@ -237,7 +237,7 @@ _YEARLY_SQL = """
 SELECT CAST(YEAR(o_orderdate) AS INT) AS year,
        COUNT(DISTINCT o_custkey) AS active_customers,
        COUNT(*) AS num_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY 1
 """
@@ -263,7 +263,13 @@ def _calendar_sql(table: str, time_col: str, variant: str, agg_sql: str) -> str:
         for v in vals
     )
     group = "1, 2" if variant == "ymd" else "1"
-    return f"SELECT {keys},\n       {cells}\nFROM {table}\nGROUP BY {group}"
+    # NULL-date rows are dropped by the operator (calendar.py pins the
+    # reference's groupby(dropna=True)); the oracle must not emit the
+    # NULL-keyed calendar row either (r13 null-fixture hunt)
+    return (
+        f"SELECT {keys},\n       {cells}\nFROM {table}\n"
+        f"WHERE {time_col} IS NOT NULL\nGROUP BY {group}"
+    )
 
 
 def calendar_ymd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,7 +383,7 @@ WITH w AS (
 )
 SELECT e.user_id AS user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(CASE WHEN isnan(e.value) THEN NULL ELSE e.value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events e
 JOIN w ON e.user_id = w.user_id AND e.ts >= w.t0 AND e.ts <= w.t1
 GROUP BY e.user_id
@@ -531,13 +537,22 @@ def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROPS_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       COUNT(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS n_with_k,
+       MAX(k) AS max_k
+FROM p
 GROUP BY event_type
 """
+# json_valid mirrors Spark get_json_object's malformed-input rule (NULL,
+# never an error) — DuckDB json_extract_string RAISES on junk props
+# (r13 null-fixture hunt)
 
 
 def lineitem_shipped_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +577,7 @@ def lineitem_shipped_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHIPPED_90D_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_lineitems,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
 GROUP BY o_orderpriority
@@ -588,7 +603,7 @@ def event_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETS_SQL = """
 SELECT CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS bucket,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1
 """
@@ -726,7 +741,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -792,7 +807,7 @@ SELECT o_custkey, o_orderkey, CAST(price_rank AS INTEGER) AS price_rank,
        running_total FROM (
   SELECT o_custkey, o_orderkey,
          ROW_NUMBER() OVER w AS price_rank,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         CAST(SUM(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2))) OVER
               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS running_total
   FROM orders
@@ -895,7 +910,7 @@ _ROLLUP_SQL = """
 SELECT CAST(YEAR(o_orderdate) AS INT) AS year,
        CAST(MONTH(o_orderdate) AS INT) AS month,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
        CAST(GROUPING(YEAR(o_orderdate)) * 2 + GROUPING(MONTH(o_orderdate)) AS INT) AS lvl
 FROM orders
 GROUP BY ROLLUP (YEAR(o_orderdate), MONTH(o_orderdate))
@@ -916,7 +931,14 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_percentile` (t-digest sketch, partial-aggregable) and accept
     bounded error — same query shape, one line changed."""
     _utc(spark)
-    e = load_table(spark, sf_dir, "events")
+    # measure policy (r13 null-fixture hunt): NULL and NaN values are
+    # excluded — engines ORDER NaN differently inside exact percentile
+    # (Spark sorts it largest, DuckDB's quantile_cont ignores it), so
+    # an unfiltered NaN silently splits the report; n counts the VALID
+    # measures the quantiles were computed over
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     probs = [0.25, 0.5, 0.75, 0.9]
     aggs = [
         F.percentile(F.col("value"), F.lit(p)).alias(f"p{int(p * 100)}")
@@ -934,6 +956,7 @@ SELECT event_type, COUNT(*) AS n,
        quantile_cont(value, 0.75) AS p75,
        quantile_cont(value, 0.90) AS p90
 FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
 GROUP BY event_type
 """
 
@@ -963,7 +986,7 @@ SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
 FROM orders
 JOIN (
   SELECT o_custkey AS k,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cust_avg
+         CAST(SUM(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cust_avg
   FROM orders GROUP BY o_custkey
 ) ON o_custkey = k
 WHERE o_totalprice > 1.5 * cust_avg
@@ -999,9 +1022,9 @@ SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
 FROM orders
 JOIN (
   SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         CAST(SUM(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250
+  HAVING CAST(SUM(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) > 250
 ) ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
@@ -1033,7 +1056,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
@@ -1072,10 +1095,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_SQL = """
 SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             THEN CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))
              ELSE CAST(0 AS DECIMAL(18,2)) * CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share_pct,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+       / CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share_pct,
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
 """
@@ -1149,16 +1172,21 @@ def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_SQL = """
 WITH avg_bal AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+  SELECT CAST(SUM(CAST(CASE WHEN isnan(c_acctbal) THEN NULL ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_mktsegment, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+       CAST(SUM(CAST(CASE WHEN isnan(c_acctbal) THEN NULL ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM customer, avg_bal
 WHERE CAST(c_acctbal AS DOUBLE) > avg_bal.a
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_custkey IS NOT NULL)
 GROUP BY c_mktsegment
 """
+# the o_custkey IS NOT NULL guard pins the classic NOT-IN-NULL trap
+# (r13 null-fixture hunt): one NULL key in the subquery makes NOT IN
+# NULL for EVERY customer (0 rows), while Spark's left_anti keeps the
+# sane no-match semantics
 
 
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,7 +1237,7 @@ SELECT supp_nation, cust_nation, l_year,
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
-         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+         CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2))) AS rev
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -1259,7 +1287,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
 WITH rev AS (
   SELECT l_suppkey,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+         SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -1298,10 +1326,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q17_SQL = """
 WITH avg_q AS (
   SELECT l_partkey AS pk,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+         CAST(SUM(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+SELECT CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
        COUNT(*) AS n_small
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1437,7 +1465,7 @@ SELECT o_year,
        CAST(SUM(volume) AS DOUBLE) AS total_volume
 FROM (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2))) AS volume,
          n2.n_name AS supp_nation
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
@@ -1487,9 +1515,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q9_SQL = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
        CAST(SUM(
-         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-         - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(3,2)) AS DECIMAL(18,2))
-           * CAST(l_quantity AS DECIMAL(18,2))
+         CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))
+         - CAST(CAST(CASE WHEN isnan(p_retailprice) THEN NULL ELSE p_retailprice END AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(3,2)) AS DECIMAL(18,2))
+           * CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))
        ) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1534,8 +1562,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_SQL = """
 WITH per_part AS (
   SELECT l_partkey AS p_partkey,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+         SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2))
+             * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS value_dec
   FROM lineitem
   WHERE l_suppkey IN (
     SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -1627,9 +1655,9 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (
   SELECT l_suppkey FROM (
     SELECT l_suppkey, l_partkey,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all,
+           SUM(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))) AS qty_all,
            SUM(CASE WHEN CAST(year(l_shipdate) AS INT) = 1997
-                    THEN CAST(l_quantity AS DECIMAL(18,2))
+                    THEN CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))
                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1997
     FROM lineitem
     WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
@@ -1714,7 +1742,13 @@ def daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from pyspark.sql.window import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    # undated orders have no day on the smoothing axis — and the NULL
+    # day would SORT differently under the two engines' window order
+    # (Spark NULLS FIRST, DuckDB NULLS LAST), shifting every early
+    # frame (r13 null-fixture hunt)
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = o.groupBy(F.to_date("o_orderdate").alias("date")).agg(
         F.sum(_dec("o_totalprice")).alias("day_rev_dec")
     )
@@ -1737,8 +1771,8 @@ SELECT date,
        COUNT(*) OVER w AS n7
 FROM (
   SELECT CAST(o_orderdate AS DATE) AS date,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev_dec
-  FROM orders GROUP BY 1
+         SUM(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2))) AS day_rev_dec
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 )
 WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
@@ -1794,7 +1828,7 @@ _Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, c_mktsegment, revenue
 FROM (
   SELECT o_custkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isnan(l_discount) THEN NULL ELSE l_discount END AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
     AND o_orderdate >= TIMESTAMP '1996-10-01'

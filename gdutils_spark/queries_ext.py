@@ -98,14 +98,18 @@ def doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLING_FP_SQL = f"""
 SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
       list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
                      x -> {_h64("x")})),
     (acc, x) -> (acc * {tx.ROLL_BASE} + x) % {tx.ROLL_MOD}
-  ) AS rolling_fp
+  ) END AS rolling_fp
 FROM documents
 """
+# CASE: NULL text -> NULL fingerprint on both engines (Spark's NULL
+# array propagates; DuckDB's list_prepend(0, NULL) would fold to 0 —
+# r13 null-fixture hunt)
 
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1836,7 +1840,7 @@ WITH marked AS (
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS is_start
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
   SELECT user_id, ts, value,
@@ -1849,7 +1853,7 @@ SELECT user_id, session_idx,
        MIN(ts) AS started_at,
        MAX(ts) AS ended_at,
        epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM sess
 GROUP BY user_id, session_idx
 """
@@ -1959,6 +1963,10 @@ def _png_media(d: DataFrame) -> DataFrame:
         F.lit(b"\x00\x00\x00\x00"),              # CRC (unchecked by parsers)
         F.encode("text", "utf-8"),               # data segment
     )
+    # null-strict (r13 null-fixture hunt): a NULL-text/-id doc has no
+    # media file; unfiltered, encode(NULL) nulls the payload on the
+    # Spark side only while the oracle predicts a real header
+    d = d.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     return d.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
@@ -1975,6 +1983,7 @@ SELECT doc_id AS media_id,
        CAST(64 + (doc_id * 7) % 192 AS INT) AS height,
        CAST(octet_length(encode(text)) + 33 AS BIGINT) AS n_bytes
 FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
 """
 
 
@@ -2343,6 +2352,8 @@ def _wav_media(d: DataFrame) -> DataFrame:
         le(data_size, 4),
         F.encode("text", "utf-8"),
     )
+    # null-strict fixture (see _png_media)
+    d = d.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     return d.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
@@ -2390,6 +2401,7 @@ WITH s AS (
          regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS text,
          CAST(length(regexp_replace(text, '[^\x20-\x7E]', '', 'g')) // 2 AS BIGINT) AS n
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ),
 ex AS (SELECT media_id, text, unnest(range(n)) AS i FROM s),
 samp AS (
@@ -2427,6 +2439,7 @@ SELECT doc_id AS media_id,
          / ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2) AS duration_s,
        CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes
 FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
 """
 
 
@@ -2845,10 +2858,15 @@ per AS (
 ),
 tot AS (
   SELECT CAST(SUM(total_weight) AS BIGINT) AS _corpus,
-         CAST(SUM(_tw) AS BIGINT) AS _w
+         CAST(SUM(CASE WHEN total_weight IS NULL THEN 0 ELSE _tw END)
+              AS BIGINT) AS _w
   FROM per
 )
 """
+# the _w CASE mirrors domain_mix_rates' fold exactly: a stratum whose
+# total weight is NULL contributes NOTHING to the target-share
+# denominator (its own rate is NULL, so its budget slice is
+# unspendable) — bare SUM(_tw) would count it (r13 null-fixture hunt)
 
 _MIX_RATE_SQL = (
     # CASE: zero/NULL-weight stratum has an UNDEFINED (NULL) rate on
@@ -3240,7 +3258,8 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COHORT_SQL = """
 WITH uw AS (
-  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), pu AS (
   SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
 ), counts AS (
@@ -3606,7 +3625,13 @@ def events_hll_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    # ts filter explicit (r13 null-fixture hunt): the incremental split
+    # is BY DATE, so an undated event belongs to neither batch — the
+    # date comparisons already drop it silently on this side, but the
+    # whole-corpus oracle would count it, un-verifying the merge
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     cut = F.lit(HLL_MERGE_CUTOFF).cast("date")
     early = e.where(F.to_date("ts") < cut)
     late = e.where(F.to_date("ts") >= cut)
@@ -3624,7 +3649,7 @@ def _hll_merge_sql() -> str:
     return f"""
 WITH h AS (
   SELECT event_type, {_h64("CAST(user_id AS VARCHAR)")} AS hv
-  FROM events WHERE user_id IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 r AS (
   SELECT event_type, hv % {m} AS bucket,
@@ -4073,7 +4098,7 @@ WITH pts AS (
   SELECT user_id, event_type, ts, event_id,
          LAG(event_type) OVER w AS prev_type,
          LAG(ts) OVER w AS prev_ts
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 cp AS (
@@ -4249,7 +4274,7 @@ def _drift_by_group_sql() -> str:
     return f"""
 WITH vals AS (
   SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 binned AS (
   SELECT event_id, event_type, {bin_expr} AS bin
@@ -4307,7 +4332,7 @@ def _drift_sql() -> str:
     return f"""
 WITH vals AS (
   SELECT event_id, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 binned AS (
   SELECT event_id, {bin_expr} AS bin
@@ -4377,7 +4402,12 @@ def event_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    e = load_table(spark, sf_dir, "events")
+    # NaN measures dropped at entry (r13 null-fixture hunt): the exact
+    # percentile grader orders NaN largest in Spark while quantile_cont
+    # ignores it — the report's measure policy is NULL-and-NaN-free
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     ra = hist_registers(
         e.where(F.col("event_id") % 2 == 0), "value", HIST_LO, HIST_HI,
         HIST_NBINS,
@@ -4418,7 +4448,7 @@ def event_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIST_QSKETCH_SQL = f"""
 WITH vals AS (
   SELECT event_id, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 binned AS (
   SELECT event_id,
@@ -4569,8 +4599,11 @@ keyed AS (SELECT ({z}) >> {shift} AS bucket, user_id, value FROM e)
 SELECT bucket, COUNT(*) AS n_rows,
        MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
        MIN(value) AS min_value, MAX(value) AS max_value
-FROM keyed GROUP BY bucket
+FROM keyed WHERE bucket IS NOT NULL GROUP BY bucket
 """
+# WHERE bucket IS NOT NULL: zorder_layout_stats EXCLUDES NULL-keyed rows
+# (NaN/NULL dims route to a dedicated null file at write time, never a
+# bucket envelope) — the oracle twin must too (r13 null-fixture hunt)
 
 
 GHIST_QS = (0.5, 0.9)
@@ -4587,7 +4620,10 @@ def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    e = load_table(spark, sf_dir, "events")
+    # NaN-and-NULL-free measure policy (see event_value_quantile_sketch)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     reg = hist_registers(
         e, "value", HIST_LO, HIST_HI, HIST_NBINS, group_col="event_type"
     )
@@ -4617,7 +4653,7 @@ def event_type_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GHIST_SQL = f"""
 WITH vals AS (
   SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 binned AS (
   SELECT grp,
@@ -4696,7 +4732,10 @@ def event_value_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    e = load_table(spark, sf_dir, "events")
+    # NaN-and-NULL-free measure policy (see event_value_quantile_sketch)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     sa = bottomk_sample(e.where(F.col("event_id") % 2 == 0), "event_id", "value", BK_K)
     sb = bottomk_sample(e.where(F.col("event_id") % 2 == 1), "event_id", "value", BK_K)
     ests = bottomk_quantiles(bottomk_merge(sa, sb, BK_K), list(BK_QS))
@@ -4727,7 +4766,7 @@ def _bottomk_quantiles_sql() -> str:
     return f"""
 WITH vals AS (
   SELECT event_id, CAST(value AS DOUBLE) AS v FROM events
-  WHERE event_id IS NOT NULL AND value IS NOT NULL
+  WHERE event_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
 ),
 sa AS (SELECT {hk} AS hk, v AS val FROM vals WHERE event_id % 2 = 0
        ORDER BY 1, 2 LIMIT {BK_K}),
@@ -4746,7 +4785,7 @@ exact AS (
   SELECT quantile_cont(v, {BK_QS[0]}) AS e50,
          quantile_cont(v, {BK_QS[1]}) AS e90,
          quantile_cont(v, {BK_QS[2]}) AS e99
-  FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL) t
+  FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL AND NOT isnan(value)) t
 )
 SELECT q, est,
        CASE WHEN q = CAST({BK_QS[0]} AS DOUBLE) THEN e50
@@ -5008,7 +5047,13 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _dec, _utc
 
     _utc(spark)
-    o = load_table(spark, sf_dir, "orders")
+    # anonymous/undated orders can't be segmented (and a NULL recency
+    # would sort NULLS FIRST in Spark's ASC ntile vs NULLS LAST in
+    # DuckDB's, shifting every quintile boundary — r13 null-fixture
+    # hunt): both keys are required
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
     per = (
         o.groupBy("o_custkey")
@@ -5043,10 +5088,14 @@ _RFM_SQL = """
 WITH per AS (
   SELECT o_custkey,
          date_diff('day', MAX(CAST(o_orderdate AS DATE)),
-                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders
+                    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL))
+           AS recency_days,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
-  FROM orders GROUP BY o_custkey
+         CAST(SUM(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey
 )
 SELECT o_custkey, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
        CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
@@ -5555,7 +5604,7 @@ def _mad_outliers_sql() -> str:
     c_thr = f"CAST('{float(MAD_THRESHOLD)!r}' AS DOUBLE)"
     return f"""
 WITH base AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
-              FROM events WHERE value IS NOT NULL),
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
 med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM base GROUP BY grp),
 resid AS (SELECT base.grp, base.v, med.med, abs(base.v - med.med) AS r
           FROM base JOIN med USING (grp)),
@@ -5713,7 +5762,12 @@ def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    ev = load_table(spark, sf_dir, "events")
+    # sequence policy (r13 null-fixture hunt): an event without a
+    # timestamp has no position in the per-user sequence — and the
+    # engines DISAGREE on where it would sort (Spark windows order
+    # NULLS FIRST, DuckDB NULLS LAST), silently shifting every
+    # neighboring transition
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -5744,7 +5798,7 @@ WITH seq AS (
   SELECT event_type AS from_type,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS to_type
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 cnt AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
 tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
@@ -5963,7 +6017,10 @@ def event_type_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdutils_spark.queries import _utc
 
     _utc(spark)
-    e = load_table(spark, sf_dir, "events")
+    # NaN-and-NULL-free measure policy (see event_value_quantile_sketch)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     sa = bottomk_sample(
         e.where(F.col("event_id") % 2 == 0),
         "event_id",
@@ -6014,7 +6071,8 @@ def _grouped_bottomk_sql() -> str:
     return f"""
 WITH vals AS (
   SELECT event_id, event_type AS grp, CAST(value AS DOUBLE) AS v FROM events
-  WHERE event_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  WHERE event_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+    AND event_type IS NOT NULL
 ),
 ha AS (SELECT grp, {hk} AS hk, v AS val FROM vals WHERE event_id % 2 = 0),
 hb AS (SELECT grp, {hk} AS hk, v AS val FROM vals WHERE event_id % 2 = 1),
@@ -6035,7 +6093,8 @@ exact AS (
   SELECT event_type AS grp,
          quantile_cont(CAST(value AS DOUBLE), {GBK_QS[0]}) AS e0,
          quantile_cont(CAST(value AS DOUBLE), {GBK_QS[1]}) AS e1
-  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
   GROUP BY 1
 )
 SELECT e.grp AS event_type, q, est,
@@ -7075,7 +7134,7 @@ WITH base AS (
          CAST(COALESCE(SUM(CASE WHEN v > p_hi THEN 1 END), 0) AS BIGINT)
            AS n_above,
          COALESCE(CAST(SUM(CASE WHEN v >= p_lo AND v <= p_hi
-                           THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE),
+                           THEN CAST(CASE WHEN isnan(v) THEN NULL ELSE v END AS DECIMAL(18,2)) END) AS DOUBLE),
                   CAST(0.0 AS DOUBLE)) AS sum_mid
   FROM base b JOIN pct ON pct.g = b.g
   GROUP BY b.g, p_lo, p_hi
@@ -7418,7 +7477,7 @@ def _value_trend_sql() -> str:
 WITH daily AS (
   SELECT event_type AS g,
          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+         CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS y
   FROM events
   WHERE event_type IS NOT NULL AND ts IS NOT NULL
     AND value IS NOT NULL AND NOT isnan(value)
@@ -7426,9 +7485,9 @@ WITH daily AS (
 ), s AS (
   SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(CAST(CAST(y AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         CAST(SUM(CAST(CAST(CASE WHEN isnan(y) THEN NULL ELSE y END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
            AS syc,
-         CAST(SUM(x * CAST(CAST(y AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         CAST(SUM(x * CAST(CAST(CASE WHEN isnan(y) THEN NULL ELSE y END AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
            AS sxyc,
          CAST(SUM(x * x) AS BIGINT) AS sxx
   FROM daily GROUP BY g
@@ -7468,7 +7527,7 @@ def _cube_sql() -> str:
 SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 HAVING COUNT(*) > 0

@@ -143,7 +143,7 @@ def rt_csv_batch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RT_CSV_BATCH_SQL = """
 SELECT concat('user', lpad(CAST(user_id AS VARCHAR), 3, '0'), '-20240101T0000') AS dataset_id,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        MIN(ts) AS t_min,
        MAX(ts) AS t_max,
        COUNT(DISTINCT event_type) AS n_types
@@ -194,7 +194,7 @@ def rt_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RT_CSV_SINK_SQL = """
 SELECT o_orderstatus,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        MIN(CAST(o_orderdate AS DATE)) AS d_min,
        MAX(CAST(o_orderdate AS DATE)) AS d_max
 FROM orders WHERE o_orderkey % 10 = 0
@@ -1134,8 +1134,8 @@ def rt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RT_ORC_SQL = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        MIN(CAST(l_shipdate AS DATE)) AS d_min,
        MAX(CAST(l_shipdate AS DATE)) AS d_max
 FROM lineitem
