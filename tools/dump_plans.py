@@ -68,6 +68,10 @@ HEADLINERS = [
     ("orders_snapshot_diff", "snapshot diff: ONE full-outer key join + pure projection, no window"),
     ("part_copurchase_edge_jaccard", "per-edge Jaccard: degree-ordered wedges, 3-edge explode, broadcast degree joins, TakeOrderedAndProject cut"),
     ("event_value_winsorized", "winsorized means: group-percentile table broadcast back onto the fact scan, one combinable aggregate"),
+    ("doc_prefix_edit_pairs", "edit-distance join: (gram, pos-bucket) equi-key candidates, count filter, exact verify ABOVE the pair aggregate (pushdown barrier)"),
+    ("customer_supplier_match_between", "incremental fuzzy join: batch tokens broadcast, corpus consumed map-side (semi by token value, semi by candidate id), candidate-bounded shuffles only"),
+    ("doc_prefix_edit_pairs_between", "incremental edit join: batch grams broadcast into the (gram, bkt) probe, corpus texts scanned once column-pruned for the verify"),
+    ("doc_corpus_pipeline", "end-to-end curation: exact dedup -> LSH near-dup drop -> inline quality gate -> mix -> shard manifest; 4 pruned corpus scans, losers/rates broadcast, no SMJ"),
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
