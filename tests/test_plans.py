@@ -701,3 +701,18 @@ def test_corpus_pipeline_scan_contract(spark, sf_correct):
         assert "lang" not in s
     assert "SortMergeJoin" not in plan
     assert has_broadcast_join(plan)
+
+
+def test_between_linkage_corpus_stays_broadcast_shaped(spark, sf_correct):
+    """The incremental linkage tier's scale claim, plan-pinned: the
+    batch side BROADCASTS into candidate generation and the corpus is
+    consumed map-side — no sort-merge join anywhere, and the corpus
+    gram/token explode feeds broadcast/semi joins rather than being
+    exchange-partitioned for a shuffle join."""
+    for name in ("customer_supplier_match_between",
+                 "doc_prefix_edit_pairs_between"):
+        df = QUERIES[name](spark, sf_correct)
+        assert not uses_python(df)
+        plan = formatted_plan(df)
+        assert has_broadcast_join(plan), name
+        assert "SortMergeJoin" not in plan, name

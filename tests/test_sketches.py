@@ -988,3 +988,15 @@ def test_bottomk_sample_drops_nan_values(spark):
     assert sorted(vals) == [1.0, 2.0, 3.0]
     q = {r.q: r.est for r in bottomk_quantiles(s, [0.5]).collect()}
     assert q[0.5] == 2.0
+
+
+def test_kmv_overlap_empty_inputs_null_jaccard(spark):
+    """r13 empty-fixture hunt: both inputs empty -> empty union sketch
+    -> jaccard is UNDEFINED (NULL via try_divide), never an ANSI
+    DIVIDE_BY_ZERO that kills the job."""
+    from gdutils_spark.operators.sketches import kmv_overlap_report
+
+    empty = spark.createDataFrame([], "v string")
+    r = kmv_overlap_report(empty, empty, "v").collect()[0]
+    assert r["n_union_sketch"] == 0
+    assert r["jaccard_est"] is None and r["est_intersection"] is None
