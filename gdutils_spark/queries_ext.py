@@ -7336,22 +7336,31 @@ def doc_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift (id/column conventions, NULL policy) that per-operator
     oracles structurally cannot.
 
-    Plan shape at 100 TB: the corpus is scanned for the fingerprint
-    aggregate, the shingle explode, and the stats projection; the
-    near-dup loser set and the rates table BROADCAST into their
-    joins; the exact-dedup keeper semi-join and the final manifest
+    Plan shape at 100 TB: each consumer chain scans the corpus ONCE
+    (the exact-dedup survivor is a single fp-keyed min_by aggregate, no
+    keeper join-back); the near-dup loser set and the rates table
+    BROADCAST into their joins; the fp aggregate and the final manifest
     aggregate are the only corpus-wide shuffles (tests/test_plans.py
     pins scan count and the broadcast joins)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
+    ).where(F.col("doc_id").isNotNull())
+    # stage 1: exact dedup — same survivor rule as exact_duplicates
+    # (min doc_id per normalized-text fingerprint, oracle-identical; the
+    # operator itself is oracle-checked by doc_exact_dups) expressed as
+    # ONE fp-keyed min_by aggregate instead of fp-census + keeper
+    # semi-join: one corpus scan per consumer chain rather than two
+    fp = F.md5(dd.normalize_text(F.col("text")))
+    s1 = (
+        docs.groupBy(fp.alias("__fp"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "text", "source", "n_chars"),
+                F.col("doc_id"),
+            ).alias("__r")
+        )
+        .select("__r.*")
     )
-    # stage 1: exact dedup — the fp aggregate emits one keeper id per
-    # normalized-text fingerprint; keepers are id-only (narrow) for the
-    # semi join back onto the corpus
-    keepers = dd.exact_duplicates(docs).select(
-        F.col("keep_id").alias("doc_id")
-    )
-    s1 = docs.join(keepers, "doc_id", "left_semi")
     # stage 2: near-dup drop over the exact-survivors (the
     # doc_near_dup_drop shape: losers are tiny -> broadcast anti)
     pairs = dd.minhash_lsh_pairs(

@@ -682,19 +682,19 @@ def test_cube_is_one_expand_one_aggregate(spark, sf_correct):
 
 def test_corpus_pipeline_scan_contract(spark, sf_correct):
     """VERDICT r12 task 7: the end-to-end composition must not re-scan
-    the corpus beyond its documented contract — 4 pruned scans ((a) the
-    exact-dedup fingerprint census, (b) the near-dup shingle input, (c)
-    the loser-set chain, (d) the main output chain; the quality gate is
-    an INLINE filter on the text_stats projection, not a corpus-vs-
-    corpus join, and the loser/rate sides broadcast), zero sort-merge
-    joins, no Python."""
+    the corpus beyond its documented contract — TWO pruned scans (one
+    per leaf consumer chain: the loser-set derivation and the main
+    output; exact dedup is a single fp-keyed min_by aggregate with no
+    keeper join-back, and the quality gate is an INLINE filter on the
+    text_stats projection, not a corpus-vs-corpus join; loser/rate
+    sides broadcast), zero sort-merge joins, no Python."""
     import re
 
     df = QUERIES["doc_corpus_pipeline"](spark, sf_correct)
     assert not uses_python(df)
     plan = formatted_plan(df)
     schemas = re.findall(r"ReadSchema: (\S+)", plan)
-    assert len(schemas) <= 4, f"corpus re-scanned: {len(schemas)} scans"
+    assert len(schemas) <= 2, f"corpus re-scanned: {len(schemas)} scans"
     # every scan is column-pruned: nothing reads more than the pipeline
     # columns (doc_id/text/source/n_chars)
     for s in schemas:
