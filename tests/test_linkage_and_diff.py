@@ -449,3 +449,42 @@ def test_edit_between_matches_full_join(spark, tmp_path):
         )
     )
     assert betwg == fullg
+
+
+def test_edit_between_guard_mode_with_staged_grams(spark, tmp_path):
+    """Guard mode + staged corpus grams together (the nightly-ingest
+    combination): census restricted to batch gram values over the
+    STAGED parquet, bucket rows exempt, output == the full join's."""
+    from gdutils_spark.operators.linkage import (
+        corpus_gram_table,
+        edit_blocked_join,
+        edit_blocked_join_between,
+    )
+
+    corpus_strs = [f"entry {i:04d} common tail" for i in range(40)]
+    batch_strs = ["entry 0003 common tail", "entry 9999 common tail", "ab"]
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_strs)), "id long, t string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(batch_strs)], "id long, t string"
+    )
+    path = str(tmp_path / "grams")
+    corpus_gram_table(corpus, "id", "t", q=4, max_dist=2).write.parquet(path)
+    kw = dict(max_dist=2, q=4, max_gram_freq=5)
+    full = sorted(
+        map(
+            tuple,
+            edit_blocked_join(batch, corpus, "id", "t", "id", "t", **kw).collect(),
+        )
+    )
+    staged = sorted(
+        map(
+            tuple,
+            edit_blocked_join_between(
+                batch, corpus, "id", "t", "id", "t",
+                corpus_grams_path=path, **kw,
+            ).collect(),
+        )
+    )
+    assert staged == full and len(full) >= 1
