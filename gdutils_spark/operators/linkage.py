@@ -445,7 +445,9 @@ def fuzzy_blocked_join_between(
     The only shuffles are candidate-bounded aggregates. Pass
     ``corpus_tokens_path`` (a staged :func:`corpus_token_table`
     parquet) so the corpus is never re-exploded; ``corpus`` may then be
-    ``None`` (pass ``spark=`` for the read).
+    ``None`` (pass ``spark=`` for the read). When BOTH are given the
+    staged artifact wins and ``corpus`` is ignored — keep the artifact
+    in sync with the catalog it was built from.
 
     Batch-internal duplicates are the self-join problem — run
     :func:`fuzzy_blocked_join` on the batch alone for those."""
@@ -584,7 +586,9 @@ def edit_blocked_join_between(
     column-pruned and semi-filtered to candidate ids, for the exact
     verify. The only shuffles are the candidate pair aggregate and the
     verify joins — all candidate-bounded. ``corpus`` is still required
-    for the text scan (pass the table, not the gram artifact).
+    for the text scan (pass the table, not the gram artifact) — and
+    when ``corpus_grams_path`` is given it must have been built FROM
+    that same table, or blocked candidates and verify texts diverge.
 
     ``max_gram_freq`` semantics match the full join (census restricted
     to batch-gram values — identical verdicts for every gram that can

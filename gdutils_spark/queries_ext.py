@@ -7458,6 +7458,120 @@ FROM s4 GROUP BY 1
 """
 
 
+INGEST_MOD = 10  # every 10th document is "tonight's ingest batch"
+
+
+def doc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIGHTLY-INGEST composition — the batch-vs-corpus twin of
+    :func:`doc_corpus_pipeline`, chaining the *_between tier: a new
+    batch (``doc_id % INGEST_MOD == 0``) is admitted against the
+    resolved corpus via exact dedup (dropped if its fingerprint exists
+    in the corpus OR on an earlier batch doc) → MinHash-LSH near-dup
+    drop against the corpus (``dedup.minhash_lsh_pairs_between`` —
+    batch signatures broadcast, corpus never self-joined) → quality
+    gate (inline text_stats filter). Returns the per-source admission
+    report ``(source, n_admitted, total_chars, manifest_hash)`` with
+    the hash over the id-sorted admitted list — one flipped admit
+    anywhere upstream flips a hash.
+
+    Plan shape at 100 TB: batch-sized tables broadcast everywhere
+    (fingerprint anti-join probe, near-dup loser set); the corpus is
+    scanned for its fingerprint projection and its shingle table and
+    never shuffles corpus-wide; the only aggregates are batch-sized."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source", "n_chars")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    batch = docs.where(F.col("doc_id") % INGEST_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % INGEST_MOD != 0)
+    # stage 1: exact dedup vs corpus + batch-internal (min id per fp
+    # survives, then the corpus fingerprint set knocks out known text)
+    fp = F.md5(dd.normalize_text(F.col("text")))
+    winners = (
+        batch.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "text", "source", "n_chars"),
+                F.col("doc_id"),
+            ).alias("__r")
+        )
+        .select(F.col("__fp"), F.col("__r.*"))
+    )
+    cfp = corpus.select(fp.alias("__fp")).distinct()
+    s1 = winners.join(cfp, "__fp", "left_anti").drop("__fp")
+    # stage 2: near-dup admission gate against the corpus
+    pairs = dd.minhash_lsh_pairs_between(
+        s1, corpus, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS,
+        threshold=JACCARD_T,
+    )
+    dropped = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+    s2 = s1.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # stage 3: quality gate (inline filter on the stats projection)
+    s3 = (
+        tx.text_stats(
+            s2.withColumnRenamed("n_chars", "__w"),
+            keep_cols=("source", "__w"),
+        )
+        .where(
+            (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+            & (F.col("quality_score") > QUALITY_MIN_SCORE)
+        )
+        .select("doc_id", "source", F.col("__w").alias("n_chars"))
+    )
+    ids_sorted = F.transform(
+        F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+    )
+    return s3.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_admitted"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(F.concat_ws(",", ids_sorted)).alias("manifest_hash"),
+    )
+
+
+def _ingest_pipeline_sql() -> str:
+    # per-stage oracles chained with rebound inputs (the
+    # doc_corpus_pipeline convention); the between-minhash oracle reuses
+    # _incremental_dedup_sql's %-split side markers, valid because
+    # s1 ⊆ (doc_id % MOD = 0) and corpus = (doc_id % MOD <> 0)
+    pairs_sql = _incremental_dedup_sql().replace("FROM documents", "FROM pipe")
+    stats_sql = _TEXT_STATS_SQL.replace("FROM documents", "FROM s2")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+batch AS (SELECT * FROM base WHERE doc_id % {INGEST_MOD} = 0),
+corpus AS (SELECT * FROM base WHERE doc_id % {INGEST_MOD} <> 0),
+bfp AS (SELECT *, md5({_NORM}) AS fp FROM batch),
+cfp AS (SELECT DISTINCT md5({_NORM}) AS fp FROM corpus),
+winners AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM bfp) WHERE rn = 1
+),
+s1 AS (SELECT doc_id, text, source, n_chars FROM winners
+       WHERE fp NOT IN (SELECT fp FROM cfp)),
+pipe AS (SELECT doc_id, text FROM s1
+         UNION ALL SELECT doc_id, text FROM corpus),
+pairs AS ({pairs_sql}),
+s2 AS (SELECT * FROM s1
+       WHERE doc_id NOT IN (SELECT new_id FROM pairs)),
+stats AS ({stats_sql}),
+s3 AS (SELECT s2.doc_id, s2.source, s2.n_chars
+       FROM s2 JOIN stats USING (doc_id)
+       WHERE stats.n_tokens >= {QUALITY_MIN_TOKENS}
+         AND stats.quality_score > {QUALITY_MIN_SCORE})
+SELECT source,
+       COUNT(*) AS n_admitted,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS manifest_hash
+FROM s3 GROUP BY source
+"""
+
+
 def event_type_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS trend of DAILY total value over the day index
     (``operators/summaries.group_trend``): which event types are
@@ -7679,6 +7793,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_supplier_match_between": customer_supplier_match_between,
     "doc_prefix_edit_pairs_between": doc_prefix_edit_pairs_between,
     "doc_corpus_pipeline": doc_corpus_pipeline,
+    "doc_ingest_pipeline": doc_ingest_pipeline,
     "event_type_value_trend": event_type_value_trend,
     "order_totals_cube": order_totals_cube,
     "orders_snapshot_diff": orders_snapshot_diff,
@@ -7821,6 +7936,7 @@ EXT_ORACLE: dict[str, str] = {
     "customer_supplier_match_between": _fuzzy_between_sql(),
     "doc_prefix_edit_pairs_between": _edit_between_sql(),
     "doc_corpus_pipeline": _corpus_pipeline_sql(),
+    "doc_ingest_pipeline": _ingest_pipeline_sql(),
     "event_type_value_trend": _value_trend_sql(),
     "order_totals_cube": _cube_sql(),
     "orders_snapshot_diff": _SNAPSHOT_DIFF_SQL,

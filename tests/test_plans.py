@@ -716,3 +716,14 @@ def test_between_linkage_corpus_stays_broadcast_shaped(spark, sf_correct):
         plan = formatted_plan(df)
         assert has_broadcast_join(plan), name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_ingest_pipeline_broadcast_shaped(spark, sf_correct):
+    """The nightly-admission composition stays batch-broadcast shaped:
+    no sort-merge join, no Python — the corpus is consumed by scans +
+    broadcast-probe joins only."""
+    df = QUERIES["doc_ingest_pipeline"](spark, sf_correct)
+    assert not uses_python(df)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan

@@ -71,7 +71,8 @@ HEADLINERS = [
     ("doc_prefix_edit_pairs", "edit-distance join: (gram, pos-bucket) equi-key candidates, count filter, exact verify ABOVE the pair aggregate (pushdown barrier)"),
     ("customer_supplier_match_between", "incremental fuzzy join: batch tokens broadcast, corpus consumed map-side (semi by token value, semi by candidate id), candidate-bounded shuffles only"),
     ("doc_prefix_edit_pairs_between", "incremental edit join: batch grams broadcast into the (gram, bkt) probe, corpus texts scanned once column-pruned for the verify"),
-    ("doc_corpus_pipeline", "end-to-end curation: exact dedup -> LSH near-dup drop -> inline quality gate -> mix -> shard manifest; 4 pruned corpus scans, losers/rates broadcast, no SMJ"),
+    ("doc_corpus_pipeline", "end-to-end curation: min_by exact dedup -> LSH near-dup drop -> inline quality gate -> mix -> shard manifest; 2 pruned corpus scans, losers/rates broadcast, no SMJ"),
+    ("doc_ingest_pipeline", "nightly admission: fp anti vs corpus set -> between-minhash gate (batch signatures broadcast) -> inline quality gate -> per-source manifest; batch-sized aggregates only"),
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
