@@ -33,11 +33,23 @@ def _quantized_fixes(
     lon_col: str,
     ndigits: int,
 ) -> DataFrame:
-    return df.select(
+    # null-strict (r13 sink hunt): a fix with no entity, no timestamp,
+    # or a NULL/NaN coordinate is not a fix — quantization maps NaN to
+    # NULL, so an unfiltered row would otherwise serialize as
+    # `[lon, null]` INSIDE the LineString: silently malformed GeoJSON
+    # that every downstream parser (including our own KML renderer)
+    # chokes on
+    q = df.select(
         F.col(entity_col).alias("entity"),
         F.col(time_col).alias("t"),
         round_half_down(F.col(lat_col), ndigits).alias("lat"),
         round_half_down(F.col(lon_col), ndigits).alias("lon"),
+    )
+    return q.where(
+        F.col("entity").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
     )
 
 

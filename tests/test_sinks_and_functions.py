@@ -144,3 +144,42 @@ def test_normalize_columns_raises_on_collision(spark):
         normalize_columns(df)
     ok = normalize_columns(spark.createDataFrame([(1, 2)], ["My Col", "Other"]))
     assert ok.columns == ["my_col", "other"]
+
+
+def test_track_sinks_drop_malformed_fixes(spark):
+    """r13 sink hunt: a NaN/NULL coordinate quantizes to NULL and used
+    to serialize as `[lon, null]` INSIDE the LineString — silently
+    malformed GeoJSON. Malformed fixes (NULL entity/time, NULL/NaN
+    coords) are now dropped; well-formed fixes are untouched."""
+    import json as _json
+
+    from gdutils_spark.sinks.geojson import track_geojson, track_points
+
+    import datetime as _dt
+
+    def _t(m):
+        return _dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        ("a", _t(1), 10.0, -70.0),
+        ("a", _t(2), float("nan"), -70.5),   # NaN lat -> dropped
+        ("a", _t(3), 10.5, None),            # NULL lon -> dropped
+        (None, _t(4), 10.6, -70.6),          # NULL entity -> dropped
+        ("a", None, 10.7, -70.7),            # NULL time -> dropped
+        ("a", _t(5), 11.0, -71.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, time timestamp, latitude double, longitude double"
+    )
+    pts = track_points(df, "id").collect()
+    assert [(r["id"], r["time"].minute) for r in pts] == [("a", 1), ("a", 5)]
+    doc = _json.loads(
+        track_geojson(df, "id").collect()[0]["geojson"]
+    )
+    line = next(
+        f["geometry"]["coordinates"]
+        for f in doc["features"]
+        if f["geometry"]["type"] == "LineString"
+    )
+    assert line == [[-70.0, 10.0], [-71.0, 11.0]]
+    assert all(None not in c for c in line)
