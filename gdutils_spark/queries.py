@@ -1993,72 +1993,69 @@ ORACLE: dict[str, str] = {
 # rounds rotate the window so coverage stays fresh. Demoted queries keep
 # full local coverage via tests/test_queries_oracle.py's DuckDB mirror.
 _DRIVER_FIRST: tuple[str, ...] = (
-    # round 13 window (exactly 50), per VERDICT r12 tasks #1/#5 and
-    # tools/rotation_plan.py: the 3 never-driven r12 additions lead
-    # (judge-verified green in r12 via tools/drive_contract.py, now
-    # getting their artifact-of-record rows), then the 10 r8-stale
-    # spills (4 rounds stale), then 37 of the 50 r9-stale rows (name-
-    # ordered, streaming row first as its cohort's only stream query).
-    # The 13 r9 rows that spill to r14: mm_audio_features,
-    # mm_image_features, mm_pcm_stats,
-    # part_copurchase_communities_incremental,
-    # part_copurchase_triangles_incremental, q10_returned_revenue,
-    # q12_ship_lateness, q18_large_orders, q19_disjunctive_revenue,
-    # user_funnel_windowed, user_summaries, users_click_no_purchase,
-    # yearly_counts (tools/rotation_plan.py next-stalest).
-    # New r13 queries are capped at ~4 and placed AFTER the window
-    # (same late-placement trade as r10-r12; they are locally driven
+    # round 14 window (exactly 50), per VERDICT r13 tasks #1/#5 and
+    # tools/rotation_plan.py: the 4 never-driven r13 additions lead
+    # (judge-verified green in r13 via tools/drive_contract.py, now
+    # getting their artifact-of-record rows), then the 13 r9-stale
+    # spills (5 rounds stale), then 33 of the r10 cohort oldest-first
+    # (name-ordered). The r10 rows that spill to r15: mm_video_frames,
+    # mm_video_scene_cuts, order_last_event_asof, orders_above_cust_avg,
+    # orders_cdc_upsert, part_name_filter, q13_order_distribution,
+    # q4_priority_exists, q6_forecast_revenue, rollup_order_totals, ...
+    # (tools/rotation_plan.py next-stalest).
+    # New r14 queries are capped at ~4 and placed AFTER the window
+    # (same late-placement trade as r10-r13; they are locally driven
     # through tools/drive_contract.py meanwhile).
-    "doc_prefix_edit_pairs",  # NEVER-DRIVEN
-    "event_type_value_trend",  # NEVER-DRIVEN
-    "order_totals_cube",  # NEVER-DRIVEN
-    "rt_dataset_profiles",  # r8
-    "rt_dataset_timeseries",  # r8
-    "rt_geo_track_points",  # r8
-    "rt_info_card",  # r8
-    "rt_json_records_typed",  # r8
-    "rt_jsonl_shards",  # r8
-    "rt_kml_coords",  # r8
-    "rt_orc_roundtrip",  # r8
-    "rt_plot_urls",  # r8
-    "rt_search_catalog",  # r8
-    "rt_stream_weighted_sample",  # r9
-    "calendar_ym_orders",  # r9
-    "calendar_ymd_events",  # r9
-    "daily_event_stats",  # r9
-    "daily_revenue_7d_ma",  # r9
-    "doc_cms_token_freq",  # r9
-    "doc_containment_pairs",  # r9
-    "doc_dedup_recall",  # r9
-    "doc_dup_clusters",  # r9
-    "doc_exact_dups",  # r9
-    "doc_hll_tokens",  # r9
-    "doc_hybrid_search",  # r9
-    "doc_incremental_dup_clusters",  # r9
-    "doc_lang_id",  # r9
-    "doc_leakage_safe_split",  # r9
-    "doc_minhash_estimate",  # r9
-    "doc_minhash_lsh_pairs",  # r9
-    "doc_ngram_dup_pairs",  # r9
-    "doc_quality_filter",  # r9
-    "doc_rolling_fp",  # r9
-    "doc_segment_dedup",  # r9
-    "doc_simhash",  # r9
-    "doc_simhash_near_pairs",  # r9
-    "doc_temperature_mix",  # r9
-    "doc_text_stats",  # r9
-    "doc_token_counts",  # r9
-    "doc_token_rarity",  # r9
-    "doc_weighted_sample_by_lang",  # r9
-    "emb_ivf_cluster_quality",  # r9
-    "emb_ivf_recall_curve",  # r9
-    "emb_knn_ivfpq",  # r9
-    "emb_knn_ivfpq_appended",  # r9
-    "emb_knn_pq",  # r9
-    "emb_knn_same_label",  # r9
-    "emb_pq_codes",  # r9
-    "event_type_value_drift",  # r9
-    "event_value_drift",  # r9
+    "customer_supplier_match_between",  # NEVER-DRIVEN
+    "doc_prefix_edit_pairs_between",  # NEVER-DRIVEN
+    "doc_corpus_pipeline",  # NEVER-DRIVEN
+    "doc_ingest_pipeline",  # NEVER-DRIVEN
+    "mm_audio_features",  # r9
+    "mm_image_features",  # r9
+    "mm_pcm_stats",  # r9
+    "part_copurchase_communities_incremental",  # r9
+    "part_copurchase_triangles_incremental",  # r9
+    "q10_returned_revenue",  # r9
+    "q12_ship_lateness",  # r9
+    "q18_large_orders",  # r9
+    "q19_disjunctive_revenue",  # r9
+    "user_funnel_windowed",  # r9
+    "user_summaries",  # r9
+    "users_click_no_purchase",  # r9
+    "yearly_counts",  # r9
+    "calendar_md_orders",  # r10
+    "calendar_slice_ym",  # r10
+    "calendar_ym_active_customers",  # r10
+    "calendar_ymd_events_dense",  # r10
+    "customer_order_ranks",  # r10
+    "customer_orphan_flag",  # r10
+    "customer_orphans",  # r10
+    "customer_rfm_scores",  # r10
+    "distinct_user_event_types",  # r10
+    "doc_benchmark_contamination",  # r10
+    "doc_near_dup_drop",  # r10
+    "doc_pack_batches",  # r10
+    "doc_pii_scrub",  # r10
+    "doc_sample_merged",  # r10
+    "doc_stratified_sample",  # r10
+    "doc_top_tokens",  # r10
+    "emb_ivf_assign",  # r10
+    "emb_knn_bruteforce",  # r10
+    "emb_knn_ivf",  # r10
+    "emb_knn_lsh",  # r10
+    "emb_lsh_buckets",  # r10
+    "emb_lsh_near_dup_pairs",  # r10
+    "emb_near_dup_pairs",  # r10
+    "emb_pq_codes_refined",  # r10
+    "emb_pq_recall",  # r10
+    "event_props_stats",  # r10
+    "event_sessions",  # r10
+    "event_type_daily_zscore",  # r10
+    "event_value_buckets",  # r10
+    "event_value_quantiles",  # r10
+    "events_hll_users_incremental",  # r10
+    "lineitem_shipped_90d",  # r10
+    "mm_video_features",  # r10
 )
 
 
