@@ -178,9 +178,10 @@ def main() -> None:
     # not surface as a mis-read next round.
     with open(full_out) as f:
         reread = json.load(f)
-    assert reread["value"] == total and len(reread["queries"]) == len(timings), (
-        f"bench artifact round-trip failed: {full_out}"
-    )
+    if reread["value"] != total or len(reread["queries"]) != len(timings):
+        # explicit raise, not assert: python -O would compile an assert
+        # out and silently disable this corrupt-write guard (r13 ADVICE)
+        raise RuntimeError(f"bench artifact round-trip failed: {full_out}")
     # Key order matters: the driver's wrapper stores only the LAST ~2 KB
     # of stdout ("tail"), which front-truncates a long line (observed in
     # BENCH_r03.json: "parsed": null, tail starts mid-queries). Putting

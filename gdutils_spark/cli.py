@@ -857,19 +857,23 @@ def cmd_edit_match_between(args) -> int:
 def cmd_stage_linkage(args) -> int:
     """Build the staged corpus artifact the *-between commands probe."""
     from gdutils_spark.operators.linkage import (
-        corpus_gram_table,
         corpus_token_table,
+        stage_corpus_grams,
     )
 
     spark = _get_spark()
     corpus = _load(spark, args.input)
     if args.kind == "tokens":
-        t = corpus_token_table(corpus, args.id_col, args.text_col)
+        corpus_token_table(corpus, args.id_col, args.text_col)\
+            .write.mode("overwrite").parquet(args.path)
     else:
-        t = corpus_gram_table(
-            corpus, args.id_col, args.text_col, q=args.q, max_dist=args.max_dist
+        # writes the (q, max_dist) sidecar that edit-match-between
+        # validates — a q/max_dist mismatch now raises instead of
+        # silently returning an almost-empty match set
+        stage_corpus_grams(
+            corpus, args.id_col, args.text_col, args.path,
+            q=args.q, max_dist=args.max_dist,
         )
-    t.write.mode("overwrite").parquet(args.path)
     _emit(f"staged {args.kind} -> {args.path}", args.output)
     return 0
 

@@ -20,6 +20,9 @@ division of exact longs).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -413,7 +416,7 @@ def corpus_token_table(
 
 
 def fuzzy_blocked_join_between(
-    batch: DataFrame | None,
+    batch: DataFrame,
     corpus: DataFrame | None,
     batch_id: str,
     batch_text: str,
@@ -445,12 +448,26 @@ def fuzzy_blocked_join_between(
     The only shuffles are candidate-bounded aggregates. Pass
     ``corpus_tokens_path`` (a staged :func:`corpus_token_table`
     parquet) so the corpus is never re-exploded; ``corpus`` may then be
-    ``None`` (pass ``spark=`` for the read). When BOTH are given the
+    ``None`` (the read uses the batch's session, or ``spark=`` if
+    given). When BOTH are given the
     staged artifact wins and ``corpus`` is ignored — keep the artifact
     in sync with the catalog it was built from.
 
     Batch-internal duplicates are the self-join problem — run
-    :func:`fuzzy_blocked_join` on the batch alone for those."""
+    :func:`fuzzy_blocked_join` on the batch alone for those.
+
+    CACHE LIFETIME: the batch token table is ``cache()``d (three
+    consumers) and stays pinned while the returned plan is alive —
+    ingest-sized, but a long session issuing many nightly batches
+    accumulates one cached table per call. Release with
+    ``spark.catalog.clearCache()`` between batches (or materialize the
+    result and drop the plan) — same hazard :func:`fuzzy_blocked_join`
+    documents for its two sides."""
+    if batch is None:
+        raise ValueError(
+            "fuzzy_blocked_join_between: batch is required (there is no "
+            "staged-artifact alternative for the ingest side)"
+        )
     if not 0.0 < threshold <= 1.0:
         raise ValueError(
             f"fuzzy_blocked_join_between: threshold={threshold} must be in (0, 1]"
@@ -461,12 +478,7 @@ def fuzzy_blocked_join_between(
             "must be >= 1 (or None to disable the hot-token guard)"
         )
     if corpus_tokens_path is not None:
-        ss = spark or (batch.sparkSession if batch is not None else None)
-        if ss is None:
-            raise ValueError(
-                "fuzzy_blocked_join_between: pass spark= with corpus_tokens_path"
-            )
-        tb = ss.read.parquet(corpus_tokens_path)
+        tb = (spark or batch.sparkSession).read.parquet(corpus_tokens_path)
     else:
         if corpus is None:
             raise ValueError(
@@ -556,6 +568,84 @@ def corpus_gram_table(
     )
 
 
+# sidecar filename inside a staged gram-table directory; the leading
+# underscore keeps parquet readers (Spark, DuckDB) from scanning it
+GRAM_META_NAME = "_gdutils_gram_meta.json"
+
+
+def stage_corpus_grams(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    q: int = 4,
+    max_dist: int = 2,
+) -> None:
+    """Write the :func:`corpus_gram_table` parquet PLUS a ``(q,
+    max_dist)`` metadata sidecar (``_gdutils_gram_meta.json`` inside the
+    directory, invisible to parquet readers like ``_SUCCESS``).
+
+    The staged artifact is only valid for probes with the SAME ``q``
+    and a query ``max_dist`` <= the staged one — grams of a different
+    length never equi-join and longer-than-staged-threshold strings
+    lack bucket rows, so a mismatch silently loses nearly all recall.
+    :func:`edit_blocked_join_between` validates the sidecar and raises
+    on mismatch (this repo's fail-loudly convention); stage through
+    this function (or the ``stage-linkage`` CLI) so the sidecar exists."""
+    corpus_gram_table(corpus, id_col, text_col, q=q, max_dist=max_dist)\
+        .write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, GRAM_META_NAME), "w") as f:
+        json.dump({"q": int(q), "max_dist": int(max_dist)}, f)
+
+
+def _validate_staged_grams(
+    gb: DataFrame, path: str, q: int, k: int
+) -> None:
+    """Fail loudly when a staged gram table can't serve this query
+    (r13 ADVICE medium): sidecar check when present; otherwise a
+    LIMIT-bounded gram-length probe (legacy artifacts staged before the
+    sidecar existed). A silent mismatch returns a confidently wrong,
+    mostly-empty result — the worst failure mode."""
+    meta_path = os.path.join(path, GRAM_META_NAME)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("q") != q:
+            raise ValueError(
+                f"edit_blocked_join_between: staged gram table {path} was "
+                f"built with q={meta.get('q')} but the query uses q={q} — "
+                "grams of different lengths never match; restage with "
+                f"stage_corpus_grams(..., q={q})"
+            )
+        if meta.get("max_dist", 0) < k:
+            raise ValueError(
+                f"edit_blocked_join_between: staged gram table {path} was "
+                f"built with max_dist={meta.get('max_dist')} < query "
+                f"max_dist={k} — strings of length in "
+                f"[{q * (meta.get('max_dist', 0) + 1)}, {q * (k + 1)}) "
+                "lack bucket rows and lose recall; restage with "
+                f"stage_corpus_grams(..., max_dist>={k})"
+            )
+        return
+    # legacy artifact without a sidecar: bounded probe of real (pos>0)
+    # gram lengths — catches the q mismatch; max_dist can't be checked
+    # without the sidecar, so restaging is the recommendation either way
+    probe = (
+        gb.where(F.col("pos") > 0)
+        .select(F.length("gram").alias("__l"))
+        .where(F.col("__l") != F.lit(q))
+        .limit(1)
+        .collect()
+    )
+    if probe:
+        raise ValueError(
+            f"edit_blocked_join_between: staged gram table {path} contains "
+            f"grams of length {probe[0]['__l']} but the query uses q={q} — "
+            "restage via stage_corpus_grams (which also records max_dist "
+            "in a validated sidecar)"
+        )
+
+
 def edit_blocked_join_between(
     batch: DataFrame,
     corpus: DataFrame | None,
@@ -592,7 +682,19 @@ def edit_blocked_join_between(
 
     ``max_gram_freq`` semantics match the full join (census restricted
     to batch-gram values — identical verdicts for every gram that can
-    generate candidates; pos-0 length-bucket rows exempt)."""
+    generate candidates; pos-0 length-bucket rows exempt).
+
+    Staged-artifact validity is ENFORCED: when ``corpus_grams_path``
+    carries the :func:`stage_corpus_grams` sidecar, a ``q`` mismatch or
+    a query ``max_dist`` above the staged build RAISES (either silently
+    loses nearly all recall otherwise); sidecar-less legacy artifacts
+    get a bounded gram-length probe for the ``q`` check.
+
+    CACHE LIFETIME: the batch gram table is ``cache()``d and stays
+    pinned while the returned plan is alive — ingest-sized, but a long
+    session issuing many nightly batches accumulates one cached table
+    per call; ``spark.catalog.clearCache()`` between batches releases
+    them (same note as :func:`fuzzy_blocked_join_between`)."""
     if max_dist < 1:
         raise ValueError(
             f"edit_blocked_join_between: max_dist={max_dist} must be >= 1"
@@ -615,6 +717,7 @@ def edit_blocked_join_between(
     ctext = corpus_text or batch_text
     if corpus_grams_path is not None:
         gb = corpus.sparkSession.read.parquet(corpus_grams_path)
+        _validate_staged_grams(gb, corpus_grams_path, q, k)
     else:
         gb = _qgram_table(
             corpus, cid, ctext, "b", q, short_len, k, expand_short=False

@@ -1419,10 +1419,15 @@ def knn_pq(
         .toPandas()
     )
     if qpdf.empty:
-        # no queries -> no neighbors (well-formed empty, r13 hunt)
-        _idt = vectors.schema[id_col].dataType.simpleString()
+        # no queries -> no neighbors (well-formed empty, r13 hunt).
+        # query_id takes the QUERIES table's id type and neighbor_id the
+        # vectors table's — the non-empty path emits exactly those, so a
+        # downstream union that only ever hits this branch still aligns
+        # (r13 ADVICE: mixed-id-type tables diverged here).
+        _qt = queries.schema[id_col].dataType.simpleString()
+        _nt = vectors.schema[id_col].dataType.simpleString()
         return vectors.sparkSession.createDataFrame(
-            [], f"query_id {_idt}, neighbor_id {_idt}, approx_d2 double"
+            [], f"query_id {_qt}, neighbor_id {_nt}, approx_d2 double"
         )
     qids = qpdf["_qid"].to_numpy()
     Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
@@ -1472,9 +1477,19 @@ def knn_pq(
 
     base = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     id_type = vectors.schema[id_col].dataType.simpleString()
+    # query_id values are QUERY-table ids — stamp them with that table's
+    # type so mixed-id-type inputs keep both paths' schemas aligned
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    # self-exclusion: native compare when the id types match (keeps the
+    # plan unchanged); string compare for mixed types, where an ANSI
+    # numeric cast of a non-numeric query id would throw
+    if q_id_type == id_type:
+        _ne = F.col("neighbor_id") != F.col("query_id")
+    else:
+        _ne = F.col("neighbor_id").cast("string") != F.col("query_id").cast("string")
     scored = base.mapInPandas(
-        score, f"query_id {id_type}, neighbor_id {id_type}, approx_d2 double"
-    ).where(F.col("neighbor_id") != F.col("query_id"))
+        score, f"query_id {q_id_type}, neighbor_id {id_type}, approx_d2 double"
+    ).where(_ne)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2"), F.col("neighbor_id")
     )
@@ -2273,11 +2288,14 @@ def knn_ivf_pq(
         .toPandas()
     )
     id_type = vectors.schema[id_col].dataType.simpleString()
+    # query_id values come from the QUERIES table; declaring them with
+    # the vectors' id type mis-stamps mixed-id-type inputs (r13 ADVICE)
+    q_id_type = queries.schema[id_col].dataType.simpleString()
     if not len(qpdf):
         # degrade gracefully like the other knn_* operators — np.stack
         # on an empty column would raise an opaque ValueError
         return spark.createDataFrame(
-            [], f"query_id {id_type}, neighbor_id {id_type}, approx_d2 double"
+            [], f"query_id {q_id_type}, neighbor_id {id_type}, approx_d2 double"
         )
     Q = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)
     if residual:
@@ -2299,7 +2317,7 @@ def knn_ivf_pq(
         # queries×centroids cosine window a second time (and the ADC
         # rows and the join see bit-identical probe sets)
         probes = spark.createDataFrame(
-            sorted(probe_pairs), f"query_id {id_type}, centroid {id_type}"
+            sorted(probe_pairs), f"query_id {q_id_type}, centroid {id_type}"
         )
         adc_rows = []
         for qid, cell in sorted(probe_pairs):
@@ -2315,7 +2333,7 @@ def knn_ivf_pq(
                     adc_rows.append((qid, cell, s, c, float(acc[c])))
         adc = spark.createDataFrame(
             adc_rows,
-            f"query_id {id_type}, centroid {id_type}, "
+            f"query_id {q_id_type}, centroid {id_type}, "
             "subspace int, code int, d2 double",
         )
         adc_keys = ["query_id", "centroid", "subspace", "code"]
@@ -2334,7 +2352,7 @@ def knn_ivf_pq(
                         (_pykey(qpdf["_qid"][qi]), s, c, float(acc[qi, c]))
                     )
         adc = spark.createDataFrame(
-            adc_rows, f"query_id {id_type}, subspace int, code int, d2 double"
+            adc_rows, f"query_id {q_id_type}, subspace int, code int, d2 double"
         )
         adc_keys = ["query_id", "subspace", "code"]
 
@@ -2345,7 +2363,14 @@ def knn_ivf_pq(
         # probes is |queries|·n_probe rows — ALWAYS broadcast (hinted:
         # Catalyst can't size it through the window)
         codes.join(F.broadcast(probes), "centroid")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        # same mixed-id-type note as knn_pq: native compare when types
+        # match, string compare otherwise (ANSI cast would throw)
+        .where(
+            F.col("neighbor_id") != F.col("query_id")
+            if q_id_type == id_type
+            else F.col("neighbor_id").cast("string")
+            != F.col("query_id").cast("string")
+        )
         .join(F.broadcast(adc), adc_keys)
         .groupBy("query_id", "neighbor_id")
         .agg(

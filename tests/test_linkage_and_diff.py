@@ -488,3 +488,97 @@ def test_edit_between_guard_mode_with_staged_grams(spark, tmp_path):
         )
     )
     assert staged == full and len(full) >= 1
+
+
+def test_stage_corpus_grams_sidecar_validation(spark, tmp_path):
+    """r13 ADVICE medium: a staged gram table carries a (q, max_dist)
+    sidecar and edit_blocked_join_between RAISES on q mismatch or a
+    query max_dist above the staged build — never a silently-empty
+    result. Matching parameters still produce the full join's output."""
+    import json
+    import os
+
+    from gdutils_spark.operators.linkage import (
+        GRAM_META_NAME,
+        edit_blocked_join,
+        edit_blocked_join_between,
+        stage_corpus_grams,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"record {i:03d} tail") for i in range(20)], "id long, t string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "record 003 tail"), (101, "ab")], "id long, t string"
+    )
+    path = str(tmp_path / "grams")
+    stage_corpus_grams(corpus, "id", "t", path, q=3, max_dist=2)
+    with open(os.path.join(path, GRAM_META_NAME)) as f:
+        assert json.load(f) == {"q": 3, "max_dist": 2}
+    # matching parameters: staged == fresh == full
+    kw = dict(max_dist=2, q=3)
+    full = sorted(
+        map(
+            tuple,
+            edit_blocked_join(batch, corpus, "id", "t", "id", "t", **kw).collect(),
+        )
+    )
+    staged = sorted(
+        map(
+            tuple,
+            edit_blocked_join_between(
+                batch, corpus, "id", "t", "id", "t",
+                corpus_grams_path=path, **kw,
+            ).collect(),
+        )
+    )
+    assert staged == full and len(full) >= 1
+    # q mismatch raises (the stage-linkage --q 3 / edit-match-between
+    # default q=4 trap the advisor called out)
+    with pytest.raises(ValueError, match="q=3 but the query uses q=4"):
+        edit_blocked_join_between(
+            batch, corpus, "id", "t", "id", "t",
+            max_dist=2, q=4, corpus_grams_path=path,
+        )
+    # query max_dist above the staged build raises
+    with pytest.raises(ValueError, match="max_dist=2 < query max_dist=3"):
+        edit_blocked_join_between(
+            batch, corpus, "id", "t", "id", "t",
+            max_dist=3, q=3, corpus_grams_path=path,
+        )
+    # smaller query max_dist is fine (candidate superset, identical verify)
+    edit_blocked_join_between(
+        batch, corpus, "id", "t", "id", "t",
+        max_dist=1, q=3, corpus_grams_path=path,
+    ).collect()
+
+
+def test_legacy_staged_grams_probe_catches_wrong_q(spark, tmp_path):
+    """Sidecar-less artifacts (staged before the sidecar existed) still
+    fail loudly on a q mismatch via the bounded gram-length probe."""
+    from gdutils_spark.operators.linkage import (
+        corpus_gram_table,
+        edit_blocked_join_between,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"record {i:03d} tail") for i in range(10)], "id long, t string"
+    )
+    batch = spark.createDataFrame([(100, "record 003 tail")], "id long, t string")
+    path = str(tmp_path / "grams_legacy")
+    corpus_gram_table(corpus, "id", "t", q=3, max_dist=2).write.parquet(path)
+    with pytest.raises(ValueError, match="grams of length 3"):
+        edit_blocked_join_between(
+            batch, corpus, "id", "t", "id", "t",
+            max_dist=2, q=4, corpus_grams_path=path,
+        )
+
+
+def test_fuzzy_between_requires_batch(spark):
+    """r13 ADVICE: batch=None raises a named error up front, not an
+    AttributeError fifteen frames deep."""
+    from gdutils_spark.operators.linkage import fuzzy_blocked_join_between
+
+    corpus = spark.createDataFrame([(1, "a b")], "id long, t string")
+    with pytest.raises(ValueError, match="batch is required"):
+        fuzzy_blocked_join_between(None, corpus, "id", "t")

@@ -1012,3 +1012,30 @@ def test_empty_corpus_contract_raises_clearly_or_returns_empty(spark):
                      k=2, m=2, n_codes=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "approx_d2"]
+
+
+def test_knn_query_id_type_follows_queries_table(embeddings):
+    """r13 ADVICE: query_id takes the QUERIES table's id type and
+    neighbor_id the vectors table's, on BOTH the empty and non-empty
+    paths — so a downstream union that only ever hits the empty branch
+    still aligns when the two tables use different id types."""
+    from pyspark.sql import functions as F
+
+    str_q = embeddings.where("vec_id < 2").withColumn(
+        "vec_id", F.concat(F.lit("q"), F.col("vec_id").cast("string"))
+    )
+    empty_str_q = str_q.where("vec_id = 'nope'")
+    for fn, kw in (
+        (sim.knn_pq, dict(k=3, m=4, n_codes=8)),
+        (sim.knn_ivf_pq, dict(k=3, n_centroids=8, n_probe=2, m=4, n_codes=8)),
+    ):
+        nonempty = fn(embeddings, str_q, **kw)
+        empty = fn(embeddings, empty_str_q, **kw)
+        for out in (nonempty, empty):
+            assert out.schema["query_id"].dataType.simpleString() == "string"
+            assert (
+                out.schema["neighbor_id"].dataType.simpleString()
+                == embeddings.schema["vec_id"].dataType.simpleString()
+            )
+        assert empty.count() == 0
+        assert nonempty.count() > 0
