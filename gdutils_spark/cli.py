@@ -878,6 +878,33 @@ def cmd_stage_linkage(args) -> int:
     return 0
 
 
+def cmd_stage_ingest(args) -> int:
+    """Build the staged corpus artifacts the nightly admission probes
+    (fingerprint set + bloom sketch + banded signatures) — run once per
+    corpus version; see queries_ext.stage_ingest_corpus."""
+    from gdutils_spark.queries_ext import stage_ingest_corpus
+
+    spark = _get_spark()
+    stage_ingest_corpus(spark, args.input, args.stage_dir)
+    _emit(f"staged ingest corpus -> {args.stage_dir}", args.output)
+    return 0
+
+
+def cmd_ingest_admit(args) -> int:
+    """Run the nightly batch-vs-corpus admission report; with
+    --stage-dir the corpus side is probed from staged artifacts
+    (zero corpus-wide shuffle), without it everything is recomputed
+    fresh (same output, differential-tested)."""
+    from gdutils_spark.queries_ext import doc_ingest_pipeline
+
+    spark = _get_spark()
+    out = doc_ingest_pipeline(
+        spark, args.input, stage_dir=args.stage_dir or None
+    )
+    _emit(_render(out, args.response), args.output)
+    return 0
+
+
 def cmd_trend(args) -> int:
     from gdutils_spark.operators.summaries import group_trend
 
@@ -1500,6 +1527,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--q", type=int, default=4)
     sp.add_argument("--max-dist", type=int, default=2)
+
+    sp = add_pipeline("stage-ingest", cmd_stage_ingest)
+    sp.add_argument("--stage-dir", required=True,
+                    help="artifact directory (corpus_fp + corpus_fp_bloom "
+                    "+ lsh_banded); --input is the sf table dir holding "
+                    "documents.parquet")
+
+    sp = add_pipeline("ingest-admit", cmd_ingest_admit)
+    sp.add_argument("--stage-dir",
+                    help="staged artifacts from stage-ingest; omit to "
+                    "recompute the corpus side fresh (same output)")
 
     sp = add_pipeline("trend", cmd_trend)
     sp.add_argument("--group-col", default="event_type")

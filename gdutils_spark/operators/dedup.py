@@ -1074,6 +1074,73 @@ def keep_best_representative(
     )
 
 
+# sidecar filename inside a staged banded-signature directory (the
+# linkage GRAM_META_NAME convention); leading underscore keeps parquet
+# readers from scanning it
+LSH_META_NAME = "_gdutils_lsh_meta.json"
+
+
+def stage_lsh_corpus(
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_NUM_PERMS,
+    k: int = 3,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Write the corpus banded-signature table ``(corpus_id, band, bh)``
+    to parquet PLUS a ``(num_perms, k, bands)`` sidecar that
+    :func:`minhash_lsh_pairs_between` validates — a staged table built
+    with different signature parameters never bucket-matches the batch
+    side and would silently return an empty pair set otherwise.
+
+    This is the ONE corpus-wide job of the nightly-ingest design (a
+    doc-keyed min-aggregate over the shingle explode); every subsequent
+    batch run probes the parquet map-side via ``corpus_banded_path=``.
+    Plain parquet, not a bucketed catalog table: the candidate join
+    BROADCASTS the batch side, which needs no co-location."""
+    import json
+    import os
+
+    rows = num_perms // bands
+    _banded_signatures(
+        minhash_signatures(corpus_df, text_col, id_col, num_perms, k),
+        bands,
+        rows,
+    ).select(F.col("doc").alias("corpus_id"), "band", "bh").write.mode(
+        "overwrite"
+    ).parquet(path)
+    with open(os.path.join(path, LSH_META_NAME), "w") as f:
+        json.dump(
+            {"num_perms": int(num_perms), "k": int(k), "bands": int(bands)}, f
+        )
+
+
+def _validate_staged_lsh(path: str, num_perms: int, k: int, bands: int) -> None:
+    """Fail loudly when a staged banded-signature table was built with
+    different signature parameters (any of num_perms/k/bands changes
+    every band hash → silently zero candidates). Sidecar-less legacy
+    artifacts can't be checked — restage via :func:`stage_lsh_corpus`."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, LSH_META_NAME)
+    if not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        meta = json.load(f)
+    want = {"num_perms": int(num_perms), "k": int(k), "bands": int(bands)}
+    got = {kk: meta.get(kk) for kk in want}
+    if got != want:
+        raise ValueError(
+            f"minhash_lsh_pairs_between: staged banded table {path} was "
+            f"built with {got} but the query uses {want} — band hashes "
+            "never match across parameter changes; restage via "
+            "stage_lsh_corpus"
+        )
+
+
 def minhash_lsh_pairs_between(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -1083,6 +1150,7 @@ def minhash_lsh_pairs_between(
     k: int = 3,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    corpus_banded_path: str | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs BETWEEN a new batch and an
     existing corpus — the nightly-ingest pattern, where re-running the
@@ -1093,29 +1161,44 @@ def minhash_lsh_pairs_between(
     the batch alone for those.
 
     A document's signature depends only on its own shingles, so corpus
-    signatures computed incrementally (or staged to parquet by a prior
-    run — ``sources.staging.stage_bucketed`` on the band columns makes
-    the candidate join shuffle-free) are identical to recomputed ones.
+    signatures staged to parquet by a prior run are identical to
+    recomputed ones — stage via :func:`stage_lsh_corpus` and pass
+    ``corpus_banded_path`` (parameters validated against the sidecar;
+    differential-tested staged == fresh).
 
-    Plan shape at 100 TB: the batch side is ingest-sized, so its banded
-    signature table and its shingle table BROADCAST; the corpus-side
-    shingle/signature scans never shuffle — candidate discovery is one
-    broadcast hash join on (band, bh) and verification costs ∝
-    candidates, exactly like :func:`benchmark_contamination`.
+    Plan shape at 100 TB — STAGED (``corpus_banded_path=``, the nightly
+    shape): the batch side is ingest-sized, so its banded signature
+    table and its shingle table BROADCAST; the corpus side is two
+    map-side probes — the staged banded parquet broadcast-joined for
+    candidates, and ONE corpus text scan semi-filtered to candidate ids
+    BEFORE the shingle explode for exact verification. Zero corpus-wide
+    shuffle; the only aggregates are batch/candidate-bounded.
+
+    FRESH fallback (no staged path): candidate discovery and
+    verification keep the same broadcast shape, but computing corpus
+    signatures inline requires a corpus-wide doc-keyed min-aggregate
+    over the shingle explode — a narrow-projection shuffle that is legal
+    at scale but is exactly what staging exists to amortize.
     """
     rows = num_perms // bands
     new_sh = _shingle_table(new_df, text_col, id_col, k).cache()
-    corp_sh = _shingle_table(corpus_df, text_col, id_col, k)
     new_banded = _banded_signatures(
         minhash_signatures(new_df, text_col, id_col, num_perms, k, _shingles=new_sh),
         bands,
         rows,
     ).select(F.col("doc").alias("new_id"), "band", "bh")
-    corp_banded = _banded_signatures(
-        minhash_signatures(corpus_df, text_col, id_col, num_perms, k, _shingles=corp_sh),
-        bands,
-        rows,
-    ).select(F.col("doc").alias("corpus_id"), "band", "bh")
+    if corpus_banded_path is not None:
+        _validate_staged_lsh(corpus_banded_path, num_perms, k, bands)
+        corp_banded = corpus_df.sparkSession.read.parquet(corpus_banded_path)
+    else:
+        corp_sh = _shingle_table(corpus_df, text_col, id_col, k)
+        corp_banded = _banded_signatures(
+            minhash_signatures(
+                corpus_df, text_col, id_col, num_perms, k, _shingles=corp_sh
+            ),
+            bands,
+            rows,
+        ).select(F.col("doc").alias("corpus_id"), "band", "bh")
     cands = (
         corp_banded.join(F.broadcast(new_banded), ["band", "bh"])
         .select("new_id", "corpus_id")
@@ -1124,7 +1207,23 @@ def minhash_lsh_pairs_between(
     # exact verification: corpus shingles semi-filtered to candidates
     # (never shuffled at corpus scale), batch shingles broadcast
     cand_corp = cands.select(F.col("corpus_id").alias("doc")).distinct()
-    cs = corp_sh.join(F.broadcast(cand_corp), "doc", "left_semi")
+    if corpus_banded_path is not None:
+        # staged mode: the corpus TEXT scan is restricted to candidate
+        # ids BEFORE the shingle explode — per-run corpus work is one
+        # pruned scan + a candidate-bounded explode, instead of
+        # exploding the whole corpus and filtering afterwards
+        cs = _shingle_table(
+            corpus_df.join(
+                F.broadcast(cand_corp.withColumnRenamed("doc", id_col)),
+                id_col,
+                "left_semi",
+            ),
+            text_col,
+            id_col,
+            k,
+        )
+    else:
+        cs = corp_sh.join(F.broadcast(cand_corp), "doc", "left_semi")
     n_new = new_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_new"))
     n_corp = cs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_corp"))
     common = (

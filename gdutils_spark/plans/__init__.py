@@ -139,3 +139,111 @@ def assert_no_python(df: DataFrame) -> None:
 
 def whole_stage_codegen_active(df: DataFrame) -> bool:
     return "*(" in simple_plan(df, disable_aqe=True)
+
+
+def plan_tree(plan: str) -> dict[int, dict]:
+    """Parse a formatted-explain physical tree into
+    ``{node_id: {"name": str, "parent": int | None, "detail": str}}``.
+
+    The formatted output prints the tree once (names + ``(id)``) and
+    then one detail block per node (``(id) Name`` followed by
+    Location/Condition/... lines). Depth in the tree is the column where
+    the node name starts; the parent is the nearest preceding line with
+    a strictly smaller name-start column. ``InMemoryRelation`` cached
+    sub-plans and ``ReusedExchange`` references parse like any node.
+    Only the FIRST tree section is parsed (under AQE's Final/Initial
+    duality, the final plan)."""
+    lines = plan.splitlines()
+    try:
+        start = next(
+            i for i, ln in enumerate(lines) if re.search(r"\(\d+\)\s*$", ln)
+        )
+    except StopIteration:
+        return {}
+    nodes: dict[int, dict] = {}
+    stack: list[tuple[int, int]] = []  # (name_col, node_id)
+    for ln in lines[start:]:
+        m = re.search(r"\((\d+)\)\s*$", ln)
+        if not m:
+            if ln.strip() == "" or ln.lstrip().startswith("=="):
+                break
+            continue
+        nid = int(m.group(1))
+        # the name begins after the LAST tree-art marker ("+- "/":- ");
+        # the prefix before it is indentation/continuation art
+        art = max(ln.rfind("+- ", 0, m.start()), ln.rfind(":- ", 0, m.start()))
+        col = art + 3 if art >= 0 else 0
+        name = ln[col:m.start()].strip()
+        while stack and stack[-1][0] >= col:
+            stack.pop()
+        parent = stack[-1][1] if stack else None
+        # a second tree section (AQE Initial Plan) re-lists ids — keep
+        # the first (final) occurrence only
+        if nid not in nodes:
+            nodes[nid] = {"name": name, "parent": parent, "detail": ""}
+            stack.append((col, nid))
+        else:
+            break
+    # attach detail blocks
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) (\S.*)$", ln)
+        if m:
+            cur = int(m.group(1))
+            continue
+        if cur is not None and cur in nodes and ln.strip():
+            nodes[cur]["detail"] += ln + "\n"
+        elif not ln.strip():
+            cur = None
+    return nodes
+
+
+def unbarriered_shuffle_sources(
+    plan: str, scan_pred
+) -> list[tuple[int, int]]:
+    """Shuffle audit for staged/incremental plans: every ``(exchange_id,
+    scan_id)`` pair where a shuffle ``Exchange``'s subtree reaches a
+    scan matching ``scan_pred(name, detail, ancestor_filter_conditions)``
+    WITHOUT a broadcast join between them.
+
+    An empty result is the "zero corpus-wide Exchange" property: every
+    shuffle either touches no corpus-scale scan at all, or sits above a
+    broadcast semi-join that restricted the corpus to a bounded
+    (batch/candidate-sized) row set first."""
+    nodes = plan_tree(plan)
+    children: dict[int | None, list[int]] = {}
+    for nid, n in nodes.items():
+        children.setdefault(n["parent"], []).append(nid)
+
+    def filters_above(nid: int) -> list[str]:
+        out = []
+        p = nodes[nid]["parent"]
+        while p is not None:
+            if nodes[p]["name"].startswith("Filter"):
+                out.append(nodes[p]["detail"])
+            p = nodes[p]["parent"]
+        return out
+
+    matching_scans = [
+        nid
+        for nid, n in nodes.items()
+        if n["name"].startswith(("Scan ", "InMemoryTableScan"))
+        and scan_pred(n["name"], n["detail"], filters_above(nid))
+    ]
+    bad: list[tuple[int, int]] = []
+    for xid, xn in nodes.items():
+        if xn["name"] != "Exchange":
+            continue
+        for sid in matching_scans:
+            # walk scan -> root; note whether we pass xid, and whether a
+            # broadcast join sits between the scan and xid
+            p, barrier = nodes[sid]["parent"], False
+            while p is not None:
+                if p == xid:
+                    if not barrier:
+                        bad.append((xid, sid))
+                    break
+                if nodes[p]["name"].startswith("BroadcastHashJoin"):
+                    barrier = True
+                p = nodes[p]["parent"]
+    return bad

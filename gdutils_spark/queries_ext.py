@@ -7460,8 +7460,62 @@ FROM s4 GROUP BY 1
 
 INGEST_MOD = 10  # every 10th document is "tonight's ingest batch"
 
+# hive-partition prefix width for the staged corpus fingerprint set:
+# 2 hex chars = 256 partitions, so a nightly probe with P distinct
+# bloom-positive prefixes reads P/256 of the fingerprint files
+INGEST_FP_PFX_LEN = 2
 
-def doc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def stage_ingest_corpus(spark: SparkSession, sf_dir: str, stage_dir: str) -> None:
+    """Build the staged corpus artifacts :func:`doc_ingest_pipeline`
+    probes (run once per corpus version, re-run when the corpus grows):
+
+    * ``<stage_dir>/corpus_fp`` — the DISTINCT corpus fingerprint set,
+      hive-partitioned on a 2-hex-char ``fp_pfx`` so the nightly exact-
+      dedup probe partition-prunes to the prefixes its batch actually
+      contains (``PartitionFilters``, not a corpus scan);
+    * ``<stage_dir>/corpus_fp_bloom`` — a ``sketches.bloom_bits`` word
+      table over the same fingerprints: the map-side pre-filter that
+      shrinks the probe set (no false negatives, so bloom-negative
+      batch fps are admitted without touching ``corpus_fp`` at all);
+    * ``<stage_dir>/lsh_banded`` — the corpus banded MinHash signatures
+      via :func:`gdutils_spark.operators.dedup.stage_lsh_corpus`
+      (parameter sidecar included, validated at probe time).
+
+    These are the pipeline's only corpus-wide jobs — two narrow-
+    projection aggregates (fp distinct, signature min-agg) paid once,
+    amortized over every nightly run."""
+    from gdutils_spark.operators import sketches as sk
+    from gdutils_spark.sources.staging import stage_partitioned
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source", "n_chars")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    corpus = docs.where(F.col("doc_id") % INGEST_MOD != 0)
+    fp = F.md5(dd.normalize_text(F.col("text")))
+    cfp = (
+        corpus.select(fp.alias("__fp"))
+        .distinct()
+        .withColumn("fp_pfx", F.substring("__fp", 1, INGEST_FP_PFX_LEN))
+        # one file per partition dir instead of (tasks × partitions)
+        # small files
+        .repartition("fp_pfx")
+    )
+    stage_partitioned(cfp, f"{stage_dir}/corpus_fp", "fp_pfx")
+    sk.bloom_bits(corpus.select(fp.alias("__fp")), "__fp").write.mode(
+        "overwrite"
+    ).parquet(f"{stage_dir}/corpus_fp_bloom")
+    dd.stage_lsh_corpus(
+        corpus, f"{stage_dir}/lsh_banded",
+        num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS,
+    )
+
+
+def doc_ingest_pipeline(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
     """NIGHTLY-INGEST composition — the batch-vs-corpus twin of
     :func:`doc_corpus_pipeline`, chaining the *_between tier: a new
     batch (``doc_id % INGEST_MOD == 0``) is admitted against the
@@ -7474,10 +7528,24 @@ def doc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash over the id-sorted admitted list — one flipped admit
     anywhere upstream flips a hash.
 
-    Plan shape at 100 TB: batch-sized tables broadcast everywhere
-    (fingerprint anti-join probe, near-dup loser set); the corpus is
-    scanned for its fingerprint projection and its shingle table and
-    never shuffles corpus-wide; the only aggregates are batch-sized."""
+    Plan shape at 100 TB — STAGED (``stage_dir=`` pointing at
+    :func:`stage_ingest_corpus` artifacts, the real nightly shape;
+    differential-tested staged == fresh): batch-sized tables broadcast
+    everywhere; the exact-dedup gate is a map-side Bloom probe followed
+    by a partition-pruned scan of the staged fingerprint set (only the
+    bloom-positive prefixes are read — a bounded ≤256-row driver read
+    derives the static ``PartitionFilters``) and a broadcast anti-join;
+    the near-dup gate probes the staged banded-signature parquet
+    map-side and scans corpus TEXT once, semi-filtered to candidate ids
+    before the shingle explode. Zero corpus-wide Exchange
+    (plan-pinned); the only aggregates are batch/candidate-bounded.
+
+    FRESH fallback (no ``stage_dir``, what the sf0.01 oracle drives):
+    same admission semantics, but the corpus fingerprint set is
+    re-derived (a corpus-wide distinct on the fp projection) and corpus
+    signatures are re-aggregated per run — narrow-projection shuffles
+    that are legal at scale but are exactly what the staged artifacts
+    amortize away."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "source", "n_chars")
@@ -7499,12 +7567,46 @@ def doc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("__fp"), F.col("__r.*"))
     )
-    cfp = corpus.select(fp.alias("__fp")).distinct()
-    s1 = winners.join(cfp, "__fp", "left_anti").drop("__fp")
+    if stage_dir is not None:
+        from gdutils_spark.operators import sketches as sk
+
+        bloom = spark.read.parquet(f"{stage_dir}/corpus_fp_bloom")
+        probed = sk.bloom_might_contain(bloom, winners, "__fp")
+        maybe = probed.where(F.col("might_contain")).select("__fp").distinct()
+        # bounded driver read (≤ 16^INGEST_FP_PFX_LEN rows): the distinct
+        # bloom-positive prefixes become a STATIC partition filter, so
+        # the staged fingerprint scan reads only matching directories
+        pfx = [
+            r["p"]
+            for r in maybe.select(
+                F.substring("__fp", 1, INGEST_FP_PFX_LEN).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        if pfx:
+            hits = (
+                spark.read.parquet(f"{stage_dir}/corpus_fp")
+                .where(F.col("fp_pfx").isin(pfx))
+                .join(F.broadcast(maybe), "__fp", "left_semi")
+                .select("__fp")
+            )
+            s1 = probed.join(F.broadcast(hits), "__fp", "left_anti")
+        else:
+            # every batch fp is bloom-negative: definitively new, the
+            # staged fingerprint set is never touched
+            s1 = probed
+        s1 = s1.drop("__fp", "might_contain")
+    else:
+        cfp = corpus.select(fp.alias("__fp")).distinct()
+        s1 = winners.join(cfp, "__fp", "left_anti").drop("__fp")
     # stage 2: near-dup admission gate against the corpus
     pairs = dd.minhash_lsh_pairs_between(
         s1, corpus, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS,
         threshold=JACCARD_T,
+        corpus_banded_path=(
+            f"{stage_dir}/lsh_banded" if stage_dir is not None else None
+        ),
     )
     dropped = pairs.select(F.col("new_id").alias("doc_id")).distinct()
     s2 = s1.join(F.broadcast(dropped), "doc_id", "left_anti")

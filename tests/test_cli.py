@@ -753,3 +753,22 @@ def test_cli_match_between_staged_roundtrip(tmp_path, capsys, spark):
     ]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert len(rows) == 1 and rows[0]["corpus_id"] == 10 and rows[0]["dist"] == 1
+
+
+def test_cli_ingest_staged_roundtrip(tmp_path, capsys):
+    """VERDICT r13 task 7 — the operational nightly recipe end-to-end:
+    stage-ingest builds the corpus artifacts once, ingest-admit runs the
+    admission against them, and the staged report equals the fresh
+    (no --stage-dir) report row-for-row."""
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "ingest_stage")
+    assert main(["stage-ingest", "--input", sf, "--stage-dir", d]) == 0
+    capsys.readouterr()
+    assert main(["ingest-admit", "--input", sf, "--stage-dir", d,
+                 "-f", "json"]) == 0
+    staged = json.loads(capsys.readouterr().out)
+    assert main(["ingest-admit", "--input", sf, "-f", "json"]) == 0
+    fresh = json.loads(capsys.readouterr().out)
+    key = lambda r: r["source"]
+    assert sorted(staged, key=key) == sorted(fresh, key=key)
+    assert len(staged) >= 1 and all("manifest_hash" in r for r in staged)

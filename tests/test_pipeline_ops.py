@@ -1531,3 +1531,76 @@ def test_text_stats_keep_cols_passthrough_and_collision(spark):
 
     with _pt.raises(ValueError, match="collide"):
         text_stats(df, keep_cols=("n_chars",))
+
+
+def test_ingest_pipeline_staged_matches_fresh(spark, sf_smoke, tmp_path):
+    """VERDICT r13 task 2: the nightly admission run against STAGED
+    corpus artifacts (fingerprint set + bloom + banded signatures)
+    returns exactly the fresh-compute rows (the ivfpq_append staged ==
+    rebuilt convention), and the staged LSH table carries a validated
+    parameter sidecar."""
+    import json
+    import os
+
+    from gdutils_spark.operators.dedup import LSH_META_NAME
+    from gdutils_spark.queries_ext import (
+        doc_ingest_pipeline,
+        stage_ingest_corpus,
+    )
+
+    d = str(tmp_path / "stage")
+    stage_ingest_corpus(spark, sf_smoke, d)
+    for sub in ("corpus_fp", "corpus_fp_bloom", "lsh_banded"):
+        assert os.path.isdir(os.path.join(d, sub)), sub
+    # partitioned fingerprint layout (fp_pfx=xx dirs) + LSH sidecar
+    assert any(
+        e.startswith("fp_pfx=") for e in os.listdir(os.path.join(d, "corpus_fp"))
+    )
+    with open(os.path.join(d, "lsh_banded", LSH_META_NAME)) as f:
+        meta = json.load(f)
+    assert set(meta) == {"num_perms", "k", "bands"}
+    fresh = sorted(map(tuple, doc_ingest_pipeline(spark, sf_smoke).collect()))
+    staged = sorted(
+        map(tuple, doc_ingest_pipeline(spark, sf_smoke, stage_dir=d).collect())
+    )
+    assert staged == fresh and len(fresh) >= 1
+
+
+def test_lsh_between_staged_validates_params(spark, tmp_path):
+    """A staged banded-signature table built with different
+    (num_perms, k, bands) raises instead of silently returning zero
+    candidates; matching parameters reproduce the fresh pairs."""
+    from gdutils_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+        stage_lsh_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta 7"),
+         (101, "totally unrelated content here now")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "banded")
+    stage_lsh_corpus(corpus, path, num_perms=16, k=3, bands=4)
+    kw = dict(num_perms=16, k=3, bands=4, threshold=0.5)
+    fresh = sorted(
+        map(tuple, minhash_lsh_pairs_between(batch, corpus, **kw).collect())
+    )
+    staged = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs_between(
+                batch, corpus, corpus_banded_path=path, **kw
+            ).collect(),
+        )
+    )
+    assert staged == fresh and len(fresh) >= 1
+    for bad in (dict(kw, bands=8), dict(kw, k=4), dict(kw, num_perms=32)):
+        with pytest.raises(ValueError, match="staged banded table"):
+            minhash_lsh_pairs_between(
+                batch, corpus, corpus_banded_path=path, **bad
+            )

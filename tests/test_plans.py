@@ -727,3 +727,43 @@ def test_ingest_pipeline_broadcast_shaped(spark, sf_correct):
     plan = formatted_plan(df)
     assert has_broadcast_join(plan)
     assert "SortMergeJoin" not in plan
+
+
+def test_ingest_pipeline_staged_zero_corpus_exchange(spark, sf_smoke, tmp_path):
+    """VERDICT r13 task 2, plan-pinned: against staged artifacts the
+    nightly admission plan has ZERO corpus-wide Exchange — every shuffle
+    either touches no corpus-side documents scan at all, or sits above a
+    broadcast (semi-)join that restricted the corpus to a bounded row
+    set first. The fingerprint probe partition-prunes on the
+    bloom-positive prefixes, and the fresh fallback (sanity leg) is
+    confirmed to contain the corpus-wide shuffles staging removes."""
+    import re
+
+    from gdutils_spark.plans import unbarriered_shuffle_sources
+    from gdutils_spark.queries_ext import (
+        doc_ingest_pipeline,
+        stage_ingest_corpus,
+    )
+
+    d = str(tmp_path / "stage")
+    stage_ingest_corpus(spark, sf_smoke, d)
+
+    def corpus_doc_scan(name, detail, filts):
+        # a documents.parquet scan on the CORPUS side of the % split
+        if "documents.parquet" not in detail:
+            return False
+        return any(
+            re.search(r"NOT \(\(\w+#\d+L? % 10\) = 0\)", f) for f in filts
+        )
+
+    staged = doc_ingest_pipeline(spark, sf_smoke, stage_dir=d)
+    plan = formatted_plan(staged)
+    assert unbarriered_shuffle_sources(plan, corpus_doc_scan) == []
+    assert "PartitionFilters: [fp_pfx" in plan
+    assert "SortMergeJoin" not in plan
+    assert has_broadcast_join(plan)
+    assert not uses_python(plan)
+    # sanity: the audit actually detects corpus-wide shuffles — the
+    # fresh fallback has them (fp distinct + signature min-aggregate)
+    fresh_plan = formatted_plan(doc_ingest_pipeline(spark, sf_smoke))
+    assert len(unbarriered_shuffle_sources(fresh_plan, corpus_doc_scan)) >= 2
