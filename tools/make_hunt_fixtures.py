@@ -1,6 +1,6 @@
 """Build adversarial sf-dir fixtures for latent-hunting the registry.
 
-Two fixture dirs, same arrow schemas as the real testdata (built by
+Three fixture dirs, same arrow schemas as the real testdata (built by
 slicing the real sf0.001 parquet so timestamp encodings survive):
 
 * ``/tmp/sf_hunt_empty`` — every table 0 rows. Every query must still
@@ -10,6 +10,14 @@ slicing the real sf0.001 parquet so timestamp encodings survive):
 * ``/tmp/sf_hunt_null`` — ~150 rows per table plus adversarial rows:
   NULL group keys (event_type/lang/source), NULL and NaN measures,
   empty and NULL text, invalid JSON props, a NULL embedding element.
+* ``/tmp/sf_hunt_unicode`` — ~150 rows per table plus multibyte /
+  combining-mark / astral-plane / case-folding-edge text in documents,
+  customer/supplier/part names and events JSON props: the r14 hunt leg
+  probing codepoint-vs-byte semantics across Spark (JVM UTF8String /
+  java.util.regex) and DuckDB (utf8proc / RE2) — levenshtein, q-gram
+  and shingle extraction, tokenizer split classes, lower() folding
+  (Turkish İ, German ß, full-width forms), length/n_chars conventions,
+  PII digit classes, md5-of-UTF-8 fingerprints on NFC-vs-NFD twins.
 
 Usage: python tools/make_hunt_fixtures.py
 Then:  DRIVE_SF_DIR=/tmp/sf_hunt_empty python tools/drive_contract.py ...
@@ -88,21 +96,101 @@ def _extra_rows(name: str, schema: pa.Schema) -> list[dict] | None:
     return []
 
 
-def build(dst: str, n_rows: int) -> None:
+def _unicode_rows(name: str) -> list[dict]:
+    """Adversarial multibyte rows (r14 hunt leg 4). Texts are >= 4
+    whitespace-separated tokens so shingle/q-gram extraction actually
+    fires; n_chars is the CODEPOINT length (both engines' length())."""
+    texts = [
+        # CJK ideographs (3-byte UTF-8), no ASCII at all
+        "你好 世界 机器 学习 模型 训练 数据 清洗 你好 世界",
+        # combining-mark NFD vs precomposed NFC twin (different bytes,
+        # SAME rendered text — must NOT exact-dedup together)
+        "cafe\u0301 au lait et cre\u0300me frai\u0302che du matin",
+        "caf\u00e9 au lait et cr\u00e8me fra\u00eeche du matin",
+        # astral plane: surrogate pairs in UTF-16 engines, 4-byte UTF-8
+        "🤖 data 📚 pipeline 🧪 test 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 math 𝒜𝒷𝒸 done",
+        # RTL scripts with LTR digits embedded
+        "مرحبا بالعالم 123 שלום עולם 456 test end",
+        # zero-width chars INSIDE words (ZWSP/ZWJ/ZWNJ)
+        "data\u200bscience model\u200dtraining eval\u200cset done here now",
+        # Turkish dotted/dotless i — lower('İ') diverges across folders
+        "İstanbul DİYARBAKIR Isparta ısparta iii III",
+        # German sharp s and its uppercase form
+        "STRASSE straße GROSS groß ẞ test here now",
+        # full-width forms + ideographic space U+3000
+        "ＦＵＬＬ　ＷＩＤＴＨ　ｔｅｘｔ　１２３ normal words here too",
+        # unicode digits (Arabic-Indic, Devanagari) near PII shapes
+        "call ١٢٣٤٥٦٧٨٩٠ or ०१२३४५६७८९ ssn ١٢٣-٤٥-٦٧٨٩ end",
+        # PII with real ASCII digits embedded in unicode context
+        "联系 test@例え.jp or 555-12-3456 phone 5551234567 done",
+        # Greek final sigma case pair
+        "ΟΔΥΣΣΕΥΣ οδυσσευς Σίσυφος σίσυφος words words words words",
+    ]
+    if name == "documents":
+        return [
+            {"doc_id": 910000 + i, "text": t, "lang": "xx",
+             "source": "uni", "n_chars": len(t)}
+            for i, t in enumerate(texts)
+        ]
+    if name == "customer":
+        return [
+            {"c_custkey": 910000 + i, "c_name": n, "c_nationkey": 0,
+             "c_acctbal": 10.0, "c_mktsegment": "BUILDING"}
+            for i, n in enumerate([
+                "Müller & Söhne GmbH", "café corp", "café corp",
+                "株式会社 データ", "İstanbul Ticaret A.Ş.",
+            ])
+        ]
+    if name == "supplier":
+        return [
+            {"s_suppkey": 910000 + i, "s_name": n, "s_nationkey": 0,
+             "s_acctbal": 10.0}
+            for i, n in enumerate([
+                "Mueller & Soehne GmbH", "café corporation",
+                "株式会社 データ 供給", "ISTANBUL ticaret a.s.",
+            ])
+        ]
+    if name == "part":
+        return [
+            {"p_partkey": 910000 + i, "p_name": n, "p_brand": "Brand#55",
+             "p_type": "STANDARD BRUSHED TIN", "p_size": 7,
+             "p_retailprice": 900.0}
+            for i, n in enumerate([
+                "teal café métal brossé", "緑 金属 部品 small",
+                "ﬁre ﬂat ligature part",
+            ])
+        ]
+    if name == "events":
+        return [
+            # unicode string values inside valid JSON props
+            {"event_id": 910001, "ts": _dt.datetime(2024, 1, 2, 3, 4, 5),
+             "user_id": 42, "event_type": "click",
+             "value": 1.5, "props": '{"page": "/домой/начало", "tag": "汉字"}'},
+            {"event_id": 910002, "ts": _dt.datetime(2024, 1, 2, 3, 4, 6),
+             "user_id": 42, "event_type": "событие",
+             "value": 2.5, "props": '{"emoji": "🤖🤖", "k": "v\\u00e9"}'},
+        ]
+    return []
+
+
+def build(dst: str, n_rows: int, extra_fn=None) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         tab = pq.read_table(f"{SRC}/{t}.parquet")
         out = tab.slice(0, n_rows)
         if n_rows > 0:
-            extra = _extra_rows(t, tab.schema)
-            if t == "embeddings":
-                dim = len(tab.column("embedding")[0].as_py())
-                extra = [
-                    {"vec_id": 900001,
-                     "embedding": [float("nan")] + [0.0] * (dim - 1),
-                     "label": None},
-                    {"vec_id": 900002, "embedding": None, "label": 3},
-                ]
+            if extra_fn is not None:
+                extra = extra_fn(t)
+            else:
+                extra = _extra_rows(t, tab.schema)
+                if t == "embeddings":
+                    dim = len(tab.column("embedding")[0].as_py())
+                    extra = [
+                        {"vec_id": 900001,
+                         "embedding": [float("nan")] + [0.0] * (dim - 1),
+                         "label": None},
+                        {"vec_id": 900002, "embedding": None, "label": 3},
+                    ]
             if extra:
                 extra_tab = pa.Table.from_pylist(extra, schema=tab.schema)
                 out = pa.concat_tables([out, extra_tab])
@@ -113,3 +201,4 @@ def build(dst: str, n_rows: int) -> None:
 if __name__ == "__main__":
     build("/tmp/sf_hunt_empty", 0)
     build("/tmp/sf_hunt_null", 150)
+    build("/tmp/sf_hunt_unicode", 150, extra_fn=_unicode_rows)
