@@ -528,7 +528,10 @@ def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object stays JVM-side."""
     _utc(spark)
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast, not cast: a VALID-JSON props row whose $.k is a string
+    # ("vé") must read as NULL, not throw an ANSI CAST_INVALID_INPUT
+    # fifteen stages into a 100 TB scan (r14 unicode hunt)
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return e.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
@@ -540,7 +543,7 @@ _PROPS_SQL = """
 WITH p AS (
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
-              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,

@@ -39,7 +39,12 @@ LSH_BANDS = 16
 LSH_BAND_ROWS = 8
 EMB_DIMS = 64
 
-_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# trim(x, ' ') — explicit ASCII space — NOT bare trim(): DuckDB's
+# default trim strips ALL Unicode whitespace (U+3000, NBSP) where Spark
+# strips 0x20 only, so bare trim() silently diverges fingerprints and
+# token counts on unicode-padded docs (r14 unicode hunt pin; every
+# oracle trim over text in this module follows the same rule)
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '))"
 _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
 
 
@@ -60,7 +65,7 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
 
 _TEXT_STATS_SQL = f"""
 WITH t AS (
-  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -84,8 +89,8 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,
-  CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT)
+  CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+       ELSE CAST(len(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS INT)
   END AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS INT) AS n_bpe_tokens
 FROM documents
@@ -101,7 +106,7 @@ SELECT doc_id,
   CASE WHEN text IS NULL THEN NULL ELSE
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
-      list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      list_transform(regexp_split_to_array(lower(trim(text, ' ')), '\\s+'),
                      x -> {_h64("x")})),
     (acc, x) -> (acc * {tx.ROLL_BASE} + x) % {tx.ROLL_MOD}
   ) END AS rolling_fp
@@ -131,7 +136,7 @@ def _lang_id_sql() -> str:
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     return f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS toks
   FROM documents
 ), s AS (
   SELECT doc_id, {", ".join(score_exprs)} FROM t
@@ -327,8 +332,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNKS_SQL = f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS toks
+  FROM documents WHERE length(trim(text, ' ')) > 0
 ),
 s AS (
   SELECT doc_id, toks, start FROM (
@@ -357,7 +362,7 @@ def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_SQL = f"""
 WITH terms AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS term
   FROM documents
 ),
 tf AS (
@@ -1898,8 +1903,8 @@ def _pack_batches_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text, ' ')), '\\s+'))
          END AS n_tokens
   FROM documents
 ), sharded AS (
@@ -2534,7 +2539,7 @@ def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_TOKENS_SQL = f"""
 WITH toks AS (
-  SELECT lang, UNNEST(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+  SELECT lang, UNNEST(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ')), ' ')) AS token
   FROM documents
 ),
 counts AS (
@@ -2599,7 +2604,7 @@ _SOURCE_STATS_SQL = f"""
 WITH t AS (
   SELECT source, lang, length(text) AS n_chars,
          md5({_NORM}) AS fp,
-         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS toks,
          text
   FROM documents
 ),
@@ -2995,7 +3000,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_sql() -> str:
-    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    toks = "regexp_split_to_array(lower(trim(text, ' ')), '\\s+')"
     tf_cols = ", ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(BM25_TERMS)

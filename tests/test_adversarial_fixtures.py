@@ -78,3 +78,68 @@ def test_empty_corpus_index_training_raises_clearly(spark, empty_dir):
     TRAINING over an empty corpus raises the named error."""
     with pytest.raises(ValueError, match="empty corpus"):
         QUERIES["emb_knn_ivf"](spark, empty_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    from tools.make_hunt_fixtures import _unicode_rows, build
+
+    d = str(tmp_path_factory.mktemp("sf_unicode"))
+    build(d, 60, extra_fn=_unicode_rows)
+    return d
+
+
+# one per r14 unicode-hunt failure class: JSON string-value try_cast,
+# codepoint tokenization + fingerprints (CJK/astral/ZW/NFC-vs-NFD),
+# trim(x, ' ') oracle pin on unicode-padded docs, linkage tokenizer on
+# accented names, edit-prefix pairs with shared-ASCII-prefix twins
+UNICODE_PINNED = [
+    "event_props_stats",
+    "doc_text_stats",
+    "doc_exact_dups",
+    "doc_top_tokens",
+    "customer_supplier_name_match",
+    "doc_prefix_edit_pairs",
+]
+
+
+@pytest.mark.parametrize("name", UNICODE_PINNED)
+def test_unicode_fixture_contract(spark, unicode_dir, name):
+    compare_with_oracle(
+        QUERIES[name](spark, unicode_dir), ORACLE[name], unicode_dir
+    )
+
+
+def test_unicode_engine_divergences_pinned(spark):
+    """The three KNOWN engine divergences the registry deliberately
+    scopes around (r14 unicode hunt, tools/unicode_probe.py): if either
+    engine changes behavior, this pin fails and the fixture scoping in
+    tools/make_hunt_fixtures.py must be revisited.
+
+    * JVM lower('İ') appends U+0307; utf8proc folds to plain 'i'
+    * JVM lowers word-final 'Σ' to contextual 'ς'; utf8proc to 'σ'
+    * Spark levenshtein counts CODEPOINTS; DuckDB counts BYTES
+    * DuckDB bare trim() strips Unicode whitespace; Spark strips 0x20
+      only — which is why every oracle uses trim(x, ' ')
+    """
+    import duckdb
+
+    row = spark.sql(
+        "SELECT lower('İ') AS ti, lower('ΟΔΥΣΣΕΥΣ') AS sig, "
+        "levenshtein('ab', 'a你') AS lev, trim('　x　') AS tr"
+    ).collect()[0]
+    assert row["ti"] == "i̇"
+    assert row["sig"] == "οδυσσευς"  # contextual final sigma
+    assert row["lev"] == 1  # codepoints
+    assert row["tr"] == "　x　"  # ASCII space only
+    con = duckdb.connect()
+    d = con.sql(
+        "SELECT lower('İ') AS ti, lower('ΟΔΥΣΣΕΥΣ') AS sig, "
+        "levenshtein('ab', 'a你') AS lev, trim('　x　') AS tr, "
+        "trim('　x　', ' ') AS tr_pin"
+    ).fetchone()
+    assert d[0] == "i"
+    assert d[1] == "οδυσσευσ"  # always 'σ'
+    assert d[2] == 3  # bytes ('你' = 3 UTF-8 bytes: 1 sub + 2 inserts)
+    assert d[3] == "x"  # bare trim strips U+3000
+    assert d[4] == "　x　"  # the oracle pin replays Spark

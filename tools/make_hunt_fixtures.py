@@ -104,17 +104,23 @@ def _unicode_rows(name: str) -> list[dict]:
         # CJK ideographs (3-byte UTF-8), no ASCII at all
         "你好 世界 机器 学习 模型 训练 数据 清洗 你好 世界",
         # combining-mark NFD vs precomposed NFC twin (different bytes,
-        # SAME rendered text — must NOT exact-dedup together)
-        "cafe\u0301 au lait et cre\u0300me frai\u0302che du matin",
-        "caf\u00e9 au lait et cr\u00e8me fra\u00eeche du matin",
+        # SAME rendered text — must NOT exact-dedup together). The
+        # shared >=12-char ASCII prefix keeps edit-distance prefix
+        # comparisons in the engine-agreement zone (DuckDB levenshtein
+        # is byte-level, Spark codepoint-level — a pinned divergence)
+        "the cafe menu cafe\u0301 au lait cre\u0300me frai\u0302che du matin",
+        "the cafe menu caf\u00e9 au lait cr\u00e8me fra\u00eeche du matin",
         # astral plane: surrogate pairs in UTF-16 engines, 4-byte UTF-8
         "🤖 data 📚 pipeline 🧪 test 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 math 𝒜𝒷𝒸 done",
         # RTL scripts with LTR digits embedded
         "مرحبا بالعالم 123 שלום עולם 456 test end",
         # zero-width chars INSIDE words (ZWSP/ZWJ/ZWNJ)
         "data\u200bscience model\u200dtraining eval\u200cset done here now",
-        # Turkish dotted/dotless i — lower('İ') diverges across folders
-        "İstanbul DİYARBAKIR Isparta ısparta iii III",
+        # Turkish dotless i (lowercase forms only: uppercase İ/U+0130 is
+        # a PINNED engine divergence — JVM lower('İ')='i'+U+0307 vs
+        # utf8proc 'i'; asserted in test_adversarial_fixtures.py, kept
+        # out of case-folded registry columns)
+        "Isparta ısparta istanbul kapı iii III",
         # German sharp s and its uppercase form
         "STRASSE straße GROSS groß ẞ test here now",
         # full-width forms + ideographic space U+3000
@@ -123,8 +129,14 @@ def _unicode_rows(name: str) -> list[dict]:
         "call ١٢٣٤٥٦٧٨٩٠ or ०१२३४५६७८९ ssn ١٢٣-٤٥-٦٧٨٩ end",
         # PII with real ASCII digits embedded in unicode context
         "联系 test@例え.jp or 555-12-3456 phone 5551234567 done",
-        # Greek final sigma case pair
-        "ΟΔΥΣΣΕΥΣ οδυσσευς Σίσυφος σίσυφος words words words words",
+        # Greek incl. word-initial uppercase sigma (folds identically);
+        # a word ENDING in uppercase sigma is the pinned final-sigma
+        # divergence (JVM contextual 'ς' vs utf8proc 'σ') — CI-pinned,
+        # kept out of case-folded registry columns
+        "Σίσυφος σίσυφος οδυσσευς ελλάδα words words words words",
+        # unicode-whitespace padding (ideographic space + NBSP margins):
+        # the trim(x, ' ') oracle pin keeps both engines byte-aligned
+        "\u3000padded doc with ideographic margins test\u00a0",
     ]
     if name == "documents":
         return [
@@ -138,7 +150,7 @@ def _unicode_rows(name: str) -> list[dict]:
              "c_acctbal": 10.0, "c_mktsegment": "BUILDING"}
             for i, n in enumerate([
                 "Müller & Söhne GmbH", "café corp", "café corp",
-                "株式会社 データ", "İstanbul Ticaret A.Ş.",
+                "株式会社 データ", "Istanbul Ticaret A.Ş.",
             ])
         ]
     if name == "supplier":
