@@ -7767,6 +7767,172 @@ HAVING COUNT(*) > 0
 # non-empty input.
 
 
+# --- r14 unicode-curation trio ---------------------------------------------
+# Codepoint-class census patterns shared by the Spark query and the
+# DuckDB oracle. Every class is a FIXED codepoint range written with
+# literal characters, the one regex form Java regex and RE2 parse
+# identically (escape syntaxes differ: Java \uXXXX vs RE2 \x{XXXX});
+# counts come from the length-difference idiom, and length() counts
+# CODEPOINTS in both engines (r14 unicode probe, SCALE.md).
+_CLS_ASCII_ALPHA = "[A-Za-z]"
+_CLS_ASCII_DIGIT = "[0-9]"
+_CLS_CJK = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+_CLS_NON_ASCII = f"[^{chr(0x01)}-{chr(0x7F)}]"
+_CLS_ZERO_WIDTH = f"[{chr(0x200B)}{chr(0x200C)}{chr(0x200D)}{chr(0xFEFF)}]"
+_CLS_UNI_SPACE = f"[{chr(0xA0)}{chr(0x2000)}-{chr(0x200A)}{chr(0x3000)}]"
+
+
+def _cls_count(col, pattern: str):
+    """Codepoints of ``col`` matching the single-char class ``pattern``
+    (length minus length-after-removal — no explode, stays codegen)."""
+    return F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+
+
+def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source SCRIPT census for corpus curation (the language/script
+    drift report a multilingual 100 TB pipeline watches before mixing):
+    codepoint counts by class — ASCII letters, ASCII digits, CJK
+    ideographs, any non-ASCII — plus the non-ASCII share. One pruned
+    scan, one source-keyed aggregate, everything codegen (the
+    length-difference idiom; no explode, no Python)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    t = F.col("text")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(t)).alias("n_cp"),
+        F.sum(_cls_count(t, _CLS_ASCII_ALPHA)).alias("n_ascii_alpha"),
+        F.sum(_cls_count(t, _CLS_ASCII_DIGIT)).alias("n_ascii_digit"),
+        F.sum(_cls_count(t, _CLS_CJK)).alias("n_cjk"),
+        F.sum(_cls_count(t, _CLS_NON_ASCII)).alias("n_non_ascii"),
+    )
+    share = F.col("n_non_ascii").cast("double") / F.nullif(
+        F.col("n_cp"), F.lit(0)
+    ).cast("double")
+    return agg.select(
+        "source", "n_docs", "n_cp", "n_ascii_alpha", "n_ascii_digit",
+        "n_cjk", "n_non_ascii", share.alias("non_ascii_share"),
+    )
+
+
+def _script_mix_sql() -> str:
+    def cnt(cls: str) -> str:
+        return f"length(text) - length(regexp_replace(text, '{cls}', '', 'g'))"
+
+    return f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_cp,
+       CAST(SUM({cnt(_CLS_ASCII_ALPHA)}) AS BIGINT) AS n_ascii_alpha,
+       CAST(SUM({cnt(_CLS_ASCII_DIGIT)}) AS BIGINT) AS n_ascii_digit,
+       CAST(SUM({cnt(_CLS_CJK)}) AS BIGINT) AS n_cjk,
+       CAST(SUM({cnt(_CLS_NON_ASCII)}) AS BIGINT) AS n_non_ascii,
+       CAST(SUM({cnt(_CLS_NON_ASCII)}) AS DOUBLE)
+         / CAST(NULLIF(SUM(length(text)), 0) AS DOUBLE) AS non_ascii_share
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
+GROUP BY source
+"""
+
+
+def doc_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-hygiene audit — the cleaning report for scraped
+    corpora: zero-width characters (ZWSP/ZWNJ/ZWJ/BOM), U+FFFD
+    replacement chars (mojibake tell), non-ASCII Unicode whitespace
+    (NBSP, en/em spaces, ideographic space) — counts plus how many docs
+    carry each. Same single-aggregate length-difference shape as
+    :func:`doc_script_mix`."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    t = F.col("text")
+    zw = _cls_count(t, _CLS_ZERO_WIDTH)
+    repl = _cls_count(t, chr(0xFFFD))
+    us = _cls_count(t, _CLS_UNI_SPACE)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(zw).alias("n_zero_width"),
+        F.count(F.when(zw > 0, 1)).alias("docs_with_zero_width"),
+        F.sum(repl).alias("n_replacement"),
+        F.count(F.when(repl > 0, 1)).alias("docs_with_replacement"),
+        F.sum(us).alias("n_unicode_space"),
+        F.count(F.when(us > 0, 1)).alias("docs_with_unicode_space"),
+    )
+
+
+def _unicode_hygiene_sql() -> str:
+    def cnt(cls: str) -> str:
+        return f"length(text) - length(regexp_replace(text, '{cls}', '', 'g'))"
+
+    zw, repl, us = cnt(_CLS_ZERO_WIDTH), cnt(chr(0xFFFD)), cnt(_CLS_UNI_SPACE)
+    return f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({zw}) AS BIGINT) AS n_zero_width,
+       CAST(COUNT(CASE WHEN {zw} > 0 THEN 1 END) AS BIGINT)
+         AS docs_with_zero_width,
+       CAST(SUM({repl}) AS BIGINT) AS n_replacement,
+       CAST(COUNT(CASE WHEN {repl} > 0 THEN 1 END) AS BIGINT)
+         AS docs_with_replacement,
+       CAST(SUM({us}) AS BIGINT) AS n_unicode_space,
+       CAST(COUNT(CASE WHEN {us} > 0 THEN 1 END) AS BIGINT)
+         AS docs_with_unicode_space
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
+GROUP BY source
+"""
+
+
+def event_props_typed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-read audit of the JSON props column — the schema-drift
+    report behind the r14 ``try_cast`` pin: per event_type, how many
+    rows have props, have a ``$.k`` at all, and how many of those parse
+    as a number vs carry a non-numeric string (the rows a bare ANSI
+    cast would crash the whole scan on). All Catalyst: get_json_object
+    + try_cast, one aggregate."""
+    from gdutils_spark.queries import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    k_raw = F.get_json_object("props", "$.k")
+    k_num = k_raw.try_cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.when(F.col("props").isNotNull(), 1)).alias("n_props"),
+        F.count(F.when(k_raw.isNotNull(), 1)).alias("n_with_k"),
+        F.count(F.when(k_num.isNotNull(), 1)).alias("n_numeric_k"),
+        F.count(F.when(k_raw.isNotNull() & k_num.isNull(), 1)).alias(
+            "n_nonnumeric_k"
+        ),
+    )
+
+
+_PROPS_TYPED_SQL = """
+WITH p AS (
+  SELECT event_type, props,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k_raw
+  FROM events
+)
+SELECT event_type,
+       COUNT(CASE WHEN props IS NOT NULL THEN 1 END) AS n_props,
+       COUNT(CASE WHEN k_raw IS NOT NULL THEN 1 END) AS n_with_k,
+       COUNT(CASE WHEN TRY_CAST(k_raw AS BIGINT) IS NOT NULL THEN 1 END)
+         AS n_numeric_k,
+       COUNT(CASE WHEN k_raw IS NOT NULL
+                   AND TRY_CAST(k_raw AS BIGINT) IS NULL THEN 1 END)
+         AS n_nonnumeric_k
+FROM p
+GROUP BY event_type
+"""
+# json_valid guard = the r13 junk-props pin (get_json_object returns
+# NULL on malformed input, json_extract_string raises)
+
+
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7900,6 +8066,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_supplier_match_between": customer_supplier_match_between,
     "doc_prefix_edit_pairs_between": doc_prefix_edit_pairs_between,
     "doc_corpus_pipeline": doc_corpus_pipeline,
+    "doc_script_mix": doc_script_mix,
+    "doc_unicode_hygiene": doc_unicode_hygiene,
+    "event_props_typed_read": event_props_typed_read,
     "doc_ingest_pipeline": doc_ingest_pipeline,
     "event_type_value_trend": event_type_value_trend,
     "order_totals_cube": order_totals_cube,
@@ -8043,6 +8212,9 @@ EXT_ORACLE: dict[str, str] = {
     "customer_supplier_match_between": _fuzzy_between_sql(),
     "doc_prefix_edit_pairs_between": _edit_between_sql(),
     "doc_corpus_pipeline": _corpus_pipeline_sql(),
+    "doc_script_mix": _script_mix_sql(),
+    "doc_unicode_hygiene": _unicode_hygiene_sql(),
+    "event_props_typed_read": _PROPS_TYPED_SQL,
     "doc_ingest_pipeline": _ingest_pipeline_sql(),
     "event_type_value_trend": _value_trend_sql(),
     "order_totals_cube": _cube_sql(),

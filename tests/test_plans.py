@@ -767,3 +767,19 @@ def test_ingest_pipeline_staged_zero_corpus_exchange(spark, sf_smoke, tmp_path):
     # fresh fallback has them (fp distinct + signature min-aggregate)
     fresh_plan = formatted_plan(doc_ingest_pipeline(spark, sf_smoke))
     assert len(unbarriered_shuffle_sources(fresh_plan, corpus_doc_scan)) >= 2
+
+
+def test_unicode_census_trio_single_aggregate_no_python(spark, sf_correct):
+    """The r14 unicode-curation trio stays codegen: the codepoint-class
+    census is the length-difference idiom (no explode, no Python, no
+    join) — ONE pruned scan into one keyed aggregate."""
+    import re
+
+    for name in ("doc_script_mix", "doc_unicode_hygiene",
+                 "event_props_typed_read"):
+        df = QUERIES[name](spark, sf_correct)
+        plan = formatted_plan(df)
+        assert not uses_python(plan), name
+        assert "Join" not in plan, name
+        assert "Generate" not in plan, name  # no explode
+        assert len(re.findall(r"ReadSchema: ", plan)) == 1, name
