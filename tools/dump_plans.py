@@ -72,7 +72,10 @@ HEADLINERS = [
     ("customer_supplier_match_between", "incremental fuzzy join: batch tokens broadcast, corpus consumed map-side (semi by token value, semi by candidate id), candidate-bounded shuffles only"),
     ("doc_prefix_edit_pairs_between", "incremental edit join: batch grams broadcast into the (gram, bkt) probe, corpus texts scanned once column-pruned for the verify"),
     ("doc_corpus_pipeline", "end-to-end curation: min_by exact dedup -> LSH near-dup drop -> inline quality gate -> mix -> shard manifest; 2 pruned corpus scans, losers/rates broadcast, no SMJ"),
-    ("doc_ingest_pipeline", "nightly admission: fp anti vs corpus set -> between-minhash gate (batch signatures broadcast) -> inline quality gate -> per-source manifest; batch-sized aggregates only"),
+    ("doc_ingest_pipeline", "nightly admission (fresh fallback): fp anti vs corpus set -> between-minhash gate (batch signatures broadcast) -> inline quality gate -> per-source manifest; staged mode (stage_dir=) is plan-pinned zero-corpus-Exchange in test_plans.py"),
+    ("doc_script_mix", "script census: length-difference codepoint classes, one pruned scan -> one aggregate, zero joins"),
+    ("doc_unicode_hygiene", "unicode hygiene: same single-aggregate shape, zero-width/replacement/uni-space classes"),
+    ("event_props_typed_read", "JSON typed-read audit: get_json_object + try_cast, one aggregate"),
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
