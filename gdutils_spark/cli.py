@@ -890,6 +890,23 @@ def cmd_stage_ingest(args) -> int:
     return 0
 
 
+def cmd_ingest_append(args) -> int:
+    """Fold an admitted batch into the staged corpus artifacts in place
+    (append == rebuild, differential-tested) — the third leg of the
+    nightly recipe: stage-ingest once, ingest-admit nightly,
+    ingest-append the admitted docs."""
+    from gdutils_spark.queries_ext import append_ingest_corpus
+
+    spark = _get_spark()
+    batch = _load(spark, args.input)
+    append_ingest_corpus(
+        spark, batch, args.stage_dir,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    _emit(f"appended batch -> {args.stage_dir}", args.output)
+    return 0
+
+
 def cmd_ingest_admit(args) -> int:
     """Run the nightly batch-vs-corpus admission report; with
     --stage-dir the corpus side is probed from staged artifacts
@@ -1538,6 +1555,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stage-dir",
                     help="staged artifacts from stage-ingest; omit to "
                     "recompute the corpus side fresh (same output)")
+
+    sp = add_pipeline("ingest-append", cmd_ingest_append)
+    sp.add_argument("--stage-dir", required=True,
+                    help="staged artifacts to grow; --input is the "
+                    "admitted-batch table (append each batch ONCE)")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
 
     sp = add_pipeline("trend", cmd_trend)
     sp.add_argument("--group-col", default="event_type")

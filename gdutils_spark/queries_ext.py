@@ -8,6 +8,7 @@ can never drift apart.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -7489,17 +7490,28 @@ def stage_ingest_corpus(spark: SparkSession, sf_dir: str, stage_dir: str) -> Non
 
     These are the pipeline's only corpus-wide jobs — two narrow-
     projection aggregates (fp distinct, signature min-agg) paid once,
-    amortized over every nightly run."""
-    from gdutils_spark.operators import sketches as sk
-    from gdutils_spark.sources.staging import stage_partitioned
-
+    amortized over every nightly run (and grown incrementally by
+    :func:`append_ingest_corpus` thereafter)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "source", "n_chars")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     )
-    corpus = docs.where(F.col("doc_id") % INGEST_MOD != 0)
-    fp = F.md5(dd.normalize_text(F.col("text")))
+    stage_corpus_artifacts(docs.where(F.col("doc_id") % INGEST_MOD != 0), stage_dir)
+
+
+def stage_corpus_artifacts(
+    corpus: DataFrame,
+    stage_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """DataFrame-level stager behind :func:`stage_ingest_corpus` (same
+    three artifacts, any corpus relation)."""
+    from gdutils_spark.operators import sketches as sk
+    from gdutils_spark.sources.staging import stage_partitioned
+
+    fp = F.md5(dd.normalize_text(F.col(text_col)))
     cfp = (
         corpus.select(fp.alias("__fp"))
         .distinct()
@@ -7514,8 +7526,102 @@ def stage_ingest_corpus(spark: SparkSession, sf_dir: str, stage_dir: str) -> Non
     ).parquet(f"{stage_dir}/corpus_fp_bloom")
     dd.stage_lsh_corpus(
         corpus, f"{stage_dir}/lsh_banded",
+        text_col=text_col, id_col=id_col,
         num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS,
     )
+
+
+def append_ingest_corpus(
+    spark: SparkSession,
+    batch: DataFrame,
+    stage_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a night's ADMITTED batch into the staged corpus artifacts IN
+    PLACE — append == rebuild (differential-tested, the ``ivfpq_append``
+    convention), closing the nightly loop: admit against the artifacts
+    (:func:`doc_ingest_pipeline` with ``stage_dir=``), then append the
+    admitted docs so tomorrow's run sees tonight's corpus. Batch-sized
+    work only — the staged corpus is READ map-side (bloom probe +
+    prefix-pruned scan) and never rewritten:
+
+    * ``corpus_fp``: batch fingerprints not already staged are appended
+      into their ``fp_pfx`` partition dirs (append-mode partitioned
+      write; existing files untouched);
+    * ``corpus_fp_bloom``: OR-merge with the batch's bloom
+      (:func:`sketches.bloom_merge` — idempotent, so re-probing already
+      -present fps is harmless); the word table is sketch-sized (≤
+      ``BLOOM_BITS/32`` rows), so the read-merge-rewrite materializes
+      through the driver legally;
+    * ``lsh_banded``: the batch docs' banded signatures appended — a
+      signature depends only on its own shingles, so append == rebuild;
+      the ``(num_perms, k, bands)`` sidecar is validated first and a
+      missing sidecar RAISES (appending with unknown parameters would
+      silently corrupt candidate generation).
+
+    Append each admitted batch ONCE (drive from the admission
+    manifest): re-appending duplicates banded rows — candidates stay
+    correct (``distinct`` downstream) but the artifact bloats."""
+    from gdutils_spark.operators import sketches as sk
+
+    banded_path = f"{stage_dir}/lsh_banded"
+    meta_path = os.path.join(banded_path, dd.LSH_META_NAME)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"append_ingest_corpus: {banded_path} has no parameter sidecar "
+            "— restage via stage_ingest_corpus before appending"
+        )
+    dd._validate_staged_lsh(banded_path, NUM_PERMS, NGRAM_K, BANDS)
+    b = batch.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    fp = F.md5(dd.normalize_text(F.col(text_col)))
+    bfp = (
+        b.select(fp.alias("__fp"))
+        .distinct()
+        .withColumn("fp_pfx", F.substring("__fp", 1, INGEST_FP_PFX_LEN))
+    )
+    # which batch fps are already staged: bloom pre-filter, then a
+    # prefix-pruned map-side semi-join (the doc_ingest_pipeline shape)
+    bloom = spark.read.parquet(f"{stage_dir}/corpus_fp_bloom")
+    probed = sk.bloom_might_contain(bloom, bfp, "__fp")
+    maybe = probed.where(F.col("might_contain")).select("__fp").distinct()
+    pfx = [
+        r["p"]
+        for r in maybe.select(
+            F.substring("__fp", 1, INGEST_FP_PFX_LEN).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    if pfx:
+        hits = (
+            spark.read.parquet(f"{stage_dir}/corpus_fp")
+            .where(F.col("fp_pfx").isin(pfx))
+            .join(F.broadcast(maybe), "__fp", "left_semi")
+            .select("__fp")
+        )
+        new_fps = bfp.join(F.broadcast(hits), "__fp", "left_anti")
+    else:
+        new_fps = bfp
+    new_fps.repartition("fp_pfx").write.mode("append").partitionBy(
+        "fp_pfx"
+    ).parquet(f"{stage_dir}/corpus_fp")
+    # bloom: sketch-sized driver materialization, then rewrite (cannot
+    # lazily overwrite the path a plan is still reading)
+    merged = sk.bloom_merge(bloom, sk.bloom_bits(bfp, "__fp")).collect()
+    spark.createDataFrame(merged, bloom.schema).write.mode(
+        "overwrite"
+    ).parquet(f"{stage_dir}/corpus_fp_bloom")
+    # banded signatures: pure append, sidecar unchanged
+    dd._banded_signatures(
+        dd.minhash_signatures(b, text_col, id_col, NUM_PERMS, NGRAM_K),
+        BANDS,
+        NUM_PERMS // BANDS,
+    ).select(F.col("doc").alias("corpus_id"), "band", "bh").write.mode(
+        "append"
+    ).parquet(banded_path)
 
 
 def doc_ingest_pipeline(

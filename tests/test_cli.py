@@ -772,3 +772,24 @@ def test_cli_ingest_staged_roundtrip(tmp_path, capsys):
     key = lambda r: r["source"]
     assert sorted(staged, key=key) == sorted(fresh, key=key)
     assert len(staged) >= 1 and all("manifest_hash" in r for r in staged)
+
+
+def test_cli_ingest_append(tmp_path, capsys, spark):
+    """Third leg of the nightly recipe: ingest-append folds an admitted
+    batch into the staged artifacts (fp partitions + bloom + banded
+    rows all grow)."""
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "stage")
+    assert main(["stage-ingest", "--input", sf, "--stage-dir", d]) == 0
+    capsys.readouterr()
+    n_fp0 = spark.read.parquet(d + "/corpus_fp").count()
+    n_bd0 = spark.read.parquet(d + "/lsh_banded").count()
+    bp = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(990001, "a genuinely novel admitted document about spark"),
+         (990002, "another admitted document with different words")],
+        "doc_id long, text string",
+    ).write.parquet(bp)
+    assert main(["ingest-append", "--input", bp, "--stage-dir", d]) == 0
+    assert spark.read.parquet(d + "/corpus_fp").count() == n_fp0 + 2
+    assert spark.read.parquet(d + "/lsh_banded").count() > n_bd0

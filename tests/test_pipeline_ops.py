@@ -1604,3 +1604,66 @@ def test_lsh_between_staged_validates_params(spark, tmp_path):
             minhash_lsh_pairs_between(
                 batch, corpus, corpus_banded_path=path, **bad
             )
+
+
+def test_append_ingest_corpus_equals_rebuild(spark, sf_smoke, tmp_path):
+    """append == rebuild across all three staged artifacts (the
+    ivfpq_append convention): staging corpus_old then appending a delta
+    produces the SAME fingerprint set, the SAME bloom words, and the
+    SAME banded-signature row set as staging the union from scratch —
+    and a probe through minhash_lsh_pairs_between returns identical
+    pairs against either artifact."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.dedup import minhash_lsh_pairs_between
+    from gdutils_spark.queries_ext import (
+        BANDS,
+        JACCARD_T,
+        NGRAM_K,
+        NUM_PERMS,
+        append_ingest_corpus,
+        stage_corpus_artifacts,
+    )
+    from gdutils_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    corpus_full = docs.where(F.col("doc_id") % 10 != 0)
+    corpus_old = corpus_full.where(F.col("doc_id") % 3 != 0)
+    delta = corpus_full.where(F.col("doc_id") % 3 == 0)
+    a = str(tmp_path / "appended")
+    r = str(tmp_path / "rebuilt")
+    stage_corpus_artifacts(corpus_old, a)
+    append_ingest_corpus(spark, delta, a)
+    stage_corpus_artifacts(corpus_full, r)
+    fps_a = {x["__fp"] for x in spark.read.parquet(a + "/corpus_fp").collect()}
+    fps_r = {x["__fp"] for x in spark.read.parquet(r + "/corpus_fp").collect()}
+    assert fps_a == fps_r and len(fps_r) > 0
+    bl_a = {(x["word"], x["bits"]) for x in
+            spark.read.parquet(a + "/corpus_fp_bloom").collect()}
+    bl_r = {(x["word"], x["bits"]) for x in
+            spark.read.parquet(r + "/corpus_fp_bloom").collect()}
+    assert bl_a == bl_r
+    bd_a = {tuple(x) for x in spark.read.parquet(a + "/lsh_banded").collect()}
+    bd_r = {tuple(x) for x in spark.read.parquet(r + "/lsh_banded").collect()}
+    assert bd_a == bd_r
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    kw = dict(num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T)
+    via_a = sorted(map(tuple, minhash_lsh_pairs_between(
+        batch, corpus_full, corpus_banded_path=a + "/lsh_banded", **kw
+    ).collect()))
+    via_r = sorted(map(tuple, minhash_lsh_pairs_between(
+        batch, corpus_full, corpus_banded_path=r + "/lsh_banded", **kw
+    ).collect()))
+    assert via_a == via_r
+    # a missing sidecar refuses the append (corrupt-candidate guard)
+    import os
+
+    os.remove(os.path.join(a, "lsh_banded",
+                           __import__("gdutils_spark.operators.dedup",
+                                      fromlist=["LSH_META_NAME"]).LSH_META_NAME))
+    with pytest.raises(ValueError, match="no parameter sidecar"):
+        append_ingest_corpus(spark, delta, a)
