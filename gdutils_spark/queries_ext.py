@@ -7682,7 +7682,11 @@ def doc_ingest_pipeline(
         from gdutils_spark.operators import sketches as sk
 
         bloom = spark.read.parquet(f"{stage_dir}/corpus_fp_bloom")
-        probed = sk.bloom_might_contain(bloom, winners, "__fp")
+        # batch-sized, cached for its three consumers (the eager prefix
+        # probe below warms it; the hits semi-join and the final
+        # anti-join reuse it) — same lingering-cache note as the
+        # *_between operators: spark.catalog.clearCache() releases it
+        probed = sk.bloom_might_contain(bloom, winners, "__fp").cache()
         maybe = probed.where(F.col("might_contain")).select("__fp").distinct()
         # bounded driver read (≤ 16^INGEST_FP_PFX_LEN rows): the distinct
         # bloom-positive prefixes become a STATIC partition filter, so
