@@ -708,14 +708,38 @@ def test_between_linkage_corpus_stays_broadcast_shaped(spark, sf_correct):
     batch side BROADCASTS into candidate generation and the corpus is
     consumed map-side — no sort-merge join anywhere, and the corpus
     gram/token explode feeds broadcast/semi joins rather than being
-    exchange-partitioned for a shuffle join."""
-    for name in ("customer_supplier_match_between",
-                 "doc_prefix_edit_pairs_between"):
+    exchange-partitioned for a shuffle join. Since r14 the claim is
+    also audited structurally: zero shuffle Exchange reaches the
+    corpus-side scan (supplier / documents) without a broadcast join in
+    between (plans.unbarriered_shuffle_sources, the staged-ingest
+    audit)."""
+    import re
+
+    from gdutils_spark.plans import unbarriered_shuffle_sources
+
+    def supplier_scan(nm, detail, filts):
+        # the fuzzy corpus is the WHOLE supplier table
+        return "supplier.parquet" in detail
+
+    def corpus_doc_scan(nm, detail, filts):
+        # the edit corpus is the % split's complement (documents also
+        # feeds the batch side — only NOT-% scans are corpus-scale)
+        return "documents.parquet" in detail and any(
+            re.search(r"NOT \(\(doc_id#\d+L? % \d+\) = 0\)", f)
+            for f in filts
+        )
+
+    corpus_preds = {
+        "customer_supplier_match_between": supplier_scan,
+        "doc_prefix_edit_pairs_between": corpus_doc_scan,
+    }
+    for name, pred in corpus_preds.items():
         df = QUERIES[name](spark, sf_correct)
         assert not uses_python(df)
         plan = formatted_plan(df)
         assert has_broadcast_join(plan), name
         assert "SortMergeJoin" not in plan, name
+        assert unbarriered_shuffle_sources(plan, pred) == [], name
 
 
 def test_ingest_pipeline_broadcast_shaped(spark, sf_correct):
