@@ -1667,3 +1667,47 @@ def test_append_ingest_corpus_equals_rebuild(spark, sf_smoke, tmp_path):
                                       fromlist=["LSH_META_NAME"]).LSH_META_NAME))
     with pytest.raises(ValueError, match="no parameter sidecar"):
         append_ingest_corpus(spark, delta, a)
+
+
+def test_staged_lsh_empty_sides_well_formed(spark, tmp_path):
+    """Empty-input contracts for the staged tier (r13 empty-hunt
+    convention): staging an EMPTY corpus yields a valid (empty)
+    artifact + sidecar that probes to zero pairs, and an empty BATCH
+    against a staged corpus yields zero pairs — never an opaque crash."""
+    from gdutils_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+        stage_lsh_corpus,
+    )
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    corpus = spark.createDataFrame(
+        [(i, f"some corpus document number {i} with words") for i in range(8)],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [(100, "some corpus document number 3 with words")], schema
+    )
+    p_empty = str(tmp_path / "banded_empty")
+    stage_lsh_corpus(empty, p_empty, num_perms=16, k=3, bands=4)
+    kw = dict(num_perms=16, k=3, bands=4, threshold=0.5)
+    out = minhash_lsh_pairs_between(
+        batch, empty, corpus_banded_path=p_empty, **kw
+    )
+    assert out.columns == ["new_id", "corpus_id", "jaccard"]
+    assert out.count() == 0
+    p_full = str(tmp_path / "banded_full")
+    stage_lsh_corpus(corpus, p_full, num_perms=16, k=3, bands=4)
+    assert (
+        minhash_lsh_pairs_between(
+            empty, corpus, corpus_banded_path=p_full, **kw
+        ).count()
+        == 0
+    )
+    # non-empty sanity on the same artifacts
+    assert (
+        minhash_lsh_pairs_between(
+            batch, corpus, corpus_banded_path=p_full, **kw
+        ).count()
+        >= 1
+    )
