@@ -7605,9 +7605,13 @@ def append_ingest_corpus(
         new_fps = bfp.join(F.broadcast(hits), "__fp", "left_anti")
     else:
         new_fps = bfp
-    new_fps.repartition("fp_pfx").write.mode("append").partitionBy(
-        "fp_pfx"
-    ).parquet(f"{stage_dir}/corpus_fp")
+    # localCheckpoint BEFORE the append: the new-fps plan READS
+    # corpus_fp (the hits semi-join) and the write appends files into
+    # that same directory — materializing first (batch-sized) severs
+    # the lineage so the write can never race its own source listing
+    new_fps.localCheckpoint(eager=True).repartition("fp_pfx").write.mode(
+        "append"
+    ).partitionBy("fp_pfx").parquet(f"{stage_dir}/corpus_fp")
     # bloom: sketch-sized driver materialization, then rewrite (cannot
     # lazily overwrite the path a plan is still reading)
     merged = sk.bloom_merge(bloom, sk.bloom_bits(bfp, "__fp")).collect()
