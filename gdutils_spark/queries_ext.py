@@ -7466,6 +7466,12 @@ FROM s4 GROUP BY 1
 
 INGEST_MOD = 10  # every 10th document is "tonight's ingest batch"
 
+# explicit schemas for the staged-artifact reads: an EMPTY staged corpus
+# (first-night bootstrap) writes no parquet part-files, so schema
+# inference would fail; the artifact schemas are a fixed contract anyway
+_FP_SCHEMA = "__fp string, fp_pfx string"
+_BLOOM_SCHEMA = "word bigint, bits bigint"
+
 # hive-partition prefix width for the staged corpus fingerprint set:
 # 2 hex chars = 256 partitions, so a nightly probe with P distinct
 # bloom-positive prefixes reads P/256 of the fingerprint files
@@ -7584,7 +7590,7 @@ def append_ingest_corpus(
     )
     # which batch fps are already staged: bloom pre-filter, then a
     # prefix-pruned map-side semi-join (the doc_ingest_pipeline shape)
-    bloom = spark.read.parquet(f"{stage_dir}/corpus_fp_bloom")
+    bloom = spark.read.schema(_BLOOM_SCHEMA).parquet(f"{stage_dir}/corpus_fp_bloom")
     probed = sk.bloom_might_contain(bloom, bfp, "__fp")
     maybe = probed.where(F.col("might_contain")).select("__fp").distinct()
     pfx = [
@@ -7597,7 +7603,7 @@ def append_ingest_corpus(
     ]
     if pfx:
         hits = (
-            spark.read.parquet(f"{stage_dir}/corpus_fp")
+            spark.read.schema(_FP_SCHEMA).parquet(f"{stage_dir}/corpus_fp")
             .where(F.col("fp_pfx").isin(pfx))
             .join(F.broadcast(maybe), "__fp", "left_semi")
             .select("__fp")
@@ -7685,7 +7691,7 @@ def doc_ingest_pipeline(
     if stage_dir is not None:
         from gdutils_spark.operators import sketches as sk
 
-        bloom = spark.read.parquet(f"{stage_dir}/corpus_fp_bloom")
+        bloom = spark.read.schema(_BLOOM_SCHEMA).parquet(f"{stage_dir}/corpus_fp_bloom")
         # batch-sized, cached for its three consumers (the eager prefix
         # probe below warms it; the hits semi-join and the final
         # anti-join reuse it) — same lingering-cache note as the
@@ -7705,7 +7711,7 @@ def doc_ingest_pipeline(
         ]
         if pfx:
             hits = (
-                spark.read.parquet(f"{stage_dir}/corpus_fp")
+                spark.read.schema(_FP_SCHEMA).parquet(f"{stage_dir}/corpus_fp")
                 .where(F.col("fp_pfx").isin(pfx))
                 .join(F.broadcast(maybe), "__fp", "left_semi")
                 .select("__fp")

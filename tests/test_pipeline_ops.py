@@ -1711,3 +1711,50 @@ def test_staged_lsh_empty_sides_well_formed(spark, tmp_path):
         ).count()
         >= 1
     )
+
+
+def test_ingest_bootstrap_from_empty_staged_corpus(spark, tmp_path):
+    """First-night bootstrap: stage an EMPTY corpus (no parquet
+    part-files on disk — the explicit read schemas make it readable),
+    admit a batch against it (everything bloom-negative -> admitted
+    without touching the fingerprint set), then append and re-admit:
+    the second night's duplicates are now caught."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.dedup import minhash_lsh_pairs_between
+    from gdutils_spark.queries_ext import (
+        BANDS,
+        NGRAM_K,
+        NUM_PERMS,
+        append_ingest_corpus,
+        stage_corpus_artifacts,
+    )
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    d = str(tmp_path / "boot")
+    stage_corpus_artifacts(empty, d)
+    night1 = spark.createDataFrame(
+        [(1, "first night document about spark pipelines"),
+         (2, "second unique document mentioning warehouses")],
+        schema,
+    )
+    kw = dict(num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=0.5)
+    assert (
+        minhash_lsh_pairs_between(
+            night1, empty, corpus_banded_path=d + "/lsh_banded", **kw
+        ).count()
+        == 0
+    )
+    append_ingest_corpus(spark, night1, d)
+    assert spark.read.parquet(d + "/corpus_fp").count() == 2
+    night2 = spark.createDataFrame(
+        [(10, "first night document about spark pipelines"),  # dup
+         (11, "a wholly new third document appears tonight")],
+        schema,
+    )
+    pairs = minhash_lsh_pairs_between(
+        night2, night1.withColumnRenamed("doc_id", "doc_id"),
+        corpus_banded_path=d + "/lsh_banded", **kw,
+    )
+    assert {r["new_id"] for r in pairs.collect()} == {10}
