@@ -149,10 +149,10 @@ def ngram_jaccard_pairs(
     """
     # the shingle table feeds both self-join sides and the sizes agg —
     # compute the explode once, not 3x. Default (dev/driver scale):
-    # memory-cache; the cache stays referenced by the RETURNED plan
-    # (unlike lsh_near_dup_pairs' banded table, which is fully consumed
-    # internally and unpersisted there), so it is reclaimed by Spark's
-    # ContextCleaner when the result is released. At 100 TB pass
+    # lazy localCheckpoint pin, referenced by the RETURNED plan and
+    # reclaimed by Spark's ContextCleaner when the result is released
+    # (not cache(): a CacheManager entry would be substituted into other
+    # queries' plans and reused across repeated timed runs). At 100 TB pass
     # ``stage_path``: the shingle table is written to parquet once and
     # every consumer scans the staged files — executor storage memory
     # holds nothing and the staging doubles as a restart point.
@@ -161,7 +161,10 @@ def ngram_jaccard_pairs(
         sh.write.mode("overwrite").parquet(stage_path)
         sh = df.sparkSession.read.parquet(stage_path)
     else:
-        sh = sh.cache()
+        # lazy localCheckpoint, not cache(): no CacheManager entry to be
+        # substituted into other queries' plans or reused across
+        # repeated timed runs (r14 cache-hygiene sweep; see linkage.py)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
@@ -295,7 +298,7 @@ def cosine_tf_pairs(
         tf.write.mode("overwrite").parquet(stage_path)
         tf = df.sparkSession.read.parquet(stage_path)
     else:
-        tf = tf.cache()
+        tf = tf.localCheckpoint(eager=False)
     norms = tf.groupBy("doc").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("sq")
     )
@@ -382,7 +385,7 @@ def ngram_containment_pairs(
     expression differs, so everything SCALE.md says about the Jaccard
     path applies unchanged.
     """
-    sh = _shingle_table(df, text_col, id_col, k).cache()
+    sh = _shingle_table(df, text_col, id_col, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
@@ -547,8 +550,8 @@ def minhash_lsh_pairs(
     colliding).
     """
     # shingles feed signatures + both verification join sides + sizes.
-    # Default: memory-cache, referenced by the returned plan →
-    # ContextCleaner-reclaimed when the result is released. At 100 TB
+    # Default: lazy localCheckpoint pin, referenced by the returned plan
+    # → ContextCleaner-reclaimed when the result is released. At 100 TB
     # pass ``stage_path``: the shingle table stages to parquet once and
     # all four consumers scan the staged files (see ngram_jaccard_pairs).
     sh_cached = _shingle_table(df, text_col, id_col, k)
@@ -556,7 +559,7 @@ def minhash_lsh_pairs(
         sh_cached.write.mode("overwrite").parquet(stage_path)
         sh_cached = df.sparkSession.read.parquet(stage_path)
     else:
-        sh_cached = sh_cached.cache()
+        sh_cached = sh_cached.localCheckpoint(eager=False)
     sig_input = (
         sh_cached
         if max_shingle_freq is None
@@ -590,7 +593,8 @@ def _lsh_verify_pairs(
         )
         .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()
-        .cache()  # candidate list is bucket-collision-sized; reused 3×
+        # bucket-collision-sized; reused 3× — lazy localCheckpoint pin
+        .localCheckpoint(eager=False)
     )
     # exact verification on the candidate set only: semi-filter the
     # shingle table to candidate docs BEFORE any shuffle, so the
@@ -926,9 +930,9 @@ def simhash_near_pairs(
     """
     width = bits // chunks
     mask = (1 << width) - 1
-    # one fingerprint row per doc feeds both self-join sides; cache it
+    # one fingerprint row per doc feeds both self-join sides; pin it
     # rather than recomputing the word explode + bit-sum aggregation twice
-    fps = simhash(df, text_col, id_col, bits).cache()
+    fps = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
     chunk_cols = [
         F.struct(
             F.lit(i).alias("ci"),
@@ -1181,7 +1185,9 @@ def minhash_lsh_pairs_between(
     at scale but is exactly what staging exists to amortize.
     """
     rows = num_perms // bands
-    new_sh = _shingle_table(new_df, text_col, id_col, k).cache()
+    new_sh = _shingle_table(new_df, text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
     new_banded = _banded_signatures(
         minhash_signatures(new_df, text_col, id_col, num_perms, k, _shingles=new_sh),
         bands,
@@ -1416,11 +1422,11 @@ def minhash_estimate_pairs(
         sh_cached.write.mode("overwrite").parquet(stage_path)
         sh_cached = df.sparkSession.read.parquet(stage_path)
     else:
-        sh_cached = sh_cached.cache()
-    # cached: consumed by banding AND both estimate-join sides below
+        sh_cached = sh_cached.localCheckpoint(eager=False)
+    # pinned: consumed by banding AND both estimate-join sides below
     sigs = minhash_signatures(
         df, text_col, id_col, num_perms, k, _shingles=sh_cached
-    ).cache()
+    ).localCheckpoint(eager=False)
     pairs = _lsh_verify_pairs(sh_cached, sigs, num_perms, bands, threshold)
     a = sigs.select(
         F.col("doc").alias("d1"),

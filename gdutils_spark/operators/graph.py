@@ -40,6 +40,7 @@ def pagerank(
     weight: str | None = None,
     validate: bool = True,
     start_ranks: DataFrame | None = None,
+    broadcast_max_nodes: int | None = 8_000_000,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (pass both directions for an
     undirected graph) — ``(node, pr)`` after ``n_iters`` power
@@ -51,10 +52,19 @@ def pagerank(
     mass — the standard simplification, document or add self-loops).
     Fixed iteration count, not convergence-tested: the fixed chain is
     what an oracle can replay, and at 100 TB you budget iterations
-    anyway. Per iteration: one broadcast-or-shuffle equi-join on the
-    edge source + one dst-keyed ordered-fold aggregate; edge list and
-    each rank vector are ``localCheckpoint``-pinned so iteration t+1
-    reuses t's result instead of re-deriving the whole chain.
+    anyway. Per iteration: one equi-join on the edge source + one
+    dst-keyed ordered-fold aggregate; edge list and each rank vector
+    are ``localCheckpoint``-pinned so iteration t+1 reuses t's result
+    instead of re-deriving the whole chain. The join strategy is picked
+    DELIBERATELY (r14, guide §3.1): the rank/degree side is node-sized
+    and known — ``n`` is already computed for the teleport term — so
+    when ``n <= broadcast_max_nodes`` the rank vector and degree table
+    BROADCAST into the join and the (much larger) edge list is never
+    exchanged after its initial checkpoint; above the threshold the
+    join falls back to the shuffle path (measured r14 at sf0.1: each
+    of 3 iterations re-shuffled + sorted the 2.4M-row edge list under
+    SortMergeJoin, 3.5-4.8 s/iteration; broadcast removes all three
+    edge exchanges and their sorts).
 
     ``ordered_fold``: True (default) sums each node's contributions in
     ascending-source order via a sorted ``collect_list`` — bit-exact and
@@ -95,6 +105,15 @@ def pagerank(
     chain stays oracle-replayable; duplicate seed node rows are rejected
     under ``validate=True`` (they would double-count that node's
     contributions in every iteration).
+
+    ``broadcast_max_nodes``: broadcast the rank/degree side of the
+    per-iteration join while the node count stays at or below this
+    bound (~16 bytes/row: the default 8M nodes is a ~128 MB broadcast,
+    inside executor budgets and far under Spark's 8 GB relation cap);
+    beyond it, or with ``None``, every join uses the shuffle path. The
+    gate reads ONE row (the node count already computed for the
+    teleport term) — deterministic and scale-adaptive, never a guess
+    from optimizer size estimates.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -196,6 +215,17 @@ def pagerank(
         .select("node", seed.alias("pr"))
         .localCheckpoint(eager=False)
     )
+    # Deliberate join strategy (guide §3.1): the node count is a 1-row
+    # metadata read of the already-needed ``n_df`` — when the node set
+    # fits the broadcast budget, ship the rank vector and degree table
+    # to the edge partitions instead of exchanging + sorting the edge
+    # list every iteration (identical rows either way; only the
+    # physical plan changes, so the oracle replay is unaffected).
+    if broadcast_max_nodes is not None and n_iters > 0:
+        bcast = n_df.first()["n"] <= int(broadcast_max_nodes)
+    else:
+        bcast = False
+    hint = F.broadcast if bcast else (lambda df: df)
     for _ in range(n_iters):
         c_expr = (
             (F.col("pr") / F.col("deg").cast("double"))
@@ -207,8 +237,8 @@ def pagerank(
             )
         )
         contrib = (
-            e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e.join(hint(pr.withColumnRenamed("node", "src")), "src")
+            .join(hint(deg), "src")
             .select(
                 F.col("dst").alias("node"),
                 "src",
@@ -229,7 +259,7 @@ def pagerank(
         else:
             sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         pr = (
-            nodes.join(sums, "node", "left")
+            nodes.join(hint(sums), "node", "left")
             .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
@@ -555,6 +585,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     n_iters: int = 4,
+    broadcast_max_nodes: int | None = 8_000_000,
 ) -> DataFrame:
     """Bounded-iteration k-core peel (Seidman 1983, "Network structure
     and minimum degree"): repeatedly drop nodes whose CURRENT degree is
@@ -574,12 +605,15 @@ def k_core(
     ``min(core_degree) >= k`` to certify convergence (test-pinned; peels
     on real graphs converge in a handful of rounds because each round
     removes whole frontier layers). Per iteration: one degree aggregate
-    + two semi-joins of the edge list against the (node-sized,
-    broadcastable) survivor set, all keyed shuffles, no driver state;
-    the edge list is ``localCheckpoint``-pinned per round (the survivor
-    set has two consumers — u-side and v-side probes — and the edge
-    list feeds both the degree aggregate and next round's probes: the
-    no-subtree-reuse discipline)."""
+    + two semi-joins of the edge list against the node-sized survivor
+    set — BROADCAST while the first round's survivor count stays at or
+    below ``broadcast_max_nodes`` (survivors only shrink, so one gate
+    covers every round; the r14 §3.1 deliberate-strategy convention),
+    keyed shuffles otherwise — no driver state; the edge list is
+    ``localCheckpoint``-pinned per round (the survivor set has two
+    consumers — u-side and v-side probes — and the edge list feeds both
+    the degree aggregate and next round's probes: the no-subtree-reuse
+    discipline)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_iters < 0:
@@ -602,6 +636,13 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("core_degree"))
         )
 
+    # Deliberate join strategy (guide §3.1, the pagerank convention):
+    # the survivor set is node-sized and only SHRINKS round over round,
+    # so one bounded count of the first round's survivors gates every
+    # round — under the budget both semi-joins broadcast the survivor
+    # set and the edge list is filtered in place instead of being
+    # exchanged twice per round (identical surviving rows either way).
+    hint = None
     for _ in range(n_iters):
         keep = (
             degrees(e)
@@ -609,11 +650,18 @@ def k_core(
             .select("node")
             .localCheckpoint(eager=False)
         )
+        if hint is None:
+            if broadcast_max_nodes is not None and (
+                keep.count() <= int(broadcast_max_nodes)
+            ):
+                hint = F.broadcast
+            else:
+                hint = lambda df: df  # noqa: E731
         e = (
             e.join(
-                keep.select(F.col("node").alias("u")), "u", "left_semi"
+                hint(keep.select(F.col("node").alias("u"))), "u", "left_semi"
             )
-            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .join(hint(keep.select(F.col("node").alias("v"))), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
     return degrees(e)
@@ -626,6 +674,7 @@ def label_propagation(
     n_iters: int = 3,
     start_labels: DataFrame | None = None,
     validate: bool = True,
+    broadcast_max_nodes: int | None = 8_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, Phys. Rev. E 76) — ``(node, label)`` after ``n_iters``
@@ -671,6 +720,12 @@ def label_propagation(
     (they would double-count that node's vote in every neighbor tally);
     ``validate=False`` skips the eager probe for labelings that are
     unique by construction (this function's own output is).
+
+    ``broadcast_max_nodes``: the :func:`pagerank` convention — while
+    the node count (one bounded count of the pinned label vector) stays
+    at or below this bound, the label vector broadcasts into the
+    per-round neighbor join and the edge list is never re-exchanged;
+    ``None`` (or a larger graph) falls back to the shuffle path.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -710,8 +765,19 @@ def label_propagation(
             "node", F.coalesce(F.col("_seed"), F.col("node")).alias("label")
         )
     lab = lab.localCheckpoint(eager=False)
+    # Deliberate join strategy (guide §3.1, the pagerank convention):
+    # the label vector is node-sized; when the node count fits the
+    # broadcast budget, ship it to the edge partitions each round
+    # instead of exchanging + sorting the edge list per iteration.
+    # One bounded count on the pinned seed vector decides (identical
+    # rows either way — only the physical plan changes).
+    if broadcast_max_nodes is not None and n_iters > 0:
+        bcast = lab.count() <= int(broadcast_max_nodes)
+    else:
+        bcast = False
+    hint = F.broadcast if bcast else (lambda df: df)
     for _ in range(n_iters):
-        nbr = e.join(lab.withColumnRenamed("node", "src"), "src").select(
+        nbr = e.join(hint(lab.withColumnRenamed("node", "src")), "src").select(
             F.col("dst").alias("node"), "label"
         )
         cnt = nbr.groupBy("node", "label").agg(
@@ -729,7 +795,7 @@ def label_propagation(
             .select("node", F.col("_b.label").alias("_new"))
         )
         lab = (
-            lab.join(best, "node", "left")
+            lab.join(hint(best), "node", "left")
             .select(
                 "node",
                 F.coalesce(F.col("_new"), F.col("label")).alias("label"),

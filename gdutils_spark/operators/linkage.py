@@ -76,15 +76,19 @@ def fuzzy_blocked_join(
 
     The token tables feed THREE consumers (candidate generation, the
     hot-token census, and verification), so recomputing them would
-    triple the explode cost. Default: memory-cache for the call —
-    right for dimension-scale entity tables, but the caches outlive
-    the call (the returned plan references them), so repeated
-    invocations accumulate executor storage; at corpus scale (or for
-    repeated calls) pass ``stage_path`` — the dedup operators'
-    convention (cf. ``dedup.minhash_lsh_pairs(stage_path=)``): each
-    token table is written to parquet ONCE under ``stage_path`` and
-    all three consumers re-read the columnar file, so executor memory
-    holds nothing corpus-sized and no cache lingers after the call.
+    triple the explode cost. Default: a lazy ``localCheckpoint`` pin
+    for the call — materialized once at first action, shared by all
+    three consumers, reclaimed by the ContextCleaner when the returned
+    plan is dropped, and (unlike ``cache()``) never registered in the
+    CacheManager, so it cannot be substituted into other queries'
+    plans or silently reused across repeated timed invocations. The
+    pinned blocks still live in executor storage while the plan is
+    alive; at corpus scale (or for repeated calls) pass ``stage_path``
+    — the dedup operators' convention (cf.
+    ``dedup.minhash_lsh_pairs(stage_path=)``): each token table is
+    written to parquet ONCE under ``stage_path`` and all three
+    consumers re-read the columnar file, so executor memory holds
+    nothing corpus-sized.
 
     ONE LIVE PLAN PER stage_path: staging writes eagerly with
     ``mode("overwrite")`` while the returned DataFrame reads those
@@ -113,7 +117,18 @@ def fuzzy_blocked_join(
         tb.write.mode("overwrite").parquet(pb_)
         ta, tb = spark.read.parquet(pa_), spark.read.parquet(pb_)
     else:
-        ta, tb = ta.cache(), tb.cache()
+        # lazy localCheckpoint, NOT cache(): a CacheManager entry is
+        # substituted into ANY later query whose plan contains this
+        # subtree — r14 found the full join's cached corpus token table
+        # hijacking fuzzy_blocked_join_between's plan (blocking its
+        # broadcast-semi pushdown, i.e. re-introducing the corpus-wide
+        # shuffle the between tier exists to avoid) and making repeated
+        # timed runs reuse the first run's materialization. The
+        # checkpointed RDD serves the same three consumers within this
+        # call, keeps origin stats (broadcast planning intact), and is
+        # reclaimed by the ContextCleaner when the plan is dropped.
+        ta = ta.localCheckpoint(eager=False)
+        tb = tb.localCheckpoint(eager=False)
     sa = ta.groupBy("a_id").agg(F.count(F.lit(1)).alias("na"))
     sb = tb.groupBy("b_id").agg(F.count(F.lit(1)).alias("nb"))
     ca, cb = ta, tb
@@ -456,13 +471,12 @@ def fuzzy_blocked_join_between(
     Batch-internal duplicates are the self-join problem — run
     :func:`fuzzy_blocked_join` on the batch alone for those.
 
-    CACHE LIFETIME: the batch token table is ``cache()``d (three
-    consumers) and stays pinned while the returned plan is alive —
-    ingest-sized, but a long session issuing many nightly batches
-    accumulates one cached table per call. Release with
-    ``spark.catalog.clearCache()`` between batches (or materialize the
-    result and drop the plan) — same hazard :func:`fuzzy_blocked_join`
-    documents for its two sides."""
+    PIN LIFETIME: the batch token table is ``localCheckpoint``-pinned
+    (three consumers) and its blocks stay in executor storage while
+    the returned plan is alive — ingest-sized per call; dropping the
+    materialized result releases them via the ContextCleaner (no
+    CacheManager entry, so nothing leaks into other queries' plans —
+    same discipline as :func:`fuzzy_blocked_join`)."""
     if batch is None:
         raise ValueError(
             "fuzzy_blocked_join_between: batch is required (there is no "
@@ -487,9 +501,14 @@ def fuzzy_blocked_join_between(
         tb = _token_table(
             corpus, corpus_id or batch_id, corpus_text or batch_text, "b"
         )
-    # batch-sized: cached for its three consumers (token-value probe,
-    # census, verification) — ingest-scale, never corpus-scale
-    ta = _token_table(batch, batch_id, batch_text, "a").cache()
+    # batch-sized, pinned for its three consumers (token-value probe,
+    # census, verification) — lazy localCheckpoint, not cache(): no
+    # CacheManager entry to leak into other queries' plans or across
+    # repeated timed runs (see fuzzy_blocked_join), reclaimed when the
+    # returned plan is dropped
+    ta = _token_table(batch, batch_id, batch_text, "a").localCheckpoint(
+        eager=False
+    )
     bt = ta.select("token").distinct()
     # map-side: staged corpus scan filtered by the broadcast batch
     # token set; all corpus rows of surviving token VALUES are kept,
@@ -690,11 +709,11 @@ def edit_blocked_join_between(
     loses nearly all recall otherwise); sidecar-less legacy artifacts
     get a bounded gram-length probe for the ``q`` check.
 
-    CACHE LIFETIME: the batch gram table is ``cache()``d and stays
-    pinned while the returned plan is alive — ingest-sized, but a long
-    session issuing many nightly batches accumulates one cached table
-    per call; ``spark.catalog.clearCache()`` between batches releases
-    them (same note as :func:`fuzzy_blocked_join_between`)."""
+    PIN LIFETIME: the batch gram table is ``localCheckpoint``-pinned
+    and its blocks stay in executor storage while the returned plan is
+    alive — ingest-sized per call, reclaimed when the plan is dropped
+    (no CacheManager entry; same note as
+    :func:`fuzzy_blocked_join_between`)."""
     if max_dist < 1:
         raise ValueError(
             f"edit_blocked_join_between: max_dist={max_dist} must be >= 1"
@@ -724,7 +743,7 @@ def edit_blocked_join_between(
         )
     ga = _qgram_table(
         batch, batch_id, batch_text, "a", q, short_len, k, expand_short=True
-    ).cache()
+    ).localCheckpoint(eager=False)
     bg = ga.select("gram").distinct()
     gb_rel = gb.join(F.broadcast(bg), "gram", "left_semi")
     use_count_filter = max_gram_freq is None

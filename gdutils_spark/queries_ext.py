@@ -7692,11 +7692,14 @@ def doc_ingest_pipeline(
         from gdutils_spark.operators import sketches as sk
 
         bloom = spark.read.schema(_BLOOM_SCHEMA).parquet(f"{stage_dir}/corpus_fp_bloom")
-        # batch-sized, cached for its three consumers (the eager prefix
-        # probe below warms it; the hits semi-join and the final
-        # anti-join reuse it) — same lingering-cache note as the
-        # *_between operators: spark.catalog.clearCache() releases it
-        probed = sk.bloom_might_contain(bloom, winners, "__fp").cache()
+        # batch-sized, pinned for its three consumers (the eager prefix
+        # probe below materializes it; the hits semi-join and the final
+        # anti-join reuse it) — lazy localCheckpoint, not cache(): no
+        # CacheManager entry to leak into other plans or across repeated
+        # timed runs (r14 cache-hygiene sweep)
+        probed = sk.bloom_might_contain(bloom, winners, "__fp").localCheckpoint(
+            eager=False
+        )
         maybe = probed.where(F.col("might_contain")).select("__fp").distinct()
         # bounded driver read (≤ 16^INGEST_FP_PFX_LEN rows): the distinct
         # bloom-positive prefixes become a STATIC partition filter, so
