@@ -288,7 +288,7 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _degree_oriented(e: DataFrame) -> "tuple[DataFrame, DataFrame]":
+def _degree_oriented(e: DataFrame, hint=None) -> "tuple[DataFrame, DataFrame]":
     """(degree table, degree-ordered oriented edges) from a canonical
     edge relation ``(u, v[, extras...])`` — every edge points from the
     smaller ``(degree, id)`` endpoint to the larger (the Suri &
@@ -297,8 +297,12 @@ def _degree_oriented(e: DataFrame) -> "tuple[DataFrame, DataFrame]":
     by :func:`triangle_count` and :func:`triangle_count_incremental`
     (a drift between their copies would silently break the pinned
     incremental == rebuild claim). Both outputs localCheckpoint-pinned
-    (multi-consumer, no-subtree-reuse discipline)."""
+    (multi-consumer, no-subtree-reuse discipline). ``hint`` (the r14
+    guide-§3.1 convention): callers that measured the graph small pass
+    ``F.broadcast`` so the node-sized degree table broadcasts into both
+    orientation joins and the edge list never shuffles here."""
     extras = [c for c in e.columns if c not in ("u", "v")]
+    hint = hint or (lambda df: df)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -307,10 +311,10 @@ def _degree_oriented(e: DataFrame) -> "tuple[DataFrame, DataFrame]":
         .localCheckpoint(eager=False)
     )
     ed = e.join(
-        deg.select(F.col("node").alias("u"), F.col("degree").alias("du")),
+        hint(deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))),
         "u",
     ).join(
-        deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")),
+        hint(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))),
         "v",
     )
     u_first = (F.col("du") < F.col("dv")) | (
@@ -358,6 +362,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_edges: int | None = 4_000_000,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph (directions in the input are ignored — edges are
@@ -383,21 +388,37 @@ def triangle_count(
     pair is rank-ordered), so the per-node explode counts every vertex
     of every triangle once. All-integer arithmetic + one final IEEE
     division per node — fully oracle-replayable.
+
+    ``broadcast_max_edges`` (r14, guide §3.1): the wedge set is
+    O(m^{3/2}) — at sf0.1 the 1.2M-edge co-purchase graph generates
+    41M wedges, and shuffling them for the closing semi-join was the
+    single most expensive exchange in the graph family (measured
+    ~6.5 s). While the EDGE count (one bounded count of the pinned
+    canonical edge list) stays at or below this bound, the oriented
+    edge relation broadcasts into the wedge join and the closing
+    semi-join instead — the wedge set is then produced AND closed
+    map-side and only the (far smaller) triangle set ever shuffles.
+    Identical rows either way; ``None`` or a bigger graph uses the
+    shuffle path (the only option at true 100 TB edge counts).
     """
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
-    deg, oriented = _degree_oriented(e)
+    bcast = broadcast_max_edges is not None and (
+        e.count() <= int(broadcast_max_edges)
+    )
+    hint = F.broadcast if bcast else (lambda df: df)
+    deg, oriented = _degree_oriented(e, hint=hint)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedges from shared center a, out-neighbors rank-ordered so the
     # closing edge (x, y), if present, is oriented exactly x -> y
     wedges = o1.join(
-        o2, (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2")
+        hint(o2), (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2")
     ).select(
         F.col("o1.a").alias("c"),
         F.col("o1.b").alias("x"),
         F.col("o2.b").alias("y"),
     )
     tri = wedges.join(
-        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        hint(oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))),
         ["x", "y"],
         "left_semi",
     )
@@ -415,6 +436,7 @@ def triangle_count_incremental(
     delta_edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_edges: int | None = 4_000_000,
 ) -> DataFrame:
     """Maintain :func:`triangle_count` under a nightly edge delta
     WITHOUT re-running the O(m^{3/2}) wedge enumeration over the
@@ -438,6 +460,10 @@ def triangle_count_incremental(
     |delta|·√m instead of m^{3/2}. Delta edges already present in the
     corpus are dropped by an anti-join (re-sending an edge is a no-op),
     so the operator is idempotent over at-least-once feeds.
+    ``broadcast_max_edges``: the :func:`triangle_count` convention —
+    under the measured merged-edge-count gate the oriented/old/closer
+    relations broadcast into the anchored wedge joins, so the
+    delta-anchored wedge set is generated and closed map-side.
     """
     eb = _canonical_edges(base_edges, src, dst).localCheckpoint(eager=False)
     dn = _canonical_edges(delta_edges, src, dst).join(
@@ -448,11 +474,18 @@ def triangle_count_incremental(
         .unionByName(dn.withColumn("nw", F.lit(True)))
         .localCheckpoint(eager=False)
     )
-    deg, oriented = _degree_oriented(e)
+    # the triangle_count broadcast gate (guide §3.1): one bounded count
+    # of the pinned merged edge list decides whether the oriented/delta
+    # relations broadcast into the wedge, closing and anchor joins
+    bcast = broadcast_max_edges is not None and (
+        e.count() <= int(broadcast_max_edges)
+    )
+    hint = F.broadcast if bcast else (lambda df: df)
+    deg, oriented = _degree_oriented(e, hint=hint)
     new_o = oriented.where(F.col("nw"))
     old_o = oriented.where(~F.col("nw"))
     wedge = lambda left, right: left.alias("o1").join(
-        right.alias("o2"),
+        hint(right.alias("o2")),
         (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2"),
     ).select(
         F.col("o1.a").alias("c"),
@@ -464,15 +497,15 @@ def triangle_count_incremental(
     # merged edge
     w_new = wedge(new_o, oriented).unionByName(wedge(old_o, new_o))
     closers = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tri_w = w_new.join(closers, ["x", "y"], "left_semi")
+    tri_w = w_new.join(hint(closers), ["x", "y"], "left_semi")
     # (3) both wedge edges old, closer NEW: anchor on the new closer
     # (x -> y); its orientation implies rank(x) < rank(y), so this is
     # the same unique oriented triangle the full algorithm generates
     tri_c = (
         new_o.alias("cl")
-        .join(old_o.alias("e1"), F.col("e1.b") == F.col("cl.a"))
+        .join(hint(old_o.alias("e1")), F.col("e1.b") == F.col("cl.a"))
         .join(
-            old_o.alias("e2"),
+            hint(old_o.alias("e2")),
             (F.col("e2.a") == F.col("e1.a"))
             & (F.col("e2.b") == F.col("cl.b")),
         )
@@ -506,6 +539,7 @@ def edge_jaccard(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_edges: int | None = 4_000_000,
 ) -> DataFrame:
     """Per-edge neighborhood Jaccard (edge embeddedness / tie strength,
     the link-prediction score of Liben-Nowell & Kleinberg 2003 applied
@@ -526,19 +560,27 @@ def edge_jaccard(
     canonical (least, greatest) form and counted per edge — one extra
     edge-keyed aggregate over the triangle set, then one join back to
     the canonical edge list so zero-triangle edges report 0. All-integer
-    arithmetic + one final IEEE division per edge."""
+    arithmetic + one final IEEE division per edge.
+    ``broadcast_max_edges``: the :func:`triangle_count` convention —
+    under the measured edge-count gate the oriented relation broadcasts
+    into the wedge and closing joins, so the O(m^{3/2}) wedge set is
+    generated and closed map-side and never shuffled."""
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
-    deg, oriented = _degree_oriented(e)
+    bcast = broadcast_max_edges is not None and (
+        e.count() <= int(broadcast_max_edges)
+    )
+    hint = F.broadcast if bcast else (lambda df: df)
+    deg, oriented = _degree_oriented(e, hint=hint)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
-        o2, (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2")
+        hint(o2), (F.col("o1.a") == F.col("o2.a")) & _rank_lt("o1", "o2")
     ).select(
         F.col("o1.a").alias("c"),
         F.col("o1.b").alias("x"),
         F.col("o2.b").alias("y"),
     )
     tri = wedges.join(
-        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        hint(oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))),
         ["x", "y"],
         "left_semi",
     )
