@@ -129,6 +129,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     stage_path: str | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
 
@@ -156,15 +157,22 @@ def ngram_jaccard_pairs(
     # ``stage_path``: the shingle table is written to parquet once and
     # every consumer scans the staged files — executor storage memory
     # holds nothing and the staging doubles as a restart point.
-    sh = _shingle_table(df, text_col, id_col, k)
-    if stage_path is not None:
+    # ``_shingles``: caller-pinned (doc, shingle) table built with the
+    # same (text_col, id_col, k) — shares ONE shingle materialization
+    # across several pair pipelines in one query (see minhash_lsh_pairs).
+    if _shingles is not None:
+        sh = _shingles
+    elif stage_path is not None:
+        sh = _shingle_table(df, text_col, id_col, k)
         sh.write.mode("overwrite").parquet(stage_path)
         sh = df.sparkSession.read.parquet(stage_path)
     else:
         # lazy localCheckpoint, not cache(): no CacheManager entry to be
         # substituted into other queries' plans or reused across
         # repeated timed runs (r14 cache-hygiene sweep; see linkage.py)
-        sh = sh.localCheckpoint(eager=False)
+        sh = _shingle_table(df, text_col, id_col, k).localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("nb"))
@@ -531,6 +539,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     stage_path: str | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard.
 
@@ -554,12 +563,22 @@ def minhash_lsh_pairs(
     # → ContextCleaner-reclaimed when the result is released. At 100 TB
     # pass ``stage_path``: the shingle table stages to parquet once and
     # all four consumers scan the staged files (see ngram_jaccard_pairs).
-    sh_cached = _shingle_table(df, text_col, id_col, k)
-    if stage_path is not None:
+    # ``_shingles``: a caller-pinned (doc, shingle) table built with the
+    # SAME (text_col, id_col, k) — lets a query that runs several pair
+    # pipelines over one relation (e.g. LSH + exact-Jaccard recall, or
+    # self + between in the incremental-clustering query) materialize
+    # the shingle explode ONCE instead of once per pipeline (r14,
+    # guide §2.4 "share one exchange").
+    if _shingles is not None:
+        sh_cached = _shingles
+    elif stage_path is not None:
+        sh_cached = _shingle_table(df, text_col, id_col, k)
         sh_cached.write.mode("overwrite").parquet(stage_path)
         sh_cached = df.sparkSession.read.parquet(stage_path)
     else:
-        sh_cached = sh_cached.localCheckpoint(eager=False)
+        sh_cached = _shingle_table(df, text_col, id_col, k).localCheckpoint(
+            eager=False
+        )
     sig_input = (
         sh_cached
         if max_shingle_freq is None
@@ -1155,6 +1174,8 @@ def minhash_lsh_pairs_between(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     corpus_banded_path: str | None = None,
+    _new_shingles: DataFrame | None = None,
+    _corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs BETWEEN a new batch and an
     existing corpus — the nightly-ingest pattern, where re-running the
@@ -1185,9 +1206,17 @@ def minhash_lsh_pairs_between(
     at scale but is exactly what staging exists to amortize.
     """
     rows = num_perms // bands
-    new_sh = _shingle_table(new_df, text_col, id_col, k).localCheckpoint(
-        eager=False
-    )
+    # ``_new_shingles`` / ``_corpus_shingles``: caller-pinned shingle
+    # tables built with the same (text_col, id_col, k) — a query that
+    # also runs the self-join pipeline over either relation (the
+    # incremental-clustering composition) shares ONE shingle
+    # materialization per relation instead of re-exploding it here.
+    if _new_shingles is not None:
+        new_sh = _new_shingles
+    else:
+        new_sh = _shingle_table(new_df, text_col, id_col, k).localCheckpoint(
+            eager=False
+        )
     new_banded = _banded_signatures(
         minhash_signatures(new_df, text_col, id_col, num_perms, k, _shingles=new_sh),
         bands,
@@ -1197,7 +1226,11 @@ def minhash_lsh_pairs_between(
         _validate_staged_lsh(corpus_banded_path, num_perms, k, bands)
         corp_banded = corpus_df.sparkSession.read.parquet(corpus_banded_path)
     else:
-        corp_sh = _shingle_table(corpus_df, text_col, id_col, k)
+        corp_sh = (
+            _corpus_shingles
+            if _corpus_shingles is not None
+            else _shingle_table(corpus_df, text_col, id_col, k)
+        )
         corp_banded = _banded_signatures(
             minhash_signatures(
                 corpus_df, text_col, id_col, num_perms, k, _shingles=corp_sh

@@ -3139,10 +3139,22 @@ def doc_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth at the same (k, threshold) — the number perms/bands are tuned
     against, now driver-verified like the ANN recall closure."""
     docs = load_table(spark, sf_dir, "documents")
-    approx = dd.minhash_lsh_pairs(
-        docs, num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T
+    # r14 (guide §2.4): both detectors shingle the SAME corpus at the
+    # same k — pin the explode once and share it across the LSH and
+    # exact-Jaccard pipelines (identical rows; one window sort +
+    # distinct instead of two).
+    sh = dd._shingle_table(docs, "text", "doc_id", NGRAM_K).localCheckpoint(
+        eager=False
     )
-    exact = dd.ngram_jaccard_pairs(docs, k=NGRAM_K, threshold=JACCARD_T)
+    approx = dd.minhash_lsh_pairs(
+        docs,
+        num_perms=NUM_PERMS,
+        k=NGRAM_K,
+        bands=BANDS,
+        threshold=JACCARD_T,
+        _shingles=sh,
+    )
+    exact = dd.ngram_jaccard_pairs(docs, k=NGRAM_K, threshold=JACCARD_T, _shingles=sh)
     return dd.pair_recall(approx, exact)
 
 
@@ -6413,12 +6425,28 @@ def doc_incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     kw = dict(num_perms=NUM_PERMS, k=NGRAM_K, bands=BANDS, threshold=JACCARD_T)
-    base_pairs = dd.minhash_lsh_pairs(corpus, **kw)
+    # r14 (guide §2.4): this composition runs THREE pair pipelines —
+    # corpus self-join, batch self-join, batch-vs-corpus — and each
+    # relation's shingle explode (window sort + distinct) used to be
+    # recomputed per pipeline. Pin each relation's shingle table once
+    # and share it; rows are identical (the pinned table IS what each
+    # pipeline would have built).
+    corp_sh = dd._shingle_table(corpus, "text", "doc_id", NGRAM_K).localCheckpoint(
+        eager=False
+    )
+    new_sh = dd._shingle_table(new, "text", "doc_id", NGRAM_K).localCheckpoint(
+        eager=False
+    )
+    base_pairs = dd.minhash_lsh_pairs(corpus, **kw, _shingles=corp_sh)
     seed = dd.connected_components(base_pairs, src="d1", dst="d2")
     delta = (
-        dd.minhash_lsh_pairs_between(new, corpus, **kw)
+        dd.minhash_lsh_pairs_between(
+            new, corpus, **kw, _new_shingles=new_sh, _corpus_shingles=corp_sh
+        )
         .select(F.col("new_id").alias("d1"), F.col("corpus_id").alias("d2"))
-        .unionByName(dd.minhash_lsh_pairs(new, **kw).select("d1", "d2"))
+        .unionByName(
+            dd.minhash_lsh_pairs(new, **kw, _shingles=new_sh).select("d1", "d2")
+        )
     )
     labels = dd.connected_components_incremental(
         delta, seed, src="d1", dst="d2"

@@ -408,3 +408,48 @@ def test_connected_components_incremental_merges_components(spark):
         for r in connected_components_incremental(bridge, seed).collect()
     }
     assert got == {n: 1 for n in (1, 2, 3, 10, 11, 12)}
+
+
+def test_shared_shingles_param_is_result_identical(spark):
+    """r14 optimization contract: passing a caller-pinned ``_shingles``
+    table (the within-query reuse used by doc_dedup_recall and
+    doc_incremental_dup_clusters) must produce exactly the rows the
+    operators compute when they shingle internally — for the LSH
+    pipeline, the exact-Jaccard pipeline, and the between tier."""
+    from gdutils_spark.operators.dedup import (
+        _shingle_table,
+        minhash_lsh_pairs_between,
+    )
+
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot"),
+        (2, "alpha bravo charlie delta echo golf"),
+        (3, "hotel golf foxtrot echo delta charlie"),
+        (4, "alpha bravo charlie delta echo foxtrot"),
+        (5, "totally different words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_perms=16, k=3, bands=4, threshold=0.3)
+    sh = _shingle_table(df, "text", "doc_id", 3).localCheckpoint(eager=False)
+
+    def rowset(out):
+        return {tuple(r) for r in out.collect()}
+
+    assert rowset(minhash_lsh_pairs(df, **kw, _shingles=sh)) == rowset(
+        minhash_lsh_pairs(df, **kw)
+    )
+    assert rowset(
+        ngram_jaccard_pairs(df, k=3, threshold=0.3, _shingles=sh)
+    ) == rowset(ngram_jaccard_pairs(df, k=3, threshold=0.3))
+
+    new = df.where(F.col("doc_id") % 2 == 0)
+    corpus = df.where(F.col("doc_id") % 2 != 0)
+    new_sh = _shingle_table(new, "text", "doc_id", 3).localCheckpoint(eager=False)
+    corp_sh = _shingle_table(corpus, "text", "doc_id", 3).localCheckpoint(
+        eager=False
+    )
+    assert rowset(
+        minhash_lsh_pairs_between(
+            new, corpus, **kw, _new_shingles=new_sh, _corpus_shingles=corp_sh
+        )
+    ) == rowset(minhash_lsh_pairs_between(new, corpus, **kw))
