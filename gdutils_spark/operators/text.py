@@ -1505,6 +1505,16 @@ def _bpe_fit(
     state = state.persist()
     merges: list[tuple[int, str, str, int]] = []
     prev = state
+    # r14 (guide §1.2 "don't compute things you throw away"): one job
+    # per round, not two. Round r's argmax collect evaluates every
+    # partition of the CURRENT state (TakeOrdered over a full
+    # aggregate), which materializes its cache as a side effect — so
+    # the previous round's state is released one round LATE (after the
+    # job that proved its successor is cached) instead of paying a
+    # dedicated count() job per round to materialize eagerly. Peak
+    # storage is two vocabulary-sized states, same as before (the old
+    # count() also overlapped prev+nxt).
+    to_release: DataFrame | None = None
     for rank in range(1, n_merges + 1):
         best = (
             _bpe_pair_counts(prev)
@@ -1512,6 +1522,10 @@ def _bpe_fit(
             .limit(1)
             .collect()
         )
+        # prev is now fully cached → its predecessor can be released
+        if to_release is not None:
+            to_release.unpersist()
+            to_release = None
         if not best:
             break
         a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
@@ -1521,9 +1535,14 @@ def _bpe_fit(
             "freq",
             _bpe_merge_expr(F.split("sym", " "), a, b).alias("sym"),
         ).persist()
-        nxt.count()
-        prev.unpersist()
+        to_release = prev
         prev = nxt
+    if to_release is not None:
+        # the final state was never the subject of an argmax job: pin it
+        # with one materializing pass so its predecessor's cache can be
+        # released before handing the state to the caller
+        prev.count()
+        to_release.unpersist()
     return merges, prev
 
 

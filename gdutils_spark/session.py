@@ -55,6 +55,19 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §3.1/§9: let the planner pick shuffled-hash over
+        # sort-merge when a per-partition build side fits — skips the
+        # sort on both sides. Gated by size, not core count: the AQE
+        # threshold below caps the build side at 64 MB per post-shuffle
+        # partition (OOM-safe on any executor with normal task memory),
+        # so the same setting is right at 100 TB. Interleaved A/B over
+        # 7 join-heavy registry queries (r14): 0.91-1.02× per query,
+        # 0.98× total — small, uniformly non-regressive.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # Python data sources (sources/erddap.py) receive Catalyst filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # let AQE re-coalesce stages downstream of cached plans — cached
