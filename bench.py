@@ -41,22 +41,80 @@ ANCHOR_REF: dict[str, float] = {
     "daily_event_stats": 0.3358,
 }
 
+# r15 (VERDICT r14 item 5): the anchors are the normalization yardstick,
+# so they must be IMMUNE to session-conf edits — a conf change that moves
+# only the anchors would manufacture fleet-wide "improvement" (or hide a
+# real one). Anchors therefore run under this PINNED conf, the values the
+# r10 reference run used (r14 added preferSortMergeJoin=false +
+# the AQE SHJ threshold to get_spark; the anchor yardstick must not move
+# with such edits). Refresh ANCHOR_REF only if an anchor's QUERY CODE
+# changes — and the plan fingerprints recorded in the artifact make such
+# a change detectable offline.
+ANCHOR_CONF: dict[str, str] = {
+    "spark.sql.join.preferSortMergeJoin": "true",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0",
+}
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
     return float(m.group(1)) if m else -1.0
 
 
+def _anchor_conf(spark):
+    """Context manager: apply ANCHOR_CONF, restore the session values."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        old = {k: spark.conf.get(k, None) for k in ANCHOR_CONF}
+        for k, v in ANCHOR_CONF.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    return cm()
+
+
+def _anchor_plan_fp(spark) -> dict[str, str]:
+    """Stable fingerprint of each anchor's physical plan under the
+    pinned anchor conf: formatted explain with volatile tokens (expr
+    ids, plan ids, file paths, stats) stripped, md5-hashed. A changed
+    fingerprint between rounds means the anchor's PLAN changed — the
+    re-pin rule for ANCHOR_REF is tied to this, not prose."""
+    import hashlib
+
+    from gdutils_spark.plans import formatted_plan
+
+    out: dict[str, str] = {}
+    with _anchor_conf(spark):
+        for name in sorted(ANCHOR_REF):
+            plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+            norm = re.sub(r"#\d+[L]?", "#", plan)
+            norm = re.sub(r"plan_id=\d+", "plan_id=", norm)
+            norm = re.sub(r"Statistics\([^)]*\)", "Statistics()", norm)
+            norm = re.sub(r"Location[^\n]*", "Location", norm)
+            out[name] = hashlib.md5(norm.encode()).hexdigest()
+    return out
+
+
 def _time_anchors(spark, runs: int = 3) -> dict[str, float]:
     out: dict[str, float] = {}
-    for name in sorted(ANCHOR_REF):
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 4)
+    with _anchor_conf(spark):
+        for name in sorted(ANCHOR_REF):
+            fn = QUERIES[name]
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 4)
     return out
 
 
@@ -161,6 +219,8 @@ def main() -> None:
                 "anchors_start": anchors_start,
                 "anchors_end": anchors_end,
                 "anchor_ref": ANCHOR_REF,
+                "anchor_conf": ANCHOR_CONF,
+                "anchor_plan_fp": _anchor_plan_fp(spark),
                 "host_mode_factor": host_mode_factor,
                 "metric": "total_query_wall_seconds",
                 "unit": "sec",

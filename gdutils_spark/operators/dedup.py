@@ -153,7 +153,13 @@ def ngram_jaccard_pairs(
     # lazy localCheckpoint pin, referenced by the RETURNED plan and
     # reclaimed by Spark's ContextCleaner when the result is released
     # (not cache(): a CacheManager entry would be substituted into other
-    # queries' plans and reused across repeated timed runs). At 100 TB pass
+    # queries' plans and reused across repeated timed runs). Two
+    # tradeoffs vs cache() (r14 ADVICE): localCheckpoint blocks are NOT
+    # recoverable on executor loss (the job fails instead of recomputing
+    # from lineage), and they are stored row-format MEMORY_AND_DISK, not
+    # compressed columnar — a several-fold larger pinned footprint. Both
+    # are fine on a single-node driver session; on a real cluster the
+    # fault-tolerant tier is ``stage_path``. At 100 TB pass
     # ``stage_path``: the shingle table is written to parquet once and
     # every consumer scans the staged files — executor storage memory
     # holds nothing and the staging doubles as a restart point.

