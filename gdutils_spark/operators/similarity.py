@@ -686,6 +686,41 @@ def _guard_query_rows(queries: DataFrame, id_col: str, max_query_rows: int, fn: 
         )
 
 
+def _collect_guarded_queries(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_query_rows: int,
+    fn: str,
+) -> pd.DataFrame:
+    """Guard + collect the query relation in ONE Spark job (r15, guide
+    §1.2 — the ANN family's cost at small SF is driver-job count, not
+    data): ``limit(max_query_rows + 1).toPandas()`` subsumes the
+    LIMIT-bounded guard count that used to be a separate action. When
+    the relation is within the bound, the limit returns EVERY row, and
+    the ascending-id driver-side sort reproduces the former
+    ``orderBy(id).toPandas()`` exactly (ids are non-null here —
+    ``_well_formed`` runs first — so there is no null-ordering
+    divergence). Raises the same guard error on oversized inputs.
+    Callers that share one query set across several ``knn_*`` calls
+    pass the result via the private ``_qpdf=`` parameter so the collect
+    happens once."""
+    qpdf = (
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(qpdf) > max_query_rows:
+        raise ValueError(
+            f"{fn}: queries relation exceeds max_query_rows={max_query_rows}. "
+            f"The query side is broadcast/collected driver-side by design; "
+            f"the corpus belongs in the `vectors` parameter (which stays "
+            f"partitioned at any scale). Swap the arguments, or raise "
+            f"max_query_rows explicitly if you really mean it."
+        )
+    return qpdf.sort_values("_qid", kind="stable", ignore_index=True)
+
+
 def _seed_centroids(
     vectors: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -709,6 +744,68 @@ def _seed_centroids(
             "removed every vector)"
         )
     return cent["_id"].to_numpy(), np.stack(cent["_v"].to_numpy()).astype(np.float64)
+
+
+def _seed_heads(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_coarse: int,
+    n_codes: int,
+) -> tuple[tuple[np.ndarray, np.ndarray], np.ndarray]:
+    """Coarse seeds AND the PQ seed codebook from ONE ordered head scan
+    (r15, guide §1.2): both are prefixes of the same lowest-id ordering,
+    so ``limit(max(n_coarse, n_codes))`` + driver-side prefix slices is
+    row- and bit-identical to two separate :func:`_seed_centroids`
+    calls, at half the Spark jobs. Returns ``((cids, CC), C)``."""
+    head = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(max(n_coarse, n_codes))
+        .toPandas()
+    )
+    if head.empty:
+        # same message/contract as _seed_centroids (r13 empty hunt)
+        raise ValueError(
+            "similarity: empty corpus — cannot seed centroids/codebook; "
+            "guard empty-corpus runs upstream (an upstream filter "
+            "removed every vector)"
+        )
+    ids = head["_id"].to_numpy()
+    M = np.stack(head["_v"].to_numpy()).astype(np.float64)
+    return (ids[:n_coarse], M[:n_coarse]), M[:n_codes]
+
+
+def _probe_plan(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent: DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """The coarse probe-ranking plan shared by :func:`knn_ivf_pq`'s
+    lazy (non-residual) and collected (residual) paths — verbatim the
+    same JVM cosine + tie-broken window as :func:`knn_ivf`, extracted
+    so both paths build one plan shape."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_score").desc(), F.col("centroid")
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "centroid",
+            cosine(F.col("q_vec"), F.col("c_vec"), None).alias("c_score"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "centroid")
+    )
 
 
 def _residual_of(S: np.ndarray, cids: np.ndarray, CC: np.ndarray) -> np.ndarray:
@@ -1382,6 +1479,8 @@ def knn_pq(
     n_codes: int = 8,
     max_query_rows: int = 100_000,
     refine_iters: int = 0,
+    _seed_cb: np.ndarray | None = None,
+    _qpdf: pd.DataFrame | None = None,
 ) -> DataFrame:
     """Approximate kNN by asymmetric distance computation (ADC) over PQ
     codes — the search side of :func:`pq_encode`: each query precomputes
@@ -1390,6 +1489,14 @@ def knn_pq(
     the corpus is scanned as CODES (m small ints per vector), never as
     floats. Returns ``(query_id, neighbor_id, approx_d2)`` top-k rows
     per query (self-matches excluded; ties → lowest neighbor id).
+
+    ``_seed_cb`` / ``_qpdf`` (private, r15 §1.2 job-count reduction —
+    the ``_shingles=`` convention): a pre-collected seed codebook /
+    guarded query pandas frame (from :func:`_collect_guarded_queries`
+    on the SAME relation), letting a multi-arm caller (emb_pq_recall)
+    pay each driver job once instead of once per arm. Results are
+    bit-identical by construction; these never cache across queries or
+    runs — the caller holds them for one invocation only.
 
     Determinism: tables use the same sequential-dim accumulation as the
     encoder, the m lookups add in ascending subspace order, and top-k
@@ -1403,20 +1510,27 @@ def knn_pq(
     queries = _well_formed(queries, id_col, vec_col)
     from pyspark.sql import Window
 
-    _guard_query_rows(queries, id_col, max_query_rows, "knn_pq")
     spark = vectors.sparkSession
     if refine_iters > 0:
-        C = pq_refine_codebooks(vectors, id_col, vec_col, m, n_codes, refine_iters)
+        C = pq_refine_codebooks(
+            vectors, id_col, vec_col, m, n_codes, refine_iters,
+            seeds=_seed_cb,
+        )
+    elif _seed_cb is not None:
+        C = _seed_cb.astype(np.float64)
     else:
         _ids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
     D = C.shape[1]
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
     sub = D // m
+    # one job: guard + query collect fused (r15 §1.2)
     qpdf = (
-        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
-        .orderBy("_qid")
-        .toPandas()
+        _qpdf
+        if _qpdf is not None
+        else _collect_guarded_queries(
+            queries, id_col, vec_col, max_query_rows, "knn_pq"
+        )
     )
     if qpdf.empty:
         # no queries -> no neighbors (well-formed empty, r13 hunt).
@@ -1815,29 +1929,44 @@ def ivfpq_index(
     """
     vectors = _well_formed(vectors, id_col, vec_col)
     spark = vectors.sparkSession
-    if _coarse is not None:
-        cids, CC = _coarse
-    elif coarse_refine_iters > 0:
-        cids, CC = ivf_refine_centroids(
-            vectors, id_col, vec_col, n_centroids, coarse_refine_iters
+    if (
+        _coarse is None
+        and coarse_refine_iters == 0
+        and _codebook is None
+        and not residual
+        and pq_refine_iters == 0
+    ):
+        # both quantizers are untrained lowest-id seeds: one ordered
+        # head scan serves both (r15, guide §1.2 — the codebook seed
+        # set is a prefix of the coarse seed set), bit-identical to two
+        # separate _seed_centroids jobs
+        (cids, CC), C = _seed_heads(
+            vectors, id_col, vec_col, n_centroids, n_codes
         )
     else:
-        cids, CC = _seed_centroids(vectors, id_col, vec_col, n_centroids)
-    if _codebook is not None:
-        C = _codebook
-    elif residual:
-        C = _residual_codebook(
-            vectors, id_col, vec_col, n_codes, cids, CC, m, pq_refine_iters
-        )
-    elif pq_refine_iters > 0:
-        C = pq_refine_codebooks(
-            vectors, id_col, vec_col, m, n_codes, pq_refine_iters
-        )
-    else:
-        _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
+        if _coarse is not None:
+            cids, CC = _coarse
+        elif coarse_refine_iters > 0:
+            cids, CC = ivf_refine_centroids(
+                vectors, id_col, vec_col, n_centroids, coarse_refine_iters
+            )
+        else:
+            cids, CC = _seed_centroids(vectors, id_col, vec_col, n_centroids)
+        if _codebook is not None:
+            C = _codebook
+        elif residual:
+            C = _residual_codebook(
+                vectors, id_col, vec_col, n_codes, cids, CC, m,
+                pq_refine_iters,
+            )
+        elif pq_refine_iters > 0:
+            C = pq_refine_codebooks(
+                vectors, id_col, vec_col, m, n_codes, pq_refine_iters
+            )
+        else:
+            _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
     codes = _encode_codes(vectors, id_col, vec_col, cids, CC, C, m, residual)
     if stage_path is not None:
-        codes.write.mode("overwrite").parquet(stage_path)
         # geometry sidecar: the built-SMALLER case (an index with fewer
         # n_codes than a later search declares) is UNDETECTABLE from the
         # code values themselves (codes 0..n_built−1 all pass a
@@ -1872,7 +2001,6 @@ def ivfpq_index(
             "m int, n_codes int, n_centroids int, residual boolean, "
             "coarse_refine_iters int, pq_refine_iters int",
         )
-        meta.write.mode("overwrite").parquet(stage_path + "_meta")
         # quantizer sidecar: the FROZEN matrices themselves (coarse
         # centroids + PQ codebook), persisted next to the codes — the
         # artifact that makes the staged index self-contained: a later
@@ -1893,7 +2021,30 @@ def ivfpq_index(
             ],
             f"part string, ord int, qid {id_type_q}, vec array<double>",
         )
-        quant.write.mode("overwrite").parquet(stage_path + "_quantizer")
+        # the three staged relations are disjoint paths — submit the
+        # writes concurrently (r15, guide §2.6): the two sidecar writes
+        # are driver-local-relation jobs that back-fill while the codes
+        # write's corpus encode runs; bytes written are identical
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as wpool:
+            wfs = [
+                wpool.submit(
+                    lambda: codes.write.mode("overwrite").parquet(stage_path)
+                ),
+                wpool.submit(
+                    lambda: meta.write.mode("overwrite").parquet(
+                        stage_path + "_meta"
+                    )
+                ),
+                wpool.submit(
+                    lambda: quant.write.mode("overwrite").parquet(
+                        stage_path + "_quantizer"
+                    )
+                ),
+            ]
+            for wf in wfs:
+                wf.result()
         codes = spark.read.parquet(stage_path)
     return codes
 
@@ -1937,9 +2088,19 @@ def load_ivfpq_index(
     centroids instead of re-deriving seeds from the corpus (which, after
     an :func:`ivfpq_append`, would no longer be the same corpus the
     index was built from)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.errors import AnalysisException
 
     codes = spark.read.parquet(stage_path)
+    # with_quantizer: the quantizer sidecar read is independent of the
+    # meta read — overlap the two driver jobs (r15, guide §2.6). Meta
+    # validation errors still surface first (its result is consumed
+    # before the quantizer future's).
+    quant_pool = quant_fut = None
+    if with_quantizer:
+        quant_pool = ThreadPoolExecutor(max_workers=1)
+        quant_fut = quant_pool.submit(_load_quantizer, spark, stage_path)
     try:
         meta = spark.read.parquet(stage_path + "_meta").collect()
     except AnalysisException as exc:
@@ -1982,7 +2143,10 @@ def load_ivfpq_index(
             "the call"
         )
     if with_quantizer:
-        cids, CC, C = _load_quantizer(spark, stage_path)
+        try:
+            cids, CC, C = quant_fut.result()
+        finally:
+            quant_pool.shutdown(wait=False)
         return codes, (cids, CC), C
     return codes
 
@@ -2052,8 +2216,6 @@ def ivfpq_append(
     heavy growth, rebuild (that is the IVF trade, not a code path)."""
     new_vectors = _well_formed(new_vectors, id_col, vec_col)
     codes = spark.read.parquet(stage_path)
-    cids, CC, C = _load_quantizer(spark, stage_path)
-    meta = spark.read.parquet(stage_path + "_meta").collect()[0]
     new_id_type = new_vectors.schema[id_col].dataType
     staged_id_type = codes.schema["neighbor_id"].dataType
     if new_id_type != staged_id_type:
@@ -2063,24 +2225,39 @@ def ivfpq_append(
             f"{staged_id_type.simpleString()} — appending would corrupt "
             "the staged schema"
         )
-    if validate:
-        # ONE id-keyed aggregate over delta ids ∪ staged ids (subspace-0
-        # rows only, so the staged side scans |corpus| not |corpus|·m):
-        # any id appearing twice — already indexed, repeated WITHIN the
-        # delta batch, or a pre-corrupted index — would carry multiple
-        # code sets and rank that vector more than once in every
-        # search. LIMIT-bounded, skippable.
-        dup = (
-            new_vectors.select(F.col(id_col).alias("neighbor_id"))
-            .unionByName(
-                codes.where(F.col("subspace") == 0).select("neighbor_id")
-            )
-            .groupBy("neighbor_id")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .where(F.col("_c") > 1)
-            .limit(1)
-            .collect()
+    # the two sidecar loads and the duplicate-id probe are independent
+    # driver actions — run them as concurrent jobs (r15, guide §2.6);
+    # each job's computation and result are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        quant_fut = pool.submit(_load_quantizer, spark, stage_path)
+        meta_fut = pool.submit(
+            lambda: spark.read.parquet(stage_path + "_meta").collect()[0]
         )
+        dup_fut = None
+        if validate:
+            # ONE id-keyed aggregate over delta ids ∪ staged ids
+            # (subspace-0 rows only, so the staged side scans |corpus|
+            # not |corpus|·m): any id appearing twice — already indexed,
+            # repeated WITHIN the delta batch, or a pre-corrupted index
+            # — would carry multiple code sets and rank that vector more
+            # than once in every search. LIMIT-bounded, skippable.
+            dup_fut = pool.submit(
+                lambda: new_vectors.select(F.col(id_col).alias("neighbor_id"))
+                .unionByName(
+                    codes.where(F.col("subspace") == 0).select("neighbor_id")
+                )
+                .groupBy("neighbor_id")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") > 1)
+                .limit(1)
+                .collect()
+            )
+        cids, CC, C = quant_fut.result()
+        meta = meta_fut.result()
+    if validate:
+        dup = dup_fut.result()
         if dup:
             raise ValueError(
                 f"ivfpq_append: id {dup[0]['neighbor_id']} is already "
@@ -2116,6 +2293,7 @@ def knn_ivf_pq(
     residual: bool = False,
     coarse: tuple[np.ndarray, np.ndarray] | None = None,
     codebook: np.ndarray | None = None,
+    _qpdf: pd.DataFrame | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ search — the Faiss ``IndexIVFPQ`` shape, and the
     plan an actual 100 TB ANN deployment runs: coarse-probe the
@@ -2159,11 +2337,28 @@ def knn_ivf_pq(
     call (one-shot convenience; build once with :func:`ivfpq_index`
     when multiple searches share it). ``index`` and ``stage_path`` are
     mutually exclusive.
+
+    Driver-job scheduling (r15, guide §1.2/§2.6): at construction this
+    operator may run several INDEPENDENT eager chains — the guarded
+    query collect, the coarse-quantizer training, a coarse-independent
+    PQ-codebook training, the geometry probes on a prebuilt index, and
+    (residual) the probe-ranking collect. They are submitted to a small
+    driver thread pool so their Spark jobs overlap (Spark schedules
+    concurrent jobs FIFO and back-fills idle cores); every chain's own
+    computation and its results are unchanged — only the wall-clock
+    order of job submission differs. When both quantizers are untrained
+    seeds, ONE ordered head scan serves both (the codebook seed set is
+    a prefix of the coarse seed set). ``_qpdf`` (private, the
+    ``_shingles=`` convention): a pre-collected
+    :func:`_collect_guarded_queries` frame for the SAME ``queries``
+    relation, letting a multi-arm caller pay the query collect once —
+    never cached across queries or runs.
     """
     queries = _well_formed(queries, id_col, vec_col)
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window
 
-    _guard_query_rows(queries, id_col, max_query_rows, "knn_ivf_pq")
     if index is not None and stage_path is not None:
         raise ValueError(
             "knn_ivf_pq: pass either a prebuilt `index` or `stage_path`, "
@@ -2186,25 +2381,120 @@ def knn_ivf_pq(
     user_coarse = coarse is not None
     user_codebook = codebook is not None
     trained_coarse = coarse_refine_iters > 0 or coarse is not None
-    if coarse is None and (trained_coarse or index is None or residual):
-        if coarse_refine_iters > 0:
-            coarse = ivf_refine_centroids(
-                vectors, id_col, vec_col, n_centroids, coarse_refine_iters
+    need_coarse = coarse is None and (
+        trained_coarse or index is None or residual
+    )
+    pool = ThreadPoolExecutor(max_workers=3)
+    probe_rows = None
+    try:
+        qpdf_fut = (
+            pool.submit(
+                _collect_guarded_queries,
+                queries, id_col, vec_col, max_query_rows, "knn_ivf_pq",
+            )
+            if _qpdf is None
+            else None
+        )
+        # geometry fail-fast probes on a prebuilt/staged index (see the
+        # block below for what they assert): independent of everything
+        # else — submit first so they overlap the training chains. The
+        # always-submitted nonempty probe trades one extra tiny job for
+        # the sequential short-circuit's wall time.
+        geo_futs = None
+        if index is not None:
+            geo_futs = (
+                pool.submit(
+                    lambda: index.where(
+                        (F.col("subspace") >= m) | (F.col("code") >= n_codes)
+                    )
+                    .limit(1)
+                    .collect()
+                ),
+                pool.submit(
+                    lambda: index.where(F.col("subspace") == m - 1)
+                    .limit(1)
+                    .collect()
+                ),
+                pool.submit(lambda: index.limit(1).collect()),
+            )
+        seed_merge = (
+            need_coarse
+            and coarse_refine_iters == 0
+            and codebook is None
+            and not residual
+            and pq_refine_iters == 0
+        )
+        coarse_fut = cb_fut = None
+        if seed_merge:
+            coarse_fut = pool.submit(
+                _seed_heads, vectors, id_col, vec_col, n_centroids, n_codes
             )
         else:
-            coarse = _seed_centroids(vectors, id_col, vec_col, n_centroids)
-    if codebook is not None:
-        C = codebook
-    elif residual:
-        C = _residual_codebook(
-            vectors, id_col, vec_col, n_codes, *coarse, m, pq_refine_iters
-        )
-    elif pq_refine_iters > 0:
-        C = pq_refine_codebooks(
-            vectors, id_col, vec_col, m, n_codes, pq_refine_iters
-        )
-    else:
-        _cbids, C = _seed_centroids(vectors, id_col, vec_col, n_codes)
+            if need_coarse:
+                if coarse_refine_iters > 0:
+                    coarse_fut = pool.submit(
+                        ivf_refine_centroids,
+                        vectors, id_col, vec_col, n_centroids,
+                        coarse_refine_iters,
+                    )
+                else:
+                    coarse_fut = pool.submit(
+                        _seed_centroids, vectors, id_col, vec_col, n_centroids
+                    )
+            if codebook is None and not residual:
+                if pq_refine_iters > 0:
+                    cb_fut = pool.submit(
+                        pq_refine_codebooks,
+                        vectors, id_col, vec_col, m, n_codes, pq_refine_iters,
+                    )
+                else:
+                    cb_fut = pool.submit(
+                        lambda: _seed_centroids(
+                            vectors, id_col, vec_col, n_codes
+                        )[1]
+                    )
+        if seed_merge:
+            coarse, C = coarse_fut.result()
+        else:
+            if coarse_fut is not None:
+                coarse = coarse_fut.result()
+            if codebook is not None:
+                C = codebook
+            elif residual:
+                # the residual codebook needs the (now resolved) coarse
+                # matrices; the residual probe-ranking collect below
+                # needs them too and nothing else — overlap the two
+                cent = _cent_frame(
+                    vectors, id_col, vec_col, n_centroids,
+                    *(coarse if trained_coarse else (None, None)),
+                    trained=trained_coarse,
+                )
+                pp_fut = pool.submit(
+                    lambda: _probe_plan(
+                        queries, id_col, vec_col, cent, n_probe
+                    ).collect()
+                )
+                C = _residual_codebook(
+                    vectors, id_col, vec_col, n_codes, *coarse, m,
+                    pq_refine_iters,
+                )
+                probe_rows = pp_fut.result()
+            else:
+                C = cb_fut.result()
+        if residual and probe_rows is None:
+            # residual with a caller-supplied codebook: still collect
+            # the probe ranking (no codebook chain to overlap with)
+            cent = _cent_frame(
+                vectors, id_col, vec_col, n_centroids,
+                *(coarse if trained_coarse else (None, None)),
+                trained=trained_coarse,
+            )
+            probe_rows = _probe_plan(
+                queries, id_col, vec_col, cent, n_probe
+            ).collect()
+        qpdf = qpdf_fut.result() if qpdf_fut is not None else _qpdf
+    finally:
+        pool.shutdown(wait=True)
     D = C.shape[1]
     if D % m != 0:
         raise ValueError(f"dimension {D} not divisible by m={m}")
@@ -2238,17 +2528,10 @@ def knn_ivf_pq(
         # geometry sidecar (m/n_codes/residual always; n_centroids and
         # refine budgets when the caller passes them); for an in-memory
         # prebuilt relation they remain the caller's contract.
-        too_big = (
-            codes.where(
-                (F.col("subspace") >= m) | (F.col("code") >= n_codes)
-            )
-            .limit(1)
-            .collect()
-        )
-        too_small = (
-            not codes.where(F.col("subspace") == m - 1).limit(1).collect()
-            and bool(codes.limit(1).collect())
-        )
+        # (the probe jobs themselves were submitted to the driver pool
+        # above so they overlapped the training chains — r15 §2.6)
+        too_big = geo_futs[0].result()
+        too_small = not geo_futs[1].result() and bool(geo_futs[2].result())
         if too_big or too_small:
             raise ValueError(
                 "knn_ivf_pq: prebuilt index geometry mismatch — the index "
@@ -2256,37 +2539,20 @@ def knn_ivf_pq(
                 "or pass the m/n_codes it was built with"
             )
 
-    # coarse probe ranking: same JVM cosine + window as knn_ivf
-    cent = _cent_frame(
-        vectors, id_col, vec_col, n_centroids,
-        *(coarse if trained_coarse else (None, None)),
-        trained=trained_coarse,
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("c_score").desc(), F.col("centroid")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "centroid",
-            cosine(F.col("q_vec"), F.col("c_vec"), None).alias("c_score"),
+    if not residual:
+        # coarse probe ranking: same JVM cosine + window as knn_ivf,
+        # left LAZY — it feeds the final join directly (the residual
+        # path collected it in the pooled block above)
+        cent = _cent_frame(
+            vectors, id_col, vec_col, n_centroids,
+            *(coarse if trained_coarse else (None, None)),
+            trained=trained_coarse,
         )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "centroid")
-    )
+        probes = _probe_plan(queries, id_col, vec_col, cent, n_probe)
 
     # per-query ADC tables (exact sub-distances to every code), computed
-    # driver-side over the guarded query set, shipped as a local relation
-    qpdf = (
-        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
-        .orderBy("_qid")
-        .toPandas()
-    )
+    # driver-side over the guarded query set (collected in the pooled
+    # block above), shipped as a local relation
     id_type = vectors.schema[id_col].dataType.simpleString()
     # query_id values come from the QUERIES table; declaring them with
     # the vectors' id type mis-stamps mixed-id-type inputs (r13 ADVICE)
@@ -2310,10 +2576,11 @@ def knn_ivf_pq(
             _pykey(qpdf["_qid"][qi]): qi for qi in range(len(Q))
         }
         probe_pairs = [
-            (r["query_id"], r["centroid"]) for r in probes.collect()
+            (r["query_id"], r["centroid"]) for r in probe_rows
         ]
-        # the ranking job already ran for the collect — rebuild probes
-        # as a local relation so the final join doesn't recompute the
+        # the ranking job already ran (in the pooled block, overlapped
+        # with the residual-codebook chain) — rebuild probes as a local
+        # relation so the final join doesn't recompute the
         # queries×centroids cosine window a second time (and the ADC
         # rows and the join see bit-identical probe sets)
         probes = spark.createDataFrame(

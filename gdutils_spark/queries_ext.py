@@ -1422,24 +1422,37 @@ def emb_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = sim.ivf_refine_centroids(
         vectors, n_centroids=IVF_CENTROIDS, n_iters=IVF_REFINE_ITERS
     )
-    arms = []
-    for variant, res in (("raw", False), ("residual", True)):
+    # both arms search the SAME guarded query set — collect it once and
+    # hand it to each arm (r15, guide §1.2: the family's cost is driver
+    # job count; the `_shingles=` one-invocation-sharing convention)
+    qpdf = sim._collect_guarded_queries(
+        sim._well_formed(queries, "vec_id", "embedding"),
+        "vec_id", "embedding", 100_000, "emb_ivfpq_residual_recall",
+    )
+    # the two arms' remaining construction-time jobs (raw codebook seed
+    # vs residual codebook head + probe collect) are independent given
+    # the shared coarse matrices — build them concurrently (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _arm(variant: str, res: bool) -> DataFrame:
         approx = sim.knn_ivf_pq(
             vectors, queries, k=KNN_K, n_centroids=IVF_CENTROIDS,
             n_probe=IVFPQ_PROBE, m=PQ_M, n_codes=PQ_K,
-            coarse=coarse, residual=res,
+            coarse=coarse, residual=res, _qpdf=qpdf,
         )
         hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        arms.append(
-            hits.agg(
-                F.lit(variant).alias("variant"),
-                F.count(F.lit(1)).alias("n_hits"),
-                (F.count(F.lit(1)).cast("double") / F.lit(denom)).alias(
-                    "mean_recall"
-                ),
-            )
+        return hits.agg(
+            F.lit(variant).alias("variant"),
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.count(F.lit(1)).cast("double") / F.lit(denom)).alias(
+                "mean_recall"
+            ),
         )
-    return arms[0].unionByName(arms[1])
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        raw_fut = pool.submit(_arm, "raw", False)
+        res_fut = pool.submit(_arm, "residual", True)
+        return raw_fut.result().unionByName(res_fut.result())
 
 
 def _ivfpq_residual_recall_sql() -> str:
@@ -5021,10 +5034,22 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vectors.where(F.col("vec_id") < N_QUERIES)
     truth = sim.knn_bruteforce(vectors, queries, k=KNN_K)
     denom = float(N_QUERIES * KNN_K)
+    # one-invocation sharing across the two arms (r15, guide §1.2):
+    # both arms collect the same guarded query set, and the refined
+    # arm's Lloyd chain STARTS from the seed arm's codebook — one seed
+    # job + one query collect instead of two of each. Results are
+    # bit-identical (pq_refine_codebooks seeds from the same rows).
+    wf = sim._well_formed(vectors, "vec_id", "embedding")
+    seed_cb = sim._seed_centroids(wf, "vec_id", "embedding", PQ_K)[1]
+    qpdf = sim._collect_guarded_queries(
+        sim._well_formed(queries, "vec_id", "embedding"),
+        "vec_id", "embedding", 100_000, "emb_pq_recall",
+    )
     arms = []
     for variant, iters in (("seed", 0), ("refined", PQ_REFINE_ITERS)):
         approx = sim.knn_pq(
-            vectors, queries, k=KNN_K, m=PQ_M, n_codes=PQ_K, refine_iters=iters
+            vectors, queries, k=KNN_K, m=PQ_M, n_codes=PQ_K,
+            refine_iters=iters, _seed_cb=seed_cb, _qpdf=qpdf,
         )
         hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
         arms.append(
