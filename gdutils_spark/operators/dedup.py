@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .graph import _pinned_partitioned
+
 DEFAULT_NUM_PERMS = 16
 DEFAULT_BANDS = 4
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed int64
@@ -759,11 +761,18 @@ def connected_components(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(prev_parts), n_edges // 200_000 + 1))
     # Materialize the symmetrized edges at loop parallelism — each round
-    # re-reads this tiny checkpoint, not the upstream pipeline.
-    sym = (
-        base.union(base.select(F.col("b"), F.col("a")))
-        .repartition(loop_parts, "a")
-        .localCheckpoint(eager=True)
+    # re-reads this tiny checkpoint, not the upstream pipeline. The pin
+    # goes through graph._pinned_partitioned (r15): a plain
+    # repartition+localCheckpoint under AQE captures UnknownPartitioning
+    # into the replacement LogicalRDD (probe-verified), so the join side
+    # of EVERY propagation round silently re-exchanged the edge list the
+    # repartition was supposed to have placed once; the AQE-off pin
+    # preserves HashPartitioning(a, loop_parts) and the per-round join
+    # reuses it (exchange only on the node-sized label side).
+    sym = _pinned_partitioned(
+        base.union(base.select(F.col("b"), F.col("a"))),
+        "a",
+        num_partitions=loop_parts,
     )
     # the eager checkpoint above is the last consumer of the cached
     # edge relation — release it NOW: CacheManager entries are not

@@ -232,6 +232,16 @@ def pagerank(
     else:
         bcast = False
     hint = F.broadcast if bcast else (lambda df: df)
+    if bcast:
+        # guide §2.4 (r15): ONE up-front hash exchange of the pinned
+        # edge list by dst replaces every iteration's aggregate
+        # Exchange — the contribution sums group on dst (aliased
+        # ``node``), and the broadcast rank/degree joins plus the
+        # alias-only Project preserve this partitioning, so each
+        # iteration's groupBy plans with zero shuffles. Above the gate
+        # the shuffle path keeps map-side partial aggregation (the
+        # skew-safe shape for unbounded graphs).
+        e = _pinned_partitioned(e, "dst")
     for _ in range(n_iters):
         c_expr = (
             (F.col("pr") / F.col("deg").cast("double"))
@@ -290,6 +300,44 @@ def _fits(df: DataFrame, bound: int) -> bool:
     eager job at operator-construction time (r14 ADVICE) — the price of
     a measured, deterministic gate instead of optimizer estimates."""
     return df.limit(int(bound) + 1).count() <= int(bound)
+
+
+def _pinned_partitioned(
+    df: DataFrame, *cols: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Eagerly pin ``df`` hash-partitioned by ``cols`` (partition count =
+    the session's ``spark.sql.shuffle.partitions``, i.e. scale-derived,
+    not a local constant) so that every loop iteration reads ONE
+    co-partitioned relation and the per-iteration aggregates keyed on
+    (an alias of) ``cols`` see the partitioning and plan with ZERO
+    shuffle Exchange (guide §2.4: operations keyed the same way share
+    one exchange; broadcast joins and alias-only Projects preserve the
+    streamed side's partitioning).
+
+    AQE is toggled off around this one pin: ``localCheckpoint`` captures
+    the physical plan's output partitioning into the replacement
+    ``LogicalRDD``, but under AQE the captured plan is an un-executed
+    ``AdaptiveSparkPlan`` whose partitioning is still
+    ``UnknownPartitioning`` (probe-verified r15 — this is why the r14
+    attempt measured the partitioning as lost), which would put the
+    per-iteration Exchange right back. The toggle is plan-time conf,
+    scoped to this EAGER pin and restored in ``finally``; the rest of
+    the query still plans under AQE, rows are identical either way.
+    """
+    spark = df.sparkSession
+    if num_partitions is not None:
+        n = int(num_partitions)
+    else:
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(n, *cols).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -658,16 +706,20 @@ def k_core(
     returns a (documented) superset of the true core — check
     ``min(core_degree) >= k`` to certify convergence (test-pinned; peels
     on real graphs converge in a handful of rounds because each round
-    removes whole frontier layers). Per iteration: one degree aggregate
-    + two semi-joins of the edge list against the node-sized survivor
-    set — BROADCAST while the first round's survivor count stays at or
-    below ``broadcast_max_nodes`` (survivors only shrink, so one gate
-    covers every round; the r14 §3.1 deliberate-strategy convention),
-    keyed shuffles otherwise — no driver state; the edge list is
-    ``localCheckpoint``-pinned per round (the survivor set has two
-    consumers — u-side and v-side probes — and the edge list feeds both
-    the degree aggregate and next round's probes: the no-subtree-reuse
-    discipline)."""
+    removes whole frontier layers). One gate covers every round
+    (survivors only shrink): while the FIRST round's survivor count
+    stays at or below ``broadcast_max_nodes``, the loop state is the
+    node-sized survivor set itself (r15, guide §2.4) — the both-ways
+    incidence relation is hash-partitioned by node and pinned ONCE, each
+    round filters it with two broadcast semi-joins and re-counts degrees
+    with NO shuffle Exchange (the aggregate groups on the pinned key),
+    and only the survivor set is ``localCheckpoint``-pinned per round
+    (it has two consumers — the node-side and other-side probes: the
+    no-subtree-reuse discipline). Above the gate the loop keeps the
+    shrinking EDGE list as state (keyed-shuffle semi-joins, edge pin per
+    round) — when survivors don't fit a broadcast, shrinking state beats
+    re-filtering the full corpus every round. Identical surviving rows
+    on both paths (differential-tested)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_iters < 0:
@@ -693,29 +745,73 @@ def k_core(
     # Deliberate join strategy (guide §3.1, the pagerank convention):
     # the survivor set is node-sized and only SHRINKS round over round,
     # so one bounded count of the first round's survivors gates every
-    # round — under the budget both semi-joins broadcast the survivor
-    # set and the edge list is filtered in place instead of being
-    # exchanged twice per round (identical surviving rows either way).
-    hint = None
-    for _ in range(n_iters):
-        keep = (
-            degrees(e)
-            .where(F.col("core_degree") >= k)
-            .select("node")
-            .localCheckpoint(eager=False)
+    # round (identical surviving rows on both paths).
+    if n_iters == 0:
+        return degrees(e)
+    keep = (
+        degrees(e)
+        .where(F.col("core_degree") >= k)
+        .select("node")
+        .localCheckpoint(eager=False)
+    )
+    if broadcast_max_nodes is not None and _fits(keep, broadcast_max_nodes):
+        # Broadcast path, restructured r15 (guide §2.4): the loop state
+        # is the NODE-sized survivor set, not the shrinking edge list.
+        # Survivor sets are nested (S_{i+1} ⊆ S_i), so the round-i
+        # subgraph equals e ∩ S_i×S_i — filtering the ONE pinned
+        # incidence relation against the current survivors is exactly
+        # the old edge-shrinking loop, row for row. The incidence
+        # relation (both directions of every edge, keyed by the counted
+        # endpoint) is hash-partitioned by ``node`` and pinned ONCE, so
+        # each round's degree aggregate groups on the pinned key and
+        # plans with ZERO shuffle Exchange; both survivor probes are
+        # broadcast semi-joins (map-side). Per round this replaces an
+        # edge-sized localCheckpoint + a keyed aggregate exchange with
+        # one node-sized pin and no exchange at all.
+        inc = _pinned_partitioned(
+            e.select(F.col("u").alias("node"), F.col("v").alias("other"))
+            .unionByName(
+                e.select(F.col("v").alias("node"), F.col("u").alias("other"))
+            ),
+            "node",
         )
-        if hint is None:
-            if broadcast_max_nodes is not None and _fits(
-                keep, broadcast_max_nodes
-            ):
-                hint = F.broadcast
-            else:
-                hint = lambda df: df  # noqa: E731
-        e = (
-            e.join(
-                hint(keep.select(F.col("node").alias("u"))), "u", "left_semi"
+
+        def surv_degrees(s: DataFrame) -> DataFrame:
+            return (
+                inc.join(F.broadcast(s), "node", "left_semi")
+                .join(
+                    F.broadcast(s.select(F.col("node").alias("other"))),
+                    "other",
+                    "left_semi",
+                )
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("core_degree"))
             )
-            .join(hint(keep.select(F.col("node").alias("v"))), "v", "left_semi")
+
+        for _ in range(n_iters - 1):
+            keep = (
+                surv_degrees(keep)
+                .where(F.col("core_degree") >= k)
+                .select("node")
+                .localCheckpoint(eager=False)
+            )
+        return surv_degrees(keep)
+    # Above the gate: the shrinking-edge-state loop — each round's edge
+    # list is keyed-shuffled against the survivor set and pinned, the
+    # scale shape when the survivor set itself is too big to broadcast
+    # (state shrinks with the peel instead of re-filtering the full
+    # corpus every round).
+    for i in range(n_iters):
+        if i > 0:
+            keep = (
+                degrees(e)
+                .where(F.col("core_degree") >= k)
+                .select("node")
+                .localCheckpoint(eager=False)
+            )
+        e = (
+            e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
     return degrees(e)
@@ -830,6 +926,16 @@ def label_propagation(
     else:
         bcast = False
     hint = F.broadcast if bcast else (lambda df: df)
+    if bcast:
+        # guide §2.4 (r15): one up-front hash exchange of the pinned
+        # edge list by dst replaces BOTH per-round aggregate Exchanges
+        # — the (node, label) tally and the node-keyed argmax each
+        # group on (an alias of) dst, and the broadcast label join +
+        # rename preserve the pinned partitioning, so every round plans
+        # with zero shuffles. Above the gate the two-exchange shape
+        # stays: its map-side partial aggregation is what bounds a
+        # celebrity node's tally volume on unbounded graphs (§2.5).
+        e = _pinned_partitioned(e, "dst")
     for _ in range(n_iters):
         nbr = e.join(hint(lab.withColumnRenamed("node", "src")), "src").select(
             F.col("dst").alias("node"), "label"

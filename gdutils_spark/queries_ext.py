@@ -2021,7 +2021,22 @@ def _synth_pixel_pngs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
     import zlib
 
+    # Parallelism fix (r15, guide §2.5/§8): the documents file is one
+    # scan split at bench SFs, so the per-row Python codec work below —
+    # synthesis here plus the decode in the consuming operator, the two
+    # heaviest pure-Python paths in the bench — all ran in ONE task.
+    # Hash-repartition the ID-SIZED projection (8 bytes/row — decide
+    # with small rows, then generate the heavy payloads where they
+    # land) across the session's shuffle partitions BEFORE the payload
+    # synthesis. Explicit partition count so AQE cannot coalesce the
+    # tiny-byte exchange back to one task; doc_id is unique, so the
+    # hash spread is even and deterministic (no round-robin/rand keys).
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism
+    d = d.repartition(n_part, "doc_id")
 
     def synth(batches):
         import pandas as pd
