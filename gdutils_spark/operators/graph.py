@@ -405,12 +405,17 @@ def _rank_lt(l: str, r: str):
     )
 
 
-def _lcc_report(deg: DataFrame, ntri: DataFrame) -> DataFrame:
+def _lcc_report(deg: DataFrame, ntri: DataFrame, hint=None) -> DataFrame:
     """Final per-node report from a degree table and a ``(node,
     n_triangles)`` relation: missing nodes count 0 triangles,
-    ``lcc = 2·T / (d·(d−1))`` as one IEEE division (0.0 when d < 2)."""
+    ``lcc = 2·T / (d·(d−1))`` as one IEEE division (0.0 when d < 2).
+    ``hint`` (r15, guide §3.1): callers whose broadcast gate passed hand
+    in ``F.broadcast`` so the node-sized triangle-count side broadcasts
+    into the left join instead of a SortMergeJoin exchanging both
+    node-sized aggregates."""
+    hint = hint or (lambda df: df)
     n_tri = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
-    return deg.join(ntri, "node", "left").select(
+    return deg.join(hint(ntri), "node", "left").select(
         "node",
         "degree",
         n_tri.alias("n_triangles"),
@@ -491,7 +496,7 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return _lcc_report(deg, cnt)
+    return _lcc_report(deg, cnt, hint=hint if bcast else None)
 
 
 def triangle_count_incremental(
@@ -594,7 +599,7 @@ def triangle_count_incremental(
             ).alias("n_triangles"),
         )
     )
-    return _lcc_report(deg, combined)
+    return _lcc_report(deg, combined, hint=hint if bcast else None)
 
 
 def edge_jaccard(
@@ -664,10 +669,17 @@ def edge_jaccard(
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
     n_common = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
     union_sz = F.col("du") + F.col("dv") - F.lit(2) - n_common
+    # Report joins ride the same gate (r15, guide §3.1): ``common`` is
+    # one row per triangle-participating edge (⊆ e, which the gate just
+    # measured) and du/dv are node-sized — broadcasting all three turns
+    # the final report from 3 SortMergeJoins + 5 exchanges + sorts of
+    # edge-/node-sized relations into map-side hash joins over the
+    # pinned edge list (the only remaining exchange is the per-edge
+    # triangle count aggregate).
     return (
-        e.join(common, ["u", "v"], "left")
-        .join(du, "u")
-        .join(dv, "v")
+        e.join(hint(common), ["u", "v"], "left")
+        .join(hint(du), "u")
+        .join(hint(dv), "v")
         .select(
             "u",
             "v",
