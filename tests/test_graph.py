@@ -704,3 +704,55 @@ def test_edge_jaccard_consistent_with_triangle_count(spark):
         "least(src, dst) AS u", "greatest(src, dst) AS v"
     ).where("u <> v").distinct().count()
     assert ej.count() == n_canon
+
+
+def test_broadcast_gate_paths_row_identical(spark):
+    """r15 differential pin: the broadcast-gated loop bodies (partition-
+    pinned edge relation; k_core additionally restructured to node-sized
+    survivor-set state) must emit EXACTLY the rows of the gate-off
+    shuffle path — including an unconverged k_core bound (the documented
+    superset contract) and a single-round peel."""
+    import random
+
+    from gdutils_spark.operators.graph import (
+        k_core,
+        label_propagation,
+        pagerank,
+    )
+
+    rng = random.Random(97)
+    edge_list = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edge_list += [(5 + i, 6 + i) for i in range(8)]
+    edge_list += sorted({(rng.randrange(16), rng.randrange(16)) for _ in range(25)})
+    edge_list = [(s, t) for s, t in edge_list if s != t]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    both = df.union(df.selectExpr("dst AS src", "src AS dst"))
+
+    for k, iters in ((3, 8), (3, 1), (4, 2)):
+        on = {
+            r.node: r.core_degree
+            for r in k_core(df, k=k, n_iters=iters).collect()
+        }
+        off = {
+            r.node: r.core_degree
+            for r in k_core(
+                df, k=k, n_iters=iters, broadcast_max_nodes=None
+            ).collect()
+        }
+        assert on == off, f"k_core gate paths diverge at k={k}, iters={iters}"
+
+    lab_on = {r.node: r.label for r in label_propagation(both, n_iters=3).collect()}
+    lab_off = {
+        r.node: r.label
+        for r in label_propagation(
+            both, n_iters=3, broadcast_max_nodes=None
+        ).collect()
+    }
+    assert lab_on == lab_off
+
+    pr_on = {r.node: r.pr for r in pagerank(both, n_iters=3).collect()}
+    pr_off = {
+        r.node: r.pr
+        for r in pagerank(both, n_iters=3, broadcast_max_nodes=None).collect()
+    }
+    assert pr_on == pr_off  # bit-identical doubles: same ordered fold
